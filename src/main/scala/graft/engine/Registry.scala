@@ -1,0 +1,13 @@
+package graft.engine
+
+import graft.operators._
+
+/** Single source of truth for the declared query inventory (SURVEY.md §2.B).
+  * `SparkEntry` derives its `queries` / `oracleSql` maps from here.
+  */
+object Registry {
+  def all: Seq[GQuery] =
+    Aggregations.all
+
+  def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the driver-generated testdata tables
+  * (see TESTDATA.md / FIXTURES.md). All tables are Parquet; the vectorized
+  * reader + Catalyst pushdown/pruning make these the only scan path the
+  * engine needs. At 100 TB these same loaders work unchanged against a
+  * partitioned data lake directory — `spark.read.parquet` scales via
+  * `FileSourceScanExec` splits; nothing here materializes on the driver.
+  *
+  * Schemas (verified via pyarrow, SURVEY.md §1.2):
+  *  - region(r_regionkey int, r_name string)
+  *  - nation(n_nationkey int, n_name string, n_regionkey int)
+  *  - customer(c_custkey long, c_name string, c_nationkey int,
+  *             c_acctbal double, c_mktsegment string)
+  *  - supplier(s_suppkey long, s_name string, s_nationkey int, s_acctbal double)
+  *  - part(p_partkey long, p_name string, p_brand string, p_type string,
+  *         p_size int, p_retailprice double)
+  *  - orders(o_orderkey long, o_custkey long, o_orderstatus string,
+  *           o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string)
+  *  - lineitem(l_orderkey long, l_partkey long, l_suppkey long,
+  *             l_linenumber int, l_quantity double, l_extendedprice double,
+  *             l_discount double, l_tax double, l_returnflag string,
+  *             l_linestatus string, l_shipdate timestamp_ntz)
+  *  - events(event_id long, ts <ns — see below>, user_id long,
+  *           event_type string, value double, props string-json)
+  *  - documents(doc_id long, text string, lang string, source string, n_chars long)
+  *  - embeddings(vec_id long, embedding array<float>, label int)
+  */
+object Tables {
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = t(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4.1.2
+    * rejects by default (PARQUET_TYPE_ILLEGAL). We flip the public
+    * `spark.sql.legacy.parquet.nanosAsLong` conf (runtime-settable) so the
+    * column reads as epoch-nano LongType, then normalize to a
+    * second-truncated timestamp column `ts` (ns → µs → timestamp →
+    * date_trunc) so every downstream query and its DuckDB oracle agree.
+    * Raw nanos kept as `ts_nanos` for ordering/tiebreaks.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_nanos")
+      .withColumn(
+        "ts",
+        date_trunc("second",
+          timestamp_micros((col("ts_nanos") / 1000L).cast("long"))))
+  }
+}
