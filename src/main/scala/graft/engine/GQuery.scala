@@ -19,27 +19,47 @@ final case class GQuery(
 object GQuery {
   /** Determinism helpers (SURVEY.md §5.2 hash-match hardening).
     *
-    * Floating sums are order-dependent and Spark's shuffle-fetch order is
-    * nondeterministic, so large-magnitude sums are accumulated in exact
-    * decimal (per-row cast → exact decimal sum → double → round). Both
-    * engines then compute bit-identical results regardless of row order
-    * or parallelism — this also holds on a 1000-executor cluster, where
-    * merge order is even less predictable than on local[32].
+    * Two cross-engine float hazards, both observed empirically:
+    *  1. Aggregation order: Spark's shuffle-fetch (and any cluster's merge
+    *     order) is nondeterministic, so double sums vary run to run.
+    *  2. round(): Spark rounds the double's shortest decimal representation
+    *     (BigDecimal HALF_UP) while DuckDB rounds the binary value — they
+    *     disagree on values like 1222.74499999….
+    *
+    * Fixes: accumulate sums in exact decimal and scale down IN DECIMAL
+    * (both engines round decimal ties away from zero), and round computed
+    * doubles with pure IEEE arithmetic (`floor(x*1eN+0.5)/1eN`) which is
+    * bit-identical everywhere — including a 1000-executor cluster.
     */
   def dsum(c: Column, outScale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(30, 6))).cast("double"), outScale)
+    rN(sum(c.cast(DecimalType(30, 6))).cast("double"), outScale)
 
   /** SQL twin of [[dsum]] for the DuckDB oracle. */
   def dsumSql(expr: String, outScale: Int = 2): String =
-    s"round(cast(sum(cast(($expr) as decimal(30,6))) as double), $outScale)"
+    rNSql(s"cast(sum(cast(($expr) as decimal(30,6))) as double)", outScale)
 
-  /** Deterministic average: exact decimal sum → double, then one IEEE
-    * division — bit-identical in Spark and DuckDB (their native decimal
-    * AVG implementations differ, so we avoid them).
+  /** Deterministic average: exact decimal sum → double, one IEEE division,
+    * IEEE rounding — bit-identical in Spark and DuckDB (their native
+    * decimal AVG implementations differ, so we avoid them).
     */
   def davg(c: Column, outScale: Int = 6): Column =
-    round(sum(c.cast(DecimalType(30, 6))).cast("double") / count(c), outScale)
+    rN(sum(c.cast(DecimalType(30, 6))).cast("double") / count(c), outScale)
 
   def davgSql(expr: String, outScale: Int = 6): String =
-    s"round(cast(sum(cast(($expr) as decimal(30,6))) as double) / count($expr), $outScale)"
+    rNSql(s"cast(sum(cast(($expr) as decimal(30,6))) as double) / count($expr)", outScale)
+
+  /** Pure-IEEE rounding of a computed double — identical bits in both
+    * engines (unlike round(), see above). Ties round toward +infinity. */
+  def rN(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale.toDouble)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  def rNSql(expr: String, scale: Int): String =
+    s"floor(($expr) * 1e$scale + 0.5) / 1e$scale"
+
+  def r2(c: Column): Column = rN(c, 2)
+  def r2Sql(expr: String): String = rNSql(expr, 2)
+  def r6(c: Column): Column = rN(c, 6)
+  def r6Sql(expr: String): String = rNSql(expr, 6)
 }

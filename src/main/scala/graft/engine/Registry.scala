@@ -7,7 +7,8 @@ import graft.operators._
   */
 object Registry {
   def all: Seq[GQuery] =
-    Aggregations.all
+    Scans.all ++ Joins.all ++ Aggregations.all ++ Windows.all ++
+      SetOps.all ++ Functions.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -58,6 +58,7 @@ object Tables {
       .withColumn(
         "ts",
         date_trunc("second",
-          timestamp_micros((col("ts_nanos") / 1000L).cast("long"))))
+          timestamp_micros((col("ts_nanos") / 1000L).cast("long"))
+            .cast("timestamp_ntz")))
   }
 }

@@ -51,5 +51,132 @@ object Aggregations {
       ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val all: Seq[GQuery] = Seq(qPricing)
+  /** Distinct aggregates — Spark plans these as a double-shuffle expand;
+    * still map-side combinable on the distinct keys. */
+  val qAggDistinct: GQuery = GQuery(
+    "q_agg_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_customers"),
+          countDistinct($"o_orderstatus").as("n_statuses"),
+          dsum($"o_totalprice").as("total_price"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             count(DISTINCT o_custkey) AS n_customers,
+             count(DISTINCT o_orderstatus) AS n_statuses,
+             ${dsumSql("o_totalprice")} AS total_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  /** ROLLUP grouping sets with grouping_id; null group keys coalesced to
+    * 'ALL' on both sides so the hash compare is null-free. */
+  val qRollup: GQuery = GQuery(
+    "q_rollup",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          dsum($"l_quantity").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"gid", $"n_items", $"sum_qty")
+        .orderBy($"gid", $"returnflag", $"linestatus")
+    },
+    Some(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             cast(grouping_id(l_returnflag, l_linestatus) as bigint) AS gid,
+             count(*) AS n_items,
+             ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus"""),
+  )
+
+  /** CUBE over two order dimensions. */
+  val qCube: GQuery = GQuery(
+    "q_cube",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("total_price"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"gid", $"n_orders", $"total_price")
+        .orderBy($"gid", $"status", $"priority")
+    },
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             cast(grouping_id(o_orderstatus, o_orderpriority) as bigint) AS gid,
+             count(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority"""),
+  )
+
+  /** Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * linear interpolation). The approx variant (`percentile_approx`/HLL)
+    * is unit-tested instead — approx sketches can't hash-match. */
+  val qPercentile: GQuery = GQuery(
+    "q_percentile",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+             round(quantile_cont(l_quantity, 0.95), 6) AS p95
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  /** Order-sensitive array agg, made deterministic with array_sort
+    * (§5.2 rule 4). */
+  val qArrayAgg: GQuery = GQuery(
+    "q_arrayagg",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter($"l_orderkey" <= 500)
+        .groupBy($"l_orderkey")
+        .agg(
+          array_sort(collect_list($"l_partkey")).as("partkeys"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey, list_sort(list(l_partkey)) AS partkeys,
+             count(*) AS n_items
+      FROM lineitem WHERE l_orderkey <= 500
+      GROUP BY l_orderkey ORDER BY l_orderkey"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg)
 }

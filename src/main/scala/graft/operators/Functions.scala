@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Scalar function families (SURVEY.md §2.B.7) — one multi-function query
+  * per family, each ending in a total ORDER BY on the primary key. All are
+  * built-in codegen'd expressions (no UDFs), so they fuse into the
+  * surrounding WholeStageCodegen pipeline and stay columnar-scan friendly.
+  *
+  * Cross-engine gotchas handled here:
+  *  - DuckDB `dayofweek` is 0-based (Sunday=0) vs Spark 1-based → +1 shim;
+  *  - double→int casts: Spark truncates, DuckDB rounds → use floor/ceil;
+  *  - JSON: oracle uses regexp extraction (engine-portable), Spark side
+  *    uses the idiomatic from_json path.
+  */
+object Functions {
+
+  val qFnString: GQuery = GQuery(
+    "q_fn_string",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.part(spark, dir)
+        .select(
+          $"p_partkey",
+          upper($"p_brand").as("brand_upper"),
+          lower($"p_type").as("type_lower"),
+          length($"p_name").as("name_len"),
+          substring($"p_name", 1, 8).as("name_prefix"),
+          concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+          ltrim(rtrim($"p_name")).as("name_trim"),
+          lpad($"p_brand", 12, "*").as("brand_padded"),
+          regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+          regexp_replace($"p_name", "\\s+", "_").as("name_snake"),
+          instr($"p_type", "a").as("a_pos"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        upper(p_brand) AS brand_upper,
+        lower(p_type) AS type_lower,
+        cast(length(p_name) as int) AS name_len,
+        substring(p_name, 1, 8) AS name_prefix,
+        p_brand || '#' || p_type AS brand_type,
+        ltrim(rtrim(p_name)) AS name_trim,
+        lpad(p_brand, 12, '*') AS brand_padded,
+        regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        regexp_replace(p_name, '\s+', '_', 'g') AS name_snake,
+        cast(strpos(p_type, 'a') as int) AS a_pos
+      FROM part ORDER BY p_partkey"""),
+  )
+
+  val qFnDate: GQuery = GQuery(
+    "q_fn_date",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dy"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          (dayofweek($"o_orderdate")).as("dow"),
+          datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          add_months(to_date($"o_orderdate"), 3).as("plus3m"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        cast(year(o_orderdate) as int) AS yr,
+        cast(month(o_orderdate) as int) AS mo,
+        cast(day(o_orderdate) as int) AS dy,
+        date_trunc('month', o_orderdate) AS month_start,
+        cast(dayofweek(o_orderdate) + 1 as int) AS dow,
+        cast(datediff('day', DATE '1995-01-01', cast(o_orderdate as date)) as int)
+          AS days_since,
+        cast(cast(o_orderdate as date) + INTERVAL 3 MONTH as date) AS plus3m
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  val qFnMath: GQuery = GQuery(
+    "q_fn_math",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.part(spark, dir)
+        .select(
+          $"p_partkey",
+          r2(abs($"p_retailprice" - lit(1000.0))).as("abs_diff"),
+          floor($"p_retailprice").cast("long").as("price_floor"),
+          ceil($"p_retailprice").cast("long").as("price_ceil"),
+          r6(sqrt($"p_retailprice")).as("price_sqrt"),
+          pow($"p_size", 2).cast("long").as("size_sq"),
+          pmod($"p_size", lit(7)).as("size_mod7"),
+          signum($"p_retailprice" - lit(1500.0)).cast("int").as("price_sign"),
+          least($"p_size", lit(25)).as("size_capped"),
+          greatest($"p_size", lit(10)).as("size_floor10"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        floor((abs(p_retailprice - 1000.0)) * 1e2 + 0.5) / 1e2 AS abs_diff,
+        cast(floor(p_retailprice) as bigint) AS price_floor,
+        cast(ceil(p_retailprice) as bigint) AS price_ceil,
+        floor((sqrt(p_retailprice)) * 1e6 + 0.5) / 1e6 AS price_sqrt,
+        cast(p_size * p_size as bigint) AS size_sq,
+        p_size % 7 AS size_mod7,
+        cast(sign(p_retailprice - 1500.0) as int) AS price_sign,
+        cast(least(p_size, 25) as int) AS size_capped,
+        cast(greatest(p_size, 10) as int) AS size_floor10
+      FROM part ORDER BY p_partkey"""),
+  )
+
+  val qFnArray: GQuery = GQuery(
+    "q_fn_array",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = split($"text", " ")
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          slice(array_sort(toks), 1, 3).as("first3"),
+          array_contains(toks, "data").as("has_data"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        cast(len(string_split(text, ' ')) as int) AS n_tokens,
+        cast(len(list_distinct(string_split(text, ' '))) as int) AS n_distinct,
+        list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3,
+        list_contains(string_split(text, ' '), 'data') AS has_data
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  /** JSON extraction from events.props. Spark side: from_json into a typed
+    * map (the idiomatic path); oracle: regexp extraction so the check does
+    * not depend on DuckDB's json extension. */
+  val qFnJson: GQuery = GQuery(
+    "q_fn_json",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("k",
+          from_json($"props",
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+            .getItem("k"))
+        .groupBy($"event_type")
+        .agg(
+          count($"k").as("n_with_k"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+        count(k) AS n_with_k, cast(sum(k) as bigint) AS sum_k,
+        min(k) AS min_k, max(k) AS max_k
+      FROM (
+        SELECT event_type,
+          cast(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) as bigint) AS k
+        FROM events) t
+      GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson)
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Join operators (SURVEY.md §2.B.3). Strategy posture for 100 TB:
+  *  - dimension tables (region/nation/customer-at-dim-scale, literal band
+  *    tables) are explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fact⋈fact joins pin `hint("merge")` (sort-merge) so the plan is
+  *    stable and spill-safe at scale (shuffled hash can OOM on skew);
+  *  - the as-of join is a window emulation — one shuffle by key, no
+  *    row-explosion, which is the scalable form (a range cross-join would
+  *    be quadratic per user).
+  */
+object Joins {
+
+  /** Broadcast star join: fact orders ⋈ customer ⋈ nation ⋈ region.
+    * Only the fact table streams; dims ship to every executor once. */
+  val qJoinBcast: GQuery = GQuery(
+    "q_join_bcast",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some(s"""
+      SELECT r_name, n_name, count(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""),
+  )
+
+  /** TPC-H Q3 shape: fact⋈fact sort-merge join, agg, top-10. The merge
+    * hint keeps the physical plan stable (SMJ spills instead of OOM). */
+  val qJoinSmj: GQuery = GQuery(
+    "q_join_smj",
+    (spark, dir) => {
+      import spark.implicits._
+      val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+      val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+      val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+      li.hint("merge").join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""),
+  )
+
+  /** Left outer join preserving customers with zero orders. */
+  val qJoinOuter: GQuery = GQuery(
+    "q_join_outer",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("total_spent"))
+        .orderBy($"c_custkey")
+    },
+    Some(s"""
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             coalesce(${dsumSql("o_totalprice")}, 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey"""),
+  )
+
+  /** Left semi (EXISTS): customers with at least one finished order. */
+  val qJoinSemi: GQuery = GQuery(
+    "q_join_semi",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(
+          Tables.orders(spark, dir).filter($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""),
+  )
+
+  /** Left anti (NOT EXISTS): customers with no orders at all. */
+  val qJoinAnti: GQuery = GQuery(
+    "q_join_anti",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""),
+  )
+
+  /** Theta/range (banded) join: fact rows land in price bands via a
+    * broadcast nested-loop against a tiny literal band table — the
+    * scalable form of a non-equi join (small side broadcast, fact streams). */
+  val qJoinRange: GQuery = GQuery(
+    "q_join_range",
+    (spark, dir) => {
+      import spark.implicits._
+      val bands = Seq(
+        (1, 0.0, 20000.0), (2, 20000.0, 40000.0), (3, 40000.0, 60000.0),
+        (4, 60000.0, 80000.0), (5, 80000.0, 1e12))
+        .toDF("band_id", "lo", "hi")
+      Tables.lineitem(spark, dir)
+        .join(broadcast(bands),
+          $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("band_total"))
+        .orderBy($"band_id")
+    },
+    Some(s"""
+      SELECT band_id, count(*) AS n_items,
+             ${dsumSql("l_extendedprice")} AS band_total
+      FROM lineitem
+      JOIN (VALUES (1, 0.0, 20000.0), (2, 20000.0, 40000.0),
+                   (3, 40000.0, 60000.0), (4, 60000.0, 80000.0),
+                   (5, 80000.0, 1e12)) AS bands(band_id, lo, hi)
+        ON l_extendedprice >= lo AND l_extendedprice < hi
+      GROUP BY band_id
+      ORDER BY band_id"""),
+  )
+
+  /** As-of join (nearest prior): each purchase event matched to the same
+    * user's latest prior-or-equal signup. Window emulation — one shuffle
+    * by user_id, no row explosion; at 100 TB this is a single
+    * hash-partitioned sort per key, vs. a quadratic range join. */
+  val qJoinAsof: GQuery = GQuery(
+    "q_join_asof",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("signup", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "signup", $"ts").as("signup_ts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts",
+          when($"event_type" === "signup", 0).otherwise(1),
+          $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("asof_signup_ts", last($"signup_ts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"asof_signup_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, asof_signup_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          last_value(signup_ts IGNORE NULLS) OVER (
+            PARTITION BY user_id
+            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                     event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts
+        FROM (
+          SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type,
+            CASE WHEN event_type = 'signup'
+                 THEN date_trunc('second', ts) END AS signup_ts
+          FROM events WHERE event_type IN ('signup', 'purchase')) ev
+      ) t WHERE event_type = 'purchase'
+      ORDER BY event_id"""),
+  )
+
+  /** Cross join of the two tiny dims (125 rows) — the only place a
+    * cartesian product is ever acceptable. */
+  val qJoinCross: GQuery = GQuery(
+    "q_join_cross",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+        .select($"r_name", $"n_name")
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name"""),
+  )
+
+  val all: Seq[GQuery] = Seq(
+    qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
+    qJoinRange, qJoinAsof, qJoinCross)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Scan / projection / filter / conditional operators (SURVEY.md §2.B.1-B.2).
+  * These exist to prove the scan path is right at scale: Catalyst pushes the
+  * predicates into the parquet reader (PushedFilters) and prunes the read
+  * schema to the projected columns — at 100 TB that is the difference
+  * between scanning terabytes and scanning the few column chunks needed.
+  */
+object Scans {
+
+  /** Full-scan count + exact sum: the cheapest possible pass over the fact
+    * table (count-star + one pruned column). */
+  val qScan: GQuery = GQuery(
+    "q_scan",
+    (spark, dir) =>
+      Tables.lineitem(spark, dir).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("total_price")),
+    Some(s"""
+      SELECT count(*) AS n_rows, ${dsumSql("l_extendedprice")} AS total_price
+      FROM lineitem"""),
+  )
+
+  /** Projection with per-row arithmetic; column pruning should reduce the
+    * scan to 5 of 11 lineitem columns. */
+  val qProject: GQuery = GQuery(
+    "q_project",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          r2($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          r2($"l_quantity" * lit(0.5)).as("half_qty"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        floor((l_quantity * 0.5) * 100 + 0.5) / 100 AS half_qty
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  /** Conjunctive/disjunctive predicates, IN, BETWEEN, LIKE — all pushed to
+    * the parquet scan. */
+  val qFilter: GQuery = GQuery(
+    "q_filter",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .filter(
+          $"o_orderstatus".isin("F", "P") &&
+          $"o_totalprice".between(50000.0, 200000.0) &&
+          ($"o_orderpriority".like("1-%") || $"o_orderpriority".like("2-%")))
+        .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"),
+          $"o_orderstatus", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+             o_orderstatus, o_orderpriority
+      FROM orders
+      WHERE o_orderstatus IN ('F','P')
+        AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      ORDER BY o_orderkey"""),
+  )
+
+  /** CASE WHEN tiers + coalesce/nullif (B.2 conditional family). */
+  val qCase: GQuery = GQuery(
+    "q_case",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .select(
+          $"c_custkey",
+          when($"c_acctbal" < 0, "overdrawn")
+            .when($"c_acctbal" < 3000, "low")
+            .when($"c_acctbal" < 7000, "mid")
+            .otherwise("high").as("balance_tier"),
+          coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER"))
+            .as("segment_masked"),
+          round(greatest($"c_acctbal", lit(0.0)), 2).as("pos_bal"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             WHEN c_acctbal < 3000 THEN 'low'
+             WHEN c_acctbal < 7000 THEN 'mid'
+             ELSE 'high' END AS balance_tier,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+        round(greatest(c_acctbal, 0.0), 2) AS pos_bal
+      FROM customer
+      ORDER BY c_custkey"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qScan, qProject, qFilter, qCase)
+}

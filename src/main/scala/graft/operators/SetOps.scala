@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Sort/limit and set operations (SURVEY.md §2.B.6). Catalyst rewrites:
+  * orderBy+limit → TakeOrderedAndProject (per-partition top-k, no global
+  * sort — the 100 TB-safe form), distinct → aggregate, intersect/except →
+  * semi/anti joins.
+  */
+object SetOps {
+
+  /** Global top-20 by price — TakeOrderedAndProjectExec, with a strict
+    * total order so the cutoff is deterministic. */
+  val qSortLimit: GQuery = GQuery(
+    "q_sort_limit",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_extendedprice", 2).as("l_extendedprice"))
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(20)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 20"""),
+  )
+
+  /** UNION ALL of two key streams + aggregation over the union. */
+  val qSetUnion: GQuery = GQuery(
+    "q_set_union",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir).select($"c_nationkey".as("nk"))
+      val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nk"))
+      c.unionAll(s)
+        .groupBy($"nk").agg(count(lit(1)).as("n"))
+        .orderBy($"nk")
+    },
+    Some("""
+      SELECT nk, count(*) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nk FROM supplier) u
+      GROUP BY nk ORDER BY nk"""),
+  )
+
+  /** INTERSECT (distinct): nations having both customers and suppliers. */
+  val qSetIntersect: GQuery = GQuery(
+    "q_set_intersect",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir).select($"c_nationkey".as("nk"))
+        .intersect(Tables.supplier(spark, dir).select($"s_nationkey".as("nk")))
+        .orderBy($"nk")
+    },
+    Some("""
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nk FROM supplier
+      ORDER BY nk"""),
+  )
+
+  /** EXCEPT (distinct): nations with customers but no suppliers. */
+  val qSetExcept: GQuery = GQuery(
+    "q_set_except",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir).select($"c_nationkey".as("nk"))
+        .except(Tables.supplier(spark, dir).select($"s_nationkey".as("nk")))
+        .orderBy($"nk")
+    },
+    Some("""
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nk FROM supplier
+      ORDER BY nk"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept)
+}

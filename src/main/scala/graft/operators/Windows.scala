@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Window functions (SURVEY.md §2.B.5) + the windowed batch twins of the
+  * streaming operators (B.10) and the relational gapply instance (B.9).
+  * One shuffle per distinct partitioning; every orderBy carries a unique
+  * tiebreak (§5.2 rule 1). Window sums accumulate in decimal: DuckDB
+  * evaluates windowed aggs over a segment tree, so double addition order
+  * differs from Spark's running accumulation — decimal is exact in both.
+  */
+object Windows {
+
+  /** Ranking family: row_number / rank / dense_rank / ntile. */
+  val qWinRank: GQuery = GQuery(
+    "q_win_rank",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(spark, dir)
+        .select(
+          $"c_mktsegment", $"c_custkey",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"c_mktsegment", $"rn")
+    },
+    Some("""
+      SELECT c_mktsegment, c_custkey,
+        cast(row_number() OVER w as int) AS rn,
+        cast(rank() OVER w as int) AS rnk,
+        cast(dense_rank() OVER w as int) AS drnk,
+        cast(ntile(4) OVER w as int) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, rn"""),
+  )
+
+  /** Analytic family: lag / lead / first_value over per-customer order
+    * history. */
+  val qWinAnalytic: GQuery = GQuery(
+    "q_win_analytic",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(spark, dir)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+          round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
+          round(first($"o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("first_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        round(first_value(o_totalprice) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""),
+  )
+
+  /** Frames: running revenue (expanding frame) + 3-row moving average,
+    * decimal-accumulated for cross-engine determinism. */
+  val qWinFrame: GQuery = GQuery(
+    "q_win_frame",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val dec = $"o_totalprice".cast(DecimalType(30, 6))
+      Tables.orders(spark, dir)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          r2(sum(dec).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")).as("running_total"),
+          r6(sum(dec).over(w.rowsBetween(-2, Window.currentRow))
+              .cast("double") /
+            count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)))
+            .as("moving_avg3"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        floor(cast(sum(cast(o_totalprice as decimal(30,6))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+          * 1e2 + 0.5) / 1e2 AS running_total,
+        floor((cast(sum(cast(o_totalprice as decimal(30,6))) OVER w3 as double)
+          / count(*) OVER w3) * 1e6 + 0.5) / 1e6 AS moving_avg3
+      FROM orders
+      WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""),
+  )
+
+  /** Top-k per group via the row_number ≤ k pattern — the scalable top-k
+    * (partial top-k per partition, no global sort of the fact table). */
+  val qTopkGroup: GQuery = GQuery(
+    "q_topk_group",
+    (spark, dir) => {
+      import spark.implicits._
+      val joined = Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      joined
+        .select($"c_mktsegment", $"o_orderkey",
+          round($"o_totalprice", 2).as("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .orderBy($"c_mktsegment", $"rn")
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+          cast(row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice DESC, o_orderkey) as int) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rn <= 3
+      ORDER BY c_mktsegment, rn"""),
+  )
+
+  /** Batch twin of the streaming tumbling-window aggregation (B.10):
+    * hourly event counts per type. */
+  val qWinTumble: GQuery = GQuery(
+    "q_win_tumble",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some(s"""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n_events, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY hour, event_type"""),
+  )
+
+  /** Batch twin of session windows: gaps-and-islands sessionization
+    * (lag → gap flag → cumulative session id → per-session agg).
+    * 30-minute inactivity gap. */
+  val qSessionize: GQuery = GQuery(
+    "q_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some("""
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM (
+        SELECT user_id, event_id, ts,
+          cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+            AS session_id
+        FROM (
+          SELECT user_id, event_id, ts,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+              lag(date_trunc('second', ts), 1) OVER (
+                PARTITION BY user_id
+                ORDER BY date_trunc('second', ts), event_id) AS prev_ts
+            FROM events) a) b) c
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
+  )
+
+  /** Relational instance of gapply (B.9): per-user demeaning as a window
+    * expression — the SQL-expressible twin of groupByKey.flatMapGroups. */
+  val qGapplyAgg: GQuery = GQuery(
+    "q_gapply_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id")
+      val dec = $"value".cast(DecimalType(30, 6))
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id",
+          r6($"value" -
+            sum(dec).over(w).cast("double") / count(lit(1)).over(w))
+            .as("demeaned"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        floor((value - cast(sum(cast(value as decimal(30,6))) OVER w as double)
+          / count(*) OVER w) * 1e6 + 0.5) / 1e6 AS demeaned
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+      ORDER BY event_id"""),
+  )
+
+  val all: Seq[GQuery] = Seq(
+    qWinRank, qWinAnalytic, qWinFrame, qTopkGroup,
+    qWinTumble, qSessionize, qGapplyAgg)
+}

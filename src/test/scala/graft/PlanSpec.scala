@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Registry
+
+/** Physical-plan assertions (SURVEY.md §4): the optimizations we rely on
+  * for 100 TB scale must actually appear in the plan — predicate pushdown
+  * into the parquet scan, column pruning, broadcast joins for dims,
+  * sort-merge for fact⋈fact, top-k instead of global sort.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    Registry.byName(name).run(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val plan = physicalPlan("q_filter")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("In(o_orderstatus"), plan)
+  }
+
+  test("q_project prunes the scan to the referenced columns") {
+    val plan = physicalPlan("q_project")
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_returnflag"), "scan should not read l_returnflag")
+    assert(!plan.contains("l_shipdate"), "scan should not read l_shipdate")
+  }
+
+  test("q_join_bcast uses broadcast hash joins for all three dims") {
+    val plan = physicalPlan("q_join_bcast")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_join_smj pins a sort-merge join for the fact-fact edge") {
+    val plan = physicalPlan("q_join_smj")
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_sort_limit compiles to top-k, not a global sort") {
+    val plan = physicalPlan("q_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_join_range broadcasts the band table (no cartesian shuffle)") {
+    val plan = physicalPlan("q_join_range")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_pricing aggregates partially before the shuffle") {
+    val plan = physicalPlan("q_pricing")
+    // partial + final HashAggregate pair around the shuffle (AQE prints the
+    // un-executed plan, so codegen span labels aren't visible here)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}

@@ -31,6 +31,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b):
+    import numpy as np
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        a = list(a) if a is not None else None
+        b = list(b) if b is not None else None
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
@@ -81,6 +85,10 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, bad))
     else:
         passes.append(name)
+        dt = [f"{c}: spark={got[c].dtype} duckdb={exp[c].dtype}"
+              for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f"WARN {name} dtype drift: " + "; ".join(dt))
 
 print(f"PASS {len(passes)}/{len(oracle)}: {' '.join(passes)}")
 for name, why in fails:
