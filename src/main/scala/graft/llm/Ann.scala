@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.B.8).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine against a bounded probe set; the
+  *    correctness baseline (and the `q_sim_topk` oracle query's engine).
+  *    Cost is |probes| × |corpus|: fine for verification, wrong at scale.
+  *  - [[lshTopK]] — BucketedRandomProjectionLSH over L2-normalized
+  *    vectors (Euclidean distance on normalized vectors is a monotone
+  *    transform of cosine). Candidate generation is an equi-join on
+  *    bucket ids — linear shuffle, the 100 TB path. Recall is tunable via
+  *    numHashTables/bucketLength and verified against brute force in
+  *    AnnSpec.
+  */
+object Ann {
+
+  private def asDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0D, (s, v) -> s + v)")
+
+  /** Exact cosine top-k of each probe vector against the corpus.
+    * Probes are broadcast; the corpus streams. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), asDouble(embCol).as("c_emb"))
+    val p = probes.select(col(idCol).as("p_id"), asDouble(embCol).as("p_emb"))
+    val scored = c.crossJoin(broadcast(p))
+      .select(col("p_id"), col("c_id"),
+        (dot("p_emb", "c_emb") /
+          (sqrt(dot("p_emb", "p_emb")) * sqrt(dot("c_emb", "c_emb"))))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** L2-normalize an array<float|double> embedding into an ml Vector. */
+  private def normalizedVector(embCol: String) = {
+    val d = s"transform($embCol, x -> cast(x as double))"
+    val norm = s"sqrt(aggregate(zip_with($d, $d, (p, q) -> p * q), 0D, (s, v) -> s + v))"
+    array_to_vector(expr(s"transform($d, x -> x / $norm)"))
+  }
+
+  /** Approximate NN via LSH bucketing on normalized vectors. Returns up to
+    * k neighbors per probe (ordered by exact cosine among candidates).
+    * At scale, `approxSimilarityJoin` shuffles by bucket id only. */
+  def lshTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bucketLength: Double = 0.5,
+      numHashTables: Int = 6,
+      maxL2: Double = 1.2): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), normalizedVector(embCol).as("v"))
+    val p = probes.select(col(idCol).as("p_id"), normalizedVector(embCol).as("v"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("buckets")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42)
+    val model = lsh.fit(c)
+    // Euclidean dist d on unit vectors ⇒ cosine = 1 - d²/2 (monotone).
+    val joined = model.approxSimilarityJoin(
+        model.transform(p), model.transform(c), maxL2, "l2")
+      .select(
+        col("datasetA.p_id").as("p_id"),
+        col("datasetB.c_id").as("c_id"),
+        (lit(1.0) - col("l2") * col("l2") / 2.0).as("cos_sim"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection (SURVEY.md §2.B.8 ◻ set) — the scale paths
+  * that exact hashing can't cover. None of these are SQL-expressible, so
+  * they are validated against the exact small-N oracle `q_jaccard_pairs`
+  * in unit tests rather than declared to the driver.
+  *
+  * Scale posture (100 TB): all three techniques reduce the quadratic
+  * all-pairs problem to an equi-join on a short key (LSH band hash /
+  * SimHash band), which Spark shuffles by key — candidate generation is
+  * linear in corpus size + output pairs, never |corpus|².
+  */
+object NearDup {
+
+  /** Character n-gram shingles as the token set for near-dup hashing
+    * (robust to word-order edits, the standard choice for web dedup). */
+  def shingles(textCol: String, n: Int = 5): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
+        s"i -> substring($textCol, i, $n))"))
+
+  /** MinHash + LSH banding via Spark ML: shingle → binary HashingTF vector
+    * → MinHashLSH signatures → approxSimilarityJoin on banded buckets.
+    * Returns candidate pairs (id_a, id_b, jaccard_dist) with
+    * jaccard_dist <= 1 - minJaccard.
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.5,
+      numHashTables: Int = 8,
+      numFeatures: Int = 1 << 18): DataFrame = {
+    val shingled = docs.select(
+      col(idCol).as("id"),
+      shingles(textCol).as("sh"))
+    val tf = new HashingTF()
+      .setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val vecs = tf.transform(shingled).filter(expr("size(sh) > 0"))
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(42)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard, "jaccard_dist")
+      .select(
+        col("datasetA.id").as("id_a"),
+        col("datasetB.id").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** 64-bit SimHash per document: xxhash64 each token, accumulate a
+    * per-bit +1/-1 vote, take the sign vector. Pure DataFrame ops —
+    * partial-aggregable (the vote sums are algebraic), no per-doc
+    * buffering. */
+  def simHash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .withColumn("h", xxhash64(col("term")))
+    val votes = toks
+      .select(col("id"), posexplode(expr(
+        "transform(sequence(0, 63), i -> CASE WHEN ((h >> i) & 1) = 1 " +
+          "THEN 1 ELSE -1 END)")).as(Seq("bit", "vote")))
+      .groupBy("id", "bit").agg(sum("vote").as("v"))
+    votes
+      .groupBy("id")
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
+    * keys; any shared band → candidate; filter by exact Hamming distance.
+    * By pigeonhole, pairs with distance <= 3 always share a band. */
+  def simHashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = hashes.select(col("id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> (simhash >> (i * 16)) & 65535)"))
+        .as(Seq("band", "band_key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word n-gram Jaccard similarity for candidate pairs — the
+    * verification step after LSH candidate generation, or a standalone
+    * exact join for bounded sets. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      array_distinct(expr(
+        s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(split($textCol, ' '), i, $n), ' '))"))
+        .as("grams"))
+    val t = grams.select(col("id"), explode(col("grams")).as("g"))
+    val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
+    val inter = t.as("a").join(t.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,390 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.B.8): deduplication,
+  * text analysis, document fingerprinting, similarity search, multimodal
+  * joins. These are the operators a 100 TB corpus pipeline actually runs:
+  *  - exact dedup is one hash-groupBy (shuffle carries hash+id, not text);
+  *  - token analytics are per-row expressions — embarrassingly parallel,
+  *    fully codegen'd, no shuffle at all;
+  *  - TF-IDF is two map-side-combinable aggregations over the exploded
+  *    token stream;
+  *  - brute-force cosine is the *verification* path, deliberately bounded
+  *    to a probe set; the scale path is LSH (graft.llm, unit-tested).
+  */
+object LlmOps {
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Exact dedup by content hash. The testdata has no exact duplicates, so
+    * the query plants them (union with shifted ids) and then dedups: keep
+    * the minimum doc_id per sha-256 of the text. */
+  val qDedupExact: GQuery = GQuery(
+    "q_dedup_exact",
+    (spark, dir) => {
+      import spark.implicits._
+      val d = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val withDups = d.unionAll(
+        d.filter($"doc_id" % 3 === 0)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      withDups
+        .groupBy(sha2($"text", 256).as("text_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keep_id")
+    },
+    Some("""
+      SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0) d
+      GROUP BY sha256(text)
+      ORDER BY keep_id"""),
+  )
+
+  /** Corpus profiling: per (lang, source) doc counts and char-length stats. */
+  val qDocProfile: GQuery = GQuery(
+    "q_docprofile",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""
+      SELECT lang, source, count(*) AS n_docs,
+             cast(sum(n_chars) as bigint) AS total_chars,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""),
+  )
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single other chars). Pure per-row
+    * expressions — zero shuffle. */
+  val qTokenCount: GQuery = GQuery(
+    "q_tokencount",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          size(toks).as("n_ws_tokens"),
+          expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+            .as("n_bpe_tokens"),
+          length($"text").as("len_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        cast(len(string_split(text, ' ')) as int) AS n_ws_tokens,
+        cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+          as int) AS n_bpe_tokens,
+        cast(length(text) as int) AS len_chars
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Marker stopword sets for the n-gram language-ID heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language ID via stopword-marker counting, argmax with fixed precedence.
+    * (The testdata text is a synthetic bag of English-ish code words, so
+    * most rows resolve to 'unknown' — the operator semantics are what is
+    * verified.) */
+  val qLangId: GQuery = GQuery(
+    "q_langid",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = langMarkers.foldLeft(Tables.documents(spark, dir)) {
+        case (df, (l, ms)) =>
+          val inList = ms.map(m => s"'$m'").mkString(", ")
+          df.withColumn(s"s_$l",
+            expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))"))
+      }
+      val best = langMarkers.map(_._1).foldRight(lit("unknown")) {
+        case (l, elseCol) =>
+          val isMax = langMarkers.map(_._1).map(o => col(s"s_$l") >= col(s"s_$o"))
+            .reduce(_ && _)
+          when(col(s"s_$l") > 0 && isMax, lit(l)).otherwise(elseCol)
+      }
+      scored
+        .select($"doc_id", $"lang", best.as("lang_pred"),
+          ($"lang" === best).as("agrees"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val scores = langMarkers.map { case (l, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS s_$l"
+      }.mkString(",\n          ")
+      val langs = langMarkers.map(_._1)
+      val caseChain = langs.map { l =>
+        val isMax = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $isMax THEN '$l'"
+      }.mkString("\n          ")
+      s"""
+      SELECT doc_id, lang, lang_pred, lang = lang_pred AS agrees FROM (
+        SELECT doc_id, lang,
+          CASE $caseChain
+          ELSE 'unknown' END AS lang_pred
+        FROM (SELECT doc_id, lang, $scores FROM documents) s) p
+      ORDER BY doc_id"""
+    },
+  )
+
+  private val enStop = Seq("the", "and", "of", "to", "in", "a", "is", "it")
+
+  /** Quality scoring: length, token stats, punctuation + stopword ratios,
+    * and a deterministic composite score — the filter columns of a corpus
+    * cleaning pass. */
+  val qTextQuality: GQuery = GQuery(
+    "q_textquality",
+    (spark, dir) => {
+      import spark.implicits._
+      val inList = enStop.map(s => s"'$s'").mkString(", ")
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          length($"text").as("len_chars"),
+          size(toks).as("n_tokens"),
+          r6(expr("aggregate(transform(split(text,' '), t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size(toks)).as("avg_token_len"),
+          r6((length($"text") -
+            length(regexp_replace($"text", "[A-Za-z0-9 ]", ""))).cast("double") /
+            length($"text")).as("punct_ratio"),
+          r6(expr(s"size(filter(split(text,' '), t -> t IN ($inList)))")
+            .cast("double") / size(toks)).as("stopword_ratio"))
+        .withColumn("quality_score",
+          r6(least(($"n_tokens" / 100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - $"punct_ratio") * 0.3 +
+            least($"stopword_ratio" * 5.0, lit(1.0)) * 0.2))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val inList = enStop.map(s => s"'$s'").mkString(", ")
+      s"""
+      SELECT doc_id, len_chars, n_tokens, avg_token_len, punct_ratio,
+             stopword_ratio,
+        floor((least(n_tokens / 100.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+          + least(stopword_ratio * 5.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6
+          AS quality_score
+      FROM (
+        SELECT doc_id,
+          cast(length(text) as int) AS len_chars,
+          cast(len(string_split(text, ' ')) as int) AS n_tokens,
+          ${rNSql("cast(list_sum(list_transform(string_split(text,' '), t -> length(t))) as double) / len(string_split(text,' '))", 6)} AS avg_token_len,
+          ${rNSql("cast(length(text) - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as double) / length(text)", 6)} AS punct_ratio,
+          ${rNSql(s"cast(len(list_filter(string_split(text,' '), t -> t IN ($inList))) as double) / len(string_split(text,' '))", 6)} AS stopword_ratio
+        FROM documents) q
+      ORDER BY doc_id"""
+    },
+  )
+
+  /** Document fingerprinting: an order-insensitive bag fingerprint (sha-256
+    * of the sorted distinct token set) + a prefix fingerprint. Bag
+    * fingerprints catch shuffled near-copies that exact hashing misses. */
+  val qFingerprint: GQuery = GQuery(
+    "q_fingerprint",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          sha2(array_join(array_sort(array_distinct(toks)), " "), 256)
+            .as("bag_fp"),
+          sha2(substring($"text", 1, 64), 256).as("prefix_fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+          AS bag_fp,
+        sha256(substring(text, 1, 64)) AS prefix_fp
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Relational TF-IDF over the exploded token stream: two shuffles
+    * (doc-term counts, term doc-frequency), both partial-aggregated.
+    * Output bounded to doc_id < 30; statistics computed over the corpus. */
+  val qTfidf: GQuery = GQuery(
+    "q_tfidf",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val tokens = docs.select($"doc_id", explode(toks).as("term"))
+      val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("doclen",
+          sum($"cnt").over(Window.partitionBy($"doc_id")))
+      val dfreq = tokens.distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .filter($"doc_id" < 30)
+        .select(
+          $"doc_id", $"term", $"cnt", $"df",
+          r6(($"cnt".cast("double") / $"doclen") * log($"n_docs" / $"df"))
+            .as("tfidf"))
+        .orderBy($"doc_id", $"term")
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS cnt,
+               sum(count(*)) OVER (PARTITION BY doc_id) AS doclen
+        FROM tokens GROUP BY doc_id, term),
+      dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, term, cnt, df,
+        floor(((cast(cnt as double) / doclen) * ln(n_docs / df)) * 1e6 + 0.5)
+          / 1e6 AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE doc_id < 30
+      ORDER BY doc_id, term"""),
+  )
+
+  /** Exact pairwise Jaccard on a bounded doc set — the small-N ground truth
+    * the MinHash-LSH path (graft.llm.NearDup) is validated against. */
+  val qJaccardPairs: GQuery = GQuery(
+    "q_jaccard_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).filter($"doc_id" < 50)
+      val t = docs.select($"doc_id", explode(array_distinct(toks)).as("term"))
+      val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
+      val a = t.as("a"); val b = t.as("b")
+      val inter = a.join(b, col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc1")
+          .withColumnRenamed("n_terms", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2")
+          .withColumnRenamed("n_terms", "n2"), "doc2")
+        .select($"doc1", $"doc2", $"n_common",
+          r6($"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))
+            .as("jaccard"))
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents WHERE doc_id < 50),
+      sizes AS (SELECT doc_id, count(*) AS n_terms FROM t GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc1, doc2, n_common,
+        floor((cast(n_common as double) / (s1.n_terms + s2.n_terms - n_common))
+          * 1e6 + 0.5) / 1e6 AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = doc1
+      JOIN sizes s2 ON s2.doc_id = doc2
+      ORDER BY doc1, doc2"""),
+  )
+
+  /** Cosine expression over two double-array columns — a sequential fold on
+    * both engines, so the doubles match bit-for-bit. */
+  private def cosineExpr(aCol: String, bCol: String): Column = {
+    def dot(x: String, y: String) =
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (s, v) -> s + v)")
+    dot(aCol, bCol) / (sqrt(dot(aCol, aCol)) * sqrt(dot(bCol, bCol)))
+  }
+
+  /** Brute-force cosine top-k: bounded probe set (10 vectors) against the
+    * full corpus via broadcast — the correctness oracle for the LSH/ANN
+    * path in graft.llm.Ann. Ranking is on the ROUNDED score so a 1-ulp
+    * engine difference cannot flip the order; ties break on vec_id. */
+  val qSimTopk: GQuery = GQuery(
+    "q_sim_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))")
+          .as("emb"))
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"emb".as("c_emb"))
+      val scored = corpus.crossJoin(broadcast(probes))
+        .select($"p_id", $"c_id",
+          r6(cosineExpr("p_emb", "c_emb")).as("cos_sim"))
+      val w = Window.partitionBy($"p_id").orderBy($"cos_sim".desc, $"c_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .orderBy($"p_id", $"rnk")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      scored AS (
+        SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+          floor((list_inner_product(p.e, c.e) /
+            (sqrt(list_inner_product(p.e, p.e)) *
+             sqrt(list_inner_product(c.e, c.e)))) * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM emb p CROSS JOIN emb c WHERE p.vec_id < 10)
+      SELECT p_id, c_id, cos_sim, rnk FROM (
+        SELECT p_id, c_id, cos_sim,
+          cast(row_number() OVER (PARTITION BY p_id
+            ORDER BY cos_sim DESC, c_id) as int) AS rnk
+        FROM scored) t
+      WHERE rnk <= 5
+      ORDER BY p_id, rnk"""),
+  )
+
+  /** Multimodal row: text + vector + scalar metadata in one result — join
+    * documents to embeddings, filter on label and a text predicate, score
+    * against a probe vector. */
+  val qMultimodal: GQuery = GQuery(
+    "q_multimodal",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      val probe = emb.filter($"vec_id" === 0)
+        .select($"emb".as("probe_emb"))
+      Tables.documents(spark, dir)
+        .join(emb, $"doc_id" === $"vec_id")
+        .crossJoin(broadcast(probe))
+        .filter($"label".isin(1, 2, 3) && $"text".contains("data"))
+        .select($"doc_id", $"lang", $"label", $"n_chars",
+          r6(cosineExpr("emb", "probe_emb")).as("cos_to_probe"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      probe AS (SELECT e AS pe FROM emb WHERE vec_id = 0)
+      SELECT doc_id, lang, label, n_chars,
+        floor((list_inner_product(e, pe) /
+          (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(pe, pe))))
+          * 1e6 + 0.5) / 1e6 AS cos_to_probe
+      FROM documents JOIN emb ON doc_id = vec_id CROSS JOIN probe
+      WHERE label IN (1, 2, 3) AND contains(text, 'data')
+      ORDER BY doc_id"""),
+  )
+
+  val all: Seq[GQuery] = Seq(
+    qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
+    qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal)
+}
