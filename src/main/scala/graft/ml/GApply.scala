@@ -1,0 +1,31 @@
+package graft.ml
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Generic split-apply-combine — the Spark-native rebirth of
+  * spark-sklearn's `gapply` (pub: python/spark_sklearn/group_apply.py;
+  * SURVEY.md §2.A A7).
+  *
+  * The reference emulated per-group application driver-side with
+  * `collect_list(struct(...))` + a Python UDF + explode, shipping whole
+  * groups through py4j/pickle. Here it is one `groupByKey` shuffle and a
+  * typed `flatMapGroups` — groups stream through the user function as
+  * iterators inside executors; the Tungsten↔object boundary replaces the
+  * JVM↔Python one (SURVEY.md §3.3).
+  *
+  * Scale note: unlike the Aggregator path (KeyedModels), flatMapGroups
+  * sees each group as a whole — use it when the computation genuinely
+  * needs the full group (quantile fits, per-group sorts); otherwise
+  * prefer an algebraic Aggregator, which never buffers a group.
+  */
+object GApply {
+
+  def gapply[T, K: Encoder, U: Encoder](ds: Dataset[T])(key: T => K)(
+      f: (K, Iterator[T]) => IterableOnce[U]): Dataset[U] =
+    ds.groupByKey(key).flatMapGroups((k: K, it: Iterator[T]) => f(k, it).iterator)
+
+  /** Collect-free per-group apply where the result is one row per group. */
+  def gapplyOne[T, K: Encoder, U: Encoder](ds: Dataset[T])(key: T => K)(
+      f: (K, Iterator[T]) => U): Dataset[U] =
+    ds.groupByKey(key).mapGroups((k: K, it: Iterator[T]) => f(k, it))
+}

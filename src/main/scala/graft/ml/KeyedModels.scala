@@ -1,0 +1,136 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-key model fitting — the scalable redesign of spark-sklearn's
+  * `KeyedEstimator`/`KeyedModel` (pub: python/spark_sklearn/keyed_models.py;
+  * SURVEY.md §2.A A8/A9).
+  *
+  * The reference collected every group's rows and ran an sklearn fit per
+  * key, storing pickled Python objects in a column. Here closed-form
+  * models are fit by an algebraic [[Aggregator]] that accumulates the
+  * Gram matrix (XᵀX, Xᵀy): partial aggregation happens map-side, merges
+  * are associative, and NO group is ever materialized — a key with a
+  * billion rows costs the same fixed-size buffer as a key with ten.
+  * Models land as plain rows (coefficients + stats), joinable data, not
+  * opaque blobs.
+  */
+object KeyedModels {
+
+  /** Fixed-size Gram buffer: upper triangle of XᵀX (augmented with the
+    * intercept column), Xᵀy, count. d = nFeatures + 1. */
+  final case class GramBuf(xtx: Array[Double], xty: Array[Double], n: Long)
+
+  final case class LinearFit(
+      coefficients: Array[Double], intercept: Double, n: Long)
+
+  /** Solve the (d×d) normal equations from the packed upper triangle via
+    * Gaussian elimination with partial pivoting. Driver-free: runs inside
+    * the final aggregation, d is tiny (≤ tens of features). */
+  private[ml] def solveNormal(d: Int, xtxU: Array[Double], xty: Array[Double]): Array[Double] = {
+    val a = Array.ofDim[Double](d, d + 1)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      a(i)(j) = xtxU(idx); a(j)(i) = xtxU(idx); idx += 1
+    }
+    for (i <- 0 until d) a(i)(d) = xty(i)
+    for (col <- 0 until d) {
+      var p = col
+      for (r <- col + 1 until d) if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r
+      val t = a(col); a(col) = a(p); a(p) = t
+      val piv = a(col)(col)
+      require(math.abs(piv) > 1e-12, "singular normal equations (collinear features?)")
+      for (r <- 0 until d if r != col) {
+        val f = a(r)(col) / piv
+        for (c <- col to d) a(r)(c) -= f * a(col)(c)
+      }
+    }
+    Array.tabulate(d)(i => a(i)(d) / a(i)(i))
+  }
+
+  /** Aggregator fitting OLS with intercept. IN = (features, y). */
+  final class GramOLS(nFeatures: Int)
+      extends Aggregator[(Seq[Double], Double), GramBuf, LinearFit] {
+    private val d = nFeatures + 1
+    private val triLen = d * (d + 1) / 2
+
+    def zero: GramBuf = GramBuf(new Array[Double](triLen), new Array[Double](d), 0L)
+
+    def reduce(b: GramBuf, in: (Seq[Double], Double)): GramBuf = {
+      val (fs, y) = in
+      require(fs.size == nFeatures, s"expected $nFeatures features, got ${fs.size}")
+      val x = new Array[Double](d)
+      x(0) = 1.0
+      var i = 0
+      while (i < nFeatures) { x(i + 1) = fs(i); i += 1 }
+      var idx = 0
+      var r = 0
+      while (r < d) {
+        var c = r
+        while (c < d) { b.xtx(idx) += x(r) * x(c); idx += 1; c += 1 }
+        b.xty(r) += x(r) * y
+        r += 1
+      }
+      GramBuf(b.xtx, b.xty, b.n + 1)
+    }
+
+    def merge(a: GramBuf, b: GramBuf): GramBuf = {
+      var i = 0
+      while (i < triLen) { a.xtx(i) += b.xtx(i); i += 1 }
+      i = 0
+      while (i < d) { a.xty(i) += b.xty(i); i += 1 }
+      GramBuf(a.xtx, a.xty, a.n + b.n)
+    }
+
+    def finish(b: GramBuf): LinearFit = {
+      val beta = solveNormal(d, b.xtx, b.xty)
+      LinearFit(beta.drop(1), beta(0), b.n)
+    }
+
+    def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    def outputEncoder: Encoder[LinearFit] = Encoders.product[LinearFit]
+  }
+
+  /** Fit one OLS model per key. Input: key columns + numeric feature
+    * columns + label. Output: one row per key with coefficients,
+    * intercept, n — a model *table*. One shuffle on the key columns,
+    * map-side partial Gram accumulation. */
+  def fitLinear(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String): DataFrame = {
+    val agg = udaf(new GramOLS(featureCols.size))
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg(featuresArr, col(yCol).cast("double")).as("model"))
+      .select(keyCols.map(col) :+ col("model.coefficients").as("coefficients")
+        :+ col("model.intercept").as("intercept") :+ col("model.n").as("n"): _*)
+  }
+
+  /** A9: apply the per-key models — broadcast-join the (small) model table
+    * to the data on the key columns and evaluate ŷ = β₀ + β·x as a
+    * codegen'd expression. */
+  def transformLinear(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      predictionCol: String = "prediction"): DataFrame = {
+    val arrSql =
+      featureCols.map(c => s"cast($c as double)").mkString("array(", ", ", ")")
+    df.join(broadcast(models), keyCols)
+      .withColumn(predictionCol,
+        col("intercept") + expr(
+          s"aggregate(zip_with($arrSql, coefficients, " +
+            "(x, c) -> x * c), 0D, (s, v) -> s + v)"))
+  }
+
+  /** Per-key mean model (the simplest keyed "transformer"): algebraic,
+    * same scale posture. */
+  def fitMean(df: DataFrame, keyCols: Seq[String], yCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(avg(col(yCol)).as("mean"), count(lit(1)).as("n"))
+}

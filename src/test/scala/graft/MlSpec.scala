@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{HashingTF, IDF, StandardScaler, Tokenizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.tuning.ParamGridBuilder
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private lazy val embFeatures = {
+    import spark.implicits._
+    graft.engine.Tables.embeddings(spark, sf)
+      .select(
+        array_to_vector(expr("transform(embedding, x -> cast(x as double))"))
+          .as("features"),
+        $"label".cast("double").as("label"))
+      .cache()
+  }
+
+  test("GridSearchCV picks the planted-best candidate and exposes cv_results") {
+    import spark.implicits._
+    // linearly separable 2-class data: light regularization must win
+    val rng = new scala.util.Random(3)
+    val sep = (1 to 400).map { _ =>
+      val cls = rng.nextInt(2)
+      val (cx, cy) = if (cls == 0) (-2.0, -2.0) else (2.0, 2.0)
+      (Array(cx + rng.nextGaussian() * 0.5, cy + rng.nextGaussian() * 0.5), cls.toDouble)
+    }.toDF("arr", "label")
+      .select(array_to_vector($"arr").as("features"), $"label")
+    val lr = new LogisticRegression().setMaxIter(20)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.001, 1000.0))
+      .build()
+    val res = GridSearchCV(lr, grid,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"),
+      numFolds = 2, parallelism = 2).fit(sep)
+    assert(res.cvResults.size == 2)
+    assert(res.bestScore == res.cvResults.map(_._2).max)
+    assert(res.bestParams.get(lr.regParam).contains(0.001),
+      s"expected regParam 0.001 best, got ${res.bestParams}: ${res.cvResults}")
+    assert(res.bestScore > 0.95, s"separable data should score high: ${res.bestScore}")
+    val preds = res.transform(sep)
+    assert(preds.columns.contains("prediction"))
+  }
+
+  test("RandomizedSearchCV samples deterministically and respects nIter") {
+    val lr = new LogisticRegression().setMaxIter(5)
+    val dists: Seq[(org.apache.spark.ml.param.Param[Any], ParamDist[Any])] = Seq(
+      (lr.regParam.asInstanceOf[org.apache.spark.ml.param.Param[Any]],
+        ParamDist.LogUniform(1e-4, 1.0).asInstanceOf[ParamDist[Any]]),
+      (lr.elasticNetParam.asInstanceOf[org.apache.spark.ml.param.Param[Any]],
+        ParamDist.Choice(Seq(0.0, 0.5)).asInstanceOf[ParamDist[Any]]))
+    val rs = RandomizedSearchCV(lr, dists, nIter = 4,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"),
+      numFolds = 2, parallelism = 2, seed = 7L)
+    val g1 = rs.sampleGrid(); val g2 = rs.sampleGrid()
+    assert(g1.length == 4)
+    assert(g1.map(_.toString).toSeq == g2.map(_.toString).toSeq,
+      "seeded sampling must be deterministic")
+    val regs = g1.map(pm => pm.get(lr.regParam).get)
+    assert(regs.forall(r => r >= 1e-4 && r <= 1.0))
+    assert(regs.distinct.length > 1, "degenerate sampling")
+  }
+
+  test("KeyedModels.fitLinear recovers planted per-key coefficients") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1)
+    val rows = (for {
+      (key, (a, b, c)) <- Seq("k1" -> (2.0, -1.0, 3.0), "k2" -> (-0.5, 4.0, 1.0))
+      _ <- 1 to 200
+    } yield {
+      val x1 = rng.nextDouble() * 10; val x2 = rng.nextDouble() * 5
+      (key, x1, x2, a * x1 + b * x2 + c + rng.nextGaussian() * 0.001)
+    })
+    val df = rows.toDF("key", "x1", "x2", "y").repartition(4)
+    val models = KeyedModels.fitLinear(df, Seq("key"), Seq("x1", "x2"), "y")
+    val byKey = models.collect().map(r =>
+      r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2), r.getLong(3))).toMap
+    val (c1, i1, n1) = byKey("k1")
+    assert(n1 == 200)
+    assert(math.abs(c1(0) - 2.0) < 1e-2 && math.abs(c1(1) + 1.0) < 1e-2)
+    assert(math.abs(i1 - 3.0) < 1e-2)
+    val (c2, i2, _) = byKey("k2")
+    assert(math.abs(c2(0) + 0.5) < 1e-2 && math.abs(c2(1) - 4.0) < 1e-2)
+    assert(math.abs(i2 - 1.0) < 1e-2)
+  }
+
+  test("Gram aggregation merge order does not change the fit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(2)
+    val rows = (1 to 500).map { _ =>
+      val x = rng.nextDouble(); ("k", x, 5.0 * x + 2.0 + rng.nextGaussian() * 0.01)
+    }
+    val one = KeyedModels.fitLinear(rows.toDF("key", "x", "y").repartition(1),
+      Seq("key"), Seq("x"), "y").collect()(0)
+    val many = KeyedModels.fitLinear(rows.toDF("key", "x", "y").repartition(13),
+      Seq("key"), Seq("x"), "y").collect()(0)
+    assert(math.abs(one.getSeq[Double](1)(0) - many.getSeq[Double](1)(0)) < 1e-9)
+    assert(math.abs(one.getDouble(2) - many.getDouble(2)) < 1e-9)
+  }
+
+  test("transformLinear predicts via broadcast join") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("b", 1.0, 5.0),
+      ("b", 3.0, 15.0)).toDF("key", "x", "y")
+    val models = KeyedModels.fitLinear(df, Seq("key"), Seq("x"), "y")
+    val preds = KeyedModels.transformLinear(df, models, Seq("key"), Seq("x"))
+    preds.select($"y", $"prediction").as[(Double, Double)].collect()
+      .foreach { case (y, p) => assert(math.abs(y - p) < 1e-8) }
+    val plan = preds.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("singular per-key system fails loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1.0, 3.0), ("a", 2.0, 2.0, 6.0),
+      ("a", 3.0, 3.0, 9.0)).toDF("key", "x1", "x2", "y")
+    val ex = intercept[org.apache.spark.SparkException] {
+      KeyedModels.fitLinear(df, Seq("key"), Seq("x1", "x2"), "y").collect()
+    }
+    assert(ex.getMessage.contains("singular") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("singular"))
+  }
+
+  test("gapply per-group demeaning matches the window-function twin") {
+    import spark.implicits._
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value")
+      .as[(Long, Long, Double)]
+    val viaGapply = GApply.gapply(ev)(_._2) { (uid, it) =>
+      val rows = it.toSeq
+      val mean = rows.map(_._3).sum / rows.size
+      rows.map(r => (r._1, uid, r._3 - mean))
+    }.toDF("event_id", "user_id", "demeaned")
+    val viaWindow = graft.engine.Registry.byName("q_gapply_agg").run(spark, sf)
+    val joined = viaGapply.as("g").join(viaWindow.as("w"), "event_id")
+      .select(abs(col("g.demeaned") - col("w.demeaned")).as("err"))
+      .agg(max("err")).as[Double].head()
+    assert(joined < 1e-5, s"gapply vs window demeaning max err $joined")
+  }
+
+  test("pipeline: tokenizer -> hashingTF -> IDF -> scaled features fits") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", ($"lang" === "en").cast("double").as("label"))
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("words"),
+      new HashingTF().setInputCol("words").setOutputCol("tf").setNumFeatures(1024),
+      new IDF().setInputCol("tf").setOutputCol("tfidf"),
+      new StandardScaler().setInputCol("tfidf").setOutputCol("features")))
+    val model = pipe.fit(docs)
+    val out = model.transform(docs)
+    assert(out.count() == 500)
+    assert(out.schema("features").dataType.typeName == "vector")
+  }
+
+  test("TrainValidationSearch returns a fitted best model") {
+    val lr = new LogisticRegression().setMaxIter(10)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 1.0)).build()
+    val tv = TrainValidationSearch(lr, grid,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      .fit(embFeatures)
+    assert(tv.validationMetrics.length == 2)
+  }
+}
