@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (SURVEY.md
+  * §2.B.10). Every transform is a plain DataFrame→DataFrame function, so
+  * the SAME code path runs in batch (where `q_win_tumble`/`q_sessionize`
+  * oracle-check it against DuckDB) and under `readStream` (where
+  * StreamsSpec drives it through MemoryStream with out-of-order input).
+  *
+  * Scale posture: streaming state is partitioned by group key exactly like
+  * a batch shuffle; watermarks bound state size (late data beyond the
+  * watermark is dropped, so state for closed windows is evicted). At
+  * 100 TB/day the knobs are partition count and watermark width — the
+  * operator code is unchanged.
+  */
+object Streams {
+
+  /** Normalized event record for typed stateful ops. */
+  final case class Ev(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Open-session state for [[statefulSessionize]] (fixed-size per key). */
+  final case class S(start: Long, end: Long, n: Long)
+
+  /** Tumbling-window counts per event type. */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window counts (width, slide). */
+  def slidingAgg(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Session windows with an inactivity gap (built-in session_window). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"))
+
+  /** Watermarked variant — required for append-mode streaming aggregation;
+    * late rows beyond `delay` are dropped and window state is evicted. */
+  def tumblingAggWatermarked(events: DataFrame, width: String,
+      delay: String): DataFrame =
+    tumblingAgg(events.withWatermark("ts", delay), width)
+
+  /** Streaming dedup by event_id with bounded state. */
+  def dedupWithinWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * session row when `gapSeconds` of event-time inactivity passes (state
+    * timeout), bounding per-key state to one open session. */
+  def statefulSessionize(events: Dataset[Ev], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Ev],
+        state: GroupState[S]): Iterator[SessionOut] = {
+      val gapMs = gapSeconds * 1000L
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(
+          SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(S(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              out ::= SessionOut(userId, new Timestamp(s.start),
+                new Timestamp(s.end), s.n)
+              cur = Some(S(t, t, 1))
+            case None =>
+              cur = Some(S(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, SessionOut}
+
+/** Streaming golden tests (SURVEY.md §5.2): MemoryStream feeds out-of-order
+  * event slices; batch results on the same data are the golden output. */
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // offset from epoch 0: Spark's stateful-op late-row filter drops rows
+  // with ts <= watermark, and the initial watermark is 0 — an event at
+  // exactly epoch 0 silently disappears.
+  private val base = 1700002800000L // hour-aligned so window_start == ts(0)
+  private def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
+
+  private def runStream[T](events: Seq[Seq[Ev]])(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = build(mem.toDF()).writeStream
+      .format("memory").queryName("out" + System.nanoTime())
+      .outputMode("append").start()
+    events.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    val name = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery].name
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg over out-of-order input matches batch twin") {
+    val evs = Seq(
+      Ev(1, 10, ts(5), "click", 1.0), Ev(2, 10, ts(62), "click", 2.0),
+      Ev(3, 11, ts(3), "view", 3.0), Ev(4, 11, ts(58), "click", 4.0),
+      Ev(5, 12, ts(125), "view", 5.0))
+    // out-of-order feed: second batch carries an *earlier* event (id 4)
+    val out = runStream(Seq(
+      Seq(evs(0), evs(2)), Seq(evs(1), evs(3)), Seq(evs(4)),
+      // sentinel far in the future closes all windows for append emission
+      Seq(Ev(99, 99, ts(100000), "x", 0.0))))(
+      df => Streams.tumblingAggWatermarked(df, "1 hour", "2 hours"))
+
+    val batch = Streams.tumblingAgg(evs.toDF(), "1 hour")
+    val got = out.filter($"event_type" =!= "x")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val want = batch.orderBy("window_start", "event_type").collect().toSeq
+    assert(got == want, s"\nstream=$got\nbatch=$want")
+  }
+
+  test("watermark drops late data beyond the delay") {
+    val out = runStream(Seq(
+      Seq(Ev(1, 1, ts(10), "click", 1.0)),
+      Seq(Ev(2, 1, ts(300), "click", 1.0)), // advances watermark to 300-30=270
+      Seq(Ev(3, 1, ts(15), "click", 1.0)),  // late: window [0,60) < watermark → dropped
+      Seq(Ev(4, 1, ts(1000), "click", 1.0)),
+      Seq(Ev(5, 1, ts(5000), "click", 1.0))))(
+      df => Streams.tumblingAggWatermarked(df, "1 hour", "30 minutes"))
+    val w0 = out.filter($"window_start" === ts(0)).select($"n_events")
+      .as[Long].collect()
+    assert(w0.toSeq == Seq(1L),
+      s"late event must not count into the closed [0,60) window: ${w0.toSeq}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event_ids") {
+    val e = Ev(42, 1, ts(10), "click", 1.0)
+    val out = runStream(Seq(
+      Seq(e, e.copy(value = 99.0)),       // same event_id twice in-batch
+      Seq(e.copy(ts = ts(12))),           // replay within watermark
+      Seq(Ev(43, 1, ts(20), "view", 2.0))))(
+      df => Streams.dedupWithinWatermark(df, "1 hour"))
+    val ids = out.select($"event_id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(42L, 43L), s"got $ids")
+  }
+
+  test("statefulSessionize emits sessions closed by event-time gaps") {
+    val out = runStream(Seq(
+      Seq(Ev(1, 7, ts(0), "click", 0), Ev(2, 7, ts(10), "click", 0),
+        Ev(3, 7, ts(100), "click", 0)), // same batch: gap 90min closes session 1
+      Seq(Ev(4, 7, ts(500), "click", 0)), // watermark advance closes session 2
+      Seq(Ev(5, 7, ts(2000), "click", 0)),
+      Seq(Ev(6, 7, ts(9000), "click", 0))))(
+      df => Streams.statefulSessionize(df.as[Ev], gapSeconds = 30 * 60)
+        .toDF())
+    val sessions = out.as[SessionOut].collect()
+      .sortBy(_.session_start.getTime)
+    assert(sessions.length >= 2, s"got ${sessions.toSeq}")
+    assert(sessions(0).session_start == ts(0) &&
+      sessions(0).session_end == ts(10) && sessions(0).n_events == 2,
+      s"first session wrong: ${sessions(0)}")
+    assert(sessions(1).session_start == ts(100) && sessions(1).n_events == 1)
+  }
+
+  test("streaming session_window agg matches the batch gaps-and-islands twin") {
+    val evs = Seq(
+      Ev(1, 5, ts(0), "c", 0), Ev(2, 5, ts(20), "c", 0),
+      Ev(3, 5, ts(120), "c", 0), Ev(4, 6, ts(5), "c", 0))
+    val batch = Streams.sessionWindowAgg(evs.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(batch == Seq((5L, 2L), (5L, 1L), (6L, 1L)))
+    val out = runStream(Seq(evs.take(2), evs.drop(2),
+      Seq(Ev(9, 9, ts(100000), "x", 0))))(
+      df => Streams.sessionWindowAgg(df.withWatermark("ts", "1 hour"),
+        "30 minutes"))
+    val streamed = out.filter($"user_id" =!= 9)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+}
