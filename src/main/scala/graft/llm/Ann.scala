@@ -34,12 +34,14 @@ object Ann {
       k: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    // precompute per-vector norms: one fold per vector, not per pair
     val c = corpus.select(col(idCol).as("c_id"), asDouble(embCol).as("c_emb"))
+      .withColumn("c_norm", sqrt(dot("c_emb", "c_emb")))
     val p = probes.select(col(idCol).as("p_id"), asDouble(embCol).as("p_emb"))
+      .withColumn("p_norm", sqrt(dot("p_emb", "p_emb")))
     val scored = c.crossJoin(broadcast(p))
       .select(col("p_id"), col("c_id"),
-        (dot("p_emb", "c_emb") /
-          (sqrt(dot("p_emb", "p_emb")) * sqrt(dot("c_emb", "c_emb"))))
+        (dot("p_emb", "c_emb") / (col("p_norm") * col("c_norm")))
           .as("cos_sim"))
     val w = Window.partitionBy(col("p_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))

@@ -29,7 +29,7 @@ object KeyedModels {
   /** Solve the (d×d) normal equations from the packed upper triangle via
     * Gaussian elimination with partial pivoting. Driver-free: runs inside
     * the final aggregation, d is tiny (≤ tens of features). */
-  private[ml] def solveNormal(d: Int, xtxU: Array[Double], xty: Array[Double]): Array[Double] = {
+  private[graft] def solveNormal(d: Int, xtxU: Array[Double], xty: Array[Double]): Array[Double] = {
     val a = Array.ofDim[Double](d, d + 1)
     var idx = 0
     for (i <- 0 until d; j <- i until d) {

@@ -177,6 +177,30 @@ object Aggregations {
       GROUP BY l_orderkey ORDER BY l_orderkey"""),
   )
 
+  /** Pivot: event counts per user × event_type. Spark's `pivot()` with an
+    * explicit value list (no extra pass to discover values — required at
+    * scale); the oracle expresses the same thing with FILTERed counts. */
+  val qPivot: GQuery = GQuery(
+    "q_pivot",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'view') AS view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg)
+    Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg, qPivot)
 }

@@ -304,13 +304,10 @@ object LlmOps {
       ORDER BY doc1, doc2"""),
   )
 
-  /** Cosine expression over two double-array columns — a sequential fold on
-    * both engines, so the doubles match bit-for-bit. */
-  private def cosineExpr(aCol: String, bCol: String): Column = {
-    def dot(x: String, y: String) =
-      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (s, v) -> s + v)")
-    dot(aCol, bCol) / (sqrt(dot(aCol, aCol)) * sqrt(dot(bCol, bCol)))
-  }
+  /** Dot product of two double-array columns — a sequential fold on both
+    * engines, so the doubles match bit-for-bit. */
+  private def dotExpr(aCol: String, bCol: String): Column =
+    expr(s"aggregate(zip_with($aCol, $bCol, (p, q) -> p * q), 0D, (s, v) -> s + v)")
 
   /** Brute-force cosine top-k: bounded probe set (10 vectors) against the
     * full corpus via broadcast — the correctness oracle for the LSH/ANN
@@ -320,15 +317,20 @@ object LlmOps {
     "q_sim_topk",
     (spark, dir) => {
       import spark.implicits._
+      // norms are computed once per VECTOR (not once per pair): at scale
+      // this saves |corpus| norm folds per probe; the doubles are
+      // identical either way, so the oracle still matches.
       val emb = Tables.embeddings(spark, dir)
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))")
           .as("emb"))
+        .withColumn("norm", sqrt(dotExpr("emb", "emb")))
       val probes = emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("p_id"), $"emb".as("p_emb"))
-      val corpus = emb.select($"vec_id".as("c_id"), $"emb".as("c_emb"))
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"), $"norm".as("p_norm"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"emb".as("c_emb"),
+        $"norm".as("c_norm"))
       val scored = corpus.crossJoin(broadcast(probes))
         .select($"p_id", $"c_id",
-          r6(cosineExpr("p_emb", "c_emb")).as("cos_sim"))
+          r6(dotExpr("p_emb", "c_emb") / ($"p_norm" * $"c_norm")).as("cos_sim"))
       val w = Window.partitionBy($"p_id").orderBy($"cos_sim".desc, $"c_id")
       scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 5)
@@ -362,14 +364,16 @@ object LlmOps {
       val emb = Tables.embeddings(spark, dir)
         .select($"vec_id", $"label",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("norm", sqrt(dotExpr("emb", "emb")))
       val probe = emb.filter($"vec_id" === 0)
-        .select($"emb".as("probe_emb"))
+        .select($"emb".as("probe_emb"), $"norm".as("probe_norm"))
       Tables.documents(spark, dir)
         .join(emb, $"doc_id" === $"vec_id")
         .crossJoin(broadcast(probe))
         .filter($"label".isin(1, 2, 3) && $"text".contains("data"))
         .select($"doc_id", $"lang", $"label", $"n_chars",
-          r6(cosineExpr("emb", "probe_emb")).as("cos_to_probe"))
+          r6(dotExpr("emb", "probe_emb") / ($"norm" * $"probe_norm"))
+            .as("cos_to_probe"))
         .orderBy($"doc_id")
     },
     Some("""

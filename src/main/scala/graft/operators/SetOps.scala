@@ -81,5 +81,38 @@ object SetOps {
       ORDER BY nk"""),
   )
 
-  val all: Seq[GQuery] = Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept)
+  /** Scalar + IN subquery shape. Spark side authors the scalable plan
+    * directly: the scalar becomes a broadcast single-row join, the IN
+    * becomes a semi join — exactly what Catalyst's subquery rewrites
+    * produce from the SQL form the oracle runs. */
+  val qSubquery: GQuery = GQuery(
+    "q_subquery",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+      import org.apache.spark.sql.types.DecimalType
+      val thr = o.agg(
+        (sum($"o_totalprice".cast(DecimalType(30, 6))).cast("double") /
+          count($"o_totalprice")).as("thr"))
+      val bld = Tables.customer(spark, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      o.join(bld, $"o_custkey" === $"c_custkey", "left_semi")
+        .crossJoin(broadcast(thr))
+        .filter($"o_totalprice" > $"thr")
+        .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_totalprice > (
+          SELECT cast(sum(cast(o_totalprice as decimal(30,6))) as double)
+            / count(o_totalprice) FROM orders)
+        AND o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept, qSubquery)
 }

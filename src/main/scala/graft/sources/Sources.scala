@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Secondary sources/sinks (SURVEY.md §2.B.1 ◻ set). Parquet is the
+  * primary format (Tables.scala); CSV/JSON cover interchange. Schemas are
+  * always explicit — schema inference reads the data twice and guesses,
+  * both wrong at 100 TB.
+  */
+object Sources {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST") // corrupt rows fail loudly, not silently
+      .csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Partitioned parquet sink — the layout a 100 TB deployment writes
+    * (per-partition directories enable static + dynamic partition
+    * pruning on read; see SURVEY.md §4). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate sketches (SURVEY.md §2.B.4 ◻): not oracle-declarable
+  * (sketch values differ engine to engine) — verified against exact
+  * computations with tolerance instead. */
+class ApproxSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact on order keys") {
+    import spark.implicits._
+    val o = graft.engine.Tables.orders(spark, sf)
+    val (approx, exact) = o.agg(
+      approx_count_distinct($"o_custkey", 0.02).as("a"),
+      countDistinct($"o_custkey").as("e"))
+      .as[(Long, Long)].head()
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.05, s"HLL err $err (approx=$approx exact=$exact)")
+  }
+
+  test("percentile_approx close to exact percentile on quantities") {
+    import spark.implicits._
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val (approx, exact) = li.agg(
+      percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("a"),
+      expr("percentile(l_quantity, 0.5)").as("e"))
+      .as[(Double, Double)].head()
+    assert(math.abs(approx - exact) <= 1.0,
+      s"approx median $approx vs exact $exact")
+  }
+}

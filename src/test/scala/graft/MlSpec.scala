@@ -161,6 +161,19 @@ class MlSpec extends AnyFunSuite {
     assert(out.schema("features").dataType.typeName == "vector")
   }
 
+  test("ModelExport exposes coefficients as joinable tables (A5)") {
+    import spark.implicits._
+    val lr = new LogisticRegression().setMaxIter(5)
+    val m = lr.fit(embFeatures).asInstanceOf[
+      org.apache.spark.ml.classification.LogisticRegressionModel]
+    val coefs = ModelExport.logisticCoefficients(spark, m)
+    assert(coefs.columns.toSeq ==
+      Seq("class_index", "feature_index", "weight"))
+    // 10 classes × (64 features + intercept)
+    assert(coefs.count() == 10 * 65)
+    assert(coefs.filter($"feature_index" === -1).count() == 10)
+  }
+
   test("TrainValidationSearch returns a fitted best model") {
     val lr = new LogisticRegression().setMaxIter(10)
     val grid = new ParamGridBuilder()

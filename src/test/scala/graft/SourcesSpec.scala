@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("CSV round-trip preserves documents exactly") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("csv_rt").toString + "/docs"
+    Sources.writeCsv(docs, dir)
+    val back = Sources.readCsv(spark, dir, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back).count() == 0)
+  }
+
+  test("JSON-lines round-trip preserves orders exactly") {
+    val orders = graft.engine.Tables.orders(spark, sf)
+    val dir = Files.createTempDirectory("json_rt").toString + "/orders"
+    Sources.writeJsonLines(orders, dir)
+    val back = Sources.readJsonLines(spark, dir, orders.schema)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).count() == 0)
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("part_pq").toString + "/docs"
+    Sources.writePartitionedParquet(docs, dir, Seq("lang"))
+    val pruned = spark.read.parquet(dir).filter($"lang" === "en")
+    assert(pruned.count() ==
+      docs.filter($"lang" === "en").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter applied at the source, not post-scan
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+  }
+
+  test("FAILFAST surfaces malformed input instead of nulling it") {
+    val dir = Files.createTempDirectory("bad_csv")
+    Files.writeString(dir.resolve("bad.csv"), "doc_id,n_chars\n1,10\n2,not_a_number\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_chars BIGINT")
+    val ex = intercept[Exception] {
+      Sources.readCsv(spark, dir.toString, schema).collect()
+    }
+    assert(ex.getMessage.contains("MALFORMED") ||
+      (ex.getCause != null), s"unexpected: ${ex.getMessage}")
+  }
+}
