@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
@@ -84,5 +85,83 @@ object Ann {
     val w = Window.partitionBy(col("p_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * corpus vector to a cell; a probe searches only its `nProbe` nearest
+    * cells. Candidate generation is an equi-join on cell id — at 100 TB
+    * the corpus assignment is one pass + small shuffle, and each query
+    * touches nProbe/nCells of the data. Exact cosine ranks the candidates.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("c_id"), asDouble(embCol).as("c_emb"))
+      .withColumn("c_norm", sqrt(dot("c_emb", "c_emb")))
+      .withColumn("v", array_to_vector(col("c_emb")))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).drop("v")
+
+    // centroids as a tiny broadcast table: (cell, centroid array)
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("cell", "cent")
+
+    // each probe → its nProbe nearest cells (by cosine to the centroid)
+    val p = probes.select(col(idCol).as("p_id"), asDouble(embCol).as("p_emb"))
+      .withColumn("p_norm", sqrt(dot("p_emb", "p_emb")))
+    val cellRank = Window.partitionBy(col("p_id"))
+      .orderBy(col("cell_cos").desc, col("cell"))
+    val probeCells = p.crossJoin(broadcast(cents))
+      .withColumn("cell_cos",
+        dot("p_emb", "cent") / (col("p_norm") * sqrt(dot("cent", "cent"))))
+      .withColumn("cell_rnk", row_number().over(cellRank))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("p_id"), col("p_emb"), col("p_norm"), col("cell"))
+
+    // candidates = corpus rows in the probed cells (equi-join on cell)
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    assigned.join(broadcast(probeCells), "cell")
+      .select(col("p_id"), col("c_id"),
+        (dot("p_emb", "c_emb") / (col("p_norm") * col("c_norm")))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH self-join on normalized
+    * vectors, keeping pairs with cosine >= minCosine — the vector-space
+    * analog of MinHash near-dup for text. */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      minCosine: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bucketLength: Double = 0.5,
+      numHashTables: Int = 6): DataFrame = {
+    // cos >= t  ⇔  L2 on unit vectors <= sqrt(2 - 2t)
+    val maxL2 = math.sqrt(math.max(2.0 - 2.0 * minCosine, 0.0))
+    val c = corpus.select(col(idCol).as("id"), normalizedVector(embCol).as("v"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("buckets")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42)
+    val model = lsh.fit(c)
+    model.approxSimilarityJoin(c, c, maxL2, "l2")
+      .select(
+        col("datasetA.id").as("id_a"),
+        col("datasetB.id").as("id_b"),
+        (lit(1.0) - col("l2") * col("l2") / 2.0).as("cos_sim"))
+      .filter(col("id_a") < col("id_b"))
   }
 }
