@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Structured Streaming operators over the events stream (SURVEY.md
   * §2.B.10). Every transform is a plain DataFrame→DataFrame function, so
@@ -112,5 +114,44 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4.x `transformWithState` processor: per-user running event
+    * count + value total in a ValueState, emitted on every update.
+    * Requires the RocksDB state store provider (see [[transformRunningTotals]]).
+    */
+  private class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Ev, UserRunning] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val (n0, v0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0; var v = v0
+      rows.foreach { e => n += 1; v += e.value }
+      state.update((n, v))
+      Iterator.single(UserRunning(key, n, v))
+    }
+  }
+
+  /** Per-user running totals via the Spark 4.x transformWithState API
+    * (the successor to flatMapGroupsWithState: typed state variables,
+    * TTL, timers). The caller's session must set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+    */
+  def transformRunningTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

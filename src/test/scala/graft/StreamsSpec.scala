@@ -20,14 +20,14 @@ class StreamsSpec extends AnyFunSuite {
   private val base = 1700002800000L // hour-aligned so window_start == ts(0)
   private def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
 
-  private def runStream[T](events: Seq[Seq[Ev]])(
+  private def runStream[T](events: Seq[Seq[Ev]], mode: String = "append")(
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
     val q = build(mem.toDF()).writeStream
       .format("memory").queryName("out" + System.nanoTime())
-      .outputMode("append").start()
+      .outputMode(mode).start()
     events.foreach { batch => mem.addData(batch); q.processAllAvailable() }
     val name = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery].name
     q.stop()
@@ -94,6 +94,44 @@ class StreamsSpec extends AnyFunSuite {
       sessions(0).session_end == ts(10) && sessions(0).n_events == 2,
       s"first session wrong: ${sessions(0)}")
     assert(sessions(1).session_start == ts(100) && sessions(1).n_events == 1)
+  }
+
+  test("transformWithState keeps running per-user totals (Spark 4 state API)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream(Seq(
+        Seq(Ev(1, 1, ts(1), "c", 10.0), Ev(2, 1, ts(2), "c", 5.0)),
+        Seq(Ev(3, 1, ts(3), "c", 1.0), Ev(4, 2, ts(3), "c", 7.0))),
+        mode = "update")(
+        df => Streams.transformRunningTotals(df.as[Ev]).toDF())
+      // update mode emits one row per key per batch; the LAST row per key
+      // carries the running total
+      val finals = out.as[Streams.UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) =>
+          u -> rs.maxBy(_.n_events)
+        }
+      assert(finals(1L).n_events == 3 && math.abs(finals(1L).total_value - 16.0) < 1e-9,
+        finals.toString)
+      assert(finals(2L).n_events == 1 && finals(2L).total_value == 7.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("sliding windows assign each event to width/slide overlapping windows") {
+    val evs = Seq(Ev(1, 1, ts(10), "c", 1.0))
+    val out = Streams.slidingAgg(evs.toDF(), "1 hour", "15 minutes")
+      .orderBy("window_start").collect()
+    // one event in a 1h/15m sliding window appears in exactly 4 windows
+    assert(out.length == 4, out.toSeq.toString)
+    assert(out.forall(_.getLong(2) == 1L))
   }
 
   test("streaming session_window agg matches the batch gaps-and-islands twin") {
