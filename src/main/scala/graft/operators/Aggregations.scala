@@ -201,6 +201,30 @@ object Aggregations {
       FROM events GROUP BY user_id ORDER BY user_id"""),
   )
 
+  /** Ordered string aggregation (listagg/string_agg): region name list
+    * per... nation names per region, sorted for determinism. */
+  val qStringAgg: GQuery = GQuery(
+    "q_stringagg",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          concat_ws(",", array_sort(collect_list($"n_name"))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy($"r_name")
+    },
+    Some("""
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg, qPivot)
+    Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
+      qPivot, qStringAgg)
 }

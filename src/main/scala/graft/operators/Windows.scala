@@ -223,7 +223,46 @@ object Windows {
       ORDER BY event_id"""),
   )
 
+  /** RANGE frame on a numeric day axis: 7-day trailing order count per
+    * customer — a value-based frame (all rows within 7 days), unlike the
+    * row-count frames in q_win_frame. */
+  val qWinRange: GQuery = GQuery(
+    "q_win_range",
+    (spark, dir) => {
+      import spark.implicits._
+      val withDays = Tables.orders(spark, dir)
+        .withColumn("day",
+          datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date")))
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+        .rangeBetween(-7, Window.currentRow)
+      withDays
+        .select($"o_custkey", $"o_orderkey", $"day",
+          count(lit(1)).over(w).as("orders_7d"),
+          sum($"o_totalprice".cast(DecimalType(30, 6))).over(w)
+            .cast("double").as("spend_7d_raw"))
+        .select($"o_custkey", $"o_orderkey", $"day", $"orders_7d",
+          r2($"spend_7d_raw").as("spend_7d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, day, orders_7d,
+             floor(spend_7d_raw * 1e2 + 0.5) / 1e2 AS spend_7d
+      FROM (
+        SELECT o_custkey, o_orderkey, day,
+          count(*) OVER w AS orders_7d,
+          cast(sum(cast(o_totalprice as decimal(30,6))) OVER w as double)
+            AS spend_7d_raw
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            cast(datediff('day', DATE '1995-01-01', cast(o_orderdate as date))
+              as int) AS day
+          FROM orders) d
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)) t
+      ORDER BY o_custkey, o_orderkey"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qWinRank, qWinAnalytic, qWinFrame, qTopkGroup,
+    qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg)
 }
