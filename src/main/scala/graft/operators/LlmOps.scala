@@ -388,7 +388,75 @@ object LlmOps {
       ORDER BY doc_id"""),
   )
 
+  /** Document chunking: fixed-size token windows with overlap — the core
+    * LLM-pretraining preprocessing op. Chunk starts stride by
+    * (size - overlap); the generator is a per-row expression + explode,
+    * so chunking is embarrassingly parallel and shuffle-free. */
+  val qChunk: GQuery = GQuery(
+    "q_chunk",
+    (spark, dir) => {
+      import spark.implicits._
+      val chunkLen = 40; val stride = 30 // overlap 10
+      Tables.documents(spark, dir)
+        .filter($"doc_id" < 20)
+        .select($"doc_id", toks.as("t"))
+        .select($"doc_id",
+          posexplode(expr(
+            s"transform(sequence(0, greatest(cast(ceil((size(t) - $chunkLen) / $stride.0) as int), 0)), " +
+              s"i -> array_join(slice(t, i * $stride + 1, $chunkLen), ' '))"))
+            .as(Seq("chunk_id", "chunk_text")))
+        .withColumn("n_chunk_tokens", size(split($"chunk_text", " ")))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""
+      SELECT doc_id, chunk_id, chunk_text,
+        cast(len(string_split(chunk_text, ' ')) as int) AS n_chunk_tokens
+      FROM (
+        SELECT doc_id, cast(i as int) AS chunk_id,
+          array_to_string(
+            list_slice(t, cast(i as int) * 30 + 1, cast(i as int) * 30 + 40),
+            ' ') AS chunk_text
+        FROM (
+          SELECT doc_id, t,
+            unnest(range(0,
+              greatest(cast(ceil((len(t) - 40) / 30.0) as int), 0) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id < 20) d0) d1) c
+      ORDER BY doc_id, chunk_id"""),
+  )
+
+  /** Deterministic source interleaving: a stable round-robin training
+    * order across sources (position = per-source rank × #sources +
+    * source index) — how a training mix is laid out without a global
+    * shuffle; the order is reproducible run to run. */
+  val qInterleave: GQuery = GQuery(
+    "q_interleave",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).filter($"source".isin("src0", "src1", "src2"))
+      val srcIdx = expr("cast(substring(source, 4) as int)")
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      docs
+        .select($"doc_id", $"source",
+          row_number().over(w).as("rank_in_source"))
+        .withColumn("position",
+          ($"rank_in_source" - 1) * 3 + srcIdx)
+        .orderBy($"position", $"doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, rank_in_source,
+             (rank_in_source - 1) * 3 + cast(substring(source, 4) as int)
+               AS position
+      FROM (
+        SELECT doc_id, source,
+          cast(row_number() OVER (PARTITION BY source ORDER BY doc_id) as int)
+            AS rank_in_source
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')) r
+      ORDER BY position, doc_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
-    qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal)
+    qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
+    qChunk, qInterleave)
 }
