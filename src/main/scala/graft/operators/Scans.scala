@@ -100,5 +100,33 @@ object Scans {
       ORDER BY c_custkey"""),
   )
 
-  val all: Seq[GQuery] = Seq(qScan, qProject, qFilter, qCase)
+  /** Cast matrix over the portable conversions (B.7 conditional/cast):
+    * int↔string, string→double, timestamp→date, int→decimal→double.
+    * (double→string and timestamp→string formatting differ between
+    * engines and are deliberately excluded.) */
+  val qCast: GQuery = GQuery(
+    "q_cast",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select(
+          $"o_orderkey",
+          $"o_orderkey".cast("string").as("key_str"),
+          $"o_orderkey".cast("string").cast("long").as("key_roundtrip"),
+          substring($"o_orderpriority", 1, 1).cast("int").as("priority_num"),
+          to_date($"o_orderdate").as("order_date"),
+          $"o_custkey".cast("decimal(18,2)").cast("double").as("cust_dec"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        cast(o_orderkey as varchar) AS key_str,
+        cast(cast(o_orderkey as varchar) as bigint) AS key_roundtrip,
+        cast(substring(o_orderpriority, 1, 1) as int) AS priority_num,
+        cast(o_orderdate as date) AS order_date,
+        cast(cast(o_custkey as decimal(18,2)) as double) AS cust_dec
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qScan, qProject, qFilter, qCase, qCast)
 }

@@ -28,7 +28,10 @@ object Windows {
           row_number().over(w).as("rn"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          ntile(4).over(w).as("quartile"),
+          // exact rationals (rank-1)/(n-1): identical doubles both engines
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
         .orderBy($"c_mktsegment", $"rn")
     },
     Some("""
@@ -36,7 +39,9 @@ object Windows {
         cast(row_number() OVER w as int) AS rn,
         cast(rank() OVER w as int) AS rnk,
         cast(dense_rank() OVER w as int) AS drnk,
-        cast(ntile(4) OVER w as int) AS quartile
+        cast(ntile(4) OVER w as int) AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_mktsegment, rn"""),

@@ -29,6 +29,12 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Partitioned parquet sink — the layout a 100 TB deployment writes
     * (per-partition directories enable static + dynamic partition
     * pruning on read; see SURVEY.md §4). */

@@ -29,6 +29,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(orders).count() == 0)
   }
 
+  test("ORC round-trip preserves lineitem exactly") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val dir = Files.createTempDirectory("orc_rt").toString + "/li"
+    Sources.writeOrc(li, dir)
+    val back = Sources.readOrc(spark, dir, li.schema)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0)
+  }
+
   test("partitioned parquet layout enables partition pruning") {
     import spark.implicits._
     val docs = graft.engine.Tables.documents(spark, sf)
