@@ -24,8 +24,9 @@ object Ann {
 
   private def asDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0D, (s, v) -> s + v)")
+  /** Codegen'd native dot product (graft.functions.DotProduct); callers
+    * register it on the corpus session before building the plan. */
+  private def dot(a: String, b: String) = expr(s"dot_product($a, $b)")
 
   /** Exact cosine top-k of each probe vector against the corpus.
     * Probes are broadcast; the corpus streams. */
@@ -35,6 +36,7 @@ object Ann {
       k: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    graft.functions.DotProduct.register(corpus.sparkSession)
     // precompute per-vector norms: one fold per vector, not per pair
     val c = corpus.select(col(idCol).as("c_id"), asDouble(embCol).as("c_emb"))
       .withColumn("c_norm", sqrt(dot("c_emb", "c_emb")))
@@ -103,6 +105,7 @@ object Ann {
       embCol: String = "embedding",
       seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
+    graft.functions.DotProduct.register(spark)
     val c = corpus.select(col(idCol).as("c_id"), asDouble(embCol).as("c_emb"))
       .withColumn("c_norm", sqrt(dot("c_emb", "c_emb")))
       .withColumn("v", array_to_vector(col("c_emb")))

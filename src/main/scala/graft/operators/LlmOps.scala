@@ -304,10 +304,12 @@ object LlmOps {
       ORDER BY doc1, doc2"""),
   )
 
-  /** Dot product of two double-array columns — a sequential fold on both
-    * engines, so the doubles match bit-for-bit. */
+  /** Dot product of two double-array columns via the codegen'd native
+    * expression (graft.functions.DotProduct) — same sequential fold order
+    * as DuckDB's list_inner_product, so the doubles match bit-for-bit.
+    * Callers must DotProduct.register(spark) first. */
   private def dotExpr(aCol: String, bCol: String): Column =
-    expr(s"aggregate(zip_with($aCol, $bCol, (p, q) -> p * q), 0D, (s, v) -> s + v)")
+    expr(s"dot_product($aCol, $bCol)")
 
   /** Brute-force cosine top-k: bounded probe set (10 vectors) against the
     * full corpus via broadcast — the correctness oracle for the LSH/ANN
@@ -317,6 +319,7 @@ object LlmOps {
     "q_sim_topk",
     (spark, dir) => {
       import spark.implicits._
+      graft.functions.DotProduct.register(spark)
       // norms are computed once per VECTOR (not once per pair): at scale
       // this saves |corpus| norm folds per probe; the doubles are
       // identical either way, so the oracle still matches.
@@ -361,6 +364,7 @@ object LlmOps {
     "q_multimodal",
     (spark, dir) => {
       import spark.implicits._
+      graft.functions.DotProduct.register(spark)
       val emb = Tables.embeddings(spark, dir)
         .select($"vec_id", $"label",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
