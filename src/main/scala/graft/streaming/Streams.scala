@@ -116,6 +116,30 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's signups within `windowSeconds` BEFORE the purchase. Both
+    * sides carry watermarks so the join state is bounded — signups are
+    * evicted once the watermark passes signup_ts + window. The same
+    * function works on batch DataFrames (unbounded state is fine there).
+    */
+  def purchaseSignupJoin(events: DataFrame, windowSeconds: Long,
+      delay: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", delay)
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Spark 4.x `transformWithState` processor: per-user running event

@@ -96,6 +96,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions(1).session_start == ts(100) && sessions(1).n_events == 1)
   }
 
+  test("stream-stream interval join matches the batch join on same data") {
+    val evs = Seq(
+      Ev(1, 1, ts(0), "signup", 0), Ev(2, 1, ts(30), "purchase", 0),
+      Ev(3, 1, ts(200), "purchase", 0), // outside the 60-min window
+      Ev(4, 2, ts(10), "signup", 0), Ev(5, 2, ts(50), "purchase", 0),
+      Ev(6, 3, ts(40), "purchase", 0)) // no signup
+    val out = runStream(Seq(evs.take(3), evs.drop(3),
+      Seq(Ev(9, 9, ts(100000), "x", 0), Ev(10, 9, ts(100001), "x", 0))))(
+      df => Streams.purchaseSignupJoin(df, windowSeconds = 3600))
+    import org.apache.spark.sql.functions.col
+    val streamed = out.filter(col("user_id") =!= 9)
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    val batch = Streams.purchaseSignupJoin(evs.toDF(), windowSeconds = 3600)
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((2L, 1L), (5L, 4L)), batch.toString)
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("transformWithState keeps running per-user totals (Spark 4 state API)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
