@@ -1,6 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.StructType
 
 /** Generic split-apply-combine — the Spark-native rebirth of
   * spark-sklearn's `gapply` (pub: python/spark_sklearn/group_apply.py;
@@ -28,4 +30,24 @@ object GApply {
   def gapplyOne[T, K: Encoder, U: Encoder](ds: Dataset[T])(key: T => K)(
       f: (K, Iterator[T]) => U): Dataset[U] =
     ds.groupByKey(key).mapGroups((k: K, it: Iterator[T]) => f(k, it))
+
+  /** Untyped variant with the reference's exact ergonomics
+    * (`gapply(grouped, func, schema, *cols)`): group a DataFrame by key
+    * columns, apply a Row-iterator function per group, union results
+    * under a caller-supplied schema. Use when the schema is dynamic;
+    * prefer the typed [[gapply]] when a case class models the rows.
+    */
+  def gapplyRows(df: DataFrame, keyCols: Seq[String], outSchema: StructType)(
+      f: (Row, Iterator[Row]) => IterableOnce[Row]): DataFrame = {
+    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    implicit val keyEnc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    val keyIdx = keyCols.map(c => df.schema.fieldIndex(c))
+    // NUL-separated composite key avoids collisions between key columns
+    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.buffered
+        val key = Row.fromSeq(keyIdx.map(rows.head.get))
+        f(key, rows).iterator
+      }
+  }
 }

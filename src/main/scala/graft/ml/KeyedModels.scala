@@ -133,4 +133,78 @@ object KeyedModels {
   def fitMean(df: DataFrame, keyCols: Seq[String], yCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(avg(col(yCol)).as("mean"), count(lit(1)).as("n"))
+
+  /** Per-key KMeans (A8's "clusterer" estimator type): Lloyd iterations
+    * inside a per-group closure via [[GApply.gapplyRows]]. Deterministic —
+    * init picks evenly spaced points from the lexicographically sorted
+    * group. This is the full-group-materialization path (SURVEY.md §7
+    * hard-part 2): use for many SMALL groups; a global clustering over one
+    * huge keyspace belongs to MLlib KMeans instead.
+    */
+  def fitKMeans(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      k: Int,
+      iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val proj = df.select(
+      (keyCols.map(col) ++ featureCols.map(c => col(c).cast("double"))): _*)
+    val outSchema = StructType(
+      keyCols.map(c => proj.schema(c)) ++ Seq(
+        StructField("centroid_id", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false),
+        StructField("cluster_size", LongType, nullable = false)))
+    val d = featureCols.size
+    val nKeys = keyCols.size
+    GApply.gapplyRows(proj, keyCols, outSchema) { (key, rows) =>
+      val pts = rows.map(r => Array.tabulate(d)(i => r.getDouble(nKeys + i)))
+        .toArray
+      val kk = math.min(k, pts.length)
+      implicit val ord: Ordering[Array[Double]] =
+        Ordering.by((a: Array[Double]) => a.toSeq)(
+          Ordering.Implicits.seqOrdering[Seq, Double])
+      val sorted = pts.sorted
+      var centroids = Array.tabulate(kk) { i =>
+        sorted(((i.toLong * (pts.length - 1)) / math.max(kk - 1, 1)).toInt).clone()
+      }
+      var assign = new Array[Int](pts.length)
+      for (_ <- 1 to iters) {
+        var p = 0
+        while (p < pts.length) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var s = 0.0; var i = 0
+            while (i < d) {
+              val diff = pts(p)(i) - centroids(c)(i); s += diff * diff; i += 1
+            }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          assign(p) = best
+          p += 1
+        }
+        val sums = Array.fill(kk)(new Array[Double](d))
+        val counts = new Array[Long](kk)
+        p = 0
+        while (p < pts.length) {
+          val c = assign(p); counts(c) += 1
+          var i = 0
+          while (i < d) { sums(c)(i) += pts(p)(i); i += 1 }
+          p += 1
+        }
+        centroids = Array.tabulate(kk) { c =>
+          if (counts(c) == 0) centroids(c)
+          else Array.tabulate(d)(i => sums(c)(i) / counts(c))
+        }
+      }
+      val counts = new Array[Long](kk)
+      assign.foreach(c => counts(c) += 1)
+      (0 until kk).map { c =>
+        Row.fromSeq(key.toSeq ++ Seq(c, centroids(c).toSeq, counts(c)))
+      }
+    }
+  }
 }

@@ -161,6 +161,40 @@ class MlSpec extends AnyFunSuite {
     assert(out.schema("features").dataType.typeName == "vector")
   }
 
+  test("gapplyRows applies a Row function per group under a given schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("vmax", DoubleType)))
+    val out = GApply.gapplyRows(df, Seq("k"), schema) { (key, rows) =>
+      Seq(Row(key.getString(0), rows.map(_.getDouble(1)).max))
+    }
+    val got = out.as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 3.0, "b" -> 10.0))
+  }
+
+  test("fitKMeans recovers planted per-key clusters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = for {
+      key <- Seq("g1", "g2"); c <- Seq(-5.0, 5.0); _ <- 1 to 100
+    } yield (key, c + rng.nextGaussian() * 0.3, c + rng.nextGaussian() * 0.3)
+    val df = rows.toDF("key", "x", "y").repartition(4)
+    val cents = KeyedModels.fitKMeans(df, Seq("key"), Seq("x", "y"), k = 2)
+    val byKey = cents.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getSeq[Double](2), r.getLong(3))).toSeq)
+      .toMap
+    Seq("g1", "g2").foreach { key =>
+      val centroids = byKey(key).map(_._1.head).sorted
+      assert(math.abs(centroids(0) + 5.0) < 0.3, s"$key: $centroids")
+      assert(math.abs(centroids(1) - 5.0) < 0.3, s"$key: $centroids")
+      assert(byKey(key).map(_._2).sum == 200)
+    }
+  }
+
   test("ModelExport exposes coefficients as joinable tables (A5)") {
     import spark.implicits._
     val lr = new LogisticRegression().setMaxIter(5)
