@@ -167,5 +167,35 @@ object Functions {
       GROUP BY event_type ORDER BY event_type"""),
   )
 
-  val all: Seq[GQuery] = Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson)
+  /** Bitwise family. DuckDB's `^` is exponentiation (xor is `xor()`), and
+    * its shifts return the operand type — casts pin both engines to
+    * bigint. */
+  val qFnBitwise: GQuery = GQuery(
+    "q_fn_bitwise",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select(
+          $"o_orderkey",
+          ($"o_orderkey".bitwiseAND($"o_custkey")).as("k_and"),
+          ($"o_orderkey".bitwiseOR($"o_custkey")).as("k_or"),
+          ($"o_orderkey".bitwiseXOR($"o_custkey")).as("k_xor"),
+          expr("shiftleft(o_orderkey, 3)").as("k_shl"),
+          expr("shiftright(o_orderkey, 2)").as("k_shr"),
+          bitwise_not($"o_orderkey").as("k_not"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        o_orderkey & o_custkey AS k_and,
+        o_orderkey | o_custkey AS k_or,
+        xor(o_orderkey, o_custkey) AS k_xor,
+        cast(o_orderkey << 3 as bigint) AS k_shl,
+        cast(o_orderkey >> 2 as bigint) AS k_shr,
+        ~o_orderkey AS k_not
+      FROM orders ORDER BY o_orderkey"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson, qFnBitwise)
 }
