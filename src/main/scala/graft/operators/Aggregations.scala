@@ -224,7 +224,31 @@ object Aggregations {
       GROUP BY r_name ORDER BY r_name"""),
   )
 
+  /** Conditional/boolean aggregates: count_if + bool_and/bool_or (with
+    * FILTER-clause twins already exercised by q_pivot's oracle). */
+  val qAggBool: GQuery = GQuery(
+    "q_agg_bool",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("count_if(o_totalprice > 100000)").as("n_big"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("count_if(o_custkey % 2 = 0)").as("n_even_cust"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        bool_and(o_totalprice > 0) AS all_positive,
+        count(*) FILTER (WHERE o_custkey % 2 = 0) AS n_even_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
-      qPivot, qStringAgg)
+      qPivot, qStringAgg, qAggBool)
 }
