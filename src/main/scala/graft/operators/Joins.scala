@@ -212,7 +212,48 @@ object Joins {
       ORDER BY r_name, n_name"""),
   )
 
+  /** TPC-H Q5 shape: six-way join (two fact edges + three broadcast dims)
+    * with the local-supplier condition (c_nationkey = s_nationkey) — the
+    * deepest join tree in the inventory; Catalyst's ReorderJoin and the
+    * broadcast/SMJ split both get exercised. */
+  val qJoinQ5: GQuery = GQuery(
+    "q_join_q5",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      li.hint("merge").join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(spark, dir)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name".isin("ASIA", "EUROPE"))
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some(s"""
+      SELECT n_name,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND r_name IN ('ASIA', 'EUROPE')
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinCross)
+    qJoinRange, qJoinAsof, qJoinCross, qJoinQ5)
 }
