@@ -13,14 +13,15 @@ object Bench {
     // Warmup pass: the first jobs in a fresh JVM pay several seconds of
     // classloading + codegen compilation that say nothing about plan
     // quality. Run every query once un-timed, then time the real pass.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val benched = graft.engine.Registry.all.filter(_.bench)
+    benched.foreach { q =>
+      try q.run(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benched.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

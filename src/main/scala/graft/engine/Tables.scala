@@ -57,8 +57,12 @@ object Tables {
       .withColumnRenamed("ts", "ts_nanos")
       .withColumn(
         "ts",
+        // exact integer division: Column `/` is double division, and epoch
+        // nanos (~1.7e18) exceed double's 2^53 exact range (ulp ≈ 256 ns),
+        // so `/ 1000L` could mis-bucket timestamps within ~0.25 µs of a
+        // second boundary vs DuckDB's exact int64 path. `div` stays in longs.
         date_trunc("second",
-          timestamp_micros((col("ts_nanos") / 1000L).cast("long"))
+          timestamp_micros(expr("ts_nanos div 1000"))
             .cast("timestamp_ntz")))
   }
 }

@@ -42,8 +42,12 @@ object GApply {
     implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
     implicit val keyEnc: Encoder[String] = org.apache.spark.sql.Encoders.STRING
     val keyIdx = keyCols.map(c => df.schema.fieldIndex(c))
-    // NUL-separated composite key avoids collisions between key columns
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+    // Collision-free composite key: each part is length-prefixed ("<len>:<str>",
+    // null → "n"), so values containing any separator char — or a literal
+    // "null" string vs an actual null — can never merge distinct groups.
+    def part(v: Any): String =
+      if (v == null) "n" else { val s = v.toString; s"${s.length}:$s" }
+    df.groupByKey(r => keyIdx.map(i => part(r.get(i))).mkString)
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         val rows = it.buffered
         val key = Row.fromSeq(keyIdx.map(rows.head.get))

@@ -166,12 +166,18 @@ object Aggregations {
         .filter($"l_orderkey" <= 500)
         .groupBy($"l_orderkey")
         .agg(
-          array_sort(collect_list($"l_partkey")).as("partkeys"),
+          // numeric sort first, then stringify + join: the driver's compare
+          // harness can't hash list cells, so array outputs ship as a
+          // deterministic comma-joined scalar (ADVICE r1).
+          array_join(
+            transform(array_sort(collect_list($"l_partkey")), _.cast("string")),
+            ",").as("partkeys"),
           count(lit(1)).as("n_items"))
         .orderBy($"l_orderkey")
     },
     Some("""
-      SELECT l_orderkey, list_sort(list(l_partkey)) AS partkeys,
+      SELECT l_orderkey,
+             array_to_string(list_sort(list(l_partkey)), ',') AS partkeys,
              count(*) AS n_items
       FROM lineitem WHERE l_orderkey <= 500
       GROUP BY l_orderkey ORDER BY l_orderkey"""),

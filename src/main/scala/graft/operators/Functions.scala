@@ -123,7 +123,9 @@ object Functions {
           $"doc_id",
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_distinct"),
-          slice(array_sort(toks), 1, 3).as("first3"),
+          // comma-joined scalar, not a list cell: the driver's compare
+          // harness can't hash list outputs (ADVICE r1)
+          array_join(slice(array_sort(toks), 1, 3), ",").as("first3"),
           array_contains(toks, "data").as("has_data"))
         .orderBy($"doc_id")
     },
@@ -131,7 +133,7 @@ object Functions {
       SELECT doc_id,
         cast(len(string_split(text, ' ')) as int) AS n_tokens,
         cast(len(list_distinct(string_split(text, ' '))) as int) AS n_distinct,
-        list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3,
+        array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',') AS first3,
         list_contains(string_split(text, ' '), 'data') AS has_data
       FROM documents ORDER BY doc_id"""),
   )
