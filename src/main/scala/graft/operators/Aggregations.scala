@@ -254,7 +254,152 @@ object Aggregations {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
+  /** Statistical moment family — stddev / variance / covariance /
+    * correlation. Native stddev/corr accumulate doubles in shuffle-merge
+    * order (nondeterministic on a cluster) and DuckDB's kernels use a
+    * different update order, so we compute the moments as EXACT decimal
+    * sums (order-free) and finish with identical scalar IEEE arithmetic —
+    * deterministic on 1 core or 1000 executors.
+    */
+  val qAggStats: GQuery = GQuery(
+    "q_agg_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(30, 6)
+      val x = $"l_quantity".cast(dec)
+      val y = $"l_extendedprice".cast(dec)
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y).cast("double").as("sy"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(
+          $"l_returnflag", $"n",
+          r6(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_qty"),
+          r6(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("std_qty"),
+          r6(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_qp"),
+          r6(($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+                 ($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qp"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, n,
+        ${rNSql("(sxx - sx*sx/n) / (n-1)", 6)} AS var_qty,
+        ${rNSql("sqrt((sxx - sx*sx/n) / (n-1))", 6)} AS std_qty,
+        ${rNSql("(sxy - sx*sy/n) / (n-1)", 6)} AS covar_qp,
+        ${rNSql("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))", 6)}
+          AS corr_qp
+      FROM (
+        SELECT l_returnflag, count(*) AS n,
+          cast(sum(x) as double) AS sx, cast(sum(x*x) as double) AS sxx,
+          cast(sum(y) as double) AS sy, cast(sum(y*y) as double) AS syy,
+          cast(sum(x*y) as double) AS sxy
+        FROM (SELECT l_returnflag,
+                cast(l_quantity as decimal(30,6)) AS x,
+                cast(l_extendedprice as decimal(30,6)) AS y
+              FROM lineitem) t
+        GROUP BY l_returnflag) m
+      ORDER BY l_returnflag"""),
+  )
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): Spark plans one Expand +
+    * one hash-agg pass, so the shuffle carries |sets| × |groups| rows —
+    * cheaper than unioning three separate aggregations at scale. */
+  val qGroupingSets: GQuery = GQuery(
+    "q_grouping_sets",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          dsum($"l_quantity").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"gid", $"n", $"sum_qty")
+        .orderBy($"gid", $"returnflag", $"linestatus")
+    },
+    Some(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             cast(grouping_id(l_returnflag, l_linestatus) as int) AS gid,
+             count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, returnflag, linestatus"""),
+  )
+
+  /** min_by / max_by (arg-extrema): who holds the largest / smallest
+    * account balance per nation. The struct second argument gives a total
+    * order (balance, then custkey) so ties are deterministic; DuckDB 1.0's
+    * arg_max can't take a composite key, so the oracle expresses the same
+    * semantics with rank-1 windows. One hash-agg pass, map-side combinable
+    * (min_by/max_by partials merge associatively — scales like min/max).
+    */
+  val qMinmaxBy: GQuery = GQuery(
+    "q_minmax_by",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .groupBy($"c_nationkey")
+        .agg(
+          max_by($"c_custkey", struct($"c_acctbal", $"c_custkey")).as("richest"),
+          min_by($"c_custkey", struct($"c_acctbal", $"c_custkey")).as("poorest"),
+          max($"c_acctbal").as("max_bal"),
+          min($"c_acctbal").as("min_bal"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey,
+        max(CASE WHEN rmax = 1 THEN c_custkey END) AS richest,
+        max(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest,
+        max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal
+      FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+          row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        FROM customer) t
+      GROUP BY c_nationkey ORDER BY c_nationkey"""),
+  )
+
+  /** Fixed-width histogram of events.value — floor(x/w) binning is pure
+    * IEEE arithmetic (identical bits both engines); min/max pass raw values
+    * through unrounded. The classic profiling scan: one pass, |bins| output
+    * rows regardless of input size. */
+  val qHistogram: GQuery = GQuery(
+    "q_histogram",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(floor($"value" / 10.0).cast("int").as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          min($"value").as("min_v"),
+          max($"value").as("max_v"),
+          davg($"value").as("avg_v"))
+        .orderBy($"bin")
+    },
+    Some(s"""
+      SELECT cast(floor(value / 10.0) as int) AS bin, count(*) AS n,
+        min(value) AS min_v, max(value) AS max_v,
+        ${davgSql("value")} AS avg_v
+      FROM events GROUP BY 1 ORDER BY bin"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
-      qPivot, qStringAgg, qAggBool)
+      qPivot, qStringAgg, qAggBool, qAggStats, qGroupingSets, qMinmaxBy,
+      qHistogram)
 }

@@ -198,6 +198,88 @@ object Functions {
       FROM orders ORDER BY o_orderkey"""),
   )
 
+  /** Extended string/regex family beyond q_fn_string: boolean regex match,
+    * multi-group extraction, split_part, edit distance, reverse/repeat/
+    * translate. Patterns stick to char classes + anchors — the subset where
+    * Java regex (Spark) and RE2 (DuckDB) agree. All codegen'd built-ins. */
+  val qFnRegex: GQuery = GQuery(
+    "q_fn_regex",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.part(spark, dir)
+        .select(
+          $"p_partkey",
+          $"p_type".rlike("^[a-z]+ [a-z]+").as("two_words"),
+          regexp_extract($"p_type", "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          expr("split_part(p_type, ' ', 1)").as("first_part"),
+          levenshtein($"p_brand", lit("Brand#11")).as("edit_dist"),
+          reverse($"p_brand").as("brand_rev"),
+          expr("repeat('=', p_size % 5)").as("bar"),
+          translate($"p_name", "aeiou", "AEIOU").as("name_caps_vowels"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        regexp_matches(p_type, '^[a-z]+ [a-z]+') AS two_words,
+        regexp_extract(p_type, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        split_part(p_type, ' ', 1) AS first_part,
+        cast(levenshtein(p_brand, 'Brand#11') as int) AS edit_dist,
+        reverse(p_brand) AS brand_rev,
+        repeat('=', p_size % 5) AS bar,
+        translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels
+      FROM part ORDER BY p_partkey"""),
+  )
+
+  /** Hashing / encoding family: md5, sha-256, hex. Both engines emit
+    * lowercase hex digests for md5/sha and uppercase minimal hex for
+    * integers. Content hashing is the backbone of exact dedup + data
+    * fingerprinting at 100 TB — one codegen'd pass, no shuffle. */
+  val qFnHash: GQuery = GQuery(
+    "q_fn_hash",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          md5($"text".cast("binary")).as("md5_hex"),
+          sha2($"text".cast("binary"), 256).as("sha256_hex"),
+          hex($"doc_id").as("id_hex"),
+          substring(md5($"text".cast("binary")), 1, 8).as("bucket_key"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        md5(text) AS md5_hex,
+        sha256(text) AS sha256_hex,
+        hex(doc_id) AS id_hex,
+        substring(md5(text), 1, 8) AS bucket_key
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Generator / lateral view: posexplode of the token array — the
+    * row-expanding operator (1 doc → n token rows). Spark plans a
+    * whole-stage-codegen'd Generate with no shuffle; the DuckDB oracle
+    * zips two unnests (tokens + 1-based positions). Bounded to doc_id < 30
+    * to keep the t2 dump small; the operator itself streams at any scale. */
+  val qExplode: GQuery = GQuery(
+    "q_explode",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .filter($"doc_id" < 30)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", ($"pos" + 1).cast("int").as("pos"), $"col".as("tok"))
+        .orderBy($"doc_id", $"pos")
+    },
+    Some("""
+      SELECT doc_id,
+        cast(unnest(generate_series(1, len(string_split(text, ' ')))) as int) AS pos,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 30
+      ORDER BY doc_id, pos"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson, qFnBitwise)
+    Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson, qFnBitwise,
+      qFnRegex, qFnHash, qExplode)
 }

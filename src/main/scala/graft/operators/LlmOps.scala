@@ -459,8 +459,159 @@ object LlmOps {
       ORDER BY position, doc_id"""),
   )
 
+  /** PII scrubbing — regex redaction of emails and digit runs, plus the
+    * per-doc redaction counts a compliance audit needs. Pure per-row
+    * codegen'd expressions: zero shuffle, linear scan at any scale.
+    * Patterns stay in the char-class subset where Java regex (Spark) and
+    * RE2 (DuckDB) agree. */
+  val qPiiRedact: GQuery = GQuery(
+    "q_pii_redact",
+    (spark, dir) => {
+      import spark.implicits._
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          substring(
+            regexp_replace(regexp_replace($"text", emailPat, "[EMAIL]"),
+              "[0-9]+", "[NUM]"), 1, 60).as("red_prefix"),
+          size(regexp_extract_all($"text", lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).as("n_nums"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        substring(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '[0-9]+', '[NUM]', 'g'), 1, 60) AS red_prefix,
+        cast(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as int) AS n_emails,
+        cast(len(regexp_extract_all(text, '[0-9]+')) as int) AS n_nums
+      FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Near-exact dedup by canonical form: lowercase + whitespace-collapse +
+    * trim, then group by the md5 of the canonical text. Catches the
+    * reformatted-copy duplicates exact dedup misses, at exact-dedup cost
+    * (one hash-groupBy; the shuffle carries 32-byte digests, not text). */
+  val qDedupNorm: GQuery = GQuery(
+    "q_dedup_norm",
+    (spark, dir) => {
+      import spark.implicits._
+      val canon = trim(regexp_replace(lower($"text"), "\\s+", " "))
+      Tables.documents(spark, dir)
+        .select($"doc_id", md5(canon.cast("binary")).as("canon_id"))
+        .groupBy($"canon_id")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keep_id")
+    },
+    Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canon_id,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1 ORDER BY keep_id"""),
+  )
+
+  /** BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query-term set —
+    * the ranking function behind corpus search / quality-biased sampling.
+    * Per-term scores stay separate columns and the total is one fixed-order
+    * IEEE expression, so no float addition ever happens in shuffle-merge
+    * order — deterministic on a 1000-executor cluster. Two map-side-
+    * combinable aggs (tf per doc, df per term); df and avgdl are tiny and
+    * broadcast. */
+  val qBm25: GQuery = GQuery(
+    "q_bm25",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val tokens = docs.select($"doc_id", explode(toks).as("term"))
+      val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = tokens.groupBy($"doc_id").agg(count(lit(1)).as("doclen"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(
+          (sum($"doclen").cast("double") / count(lit(1))).as("avgdl")))
+      val qterms = Seq("data", "model", "system")
+      def score(term: String): Column = {
+        val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+        val tfc = ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"doclen" / $"avgdl")))
+        max(when($"term" === term, rN(idf * tfc, 6)))
+      }
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .filter($"term".isin(qterms: _*))
+        .groupBy($"doc_id")
+        .agg(
+          coalesce(score("data"), lit(0.0)).as("bm25_data"),
+          coalesce(score("model"), lit(0.0)).as("bm25_model"),
+          coalesce(score("system"), lit(0.0)).as("bm25_system"))
+        .withColumn("bm25_total",
+          rN($"bm25_data" + $"bm25_model" + $"bm25_system", 6))
+        .orderBy($"bm25_total".desc, $"doc_id")
+    },
+    Some(s"""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS doclen FROM tokens GROUP BY 1),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT cast(sum(doclen) as double) / count(*) FROM dl) AS avgdl),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          ${rNSql("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * " +
+            "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (doclen / avgdl))))", 6)}
+            AS s
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        WHERE term IN ('data', 'model', 'system')),
+      pivoted AS (
+        SELECT doc_id,
+          coalesce(max(CASE WHEN term = 'data' THEN s END), 0.0) AS bm25_data,
+          coalesce(max(CASE WHEN term = 'model' THEN s END), 0.0) AS bm25_model,
+          coalesce(max(CASE WHEN term = 'system' THEN s END), 0.0) AS bm25_system
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, bm25_data, bm25_model, bm25_system,
+        ${rNSql("bm25_data + bm25_model + bm25_system", 6)} AS bm25_total
+      FROM pivoted
+      ORDER BY bm25_total DESC, doc_id"""),
+  )
+
+  /** Embedding hygiene scan: L2 norm, dimensionality, and the normalized
+    * first component for every vector. The sum-of-squares is a per-row
+    * SEQUENTIAL fold over the array (Spark `aggregate` ≡ DuckDB `list_sum`,
+    * verified bit-identical) — element order is fixed, so this is
+    * deterministic everywhere, unlike a row-spanning float sum. Per-row
+    * expression only: no shuffle, linear at 100 TB. */
+  val qEmbedNorm: GQuery = GQuery(
+    "q_embed_norm",
+    (spark, dir) => {
+      import spark.implicits._
+      val ss = aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      Tables.embeddings(spark, dir)
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          r6(sqrt(ss)).as("l2_norm"),
+          r6(element_at($"embedding", 1).cast("double") / sqrt(ss)).as("first_unit"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      SELECT vec_id,
+        cast(len(embedding) as int) AS dim,
+        ${rNSql("sqrt(list_sum(list_transform(embedding, " +
+          "x -> cast(x as double) * cast(x as double))))", 6)} AS l2_norm,
+        ${rNSql("cast(embedding[1] as double) / sqrt(list_sum(list_transform(" +
+          "embedding, x -> cast(x as double) * cast(x as double))))", 6)}
+          AS first_unit
+      FROM embeddings ORDER BY vec_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
-    qChunk, qInterleave)
+    qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm)
 }

@@ -128,5 +128,57 @@ object Scans {
       FROM orders ORDER BY o_orderkey"""),
   )
 
-  val all: Seq[GQuery] = Seq(qScan, qProject, qFilter, qCase, qCast)
+  /** Deterministic hash sampling — the reproducible cousin of
+    * `df.sample()`: a multiplicative integer hash of the primary key taken
+    * mod 1000 keeps ~5% of rows, bit-identically on any engine, any
+    * partitioning, any cluster size (Bernoulli `sample()` depends on seed +
+    * partition layout, useless for a cross-engine contract or a re-runnable
+    * 100 TB pipeline). The filter is codegen'd and pushes nothing to the
+    * driver; downstream agg verifies the sampled multiset. */
+  val qSample: GQuery = GQuery(
+    "q_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter(($"l_orderkey" * 2654435761L + $"l_linenumber" * 97L) % 1000 < 50)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n_sampled,
+             ${dsumSql("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE (l_orderkey * 2654435761 + l_linenumber * 97) % 1000 < 50
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  /** UNPIVOT (wide → long reshape): three lineitem measures melt into
+    * (measure, val) rows. Spark's `unpivot` plans an Expand — n_measures
+    * output rows per input row, no shuffle, no driver involvement — the
+    * scalable way to normalize metric columns for a feature store. */
+  val qUnpivot: GQuery = GQuery(
+    "q_unpivot",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter($"l_orderkey" <= 200)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "measure", "val")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+        // sort includes val to stay total (§5.2 tiebreak rule)
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"val")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey <= 200)
+      UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+      ORDER BY l_orderkey, l_linenumber, measure, val"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qScan, qProject, qFilter, qCase, qCast, qSample, qUnpivot)
 }

@@ -267,7 +267,149 @@ object Windows {
       ORDER BY o_custkey, o_orderkey"""),
   )
 
+  /** Keep-latest dedup (CDC compaction): one row per (user_id, event_type),
+    * the one with the greatest timestamp. The row_number ≤ 1 pattern is the
+    * scalable form — partial top-1 per partition before the shuffle, no
+    * global sort. Ordering ties break on raw nanosecond ts then event_id,
+    * so the survivor is deterministic on any cluster. */
+  val qDedupLatest: GQuery = GQuery(
+    "q_dedup_latest",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_nanos".desc, $"event_id".desc)
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""
+      SELECT user_id, event_type, event_id,
+             date_trunc('second', ts) AS ts, value
+      FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""),
+  )
+
+  /** Spark's native session_window operator in batch mode (the same
+    * operator Structured Streaming uses for stateful sessionization): 30-min
+    * gap sessions per user, one groupBy — Catalyst plans the session merge
+    * without a window-function sort pass. Oracle derives the identical
+    * sessions via gaps-and-islands; session_end = last event + gap. */
+  val qWinSession: GQuery = GQuery(
+    "q_win_session",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"), $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+          cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+            AS session_id
+        FROM (
+          SELECT user_id, event_id, ts,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+              lag(date_trunc('second', ts), 1) OVER (
+                PARTITION BY user_id
+                ORDER BY date_trunc('second', ts), event_id) AS prev_ts
+            FROM events) a) b) c
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""),
+  )
+
+  /** Sliding (hopping) windows — batch twin of the streaming hop: 10-minute
+    * windows every 5 minutes, so each event lands in exactly two windows.
+    * Spark's `window(ts, width, slide)` plans an Expand (2 rows/event) +
+    * one hash-agg — no self-join, no shuffle amplification beyond the 2×
+    * expand. The oracle reconstructs the same window starts arithmetically:
+    * start ∈ {⌊e/300⌋·300, ⌊e/300⌋·300 − 300} for width 600 / slide 300. */
+  val qWinSlide: GQuery = GQuery(
+    "q_win_slide",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .select($"window.start".as("win_start"), $"event_type",
+          $"n_events", $"sum_value")
+        .orderBy($"win_start", $"event_type")
+    },
+    Some(s"""
+      SELECT make_timestamp(
+               ((cast(epoch(date_trunc('second', ts)) as bigint) // 300) * 300
+                 - k.k * 300) * 1000000) AS win_start,
+             event_type, count(*) AS n_events,
+             ${dsumSql("value")} AS sum_value
+      FROM events, unnest([0, 1]) AS k(k)
+      GROUP BY win_start, event_type
+      ORDER BY win_start, event_type"""),
+  )
+
+  /** Gap-filling a daily time series (the feature-store resample op): a
+    * generated day spine × observed event types, left-joined to the daily
+    * aggregate, zeros for missing days. The spine is tiny (days × types),
+    * so Spark broadcasts it; the only shuffle is the daily aggregation of
+    * the fact table — at 100 TB the spine join stays broadcast. */
+  val qGapfill: GQuery = GQuery(
+    "q_gapfill",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.events(spark, dir)
+        .select(to_date($"ts").as("day"), $"event_type", $"value")
+      val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(sequence($"d0", $"d1")).as("day"))
+      val types = e.select($"event_type").distinct()
+      val daily = e.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n_raw"), dsum($"value").as("sum_raw"))
+      spine.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select($"day", $"event_type",
+          coalesce($"n_raw", lit(0L)).as("n_events"),
+          coalesce($"sum_raw", lit(0.0)).as("sum_value"))
+        .orderBy($"day", $"event_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT cast(date_trunc('second', ts) as date) AS day, event_type, value
+        FROM events),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+          cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day FROM b),
+      types AS (SELECT DISTINCT event_type FROM e),
+      daily AS (
+        SELECT day, event_type, count(*) AS n_raw,
+               ${dsumSql("value")} AS sum_raw
+        FROM e GROUP BY day, event_type)
+      SELECT s.day, t.event_type,
+             coalesce(d.n_raw, 0) AS n_events,
+             coalesce(d.sum_raw, 0.0) AS sum_value
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+      ORDER BY s.day, t.event_type"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
-    qWinTumble, qSessionize, qGapplyAgg)
+    qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
+    qWinSlide, qGapfill)
 }
