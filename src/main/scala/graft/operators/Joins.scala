@@ -224,13 +224,23 @@ object Joins {
       val ord = Tables.orders(spark, dir)
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
           $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
-      li.hint("merge").join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      // Region predicate pushed ahead of the fact join: resolve the
+      // eligible nations first (tiny), semi-filter customer by them, and
+      // let the inner join to `elig` at the end both name and filter the
+      // supplier nation. Cuts rows flowing out of the big join by ~3/5
+      // before any per-row work — the win grows with scale.
+      val elig = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter($"r_name".isin("ASIA", "EUROPE"))),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val cust = Tables.customer(spark, dir)
+        .join(broadcast(elig.select($"n_nationkey")),
+          $"c_nationkey" === $"n_nationkey", "left_semi")
+      li.join(ord.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.supplier(spark, dir)),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
-        .filter($"r_name".isin("ASIA", "EUROPE"))
+        .join(broadcast(elig), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))

@@ -526,7 +526,9 @@ object LlmOps {
       val docs = Tables.documents(spark, dir)
       val tokens = docs.select($"doc_id", explode(toks).as("term"))
       val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dl = tokens.groupBy($"doc_id").agg(count(lit(1)).as("doclen"))
+      // doclen re-aggregates tf rather than re-exploding the corpus: one
+      // explode pass instead of two (the explode dominates at scale)
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("doclen"))
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val stats = docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(dl.agg(
@@ -555,7 +557,7 @@ object LlmOps {
       WITH tokens AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
-      dl AS (SELECT doc_id, count(*) AS doclen FROM tokens GROUP BY 1),
+      dl AS (SELECT doc_id, cast(sum(tf) as bigint) AS doclen FROM tf GROUP BY 1),
       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       stats AS (
         SELECT (SELECT count(*) FROM documents) AS n_docs,
