@@ -41,4 +41,17 @@ object Sources {
   def writePartitionedParquet(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Archival-tier parquet: zstd instead of the snappy default trades a
+    * little write CPU for ~25-40% smaller files — at 100 TB that is the
+    * difference between storage tiers, and scan-bound queries read less.
+    * `level` 3 is the throughput sweet spot; bump to 9+ for cold data. */
+  def writeParquetZstd(df: DataFrame, path: String, level: Int = 3,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.compression.codec.zstd.level", level.toString)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
 }

@@ -178,4 +178,64 @@ object Streams {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Append the stream to a parquet directory with exactly-once file-sink
+    * semantics (the sink's transaction log in `checkpoint` makes replays
+    * idempotent). The durable landing path for raw events at scale —
+    * readers see only committed files. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+
+  /** Streaming upsert via foreachBatch: every micro-batch is keep-latest
+    * deduped (within the batch) and merged into the parquet snapshot at
+    * `path` with [[graft.operators.Upsert.mergeByKey]] — the streaming
+    * materialized-view pattern without a table format. foreachBatch gives
+    * at-least-once; the merge is idempotent by key+version, so replayed
+    * batches converge to the same snapshot. The snapshot rewrite is
+    * proportional to the snapshot, not the stream history; partition the
+    * snapshot (overwritePartitions) when it outgrows one rewrite. */
+  def upsertToParquet(df: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], versionCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged =
+          if (new java.io.File(path).exists())
+            graft.operators.Upsert.mergeByKey(
+              spark.read.parquet(path), latest, keyCols, versionCol)
+          else latest
+        // stage-and-swap: write the new snapshot next to the old one and
+        // rename into place — never materialize on the driver, never read
+        // and overwrite the same directory in one job
+        val staging = path + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        deleteRecursively(new java.io.File(path))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(staging), java.nio.file.Paths.get(path))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
 }

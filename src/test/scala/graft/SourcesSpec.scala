@@ -51,6 +51,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
   }
 
+  test("zstd parquet round-trips exactly and actually uses the codec") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val dir = Files.createTempDirectory("zstd_pq").toString + "/li"
+    Sources.writeParquetZstd(li, dir, level = 3)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")),
+      s"expected zstd-codec part files, got ${files.toSeq}")
+  }
+
   test("FAILFAST surfaces malformed input instead of nulling it") {
     val dir = Files.createTempDirectory("bad_csv")
     Files.writeString(dir.resolve("bad.csv"), "doc_id,n_chars\n1,10\n2,not_a_number\n")
