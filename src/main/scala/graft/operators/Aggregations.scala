@@ -398,8 +398,38 @@ object Aggregations {
       FROM events GROUP BY 1 ORDER BY bin"""),
   )
 
+  /** Skew-resistant two-phase salted aggregation, DECLARED (the technique
+    * graft.engine.Skew provides as a utility, here under the oracle gate):
+    * phase 1 aggregates by (group, salt) spreading a hot key over 8
+    * partitions; phase 2 merges the partials. Partials are exact decimals,
+    * so the result is bit-identical to the unsalted plan the oracle runs —
+    * the whole point: salting changes the shuffle layout, never the answer.
+    */
+  val qAggSalted: GQuery = GQuery(
+    "q_agg_salted",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(spark, dir)
+        .withColumn("salt", pmod($"l_orderkey", lit(8)))
+        .groupBy($"l_returnflag", $"salt")
+        .agg(
+          sum($"l_quantity".cast(DecimalType(30, 6))).as("psum"),
+          count(lit(1)).as("pn"))
+        .groupBy($"l_returnflag")
+        .agg(
+          rN(sum($"psum").cast("double"), 2).as("sum_qty"),
+          sum($"pn").as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
       qPivot, qStringAgg, qAggBool, qAggStats, qGroupingSets, qMinmaxBy,
-      qHistogram)
+      qHistogram, qAggSalted)
 }

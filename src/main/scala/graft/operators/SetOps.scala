@@ -113,6 +113,82 @@ object SetOps {
       ORDER BY o_orderkey"""),
   )
 
+  /** LATERAL correlated subquery with LIMIT — top-2 customers per nation,
+    * expressed as the SQL-standard lateral join (Spark 4 supports LATERAL
+    * natively; Catalyst rewrites it to a ranked join, so it scales like
+    * q_topk_group rather than N subquery executions). */
+  val qLateral: GQuery = GQuery(
+    "q_lateral",
+    (spark, dir) => {
+      Tables.nation(spark, dir).createOrReplaceTempView("g2_nation")
+      Tables.customer(spark, dir).createOrReplaceTempView("g2_customer")
+      spark.sql("""
+        SELECT n_nationkey, n_name, l.c_custkey, l.c_acctbal
+        FROM g2_nation,
+        LATERAL (SELECT c_custkey, c_acctbal FROM g2_customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+        ORDER BY n_nationkey, l.c_acctbal DESC, l.c_custkey""")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, l.c_custkey, l.c_acctbal
+      FROM nation,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+      ORDER BY n_nationkey, l.c_acctbal DESC, l.c_custkey"""),
+  )
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): ancestor walk over the
+    * implicit binary-tree hierarchy parent(k) = k DIV 2 for low part keys.
+    * Bounded depth (log2 of the key space) — each recursion step is one
+    * self-union the optimizer unrolls. */
+  val qRecursive: GQuery = GQuery(
+    "q_recursive",
+    (spark, dir) => {
+      Tables.part(spark, dir).createOrReplaceTempView("g2_part")
+      spark.sql("""
+        WITH RECURSIVE anc(orig, k, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM g2_part WHERE p_partkey < 64
+          UNION ALL
+          SELECT orig, k DIV 2, depth + 1 FROM anc WHERE k > 0)
+        SELECT orig, count(*) AS n_nodes, cast(max(depth) as int) AS max_depth,
+               sum(k) AS chain_sum
+        FROM anc GROUP BY orig ORDER BY orig""")
+    },
+    Some("""
+      WITH RECURSIVE anc(orig, k, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 64
+        UNION ALL
+        SELECT orig, k // 2, depth + 1 FROM anc WHERE k > 0)
+      SELECT orig, count(*) AS n_nodes, cast(max(depth) as int) AS max_depth,
+             cast(sum(k) as bigint) AS chain_sum
+      FROM anc GROUP BY orig ORDER BY orig"""),
+  )
+
+  /** Correlated scalar subquery with an inequality predicate — each
+    * customer's predecessor key within their nation. Catalyst de-correlates
+    * this into an aggregated self-join (no per-row re-execution). */
+  val qCorrScalar: GQuery = GQuery(
+    "q_corr_scalar",
+    (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("g2_customer")
+      spark.sql("""
+        SELECT c_custkey, c_nationkey,
+          (SELECT max(c2.c_custkey) FROM g2_customer c2
+           WHERE c2.c_nationkey = c.c_nationkey
+             AND c2.c_custkey < c.c_custkey) AS prev_in_nation
+        FROM g2_customer c ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey,
+        (SELECT max(c2.c_custkey) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey
+           AND c2.c_custkey < c.c_custkey) AS prev_in_nation
+      FROM customer c ORDER BY c_custkey"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept, qSubquery)
+    Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept, qSubquery,
+      qLateral, qRecursive, qCorrScalar)
 }
