@@ -428,8 +428,41 @@ object Aggregations {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
+  /** Data-profiling scan (the quality gate before any pipeline run):
+    * per-column non-null and distinct counts plus range bounds, one pass,
+    * one output row. `count(DISTINCT a), count(DISTINCT b)` in one agg
+    * plans as Expand — still a single scan of the fact table. */
+  val qNullProfile: GQuery = GQuery(
+    "q_null_profile",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"o_orderstatus").as("nn_status"),
+          countDistinct($"o_orderstatus").as("nd_status"),
+          count($"o_orderpriority").as("nn_priority"),
+          countDistinct($"o_orderpriority").as("nd_priority"),
+          count($"o_totalprice").as("nn_price"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"),
+          min($"o_orderdate").as("min_date"),
+          max($"o_orderdate").as("max_date"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+        count(o_orderstatus) AS nn_status,
+        count(DISTINCT o_orderstatus) AS nd_status,
+        count(o_orderpriority) AS nn_priority,
+        count(DISTINCT o_orderpriority) AS nd_priority,
+        count(o_totalprice) AS nn_price,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      FROM orders"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
       qPivot, qStringAgg, qAggBool, qAggStats, qGroupingSets, qMinmaxBy,
-      qHistogram, qAggSalted)
+      qHistogram, qAggSalted, qNullProfile)
 }

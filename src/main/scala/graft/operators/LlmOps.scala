@@ -612,8 +612,39 @@ object LlmOps {
       FROM embeddings ORDER BY vec_id"""),
   )
 
+  /** Corpus bigram statistics — the n-gram LM / collocation count over
+    * the token stream. Bigrams come from `zip_with` over two shifted
+    * slices (per-row, codegen'd, no self-join); the only shuffle is the
+    * final count groupBy, map-side combined. The ≥5 support floor keeps
+    * output bounded; at 100 TB the same floor is what makes n-gram tables
+    * storable at all. */
+  val qNgram: GQuery = GQuery(
+    "q_ngram",
+    (spark, dir) => {
+      import spark.implicits._
+      val len1 = greatest(size(toks) - 1, lit(0))
+      val bigrams = zip_with(
+        slice(toks, lit(1), len1),
+        slice(toks, lit(2), len1),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.documents(spark, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 5)
+        .orderBy($"n".desc, $"bigram")
+    },
+    Some("""
+      SELECT bigram, count(*) AS n FROM (
+        SELECT l[i] || ' ' || l[i + 1] AS bigram FROM (
+          SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+          FROM (SELECT string_split(text, ' ') AS l FROM documents) t0) t1)
+      GROUP BY bigram HAVING count(*) >= 5
+      ORDER BY n DESC, bigram"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
-    qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm)
+    qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram)
 }

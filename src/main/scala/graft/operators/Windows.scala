@@ -408,8 +408,46 @@ object Windows {
       ORDER BY s.day, t.event_type"""),
   )
 
+  /** Per-group standardization (z-score) — the feature-engineering
+    * normalize step, windowed so every row keeps its identity. Mean and
+    * std come from exact decimal window moments finished with fixed-order
+    * IEEE arithmetic (same determinism posture as q_agg_stats: no float
+    * accumulates in partition-merge order). */
+  val qZscore: GQuery = GQuery(
+    "q_zscore",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy($"user_id")
+      val dec = $"value".cast(DecimalType(30, 6))
+      Tables.events(spark, dir)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(dec).over(w).cast("double"))
+        .withColumn("sxx", sum(dec * dec).over(w).cast("double"))
+        .filter($"n" >= 2)
+        .select($"event_id", $"user_id",
+          r6(($"value" - $"sx" / $"n") /
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("zscore"))
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      SELECT event_id, user_id,
+        ${rNSql("(value - sx / n) / sqrt((sxx - sx*sx/n) / (n-1))", 6)}
+          AS zscore
+      FROM (
+        SELECT event_id, user_id, value,
+          count(*) OVER w AS n,
+          cast(sum(x) OVER w as double) AS sx,
+          cast(sum(x*x) OVER w as double) AS sxx
+        FROM (SELECT event_id, user_id, value,
+                cast(value as decimal(30,6)) AS x FROM events) t
+        WINDOW w AS (PARTITION BY user_id)) m
+      WHERE n >= 2
+      ORDER BY event_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
-    qWinSlide, qGapfill)
+    qWinSlide, qGapfill, qZscore)
 }
