@@ -56,4 +56,39 @@ class PlanSpec extends AnyFunSuite {
     // un-executed plan, so codegen span labels aren't visible here)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("q_join_q5 builds the hash side from filtered orders, not lineitem") {
+    val plan = physicalPlan("q_join_q5")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "fact-fact edge should be a shuffled-hash join (no sorts)")
+  }
+
+  test("q_sample pushes nothing to the driver and keeps the filter codegen'd") {
+    val plan = physicalPlan("q_sample")
+    assert(plan.contains("Filter"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+  }
+
+  test("q_gapfill broadcasts the spine-dimension join") {
+    val plan = physicalPlan("q_gapfill")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_dedup_latest ranks per key with exactly one shuffle of the input") {
+    val plan = physicalPlan("q_dedup_latest")
+    assert(plan.contains("row_number()"), plan)
+    assert(plan.contains("Filter (rn"), plan)
+    // one hash exchange for the window + one range exchange for the
+    // presentation sort of the (much smaller) deduped output — no more
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("q_unpivot expands without shuffling") {
+    val plan = physicalPlan("q_unpivot")
+    assert(plan.contains("Expand"), plan)
+    // only the presentation sort may exchange; the Expand itself must not
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
 }
