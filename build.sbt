@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked run's stdout verbatim (no "[info] " logger prefix): the
+// driver parses graft.Bench's one-line JSON from stdout, and BENCH_r01.json
+// recorded parsed:null against the prefixed form.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
