@@ -197,6 +197,46 @@ object Joins {
       ORDER BY event_id"""),
   )
 
+  /** Forward as-of join (nearest subsequent): each purchase matched to
+    * the same user's earliest at-or-after error event — the symmetric twin
+    * of [[qJoinAsof]] (think "next maintenance window after the trade").
+    * Same one-shuffle window emulation, frame flipped to
+    * [currentRow, unboundedFollowing]. */
+  val qJoinAsofFwd: GQuery = GQuery(
+    "q_join_asof_fwd",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("error", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "error", $"ts").as("error_ts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts",
+          when($"event_type" === "purchase", 0).otherwise(1),
+          $"event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_error_ts", first($"error_ts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"next_error_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, next_error_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          first_value(error_ts IGNORE NULLS) OVER (
+            PARTITION BY user_id
+            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+                     event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_error_ts
+        FROM (
+          SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type,
+            CASE WHEN event_type = 'error'
+                 THEN date_trunc('second', ts) END AS error_ts
+          FROM events WHERE event_type IN ('error', 'purchase')) ev
+      ) t WHERE event_type = 'purchase'
+      ORDER BY event_id"""),
+  )
+
   /** Cross join of the two tiny dims (125 rows) — the only place a
     * cartesian product is ever acceptable. */
   val qJoinCross: GQuery = GQuery(
@@ -265,5 +305,5 @@ object Joins {
 
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinCross, qJoinQ5)
+    qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinCross, qJoinQ5)
 }
