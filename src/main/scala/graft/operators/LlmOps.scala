@@ -643,8 +643,61 @@ object LlmOps {
       ORDER BY n DESC, bigram"""),
   )
 
+  /** Deterministic train/val/test split — assignment by multiplicative
+    * hash of the document id (8/1/1), reproducible on any engine, any
+    * partitioning, any re-run: the property `df.randomSplit` cannot give
+    * across engines or cluster layouts. Verified by per-split per-lang
+    * counts (the split manifest a training run records). */
+  val qSplit: GQuery = GQuery(
+    "q_split",
+    (spark, dir) => {
+      import spark.implicits._
+      val bucket = ($"doc_id" * 2654435761L) % 10
+      Tables.documents(spark, dir)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_total"))
+        .orderBy($"split", $"lang")
+    },
+    Some("""
+      SELECT CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 10 < 9 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs,
+             cast(sum(n_chars) as bigint) AS n_chars_total
+      FROM documents
+      GROUP BY 1, 2 ORDER BY split, lang"""),
+  )
+
+  /** Stratified deterministic sampling — per-language keep rates applied
+    * through the same multiplicative hash (downsample the dominant
+    * language, keep the tail), the data-mixing primitive behind corpus
+    * rebalancing. Pure filter: no shuffle before the verification agg. */
+  val qSampleStrat: GQuery = GQuery(
+    "q_sample_strat",
+    (spark, dir) => {
+      import spark.implicits._
+      val h = ($"doc_id" * 2654435761L) % 100
+      val rate = when($"lang" === "en", 20).otherwise(80) // keep 20% en, 80% rest
+      Tables.documents(spark, dir)
+        .filter(h < rate)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("n_chars_kept"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, count(*) AS n_kept,
+             cast(sum(n_chars) as bigint) AS n_chars_kept
+      FROM documents
+      WHERE (doc_id * 2654435761) % 100 <
+            CASE WHEN lang = 'en' THEN 20 ELSE 80 END
+      GROUP BY lang ORDER BY lang"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
-    qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram)
+    qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
+    qSplit, qSampleStrat)
 }
