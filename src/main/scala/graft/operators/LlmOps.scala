@@ -524,26 +524,30 @@ object LlmOps {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
+      val qterms = Seq("data", "model", "system")
+      // ONE explode pass total. doclen and avgdl come from size(tokens) on
+      // the un-exploded table (per-row expression, no shuffle); df is a
+      // window over the query-term-filtered tf, so the token stream is
+      // never re-derived per consumer (Spark's ReuseExchange can't merge
+      // differently-pruned copies of the same subtree — avoid the copies).
       val tokens = docs.select($"doc_id", explode(toks).as("term"))
       val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      // doclen re-aggregates tf rather than re-exploding the corpus: one
-      // explode pass instead of two (the explode dominates at scale)
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("doclen"))
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(dl.agg(
-          (sum($"doclen").cast("double") / count(lit(1))).as("avgdl")))
-      val qterms = Seq("data", "model", "system")
+        .filter($"term".isin(qterms: _*))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      val dl = docs.select($"doc_id", size(toks).cast("long").as("doclen"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
       def score(term: String): Column = {
         val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
         val tfc = ($"tf" * 2.2) /
           ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"doclen" / $"avgdl")))
         max(when($"term" === term, rN(idf * tfc, 6)))
       }
-      tf.join(broadcast(df), "term")
-        .join(dl, "doc_id")
+      // dl is corpus-sized — never force-broadcast it; AQE broadcasts at
+      // small SF and shuffles on doc_id at scale, both correct
+      tf.join(dl, "doc_id")
         .crossJoin(broadcast(stats))
-        .filter($"term".isin(qterms: _*))
         .groupBy($"doc_id")
         .agg(
           coalesce(score("data"), lit(0.0)).as("bm25_data"),
