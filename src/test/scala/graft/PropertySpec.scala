@@ -90,4 +90,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mergeByKey: idempotent, identity on empty updates, batch-split invariant") {
+    import spark.implicits._
+    import graft.operators.Upsert.mergeByKey
+    val gen = for {
+      base <- Gen.listOfN(12, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 9L)))
+      ups <- Gen.listOfN(10, Gen.zip(Gen.choose(0L, 5L), Gen.choose(10L, 19L)))
+    } yield (base, ups)
+    samples(gen, 5).foreach { case (baseRows, upRows) =>
+      // distinct versions per key so latest-wins is unambiguous
+      def mk(rows: Seq[(Long, Long)]) = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v * 100 + i, s"p$i") }
+        .toDF("id", "version", "payload")
+      val base = mk(baseRows)
+      val ups = mk(upRows.distinct)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id", "version", "payload").collect().toSeq
+
+      val once = mergeByKey(base, ups, Seq("id"), "version")
+      // idempotent: applying the same updates again changes nothing
+      assert(canon(mergeByKey(once, ups, Seq("id"), "version")) == canon(once))
+      // identity on a compacted snapshot: empty updates change nothing
+      // (on a raw multi-version base, merge IS the compaction)
+      val snap = mergeByKey(base, base.limit(0), Seq("id"), "version")
+      assert(canon(mergeByKey(snap, base.limit(0), Seq("id"), "version")) ==
+        canon(snap))
+      // batch-split invariance: applying updates in two batches equals one
+      val (u1, u2) = (ups.filter($"id" % 2 === 0), ups.filter($"id" % 2 === 1))
+      val split = mergeByKey(mergeByKey(base, u1, Seq("id"), "version"),
+        u2, Seq("id"), "version")
+      assert(canon(split) == canon(once))
+    }
+  }
 }
