@@ -152,6 +152,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) == 1L))
   }
 
+  test("session_window merges events exactly gap-distance apart (boundary semantics)") {
+    // locks in the boundary rule the q_win_session oracle assumes: an event
+    // at exactly last_ts + gap EXTENDS the session (gap > g starts new, not >=)
+    import spark.implicits._
+    val df = Seq(
+      (1L, new Timestamp(base)),
+      (2L, new Timestamp(base + 1800 * 1000L)), // exactly the 30-min gap later
+      (3L, new Timestamp(base + 7200 * 1000L))
+    ).toDF("event_id", "ts").withColumn("user_id", lit(7L))
+    val sessions = df
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(sessions.length == 2, sessions.toSeq)
+    assert(sessions.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("streaming session_window agg matches the batch gaps-and-islands twin") {
     val evs = Seq(
       Ev(1, 5, ts(0), "c", 0), Ev(2, 5, ts(20), "c", 0),
