@@ -8,7 +8,7 @@ import graft.operators._
 object Registry {
   def all: Seq[GQuery] =
     Scans.all ++ Joins.all ++ Aggregations.all ++ Windows.all ++
-      SetOps.all ++ Functions.all ++ LlmOps.all
+      SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
