@@ -42,6 +42,18 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** XML interchange (Spark 4 ships the former spark-xml as a built-in
+    * source). `rowTag` names the element that maps to one row. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema)
+      .option("rowTag", rowTag)
+      .option("mode", "FAILFAST")
+      .xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
   /** Archival-tier parquet: zstd instead of the snappy default trades a
     * little write CPU for ~25-40% smaller files — at 100 TB that is the
     * difference between storage tiers, and scan-bound queries read less.

@@ -51,6 +51,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
   }
 
+  test("XML round-trip preserves nation exactly (Spark 4 built-in source)") {
+    val nation = graft.engine.Tables.nation(spark, sf)
+    val dir = Files.createTempDirectory("xml_rt").toString + "/nation"
+    Sources.writeXml(nation, dir, rowTag = "nation")
+    val back = Sources.readXml(spark, dir, nation.schema, rowTag = "nation")
+    assert(back.count() == nation.count())
+    assert(back.exceptAll(nation).count() == 0)
+  }
+
   test("zstd parquet round-trips exactly and actually uses the codec") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val dir = Files.createTempDirectory("zstd_pq").toString + "/li"
