@@ -20,13 +20,21 @@ import graft.engine.{GQuery, Tables}
   */
 object ScaleOps {
 
+  /** Declared pair generators run on a BOUNDED corpus slice (500 docs +
+    * 50 planted duplicates): the t2 dump is a smoke check of the operator
+    * wiring, not a scale benchmark, and an unbounded LSH self-join at
+    * larger SFs costs minutes of Verify wall-time for no additional
+    * signal. The unbounded scale path is the NearDup library itself
+    * (LlmSpec recall tests + SURVEY §2.B.8). */
+  private val corpusBound = 500L
+
   /** MinHash-LSH near-duplicate candidate pairs over documents with 50
     * planted exact duplicates (shifted ids) — every planted pair must
     * surface, so rows ≥ 50. */
   val qNeardupMinhash: GQuery = GQuery(
     "q_neardup_minhash",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") < corpusBound)
       val planted = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       graft.llm.NearDup.minHashPairs(docs.unionByName(planted), minJaccard = 0.7)
@@ -37,13 +45,11 @@ object ScaleOps {
   )
 
   /** SimHash near-duplicate pairs (64-bit fingerprint, Hamming ≤ 3) over
-    * the same planted-duplicate corpus. Pure DataFrame ops; the banded
-    * pair join still dominates at sf0.1, so it sits outside the headline
-    * timing loop like the other pair generators. */
+    * the same planted-duplicate corpus. */
   val qNeardupSimhash: GQuery = GQuery(
     "q_neardup_simhash",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") < corpusBound)
       val planted = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val hashes = graft.llm.NearDup.simHash(docs.unionByName(planted))
@@ -51,7 +57,7 @@ object ScaleOps {
         .orderBy(col("id_a"), col("id_b"))
     },
     oracle = None,
-    bench = false, // ~4s at sf0.1: the banded pair join dominates
+    bench = false,
   )
 
   /** LSH approximate nearest neighbor: top-5 per probe via
@@ -59,7 +65,7 @@ object ScaleOps {
   val qAnnLsh: GQuery = GQuery(
     "q_ann_lsh",
     (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir)
+      val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < corpusBound)
       graft.llm.Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy(col("p_id"), col("rnk"))
     },
@@ -72,7 +78,7 @@ object ScaleOps {
   val qAnnIvf: GQuery = GQuery(
     "q_ann_ivf",
     (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir)
+      val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < corpusBound)
       graft.llm.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
         .orderBy(col("p_id"), col("rnk"))
     },
