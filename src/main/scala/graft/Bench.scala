@@ -17,15 +17,26 @@ object Bench {
     benched.foreach { q =>
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = benched.map { q =>
+    // A throwing query must surface as an error, never as a (fake) timing —
+    // a broken plan that "benches fast" would mask a regression.
+    val results: Seq[(String, Either[String, Double])] = benched.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      try { q.run(spark, sfDir).count(); q.name -> Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        q.name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    val timed = results.collect { case (n, Right(t)) => n -> t }
+    val errs = results.collect { case (n, Left(m)) => n -> m }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = timed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,7 +8,8 @@ import graft.operators._
 object Registry {
   def all: Seq[GQuery] =
     Scans.all ++ Joins.all ++ Aggregations.all ++ Windows.all ++
-      SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all
+      SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all ++
+      Partitioned.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -109,9 +109,23 @@ object Ann {
     val c = corpus.select(col(idCol).as("c_id"), asDouble(embCol).as("c_emb"))
       .withColumn("c_norm", sqrt(dot("c_emb", "c_emb")))
       .withColumn("v", array_to_vector(col("c_emb")))
+    // The quantizer is fit on a deterministic hash-SAMPLE, never the full
+    // corpus: KMeans only needs enough vectors to place nCells centroids
+    // (~100 per cell), and a full-corpus fit would be the bottleneck at
+    // 100 TB. The multiplicative-hash filter is reproducible across
+    // engines, partitionings and re-runs; the FULL corpus is then assigned
+    // with the fitted model in one codegen'd pass.
+    val fitTarget = math.max(100L * nCells, 10000L)
+    val n = corpus.select(col(idCol)).count()
+    val fitSet =
+      if (n <= fitTarget) c
+      else {
+        val keep = math.max(1L, (fitTarget * 1000000L) / n)
+        c.filter(pmod(xxhash64(col("c_id")), lit(1000000L)) < lit(keep))
+      }
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(c)
+    val model = km.fit(fitSet)
     val assigned = model.transform(c).drop("v")
 
     // centroids as a tiny broadcast table: (cell, centroid array)

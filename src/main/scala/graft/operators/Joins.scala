@@ -42,7 +42,11 @@ object Joins {
   )
 
   /** TPC-H Q3 shape: fact⋈fact sort-merge join, agg, top-10. The merge
-    * hint keeps the physical plan stable (SMJ spills instead of OOM). */
+    * hint keeps the physical plan stable (SMJ spills instead of OOM).
+    * Customer carries NO broadcast hint: it grows with the fact tables
+    * (linear in SF), so a forced broadcast is an OOM at 100×. The
+    * planner's stats/AQE pick broadcast while it fits the threshold and
+    * degrade to a shuffle join beyond it (PlanSpec proves both). */
   val qJoinSmj: GQuery = GQuery(
     "q_join_smj",
     (spark, dir) => {
@@ -52,7 +56,7 @@ object Joins {
       val ord = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
       val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
       li.hint("merge").join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
         .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -273,12 +277,17 @@ object Joins {
         .join(broadcast(Tables.region(spark, dir).filter($"r_name".isin("ASIA", "EUROPE"))),
           $"n_regionkey" === $"r_regionkey")
         .select($"n_nationkey", $"n_name")
+      // customer and supplier grow linearly with SF — no broadcast hints
+      // on them (a forced broadcast is a scale-killer at 100×); stats/AQE
+      // choose broadcast only while they fit autoBroadcastJoinThreshold.
+      // Only the geography-bounded `elig` (≤25 rows at any SF) and the
+      // region literal keep explicit broadcasts.
       val cust = Tables.customer(spark, dir)
         .join(broadcast(elig.select($"n_nationkey")),
           $"c_nationkey" === $"n_nationkey", "left_semi")
       li.join(ord.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .join(broadcast(Tables.supplier(spark, dir)),
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(Tables.supplier(spark, dir),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(elig), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")

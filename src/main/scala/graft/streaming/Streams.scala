@@ -37,7 +37,7 @@ object Streams {
     events
       .groupBy(window(col("ts"), width).as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 6).as("sum_value"))
+        graft.engine.GQuery.dsum(col("value"), 6).as("sum_value"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -40,6 +40,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_join_smj customer broadcast is threshold-driven, not hard-coded") {
+    // default threshold: customer (tiny at this SF) is auto-broadcast
+    val plan = physicalPlan("q_join_smj")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // threshold off: the SAME query must degrade to a non-broadcast join —
+    // proof there is no forced broadcast hint on a table that grows with SF
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val noBcast = physicalPlan("q_join_smj")
+      assert(!noBcast.contains("BroadcastHashJoin"), noBcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_join_q5 customer/supplier joins degrade off broadcast when the threshold is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = physicalPlan("q_join_q5")
+      // hinted geography dims stay broadcast; the SF-scaling customer and
+      // supplier edges must fall back to sort-merge with the threshold off
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_sort_limit compiles to top-k, not a global sort") {
     val plan = physicalPlan("q_sort_limit")
     assert(plan.contains("TakeOrderedAndProject"), plan)
@@ -83,6 +108,20 @@ class PlanSpec extends AnyFunSuite {
     // one hash exchange for the window + one range exchange for the
     // presentation sort of the (much smaller) deduped output — no more
     assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("q_scan_partitioned turns the month predicate into partition filters") {
+    val plan = physicalPlan("q_scan_partitioned")
+    // the range predicate must land in PartitionFilters (directory-level
+    // pruning), not in PushedFilters / a post-scan Filter
+    val pf = "PartitionFilters: \\[[^\\]]*o_month[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, plan)
+    assert(pf.get.contains(">=") && pf.get.contains("<="), pf.get)
+  }
+
+  test("q_join_dpp plants a dynamic-pruning subquery on the fact scan") {
+    val plan = physicalPlan("q_join_dpp")
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
   test("q_unpivot expands without shuffling") {
