@@ -128,6 +128,121 @@ object KeyedModels {
             "(x, c) -> x * c), 0D, (s, v) -> s + v)"))
   }
 
+  /** Weighted Gram aggregator for one IRLS step: IN = (features, z, w)
+    * accumulating XᵀWX (upper triangle) and XᵀWz in the same fixed-size
+    * buffer as [[GramOLS]] — map-side partials, associative merges, no
+    * group ever materialized. A tiny ridge (1e-9·n on the diagonal) keeps
+    * late IRLS steps non-singular when weights collapse on
+    * near-separable keys. */
+  final class GramWLS(nFeatures: Int)
+      extends Aggregator[(Seq[Double], Double, Double), GramBuf, LinearFit] {
+    private val d = nFeatures + 1
+    private val triLen = d * (d + 1) / 2
+
+    def zero: GramBuf = GramBuf(new Array[Double](triLen), new Array[Double](d), 0L)
+
+    def reduce(b: GramBuf, in: (Seq[Double], Double, Double)): GramBuf = {
+      val (fs, z, w) = in
+      require(fs.size == nFeatures, s"expected $nFeatures features, got ${fs.size}")
+      val x = new Array[Double](d)
+      x(0) = 1.0
+      var i = 0
+      while (i < nFeatures) { x(i + 1) = fs(i); i += 1 }
+      var idx = 0
+      var r = 0
+      while (r < d) {
+        var c = r
+        while (c < d) { b.xtx(idx) += w * x(r) * x(c); idx += 1; c += 1 }
+        b.xty(r) += w * x(r) * z
+        r += 1
+      }
+      GramBuf(b.xtx, b.xty, b.n + 1)
+    }
+
+    def merge(a: GramBuf, b: GramBuf): GramBuf = {
+      var i = 0
+      while (i < triLen) { a.xtx(i) += b.xtx(i); i += 1 }
+      i = 0
+      while (i < d) { a.xty(i) += b.xty(i); i += 1 }
+      GramBuf(a.xtx, a.xty, a.n + b.n)
+    }
+
+    def finish(b: GramBuf): LinearFit = {
+      val ridge = 1e-9 * math.max(b.n, 1L)
+      val xtx = b.xtx.clone()
+      var diag = 0
+      for (i <- 0 until d) { xtx(diag) += ridge; diag += d - i }
+      val beta = solveNormal(d, xtx, b.xty)
+      LinearFit(beta.drop(1), beta(0), b.n)
+    }
+
+    def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    def outputEncoder: Encoder[LinearFit] = Encoders.product[LinearFit]
+  }
+
+  /** Per-key LOGISTIC regression via IRLS — the classification quadrant of
+    * A8. Each of the (bounded) `iters` iterations is ONE partial+final
+    * weighted-Gram pass: join the current coefficient table back to the
+    * data, compute the working response z and weight w per row with
+    * codegen'd expressions, re-aggregate, re-solve. No group is ever
+    * buffered; per-iteration cost is a shuffle on the key columns, and the
+    * model table (O(keys)) is localCheckpoint'd so lineage stays flat.
+    * Labels must be 0/1. */
+  def fitLogistic(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String,
+      iters: Int = 12): DataFrame = {
+    val agg = udaf(new GramWLS(featureCols.size))
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    val arrSql =
+      featureCols.map(c => s"cast($c as double)").mkString("array(", ", ", ")")
+    val keyC = keyCols.map(col)
+
+    var models = df.groupBy(keyC: _*).agg(count(lit(1)).as("n"))
+      .select(keyC
+        :+ expr(s"array_repeat(0D, ${featureCols.size})").as("coefficients")
+        :+ lit(0.0).as("intercept") :+ col("n"): _*)
+    for (_ <- 1 to iters) {
+      val scored = df.join(models.select(keyC :+ col("coefficients") :+ col("intercept"): _*), keyCols)
+        .withColumn("__eta",
+          col("intercept") + expr(
+            s"aggregate(zip_with($arrSql, coefficients, " +
+              "(x, c) -> x * c), 0D, (s, v) -> s + v)"))
+        .withColumn("__mu", lit(1.0) / (lit(1.0) + exp(-col("__eta"))))
+        .withColumn("__w", greatest(col("__mu") * (lit(1.0) - col("__mu")), lit(1e-6)))
+        .withColumn("__z",
+          col("__eta") + (col(yCol).cast("double") - col("__mu")) / col("__w"))
+      models = scored.groupBy(keyC: _*)
+        .agg(agg(featuresArr, col("__z"), col("__w")).as("model"))
+        .select(keyC :+ col("model.coefficients").as("coefficients")
+          :+ col("model.intercept").as("intercept") :+ col("model.n").as("n"): _*)
+        .localCheckpoint(true)
+    }
+    models
+  }
+
+  /** Apply per-key logistic models: broadcast-join the coefficient table
+    * and emit P(y=1) plus the 0.5-threshold class. */
+  def transformLogistic(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      probabilityCol: String = "probability",
+      predictionCol: String = "prediction"): DataFrame = {
+    val arrSql =
+      featureCols.map(c => s"cast($c as double)").mkString("array(", ", ", ")")
+    df.join(broadcast(models), keyCols)
+      .withColumn(probabilityCol,
+        lit(1.0) / (lit(1.0) + exp(-(col("intercept") + expr(
+          s"aggregate(zip_with($arrSql, coefficients, " +
+            "(x, c) -> x * c), 0D, (s, v) -> s + v)")))))
+      .withColumn(predictionCol,
+        (col(probabilityCol) >= 0.5).cast("double"))
+  }
+
   /** Per-key mean model (the simplest keyed "transformer"): algebraic,
     * same scale posture. */
   def fitMean(df: DataFrame, keyCols: Seq[String], yCol: String): DataFrame =

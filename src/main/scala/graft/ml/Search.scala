@@ -1,18 +1,22 @@
 package graft.ml
 
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 import scala.util.Random
 
-import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.evaluation.Evaluator
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel,
-  TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.ml.tuning.{TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Distributed hyperparameter search with the reference's ergonomics
   * (spark-sklearn `GridSearchCV` / `RandomizedSearchCV` — pub:
   * python/spark_sklearn/grid_search.py, random_search.py; SURVEY.md §2.A
-  * A1/A2), rebuilt on MLlib's CrossValidator.
+  * A1/A2), as an explicit k-fold loop over MLlib estimators.
   *
   * The scale redesign (SURVEY.md §3.1): the reference broadcast the WHOLE
   * dataset to every worker and ran single-node sklearn fits, one Spark
@@ -20,6 +24,12 @@ import org.apache.spark.sql.DataFrame
   * job over a DataFrame that never leaves the cluster; `parallelism`
   * controls how many (params, fold) fits run concurrently. 100 TB of
   * training data changes nothing structurally.
+  *
+  * The CV loop is hand-rolled (not MLlib's CrossValidator) because the
+  * reference surface exposes what CrossValidator discards: PER-FOLD
+  * scores (`cv_results_`'s splitN_test_score) and user-provided fold
+  * assignments (`foldCol`, the `check_cv` analog — pass a column of
+  * non-negative ints; rows with equal value mod numFolds share a fold).
   */
 final case class GridSearchCV(
     estimator: Estimator[_],
@@ -27,17 +37,42 @@ final case class GridSearchCV(
     evaluator: Evaluator,
     numFolds: Int = 3,
     parallelism: Int = 4,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    foldCol: Option[String] = None) {
+  require(numFolds >= 2, s"numFolds must be >= 2, got $numFolds")
+
+  private val Fold = "__graft_fold"
 
   def fit(df: DataFrame): SearchResult = {
-    val cv = new CrossValidator()
-      .setEstimator(estimator)
-      .setEstimatorParamMaps(paramGrid)
-      .setEvaluator(evaluator)
-      .setNumFolds(numFolds)
-      .setParallelism(parallelism)
-      .setSeed(seed)
-    SearchResult.fromCrossValidator(cv.fit(df), paramGrid, evaluator)
+    val folded = (foldCol match {
+      case Some(c) => df.withColumn(Fold, pmod(col(c).cast("long"), lit(numFolds)).cast("int"))
+      case None => df.withColumn(Fold, (rand(seed) * numFolds).cast("int"))
+    }).cache()
+    try {
+      val pool = Executors.newFixedThreadPool(math.max(parallelism, 1))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        // one future per (candidate, fold): each is a full distributed fit
+        val futures =
+          for (pm <- paramGrid.toSeq; f <- 0 until numFolds) yield Future {
+            val train = folded.filter(col(Fold) =!= f).drop(Fold)
+            val test = folded.filter(col(Fold) === f).drop(Fold)
+            val model = estimator.fit(train, pm).asInstanceOf[Model[_]]
+            (pm, f, evaluator.evaluate(model.transform(test)))
+          }
+        val scores = Await.result(Future.sequence(futures), Duration.Inf)
+        val perCandidate = paramGrid.toSeq.map { pm =>
+          pm -> scores.collect { case (p, _, s) if p eq pm => s }
+        }
+        val avg = perCandidate.map { case (pm, ss) => pm -> ss.sum / ss.size }
+        val (bestPm, bestScore) =
+          if (evaluator.isLargerBetter) avg.maxBy(_._2) else avg.minBy(_._2)
+        // refit the winner on the FULL data — the model users deploy
+        val bestModel =
+          estimator.fit(folded.drop(Fold), bestPm).asInstanceOf[Model[_]]
+        SearchResult(bestModel, bestPm, bestScore, avg, perCandidate)
+      } finally pool.shutdown()
+    } finally { folded.unpersist(); () }
   }
 }
 
@@ -58,7 +93,7 @@ object ParamDist {
 }
 
 /** A2: n_iter candidates sampled from per-param distributions (no native
-  * MLlib analog — sampled ParamMaps feed the same CrossValidator). */
+  * MLlib analog — sampled ParamMaps feed the same k-fold loop). */
 final case class RandomizedSearchCV(
     estimator: Estimator[_],
     paramDistributions: Seq[(Param[Any], ParamDist[Any])],
@@ -66,7 +101,8 @@ final case class RandomizedSearchCV(
     evaluator: Evaluator,
     numFolds: Int = 3,
     parallelism: Int = 4,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    foldCol: Option[String] = None) {
 
   /** Deterministic (seeded) candidate sample. */
   def sampleGrid(): Array[ParamMap] = {
@@ -80,7 +116,8 @@ final case class RandomizedSearchCV(
 
   def fit(df: DataFrame): SearchResult = {
     val grid = sampleGrid()
-    GridSearchCV(estimator, grid, evaluator, numFolds, parallelism, seed).fit(df)
+    GridSearchCV(estimator, grid, evaluator, numFolds, parallelism, seed,
+      foldCol).fit(df)
   }
 }
 
@@ -105,25 +142,14 @@ final case class TrainValidationSearch(
 }
 
 /** Search outcome mirroring sklearn's `best_params_` / `best_score_` /
-  * `cv_results_` surface. */
+  * `cv_results_` surface: `cvResults` carries the mean score per
+  * candidate, `foldMetrics` the per-fold scores behind each mean (the
+  * splitN_test_score columns). `bestModel` is refit on the full data. */
 final case class SearchResult(
-    model: CrossValidatorModel,
+    bestModel: Model[_],
     bestParams: ParamMap,
     bestScore: Double,
-    cvResults: Seq[(ParamMap, Double)]) {
-  def bestModel: org.apache.spark.ml.Model[_] =
-    model.bestModel.asInstanceOf[org.apache.spark.ml.Model[_]]
-  def transform(df: DataFrame): DataFrame = model.transform(df)
-}
-
-object SearchResult {
-  def fromCrossValidator(
-      m: CrossValidatorModel,
-      grid: Array[ParamMap],
-      evaluator: Evaluator): SearchResult = {
-    val results = grid.zip(m.avgMetrics).toSeq
-    val best =
-      if (evaluator.isLargerBetter) results.maxBy(_._2) else results.minBy(_._2)
-    SearchResult(m, best._1, best._2, results)
-  }
+    cvResults: Seq[(ParamMap, Double)],
+    foldMetrics: Seq[(ParamMap, Seq[Double])]) {
+  def transform(df: DataFrame): DataFrame = bestModel.transform(df)
 }

@@ -195,38 +195,52 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Keep-latest dedup of one micro-batch (within-batch ties broken by
+    * the version column only — the merge handles cross-batch versions). */
+  private def latestPerKey(batch: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Streaming upsert via foreachBatch: every micro-batch is keep-latest
     * deduped (within the batch) and merged into the parquet snapshot at
     * `path` with [[graft.operators.Upsert.mergeByKey]] — the streaming
     * materialized-view pattern without a table format. foreachBatch gives
     * at-least-once; the merge is idempotent by key+version, so replayed
-    * batches converge to the same snapshot. The snapshot rewrite is
-    * proportional to the snapshot, not the stream history; partition the
-    * snapshot (overwritePartitions) when it outgrows one rewrite. */
+    * batches converge to the same snapshot.
+    *
+    * All file manipulation goes through the Hadoop [[FileSystem]] bound to
+    * `path`, so the same code runs against local disk (`file:`), HDFS, or
+    * an object store — never `java.io.File`, which silently breaks off
+    * the local filesystem. The full-snapshot stage-and-swap is the small
+    * snapshot's path; when the snapshot outgrows one rewrite, use
+    * [[upsertToPartitionedParquet]], which rewrites only dirty partitions. */
   def upsertToParquet(df: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val latest = latestPerKey(batch, keyCols, versionCol)
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(path).exists())
+          if (fs.exists(target))
             graft.operators.Upsert.mergeByKey(
               spark.read.parquet(path), latest, keyCols, versionCol)
           else latest
         // stage-and-swap: write the new snapshot next to the old one and
         // rename into place — never materialize on the driver, never read
         // and overwrite the same directory in one job
-        val staging = path + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        deleteRecursively(new java.io.File(path))
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(staging), java.nio.file.Paths.get(path))
+        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(
+            s"rename $staging -> $target failed on ${fs.getScheme}")
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -234,8 +248,39 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(); ()
-  }
+  /** Partitioned streaming upsert: the scale form of [[upsertToParquet]].
+    * Each micro-batch merges ONLY the partitions it touches — the base
+    * snapshot is semi-joined to the batch's distinct partition values
+    * (broadcast; a micro-batch touches few partitions), merged keep-latest,
+    * and written back with dynamic partition overwrite. A 100 TB snapshot
+    * with a daily delta rewrites ~a day of partitions, not the table.
+    * The touched base slice is localCheckpoint'd to cut the self-overwrite
+    * lineage (read-and-rewrite of the same directory in one micro-batch).
+    * Keys must not migrate across partition values (partition columns are
+    * part of the key's identity), the standard lake-upsert contract. */
+  def upsertToPartitionedParquet(df: DataFrame, path: String,
+      checkpoint: String, keyCols: Seq[String], versionCol: String,
+      partitionCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = latestPerKey(batch, keyCols, versionCol)
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(target)) {
+            val touched = latest.select(partitionCols.map(col): _*).distinct()
+            val baseTouched = spark.read.parquet(path)
+              .join(broadcast(touched), partitionCols, "left_semi")
+              .localCheckpoint(true)
+            graft.operators.Upsert.mergeByKey(
+              baseTouched, latest, keyCols, versionCol)
+          } else latest
+        graft.operators.Upsert.overwritePartitions(merged, path, partitionCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -50,6 +50,56 @@ class MlSpec extends AnyFunSuite {
     assert(preds.columns.contains("prediction"))
   }
 
+  test("GridSearchCV exposes per-fold scores behind each mean (cv_results_)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val df = (1 to 300).map { _ =>
+      val cls = rng.nextInt(2)
+      val c = if (cls == 0) -2.0 else 2.0
+      (Array(c + rng.nextGaussian() * 0.5, c + rng.nextGaussian() * 0.5), cls.toDouble)
+    }.toDF("arr", "label")
+      .select(array_to_vector($"arr").as("features"), $"label")
+    val lr = new LogisticRegression().setMaxIter(10)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 10.0)).build()
+    val res = GridSearchCV(lr, grid,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"),
+      numFolds = 3, parallelism = 2).fit(df)
+    assert(res.foldMetrics.size == 2, "one per-fold entry per candidate")
+    res.foldMetrics.foreach { case (_, folds) =>
+      assert(folds.size == 3, s"expected 3 fold scores, got $folds")
+    }
+    // the mean in cvResults must be the mean of the exposed fold scores
+    res.cvResults.zip(res.foldMetrics).foreach { case ((pm, m), (pm2, fs)) =>
+      assert(pm eq pm2)
+      assert(math.abs(m - fs.sum / fs.size) < 1e-12)
+    }
+  }
+
+  test("GridSearchCV foldCol drives the split (check_cv analog)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    // class 0 rows get fold 0, class 1 rows get fold 1: with the custom
+    // fold column each training fold sees ONE class only, so held-out
+    // accuracy collapses — proof the column, not the seed, split the data
+    val df = (1 to 200).map { _ =>
+      val cls = rng.nextInt(2)
+      val c = if (cls == 0) -2.0 else 2.0
+      (Array(c + rng.nextGaussian() * 0.3), cls.toDouble, cls)
+    }.toDF("arr", "label", "myfold")
+      .select(array_to_vector($"arr").as("features"), $"label", $"myfold")
+    val lr = new LogisticRegression().setMaxIter(10)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01)).build()
+    val ev = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    val random = GridSearchCV(lr, grid, ev, numFolds = 2).fit(df.drop("myfold"))
+    val custom = GridSearchCV(lr, grid, ev, numFolds = 2,
+      foldCol = Some("myfold")).fit(df)
+    assert(random.bestScore > 0.9, s"random folds: ${random.bestScore}")
+    assert(custom.bestScore < 0.5,
+      s"single-class training folds must collapse accuracy: ${custom.bestScore}")
+  }
+
   test("RandomizedSearchCV samples deterministically and respects nIter") {
     val lr = new LogisticRegression().setMaxIter(5)
     val dists: Seq[(org.apache.spark.ml.param.Param[Any], ParamDist[Any])] = Seq(
@@ -114,6 +164,62 @@ class MlSpec extends AnyFunSuite {
     val preds = KeyedModels.transformLinear(df, models, Seq("key"), Seq("x"))
     preds.select($"y", $"prediction").as[(Double, Double)].collect()
       .foreach { case (y, p) => assert(math.abs(y - p) < 1e-8) }
+    val plan = preds.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("fitLogistic recovers planted per-key coefficients via IRLS") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val planted = Map(
+      "k1" -> (Array(1.5, -2.0), 0.5),
+      "k2" -> (Array(-1.0, 2.5), -0.3))
+    val rows = (for {
+      (key, (beta, b0)) <- planted.toSeq
+      _ <- 1 to 4000
+    } yield {
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val p = sigmoid(b0 + beta(0) * x1 + beta(1) * x2)
+      (key, x1, x2, if (rng.nextDouble() < p) 1.0 else 0.0)
+    })
+    val df = rows.toDF("key", "x1", "x2", "y").repartition(8)
+    val models = KeyedModels.fitLogistic(df, Seq("key"), Seq("x1", "x2"), "y")
+    val byKey = models.collect().map(r =>
+      r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2), r.getLong(3))).toMap
+    planted.foreach { case (key, (beta, b0)) =>
+      val (c, i, n) = byKey(key)
+      assert(n == 4000)
+      assert(math.abs(c(0) - beta(0)) < 0.15, s"$key c0=${c(0)} want ${beta(0)}")
+      assert(math.abs(c(1) - beta(1)) < 0.15, s"$key c1=${c(1)} want ${beta(1)}")
+      assert(math.abs(i - b0) < 0.15, s"$key b0=$i want $b0")
+    }
+    // merge-order invariance: same fit on a different partitioning
+    val models13 = KeyedModels.fitLogistic(
+      rows.toDF("key", "x1", "x2", "y").repartition(13),
+      Seq("key"), Seq("x1", "x2"), "y")
+    val byKey13 = models13.collect().map(r =>
+      r.getString(0) -> r.getSeq[Double](1)).toMap
+    planted.keys.foreach { k =>
+      byKey(k)._1.zip(byKey13(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"partitioning changed the fit: $a vs $b")
+      }
+    }
+  }
+
+  test("transformLogistic separates the classes it was fit on") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 1000).map { _ =>
+      val cls = rng.nextInt(2)
+      val x = (if (cls == 0) -1.5 else 1.5) + rng.nextGaussian() * 0.5
+      ("k", x, cls.toDouble)
+    }
+    val df = rows.toDF("key", "x", "y")
+    val models = KeyedModels.fitLogistic(df, Seq("key"), Seq("x"), "y", iters = 8)
+    val preds = KeyedModels.transformLogistic(df, models, Seq("key"), Seq("x"))
+    val acc = preds.filter($"prediction" === $"y").count().toDouble / rows.size
+    assert(acc > 0.9, s"in-sample accuracy $acc")
     val plan = preds.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
@@ -206,6 +312,56 @@ class MlSpec extends AnyFunSuite {
     // 10 classes × (64 features + intercept)
     assert(coefs.count() == 10 * 65)
     assert(coefs.filter($"feature_index" === -1).count() == 10)
+  }
+
+  test("importLinear: export -> import -> transform equals the original model (A5)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (1 to 300).map { _ =>
+      val x1 = rng.nextDouble() * 4; val x2 = rng.nextDouble() * 3
+      (Array(x1, x2), 3.0 * x1 - 2.0 * x2 + 1.0 + rng.nextGaussian() * 0.01)
+    }.toDF("arr", "label")
+      .select(array_to_vector($"arr").as("features"), $"label")
+    val m = new org.apache.spark.ml.regression.LinearRegression()
+      .setMaxIter(20).fit(df)
+    val imported = ModelExport.importLinear(
+      ModelExport.linearCoefficients(spark, m))
+    assert(imported.coefficients == m.coefficients)
+    assert(imported.intercept == m.intercept)
+    val orig = m.transform(df).select($"prediction").as[Double].collect()
+    val got = imported.transform(df).select($"prediction").as[Double].collect()
+    orig.zip(got).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("importLogistic: multinomial round-trip predicts identically (A5)") {
+    import spark.implicits._
+    val lr = new LogisticRegression().setMaxIter(5)
+    val m = lr.fit(embFeatures)
+    val imported = ModelExport.importLogistic(
+      ModelExport.logisticCoefficients(spark, m))
+    assert(imported.numClasses == m.numClasses)
+    assert(imported.coefficientMatrix == m.coefficientMatrix)
+    val orig = m.transform(embFeatures).select($"prediction").as[Double].collect()
+    val got = imported.transform(embFeatures).select($"prediction").as[Double].collect()
+    assert(orig.toSeq == got.toSeq)
+  }
+
+  test("importLogistic: binary coefficient table rebuilds a binary model (A5)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (1 to 300).map { _ =>
+      val cls = rng.nextInt(2)
+      val c = if (cls == 0) -1.5 else 1.5
+      (Array(c + rng.nextGaussian() * 0.4, c + rng.nextGaussian() * 0.4), cls.toDouble)
+    }.toDF("arr", "label")
+      .select(array_to_vector($"arr").as("features"), $"label")
+    val m = new LogisticRegression().setMaxIter(20).fit(df)
+    val imported = ModelExport.importLogistic(
+      ModelExport.logisticCoefficients(spark, m))
+    assert(imported.numClasses == 2)
+    val orig = m.transform(df).select($"prediction").as[Double].collect()
+    val got = imported.transform(df).select($"prediction").as[Double].collect()
+    assert(orig.toSeq == got.toSeq)
   }
 
   test("TrainValidationSearch returns a fitted best model") {

@@ -89,7 +89,10 @@ class UpsertSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val out = tmp("upsert_snap") + "/snap"; val ckpt = tmp("upsert_ckpt")
+    // explicit file: URI — the sink must go through the Hadoop FileSystem
+    // API (a java.io.File path would silently mis-handle the scheme)
+    val out = "file:" + tmp("upsert_snap") + "/snap"
+    val ckpt = tmp("upsert_ckpt")
     // two versions of user 10 in one batch + one of user 11
     mem.addData(Ev(1, 10, ts(0), "click", 1.0), Ev(2, 10, ts(5), "view", 2.0),
       Ev(3, 11, ts(1), "view", 7.0))
@@ -105,5 +108,52 @@ class UpsertSpec extends AnyFunSuite {
       .select($"user_id", $"event_id", $"value")
       .orderBy($"user_id").as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((10L, 2L, 2.0), (11L, 4L, 9.0), (12L, 5L, 4.0)))
+  }
+
+  test("upsertToPartitionedParquet rewrites only the partitions the batch touches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmp("upsert_part_snap")
+    val out = "file:" + dir + "/snap"
+    val ckpt = tmp("upsert_part_ckpt")
+    val mem = MemoryStream[Ev]
+    // batch 1 lands three partitions: click / view / error
+    mem.addData(
+      Ev(1, 10, ts(0), "click", 1.0),
+      Ev(2, 11, ts(1), "view", 2.0),
+      Ev(3, 12, ts(2), "error", 3.0))
+    val q = Streams.upsertToPartitionedParquet(mem.toDF(), out, ckpt,
+      keyCols = Seq("user_id"), versionCol = "ts",
+      partitionCols = Seq("event_type"))
+    q.awaitTermination()
+
+    def filesIn(part: String): Set[String] = {
+      val d = new java.io.File(s"$dir/snap/event_type=$part")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val clickBefore = filesIn("click")
+    val viewBefore = filesIn("view")
+    val errorBefore = filesIn("error")
+
+    // batch 2 touches ONLY the click partition (newer version of user 10
+    // plus a new user 13)
+    mem.addData(
+      Ev(4, 10, ts(9), "click", 9.0),
+      Ev(5, 13, ts(3), "click", 4.0))
+    val q2 = Streams.upsertToPartitionedParquet(mem.toDF(), out, ckpt,
+      keyCols = Seq("user_id"), versionCol = "ts",
+      partitionCols = Seq("event_type"))
+    q2.awaitTermination()
+
+    // untouched partitions keep their exact files; the dirty one changed
+    assert(filesIn("view") == viewBefore, "view partition was rewritten")
+    assert(filesIn("error") == errorBefore, "error partition was rewritten")
+    assert(filesIn("click") != clickBefore, "click partition not rewritten")
+
+    val got = spark.read.parquet(out)
+      .select($"user_id", $"event_id", $"value")
+      .orderBy($"user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 4L, 9.0), (11L, 2L, 2.0), (12L, 3L, 3.0),
+      (13L, 5L, 4.0)))
   }
 }
