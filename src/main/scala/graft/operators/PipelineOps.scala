@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Training-data pipeline operators beyond dedup/quality (SURVEY.md
+  * §2.B.8 extension, round 4): benchmark decontamination, repetition
+  * scoring, sequence packing, and source-mixture weights — the four ops a
+  * corpus build runs between "cleaned documents" and "training batches".
+  * All are relational (oracle-declared) and shuffle-lean:
+  * gram explosion is per-row codegen, joins are equi-joins on 32-byte
+  * digests, packing is one window per source shard.
+  */
+object PipelineOps {
+
+  /** Word n-gram shingles of `text` as an array column (empty when the
+    * document is shorter than n tokens — `sequence(1, k<1)` would count
+    * DOWN, so the guard is load-bearing). */
+  private def grams(n: Int): Column = {
+    val t = "split(text, ' ')"
+    val g = expr(
+      s"transform(sequence(1, size($t) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice($t, i, $n)))")
+    when(size(split(col("text"), " ")) >= n, g)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[grams]]: l[i] || ' ' || l[i+1] … over
+    * generate_series (empty when len(l) < n — generate_series(1, 0) is
+    * empty in DuckDB, unlike Spark's sequence). */
+  private def gramsSql(n: Int): String = {
+    val concat = (0 until n).map(k => s"l[i + $k]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, $concat AS g FROM (
+          SELECT doc_id, l, unnest(generate_series(1, len(l) - ${n - 1})) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) g0) g1"""
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 5-gram with the benchmark set (doc_id < 20 plays the held-out
+    * benchmark; shifted-id copies of it are planted into the candidate
+    * pool so the check can never pass vacuously). The join key is the
+    * md5 of the gram — the shuffle carries 32-byte digests, not text —
+    * and candidate generation is a plain equi-join: linear at 100 TB,
+    * exactly the shape of the production n-gram-overlap decontam pass. */
+  val qDecontam: GQuery = GQuery(
+    "q_decontam",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.documents(spark, dir)
+        .select($"doc_id", explode(grams(5)).as("gram"))
+        .select($"doc_id", md5($"gram").as("g"))
+      val bench = g.filter($"doc_id" < 20).select($"g").distinct()
+      val cand = g.filter($"doc_id" >= 20)
+        .unionByName(g.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"g"))
+        .distinct()
+      cand.join(bench, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH grams AS (SELECT doc_id, md5(g) AS g FROM (${gramsSql(5)})),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+      cand AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, g FROM grams WHERE doc_id >= 20
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, g FROM grams WHERE doc_id < 20))
+      SELECT doc_id, count(*) AS n_shared
+      FROM cand JOIN bench USING (g)
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
+  )
+
+  /** Per-document repetition score: 1 − distinct/total over 3-gram
+    * shingles — the cheap quality signal that catches degenerate
+    * boilerplate and looped generations. Pure per-row explode + one
+    * combinable groupBy; no joins. */
+  val qRepetition: GQuery = GQuery(
+    "q_repetition",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", explode(grams(3)).as("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct($"g").as("n_distinct"))
+        .select($"doc_id", $"n_grams",
+          r6(lit(1.0) - $"n_distinct".cast("double") / $"n_grams".cast("double"))
+            .as("rep_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, count(*) AS n_grams,
+             ${rNSql("1.0 - cast(count(DISTINCT g) as double) / cast(count(*) as double)", 6)}
+               AS rep_ratio
+      FROM (${gramsSql(3)})
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
+  )
+
+  /** Sequence packing: assign documents to fixed-capacity context windows
+    * (2048 whitespace tokens) in doc_id order WITHIN each source — the
+    * batch-construction step of a training pipeline. One window per
+    * source shard (running token count → pack id), so parallelism is the
+    * number of sources/shards and no global sort exists. Integer `div`
+    * keeps the bucket arithmetic exact in both engines. */
+  val qPack: GQuery = GQuery(
+    "q_pack",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.documents(spark, dir)
+        .select($"source", $"doc_id",
+          size(split($"text", " ")).cast("long").as("tok"))
+        .withColumn("cum", sum($"tok").over(w))
+        .withColumn("pack_id", expr("(cum - 1) div 2048"))
+        .groupBy($"source", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+        .orderBy($"source", $"pack_id")
+    },
+    Some("""
+      SELECT source, cast((cum - 1) // 2048 as bigint) AS pack_id,
+             count(*) AS n_docs, cast(sum(tok) as bigint) AS n_tokens
+      FROM (
+        SELECT source, doc_id, tok,
+               sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM (SELECT source, doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) AS tok
+              FROM documents) p0) p1
+      GROUP BY source, pack_id
+      ORDER BY source, pack_id"""),
+  )
+
+  /** Source-mixture weights with temperature α = 0.5 (w_s ∝ √n_s,
+    * normalized) — the data-mixing step that upsamples tail sources.
+    * Cross-engine determinism: per-source terms are √ (IEEE-exact,
+    * unlike pow), rounded to 6dp, summed IN DECIMAL (order-free), and
+    * the final ratio is one IEEE division + floor-round. */
+  val qMixWeights: GQuery = GQuery(
+    "q_mix_weights",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.documents(spark, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_term", rN(sqrt($"n_docs"), 6).cast(DecimalType(30, 6)))
+      val tot = c.agg(sum($"w_term").as("t"))
+      c.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs",
+          r6($"w_term".cast("double") / $"t".cast("double")).as("weight"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source, count(*) AS n_docs,
+               cast(${rNSql("sqrt(count(*))", 6)} as decimal(30,6)) AS w_term
+        FROM documents GROUP BY source),
+      t AS (SELECT sum(w_term) AS t FROM c)
+      SELECT source, n_docs,
+             ${r6Sql("cast(w_term as double) / cast(t as double)")} AS weight
+      FROM c CROSS JOIN t
+      ORDER BY source"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qDecontam, qRepetition, qPack, qMixWeights)
+}

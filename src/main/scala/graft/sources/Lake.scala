@@ -31,22 +31,52 @@ object Lake {
   val ordersByMonthOracle: String =
     s"read_parquet('$ordersByMonthPath/*/*.parquet', hive_partitioning=true)"
 
+  val documentsCsvPath: String = s"$root/documents_csv"
+  val documentsCsvOracle: String =
+    s"read_csv('$documentsCsvPath/*.csv', header=true)"
+
+  val documentsJsonlPath: String = s"$root/documents_jsonl"
+  val documentsJsonlOracle: String =
+    s"read_json('$documentsJsonlPath/*.json', format='newline_delimited')"
+
   private val written = scala.collection.mutable.Set[String]()
+
+  private def ensure(dir: String, path: String)(write: => Unit): String =
+    synchronized {
+      val key = s"$dir -> $path"
+      if (!written(key)) {
+        write
+        written.retain(!_.endsWith(s"-> $path")) // path now holds THIS dir's data
+        written += key
+      }
+      path
+    }
 
   /** Write (at most once per JVM per source dir) the orders table
     * partitioned by month; returns the lake path. The month format
     * 'yyyy-MM' stays a plain string in both engines' partition-type
     * inference, so comparisons hash-match. */
   def ensureOrdersByMonth(spark: SparkSession, dir: String): String =
-    synchronized {
-      val key = s"$dir -> $ordersByMonthPath"
-      if (!written(key)) {
-        val df = Tables.orders(spark, dir)
-          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        Sources.writePartitionedParquet(df, ordersByMonthPath, Seq("o_month"))
-        written.clear() // the path now holds THIS dir's data, forget others
-        written += key
-      }
-      ordersByMonthPath
+    ensure(dir, ordersByMonthPath) {
+      val df = Tables.orders(spark, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      Sources.writePartitionedParquet(df, ordersByMonthPath, Seq("o_month"))
+    }
+
+  /** CSV interchange fixture: the documents metadata columns (no free
+    * text — CSV quoting/escaping conventions differ across engines; the
+    * clean columns are the honest CSV use-case). */
+  def ensureDocumentsCsv(spark: SparkSession, dir: String): String =
+    ensure(dir, documentsCsvPath) {
+      Sources.writeCsv(
+        Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars"),
+        documentsCsvPath)
+    }
+
+  /** JSON-lines interchange fixture: full documents rows — JSON escaping
+    * is standardized, so free text round-trips across engines. */
+  def ensureDocumentsJsonl(spark: SparkSession, dir: String): String =
+    ensure(dir, documentsJsonlPath) {
+      Sources.writeJsonLines(Tables.documents(spark, dir), documentsJsonlPath)
     }
 }
