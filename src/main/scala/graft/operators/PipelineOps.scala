@@ -17,17 +17,21 @@ import graft.engine.GQuery._
   */
 object PipelineOps {
 
-  /** Word n-gram shingles of `text` as an array column (empty when the
-    * document is shorter than n tokens — `sequence(1, k<1)` would count
-    * DOWN, so the guard is load-bearing). */
+  /** Word n-gram shingles over a pre-split token-array column `l` (empty
+    * when the document is shorter than n tokens — `sequence(1, k<1)` would
+    * count DOWN, so the guard is load-bearing). Taking the already-split
+    * array instead of re-splitting `text` keeps the tokenization cost to
+    * one pass per row. */
   private def grams(n: Int): Column = {
-    val t = "split(text, ' ')"
     val g = expr(
-      s"transform(sequence(1, size($t) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice($t, i, $n)))")
-    when(size(split(col("text"), " ")) >= n, g)
+      s"transform(sequence(1, size(l) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(l, i, $n)))")
+    when(size(col("l")) >= n, g)
       .otherwise(array().cast("array<string>"))
   }
+
+  private def tokens(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("doc_id"), split(col("text"), " ").as("l"))
 
   /** DuckDB twin of [[grams]]: l[i] || ' ' || l[i+1] … over
     * generate_series (empty when len(l) < n — generate_series(1, 0) is
@@ -50,14 +54,17 @@ object PipelineOps {
     "q_decontam",
     (spark, dir) => {
       import spark.implicits._
-      val g = Tables.documents(spark, dir)
-        .select($"doc_id", explode(grams(5)).as("gram"))
+      // array_distinct BEFORE explode: (doc_id, g) pairs are then unique by
+      // construction (per-row dedup, shuffle-free), so the candidate set
+      // needs no shuffle-wide DISTINCT — only the small benchmark gram set
+      // pays one.
+      val g = tokens(Tables.documents(spark, dir))
+        .select($"doc_id", explode(array_distinct(grams(5))).as("gram"))
         .select($"doc_id", md5($"gram").as("g"))
       val bench = g.filter($"doc_id" < 20).select($"g").distinct()
       val cand = g.filter($"doc_id" >= 20)
         .unionByName(g.filter($"doc_id" < 20)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"g"))
-        .distinct()
       cand.join(bench, "g")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shared"))
@@ -78,17 +85,19 @@ object PipelineOps {
 
   /** Per-document repetition score: 1 − distinct/total over 3-gram
     * shingles — the cheap quality signal that catches degenerate
-    * boilerplate and looped generations. Pure per-row explode + one
-    * combinable groupBy; no joins. */
+    * boilerplate and looped generations. Entirely per-row (size /
+    * array_distinct on the gram array): no explode, no groupBy, zero
+    * shuffles before the output sort — the 100 TB shape. Docs with no
+    * grams are filtered to match the oracle's unnest (which drops them). */
   val qRepetition: GQuery = GQuery(
     "q_repetition",
     (spark, dir) => {
       import spark.implicits._
-      Tables.documents(spark, dir)
-        .select($"doc_id", explode(grams(3)).as("g"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          countDistinct($"g").as("n_distinct"))
+      tokens(Tables.documents(spark, dir))
+        .select($"doc_id", grams(3).as("gs"))
+        .filter(size($"gs") > 0)
+        .select($"doc_id", size($"gs").cast("long").as("n_grams"),
+          size(array_distinct($"gs")).cast("long").as("n_distinct"))
         .select($"doc_id", $"n_grams",
           r6(lit(1.0) - $"n_distinct".cast("double") / $"n_grams".cast("double"))
             .as("rep_ratio"))
