@@ -279,7 +279,50 @@ object Functions {
       ORDER BY doc_id, pos"""),
   )
 
+  /** Map-typed columns: construction (map_from_arrays), concat, key/value
+    * introspection, and lookup — scalarized on output (flat columns, not a
+    * map cell) because the driver's compare harness can't hash nested
+    * outputs (same rule as q_fn_array). Missing-key lookup must be NULL in
+    * both engines: Spark element_at on a missing key vs DuckDB
+    * map_extract → empty list → list_extract → NULL. Both engines
+    * preserve map insertion order, which the csv projections rely on. */
+  val qFnMap: GQuery = GQuery(
+    "q_fn_map",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          map_concat(
+            map_from_arrays(
+              array(lit("lang"), lit("source")),
+              array($"lang", $"source")),
+            map_from_arrays(
+              array(lit("nc")),
+              array($"n_chars".cast("string")))).as("m"))
+        .select(
+          $"doc_id",
+          size($"m").cast("long").as("n_keys"),
+          element_at($"m", lit("lang")).as("v_lang"),
+          element_at($"m", lit("missing")).as("v_miss"),
+          array_join(map_keys($"m"), ",").as("keys_csv"),
+          array_join(map_values($"m"), ",").as("vals_csv"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        cast(cardinality(m) as bigint) AS n_keys,
+        list_extract(map_extract(m, 'lang'), 1) AS v_lang,
+        list_extract(map_extract(m, 'missing'), 1) AS v_miss,
+        array_to_string(map_keys(m), ',') AS keys_csv,
+        array_to_string(map_values(m), ',') AS vals_csv
+      FROM (SELECT doc_id,
+              map(['lang', 'source', 'nc'],
+                  [lang, source, cast(n_chars as varchar)]) AS m
+            FROM documents) m0
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson, qFnBitwise,
-      qFnRegex, qFnHash, qExplode)
+      qFnRegex, qFnHash, qExplode, qFnMap)
 }

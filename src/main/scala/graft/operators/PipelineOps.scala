@@ -43,34 +43,27 @@ object PipelineOps {
           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) g0) g1"""
   }
 
-  /** Benchmark decontamination: flag training documents sharing any
-    * 5-gram with the benchmark set (doc_id < 20 plays the held-out
-    * benchmark; shifted-id copies of it are planted into the candidate
-    * pool so the check can never pass vacuously). The join key is the
-    * md5 of the gram — the shuffle carries 32-byte digests, not text —
-    * and candidate generation is a plain equi-join: linear at 100 TB,
-    * exactly the shape of the production n-gram-overlap decontam pass. */
-  val qDecontam: GQuery = GQuery(
-    "q_decontam",
-    (spark, dir) => {
-      import spark.implicits._
-      // array_distinct BEFORE explode: (doc_id, g) pairs are then unique by
-      // construction (per-row dedup, shuffle-free), so the candidate set
-      // needs no shuffle-wide DISTINCT — only the small benchmark gram set
-      // pays one.
-      val g = tokens(Tables.documents(spark, dir))
-        .select($"doc_id", explode(array_distinct(grams(5))).as("gram"))
-        .select($"doc_id", md5($"gram").as("g"))
-      val bench = g.filter($"doc_id" < 20).select($"g").distinct()
-      val cand = g.filter($"doc_id" >= 20)
-        .unionByName(g.filter($"doc_id" < 20)
-          .select(($"doc_id" + 1000000L).as("doc_id"), $"g"))
-      cand.join(bench, "g")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""
+  /** Shared decontam inputs: distinct (doc_id, 5-gram-md5) pairs split
+    * into the held-out benchmark (doc_id < 20) and the candidate pool,
+    * with shifted-id copies of the benchmark docs planted into the pool so
+    * the check can never pass vacuously. array_distinct BEFORE explode:
+    * pairs are unique by construction (per-row dedup, shuffle-free), so
+    * the candidate set needs no shuffle-wide DISTINCT — only the small
+    * benchmark gram set pays one. */
+  private def decontamInputs(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    import spark.implicits._
+    val g = tokens(Tables.documents(spark, dir))
+      .select($"doc_id", explode(array_distinct(grams(5))).as("gram"))
+      .select($"doc_id", md5($"gram").as("g"))
+    val bench = g.filter($"doc_id" < 20).select($"g").distinct()
+    val cand = g.filter($"doc_id" >= 20)
+      .unionByName(g.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"g"))
+    (cand, bench)
+  }
+
+  private val decontamOracle: String = s"""
       WITH grams AS (SELECT doc_id, md5(g) AS g FROM (${gramsSql(5)})),
       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
       cand AS (SELECT DISTINCT doc_id, g FROM (
@@ -80,7 +73,43 @@ object PipelineOps {
       SELECT doc_id, count(*) AS n_shared
       FROM cand JOIN bench USING (g)
       GROUP BY doc_id
-      ORDER BY doc_id"""),
+      ORDER BY doc_id"""
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 5-gram with the benchmark set. The join key is the md5 of the gram —
+    * the shuffle carries 32-byte digests, not text — and candidate
+    * generation is a plain equi-join: linear at 100 TB, exactly the shape
+    * of the production n-gram-overlap decontam pass. */
+  val qDecontam: GQuery = GQuery(
+    "q_decontam",
+    (spark, dir) => {
+      import spark.implicits._
+      val (cand, bench) = decontamInputs(spark, dir)
+      cand.join(bench, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some(decontamOracle),
+  )
+
+  /** Same semantics through the two-phase scale path
+    * ([[graft.llm.Decontam.bloomOverlapCount]]): a broadcast Bloom filter
+    * of benchmark grams prefilters candidates executor-locally — the full
+    * candidate side never shuffles — and the exact join on the ~1%
+    * survivors removes bloom false positives, so the result (and the
+    * oracle) is identical to [[qDecontam]]'s plain join. */
+  val qDecontamBloom: GQuery = GQuery(
+    "q_decontam_bloom",
+    (spark, dir) => {
+      import spark.implicits._
+      val (cand, bench) = decontamInputs(spark, dir)
+      graft.llm.Decontam
+        .bloomOverlapCount(cand, bench, keyCol = "g", idCol = "doc_id",
+          expectedItems = 1000000L)
+        .orderBy($"doc_id")
+    },
+    Some(decontamOracle),
   )
 
   /** Per-document repetition score: 1 − distinct/total over 3-gram
@@ -175,5 +204,6 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
-  val all: Seq[GQuery] = Seq(qDecontam, qRepetition, qPack, qMixWeights)
+  val all: Seq[GQuery] =
+    Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights)
 }

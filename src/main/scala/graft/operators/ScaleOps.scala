@@ -103,6 +103,27 @@ object ScaleOps {
     oracle = None,
   )
 
+  /** Approximate percentiles per group — the single-pass sketch
+    * (Greenwald-Khanna with accuracy 1/eps) that replaces exact
+    * percentile's full sort+gather at 100 TB. Approximate values → no
+    * hash oracle; ApproxSpec bounds the rank error vs the exact
+    * percentile at the same probes. */
+  val qApproxPctl: GQuery = GQuery(
+    "q_approx_pctl",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price"),
+          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = None,
+  )
+
   val all: Seq[GQuery] = Seq(
-    qNeardupMinhash, qNeardupSimhash, qAnnLsh, qAnnIvf, qApproxDistinct)
+    qNeardupMinhash, qNeardupSimhash, qAnnLsh, qAnnIvf, qApproxDistinct,
+    qApproxPctl)
 }

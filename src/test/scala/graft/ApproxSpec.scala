@@ -31,4 +31,22 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) <= 1.0,
       s"approx median $approx vs exact $exact")
   }
+
+  test("q_approx_pctl per-group sketch percentiles within 2% of exact") {
+    import spark.implicits._
+    val rows = graft.operators.ScaleOps.qApproxPctl.run(spark, sf)
+      .join(
+        graft.engine.Tables.lineitem(spark, sf)
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
+            expr("percentile(l_extendedprice, 0.99)").as("e99")),
+        "l_returnflag")
+      .select($"p50_price", $"e50", $"p99_price", $"e99")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a50, e50, a99, e99) =>
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"p50 $a50 vs $e50")
+      assert(math.abs(a99 - e99) / e99 < 0.02, s"p99 $a99 vs $e99")
+    }
+  }
 }
