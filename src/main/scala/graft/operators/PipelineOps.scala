@@ -114,19 +114,22 @@ object PipelineOps {
 
   /** Per-document repetition score: 1 − distinct/total over 3-gram
     * shingles — the cheap quality signal that catches degenerate
-    * boilerplate and looped generations. Entirely per-row (size /
-    * array_distinct on the gram array): no explode, no groupBy, zero
-    * shuffles before the output sort — the 100 TB shape. Docs with no
-    * grams are filtered to match the oracle's unnest (which drops them). */
+    * boilerplate and looped generations. Entirely per-row via the fused
+    * [[graft.functions.NgramStats]] Catalyst expression (one pass, one
+    * hash set — the composable transform/array_distinct chain runs four
+    * interpreted passes): no explode, no groupBy, zero shuffles before
+    * the output sort — the 100 TB shape. Docs with no grams are filtered
+    * to match the oracle's unnest (which drops them). */
   val qRepetition: GQuery = GQuery(
     "q_repetition",
     (spark, dir) => {
       import spark.implicits._
+      graft.functions.NgramStats.register(spark)
       tokens(Tables.documents(spark, dir))
-        .select($"doc_id", grams(3).as("gs"))
-        .filter(size($"gs") > 0)
-        .select($"doc_id", size($"gs").cast("long").as("n_grams"),
-          size(array_distinct($"gs")).cast("long").as("n_distinct"))
+        .select($"doc_id", expr("ngram_stats(l, 3)").as("st"))
+        .filter($"st".getItem(0) > 0)
+        .select($"doc_id", $"st".getItem(0).as("n_grams"),
+          $"st".getItem(1).as("n_distinct"))
         .select($"doc_id", $"n_grams",
           r6(lit(1.0) - $"n_distinct".cast("double") / $"n_grams".cast("double"))
             .as("rep_ratio"))

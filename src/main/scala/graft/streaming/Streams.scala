@@ -140,6 +140,16 @@ object Streams {
         col("signup_id"), col("signup_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch left-joins the
+    * (small) static dimension, broadcast so the stream side never
+    * shuffles. Spark re-plans the static side per micro-batch, so a dim
+    * backed by a lake path picks up slowly-changing updates between
+    * batches — the standard streaming enrichment pattern. No watermark
+    * needed: the static side holds no streaming state. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Spark 4.x `transformWithState` processor: per-user running event

@@ -114,6 +114,21 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("stream-static enrichment join broadcasts the dim, matches batch") {
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val evs = Seq(
+      Ev(1, 10, ts(1), "click", 1.0), Ev(2, 11, ts(2), "view", 1.0),
+      Ev(3, 12, ts(3), "click", 1.0)) // user 12 missing from dim -> null tier
+    val out = runStream(Seq(evs.take(2), evs.drop(2)))(
+      df => Streams.enrichWithDim(df, dim, Seq("user_id")))
+    val got = out.select($"event_id", $"tier")
+      .as[(Long, Option[String])].collect().toSet
+    val want = Streams.enrichWithDim(evs.toDF(), dim, Seq("user_id"))
+      .select($"event_id", $"tier").as[(Long, Option[String])].collect().toSet
+    assert(want == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    assert(got == want, s"stream=$got batch=$want")
+  }
+
   test("transformWithState keeps running per-user totals (Spark 4 state API)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
