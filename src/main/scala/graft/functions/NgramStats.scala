@@ -52,9 +52,88 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass word n-gram DIGESTS over a token array: the per-row-distinct
+  * md5 hex digests of every n-gram, as `array<string>` — the candidate-key
+  * generator for decontamination and n-gram dedup. Byte-compatible with
+  * the composable `md5(concat_ws(' ', slice(...)))` + `array_distinct`
+  * chain (md5 over the gram's UTF-8 bytes, lowercase hex), in one pass
+  * with no intermediate gram arrays. Emitting digests instead of grams
+  * also keeps the downstream explode/shuffle rows at a fixed 32 bytes. */
+case class NgramDigests(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"ngram_digests expects (array<string>, n >= 1), got " +
+        s"(${child.dataType.sql}, $n)")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NgramStats.digests(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.NgramStats.digests($a, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramDigests =
+    copy(child = newChild)
+}
+
+object NgramDigests {
+  /** Register `ngram_digests(tokens, n)` (n a literal) for `expr`/SQL use
+    * on this session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_digests",
+      exprs => NgramDigests(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+}
+
 object NgramStats {
 
   private val SEP = UTF8String.fromString(" ")
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Kernel for [[NgramDigests]]: distinct grams in insertion order
+    * (deterministic), each md5'd to lowercase hex exactly like Spark's and
+    * DuckDB's `md5(varchar)`. */
+  def digests(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    val total = len - n + 1
+    while (i < total) {
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      set.add(UTF8String.concatWs(SEP, parts: _*))
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](set.size())
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val digest = md.digest(it.next().getBytes)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HEX((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HEX(digest(b) & 0xf)
+        b += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      md.reset()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Shared kernel for the interpreted and codegen paths (codegen emits a
     * static call instead of inlining the loop — the loop body is a hash

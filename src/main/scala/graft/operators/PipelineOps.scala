@@ -53,9 +53,11 @@ object PipelineOps {
   private def decontamInputs(spark: org.apache.spark.sql.SparkSession,
       dir: String) = {
     import spark.implicits._
+    graft.functions.NgramDigests.register(spark)
+    // fused gram->distinct->md5 kernel (one pass per row, 32-byte shuffle
+    // keys); byte-compatible with md5(concat_ws(...)) + array_distinct
     val g = tokens(Tables.documents(spark, dir))
-      .select($"doc_id", explode(array_distinct(grams(5))).as("gram"))
-      .select($"doc_id", md5($"gram").as("g"))
+      .select($"doc_id", explode(expr("ngram_digests(l, 5)")).as("g"))
     val bench = g.filter($"doc_id" < 20).select($"g").distinct()
     val cand = g.filter($"doc_id" >= 20)
       .unionByName(g.filter($"doc_id" < 20)
@@ -207,6 +209,36 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** Token-budget corpus selection: keep documents (in doc_id order within
+    * each source) until the source's running token total hits the budget —
+    * how a fixed-size training mix is cut from a larger cleaned pool.
+    * Same single-window shape as [[qPack]]: parallelism is the number of
+    * sources, no global sort. */
+  val qSelectBudget: GQuery = GQuery(
+    "q_select_budget",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.documents(spark, dir)
+        .select($"source", $"doc_id",
+          size(split($"text", " ")).cast("long").as("tok"))
+        .withColumn("cum_tokens", sum($"tok").over(w))
+        .filter($"cum_tokens" <= 10000L)
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""
+      SELECT source, doc_id, tok, cast(cum as bigint) AS cum_tokens
+      FROM (
+        SELECT source, doc_id, tok,
+               sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM (SELECT source, doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) AS tok
+              FROM documents) b0) b1
+      WHERE cum <= 10000
+      ORDER BY source, doc_id"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights)
+    Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
+      qSelectBudget)
 }

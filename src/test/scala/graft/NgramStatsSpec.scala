@@ -57,6 +57,22 @@ class NgramStatsSpec extends AnyFunSuite {
     assert(viaCodegen == interpreted)
   }
 
+  test("ngram_digests equals md5-of-composed-grams as a set, per row") {
+    import spark.implicits._
+    graft.functions.NgramDigests.register(spark)
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("l"))
+    val g = "transform(sequence(1, size(l) - 4), " +
+      "i -> md5(concat_ws(' ', slice(l, i, 5))))"
+    val composed =
+      expr(s"if(size(l) >= 5, array_sort(array_distinct($g)), array())")
+    val diffs = docs
+      .select(expr("array_sort(ngram_digests(l, 5))").as("a"),
+        composed.as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diffs == 0, s"$diffs docs differ between fused and composed digests")
+  }
+
   test("ngram_stats rejects wrong input types at analysis time") {
     import spark.implicits._
     NgramStats.register(spark)
