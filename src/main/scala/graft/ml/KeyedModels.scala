@@ -50,9 +50,16 @@ object KeyedModels {
     Array.tabulate(d)(i => a(i)(d) / a(i)(i))
   }
 
-  /** Aggregator fitting OLS with intercept. IN = (features, y). */
-  final class GramOLS(nFeatures: Int)
+  /** Aggregator fitting OLS with intercept, optionally ridge-regularized:
+    * solves (XᵀX + λI')β = Xᵀy with the intercept unpenalized (I' zero at
+    * position 0) — λ = 0 is exact OLS. The penalty only touches the
+    * packed diagonal at finish, so the distributed Gram pass is identical
+    * for every λ; a λ sweep (model selection) re-solves the same
+    * aggregated buffer without another pass over the data. IN =
+    * (features, y). */
+  final class GramOLS(nFeatures: Int, lambda: Double = 0.0)
       extends Aggregator[(Seq[Double], Double), GramBuf, LinearFit] {
+    require(lambda >= 0.0, s"ridge lambda must be >= 0, got $lambda")
     private val d = nFeatures + 1
     private val triLen = d * (d + 1) / 2
 
@@ -85,7 +92,18 @@ object KeyedModels {
     }
 
     def finish(b: GramBuf): LinearFit = {
-      val beta = solveNormal(d, b.xtx, b.xty)
+      val xtx =
+        if (lambda == 0.0) b.xtx
+        else {
+          val c = b.xtx.clone()
+          var diag = 0
+          for (i <- 0 until d) {
+            if (i > 0) c(diag) += lambda // intercept (i=0) unpenalized
+            diag += d - i
+          }
+          c
+        }
+      val beta = solveNormal(d, xtx, b.xty)
       LinearFit(beta.drop(1), beta(0), b.n)
     }
 
@@ -103,6 +121,24 @@ object KeyedModels {
       featureCols: Seq[String],
       yCol: String): DataFrame = {
     val agg = udaf(new GramOLS(featureCols.size))
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg(featuresArr, col(yCol).cast("double")).as("model"))
+      .select(keyCols.map(col) :+ col("model.coefficients").as("coefficients")
+        :+ col("model.intercept").as("intercept") :+ col("model.n").as("n"): _*)
+  }
+
+  /** Per-key ridge regression: [[fitLinear]] with an L2 penalty λ on the
+    * non-intercept coefficients — the stabilizer for keys with few rows or
+    * collinear features, where per-key OLS blows up. Identical one-shuffle
+    * Gram pass; prediction reuses [[transformLinear]] unchanged. */
+  def fitRidge(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String,
+      lambda: Double): DataFrame = {
+    val agg = udaf(new GramOLS(featureCols.size, lambda))
     val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(agg(featuresArr, col(yCol).cast("double")).as("model"))

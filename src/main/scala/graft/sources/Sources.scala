@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.ml.feature.QuantileDiscretizer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Secondary sources/sinks (SURVEY.md §2.B.1 ◻ set). Parquet is the
@@ -53,6 +55,54 @@ object Sources {
 
   def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
     df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  /** Bit-interleave (Morton / Z-order encode) bucket columns, `bits` low
+    * bits each — composed from shift/and/or Columns, so it stays inside
+    * whole-stage codegen. */
+  private def interleaveBits(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    var z: Column = lit(0L)
+    for (b <- 0 until bits; i <- 0 until n) {
+      val bit = shiftright(cols(i).cast("long"), b).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, b * n + i))
+    }
+    z
+  }
+
+  /** Z-order-clustered parquet: sort the table by the Morton code of the
+    * quantile-bucketized cluster columns, one file per z-range. Each file
+    * then covers a tight min/max range on EVERY cluster column — parquet
+    * footer stats let scans filtered on any of them skip most files/row
+    * groups, where a plain sort only serves its leading column. This is
+    * the data-skipping lever for the 2nd..nth filter column at 100 TB
+    * (partitioning spends the 1st).
+    *
+    * Cost model: one approx-quantile sketch pass (QuantileDiscretizer,
+    * relativeError 1e-3) + one range-shuffle write — the same price as
+    * any clustered rewrite; typically run at compaction time, not per
+    * query. Null cluster values land in the top bucket (clamped), so they
+    * cluster together rather than spraying across files.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(zCols.nonEmpty && numFiles > 0)
+    val bktCols = zCols.map(c => s"__zbkt_$c")
+    val disc = new QuantileDiscretizer()
+      .setInputCols(zCols.toArray)
+      .setOutputCols(bktCols.toArray)
+      .setNumBuckets(256)
+      .setRelativeError(0.001)
+      .setHandleInvalid("keep") // nulls -> extra bucket, clamped below
+    val bucketed = disc.fit(df).transform(df)
+    val z = interleaveBits(
+      bktCols.map(c => least(col(c), lit(255.0))), bits = 8)
+    bucketed
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(bktCols :+ "__z": _*)
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Archival-tier parquet: zstd instead of the snappy default trades a
     * little write CPU for ~25-40% smaller files — at 100 TB that is the

@@ -142,6 +142,39 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(i2 - 1.0) < 1e-2)
   }
 
+  test("fitRidge: lambda=0 equals OLS exactly; lambda>0 shrinks; rescues singular") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 100).map { _ =>
+      val x1 = rng.nextDouble() * 10
+      ("k", x1, 3.0 * x1 + 1.0 + rng.nextGaussian() * 0.5)
+    }
+    val df = rows.toDF("key", "x1", "y").repartition(4)
+    val ols = KeyedModels.fitLinear(df, Seq("key"), Seq("x1"), "y")
+      .collect()(0)
+    val l0 = KeyedModels.fitRidge(df, Seq("key"), Seq("x1"), "y", 0.0)
+      .collect()(0)
+    assert(l0.getSeq[Double](1) == ols.getSeq[Double](1) &&
+      l0.getDouble(2) == ols.getDouble(2), "lambda=0 must be bit-equal to OLS")
+
+    val shrunk = KeyedModels.fitRidge(df, Seq("key"), Seq("x1"), "y", 1e4)
+      .collect()(0).getSeq[Double](1)(0)
+    assert(math.abs(shrunk) < math.abs(ols.getSeq[Double](1)(0)),
+      s"ridge must shrink: $shrunk vs ${ols.getSeq[Double](1)(0)}")
+
+    // perfectly collinear features: OLS throws, ridge solves
+    val sing = (1 to 50).map { i =>
+      val x = i.toDouble; ("k", x, 2.0 * x, 5.0 * x + 1.0)
+    }.toDF("key", "x1", "x2", "y")
+    intercept[Exception] {
+      KeyedModels.fitLinear(sing, Seq("key"), Seq("x1", "x2"), "y").collect()
+    }
+    val rescued = KeyedModels.fitRidge(sing, Seq("key"), Seq("x1", "x2"), "y", 1.0)
+      .collect()(0).getSeq[Double](1)
+    // collinear design splits the signal; combined slope ~ 5 via x1 + 2*x2
+    assert(math.abs(rescued(0) + 2.0 * rescued(1) - 5.0) < 0.1, rescued.toString)
+  }
+
   test("Gram aggregation merge order does not change the fit") {
     import spark.implicits._
     val rng = new scala.util.Random(2)

@@ -72,6 +72,41 @@ class SourcesSpec extends AnyFunSuite {
       s"expected zstd-codec part files, got ${files.toSeq}")
   }
 
+  test("z-ordered write gives tight per-file ranges on BOTH cluster columns") {
+    import spark.implicits._
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+
+    def avgFileRangeFrac(dir: String, c: String): Double = {
+      val global = li.agg(max(col(c)) - min(col(c))).head().getLong(0).toDouble
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(avg($"r")).head().getDouble(0)
+      perFile / global
+    }
+
+    val zDir = Files.createTempDirectory("zorder").toString + "/li"
+    Sources.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), numFiles = 16)
+    assert(spark.read.parquet(zDir).count() == li.count())
+
+    // baseline: plain sort by l_partkey only — its SECOND column sprays
+    val sDir = Files.createTempDirectory("sorted").toString + "/li"
+    li.repartitionByRange(16, $"l_partkey").sortWithinPartitions("l_partkey")
+      .write.parquet(sDir)
+
+    val zPart = avgFileRangeFrac(zDir, "l_partkey")
+    val zSupp = avgFileRangeFrac(zDir, "l_suppkey")
+    val sSupp = avgFileRangeFrac(sDir, "l_suppkey")
+    // z-order: both columns tight (each file covers a fraction of the
+    // domain); single-column sort leaves the second column near-full-range
+    assert(zPart < 0.5, s"l_partkey file range frac $zPart")
+    assert(zSupp < 0.5, s"l_suppkey file range frac $zSupp")
+    assert(sSupp > 0.9, s"sorted-baseline l_suppkey should spray, got $sSupp")
+    assert(zSupp < sSupp / 2,
+      s"z-order must beat single-sort on the 2nd column: $zSupp vs $sSupp")
+  }
+
   test("FAILFAST surfaces malformed input instead of nulling it") {
     val dir = Files.createTempDirectory("bad_csv")
     Files.writeString(dir.resolve("bad.csv"), "doc_id,n_chars\n1,10\n2,not_a_number\n")
