@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Corpus-statistics operators (SURVEY.md §2.B.8 extension, round 4
+  * continued): token-distribution entropy, bigram PMI collocations,
+  * per-label embedding centroids, and transitive near-dup clustering.
+  * These are the analysis passes a training-data pipeline runs AFTER
+  * cleaning — measuring what is in the corpus rather than filtering it.
+  * All shuffles are map-side-combinable groupBys or bounded self-joins;
+  * nothing materializes on the driver.
+  */
+object CorpusStats {
+
+  /** Per-document token-distribution (Shannon) entropy in nats — the
+    * quality signal that separates natural text (high entropy) from
+    * degenerate repetition (low). One explode + one combinable groupBy on
+    * (doc, n, token) + one combinable groupBy on doc; the total token
+    * count n rides the first grouping key (constant per doc) instead of a
+    * second windowed shuffle. Per-term contributions are IEEE-rounded at
+    * 6dp and decimal-summed, so the cross-engine ln() agreement contract
+    * is the same one q_tfidf already relies on. */
+  val qEntropy: GQuery = GQuery(
+    "q_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n"),
+          explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id", $"n", $"tok")
+        .agg(count(lit(1)).as("c"))
+        .select($"doc_id", $"n",
+          rN(($"c".cast("double") / $"n".cast("double")) *
+            log($"n".cast("double") / $"c".cast("double")), 6).as("term"))
+        .groupBy($"doc_id")
+        .agg(max($"n").as("n_tokens"), dsum($"term", 6).as("entropy"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id, n, tok, count(*) AS c FROM (
+          SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents) t0
+        GROUP BY doc_id, n, tok)
+      SELECT doc_id, cast(max(n) as bigint) AS n_tokens,
+             ${dsumSql("term", 6)} AS entropy
+      FROM (SELECT doc_id, n,
+              ${rNSql("(cast(c as double) / cast(n as double)) * " +
+                "ln(cast(n as double) / cast(c as double))", 6)} AS term
+            FROM c) t1
+      GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  /** Bigram pointwise mutual information with a support floor — the
+    * collocation detector over the corpus token stream. Bigrams come from
+    * the same per-row zip_with shingling as q_ngram (no self-join); the
+    * two count tables are map-side-combinable groupBys; totals are two
+    * scalar broadcasts; the scoring join is a plain equi-join on token.
+    * The ≥5 floor bounds output exactly as it bounds any stored n-gram
+    * table at 100 TB. */
+  val qPmi: GQuery = GQuery(
+    "q_pmi",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select(split($"text", " ").as("l"))
+      val len1 = greatest(size($"l") - 1, lit(0))
+      val uni = docs.select(explode($"l").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+      val big0 = docs
+        .select(explode(zip_with(
+          slice($"l", lit(1), len1), slice($"l", lit(2), len1),
+          (a, b) => struct(a.as("tok1"), b.as("tok2")))).as("bg"))
+        .select($"bg.tok1".as("tok1"), $"bg.tok2".as("tok2"))
+        .groupBy($"tok1", $"tok2").agg(count(lit(1)).as("n_pair"))
+      val nTotal = uni.agg(sum($"n_tok").cast("double").as("n_total"))
+      val m = big0.agg(sum($"n_pair").cast("double").as("m"))
+      big0.filter($"n_pair" >= 5)
+        .join(uni.select($"tok".as("tok1"), $"n_tok".as("n1")), "tok1")
+        .join(uni.select($"tok".as("tok2"), $"n_tok".as("n2")), "tok2")
+        .crossJoin(broadcast(nTotal))
+        .crossJoin(broadcast(m))
+        .select($"tok1", $"tok2", $"n_pair",
+          r6(log(($"n_pair".cast("double") / $"m") /
+            (($"n1".cast("double") / $"n_total") *
+              ($"n2".cast("double") / $"n_total")))).as("pmi"))
+        .orderBy($"tok1", $"tok2")
+    },
+    Some(s"""
+      WITH l AS (SELECT string_split(text, ' ') AS l FROM documents),
+      uni AS (SELECT tok, count(*) AS n_tok
+              FROM (SELECT unnest(l) AS tok FROM l) u GROUP BY tok),
+      big0 AS (SELECT tok1, tok2, count(*) AS n_pair FROM (
+          SELECT l[i] AS tok1, l[i + 1] AS tok2 FROM (
+            SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM l) b0) b1
+        GROUP BY tok1, tok2),
+      tot AS (SELECT cast(sum(n_tok) as double) AS n_total FROM uni),
+      m AS (SELECT cast(sum(n_pair) as double) AS m FROM big0)
+      SELECT tok1, tok2, n_pair,
+        ${r6Sql("ln((cast(n_pair as double) / m) / " +
+          "((cast(u1.n_tok as double) / n_total) * " +
+          "(cast(u2.n_tok as double) / n_total)))")} AS pmi
+      FROM big0
+      JOIN uni u1 ON u1.tok = big0.tok1
+      JOIN uni u2 ON u2.tok = big0.tok2
+      CROSS JOIN tot CROSS JOIN m
+      WHERE n_pair >= 5
+      ORDER BY tok1, tok2"""),
+  )
+
+  /** Per-label embedding centroid, long form (label, dimension, mean) —
+    * the vector aggregate behind class prototypes, cluster summaries, and
+    * centroid-based ANN. posexplode keeps it relational: one combinable
+    * groupBy on (label, pos), 64·|labels| output rows regardless of corpus
+    * size. Floats are widened to double (exact) before the decimal-sum
+    * average. */
+  val qEmbedCentroid: GQuery = GQuery(
+    "q_embed_centroid",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.embeddings(spark, dir)
+        .select($"label", posexplode($"embedding"))
+        .select($"label", ($"pos" + 1).cast("int").as("pos"),
+          $"col".cast("double").as("x"))
+        .groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n_vecs"), davg($"x", 6).as("avg_val"))
+        .orderBy($"label", $"pos")
+    },
+    Some(s"""
+      SELECT label, pos, count(*) AS n_vecs, ${davgSql("x", 6)} AS avg_val
+      FROM (
+        SELECT label,
+               cast(unnest(generate_series(1, len(embedding))) as int) AS pos,
+               unnest(list_transform(embedding, v -> cast(v as double))) AS x
+        FROM embeddings) e
+      GROUP BY label, pos
+      ORDER BY label, pos"""),
+  )
+
+  /** Transitive near-duplicate clustering: connected components over the
+    * Jaccard ≥ 0.9 pair graph, by bounded min-label propagation (depth 3)
+    * expressed as a recursive CTE — doc A dups B dups C puts all three in
+    * ONE cluster, which pairwise dedup alone cannot conclude. Bounded doc
+    * set with planted full-copy duplicates (id+1000) so clusters exist by
+    * construction; both engines run the SAME bounded recursion, so the
+    * result is deterministic whether or not it reached a fixpoint. At
+    * scale the identical loop runs over the LSH candidate pairs
+    * (graft.llm.NearDup) instead of the exact ones. */
+  val qDedupCluster: GQuery = GQuery(
+    "q_dedup_cluster",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).filter($"doc_id" < 40)
+        .select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+      val t = docs.select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("term"))
+      val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
+      val inter = t.as("a")
+        .join(t.as("b"), col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_common"))
+      val jac = inter
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n_terms", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n_terms", "n2"), "d2")
+        // exact-int ratio: one IEEE division — identical bits both engines
+        .filter($"n_common".cast("double") /
+          ($"n1" + $"n2" - $"n_common") >= 0.9)
+        .select($"d1", $"d2")
+      // materialize the edge list once: the recursive UNION ALL below
+      // re-evaluates its sources every iteration, which would re-run the
+      // whole shingle/self-join/Jaccard pipeline 4x (measured 3s -> sub-1s
+      // at sf0.1). localCheckpoint truncates lineage to the stored rows.
+      jac.select($"d1".as("a"), $"d2".as("b"))
+        .unionByName(jac.select($"d2".as("a"), $"d1".as("b")))
+        .localCheckpoint()
+        .createOrReplaceTempView("g4_dedup_edges")
+      docs.select($"doc_id").localCheckpoint()
+        .createOrReplaceTempView("g4_dedup_nodes")
+      spark.sql("""
+        WITH RECURSIVE lbl(id, lab, d) AS (
+          SELECT doc_id, doc_id, 0 FROM g4_dedup_nodes
+          UNION ALL
+          SELECT e.b, l.lab, l.d + 1
+          FROM lbl l JOIN g4_dedup_edges e ON e.a = l.id WHERE l.d < 3)
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM (SELECT id, min(lab) AS cluster_id FROM lbl GROUP BY id) c
+        GROUP BY cluster_id ORDER BY cluster_id""")
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      docs AS (SELECT doc_id, text FROM base
+               UNION ALL SELECT doc_id + 1000, text FROM base),
+      t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM docs),
+      sizes AS (SELECT doc_id, count(*) AS n_terms FROM t GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+      jac AS (SELECT d1, d2 FROM inter
+              JOIN sizes s1 ON s1.doc_id = d1
+              JOIN sizes s2 ON s2.doc_id = d2
+              WHERE cast(n_common as double)
+                    / (s1.n_terms + s2.n_terms - n_common) >= 0.9),
+      edges AS (SELECT d1 AS a, d2 AS b FROM jac
+                UNION ALL SELECT d2, d1 FROM jac),
+      lbl AS (
+        SELECT doc_id AS id, doc_id AS lab, 0 AS d FROM docs
+        UNION ALL
+        SELECT e.b, l.lab, l.d + 1
+        FROM lbl l JOIN edges e ON e.a = l.id WHERE l.d < 3)
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM (SELECT id, min(lab) AS cluster_id FROM lbl GROUP BY id) c
+      GROUP BY cluster_id ORDER BY cluster_id"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster)
+}

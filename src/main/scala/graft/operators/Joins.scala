@@ -312,7 +312,72 @@ object Joins {
       ORDER BY revenue DESC, n_name"""),
   )
 
+  /** Full outer join between two aggregates with key ranges that overlap
+    * only partially BY CONSTRUCTION (sizes 1–25 vs 20–50): left-only,
+    * both, and right-only rows all exist at every SF, so the outer
+    * semantics (null-extension on both sides) are exercised non-vacuously.
+    * Both inputs are pre-aggregated — the outer join runs on ≤50-row
+    * sides, never on raw fact tables. */
+  val qJoinFull: GQuery = GQuery(
+    "q_join_full",
+    (spark, dir) => {
+      import spark.implicits._
+      val part = Tables.part(spark, dir)
+      val small = part.filter($"p_size" <= 25).groupBy($"p_size")
+        .agg(count(lit(1)).as("n_small"), dsum($"p_retailprice").as("val_small"))
+      val large = part.filter($"p_size" >= 20).groupBy($"p_size")
+        .agg(count(lit(1)).as("n_large"))
+      small.join(large, Seq("p_size"), "full")
+        .select($"p_size",
+          coalesce($"n_small", lit(0L)).as("n_small"),
+          coalesce($"n_large", lit(0L)).as("n_large"),
+          coalesce($"val_small", lit(0.0)).as("val_small"))
+        .orderBy($"p_size")
+    },
+    Some(s"""
+      WITH s AS (SELECT p_size, count(*) AS n_small,
+                        ${dsumSql("p_retailprice")} AS val_small
+                 FROM part WHERE p_size <= 25 GROUP BY p_size),
+      l AS (SELECT p_size, count(*) AS n_large
+            FROM part WHERE p_size >= 20 GROUP BY p_size)
+      SELECT coalesce(s.p_size, l.p_size) AS p_size,
+             coalesce(n_small, 0) AS n_small,
+             coalesce(n_large, 0) AS n_large,
+             coalesce(val_small, 0.0) AS val_small
+      FROM s FULL JOIN l ON s.p_size = l.p_size
+      ORDER BY p_size"""),
+  )
+
+  /** Skew-salted equi-join ([[graft.engine.Skew.saltedJoin]]): lineitem
+    * (the potentially-skewed big side) joined to supplier replicated
+    * `salts`× with the key widened to (key, salt) — the explicit tool for
+    * a hot key AQE can't split (first materialization, no runtime stats).
+    * Each left row matches exactly one replica, so the result multiset —
+    * and the oracle — is identical to the plain join; only the shuffle
+    * layout changes. */
+  val qJoinSalted: GQuery = GQuery(
+    "q_join_salted",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_suppkey".as("s_suppkey"), $"l_extendedprice", $"l_discount")
+      val su = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+      graft.engine.Skew.saltedJoin(li, su, "s_suppkey", salts = 8)
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"s_suppkey")
+    },
+    Some(s"""
+      SELECT s_suppkey, s_name, count(*) AS n_items,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name
+      ORDER BY s_suppkey"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinCross, qJoinQ5)
+    qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinCross, qJoinQ5,
+    qJoinFull, qJoinSalted)
 }

@@ -76,5 +76,68 @@ object Partitioned {
       ORDER BY f.o_month"""),
   )
 
-  val all: Seq[GQuery] = Seq(qScanPartitioned, qJoinDpp)
+  /** Z-order-clustered scan: a two-column range predicate over the
+    * Morton-clustered events copy ([[Lake.ensureEventsZOrdered]]). Both
+    * predicates are pushed to the parquet scan (`PushedFilters`), and
+    * because every file is tight on BOTH user_id and value, footer stats
+    * skip most files — where a single-column sort would only serve its
+    * leading column. SourcesSpec measures the per-file range tightness;
+    * this query puts the layout's read path under the oracle gate. */
+  val qScanZOrder: GQuery = GQuery(
+    "q_scan_zorder",
+    (spark, dir) => {
+      val z = Lake.ensureEventsZOrdered(spark, dir)
+      spark.read.parquet(z)
+        .filter(col("user_id").between(0, 9) &&
+          col("value").between(10.0, 200.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 6).as("total_value"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n_events,
+             ${dsumSql("value", 6)} AS total_value,
+             min(event_id) AS min_event, max(event_id) AS max_event
+      FROM ${Lake.eventsZOrderOracle}
+      WHERE user_id BETWEEN 0 AND 9 AND value BETWEEN 10.0 AND 200.0
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** Co-located bucketed fact⋈fact join: both sides pre-bucketed 16 ways
+    * on the join key ([[Lake.ensureBucketedFacts]]), so the sort-merge
+    * join consumes bucket layout directly — NO Exchange feeds the join
+    * (PlanSpec asserts it). The merge hint pins the plan the 100 TB
+    * deployment would run (tiny test data would otherwise broadcast and
+    * hide the layout win). The oracle reads the same parquet bytes — the
+    * bucket metadata only changes the plan, never the rows. */
+  val qJoinBucketed: GQuery = GQuery(
+    "q_join_bucketed",
+    (spark, dir) => {
+      Lake.ensureBucketedFacts(spark, dir)
+      spark.table("graft_li_bucketed").hint("merge")
+        .join(spark.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM ${Lake.bucketedLiOracle} li
+      JOIN ${Lake.bucketedOrdOracle} o ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qScanPartitioned, qJoinDpp, qScanZOrder,
+    qJoinBucketed)
 }

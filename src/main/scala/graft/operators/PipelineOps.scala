@@ -238,7 +238,78 @@ object PipelineOps {
       ORDER BY source, doc_id"""),
   )
 
+  /** The cleaning funnel: every document is assigned the FIRST filter it
+    * fails (short → repetitive → no-stopwords → kept) and the query
+    * reports per-source drop counts — the accept/reject manifest a corpus
+    * cleaning pass publishes. Entirely per-row (fused ngram_stats kernel
+    * for the repetition signal, exact integer-derived ratios so the
+    * threshold comparisons are bit-identical cross-engine) + one
+    * combinable groupBy. Degenerate repeated-token docs are planted
+    * (doc_id+2000) so the 'repetitive' bucket is non-vacuous at every SF. */
+  val qFilterFunnel: GQuery = GQuery(
+    "q_filter_funnel",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.NgramStats.register(spark)
+      val d = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
+      val spam = ("spam " * 49) + "spam"
+      val docs = d
+        .unionByName(d.filter($"doc_id" < 10)
+          .select(($"doc_id" + 2000L).as("doc_id"), lit(spam).as("text"),
+            $"source"))
+      val inList = "'the','and','of','to','in','a','is','it'"
+      docs
+        .select($"source", split($"text", " ").as("l"))
+        .select($"source", size($"l").as("n_tokens"),
+          expr("ngram_stats(l, 3)").as("st"),
+          expr(s"size(filter(l, t -> t IN ($inList)))").as("n_stop"))
+        .select($"source", $"n_tokens",
+          when($"st".getItem(0) > 0,
+            lit(1.0) - $"st".getItem(1).cast("double") /
+              $"st".getItem(0).cast("double"))
+            .otherwise(lit(0.0)).as("rep_ratio"),
+          ($"n_stop".cast("double") / $"n_tokens".cast("double"))
+            .as("stop_ratio"))
+        .select($"source",
+          when($"n_tokens" < 30, "short")
+            .when($"rep_ratio" > 0.2, "repetitive")
+            .when($"stop_ratio" < 0.01, "no_stopwords")
+            .otherwise("kept").as("verdict"))
+        .groupBy($"source", $"verdict")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"verdict")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 2000, repeat('spam ', 49) || 'spam', source
+        FROM documents WHERE doc_id < 10),
+      feat AS (
+        SELECT source,
+          cast(len(l) as int) AS n_tokens,
+          CASE WHEN len(l) >= 3 THEN
+            1.0 - cast(len(list_distinct(list_transform(
+                generate_series(1, len(l) - 2),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) as double)
+              / cast(len(l) - 2 as double)
+          ELSE 0.0 END AS rep_ratio,
+          cast(len(list_filter(l,
+              t -> t IN ('the','and','of','to','in','a','is','it')))
+            as double) / cast(len(l) as double) AS stop_ratio
+        FROM (SELECT source, string_split(text, ' ') AS l FROM docs) f0)
+      SELECT source,
+        CASE WHEN n_tokens < 30 THEN 'short'
+             WHEN rep_ratio > 0.2 THEN 'repetitive'
+             WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+             ELSE 'kept' END AS verdict,
+        count(*) AS n_docs
+      FROM feat
+      GROUP BY source, verdict
+      ORDER BY source, verdict"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
-      qSelectBudget)
+      qSelectBudget, qFilterFunnel)
 }

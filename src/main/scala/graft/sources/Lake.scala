@@ -31,6 +31,10 @@ object Lake {
   val ordersByMonthOracle: String =
     s"read_parquet('$ordersByMonthPath/*/*.parquet', hive_partitioning=true)"
 
+  val eventsZOrderPath: String = s"$root/events_zorder"
+  val eventsZOrderOracle: String =
+    s"read_parquet('$eventsZOrderPath/*.parquet')"
+
   val documentsCsvPath: String = s"$root/documents_csv"
   val documentsCsvOracle: String =
     s"read_csv('$documentsCsvPath/*.csv', header=true)"
@@ -62,6 +66,69 @@ object Lake {
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       Sources.writePartitionedParquet(df, ordersByMonthPath, Seq("o_month"))
     }
+
+  /** Z-order-clustered events copy ([[Sources.writeZOrdered]] on
+    * (user_id, value)): every file covers a tight min/max range on BOTH
+    * cluster columns, so a scan filtered on either skips most files via
+    * parquet footer stats — the data-skipping layout for the 2nd..nth
+    * filter column once partitioning has spent the 1st. The timestamp
+    * column is left out: the clustered copy is a scan-accelerator
+    * projection, not the system of record. */
+  def ensureEventsZOrdered(spark: SparkSession, dir: String): String =
+    ensure(dir, eventsZOrderPath) {
+      Sources.writeZOrdered(
+        Tables.events(spark, dir)
+          .select("event_id", "user_id", "event_type", "value"),
+        eventsZOrderPath, Seq("user_id", "value"), numFiles = 8)
+    }
+
+  val bucketedLiPath: String = s"$root/bucketed_li"
+  val bucketedOrdPath: String = s"$root/bucketed_ord"
+  val bucketedLiOracle: String = s"read_parquet('$bucketedLiPath/*.parquet')"
+  val bucketedOrdOracle: String = s"read_parquet('$bucketedOrdPath/*.parquet')"
+
+  /** Co-bucketed lineitem/orders tables (16 buckets on the join key,
+    * external tables at fixed paths so the DuckDB oracle can glob the same
+    * parquet bytes). Bucketing both sides of a RECURRING fact⋈fact join
+    * by its key removes the shuffle from every subsequent join — a
+    * write-once layout decision that at 100 TB converts the pipeline's
+    * dominant cost into zero. The bucket metadata lives in the session
+    * catalog; the files are plain parquet. */
+  /** CTAS refuses a non-empty location even for external tables
+    * (allowNonEmptyLocationInCTAS defaults off), so a leftover dir from a
+    * previous JVM must be cleared through the path's own FileSystem. */
+  private def clearDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def ensureBucketedFacts(spark: SparkSession, dir: String): Unit = {
+    // the tables must exist in THIS session's catalog for the bucketed
+    // scan to plan — files on disk from a previous JVM are not enough
+    val stale = !spark.catalog.tableExists("graft_li_bucketed") ||
+      !spark.catalog.tableExists("graft_ord_bucketed")
+    if (stale) written.retain(p => !p.endsWith(s"-> $bucketedLiPath") &&
+      !p.endsWith(s"-> $bucketedOrdPath"))
+    ensure(dir, bucketedLiPath) {
+      spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      clearDir(spark, bucketedLiPath)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", bucketedLiPath)
+        .saveAsTable("graft_li_bucketed")
+    }
+    ensure(dir, bucketedOrdPath) {
+      spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      clearDir(spark, bucketedOrdPath)
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", bucketedOrdPath)
+        .saveAsTable("graft_ord_bucketed")
+    }
+  }
 
   /** CSV interchange fixture: the documents metadata columns (no free
     * text — CSV quoting/escaping conventions differ across engines; the

@@ -130,4 +130,30 @@ class PlanSpec extends AnyFunSuite {
     // only the presentation sort may exchange; the Expand itself must not
     assert("Exchange".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("q_join_bucketed feeds the join from bucket layout, not an Exchange") {
+    val plan = physicalPlan("q_join_bucketed")
+    assert(plan.contains("SortMergeJoin"), plan)
+    // co-bucketed sides: no hash-repartition of either join key may
+    // appear between the scans and the join
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+  }
+
+  test("q_scan_zorder pushes both cluster-column predicates to the scan") {
+    // the default 100-char metadata truncation cuts the PushedFilters list
+    // before the second column — widen it for this assertion
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val plan = physicalPlan("q_scan_zorder")
+      // both z-order cluster columns must reach PushedFilters — that is
+      // what lets parquet footer stats skip files the Morton layout made
+      // tight
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+      assert(pushed.isDefined, plan)
+      assert(pushed.get.contains("GreaterThanOrEqual(user_id"), pushed.get)
+      assert(pushed.get.contains("GreaterThanOrEqual(value"), pushed.get)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
 }
