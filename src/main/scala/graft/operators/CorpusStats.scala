@@ -221,5 +221,51 @@ object CorpusStats {
       GROUP BY cluster_id ORDER BY cluster_id"""),
   )
 
-  val all: Seq[GQuery] = Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster)
+  /** Chi-square contingency analysis of the lang × source table — the
+    * independence test a corpus audit runs to find sources skewed toward
+    * a language. Observed counts are one combinable groupBy; row/column
+    * marginals re-aggregate its (tiny) output; expected = r·c/N and the
+    * χ² contribution (o−e)²/e are pure IEEE arithmetic over exact integer
+    * counts — identical bits in both engines before the final 6dp round.
+    * Every join side after the first groupBy is marginal-sized:
+    * broadcast, never shuffled. */
+  val qChi2: GQuery = GQuery(
+    "q_chi2",
+    (spark, dir) => {
+      import spark.implicits._
+      val obs = Tables.documents(spark, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+      val rowT = obs.groupBy($"lang").agg(sum($"n_docs").as("r"))
+      val colT = obs.groupBy($"source").agg(sum($"n_docs").as("c"))
+      val tot = obs.agg(sum($"n_docs").as("t"))
+      val e = $"r".cast("double") * $"c".cast("double") / $"t".cast("double")
+      val o = $"n_docs".cast("double")
+      obs.join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .crossJoin(broadcast(tot))
+        .select($"lang", $"source", $"n_docs",
+          r6(e).as("expected"),
+          r6((o - e) * (o - e) / e).as("chi2_term"))
+        .orderBy($"lang", $"source")
+    },
+    Some(s"""
+      WITH obs AS (SELECT lang, source, count(*) AS n_docs
+                   FROM documents GROUP BY lang, source),
+      rt AS (SELECT lang, sum(n_docs) AS r FROM obs GROUP BY lang),
+      ct AS (SELECT source, sum(n_docs) AS c FROM obs GROUP BY source),
+      tt AS (SELECT sum(n_docs) AS t FROM obs)
+      SELECT lang, source, n_docs,
+        ${r6Sql("cast(r as double) * cast(c as double) / cast(t as double)")}
+          AS expected,
+        ${r6Sql(
+          "(cast(n_docs as double) - cast(r as double) * cast(c as double) / cast(t as double))" +
+          " * (cast(n_docs as double) - cast(r as double) * cast(c as double) / cast(t as double))" +
+          " / (cast(r as double) * cast(c as double) / cast(t as double))")}
+          AS chi2_term
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tt
+      ORDER BY lang, source"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2)
 }

@@ -446,8 +446,54 @@ object Windows {
       ORDER BY event_id"""),
   )
 
+  /** Per-user EWMA (α = 0.3) over the last 10 events — the time-series
+    * smoother behind anomaly baselines and trend features. A true
+    * recursive EWMA is not cross-engine-expressible, so this is the
+    * bounded-memory form: a 10-term convolution of lag() values. Every
+    * coefficient is built by literal repeated multiplication (0.3·0.7·…)
+    * and the terms are summed left-associatively, so both engines compute
+    * bit-identical doubles — no rounding contract beyond the final 6dp.
+    * One shuffle by user; the 10 lags share a single window frame. */
+  val qEwma: GQuery = GQuery(
+    "q_ewma",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_nanos", $"event_id")
+      def coef(k: Int): org.apache.spark.sql.Column =
+        (1 to k).foldLeft(lit(0.3): org.apache.spark.sql.Column)(
+          (c, _) => c * lit(0.7))
+      val terms = (0 until 10).map { k =>
+        val v = if (k == 0) $"value" else lag($"value", k).over(w)
+        coalesce(v, lit(0.0)) * coef(k)
+      }
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"ts_nanos", $"value")
+        .select($"event_id", $"user_id",
+          r6(terms.reduceLeft(_ + _)).as("ewma_value"))
+        .orderBy($"event_id")
+    },
+    Some {
+      // DuckDB parses bare 0.3 as DECIMAL and would fold the coefficient
+      // product exactly — cast every factor to double so both engines run
+      // the same IEEE multiplication chain
+      def coefSql(k: Int): String =
+        "cast(0.3 as double)" + (" * cast(0.7 as double)" * k)
+      val terms = (0 until 10).map { k =>
+        if (k == 0) s"coalesce(value, 0.0) * (${coefSql(0)})"
+        else s"coalesce(lag(value, $k) OVER w, 0.0) * (${coefSql(k)})"
+      }.mkString(" + ")
+      s"""
+      SELECT event_id, user_id, ${rNSql("e", 6)} AS ewma_value
+      FROM (
+        SELECT event_id, user_id, $terms AS e
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      ORDER BY event_id"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
-    qWinSlide, qGapfill, qZscore)
+    qWinSlide, qGapfill, qZscore, qEwma)
 }
