@@ -9,7 +9,8 @@ object Registry {
   def all: Seq[GQuery] =
     Scans.all ++ Joins.all ++ Aggregations.all ++ Windows.all ++
       SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all ++
-      Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all
+      Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all ++
+      EventOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -461,8 +461,101 @@ object Aggregations {
       FROM orders"""),
   )
 
+  /** IQR outlier detection (Tukey fences): per-group p25/p75 → broadcast
+    * the tiny per-group bound table back onto the fact → count rows
+    * outside [p25 − 1.5·IQR, p75 + 1.5·IQR]. Two passes over the fact
+    * (percentile agg, then flag+count) — the exact-percentile pass is the
+    * unavoidable cost; at 100 TB swap `percentile` for the GK sketch
+    * (q_approx_pctl) and the second pass is unchanged. The fences are
+    * computed from 6dp-rounded quantiles with exact-in-binary factors
+    * (1.5), so both engines compare against identical doubles. */
+  val qOutlier: GQuery = GQuery(
+    "q_outlier",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val bounds = li.groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+        .select($"l_returnflag",
+          ($"p25" - lit(1.5) * ($"p75" - $"p25")).as("lo"),
+          ($"p75" + lit(1.5) * ($"p75" - $"p25")).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select($"l_returnflag", $"n_rows", $"n_outliers",
+          r6($"n_outliers".cast("double") / $"n_rows".cast("double"))
+            .as("outlier_rate"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      WITH bounds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6)
+                 - cast(1.5 as double)
+                 * (round(quantile_cont(l_extendedprice, 0.75), 6)
+                    - round(quantile_cont(l_extendedprice, 0.25), 6)) AS lo,
+               round(quantile_cont(l_extendedprice, 0.75), 6)
+                 + cast(1.5 as double)
+                 * (round(quantile_cont(l_extendedprice, 0.75), 6)
+                    - round(quantile_cont(l_extendedprice, 0.25), 6)) AS hi
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, count(*) AS n_rows,
+             cast(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                      THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+             ${r6Sql("cast(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) as double) / cast(count(*) as double)")}
+               AS outlier_rate
+      FROM lineitem JOIN bounds USING (l_returnflag)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  /** Robust dispersion: median absolute deviation (MAD) and the derived
+    * robust sigma (1.4826·MAD) per group — the outlier-resistant
+    * alternative to stddev (q_agg_stats). Structurally it is a
+    * re-aggregation of a COMPUTED column: pass 1 finds the per-group
+    * median, broadcasts the tiny result back onto the fact, pass 2 takes
+    * the median of |x − med|. Same two-scan shape as q_outlier; at 100 TB
+    * both percentile passes swap to the GK sketch unchanged. */
+  val qMad: GQuery = GQuery(
+    "q_mad",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val med = li.groupBy($"l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .select($"l_returnflag", $"med",
+          abs($"l_extendedprice" - $"med").as("dev"))
+        .groupBy($"l_returnflag", $"med")
+        .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+        .select($"l_returnflag", $"med", $"mad",
+          r6($"mad" * lit(1.4826)).as("robust_sigma"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      WITH med AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+        FROM lineitem GROUP BY l_returnflag),
+      dev AS (
+        SELECT l.l_returnflag, med,
+               abs(l.l_extendedprice - med) AS dev
+        FROM lineitem l JOIN med USING (l_returnflag)),
+      mad AS (
+        SELECT l_returnflag, med,
+               round(quantile_cont(dev, 0.5), 6) AS mad
+        FROM dev GROUP BY l_returnflag, med)
+      SELECT l_returnflag, med, mad,
+             ${r6Sql("mad * cast(1.4826 as double)")} AS robust_sigma
+      FROM mad ORDER BY l_returnflag"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
       qPivot, qStringAgg, qAggBool, qAggStats, qGroupingSets, qMinmaxBy,
-      qHistogram, qAggSalted, qNullProfile)
+      qHistogram, qAggSalted, qNullProfile, qOutlier, qMad)
 }

@@ -266,6 +266,107 @@ object CorpusStats {
       ORDER BY lang, source"""),
   )
 
+  /** The FULL MinHash-LSH near-dup pipeline under the hash-match oracle —
+    * the first oracle-checked entry in the near-dup family (q_neardup_
+    * minhash/simhash are rows-only because MLlib's hash family is not
+    * SQL-expressible). Portable construction: 3-word shingles → 16 minhash
+    * values h_s = min(md5(s ‖ '|' ‖ gram)) (md5 hex is lowercase in both
+    * engines, and lexicographic min of fixed-width hex IS numeric min of
+    * the 128-bit value) → 4 bands of 4 hashes, band signature =
+    * md5(h‖h‖h‖h) → candidate pairs by band equi-join → exact-Jaccard
+    * verification ≥ 0.8 on candidates only. Every stage is combinable
+    * aggregation or equi-join — no all-pairs anywhere; candidates are the
+    * only rows that reach the (expensive) verification, exactly the shape
+    * that holds at 100 TB. Full-copy docs planted at doc_id+100000 make
+    * the output non-vacuous at every SF. */
+  val qNeardupBanded: GQuery = GQuery(
+    "q_neardup_banded",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 50)
+          .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      val g = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val minhashes = (0 until 16).map(s =>
+        min(md5(concat_ws("|", lit(s.toString), $"gram"))).as(s"h$s"))
+      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as("sig")))
+      val bands = sigs
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+        .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.sig".as("sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(g.as("g1"), col("g1.doc_id") === $"d1")
+        .join(g.as("g2"),
+          col("g2.doc_id") === $"d2" && col("g2.gram") === col("g1.gram"))
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+        .select($"d1", $"d2",
+          r6($"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))
+            .as("jaccard"))
+        .filter($"jaccard" >= 0.8)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      sig AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(md5('$s' || '|' || gram)) AS h$s").mkString(",\n        ")}
+        FROM g GROUP BY doc_id),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.sig = y.sig
+                    AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      inter AS (SELECT d1, d2, count(*) AS n_common
+                FROM cand
+                JOIN g g1 ON g1.doc_id = cand.d1
+                JOIN g g2 ON g2.doc_id = cand.d2 AND g2.gram = g1.gram
+                GROUP BY d1, d2)
+      SELECT d1, d2, jaccard FROM (
+        SELECT d1, d2,
+          ${r6Sql("cast(n_common as double) / (s1.n + s2.n - n_common)")}
+            AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2) j
+      WHERE jaccard >= cast(0.8 as double)
+      ORDER BY d1, d2"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2)
+    Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded)
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Event-stream / CDC analytics (SURVEY.md §2.B extension, round 4
+  * continued): ordered-sequence conversion funnels, retention cohorts,
+  * SCD2 validity-interval compaction, and batch MERGE (upsert+delete)
+  * application. These are the product-analytics and warehouse-maintenance
+  * passes a lakehouse runs daily; each is one or two map-side-combinable
+  * shuffles on the natural key (user/customer), so partitioning holds
+  * unchanged at 1000 executors.
+  */
+object EventOps {
+
+  /** Ordered conversion funnel view → click → purchase: a user counts for
+    * stage N only with an event AFTER their stage N-1 entry time. Each
+    * stage is a per-user min-aggregation (partial+final combinable) joined
+    * to the previous stage's per-user row — the joined sides are already
+    * one-row-per-user, i.e. pre-aggregated BEFORE the shuffle, so the join
+    * cost is bounded by |users|, not |events|, at any scale. Timestamps
+    * are compared at the second-truncated granularity both engines share
+    * (engine/Tables.scala ns note). */
+  val qFunnel: GQuery = GQuery(
+    "q_funnel",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), $"n_users"))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), $"n_users"))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts
+                  FROM events),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts > t1 GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t2 GROUP BY ev.user_id)
+      SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click', count(*) FROM s2
+        UNION ALL SELECT '3_purchase', count(*) FROM s3) u
+      ORDER BY stage"""),
+  )
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event, activity counted as distinct users per (cohort_week, week
+    * offset). Two combinable aggregations (per-user first-ts, then the
+    * cohort matrix over per-user-per-day distinct activity); the join that
+    * attaches the cohort label is per-user-row vs per-user-day-row — both
+    * sides pre-aggregated, so the shuffle carries |users|·|active days|,
+    * never raw events. Output is |weeks|², independent of scale. */
+  val qCohort: GQuery = GQuery(
+    "q_cohort",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+      val firstWeek = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val active = ev.distinct()
+      active.join(firstWeek, "user_id")
+        .groupBy($"cohort_week",
+          (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, cast(date_trunc('week', ts) as date) AS week
+                  FROM events),
+      fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, week FROM ev)
+      SELECT cohort_week,
+             cast(date_diff('day', cohort_week, week) / 7 as int) AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM active JOIN fw USING (user_id)
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""),
+  )
+
+  /** SCD2 compaction: collapse the per-customer order-status event stream
+    * into validity intervals — keep only CHANGE rows (status differs from
+    * the previous status in (date, orderkey) order), each valid from its
+    * own date until the next change (open intervals end 9999-12-31). Two
+    * window passes over ONE hash-partitioning by customer (Catalyst reuses
+    * the sort), so the whole dimension build is a single shuffle of the
+    * fact — the standard warehouse pattern for building type-2 dims from
+    * CDC feeds. */
+  val qScd2: GQuery = GQuery(
+    "q_scd2",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val changes = Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderkey",
+          to_date($"o_orderdate").as("o_orderdate"), $"o_orderstatus")
+        .withColumn("prev_status", lag($"o_orderstatus", 1).over(w))
+        .filter($"prev_status".isNull || $"prev_status" =!= $"o_orderstatus")
+      val w2 = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      changes
+        .select($"o_custkey", $"o_orderstatus".as("status"),
+          $"o_orderdate".as("valid_from"), $"o_orderkey",
+          coalesce(lead($"o_orderdate", 1).over(w2), lit("9999-12-31").cast("date"))
+            .as("valid_to"))
+        .drop($"o_orderkey")
+        .orderBy($"o_custkey", $"valid_from", $"status")
+    },
+    Some("""
+      WITH ordered AS (
+        SELECT o_custkey, o_orderkey, cast(o_orderdate as date) AS o_orderdate,
+               o_orderstatus,
+               lag(o_orderstatus, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY cast(o_orderdate as date), o_orderkey) AS prev_status
+        FROM orders),
+      changes AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+        FROM ordered
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+             coalesce(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), date '9999-12-31') AS valid_to
+      FROM changes
+      ORDER BY o_custkey, valid_from, status"""),
+  )
+
+  /** Batch MERGE (the lakehouse upsert): apply a CDC change set of
+    * updates / deletes / inserts to the customer dimension in one full
+    * outer join on the key. The change set is derived deterministically
+    * from the base (key mod rules) so both engines construct the same
+    * feed; precedence D > U is a single CASE so exactly one op per key.
+    * One shuffle on the merge key; at scale the change side is the small
+    * one and AQE broadcasts it — MERGE cost is a scan of the base, which
+    * is the floor for any engine. */
+  val qMergeCdc: GQuery = GQuery(
+    "q_merge_cdc",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal".cast("double").as("c_acctbal"))
+      val changes = base
+        .withColumn("op",
+          when($"c_custkey" % 7 === 3, "D")
+            .when($"c_custkey" % 10 === 0, "U")
+            .when($"c_custkey" % 13 === 1, "I"))
+        .filter($"op".isNotNull)
+        .select(
+          when($"op" === "I", $"c_custkey" + 1000000L).otherwise($"c_custkey")
+            .as("c_custkey"),
+          $"op",
+          when($"op" === "U", r2($"c_acctbal" + 100.0))
+            .when($"op" === "I", lit(0.0))
+            .as("new_acctbal"),
+          $"c_mktsegment".as("new_seg"))
+      base.join(changes, Seq("c_custkey"), "full_outer")
+        .filter($"op".isNull || $"op" =!= "D")
+        .select($"c_custkey",
+          coalesce($"new_seg", $"c_mktsegment").as("segment"),
+          when($"op".isNotNull, $"new_acctbal").otherwise(r2($"c_acctbal"))
+            .as("acctbal"),
+          coalesce($"op", lit("K")).as("op"))
+        .orderBy($"c_custkey")
+    },
+    Some(s"""
+      WITH base AS (SELECT c_custkey, c_mktsegment,
+                           cast(c_acctbal as double) AS c_acctbal
+                    FROM customer),
+      tagged AS (
+        SELECT *, CASE WHEN c_custkey % 7 = 3 THEN 'D'
+                       WHEN c_custkey % 10 = 0 THEN 'U'
+                       WHEN c_custkey % 13 = 1 THEN 'I' END AS op
+        FROM base),
+      changes AS (
+        SELECT CASE WHEN op = 'I' THEN c_custkey + 1000000 ELSE c_custkey END
+                 AS c_custkey,
+               op,
+               CASE WHEN op = 'U' THEN ${r2Sql("c_acctbal + 100.0")}
+                    WHEN op = 'I' THEN 0.0 END AS new_acctbal,
+               c_mktsegment AS new_seg
+        FROM tagged WHERE op IS NOT NULL)
+      SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+             coalesce(c.new_seg, b.c_mktsegment) AS segment,
+             CASE WHEN c.op IS NOT NULL THEN c.new_acctbal
+                  ELSE ${r2Sql("b.c_acctbal")} END AS acctbal,
+             coalesce(c.op, 'K') AS op
+      FROM base b FULL OUTER JOIN changes c USING (c_custkey)
+      WHERE c.op IS NULL OR c.op <> 'D'
+      ORDER BY c_custkey"""),
+  )
+
+  /** Longest consecutive-day activity streak per user — gaps-and-islands
+    * on the DATE axis (q_sessionize is the TIME-gap variant; this is the
+    * calendar variant behind "N-day streak" engagement metrics). The
+    * island key is day − row_number, constant within a run of consecutive
+    * days. Everything after the per-user-day distinct is tiny; one
+    * partitioning by user serves the window and both aggregations. */
+  val qStreak: GQuery = GQuery(
+    "q_streak",
+    (spark, dir) => {
+      import spark.implicits._
+      val active = Tables.events(spark, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      active
+        .withColumn("grp", date_sub($"day", row_number().over(w)))
+        .groupBy($"user_id", $"grp").agg(count(lit(1)).as("run_len"))
+        .groupBy($"user_id")
+        .agg(sum($"run_len").as("n_active_days"), max($"run_len").as("longest_streak"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH active AS (SELECT DISTINCT user_id, cast(ts as date) AS day
+                      FROM events),
+      runs AS (
+        SELECT user_id,
+               day - cast(row_number() OVER (PARTITION BY user_id
+                 ORDER BY day) as int) AS grp
+        FROM active)
+      SELECT user_id, cast(sum(run_len) as bigint) AS n_active_days,
+             cast(max(run_len) as bigint) AS longest_streak
+      FROM (SELECT user_id, grp, count(*) AS run_len
+            FROM runs GROUP BY user_id, grp) r
+      GROUP BY user_id ORDER BY user_id"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak)
+}

@@ -179,6 +179,42 @@ object Scans {
       ORDER BY l_orderkey, l_linenumber, measure, val"""),
   )
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): each row
+    * gets key ln(u)/w from a uniform u derived by the same multiplicative
+    * hash as q_sample, and the global top-k by key IS a weighted sample
+    * without replacement — reproducible on any partitioning, unlike any
+    * rand()-based scheme. Here w = o_totalprice, so high-value orders are
+    * oversampled. Plans as TakeOrderedAndProject: per-partition top-k then
+    * a k-row merge on the driver side of the exchange — no global sort at
+    * any scale. Cross-engine ln() bit-agreement is the same contract
+    * q_tfidf/q_entropy already rely on. */
+  val qSampleWeighted: GQuery = GQuery(
+    "q_sample_weighted",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = (($"o_orderkey" % 1000000007L) * 2654435761L % 1000000007L + 1L)
+        .cast("double") / 1000000008.0
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice",
+          (log(u) / $"o_totalprice").as("es_key"))
+        .orderBy($"es_key".desc, $"o_orderkey")
+        .limit(25)
+        .select($"o_orderkey", r2($"o_totalprice").as("o_totalprice"),
+          r6($"es_key" * 1e6).as("es_key_x1e6"))
+    },
+    Some(s"""
+      SELECT o_orderkey, ${r2Sql("o_totalprice")} AS o_totalprice,
+             ${r6Sql("es_key * 1e6")} AS es_key_x1e6
+      FROM (
+        SELECT o_orderkey, o_totalprice,
+               ln(cast((o_orderkey % 1000000007) * 2654435761 % 1000000007 + 1
+                       as double) / 1000000008.0) / o_totalprice AS es_key
+        FROM orders
+        ORDER BY es_key DESC, o_orderkey
+        LIMIT 25) s"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qScan, qProject, qFilter, qCase, qCast, qSample, qUnpivot)
+    Seq(qScan, qProject, qFilter, qCase, qCast, qSample, qUnpivot,
+      qSampleWeighted)
 }

@@ -188,7 +188,49 @@ object SetOps {
       FROM customer c ORDER BY c_custkey"""),
   )
 
+  /** Multiset (ALL) set ops: INTERSECT ALL keeps min(multiplicity) copies
+    * per value, EXCEPT ALL subtracts multiplicities — semantics the
+    * distinct variants above cannot express. Scalarized to per-key counts
+    * so the driver can hash it. Catalyst plans both as a single
+    * aggregate-and-generate on the value (count per side, then replicate)
+    * — one shuffle each, combinable, no row explosion beyond the answer. */
+  val qSetAll: GQuery = GQuery(
+    "q_set_all",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir).select($"c_nationkey".as("nk"))
+      val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nk"))
+      val ia = c.intersectAll(s).groupBy($"nk")
+        .agg(count(lit(1)).as("n_inter_all"))
+      val ea = c.exceptAll(s).groupBy($"nk")
+        .agg(count(lit(1)).as("n_except_all"))
+      ia.join(ea, Seq("nk"), "full_outer")
+        .select($"nk",
+          coalesce($"n_inter_all", lit(0L)).as("n_inter_all"),
+          coalesce($"n_except_all", lit(0L)).as("n_except_all"))
+        .orderBy($"nk")
+    },
+    Some("""
+      WITH ia AS (
+        SELECT nk, count(*) AS n_inter_all FROM (
+          SELECT c_nationkey AS nk FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS nk FROM supplier) i
+        GROUP BY nk),
+      ea AS (
+        SELECT nk, count(*) AS n_except_all FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nk FROM supplier) e
+        GROUP BY nk)
+      SELECT coalesce(ia.nk, ea.nk) AS nk,
+             coalesce(n_inter_all, 0) AS n_inter_all,
+             coalesce(n_except_all, 0) AS n_except_all
+      FROM ia FULL OUTER JOIN ea ON ia.nk = ea.nk
+      ORDER BY nk"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept, qSubquery,
-      qLateral, qRecursive, qCorrScalar)
+      qLateral, qRecursive, qCorrScalar, qSetAll)
 }

@@ -140,6 +140,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
   }
 
+  test("q_outlier broadcasts the per-group fence table onto the fact") {
+    val plan = physicalPlan("q_outlier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_neardup_banded stays equi-join end to end (no all-pairs operator)") {
+    val plan = physicalPlan("q_neardup_banded")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_merge_cdc applies the change set through one full outer join") {
+    val plan = physicalPlan("q_merge_cdc")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_funnel joins per-user aggregates, not raw events") {
+    val plan = physicalPlan("q_funnel")
+    // each stage pre-aggregates (partial+final pairs) before its join
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_scd2 runs both window passes over one partitioning of orders") {
+    val plan = physicalPlan("q_scd2")
+    // same partitionBy+orderBy for change-detect and valid_to passes: one
+    // hash exchange, plus only the presentation sort's range exchange
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("q_scan_zorder pushes both cluster-column predicates to the scan") {
     // the default 100-char metadata truncation cuts the PushedFilters list
     // before the second column — widen it for this assertion
