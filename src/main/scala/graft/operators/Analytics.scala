@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Cross-table audit and entity-analytics queries (SURVEY.md §2.B
+  * extension, round 4 continued): referential-integrity auditing, RFM
+  * customer segmentation, cumulative-distinct growth curves, and per-doc
+  * keyword extraction. Each avoids the global-sort/global-window trap:
+  * quantile scoring uses exact-percentile AGGREGATES broadcast back onto
+  * the entity table (never an ntile over a single unpartitioned window),
+  * and the only unpartitioned window left is over the |days| spine.
+  */
+object Analytics {
+
+  /** Referential-integrity audit over every FK edge of the star schema:
+    * per edge, total child rows and orphan rows (child key with no parent).
+    * Each edge is an independent left-anti join — dims broadcast, the
+    * fact-fact edges shuffle on the key — followed by a single-row count,
+    * so the whole audit is a union of 7 independent jobs Catalyst can
+    * schedule concurrently. This is the data-quality gate a lakehouse runs
+    * after every load; at 100 TB each edge remains one anti-join pass.
+    */
+  val qFkAudit: GQuery = GQuery(
+    "q_fk_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame = {
+        val total = child.agg(count(lit(1)).as("n_rows"))
+        val orphans = child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        total.crossJoin(orphans).select(lit(name).as("edge"), $"n_rows", $"n_orphans")
+      }
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      val supp = Tables.supplier(spark, dir)
+      val nat = Tables.nation(spark, dir)
+      edge("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey")
+        .unionByName(edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"))
+        .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(spark, dir), "p_partkey"))
+        .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"))
+        .unionByName(edge("nation.n_regionkey->region", nat, "n_regionkey",
+          Tables.region(spark, dir), "r_regionkey"))
+        .unionByName(edge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"))
+        .unionByName(edge("supplier.s_nationkey->nation", supp, "s_nationkey", nat, "n_nationkey"))
+        .orderBy($"edge")
+    },
+    Some("""
+      SELECT 'customer.c_nationkey->nation' AS edge,
+             (SELECT count(*) FROM customer) AS n_rows,
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+      ORDER BY edge"""),
+  )
+
+  /** RFM customer segmentation — the marketing-analytics workhorse.
+    * Per-customer recency (days since last order, relative to the corpus
+    * max date), frequency (order count), monetary (exact-decimal revenue
+    * sum); each metric scored 1-4 by its own quartiles. The quartiles are
+    * exact-percentile AGGREGATES over the (already one-row-per-customer)
+    * metrics table, broadcast back as scalars — NOT an ntile over one
+    * unpartitioned window, which would serialize |customers| rows through
+    * a single task at scale. Breakpoints are IEEE-rounded (r6) on both
+    * engines so the boundary comparisons agree bit-for-bit; at 100 TB the
+    * exact percentile swaps for the GK sketch with the same contract.
+    * Output is the 4x4x4 segment matrix — constant size at any scale.
+    */
+  val qRfm: GQuery = GQuery(
+    "q_rfm",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir)
+        .select($"o_custkey", to_date($"o_orderdate").as("d"), $"o_totalprice")
+      val maxD = ord.agg(max($"d").as("max_d"))
+      val m = ord.crossJoin(broadcast(maxD))
+        .groupBy($"o_custkey")
+        .agg(
+          min(datediff($"max_d", $"d")).as("recency"),
+          count(lit(1)).as("frequency"),
+          dsum($"o_totalprice").as("monetary"))
+      val bp = m.agg(
+        r6(expr("percentile(recency, 0.25)")).as("r25"),
+        r6(expr("percentile(recency, 0.5)")).as("r50"),
+        r6(expr("percentile(recency, 0.75)")).as("r75"),
+        r6(expr("percentile(frequency, 0.25)")).as("f25"),
+        r6(expr("percentile(frequency, 0.5)")).as("f50"),
+        r6(expr("percentile(frequency, 0.75)")).as("f75"),
+        r6(expr("percentile(monetary, 0.25)")).as("m25"),
+        r6(expr("percentile(monetary, 0.5)")).as("m50"),
+        r6(expr("percentile(monetary, 0.75)")).as("m75"))
+      m.crossJoin(broadcast(bp))
+        .select(
+          // recency: lower is better -> invert so 4 = most recent
+          (lit(4) - ($"recency" > $"r25").cast("int") - ($"recency" > $"r50").cast("int")
+            - ($"recency" > $"r75").cast("int")).as("r_score"),
+          (lit(1) + ($"frequency" > $"f25").cast("int") + ($"frequency" > $"f50").cast("int")
+            + ($"frequency" > $"f75").cast("int")).as("f_score"),
+          (lit(1) + ($"monetary" > $"m25").cast("int") + ($"monetary" > $"m50").cast("int")
+            + ($"monetary" > $"m75").cast("int")).as("m_score"),
+          $"monetary")
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_customers"), dsum($"monetary").as("revenue"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    Some(s"""
+      WITH o AS (SELECT o_custkey, cast(o_orderdate as date) AS d, o_totalprice
+                 FROM orders),
+      mx AS (SELECT max(d) AS max_d FROM o),
+      m AS (SELECT o_custkey,
+                   min(date_diff('day', d, max_d)) AS recency,
+                   count(*) AS frequency,
+                   ${dsumSql("o_totalprice")} AS monetary
+            FROM o CROSS JOIN mx GROUP BY o_custkey),
+      bp AS (SELECT
+               ${rNSql("quantile_cont(recency, 0.25)", 6)} AS r25,
+               ${rNSql("quantile_cont(recency, 0.5)", 6)} AS r50,
+               ${rNSql("quantile_cont(recency, 0.75)", 6)} AS r75,
+               ${rNSql("quantile_cont(frequency, 0.25)", 6)} AS f25,
+               ${rNSql("quantile_cont(frequency, 0.5)", 6)} AS f50,
+               ${rNSql("quantile_cont(frequency, 0.75)", 6)} AS f75,
+               ${rNSql("quantile_cont(monetary, 0.25)", 6)} AS m25,
+               ${rNSql("quantile_cont(monetary, 0.5)", 6)} AS m50,
+               ${rNSql("quantile_cont(monetary, 0.75)", 6)} AS m75
+             FROM m)
+      SELECT 4 - cast(recency > r25 as int) - cast(recency > r50 as int)
+               - cast(recency > r75 as int) AS r_score,
+             1 + cast(frequency > f25 as int) + cast(frequency > f50 as int)
+               + cast(frequency > f75 as int) AS f_score,
+             1 + cast(monetary > m25 as int) + cast(monetary > m50 as int)
+               + cast(monetary > m75 as int) AS m_score,
+             count(*) AS n_customers,
+             ${dsumSql("monetary")} AS revenue
+      FROM m CROSS JOIN bp
+      GROUP BY r_score, f_score, m_score
+      ORDER BY r_score, f_score, m_score"""),
+  )
+
+  /** Cumulative distinct users over time — the growth curve every product
+    * dashboard opens with. Naive COUNT(DISTINCT) over an expanding window
+    * re-scans history per day; the scalable identity is: a user's FIRST
+    * active day (one combinable min-agg) marks the +1, so cumulative
+    * distinct = running sum of first-day counts. Daily actives come from
+    * the same (user, day) dedup. The only unpartitioned window runs over
+    * the |days| spine — a few thousand rows at any corpus size.
+    */
+  val qWinCumDistinct: GQuery = GQuery(
+    "q_win_cumdistinct",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val newPerDay = ev.groupBy($"user_id").agg(min($"day").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("n_new"))
+      val activePerDay = ev.groupBy($"day").agg(count(lit(1)).as("n_active"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      activePerDay.join(newPerDay, Seq("day"), "left")
+        .select($"day", $"n_active", coalesce($"n_new", lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum($"n_new").over(w))
+        .orderBy($"day")
+    },
+    Some("""
+      WITH ev AS (SELECT DISTINCT user_id, cast(ts as date) AS day FROM events),
+      fd AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+      nw AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day),
+      ac AS (SELECT day, count(*) AS n_active FROM ev GROUP BY day)
+      SELECT ac.day, n_active,
+             coalesce(n_new, 0) AS n_new,
+             cast(sum(coalesce(n_new, 0)) OVER
+               (ORDER BY ac.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               as bigint) AS cum_users
+      FROM ac LEFT JOIN nw USING (day)
+      ORDER BY ac.day"""),
+  )
+
+  /** Per-document keyword extraction: top-3 terms by TF-IDF. Same corpus
+    * statistics as q_tfidf (two combinable aggregations over the exploded
+    * token stream), then a rank window PARTITIONED BY doc — parallelism
+    * |docs|, never a global sort. Scores are IEEE-rounded BEFORE ranking
+    * so near-tie ordering (and therefore the top-3 cut) is identical in
+    * both engines; term is the unique tiebreak.
+    */
+  val qKeywords: GQuery = GQuery(
+    "q_keywords",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = tokens.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("doclen", sum($"cnt").over(Window.partitionBy($"doc_id")))
+      val dfreq = tokens.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"term",
+          r6(($"cnt".cast("double") / $"doclen") * log($"n_docs" / $"df")).as("tfidf"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"term", $"tfidf")
+        .orderBy($"doc_id", $"rk")
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS cnt,
+               sum(count(*)) OVER (PARTITION BY doc_id) AS doclen
+        FROM tokens GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+               floor(((cast(cnt as double) / doclen) * ln(n_docs / df)) * 1e6 + 0.5)
+                 / 1e6 AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               cast(row_number() OVER
+                 (PARTITION BY doc_id ORDER BY tfidf DESC, term) as int) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk"""),
+  )
+
+  def all: Seq[GQuery] = Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords)
+}

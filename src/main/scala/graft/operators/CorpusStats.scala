@@ -367,6 +367,128 @@ object CorpusStats {
       ORDER BY d1, d2"""),
   )
 
+  /** Count-min sketch, fully oracle-checked — the frequency twin of the
+    * HLL/GK/Bloom sketch family. The sketch is built RELATIONALLY: each
+    * token emits (row, bucket) cells for 4 independent hash rows
+    * (portable md5 bucket hash, same idiom as q_neardup_banded), and one
+    * combinable groupBy collapses them into at most 4·1024 cells — the
+    * shuffle carries the CONSTANT-SIZE sketch, never the token stream.
+    * Estimates for the exact top-20 terms are min-over-rows lookups via a
+    * broadcast join against the cells; CMS guarantees est ≥ exact, and
+    * both engines compute identical integers (no floats anywhere).
+    */
+  val qSketchCm: GQuery = GQuery(
+    "q_sketch_cm",
+    (spark, dir) => {
+      import spark.implicits._
+      val width = 1024
+      val tokens = Tables.documents(spark, dir)
+        .select(explode(split($"text", " ")).as("term"))
+      def bucket(d: Int, c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat_ws("|", lit(d.toString), c)), 1, 8), 16, 10)
+          .cast("long") % width
+      val cells = tokens
+        .select(explode(array((0 until 4).map(d =>
+          struct(lit(d).as("d"), bucket(d, $"term").as("w"))): _*)).as("c"))
+        .groupBy($"c.d".as("d"), $"c.w".as("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = tokens.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"term").limit(20)
+      val probes = top.select($"term", $"exact_cnt",
+        explode(array((0 until 4).map(d =>
+          struct(lit(d).as("d"), bucket(d, $"term").as("w"))): _*)).as("c"))
+        .select($"term", $"exact_cnt", $"c.d".as("d"), $"c.w".as("w"))
+      probes.join(broadcast(cells), Seq("d", "w"))
+        .groupBy($"term", $"exact_cnt")
+        .agg(min($"cnt").as("est_cnt"))
+        .orderBy($"exact_cnt".desc, $"term")
+    },
+    Some("""
+      WITH tokens AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      cells AS (
+        SELECT d, cast(concat('0x', substr(md5(concat_ws('|', cast(d as varchar), term)), 1, 8))
+                 as bigint) % 1024 AS w,
+               count(*) AS cnt
+        FROM tokens CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds
+        GROUP BY d, w),
+      tp AS (
+        SELECT term, count(*) AS exact_cnt FROM tokens GROUP BY term
+        ORDER BY exact_cnt DESC, term LIMIT 20),
+      probes AS (
+        SELECT term, exact_cnt, d,
+               cast(concat('0x', substr(md5(concat_ws('|', cast(d as varchar), term)), 1, 8))
+                 as bigint) % 1024 AS w
+        FROM tp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds)
+      SELECT term, exact_cnt, min(cnt) AS est_cnt
+      FROM probes JOIN cells USING (d, w)
+      GROUP BY term, exact_cnt
+      ORDER BY exact_cnt DESC, term"""),
+  )
+
+  /** Embedding-space health check: per-label cosine of each vector to its
+    * class centroid (avg + min intra-class cosine). The centroid is the
+    * decimal-summed exact average (q_embed_centroid's contract) rebuilt
+    * into an ordered array per label — |labels| rows, broadcast back onto
+    * the corpus — so each vector's cosine is ONE per-row sequential fold
+    * with zero per-vector shuffle; the only shuffles are the two
+    * constant-size centroid aggregations and the final per-label rollup.
+    * The training-data use: labels whose members sit far from their own
+    * centroid are mislabeled or heterogeneous — drop or re-cluster them.
+    */
+  val qClassScatter: GQuery = GQuery(
+    "q_class_scatter",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val centroidLong = emb
+        .select($"label", posexplode($"embedding"))
+        .select($"label", $"pos", $"col".cast("double").as("x"))
+        .groupBy($"label", $"pos")
+        .agg(davg($"x", 6).as("c"))
+      val centroids = centroidLong
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cvec"))
+      emb.join(broadcast(centroids), "label")
+        .select($"label", $"vec_id",
+          r6(
+            expr("aggregate(zip_with(embedding, cvec, (a, b) -> a * b), 0D, (s, v) -> s + v)") /
+              (sqrt(expr(
+                "aggregate(transform(embedding, a -> cast(a as double) * a), 0D, (s, v) -> s + v)")) *
+                sqrt(expr("aggregate(transform(cvec, b -> b * b), 0D, (s, v) -> s + v)"))))
+            .as("cos"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          davg($"cos", 6).as("avg_cos"),
+          min($"cos").as("min_cos"))
+        .orderBy($"label")
+    },
+    Some(s"""
+      WITH lf AS (
+        SELECT label,
+               cast(unnest(generate_series(1, len(embedding))) as int) AS pos,
+               unnest(list_transform(embedding, v -> cast(v as double))) AS x
+        FROM embeddings),
+      cl AS (SELECT label, pos, ${davgSql("x", 6)} AS c
+             FROM lf GROUP BY label, pos),
+      cent AS (SELECT label, list(c ORDER BY pos) AS cvec
+               FROM cl GROUP BY label),
+      scored AS (
+        SELECT e.label, vec_id,
+          ${r6Sql(
+            "list_sum(list_transform(generate_series(1, len(embedding)), " +
+              "i -> embedding[i] * cvec[i])) / " +
+              "(sqrt(list_sum(list_transform(embedding, a -> cast(a as double) * a))) * " +
+              "sqrt(list_sum(list_transform(cvec, b -> b * b))))")} AS cos
+        FROM embeddings e JOIN cent ON cent.label = e.label)
+      SELECT label, count(*) AS n_vecs,
+             ${davgSql("cos", 6)} AS avg_cos,
+             min(cos) AS min_cos
+      FROM scored GROUP BY label ORDER BY label"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded)
+    Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
+      qSketchCm, qClassScatter)
 }
