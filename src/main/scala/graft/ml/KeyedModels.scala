@@ -358,4 +358,52 @@ object KeyedModels {
       }
     }
   }
+
+  /** Per-key regression evaluation — the `score` half of the keyed-model
+    * surface (sklearn's `estimator.score(X, y)` analog, per key). Applies
+    * the model table via [[transformLinear]] and reduces each key to
+    * (n, r2, rmse) in ONE combinable aggregation: SSE from the residuals,
+    * SST from the sufficient statistics (Σy², Σy, n), so no second pass
+    * over the data and no per-key materialization. Keys with zero label
+    * variance get null r2 rather than a division by zero. */
+  def scoreLinear(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String): DataFrame = {
+    val scored = transformLinear(df, models, keyCols, featureCols, "__pred")
+    val y = col(yCol).cast("double")
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum((y - col("__pred")) * (y - col("__pred"))).as("__sse"),
+        sum(y).as("__sy"),
+        sum(y * y).as("__syy"))
+      .withColumn("__sst", col("__syy") - col("__sy") * col("__sy") / col("n"))
+      .withColumn("r2",
+        when(col("__sst") > 0, lit(1.0) - col("__sse") / col("__sst")))
+      .withColumn("rmse", sqrt(col("__sse") / col("n")))
+      .drop("__sse", "__sy", "__syy", "__sst")
+  }
+
+  /** Per-key classification evaluation for [[fitLogistic]] models:
+    * accuracy and log-loss (probabilities clipped to [1e-12, 1-1e-12]) in
+    * one combinable aggregation after the broadcast-join scoring pass. */
+  def scoreLogistic(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String): DataFrame = {
+    val scored =
+      transformLogistic(df, models, keyCols, featureCols, "__p", "__pred")
+    val y = col(yCol).cast("double")
+    val p = greatest(least(col("__p"), lit(1.0 - 1e-12)), lit(1e-12))
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        avg((col("__pred") === y).cast("double")).as("accuracy"),
+        avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("logloss"))
+  }
 }

@@ -384,19 +384,22 @@ object CorpusStats {
       val width = 1024
       val tokens = Tables.documents(spark, dir)
         .select(explode(split($"text", " ")).as("term"))
-      def bucket(d: Int, c: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat_ws("|", lit(d.toString), c)), 1, 8), 16, 10)
-          .cast("long") % width
+      // ONE md5 per token: hash row d reads hex chars [8d+1, 8d+8] of the
+      // same digest — 4 independent 32-bit hashes for a single hash pass.
+      def buckets(c: org.apache.spark.sql.Column) = {
+        val h = md5(c)
+        array((0 until 4).map(d =>
+          struct(lit(d).as("d"),
+            (conv(substring(h, 8 * d + 1, 8), 16, 10).cast("long") % width)
+              .as("w"))): _*)
+      }
       val cells = tokens
-        .select(explode(array((0 until 4).map(d =>
-          struct(lit(d).as("d"), bucket(d, $"term").as("w"))): _*)).as("c"))
+        .select(explode(buckets($"term")).as("c"))
         .groupBy($"c.d".as("d"), $"c.w".as("w"))
         .agg(count(lit(1)).as("cnt"))
       val top = tokens.groupBy($"term").agg(count(lit(1)).as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"term").limit(20)
-      val probes = top.select($"term", $"exact_cnt",
-        explode(array((0 until 4).map(d =>
-          struct(lit(d).as("d"), bucket(d, $"term").as("w"))): _*)).as("c"))
+      val probes = top.select($"term", $"exact_cnt", explode(buckets($"term")).as("c"))
         .select($"term", $"exact_cnt", $"c.d".as("d"), $"c.w".as("w"))
       probes.join(broadcast(cells), Seq("d", "w"))
         .groupBy($"term", $"exact_cnt")
@@ -407,7 +410,7 @@ object CorpusStats {
       WITH tokens AS (
         SELECT unnest(string_split(text, ' ')) AS term FROM documents),
       cells AS (
-        SELECT d, cast(concat('0x', substr(md5(concat_ws('|', cast(d as varchar), term)), 1, 8))
+        SELECT d, cast(concat('0x', substr(md5(term), 8 * d + 1, 8))
                  as bigint) % 1024 AS w,
                count(*) AS cnt
         FROM tokens CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds
@@ -417,7 +420,7 @@ object CorpusStats {
         ORDER BY exact_cnt DESC, term LIMIT 20),
       probes AS (
         SELECT term, exact_cnt, d,
-               cast(concat('0x', substr(md5(concat_ws('|', cast(d as varchar), term)), 1, 8))
+               cast(concat('0x', substr(md5(term), 8 * d + 1, 8))
                  as bigint) % 1024 AS w
         FROM tp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds)
       SELECT term, exact_cnt, min(cnt) AS est_cnt

@@ -240,6 +240,57 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreLinear: near-perfect fit scores r2~1, pure-noise key scores r2~0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows =
+      (1 to 300).map { _ =>
+        val x = rng.nextDouble() * 10
+        ("fit", x, 2.0 * x + 1.0 + rng.nextGaussian() * 0.01)
+      } ++
+        (1 to 300).map { _ =>
+          ("noise", rng.nextDouble() * 10, rng.nextGaussian())
+        }
+    val df = rows.toDF("key", "x", "y").repartition(5)
+    val models = KeyedModels.fitLinear(df, Seq("key"), Seq("x"), "y")
+    val scores = KeyedModels.scoreLinear(df, models, Seq("key"), Seq("x"), "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(scores("fit").getAs[Long]("n") == 300)
+    assert(scores("fit").getAs[Double]("r2") > 0.999)
+    assert(scores("fit").getAs[Double]("rmse") < 0.05)
+    val noiseR2 = scores("noise").getAs[Double]("r2")
+    assert(noiseR2 < 0.1, s"noise key should have ~0 r2, got $noiseR2")
+    // zero-variance label -> null r2, not a crash
+    val flat = (1 to 10).map(i => ("z", i.toDouble, 5.0)).toDF("key", "x", "y")
+    val flatScore = KeyedModels.scoreLinear(
+      flat, KeyedModels.fitLinear(flat, Seq("key"), Seq("x"), "y"),
+      Seq("key"), Seq("x"), "y").collect()(0)
+    assert(flatScore.isNullAt(flatScore.fieldIndex("r2")))
+  }
+
+  test("scoreLogistic: separable key scores accuracy 1, random key ~0.5") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows =
+      (1 to 400).map { _ =>
+        val x = rng.nextGaussian() * 2
+        ("sep", x, if (x > 0) 1.0 else 0.0)
+      } ++
+        (1 to 400).map { _ =>
+          ("coin", rng.nextGaussian(), if (rng.nextDouble() < 0.5) 1.0 else 0.0)
+        }
+    val df = rows.toDF("key", "x", "y").repartition(5)
+    val models = KeyedModels.fitLogistic(df, Seq("key"), Seq("x"), "y", iters = 8)
+    val scores =
+      KeyedModels.scoreLogistic(df, models, Seq("key"), Seq("x"), "y")
+        .collect().map(r => r.getString(0) -> r).toMap
+    assert(scores("sep").getAs[Double]("accuracy") > 0.98)
+    assert(scores("sep").getAs[Double]("logloss") < 0.2)
+    val coinAcc = scores("coin").getAs[Double]("accuracy")
+    assert(coinAcc > 0.35 && coinAcc < 0.75, s"coin accuracy $coinAcc")
+    assert(scores("coin").getAs[Double]("logloss") > 0.5)
+  }
+
   test("transformLogistic separates the classes it was fit on") {
     import spark.implicits._
     val rng = new scala.util.Random(29)
