@@ -260,5 +260,42 @@ object Analytics {
       ORDER BY doc_id, rk"""),
   )
 
-  def all: Seq[GQuery] = Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords)
+  /** Join-key skew profile — the diagnostic run BEFORE choosing a skew
+    * mitigation (salting via Skew.saltedJoin, AQE skew-join, broadcast):
+    * the 20 hottest lineitem order keys with their row share and their
+    * multiple of the mean per-key load. One map-side-combinable count,
+    * a TakeOrderedAndProject top-20 (no global sort), and two broadcast
+    * scalars; at 100 TB this is exactly the pre-flight a pipeline runs to
+    * decide whether the fact-fact join needs salting. */
+  val qSkewProfile: GQuery = GQuery(
+    "q_skew_profile",
+    (spark, dir) => {
+      import spark.implicits._
+      val counts = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(
+        sum($"cnt").cast("double").as("total"),
+        count(lit(1)).cast("double").as("n_keys"))
+      counts.orderBy($"cnt".desc, $"l_orderkey").limit(20)
+        .crossJoin(broadcast(tot))
+        .select($"l_orderkey", $"cnt",
+          r6($"cnt".cast("double") / $"total").as("share"),
+          r6($"cnt".cast("double") * $"n_keys" / $"total").as("x_mean"))
+        .orderBy($"cnt".desc, $"l_orderkey")
+    },
+    Some(s"""
+      WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem
+                 GROUP BY l_orderkey),
+      t AS (SELECT cast(sum(cnt) as double) AS total,
+                   cast(count(*) as double) AS n_keys FROM c)
+      SELECT l_orderkey, cnt,
+             ${r6Sql("cast(cnt as double) / total")} AS share,
+             ${r6Sql("cast(cnt as double) * n_keys / total")} AS x_mean
+      FROM c CROSS JOIN t
+      ORDER BY cnt DESC, l_orderkey
+      LIMIT 20"""),
+  )
+
+  def all: Seq[GQuery] =
+    Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile)
 }

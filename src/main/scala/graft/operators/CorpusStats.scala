@@ -296,8 +296,14 @@ object CorpusStats {
                 "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
                   "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
             .as("gram"))
-      val minhashes = (0 until 16).map(s =>
-        min(md5(concat_ws("|", lit(s.toString), $"gram"))).as(s"h$s"))
+      // ONE md5 per (seed-group, gram): hash s reads hex chars
+      // [8*(s%4)+1, 8*(s%4)+8] of digest s/4 — 16 independent 32-bit
+      // minhashes for 4 hash passes (lexicographic min of fixed-width hex
+      // is numeric min, as before).
+      val minhashes = (0 until 16).map { s =>
+        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
+        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
+      }
       val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -339,7 +345,8 @@ object CorpusStats {
             FROM lt),
       sig AS (SELECT doc_id,
         ${(0 until 16).map(s =>
-          s"min(md5('$s' || '|' || gram)) AS h$s").mkString(",\n        ")}
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
         FROM g GROUP BY doc_id),
       bands AS (
         ${(0 until 4).map(b =>
@@ -491,7 +498,56 @@ object CorpusStats {
       FROM scored GROUP BY label ORDER BY label"""),
   )
 
+  /** Inter-class centroid similarity matrix — q_class_scatter's partner
+    * diagnostic: pairwise cosine between label centroids. Label pairs
+    * whose centroids nearly coincide are candidate duplicate/confusable
+    * classes. The expensive part (centroid build) is the same two
+    * constant-size aggregations; the pairwise stage is a |labels|²/2
+    * self-join over a handful of rows — output is independent of corpus
+    * size, so the query costs one centroid pass at any scale. */
+  val qCentroidSim: GQuery = GQuery(
+    "q_centroid_sim",
+    (spark, dir) => {
+      import spark.implicits._
+      val centroids = Tables.embeddings(spark, dir)
+        .select($"label", posexplode($"embedding"))
+        .select($"label", $"pos", $"col".cast("double").as("x"))
+        .groupBy($"label", $"pos")
+        .agg(davg($"x", 6).as("c"))
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cvec"))
+      centroids.as("a")
+        .join(centroids.as("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          r6(
+            expr("aggregate(zip_with(a.cvec, b.cvec, (x, y) -> x * y), 0D, (s, v) -> s + v)") /
+              (sqrt(expr("aggregate(transform(a.cvec, x -> x * x), 0D, (s, v) -> s + v)")) *
+                sqrt(expr("aggregate(transform(b.cvec, y -> y * y), 0D, (s, v) -> s + v)"))))
+            .as("cos"))
+        .orderBy($"label_a", $"label_b")
+    },
+    Some(s"""
+      WITH lf AS (
+        SELECT label,
+               cast(unnest(generate_series(1, len(embedding))) as int) AS pos,
+               unnest(list_transform(embedding, v -> cast(v as double))) AS x
+        FROM embeddings),
+      cl AS (SELECT label, pos, ${davgSql("x", 6)} AS c
+             FROM lf GROUP BY label, pos),
+      cent AS (SELECT label, list(c ORDER BY pos) AS cvec
+               FROM cl GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        ${r6Sql(
+          "list_sum(list_transform(generate_series(1, len(a.cvec)), " +
+            "i -> a.cvec[i] * b.cvec[i])) / " +
+            "(sqrt(list_sum(list_transform(a.cvec, x -> x * x))) * " +
+            "sqrt(list_sum(list_transform(b.cvec, y -> y * y))))")} AS cos
+      FROM cent a JOIN cent b ON a.label < b.label
+      ORDER BY label_a, label_b"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
-      qSketchCm, qClassScatter)
+      qSketchCm, qClassScatter, qCentroidSim)
 }

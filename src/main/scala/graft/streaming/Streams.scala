@@ -150,6 +150,27 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Windowed approximate-distinct users — the streaming cardinality
+    * monitor (uniques per window). The HyperLogLog++ buffer per window is
+    * CONSTANT-SIZE regardless of user count, so streaming state stays
+    * bounded where an exact `countDistinct` (which streaming aggregation
+    * rejects anyway) would grow with |users|. HLL register-merge is a
+    * max — order- and batching-insensitive — so the streaming result
+    * equals the batch twin exactly on the same input. */
+  def approxDistinctPerWindow(events: DataFrame, width: String = "1 hour",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("win"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"),
+        col("approx_users"), col("n_events"))
+
+  /** Watermarked variant for append-mode emission. */
+  def approxDistinctPerWindowWatermarked(events: DataFrame, width: String,
+      delay: String, rsd: Double = 0.02): DataFrame =
+    approxDistinctPerWindow(events.withWatermark("ts", delay), width, rsd)
+
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Spark 4.x `transformWithState` processor: per-user running event

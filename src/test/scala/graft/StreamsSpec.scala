@@ -96,6 +96,25 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions(1).session_start == ts(100) && sessions(1).n_events == 1)
   }
 
+  test("windowed approx-distinct users matches batch twin and exact count") {
+    // 3 users across 2 windows, duplicates within each; out-of-order feed
+    val evs = Seq(
+      Ev(1, 10, ts(5), "click", 1.0), Ev(2, 11, ts(10), "click", 1.0),
+      Ev(3, 10, ts(20), "view", 1.0), Ev(4, 12, ts(70), "click", 1.0),
+      Ev(5, 12, ts(80), "view", 1.0), Ev(6, 10, ts(90), "view", 1.0))
+    val out = runStream(Seq(
+      Seq(evs(0), evs(3)), Seq(evs(1), evs(4)), Seq(evs(2), evs(5)),
+      Seq(Ev(99, 99, ts(100000), "x", 0.0))))(
+      df => Streams.approxDistinctPerWindowWatermarked(df, "1 hour", "2 hours"))
+    val got = out.filter($"window_start" < ts(50000))
+      .orderBy("window_start").collect().toSeq
+    val want = Streams.approxDistinctPerWindow(evs.toDF(), "1 hour")
+      .orderBy("window_start").collect().toSeq
+    assert(got == want, s"\nstream=$got\nbatch=$want")
+    // at this cardinality HLL(2%) is exact: window 1 = {10,11}, window 2 = {12,10}
+    assert(got.map(r => r.getLong(r.fieldIndex("approx_users"))) == Seq(2L, 2L))
+  }
+
   test("stream-stream interval join matches the batch join on same data") {
     val evs = Seq(
       Ev(1, 1, ts(0), "signup", 0), Ev(2, 1, ts(30), "purchase", 0),
