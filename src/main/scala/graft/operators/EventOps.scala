@@ -237,5 +237,47 @@ object EventOps {
       GROUP BY user_id ORDER BY user_id"""),
   )
 
-  val all: Seq[GQuery] = Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak)
+  /** Ordered sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    * event history becomes a compact initial-letter string in (ts,
+    * event_id) order — event types here have unique initials — and the
+    * funnel pattern view→…→click→…→purchase is one codegen'd regex per
+    * user. Compared to q_funnel's three join-aggregations this is the
+    * collapse-then-match form: one shuffle by user, per-user state bounded
+    * by that user's history (the same posture as any per-entity sequence
+    * op), and arbitrary patterns swap in by changing the regex, not the
+    * plan. */
+  val qSeqMatch: GQuery = GQuery(
+    "q_seq_match",
+    (spark, dir) => {
+      import spark.implicits._
+      val seqs = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id",
+          substring($"event_type", 1, 1).as("ini"))
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(ts, event_id, ini)))," +
+              " s -> s.ini)"), "").as("seq"))
+      seqs
+        .select($"user_id", $"n_events",
+          $"seq".rlike("v.*c.*p").cast("int").as("matched"))
+        .groupBy($"matched")
+        .agg(count(lit(1)).as("n_users"), davg($"n_events", 6).as("avg_events"))
+        .orderBy($"matched")
+    },
+    Some(s"""
+      WITH seqs AS (
+        SELECT user_id, count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+        FROM events GROUP BY user_id)
+      SELECT cast(regexp_matches(seq, 'v.*c.*p') as int) AS matched,
+             count(*) AS n_users,
+             ${davgSql("n_events", 6)} AS avg_events
+      FROM seqs GROUP BY matched ORDER BY matched"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch)
 }

@@ -104,6 +104,35 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction — the lake-maintenance pass that keeps scan
+    * parallelism healthy after many incremental appends (thousands of
+    * KB-sized files turn a columnar scan into a metadata storm). Rewrites
+    * the directory into ceil(totalBytes / targetFileBytes) files with
+    * coalesce (no shuffle: compaction only ever reduces file count),
+    * staging into a sibling temp dir and swapping via two renames on the
+    * path's own Hadoop FileSystem — HDFS/S3A-safe, and readers never see
+    * a half-written directory. Returns the file count written. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $path")
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(hp.getParent, s".${hp.getName}.compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(hp.getParent, s".${hp.getName}.compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(hp, old), s"could not stage out $hp")
+    require(fs.rename(tmp, hp), s"could not swap in $tmp")
+    fs.delete(old, true)
+    n
+  }
+
   /** Archival-tier parquet: zstd instead of the snappy default trades a
     * little write CPU for ~25-40% smaller files — at 100 TB that is the
     * difference between storage tiers, and scan-bound queries read less.

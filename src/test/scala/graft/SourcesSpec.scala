@@ -107,6 +107,26 @@ class SourcesSpec extends AnyFunSuite {
       s"z-order must beat single-sort on the 2nd column: $zSupp vs $sSupp")
   }
 
+  test("compactParquet collapses a many-file directory, preserves data exactly") {
+    val dir = Files.createTempDirectory("compact").toString + "/li"
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    li.repartition(40).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles.length == 40, s"setup: ${parquetFiles.length} files")
+    val total = parquetFiles.map(_.length).sum
+    // target half the total -> exactly 2 output files
+    val n = Sources.compactParquet(spark, dir, targetFileBytes = total / 2 + 1)
+    assert(n == 2, s"expected 2 files, compactor chose $n")
+    assert(parquetFiles.length == 2, s"dir has ${parquetFiles.length} files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // no temp/backup residue
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact.")), parent.mkString(","))
+  }
+
   test("FAILFAST surfaces malformed input instead of nulling it") {
     val dir = Files.createTempDirectory("bad_csv")
     Files.writeString(dir.resolve("bad.csv"), "doc_id,n_chars\n1,10\n2,not_a_number\n")
