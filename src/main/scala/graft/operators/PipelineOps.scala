@@ -309,7 +309,64 @@ object PipelineOps {
       ORDER BY source, verdict"""),
   )
 
+  /** Perplexity-proxy quality score: each document's mean log-probability
+    * under the corpus's own add-one-smoothed bigram LM — the classic
+    * cheap LM filter (a doc whose bigrams are improbable under the corpus
+    * distribution is boilerplate, gibberish, or the wrong language).
+    * Pipeline: one bigram explode feeds BOTH the LM counts and the
+    * per-doc instances; scoring is an equi-join on the bigram, the
+    * unigram-context join, and two broadcast scalars (V, corpus size).
+    * Every per-bigram term is ln of an integer ratio — IEEE-rounded and
+    * decimal-summed, the same cross-engine ln contract as q_tfidf. */
+  val qLmScore: GQuery = GQuery(
+    "q_lm_score",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", split($"text", " ").as("l"))
+      val len1 = greatest(size($"l") - 1, lit(0))
+      val inst = docs
+        .select($"doc_id", explode(zip_with(
+          slice($"l", lit(1), len1), slice($"l", lit(2), len1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      val bigramC = inst.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val uniC = inst.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val vocab = inst.select($"w1").unionByName(inst.select($"w2".as("w1")))
+        .distinct().agg(count(lit(1)).cast("double").as("v"))
+      inst
+        .join(bigramC, Seq("w1", "w2"))
+        .join(uniC, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select($"doc_id",
+          r6(log(($"c12".cast("double") + 1.0) / ($"c1".cast("double") + $"v")))
+            .as("lp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), davg($"lp", 6).as("avg_logp"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      inst AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM (
+          SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+          FROM lt) b0),
+      bc AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY w1, w2),
+      uc AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY w1),
+      vv AS (SELECT cast(count(*) as double) AS v FROM (
+               SELECT DISTINCT w1 FROM (
+                 SELECT w1 FROM inst UNION ALL SELECT w2 AS w1 FROM inst) u0) u)
+      SELECT doc_id, count(*) AS n_bigrams,
+             ${davgSql("lp", 6)} AS avg_logp
+      FROM (
+        SELECT doc_id,
+          ${r6Sql("ln((cast(c12 as double) + 1.0) / (cast(c1 as double) + v))")}
+            AS lp
+        FROM inst JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv) s
+      GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
-      qSelectBudget, qFilterFunnel)
+      qSelectBudget, qFilterFunnel, qLmScore)
 }
