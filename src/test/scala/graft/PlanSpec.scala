@@ -172,6 +172,33 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("q_rfm scores through broadcast breakpoints, never a global window") {
+    // the scale contract: quartile assignment must NOT serialize
+    // |customers| rows through a single unpartitioned Window/ntile task
+    val plan = physicalPlan("q_rfm")
+    assert(!plan.contains("Window"), plan)
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q_sketch_cm probes the sketch via broadcast, no sort-merge join") {
+    val plan = physicalPlan("q_sketch_cm")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // top-20, no global sort
+  }
+
+  test("q_class_scatter broadcasts centroids; embeddings never shuffle") {
+    val plan = physicalPlan("q_class_scatter")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side must reach the join scan-direct: its only Exchanges
+    // belong to the constant-size centroid aggregations (by label/pos)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_skew_profile takes top-20 keys without a global sort") {
+    val plan = physicalPlan("q_skew_profile")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q_scan_zorder pushes both cluster-column predicates to the scan") {
     // the default 100-char metadata truncation cuts the PushedFilters list
     // before the second column — widen it for this assertion
