@@ -312,6 +312,57 @@ object Joins {
       ORDER BY revenue DESC, n_name"""),
   )
 
+  /** TPC-H Q8 shape — market share: one nation's fraction of regional
+    * revenue per year. The numerator is a CONDITIONAL aggregate of the
+    * same join tree as the denominator, so the whole share computes in
+    * ONE pass over the fact join (sum(CASE) beside sum), never two passes
+    * diffed — the pattern that keeps share/ratio reports single-scan at
+    * any scale. Join posture mirrors q_join_q5: fact-fact edge shuffled,
+    * geography chain broadcast, no hints on SF-growing tables. Shares are
+    * ratios of the two decimal-summed revenues, IEEE-rounded. */
+  val qJoinQ8: GQuery = GQuery(
+    "q_join_q8",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val geo = Tables.customer(spark, dir)
+        .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name", $"r_name")
+      val rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+      li.join(ord.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+        .join(geo, $"o_custkey" === $"c_custkey")
+        .groupBy(year($"o_orderdate").cast("int").as("o_year"), $"r_name")
+        .agg(
+          dsum(rev).as("total_rev"),
+          dsum(when($"n_name" === "NATION_7", rev).otherwise(lit(0.0)))
+            .as("nation_rev"))
+        .select($"o_year", $"r_name", $"total_rev", $"nation_rev",
+          r6($"nation_rev" / $"total_rev").as("mkt_share"))
+        .orderBy($"o_year", $"r_name")
+    },
+    Some(s"""
+      SELECT cast(year(o_orderdate) as int) AS o_year, r_name,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_rev,
+             ${dsumSql(
+               "CASE WHEN n_name = 'NATION_7' " +
+                 "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+               AS nation_rev,
+             ${r6Sql(
+               "(" + dsumSql("CASE WHEN n_name = 'NATION_7' " +
+                 "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END") +
+                 ") / (" + dsumSql("l_extendedprice * (1 - l_discount)") + ")")}
+               AS mkt_share
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY o_year, r_name
+      ORDER BY o_year, r_name"""),
+  )
+
   /** Full outer join between two aggregates with key ranges that overlap
     * only partially BY CONSTRUCTION (sizes 1–25 vs 20–50): left-only,
     * both, and right-only rows all exist at every SF, so the outer
@@ -379,5 +430,5 @@ object Joins {
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinCross, qJoinQ5,
-    qJoinFull, qJoinSalted)
+    qJoinFull, qJoinSalted, qJoinQ8)
 }

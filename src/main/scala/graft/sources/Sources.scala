@@ -133,6 +133,31 @@ object Sources {
     n
   }
 
+  /** Partition-wise compaction for a hive-layout lake directory: walks to
+    * the leaf partition directories (any depth of `col=value` nesting) and
+    * compacts each independently with [[compactParquet]] — the nightly
+    * maintenance pass over ONLY the partitions an incremental load
+    * touched would filter this list first. Partition values never change,
+    * readers of untouched partitions see untouched files, and each leaf
+    * swap is independently crash-safe. Returns (leafPath → files written).
+    */
+  def compactPartitionedParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, Int] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subdirs = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    leaves(hp)
+      .filter(l => fs.listStatus(l)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .map(l => l.toString -> compactParquet(spark, l.toString, targetFileBytes))
+      .toMap
+  }
+
   /** Archival-tier parquet: zstd instead of the snappy default trades a
     * little write CPU for ~25-40% smaller files — at 100 TB that is the
     * difference between storage tiers, and scan-bound queries read less.

@@ -127,6 +127,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(!parent.exists(_.contains("compact.")), parent.mkString(","))
   }
 
+  test("compactPartitionedParquet compacts every leaf, preserves partition values") {
+    val dir = Files.createTempDirectory("compact_part").toString + "/orders"
+    val ord = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("status", col("o_orderstatus"))
+    ord.repartition(8).write.partitionBy("status").parquet(dir)
+    def leafFiles(leaf: String) = new java.io.File(s"$dir/status=$leaf")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val statuses = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName.stripPrefix("status=")).sorted
+    assert(statuses.nonEmpty && leafFiles(statuses.head).length > 1)
+    val res = Sources.compactPartitionedParquet(spark, dir, Long.MaxValue)
+    assert(res.size == statuses.length, res)
+    assert(res.values.forall(_ == 1), res)
+    statuses.foreach(s => assert(leafFiles(s).length == 1, s"leaf $s"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ord.count())
+    assert(back.select("status").distinct().count() == statuses.length)
+    assert(back.drop("status").exceptAll(ord.drop("status")).isEmpty)
+  }
+
   test("FAILFAST surfaces malformed input instead of nulling it") {
     val dir = Files.createTempDirectory("bad_csv")
     Files.writeString(dir.resolve("bad.csv"), "doc_id,n_chars\n1,10\n2,not_a_number\n")
