@@ -296,6 +296,52 @@ object Analytics {
       LIMIT 20"""),
   )
 
+  /** Incremental rollup maintenance ON the oracle surface: the lineitem
+    * rollup is built as three deterministic slices aggregated
+    * independently ([[graft.operators.Upsert.aggState]]) and then
+    * state-merged — exactly how a materialized view refreshes from daily
+    * deltas without rescanning history. Because every state component
+    * merges associatively (cnt/sum/min/max; sums in exact decimal), the
+    * result must be BIT-IDENTICAL to the oracle's from-scratch GROUP BY
+    * over the whole table — that identity IS the correctness contract of
+    * incremental view maintenance, and the hash-match gate enforces it.
+    * Derived avg is computed in the final view, never stored in state. */
+  val qAggIncremental: GQuery = GQuery(
+    "q_agg_incremental",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      def slice(i: Int) = li.filter(pmod($"l_linenumber", lit(3)) === i)
+      def st(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Upsert.aggState(df, Seq("l_returnflag"),
+          sumCols = Seq("l_quantity"), minMaxCols = Seq("l_extendedprice"))
+      val merged = graft.operators.Upsert.mergeAggState(
+        graft.operators.Upsert.mergeAggState(st(slice(0)), st(slice(1)),
+          Seq("l_returnflag")),
+        st(slice(2)), Seq("l_returnflag"))
+      merged.select(
+        $"l_returnflag", $"cnt",
+        rN($"sum_l_quantity".cast("double"), 2).as("sum_qty"),
+        $"min_l_extendedprice".as("min_price"),
+        $"max_l_extendedprice".as("max_price"),
+        rN($"sum_l_quantity".cast("double") / $"cnt", 6).as("avg_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, count(*) AS cnt,
+             ${rNSql("cast(sum(cast(l_quantity as decimal(30,6))) as double)", 2)}
+               AS sum_qty,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             ${rNSql(
+               "cast(sum(cast(l_quantity as decimal(30,6))) as double) / count(*)", 6)}
+               AS avg_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+  )
+
   def all: Seq[GQuery] =
-    Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile)
+    Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
+      qAggIncremental)
 }

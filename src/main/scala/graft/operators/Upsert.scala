@@ -52,6 +52,46 @@ object Upsert {
       .filter(!col(deleteCol))
   }
 
+  /** Incremental aggregate-state maintenance: fold a delta's PARTIAL
+    * aggregate state into the stored rollup without rescanning history —
+    * the materialized-view refresh pattern. The state schema per key is
+    * (cnt, sum_*, min_*, max_*): every one of those merges associatively
+    * (cnt+cnt, sum+sum, min(min), max(max)), so refreshing with deltas
+    * d1 then d2 is IDENTICAL to aggregating base∪d1∪d2 from scratch
+    * (PropertySpec proves it). Derived values (avg = sum/cnt) belong in a
+    * view over the state, never in the state itself — they don't merge.
+    * One shuffle on the key at |keys|-not-|rows| cost per refresh; sums
+    * accumulate in exact decimal so refresh order can't change the bits.
+    */
+  def aggState(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minMaxCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val aggs =
+      Seq(count(lit(1)).as("cnt")) ++
+        sumCols.map(c => sum(col(c).cast(DecimalType(30, 6))).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two [[aggState]] tables (same keyCols/state schema). */
+  def mergeAggState(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val stateCols = a.columns.filterNot(keyCols.contains)
+    require(stateCols.sameElements(b.columns.filterNot(keyCols.contains)),
+      s"state schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val aggs = stateCols.map {
+      case c @ "cnt" => sum(col(c)).as(c)
+      case c if c.startsWith("sum_") => sum(col(c)).as(c)
+      case c if c.startsWith("min_") => min(col(c)).as(c)
+      case c if c.startsWith("max_") => max(col(c)).as(c)
+      case c => throw new IllegalArgumentException(s"non-mergeable state column: $c")
+    }
+    a.unionByName(b).groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Idempotent partitioned write: overwrites ONLY the partitions present
     * in `df` (dynamic partition overwrite), leaving every other partition
     * of the target untouched. Re-running the same batch converges to the

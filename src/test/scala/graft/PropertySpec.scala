@@ -123,4 +123,29 @@ class PropertySpec extends AnyFunSuite {
       assert(canon(split) == canon(once))
     }
   }
+
+  test("aggState: incremental delta merges equal from-scratch aggregation") {
+    import spark.implicits._
+    import graft.operators.Upsert.{aggState, mergeAggState}
+    val gen = Gen.listOfN(3, Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(-1000, 1000))))
+    samples(gen, 5).foreach { batches =>
+      def mk(rows: Seq[(Long, Int)]) = rows
+        .map { case (k, v) => (k, v / 100.0, v) }.toDF("id", "x", "y")
+      def st(df: org.apache.spark.sql.DataFrame) =
+        aggState(df, Seq("id"), sumCols = Seq("x"), minMaxCols = Seq("y"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().toSeq
+      val Seq(b0, b1, b2) = batches.map(mk)
+      // incremental: state(b0) ⊕ state(b1) ⊕ state(b2)
+      val inc = mergeAggState(
+        mergeAggState(st(b0), st(b1), Seq("id")), st(b2), Seq("id"))
+      // from scratch over the union, and in a different merge order
+      val scratch = st(b0.unionByName(b1).unionByName(b2))
+      val reord = mergeAggState(
+        st(b0), mergeAggState(st(b2), st(b1), Seq("id")), Seq("id"))
+      assert(canon(inc) == canon(scratch))
+      assert(canon(reord) == canon(scratch))
+    }
+  }
 }
