@@ -492,8 +492,38 @@ object Windows {
     },
   )
 
+  /** Relative-standing analytics: percent_rank and cume_dist per market
+    * segment (the remaining two ranking-family functions after
+    * q_win_rank's row_number/rank/dense_rank/ntile). The window ORDER BY
+    * carries the unique custkey tiebreak, so ranks are total and both
+    * engines derive identical (rank-1)/(n-1) and k/n doubles; r6 keeps
+    * the contract explicit. One shuffle by segment. */
+  val qWinPctRank: GQuery = GQuery(
+    "q_win_pctrank",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(spark, dir)
+        .filter($"c_custkey" <= 400)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cume"))
+        .orderBy($"c_mktsegment", $"c_custkey")
+    },
+    Some(s"""
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ${r6Sql("percent_rank() OVER (PARTITION BY c_mktsegment " +
+               "ORDER BY c_acctbal DESC, c_custkey)")} AS pct_rank,
+             ${r6Sql("cume_dist() OVER (PARTITION BY c_mktsegment " +
+               "ORDER BY c_acctbal DESC, c_custkey)")} AS cume
+      FROM customer
+      WHERE c_custkey <= 400
+      ORDER BY c_mktsegment, c_custkey"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
-    qWinSlide, qGapfill, qZscore, qEwma)
+    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank)
 }

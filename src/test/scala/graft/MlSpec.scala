@@ -351,6 +351,27 @@ class MlSpec extends AnyFunSuite {
     assert(out.schema("features").dataType.typeName == "vector")
   }
 
+  test("MLWritable persistence: save -> load round-trips predictions (A5 capability)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val df = (1 to 200).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      (Array(x1, x2), if (x1 + 2 * x2 > 0) 1.0 else 0.0)
+    }.toDF("arr", "label")
+      .select(array_to_vector($"arr").as("features"), $"label")
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(15).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("ml_persist").toString + "/lr"
+    m.write.overwrite().save(dir)
+    val loaded =
+      org.apache.spark.ml.classification.LogisticRegressionModel.load(dir)
+    assert(loaded.coefficients == m.coefficients)
+    assert(loaded.intercept == m.intercept)
+    val a = m.transform(df).select($"prediction").as[Double].collect()
+    val b = loaded.transform(df).select($"prediction").as[Double].collect()
+    assert(a.sameElements(b))
+  }
+
   test("gapplyRows applies a Row function per group under a given schema") {
     import spark.implicits._
     import org.apache.spark.sql.Row
