@@ -140,6 +140,33 @@ object Streams {
         col("signup_id"), col("signup_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[purchaseSignupJoin]]'s
+    * hard sibling: purchases with NO qualifying signup still emit (with
+    * null signup columns), but only once the watermark proves no matching
+    * signup can arrive anymore. That proof is exactly why outer
+    * stream-stream joins REQUIRE both the watermark and the event-time
+    * range condition: they bound how long an unmatched left row must be
+    * held before the null-extended result is safe to emit. State stays
+    * watermark-bounded on both sides. */
+  def purchaseSignupJoinOuter(events: DataFrame, windowSeconds: Long,
+      delay: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", delay)
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("signup_id"), col("signup_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch left-joins the
     * (small) static dimension, broadcast so the stream side never
     * shuffles. Spark re-plans the static side per micro-batch, so a dim

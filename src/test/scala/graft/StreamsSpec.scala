@@ -133,6 +133,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("LEFT OUTER stream-stream join emits unmatched purchases after watermark") {
+    val evs = Seq(
+      Ev(1, 1, ts(0), "signup", 0), Ev(2, 1, ts(30), "purchase", 0),
+      Ev(3, 1, ts(200), "purchase", 0), // signup outside the 60-min window
+      Ev(6, 3, ts(40), "purchase", 0))  // user with no signup at all
+    val out = runStream(Seq(evs.take(2), evs.drop(2),
+      // advance the watermark far enough to prove no signup can still match.
+      // Sentinels must SURVIVE both event-type filters (an "x" row would be
+      // dropped before the watermark operators and never advance them), and
+      // the null-extended rows emit on the NEXT trigger after eviction — so
+      // two sentinel batches of signup+purchase pairs
+      Seq(Ev(9, 9, ts(100000), "signup", 0), Ev(10, 9, ts(100000), "purchase", 0)),
+      Seq(Ev(11, 9, ts(100002), "signup", 0), Ev(12, 9, ts(100002), "purchase", 0))))(
+      df => Streams.purchaseSignupJoinOuter(df, windowSeconds = 3600))
+    import org.apache.spark.sql.functions.col
+    val got = out.filter(col("user_id") =!= 9)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("purchase_id")),
+        if (r.isNullAt(r.fieldIndex("signup_id"))) -1L
+        else r.getLong(r.fieldIndex("signup_id"))))
+      .toSet
+    // purchase 2 matched signup 1; purchases 3 and 6 emit null-extended
+    assert(got == Set((2L, 1L), (3L, -1L), (6L, -1L)), got.toString)
+    // batch twin on the same data agrees (nulls included)
+    val batch = Streams.purchaseSignupJoinOuter(evs.toDF(), windowSeconds = 3600)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("purchase_id")),
+        if (r.isNullAt(r.fieldIndex("signup_id"))) -1L
+        else r.getLong(r.fieldIndex("signup_id"))))
+      .toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+  }
+
   test("stream-static enrichment join broadcasts the dim, matches batch") {
     val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
     val evs = Seq(
