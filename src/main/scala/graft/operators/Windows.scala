@@ -522,8 +522,57 @@ object Windows {
       ORDER BY c_mktsegment, c_custkey"""),
   )
 
+  /** Forward-fill / LOCF resample — q_gapfill's other half: where
+    * gap-fill zero-fills counts, a sensor/price series must carry the
+    * LAST OBSERVED value across missing days (last-observation-carried-
+    * forward). The spine join is the same broadcast day-spine; the fill
+    * is one `last_value(... ignore nulls)` running frame per user — the
+    * IGNORE NULLS semantics both engines share. Daily values are
+    * decimal-summed BEFORE the fill so the carried value is already
+    * rounding-stable; users bounded to keep the dump small, the plan
+    * identical at any population (one shuffle by user). */
+  val qLocf: GQuery = GQuery(
+    "q_locf",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.events(spark, dir)
+        .filter($"user_id" < 20)
+        .select($"user_id", to_date($"ts").as("day"), $"value")
+      val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(sequence($"d0", $"d1")).as("day"))
+      val users = e.select($"user_id").distinct()
+      val daily = e.groupBy($"user_id", $"day").agg(dsum($"value").as("day_value"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.crossJoin(broadcast(users))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", $"day_value",
+          last($"day_value", ignoreNulls = true).over(w).as("filled"))
+        .orderBy($"user_id", $"day")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, cast(date_trunc('second', ts) as date) AS day, value
+        FROM events WHERE user_id < 20),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+          cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day FROM b),
+      users AS (SELECT DISTINCT user_id FROM e),
+      daily AS (
+        SELECT user_id, day, ${dsumSql("value")} AS day_value
+        FROM e GROUP BY user_id, day)
+      SELECT u.user_id, s.day, d.day_value,
+             last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM spine s CROSS JOIN users u
+      LEFT JOIN daily d ON d.day = s.day AND d.user_id = u.user_id
+      ORDER BY u.user_id, s.day"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
-    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank)
+    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf)
 }
