@@ -497,7 +497,12 @@ object Windows {
     * q_win_rank's row_number/rank/dense_rank/ntile). The window ORDER BY
     * carries the unique custkey tiebreak, so ranks are total and both
     * engines derive identical (rank-1)/(n-1) and k/n doubles; r6 keeps
-    * the contract explicit. One shuffle by segment. */
+    * the contract explicit. One shuffle by segment — NOTE the honest
+    * scale caveat: segment cardinality is tiny (5), so per-row exact
+    * percent_rank at 100 TB would funnel each segment through one task;
+    * at that scale report relative standing via broadcast quantile
+    * breakpoints (q_rfm's pattern) and reserve exact per-row ranks for
+    * bounded slices like this one. */
   val qWinPctRank: GQuery = GQuery(
     "q_win_pctrank",
     (spark, dir) => {
