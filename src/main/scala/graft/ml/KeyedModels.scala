@@ -146,6 +146,60 @@ object KeyedModels {
         :+ col("model.intercept").as("intercept") :+ col("model.n").as("n"): _*)
   }
 
+  /** Raw-Gram aggregator: same distributed pass as [[GramOLS]] but
+    * finishes with the untouched sufficient statistics, so model
+    * selection can re-solve them many times without touching the data. */
+  final class GramRaw(nFeatures: Int)
+      extends Aggregator[(Seq[Double], Double), GramBuf, GramBuf] {
+    private val inner = new GramOLS(nFeatures)
+    def zero: GramBuf = inner.zero
+    def reduce(b: GramBuf, in: (Seq[Double], Double)): GramBuf = inner.reduce(b, in)
+    def merge(a: GramBuf, b: GramBuf): GramBuf = inner.merge(a, b)
+    def finish(b: GramBuf): GramBuf = b
+    def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+  }
+
+  /** Per-key ridge PATH: fits every λ in `lambdas` from ONE Gram
+    * aggregation pass — the point of sufficient-statistic models: the
+    * data is read once, and each (key, λ) solve is O(d³) arithmetic on
+    * the |keys|-row Gram table. The per-row solver is a scalar UDF, which
+    * is exactly where a UDF belongs (B.11 preference order): the model
+    * table after aggregation, never the data path. Bit-identical to
+    * calling [[fitRidge]] separately per λ (MlSpec proves it). */
+  def fitRidgePath(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String,
+      lambdas: Seq[Double]): DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0.0), s"bad lambdas: $lambdas")
+    val nF = featureCols.size
+    val agg = udaf(new GramRaw(nF))
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    val grams = df.groupBy(keyCols.map(col): _*)
+      .agg(agg(featuresArr, col(yCol).cast("double")).as("g"))
+    val solve = udf { (xtx: Seq[Double], xty: Seq[Double], n: Long, lam: Double) =>
+      val d = nF + 1
+      val a = xtx.toArray
+      var diag = 0
+      for (i <- 0 until d) {
+        if (i > 0) a(diag) += lam
+        diag += d - i
+      }
+      val beta = solveNormal(d, a, xty.toArray)
+      LinearFit(beta.drop(1), beta(0), n)
+    }
+    val sess = df.sparkSession
+    import sess.implicits._
+    grams
+      .crossJoin(broadcast(lambdas.toDF("lambda")))
+      .withColumn("model", solve(col("g.xtx"), col("g.xty"), col("g.n"), col("lambda")))
+      .select(keyCols.map(col) :+ col("lambda")
+        :+ col("model.coefficients").as("coefficients")
+        :+ col("model.intercept").as("intercept") :+ col("model.n").as("n"): _*)
+  }
+
   /** A9: apply the per-key models — broadcast-join the (small) model table
     * to the data on the key columns and evaluate ŷ = β₀ + β·x as a
     * codegen'd expression. */

@@ -175,6 +175,43 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(rescued(0) + 2.0 * rescued(1) - 5.0) < 0.1, rescued.toString)
   }
 
+  test("fitRidgePath: one Gram pass reproduces every per-lambda fitRidge exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (for {
+      key <- Seq("k1", "k2"); _ <- 1 to 150
+    } yield {
+      val x1 = rng.nextDouble() * 6; val x2 = rng.nextDouble() * 2
+      (key, x1, x2, 1.5 * x1 - 0.5 * x2 + 2.0 + rng.nextGaussian() * 0.05)
+    })
+    val df = rows.toDF("key", "x1", "x2", "y").repartition(6)
+    val lambdas = Seq(0.0, 0.5, 5.0)
+    val path = KeyedModels
+      .fitRidgePath(df, Seq("key"), Seq("x1", "x2"), "y", lambdas)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getSeq[Double](2), r.getDouble(3), r.getLong(4))).toMap
+    assert(path.size == 6) // 2 keys x 3 lambdas
+    lambdas.foreach { lam =>
+      val single = KeyedModels
+        .fitRidge(df, Seq("key"), Seq("x1", "x2"), "y", lam)
+        .collect()
+        .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+      Seq("k1", "k2").foreach { k =>
+        val (pc, pi, pn) = path((k, lam))
+        val (sc, si) = single(k)
+        assert(pn == 150)
+        // the Gram SUMS are float additions in shuffle-merge order, so two
+        // separate jobs may differ in the last ulp — compare tightly, not
+        // bitwise
+        pc.zip(sc).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"$k lambda=$lam coef $a vs $b")
+        }
+        assert(math.abs(pi - si) < 1e-9, s"$k lambda=$lam intercept $pi vs $si")
+      }
+    }
+  }
+
   test("Gram aggregation merge order does not change the fit") {
     import spark.implicits._
     val rng = new scala.util.Random(2)
