@@ -200,6 +200,46 @@ object KeyedModels {
         :+ col("model.intercept").as("intercept") :+ col("model.n").as("n"): _*)
   }
 
+  /** Per-key model selection — GridSearchCV's job done per key with
+    * sufficient statistics (A1 × A8): deterministic hash split on
+    * `idCol`, ridge PATH fit on the train rows (one Gram pass for every
+    * λ), every (key, λ) model scored on the held-out rows in one more
+    * pass, best λ per key by (val RMSE, λ) argmin — exact RMSE ties break
+    * toward the smaller λ. Two data passes total for the entire sweep,
+    * independent of |lambdas|. Returns (keys..., best_lambda, val_rmse,
+    * coefficients, intercept, n). */
+  def selectRidge(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String,
+      idCol: String,
+      lambdas: Seq[Double],
+      valFraction: Int = 2): DataFrame = {
+    require(valFraction >= 2, "valFraction is the denominator: 1/valFraction held out")
+    val bucket = pmod(xxhash64(col(idCol)), lit(valFraction.toLong))
+    val train = df.filter(bucket =!= 0)
+    val holdout = df.filter(bucket === 0)
+    val path = fitRidgePath(train, keyCols, featureCols, yCol, lambdas)
+    val arrSql =
+      featureCols.map(c => s"cast($c as double)").mkString("array(", ", ", ")")
+    val y = col(yCol).cast("double")
+    val scored = holdout.join(broadcast(path), keyCols)
+      .withColumn("__pred",
+        col("intercept") + expr(
+          s"aggregate(zip_with($arrSql, coefficients, " +
+            "(x, c) -> x * c), 0D, (s, v) -> s + v)"))
+      .groupBy((keyCols.map(col) :+ col("lambda")): _*)
+      .agg(sqrt(avg((y - col("__pred")) * (y - col("__pred")))).as("val_rmse"))
+    val best = scored.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(col("lambda"), col("val_rmse")),
+        struct(col("val_rmse"), col("lambda"))).as("b"))
+      .select(keyCols.map(col) :+ col("b.lambda").as("best_lambda")
+        :+ col("b.val_rmse").as("val_rmse"): _*)
+    best.join(path.withColumnRenamed("lambda", "best_lambda"),
+      keyCols :+ "best_lambda")
+  }
+
   /** A9: apply the per-key models — broadcast-join the (small) model table
     * to the data on the key columns and evaluate ŷ = β₀ + β·x as a
     * codegen'd expression. */

@@ -212,6 +212,46 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("selectRidge picks the lambda with the measured-best validation rmse") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (for {
+      key <- Seq("k1", "k2"); i <- 1 to 240
+    } yield {
+      val x1 = rng.nextDouble() * 4; val x2 = rng.nextDouble() * 3
+      val noise = if (key == "k1") 0.02 else 2.5 // k2 is noise-dominated
+      (key, i.toLong, x1, x2, 2.0 * x1 + 1.0 * x2 + 0.5 + rng.nextGaussian() * noise)
+    })
+    val df = rows.toDF("key", "rid", "x1", "x2", "y").repartition(7)
+    val lambdas = Seq(0.0, 1.0, 50.0)
+    val best = KeyedModels.selectRidge(
+      df, Seq("key"), Seq("x1", "x2"), "y", "rid", lambdas)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(r.fieldIndex("best_lambda")),
+          r.getDouble(r.fieldIndex("val_rmse")))).toMap
+    assert(best.keySet == Set("k1", "k2"))
+    // internal consistency: recompute every (key, lambda) val rmse and
+    // confirm the returned lambda is the argmin
+    val bucket = pmod(xxhash64($"rid"), lit(2L))
+    val train = df.filter(bucket =!= 0)
+    val holdout = df.filter(bucket === 0)
+    val path = KeyedModels.fitRidgePath(train, Seq("key"), Seq("x1", "x2"), "y", lambdas)
+    val rmses = holdout.join(path, Seq("key"))
+      .withColumn("p", $"intercept" +
+        expr("aggregate(zip_with(array(cast(x1 as double), cast(x2 as double)), " +
+          "coefficients, (x, c) -> x * c), 0D, (s, v) -> s + v)"))
+      .groupBy($"key", $"lambda")
+      .agg(sqrt(avg(($"y" - $"p") * ($"y" - $"p"))).as("rmse"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    Seq("k1", "k2").foreach { k =>
+      val argmin = lambdas.minBy(l => (rmses((k, l)), l))
+      assert(best(k)._1 == argmin, s"$k chose ${best(k)._1}, argmin=$argmin")
+      assert(math.abs(best(k)._2 - rmses((k, argmin))) < 1e-9)
+    }
+    // the near-noiseless key should never need the heavy penalty
+    assert(best("k1")._1 != 50.0)
+  }
+
   test("Gram aggregation merge order does not change the fit") {
     import spark.implicits._
     val rng = new scala.util.Random(2)
