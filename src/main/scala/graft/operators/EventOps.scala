@@ -278,6 +278,73 @@ object EventOps {
       FROM seqs GROUP BY matched ORDER BY matched"""),
   )
 
+  /** Point-in-time (AS OF) join against the SCD2 dimension — the lookup
+    * every temporal warehouse join needs: each lineitem finds the status
+    * interval of ITS customer that was valid on ITS ship date
+    * (valid_from ≤ d < valid_to), i.e. "what was the customer's state
+    * when this happened", not "what is it now". The interval dim is
+    * q_scd2's build; the PIT join is an EQUI-join on the customer key
+    * with the interval predicate as a post-join filter — Catalyst keeps
+    * it a hash/sort-merge join on the key (never a nested loop), and
+    * intervals per key are few, so the pre-filter fan-out is bounded.
+    * Ship dates can't precede the customer's first interval (goods ship
+    * after the order), so the inner join is lossless by construction. */
+  val qJoinPit: GQuery = GQuery(
+    "q_join_pit",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val changes = Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderkey",
+          to_date($"o_orderdate").as("o_orderdate"), $"o_orderstatus")
+        .withColumn("prev_status", lag($"o_orderstatus", 1).over(w))
+        .filter($"prev_status".isNull || $"prev_status" =!= $"o_orderstatus")
+      val dim = changes
+        .select($"o_custkey", $"o_orderstatus".as("status"),
+          $"o_orderdate".as("valid_from"), $"o_orderkey",
+          coalesce(lead($"o_orderdate", 1).over(w), lit("9999-12-31").cast("date"))
+            .as("valid_to"))
+        .drop($"o_orderkey")
+      val facts = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey", to_date($"l_shipdate").as("ship_date"),
+          ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      facts.join(dim,
+        facts("o_custkey") === dim("o_custkey") &&
+          $"valid_from" <= $"ship_date" && $"ship_date" < $"valid_to")
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_items"), dsum($"rev").as("revenue"))
+        .orderBy($"status")
+    },
+    Some(s"""
+      WITH ordered AS (
+        SELECT o_custkey, o_orderkey, cast(o_orderdate as date) AS o_orderdate,
+               o_orderstatus,
+               lag(o_orderstatus, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY cast(o_orderdate as date), o_orderkey) AS prev_status
+        FROM orders),
+      changes AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+        FROM ordered
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+      dim AS (
+        SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+               coalesce(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), date '9999-12-31') AS valid_to
+        FROM changes),
+      facts AS (
+        SELECT o.o_custkey, cast(l.l_shipdate as date) AS ship_date,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT status, count(*) AS n_items, ${dsumSql("rev")} AS revenue
+      FROM facts f JOIN dim d
+        ON f.o_custkey = d.o_custkey
+           AND d.valid_from <= f.ship_date AND f.ship_date < d.valid_to
+      GROUP BY status
+      ORDER BY status"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch)
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch, qJoinPit)
 }
