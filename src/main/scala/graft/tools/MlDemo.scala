@@ -59,6 +59,19 @@ object MlDemo {
     val preds = KeyedModels.transformLinear(ev, models, Seq("user_id"), Seq("h"))
     preds.select($"user_id", $"h", $"value", round($"prediction", 3).as("pred"))
       .orderBy($"user_id").show(5, false)
+
+    println("== KeyedModels: per-key evaluation (score surface) ==")
+    KeyedModels.scoreLinear(ev, models, Seq("user_id"), Seq("h"), "value")
+      .orderBy($"user_id").show(5, false)
+
+    println("== KeyedModels: ridge path + per-key lambda selection ==")
+    println("  (one Gram pass fits every lambda; selection holds out 1/2 by event hash)")
+    val evId = graft.engine.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", hour($"ts").cast("double").as("h"), $"value")
+    KeyedModels.selectRidge(evId, Seq("user_id"), Seq("h"), "value",
+      idCol = "event_id", lambdas = Seq(0.0, 1.0, 10.0))
+      .select($"user_id", $"best_lambda", round($"val_rmse", 4).as("val_rmse"))
+      .orderBy($"user_id").show(5, false)
     spark.stop()
   }
 }
