@@ -576,8 +576,85 @@ object Windows {
       ORDER BY u.user_id, s.day"""),
   )
 
+  /** Linear interpolation resample — the third fill strategy beside
+    * q_gapfill (zero) and q_locf (carry-forward): a missing day takes the
+    * value on the straight line between its nearest observed neighbors,
+    * falling back to LOCF/NOCB at the series edges. Two IGNORE NULLS
+    * frames per user (backward last, forward first) carry both the
+    * neighbor values AND their days; the interpolation itself is pure
+    * IEEE arithmetic on decimal-summed endpoints and integer day gaps,
+    * IEEE-rounded — the cross-engine contract every computed double here
+    * uses. Same single shuffle by user as q_locf. */
+  val qFillLinear: GQuery = GQuery(
+    "q_fill_linear",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.events(spark, dir)
+        .filter($"user_id" < 20)
+        .select($"user_id", to_date($"ts").as("day"), $"value")
+      val spine = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(sequence($"d0", $"d1")).as("day"))
+      val users = e.select($"user_id").distinct()
+      val daily = e.groupBy($"user_id", $"day").agg(dsum($"value").as("v"))
+      val wb = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val joined = spine.crossJoin(broadcast(users))
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last($"v", ignoreNulls = true).over(wb))
+        .withColumn("pd", last(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wb))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wf))
+      joined.select($"user_id", $"day", $"v".as("day_value"),
+        r6(when($"v".isNotNull, $"v")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (datediff($"day", $"pd").cast("double") /
+              datediff($"nd", $"pd").cast("double"))))
+          .as("filled"))
+        .orderBy($"user_id", $"day")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, cast(date_trunc('second', ts) as date) AS day, value
+        FROM events WHERE user_id < 20),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+          cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day FROM b),
+      users AS (SELECT DISTINCT user_id FROM e),
+      daily AS (
+        SELECT user_id, day, ${dsumSql("value")} AS v
+        FROM e GROUP BY user_id, day),
+      j AS (
+        SELECT u.user_id, s.day, d.v,
+          last_value(d.v IGNORE NULLS) OVER (PARTITION BY u.user_id
+            ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+            OVER (PARTITION BY u.user_id ORDER BY s.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          first_value(d.v IGNORE NULLS) OVER (PARTITION BY u.user_id
+            ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+            OVER (PARTITION BY u.user_id ORDER BY s.day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM spine s CROSS JOIN users u
+        LEFT JOIN daily d ON d.day = s.day AND d.user_id = u.user_id)
+      SELECT user_id, day, v AS day_value,
+        ${r6Sql(
+          "CASE WHEN v IS NOT NULL THEN v " +
+            "WHEN pv IS NULL THEN nv " +
+            "WHEN nv IS NULL THEN pv " +
+            "ELSE pv + (nv - pv) * (cast(date_diff('day', pd, day) as double) " +
+            "/ cast(date_diff('day', pd, nd) as double)) END")} AS filled
+      FROM j
+      ORDER BY user_id, day"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
-    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf)
+    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear)
 }
