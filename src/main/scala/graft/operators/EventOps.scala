@@ -238,24 +238,37 @@ object EventOps {
   )
 
   /** Ordered sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
-    * event history becomes a compact initial-letter string in (ts,
-    * event_id) order — event types here have unique initials — and the
-    * funnel pattern view→…→click→…→purchase is one codegen'd regex per
-    * user. Compared to q_funnel's three join-aggregations this is the
-    * collapse-then-match form: one shuffle by user, per-user state bounded
-    * by that user's history (the same posture as any per-entity sequence
-    * op), and arbitrary patterns swap in by changing the regex, not the
-    * plan. */
+    * TRAILING-256-event history becomes a compact initial-letter string in
+    * (ts, event_id) order — event types here have unique initials — and
+    * the funnel pattern view→…→click→…→purchase is one codegen'd regex per
+    * user. Per-user state is BOUNDED by construction: a window rank keeps
+    * only the newest 256 events per user BEFORE the collect, so one
+    * pathological user at 100× SF costs 256 rows, never their whole
+    * history (the unbounded collect was round-4/5's flagged scale-killer).
+    * `n_events` still counts the user's FULL history (window count over
+    * the unfiltered partition — same shuffle, no extra pass).
+    *
+    * Determinism: both engines rank and sort by the SAME total key
+    * (second-truncated ts, unique event_id) — Spark's `ts` is already
+    * second-truncated by [[Tables.events]], and the oracle applies
+    * date_trunc('second', …) explicitly rather than relying on raw-ns
+    * order coinciding with event_id order. */
   val qSeqMatch: GQuery = GQuery(
     "q_seq_match",
     (spark, dir) => {
       import spark.implicits._
-      val seqs = Tables.events(spark, dir)
+      val byUser = Window.partitionBy($"user_id")
+      val ranked = Tables.events(spark, dir)
         .select($"user_id", $"ts", $"event_id",
           substring($"event_type", 1, 1).as("ini"))
+        .withColumn("cnt", count(lit(1)).over(byUser))
+        .withColumn("rk", row_number().over(
+          byUser.orderBy($"ts".desc, $"event_id".desc)))
+        .filter($"rk" <= 256)
+      val seqs = ranked
         .groupBy($"user_id")
         .agg(
-          count(lit(1)).as("n_events"),
+          max($"cnt").as("n_events"),
           array_join(
             expr("transform(array_sort(collect_list(struct(ts, event_id, ini)))," +
               " s -> s.ini)"), "").as("seq"))
@@ -267,11 +280,17 @@ object EventOps {
         .orderBy($"matched")
     },
     Some(s"""
-      WITH seqs AS (
-        SELECT user_id, count(*) AS n_events,
-               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
-                 AS seq
-        FROM events GROUP BY user_id)
+      WITH ranked AS (
+        SELECT user_id, date_trunc('second', ts) AS tss, event_id,
+               substr(event_type, 1, 1) AS ini,
+               count(*) OVER (PARTITION BY user_id) AS cnt,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rk
+        FROM events),
+      seqs AS (
+        SELECT user_id, cast(max(cnt) as bigint) AS n_events,
+               string_agg(ini, '' ORDER BY tss, event_id) AS seq
+        FROM ranked WHERE rk <= 256 GROUP BY user_id)
       SELECT cast(regexp_matches(seq, 'v.*c.*p') as int) AS matched,
              count(*) AS n_users,
              ${davgSql("n_events", 6)} AS avg_events

@@ -17,13 +17,20 @@ import graft.engine.GQuery._
 object Joins {
 
   /** Broadcast star join: fact orders ⋈ customer ⋈ nation ⋈ region.
-    * Only the fact table streams; dims ship to every executor once. */
+    * Only TRUE dimensions (nation: 25 rows, region: 5 — constant in SF)
+    * carry an explicit broadcast hint. Customer is NOT hinted: it grows
+    * linearly with SF (~15M rows at 100×; a pinned broadcast would be a
+    * multi-GB ship to every executor → OOM). The planner's stats/AQE
+    * broadcast customer while it fits the threshold and degrade to a
+    * shuffle join beyond it — PlanSpec proves both the BHJ-by-stats plan
+    * and the degradation with the threshold disabled, same posture as
+    * q_join_smj / q_join_q5. */
   val qJoinBcast: GQuery = GQuery(
     "q_join_bcast",
     (spark, dir) => {
       import spark.implicits._
       Tables.orders(spark, dir)
-        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
@@ -241,6 +248,54 @@ object Joins {
       ORDER BY event_id"""),
   )
 
+  /** Interval join, LEFT OUTER — the batch twin of the streaming
+    * stream-stream left-outer interval join
+    * (graft.streaming.Streams.purchaseSignupJoinOuter, golden-tested in
+    * StreamsSpec): every purchase keeps its row, matched to any signup by
+    * the SAME user within the 3 days before it, or null-extended when no
+    * signup qualifies — the nulls-included semantics the streaming side
+    * emits after watermark expiry. The plan is an EQUI-join on user_id
+    * with the interval predicate as a post-join filter (hash/SMJ, never a
+    * nested loop), the same shape that holds at 100 TB: one shuffle by
+    * user, per-key fan-out bounded by signups-per-user. */
+  val qJoinIntervalOuter: GQuery = GQuery(
+    "q_join_interval_outer",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"))
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user_id"), $"event_id".as("signup_id"),
+          $"ts".as("signup_ts"))
+      purchases.join(signups,
+          $"user_id" === $"s_user_id" &&
+            $"signup_ts" <= $"purchase_ts" &&
+            $"signup_ts" >= $"purchase_ts" - expr("INTERVAL 3 DAYS"),
+          "left_outer")
+        .select($"user_id", $"purchase_id", $"purchase_ts",
+          $"signup_id", $"signup_ts")
+        .orderBy($"purchase_id", $"signup_id".asc_nulls_first)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type
+        FROM events),
+      purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM ev WHERE event_type = 'purchase'),
+      signups AS (
+        SELECT user_id AS s_user_id, event_id AS signup_id, ts AS signup_ts
+        FROM ev WHERE event_type = 'signup')
+      SELECT user_id, purchase_id, purchase_ts, signup_id, signup_ts
+      FROM purchases LEFT JOIN signups
+        ON user_id = s_user_id
+           AND signup_ts <= purchase_ts
+           AND signup_ts >= purchase_ts - INTERVAL 3 DAY
+      ORDER BY purchase_id, signup_id ASC NULLS FIRST"""),
+  )
+
   /** Cross join of the two tiny dims (125 rows) — the only place a
     * cartesian product is ever acceptable. */
   val qJoinCross: GQuery = GQuery(
@@ -429,6 +484,6 @@ object Joins {
 
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinCross, qJoinQ5,
-    qJoinFull, qJoinSalted, qJoinQ8)
+    qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinIntervalOuter, qJoinCross,
+    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8)
 }

@@ -35,6 +35,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_join_bcast customer broadcast is threshold-driven; dims stay pinned") {
+    // threshold off: the un-hinted customer edge must degrade to a
+    // non-broadcast join (no forced broadcast of an SF-growing table),
+    // while the hinted true dims (nation/region) remain broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = physicalPlan("q_join_bcast")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_join_smj pins a sort-merge join for the fact-fact edge") {
     val plan = physicalPlan("q_join_smj")
     assert(plan.contains("SortMergeJoin"), plan)
