@@ -1,126 +1,511 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
 
-/** Scale-path operators DECLARED without a SQL oracle (SURVEY.md §2.B.8 ◻
-  * set promoted to the t2 surface): MinHash-LSH / SimHash near-dup, LSH and
-  * IVF approximate nearest neighbor, HLL approximate distinct. None are
-  * ANSI-SQL-expressible (sketches + hash-family randomness), so the driver
-  * records the weaker rows-only check for them — their VALUE correctness is
-  * covered by unit/property specs (LlmSpec, SkewAnnSpec: planted-duplicate
-  * recall, LSH/IVF recall vs brute force, HLL ±5% vs exact).
+/** Scale-path operators under the FULL hash-match oracle (SURVEY.md §2.B.8
+  * ◻ set, promoted from rows-only in round 6): MinHash signature-estimate
+  * near-dup, SimHash near-dup, LSH and IVF approximate nearest neighbor,
+  * and the HLL / GK sketch families.
   *
-  * Queries plant guaranteed duplicates (shifted-id unions) so the rows-only
-  * gate can never pass vacuously on 0 rows.
+  * The declared queries use PORTABLE deterministic constructions (the
+  * q_neardup_banded template, CorpusStats.scala): every hash is md5-derived
+  * so both engines compute identical integers; every floating dot product
+  * is a left-associative IEEE chain (Spark's codegen'd `dot_product` is a
+  * sequential fold — bit-identical to DuckDB's explicit `a[1]*b[1] + … +
+  * a[64]*b[64]`; DuckDB's own `list_inner_product` is NOT order-compatible
+  * and is deliberately avoided); sketch values that genuinely cannot
+  * hash-match (HLL registers, GK summaries) are checked via ERROR COLUMNS:
+  * the Spark plan computes |sketch − exact| against the documented bound
+  * in-plan and emits a boolean the oracle pins to `true`, so the exact
+  * values hash-match AND a sketch drifting out of tolerance fails the row.
   *
-  * The heavy ones (LSH fits, KMeans quantizer) carry `bench = false`: they
-  * stay out of the headline timing loop but remain driver-visible and
-  * smoke-checked.
+  * The MLlib library paths (BucketedRandomProjectionLSH, KMeans-quantizer
+  * IVF, MinHashLSH — graft.llm.Ann / graft.llm.NearDup) remain the
+  * production surface for learned/seeded hash families and keep their
+  * recall specs (LlmSpec, SkewAnnSpec); the declared twins here pin the
+  * same PLAN SHAPES (band equi-join candidate generation, candidates-only
+  * exact verification/re-rank, broadcast probe side) with hash families
+  * both engines can replicate.
+  *
+  * Queries plant guaranteed duplicates (shifted-id unions) or probe from
+  * the corpus itself, so no gate can pass vacuously on 0 rows.
   */
 object ScaleOps {
 
-  /** Declared pair generators run on a BOUNDED corpus slice (500 docs +
-    * 50 planted duplicates): the t2 dump is a smoke check of the operator
-    * wiring, not a scale benchmark, and an unbounded LSH self-join at
-    * larger SFs costs minutes of Verify wall-time for no additional
-    * signal. The unbounded scale path is the NearDup library itself
-    * (LlmSpec recall tests + SURVEY §2.B.8). */
+  /** Declared pair generators run on a BOUNDED corpus slice (500 docs /
+    * vectors + planted rows): the t2 dump is a correctness check of the
+    * operator wiring at every SF, not a scale benchmark; the shapes
+    * (equi-join candidates, no all-pairs) are what scale. */
   private val corpusBound = 500L
 
-  /** MinHash-LSH near-duplicate candidate pairs over documents with 50
-    * planted exact duplicates (shifted ids) — every planted pair must
-    * surface, so rows ≥ 50. */
+  private val D = 64 // embeddings dimension (TESTDATA.md)
+
+  /** DuckDB left-associative dot-product chain over two list columns —
+    * bit-identical to graft.functions.DotProduct's sequential fold. */
+  private def chainSql(a: String, b: String): String =
+    (1 to D).map(i => s"(cast($a[$i] as double)*cast($b[$i] as double))")
+      .mkString(" + ")
+
+  /** 16 deterministic ±1 hyperplanes for sign-random-projection LSH,
+    * derived from md5 so they are reproducible constants (embedded as
+    * literals in BOTH the Spark plan and the oracle SQL — no cross-engine
+    * hashing needed). */
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(16) { j =>
+      Array.tabulate(D) { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane|$j|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  private def planeArraySql(j: Int): String =
+    planes(j).map(w => s"${w}D").mkString("array(", ", ", ")")
+
+  /** DuckDB chain for embedding · plane_j with the ±1 literals inlined. */
+  private def planeChainSql(emb: String, j: Int): String =
+    (1 to D).map(i =>
+      s"(cast($emb[$i] as double)*cast(${planes(j)(i - 1)} as double))")
+      .mkString(" + ")
+
+  // ---------------------------------------------------------------------
+  // Near-duplicate detection
+  // ---------------------------------------------------------------------
+
+  /** MinHash near-dup by SIGNATURE ESTIMATE, fully oracle-checked: 3-word
+    * shingles → 16 portable minhashes (min md5-substring per seed group,
+    * the q_neardup_banded family) → 4-band LSH candidate generation →
+    * estimated Jaccard = |matching minhashes| / 16 on CANDIDATES ONLY.
+    * Where q_neardup_banded verifies candidates with the exact Jaccard
+    * (a second pass over the shingle sets), this is the cheaper
+    * signature-only estimate a 100 TB dedup pass actually ships: the
+    * signatures are already materialized, so verification is a constant-
+    * width column compare — no second shingle join. est_jaccard values are
+    * dyadic rationals (k/16), exact in both engines' doubles. */
   val qNeardupMinhash: GQuery = GQuery(
     "q_neardup_minhash",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir).filter(col("doc_id") < corpusBound)
-      val planted = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      graft.llm.NearDup.minHashPairs(docs.unionByName(planted), minJaccard = 0.7)
-        .orderBy(col("id_a"), col("id_b"))
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 50)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val g = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val minhashes = (0 until 16).map { s =>
+        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
+        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
+      }
+      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as("sig")))
+      val bands = sigs
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+        .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.sig".as("sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val sigsA = sigs.select(
+        ($"doc_id".as("id_a") +: (0 until 16).map(i => col(s"h$i").as(s"a$i"))): _*)
+      val sigsB = sigs.select(
+        ($"doc_id".as("id_b") +: (0 until 16).map(i => col(s"h$i").as(s"b$i"))): _*)
+      val nMatch = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      broadcast(cand)
+        .join(sigsA, "id_a").join(sigsB, "id_b")
+        .select($"id_a", $"id_b", nMatch.as("n_match"),
+          (nMatch.cast("double") / lit(16.0)).as("est_jaccard"))
+        .filter($"est_jaccard" >= 0.5)
+        .orderBy($"id_a", $"id_b")
     },
-    oracle = None,
-    bench = false,
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      sig AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM g GROUP BY doc_id),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.sig = y.sig
+                    AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT id_a, id_b,
+          (${(0 until 16).map(i =>
+            s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")})
+            AS n_match
+        FROM cand
+        JOIN sig a ON a.doc_id = cand.id_a
+        JOIN sig b ON b.doc_id = cand.id_b)
+      SELECT id_a, id_b, n_match,
+             cast(n_match as double) / cast(16.0 as double) AS est_jaccard
+      FROM scored
+      WHERE cast(n_match as double) / cast(16.0 as double) >= cast(0.5 as double)
+      ORDER BY id_a, id_b"""),
   )
 
-  /** SimHash near-duplicate pairs (64-bit fingerprint, Hamming ≤ 3) over
-    * the same planted-duplicate corpus. */
+  /** SimHash near-dup, fully oracle-checked: per-doc 32-bit fingerprint
+    * (majority vote over md5-hashed distinct tokens, bit i weight ±1) →
+    * 4 bands of 8 bits → band equi-join candidates → integer-popcount
+    * Hamming verification ≤ 3 on candidates only. The 8-bit×4-band split
+    * is EXACT by pigeonhole: any pair within Hamming 3 of each other
+    * differs in at most 3 bands, so at least one band matches — candidate
+    * generation loses nothing. All arithmetic is integer (md5 → hex →
+    * int, shifts, popcount): both engines compute identical fingerprints
+    * and identical Hamming distances, no floats anywhere. */
   val qNeardupSimhash: GQuery = GQuery(
     "q_neardup_simhash",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir).filter(col("doc_id") < corpusBound)
-      val planted = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      val hashes = graft.llm.NearDup.simHash(docs.unionByName(planted))
-      graft.llm.NearDup.simHashPairs(hashes, maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 50)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val toks = docs.select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("tok"))
+      val th = toks.select($"doc_id",
+        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("h"))
+      val sumCols = (0 until 32).map(i =>
+        sum(expr(s"(shiftright(h, $i) & 1) * 2 - 1")).as(s"s$i"))
+      val sums = th.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
+      val fp = sums.select($"doc_id",
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      val bands = fp.select($"doc_id",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            expr(s"shiftright(fp, ${8 * b}) & 255").as("val"))): _*)).as("bs"))
+        .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.val".as("val"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.val") === col("y.val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val fa = fp.select($"doc_id".as("id_a"), $"fp".as("fp_a"))
+      val fb = fp.select($"doc_id".as("id_b"), $"fp".as("fp_b"))
+      broadcast(cand).join(fa, "id_a").join(fb, "id_b")
+        .select($"id_a", $"id_b",
+          expr("cast(bit_count(fp_a ^ fp_b) as int)").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"id_a", $"id_b")
     },
-    oracle = None,
-    bench = false,
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                 AS tok FROM docs),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+             FROM toks),
+      sums AS (SELECT doc_id,
+        ${(0 until 32).map(i =>
+          s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n        ")}
+        FROM th GROUP BY doc_id),
+      fp AS (SELECT doc_id, cast(
+        ${(0 until 32).map(i =>
+          s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")}
+        as bigint) AS fp FROM sums),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, (fp >> ${8 * b}) & 255 AS val FROM fp")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.val = y.val
+                    AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b,
+             cast(bit_count(xor(fa.fp, fb.fp)) as int) AS hamming
+      FROM cand
+      JOIN fp fa ON fa.doc_id = cand.id_a
+      JOIN fp fb ON fb.doc_id = cand.id_b
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+      ORDER BY id_a, id_b"""),
   )
 
-  /** LSH approximate nearest neighbor: top-5 per probe via
-    * BucketedRandomProjectionLSH on normalized vectors. */
+  // ---------------------------------------------------------------------
+  // Approximate nearest neighbor
+  // ---------------------------------------------------------------------
+
+  /** LSH approximate nearest neighbor, fully oracle-checked: 16-bit
+    * sign-random-projection signature (deterministic md5-derived ±1
+    * hyperplanes, embedded as literals in both engines) → 4 bands of 4
+    * bits → band equi-join candidate generation (probes × corpus, never
+    * all-pairs) → exact cosine re-rank of candidates only, top-5 per
+    * probe. Every float is a left-associative IEEE chain (see object
+    * scaladoc), so candidate sets, cosines, and ranks are bit-identical
+    * across engines. The learned/seeded MLlib path stays in
+    * graft.llm.Ann.lshTopK (SkewAnnSpec recall vs brute force). */
   val qAnnLsh: GQuery = GQuery(
     "q_ann_lsh",
     (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < corpusBound)
-      graft.llm.Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .orderBy(col("p_id"), col("rnk"))
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val projected = (0 until 16).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"p$j",
+          expr(s"dot_product(emb, ${planes(j).map(w => s"${w}D")
+            .mkString("array(", ", ", ")")})"))
+      }
+      val sig = projected.select(
+        ($"vec_id" +: $"emb" +: $"nrm" +:
+          (0 until 4).map(b => (0 until 4).map(k =>
+            when(col(s"p${4 * b + k}") > 0, lit(1 << k)).otherwise(lit(0)))
+            .reduce(_ + _).as(s"band$b"))): _*)
+      def bandRows(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band_id"), col(s"band$b").as("val"))): _*)).as("bs"))
+          .select(col(idAs), $"bs.band_id".as("band_id"), $"bs.val".as("val"))
+      val cand = bandRows(sig.filter($"vec_id" < 5), "p_id")
+        .join(bandRows(sig, "c_id"), Seq("band_id", "val"))
+        .select($"p_id", $"c_id").distinct()
+      val p = sig.select($"vec_id".as("p_id"), $"emb".as("p_emb"), $"nrm".as("p_nrm"))
+      val c = sig.select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"nrm".as("c_nrm"))
+      val w = Window.partitionBy($"p_id").orderBy($"cos".desc, $"c_id")
+      cand.join(broadcast(p), "p_id").join(c, "c_id")
+        .withColumn("cos",
+          expr("dot_product(p_emb, c_emb)") / ($"p_nrm" * $"c_nrm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"p_id", $"c_id", r6($"cos").as("cos_sim"), $"rnk")
+        .orderBy($"p_id", $"rnk")
     },
-    oracle = None,
-    bench = false,
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound),
+      sig AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm,
+        ${(0 until 4).map(b => (0 until 4).map(k =>
+            s"(CASE WHEN (${planeChainSql("embedding", 4 * b + k)}) > 0 " +
+              s"THEN ${1 << k} ELSE 0 END)").mkString("(", " + ", s") AS band$b"))
+          .mkString(",\n        ")}
+        FROM emb),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT vec_id, $b AS band_id, band$b AS val FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.vec_id AS p_id, y.vec_id AS c_id
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.val = y.val
+               WHERE x.vec_id < 5),
+      scored AS (
+        SELECT cand.p_id, cand.c_id,
+               (${chainSql("p.embedding", "c.embedding")})
+                 / (p.nrm * c.nrm) AS cos
+        FROM cand
+        JOIN sig p ON p.vec_id = cand.p_id
+        JOIN sig c ON c.vec_id = cand.c_id),
+      ranked AS (
+        SELECT p_id, c_id, cos,
+               cast(row_number() OVER (PARTITION BY p_id
+                 ORDER BY cos DESC, c_id) as int) AS rnk
+        FROM scored)
+      SELECT p_id, c_id, ${r6Sql("cos")} AS cos_sim, rnk
+      FROM ranked WHERE rnk <= 5
+      ORDER BY p_id, rnk"""),
   )
 
-  /** IVF approximate nearest neighbor: KMeans coarse quantizer, nProbe
-    * cells searched, exact cosine re-rank of candidates. */
+  /** IVF approximate nearest neighbor, fully oracle-checked: the coarse
+    * quantizer is a DETERMINISTIC hash-sample of the corpus itself
+    * (vec_id % 61 = 3 → ~1 centroid per 61 vectors) instead of KMeans —
+    * the IVF plan shape with a hash family both engines can replicate.
+    * Every corpus vector is assigned to its nearest centroid by cosine
+    * (argmax via row_number over a broadcast centroid cross join — at
+    * 100 TB this is one codegen'd pass, centroids broadcast); each probe
+    * searches its nProbe=3 nearest cells; candidates (corpus rows in
+    * probed cells, equi-join on cell) get an exact cosine re-rank, top-5
+    * per probe. The KMeans-quantizer path stays in graft.llm.Ann.ivfTopK
+    * (SkewAnnSpec recall vs brute force). */
   val qAnnIvf: GQuery = GQuery(
     "q_ann_ivf",
     (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < corpusBound)
-      graft.llm.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .orderBy(col("p_id"), col("rnk"))
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val cents = emb.filter($"vec_id" % 61 === 3)
+        .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
+      val assignW = Window.partitionBy($"vec_id").orderBy($"cell_cos".desc, $"cell")
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"nrm".as("c_nrm"), $"cell")
+      val probeW = Window.partitionBy($"vec_id").orderBy($"cell_cos".desc, $"cell")
+      val probeCells = emb.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter($"rn" <= 3)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"), $"nrm".as("p_nrm"), $"cell")
+      val w = Window.partitionBy($"p_id").orderBy($"cos".desc, $"c_id")
+      assigned.join(broadcast(probeCells), "cell")
+        .withColumn("cos",
+          expr("dot_product(p_emb, c_emb)") / ($"p_nrm" * $"c_nrm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"p_id", $"c_id", $"cell", r6($"cos").as("cos_sim"), $"rnk")
+        .orderBy($"p_id", $"rnk")
     },
-    oracle = None,
-    bench = false,
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM embeddings WHERE vec_id < $corpusBound),
+      cents AS (
+        SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
+        FROM emb WHERE vec_id % 61 = 3),
+      assigned AS (
+        SELECT c_id, c_emb, c_nrm, cell FROM (
+          SELECT e.vec_id AS c_id, e.embedding AS c_emb, e.nrm AS c_nrm,
+                 cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${chainSql("e.embedding", "cents.cent")})
+                     / (e.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM emb e CROSS JOIN cents) t WHERE rn = 1),
+      pcells AS (
+        SELECT p_id, p_emb, p_nrm, cell FROM (
+          SELECT e.vec_id AS p_id, e.embedding AS p_emb, e.nrm AS p_nrm,
+                 cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${chainSql("e.embedding", "cents.cent")})
+                     / (e.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM emb e CROSS JOIN cents WHERE e.vec_id < 5) t WHERE rn <= 3),
+      scored AS (
+        SELECT p.p_id, a.c_id, a.cell,
+               (${chainSql("p.p_emb", "a.c_emb")}) / (p.p_nrm * a.c_nrm) AS cos
+        FROM assigned a JOIN pcells p ON a.cell = p.cell),
+      ranked AS (
+        SELECT p_id, c_id, cell, cos,
+               cast(row_number() OVER (PARTITION BY p_id
+                 ORDER BY cos DESC, c_id) as int) AS rnk
+        FROM scored)
+      SELECT p_id, c_id, cell, ${r6Sql("cos")} AS cos_sim, rnk
+      FROM ranked WHERE rnk <= 5
+      ORDER BY p_id, rnk"""),
   )
 
-  /** HLL approximate distinct counts per group — the sketch that replaces
-    * exact distinct at 100 TB (constant memory per group vs a full hash
-    * set). Values are approximate (ApproxSpec bounds the error at ±5% vs
-    * exact), so no hash oracle; the row shape is deterministic. */
+  // ---------------------------------------------------------------------
+  // Sketches: exact twins with in-plan error columns
+  // ---------------------------------------------------------------------
+
+  /** Distinct counts with the HLL sketch checked IN-PLAN: the oracle
+    * hash-matches the exact counts, and the `hll_*_ok` error columns are
+    * the sketch contract made oracle-visible — Spark computes
+    * |HLL(rsd=0.02) − exact| / exact ≤ 0.05 inside the plan and the
+    * oracle pins the boolean to true, so an out-of-tolerance sketch fails
+    * the row (the oracle cannot recompute Spark's HLL — DuckDB's
+    * approx_count_distinct is a different sketch — but it CAN hold Spark
+    * to the documented bound). HLL register-merge is a max, so the sketch
+    * value is partitioning- and order-invariant: the boolean is stable
+    * across layouts (DeterminismSpec) and the swap story at 100 TB is
+    * exactly this plan minus the exact column. */
   val qApproxDistinct: GQuery = GQuery(
     "q_approx_distinct",
     (spark, dir) => {
+      import spark.implicits._
       Tables.lineitem(spark, dir)
-        .groupBy(col("l_returnflag"))
+        .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
-        .orderBy(col("l_returnflag"))
+          countDistinct($"l_partkey").as("exact_parts"),
+          countDistinct($"l_suppkey").as("exact_supps"),
+          approx_count_distinct($"l_partkey", 0.02).as("hp"),
+          approx_count_distinct($"l_suppkey", 0.02).as("hs"))
+        .select($"l_returnflag", $"exact_parts", $"exact_supps",
+          (abs($"hp" - $"exact_parts").cast("double")
+            <= $"exact_parts" * 0.05).as("hll_parts_ok"),
+          (abs($"hs" - $"exact_supps").cast("double")
+            <= $"exact_supps" * 0.05).as("hll_supps_ok"))
+        .orderBy($"l_returnflag")
     },
-    oracle = None,
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             count(DISTINCT l_suppkey) AS exact_supps,
+             TRUE AS hll_parts_ok,
+             TRUE AS hll_supps_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
-  /** Approximate percentiles per group — the single-pass sketch
-    * (Greenwald-Khanna with accuracy 1/eps) that replaces exact
-    * percentile's full sort+gather at 100 TB. Approximate values → no
-    * hash oracle; ApproxSpec bounds the rank error vs the exact
-    * percentile at the same probes. */
+  /** Percentiles with the GK sketch checked IN-PLAN: the oracle
+    * hash-matches the exact interpolated percentiles (percentile ≡
+    * quantile_cont, the q_percentile idiom), and the `gk_*_ok` error
+    * columns hold approx_percentile(accuracy=1000, rank error ≤ 1/1000)
+    * to TWICE its guarantee: the GK estimate must lie between the exact
+    * quantiles at p ± 0.002. The bound holds for ANY merge order (GK's
+    * guarantee is worst-case), so the boolean is partitioning-stable even
+    * though the sketch value itself is not. ApproxSpec + GkSwapSpec cover
+    * the numeric swap story; this row makes it oracle-visible. */
   val qApproxPctl: GQuery = GQuery(
     "q_approx_pctl",
     (spark, dir) => {
+      import spark.implicits._
       Tables.lineitem(spark, dir)
-        .groupBy(col("l_returnflag"))
+        .groupBy($"l_returnflag")
         .agg(
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_price"),
-          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
-            .as("p99_price"))
-        .orderBy(col("l_returnflag"))
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"),
+          expr("percentile(l_extendedprice, 0.498)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.502)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.988)").as("lo99"),
+          expr("percentile(l_extendedprice, 0.992)").as("hi99"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("gk50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("gk99"))
+        .select($"l_returnflag", $"p50_price", $"p99_price",
+          ($"gk50" >= $"lo50" && $"gk50" <= $"hi50").as("gk_p50_ok"),
+          ($"gk99" >= $"lo99" && $"gk99" <= $"hi99").as("gk_p99_ok"))
+        .orderBy($"l_returnflag")
     },
-    oracle = None,
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+             TRUE AS gk_p50_ok,
+             TRUE AS gk_p99_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
   val all: Seq[GQuery] = Seq(

@@ -19,9 +19,10 @@ class DeterminismSpec extends AnyFunSuite {
   test("every declared query is invariant to the shuffle partition count") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      // the invariance gate covers the ORACLE-declared surface; no-oracle
-      // scale paths (ScaleOps) include ML fits (KMeans quantizer) whose
-      // training is legitimately partitioning-dependent
+      // the invariance gate covers the ORACLE-declared surface (since
+      // round 6 that includes the whole of ScaleOps — its declared
+      // queries use portable md5-derived hashing; the partitioning-
+      // dependent ML fits live only in the graft.llm library paths)
       val offenders = Registry.all.filter(_.oracle.isDefined).flatMap { q =>
         def rows(parts: String): Seq[String] = {
           spark.conf.set("spark.sql.shuffle.partitions", parts)
