@@ -130,6 +130,20 @@ object Lake {
     }
   }
 
+  val mediaPath: String = s"$root/media"
+  val mediaOracle: String = s"read_parquet('$mediaPath/*.parquet')"
+
+  /** Binary-media lake fixture: the synthetic media table (opaque binary
+    * payload + typed metadata, graft.multimodal.Multimodal) written as
+    * plain parquet so BOTH engines read the same bytes — the layout a
+    * multimodal corpus lands in at 100 TB (binary column stays columnar;
+    * metadata-only readers never touch it via column pruning). */
+  def ensureMedia(spark: SparkSession, dir: String): String =
+    ensure(dir, mediaPath) {
+      graft.multimodal.Multimodal.syntheticMediaFromDocs(spark, dir)
+        .toDF().write.mode("overwrite").parquet(mediaPath)
+    }
+
   /** CSV interchange fixture: the documents metadata columns (no free
     * text — CSV quoting/escaping conventions differ across engines; the
     * clean columns are the honest CSV use-case). */
