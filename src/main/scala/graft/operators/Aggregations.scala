@@ -519,7 +519,10 @@ object Aggregations {
     * re-aggregation of a COMPUTED column: pass 1 finds the per-group
     * median, broadcasts the tiny result back onto the fact, pass 2 takes
     * the median of |x − med|. Same two-scan shape as q_outlier; at 100 TB
-    * both percentile passes swap to the GK sketch unchanged. */
+    * both percentile passes swap to the GK sketch unchanged — PROVEN by
+    * GkSwapSpec, which runs this exact two-pass shape with the kernel
+    * swapped percentile↔approx_percentile and bounds the drift to GK's
+    * rank-error guarantee. */
   val qMad: GQuery = GQuery(
     "q_mad",
     (spark, dir) => {

@@ -107,11 +107,24 @@ object Sources {
   /** Small-file compaction — the lake-maintenance pass that keeps scan
     * parallelism healthy after many incremental appends (thousands of
     * KB-sized files turn a columnar scan into a metadata storm). Rewrites
-    * the directory into ceil(totalBytes / targetFileBytes) files with
-    * coalesce (no shuffle: compaction only ever reduces file count),
-    * staging into a sibling temp dir and swapping via two renames on the
-    * path's own Hadoop FileSystem — HDFS/S3A-safe, and readers never see
-    * a half-written directory. Returns the file count written. */
+    * the directory into ~ceil(totalBytes / targetFileBytes) files with
+    * coalesce (no shuffle; and since coalesce can only REDUCE the
+    * partition count, the actual file count is min(requested, input
+    * partitions) — the return value counts the files actually written,
+    * not the request), staging into a sibling temp dir and swapping via
+    * two renames on the path's own Hadoop FileSystem.
+    *
+    * Swap semantics, honestly: the two renames are each atomic on
+    * HDFS-like filesystems, but there is an instant BETWEEN them where
+    * the directory does not exist — a reader that lists the path exactly
+    * in that window fails and must retry; a query that already planned
+    * its file splits reads the .old paths and fails mid-scan. This is the
+    * standard posture for a catalog-less lake (run compaction in a
+    * maintenance window); a table format / manifest layer is what makes
+    * the swap fully atomic, and this function is the file-level half of
+    * that story. Crash recovery: if the process dies after rename-out but
+    * before rename-in, the data is intact at `.<name>.compact.old` —
+    * rename it back; nothing is deleted until the swap has completed. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -125,12 +138,14 @@ object Sources {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
+    val written = fs.listStatus(tmp)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val old = new org.apache.hadoop.fs.Path(hp.getParent, s".${hp.getName}.compact.old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(hp, old), s"could not stage out $hp")
     require(fs.rename(tmp, hp), s"could not swap in $tmp")
     fs.delete(old, true)
-    n
+    written
   }
 
   /** Partition-wise compaction for a hive-layout lake directory: walks to

@@ -127,6 +127,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(!parent.exists(_.contains("compact.")), parent.mkString(","))
   }
 
+  test("compactParquet returns files actually written when request exceeds partitions") {
+    val dir = Files.createTempDirectory("compact_over").toString + "/li"
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    li.repartition(3).write.parquet(dir)
+    // targetFileBytes=1 requests thousands of files, but coalesce cannot
+    // INCREASE the partition count — the honest return value is the 3
+    // files actually written, not the request
+    val n = Sources.compactParquet(spark, dir, targetFileBytes = 1L)
+    val onDisk = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(n == onDisk, s"returned $n but $onDisk files on disk")
+    assert(n == 3, s"expected 3 files (input partition count), got $n")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+  }
+
   test("compactPartitionedParquet compacts every leaf, preserves partition values") {
     val dir = Files.createTempDirectory("compact_part").toString + "/orders"
     val ord = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
