@@ -36,7 +36,19 @@ object Bench {
     val qs = timed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // Opt-in machine-readable history: append the same JSON line, tagged,
+    // to SPARK_GRAFT_BENCH_HISTORY (round-over-round regression tracking —
+    // see tools/bench_diff.py). The driver's plain `runMain graft.Bench`
+    // is unaffected.
+    sys.env.get("SPARK_GRAFT_BENCH_HISTORY").foreach { path =>
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "untagged")
+      val tagged = s"""{"tag":${jstr(tag)},${line.stripPrefix("{")}"""
+      val w = new java.io.FileWriter(path, true)
+      try w.write(tagged + "\n") finally w.close()
+    }
     spark.stop()
   }
 }

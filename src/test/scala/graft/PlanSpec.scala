@@ -212,6 +212,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("promoted near-dup queries stay equi-join end to end (no all-pairs)") {
+    // the round-6 oracle-green variants must keep q_neardup_banded's scale
+    // shape: band equi-join candidate generation, never a cartesian
+    for (q <- Seq("q_neardup_minhash", "q_neardup_simhash")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
+  test("promoted ANN queries bucket candidates; cross joins only touch broadcast centroids") {
+    // LSH: probes x corpus candidates come from the band equi-join only
+    val lsh = physicalPlan("q_ann_lsh")
+    assert(!lsh.contains("CartesianProduct"), lsh)
+    assert(!lsh.contains("BroadcastNestedLoopJoin"), lsh)
+    // IVF: the only non-equi joins are the corpus/probe x centroid
+    // assignments, and both must be broadcast (centroids are tiny); the
+    // candidate join itself is an equi-join on cell
+    val ivf = physicalPlan("q_ann_ivf")
+    assert(!ivf.contains("CartesianProduct"), ivf)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ivf).size <= 2, ivf)
+  }
+
   test("q_scan_zorder pushes both cluster-column predicates to the scan") {
     // the default 100-char metadata truncation cuts the PushedFilters list
     // before the second column — widen it for this assertion
