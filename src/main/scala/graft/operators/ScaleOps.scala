@@ -428,6 +428,94 @@ object ScaleOps {
       ORDER BY p_id, rnk"""),
   )
 
+  /** Embedding-cosine near-duplicate pairs, fully oracle-checked — the
+    * vector-space analog of MinHash near-dup (the brief's dedup family's
+    * last member to reach the oracle surface): the same deterministic
+    * 16-bit sign-projection signature as q_ann_lsh, but SELF-joined — a
+    * pair is a candidate iff it collides in ≥1 of 4 bands — then exact
+    * cosine verification ≥ 0.95 on candidates only. 25 planted duplicate
+    * vectors (shifted ids, identical embeddings → cos = 1) make the
+    * output non-vacuous at every SF; random vectors essentially never
+    * clear 0.95, so the planted pairs ARE the contract. Same scale shape
+    * as the text near-dups: band equi-join, no all-pairs, verification
+    * touches candidates only. MLlib seeded path:
+    * graft.llm.Ann.cosineNearDupPairs. */
+  val qNeardupCosine: GQuery = GQuery(
+    "q_neardup_cosine",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val base = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id", $"embedding")
+      val corpus = base.unionByName(
+        base.filter($"vec_id" < 25)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val projected = (0 until 16).foldLeft(corpus) { (df, j) =>
+        df.withColumn(s"p$j",
+          expr(s"dot_product(emb, ${planes(j).map(w => s"${w}D")
+            .mkString("array(", ", ", ")")})"))
+      }
+      val sig = projected.select(
+        ($"vec_id" +: $"emb" +: $"nrm" +:
+          (0 until 4).map(b => (0 until 4).map(k =>
+            when(col(s"p${4 * b + k}") > 0, lit(1 << k)).otherwise(lit(0)))
+            .reduce(_ + _).as(s"band$b"))): _*)
+      val bands = sig.select($"vec_id",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"), col(s"band$b").as("val"))): _*)).as("bs"))
+        .select($"vec_id", $"bs.band_id".as("band_id"), $"bs.val".as("val"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.val") === col("y.val") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val a = sig.select($"vec_id".as("id_a"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+      val b = sig.select($"vec_id".as("id_b"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("cos",
+          expr("dot_product(a_emb, b_emb)") / ($"a_nrm" * $"b_nrm"))
+        .filter($"cos" >= 0.95)
+        .select($"id_a", $"id_b", r6($"cos").as("cos_sim"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25),
+      sig AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm,
+        ${(0 until 4).map(b => (0 until 4).map(k =>
+            s"(CASE WHEN (${planeChainSql("embedding", 4 * b + k)}) > 0 " +
+              s"THEN ${1 << k} ELSE 0 END)").mkString("(", " + ", s") AS band$b"))
+          .mkString(",\n        ")}
+        FROM base),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT vec_id, $b AS band_id, band$b AS val FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.val = y.val
+                    AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               (${chainSql("a.embedding", "b.embedding")})
+                 / (a.nrm * b.nrm) AS cos
+        FROM cand
+        JOIN sig a ON a.vec_id = cand.id_a
+        JOIN sig b ON b.vec_id = cand.id_b)
+      SELECT id_a, id_b, ${r6Sql("cos")} AS cos_sim
+      FROM scored WHERE cos >= cast(0.95 as double)
+      ORDER BY id_a, id_b"""),
+  )
+
   // ---------------------------------------------------------------------
   // Sketches: exact twins with in-plan error columns
   // ---------------------------------------------------------------------
@@ -509,6 +597,6 @@ object ScaleOps {
   )
 
   val all: Seq[GQuery] = Seq(
-    qNeardupMinhash, qNeardupSimhash, qAnnLsh, qAnnIvf, qApproxDistinct,
-    qApproxPctl)
+    qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
+    qApproxDistinct, qApproxPctl)
 }

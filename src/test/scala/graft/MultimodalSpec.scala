@@ -58,4 +58,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("bytes#") || !plan.contains("ReadSchema: struct<bytes"),
       "frame sampling should prune the bytes column")
   }
+
+  test("metadata-only scans of the media LAKE prune the binary column") {
+    // the 100 TB claim in the Multimodal scaladoc, as a plan assertion:
+    // a metadata projection over the parquet media lake must never read
+    // the (dominant) bytes column — column pruning reaches the scan
+    val path = graft.sources.Lake.ensureMedia(spark, sf)
+    val metaOnly = spark.read.parquet(path)
+      .select("media_id", "format", "width", "height")
+      .filter(org.apache.spark.sql.functions.col("format") === "png")
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(plan)
+    assert(schema.isDefined, plan)
+    assert(!schema.get.contains("bytes"),
+      s"media metadata scan must prune the blob: ${schema.get}")
+  }
 }

@@ -215,7 +215,7 @@ class PlanSpec extends AnyFunSuite {
   test("promoted near-dup queries stay equi-join end to end (no all-pairs)") {
     // the round-6 oracle-green variants must keep q_neardup_banded's scale
     // shape: band equi-join candidate generation, never a cartesian
-    for (q <- Seq("q_neardup_minhash", "q_neardup_simhash")) {
+    for (q <- Seq("q_neardup_minhash", "q_neardup_simhash", "q_neardup_cosine")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
