@@ -257,13 +257,17 @@ object EventOps {
     "q_seq_match",
     (spark, dir) => {
       import spark.implicits._
-      val byUser = Window.partitionBy($"user_id")
+      // ONE WindowExec pass: the full-history count rides the same
+      // (partition, order) spec as the trailing-N rank with an explicit
+      // whole-partition frame, so Spark evaluates both in a single sort
+      val byUserDesc = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
       val ranked = Tables.events(spark, dir)
         .select($"user_id", $"ts", $"event_id",
           substring($"event_type", 1, 1).as("ini"))
-        .withColumn("cnt", count(lit(1)).over(byUser))
-        .withColumn("rk", row_number().over(
-          byUser.orderBy($"ts".desc, $"event_id".desc)))
+        .withColumn("cnt", count(lit(1)).over(byUserDesc
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rk", row_number().over(byUserDesc))
         .filter($"rk" <= 256)
       val seqs = ranked
         .groupBy($"user_id")

@@ -235,6 +235,15 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(ivf).size <= 2, ivf)
   }
 
+  test("q_seq_match bounds per-user state in a single window pass") {
+    val plan = physicalPlan("q_seq_match")
+    // full-history count + trailing-256 rank share one (partition, order)
+    // spec -> ONE WindowExec before the collect; a second Window would
+    // mean the fusion regressed to two sorts
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_scan_zorder pushes both cluster-column predicates to the scan") {
     // the default 100-char metadata truncation cuts the PushedFilters list
     // before the second column — widen it for this assertion
