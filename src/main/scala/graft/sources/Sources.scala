@@ -31,6 +31,36 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** PERMISSIVE ingest with bad-record QUARANTINE — the 100 TB posture
+    * for untrusted feeds, where FAILFAST is right for curated data but a
+    * single corrupt row must not kill a day-long load. Malformed rows
+    * land in `_corrupt_record`; the caller gets (clean, quarantined) to
+    * write to the lake and the quarantine area respectively, and the
+    * split is ONE parse pass (cached) — not two reads of the source.
+    *
+    * The cache is load-bearing, not an optimization: since Spark 2.3 a
+    * query that references only the internal corrupt-record column of a
+    * raw file scan is disallowed (the parser prunes columns, so the
+    * corrupt marker alone is not derivable) — materializing the parsed
+    * frame first is the documented workaround, and at ingest the parsed
+    * batch is about to be written anyway. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val raw = spark.read
+      .schema(StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          corrupt, org.apache.spark.sql.types.StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .cache()
+    val clean = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantined = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"))
+    (clean, quarantined)
+  }
+
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
