@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.Registry
+
+/** Whole-surface physical-plan audit: prints any declared query whose
+  * plan contains a CartesianProduct, or a BroadcastNestedLoopJoin outside
+  * the known-tiny set — the cheap global guard PlanSpec's per-query
+  * pins cannot give. Run:
+  *   sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.001"
+  */
+object PlanAudit {
+  // BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+  // provably constant-size or bounded, audited case by case (round 6):
+  private val allowedBnl = Set(
+    // literal band tables / tiny dim crosses
+    "q_join_range", "q_join_cross",
+    // single-row scalar broadcasts (corpus totals, averages, thresholds)
+    "q_pmi", "q_rfm", "q_histogram", "q_select_budget", "q_mix_weights",
+    "q_chi2", "q_null_profile", "q_lm_score", "q_sample", "q_outlier",
+    "q_tfidf", "q_bm25", "q_keywords", "q_multimodal", "q_fk_audit",
+    "q_skew_profile",
+    // scalar/uncorrelated subquery rewrites (1-row broadcast by definition)
+    "q_subquery", "q_corr_scalar",
+    // bounded generated spines (per-user day ranges, constant width)
+    "q_gapfill", "q_locf", "q_fill_linear",
+    // bounded probe/centroid/salt-replication sets
+    "q_sim_topk", "q_ann_ivf", "q_centroid_sim", "q_join_salted")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    Registry.all.foreach { q =>
+      try {
+        val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnl = plan.contains("BroadcastNestedLoopJoin") &&
+          !allowedBnl.contains(q.name)
+        if (cart || bnl) {
+          bad += 1
+          println(s"AUDIT ${q.name}: cartesian=$cart unexpected_bnl=$bnl")
+        }
+      } catch {
+        case e: Throwable =>
+          bad += 1
+          println(s"AUDIT ${q.name}: plan failed ${e.getClass.getSimpleName}")
+      }
+    }
+    println(s"AUDIT_DONE bad=$bad of ${Registry.all.size}")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
