@@ -45,6 +45,18 @@ object Gates {
     (instrumented, obs)
   }
 
+  /** Streaming-compatible gate: same rows_in / rows_kept metrics under a
+    * string key via the name-keyed observe — the Observation helper is
+    * batch-only, while this form surfaces per micro-batch in
+    * StreamingQueryProgress.observedMetrics (StreamsSpec golden test).
+    * One instrumentation point, both execution modes. */
+  def observedFilterNamed(df: DataFrame, keep: Column,
+      name: String): DataFrame =
+    df.observe(name,
+        count(lit(1)).as("rows_in"),
+        sum(when(keep, 1L).otherwise(0L)).as("rows_kept"))
+      .filter(keep)
+
   /** Observed null-rate audit over the named columns, riding whatever
     * action the caller runs next. */
   def observedNullAudit(df: DataFrame, cols: Seq[String],

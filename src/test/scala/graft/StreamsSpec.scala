@@ -253,4 +253,27 @@ class StreamsSpec extends AnyFunSuite {
       .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("observed gate metrics surface per micro-batch in streaming") {
+    // the Gates claim, golden-tested: the SAME observe instrumentation
+    // that rides a batch action reports per micro-batch through
+    // StreamingQueryProgress.observedMetrics under streaming
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val gated = graft.engine.Gates.observedFilterNamed(
+      mem.toDF(), col("value") > 2.0, "gate")
+    val q = gated.writeStream.format("memory")
+      .queryName("obs" + System.nanoTime()).outputMode("append").start()
+    mem.addData(Seq(
+      Ev(1, 10, ts(1), "a", 1.0),
+      Ev(2, 10, ts(2), "b", 3.0),
+      Ev(3, 11, ts(3), "c", 5.0)))
+    q.processAllAvailable()
+    val m = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("gate"))).lastOption
+    q.stop()
+    assert(m.isDefined, "no observed metrics in any progress event")
+    assert(m.get.getAs[Long]("rows_in") == 3L)
+    assert(m.get.getAs[Long]("rows_kept") == 2L)
+  }
 }
