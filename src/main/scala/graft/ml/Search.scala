@@ -58,6 +58,11 @@ final case class GridSearchCV(
             val train = folded.filter(col(Fold) =!= f).drop(Fold)
             val test = folded.filter(col(Fold) === f).drop(Fold)
             val model = estimator.fit(train, pm).asInstanceOf[Model[_]]
+            // Fold models are throwaways scored once; their training
+            // summaries are never read and (summary -> SparkSession ->
+            // initialized-by-observe ObservationManager) would poison the
+            // transform's task closure — see ModelFactory.stripTrainingSummary.
+            org.apache.spark.ml.graftbridge.ModelFactory.stripTrainingSummary(model)
             (pm, f, evaluator.evaluate(model.transform(test)))
           }
         val scores = Await.result(Future.sequence(futures), Duration.Inf)
@@ -67,9 +72,13 @@ final case class GridSearchCV(
         val avg = perCandidate.map { case (pm, ss) => pm -> ss.sum / ss.size }
         val (bestPm, bestScore) =
           if (evaluator.isLargerBetter) avg.maxBy(_._2) else avg.minBy(_._2)
-        // refit the winner on the FULL data — the model users deploy
+        // refit the winner on the FULL data — the model users deploy.
+        // Its summary is stripped too: SearchResult.transform must work on
+        // sessions where observation gates have run (coefficients and
+        // intercepts — everything ModelExport exposes — are unaffected).
         val bestModel =
           estimator.fit(folded.drop(Fold), bestPm).asInstanceOf[Model[_]]
+        org.apache.spark.ml.graftbridge.ModelFactory.stripTrainingSummary(bestModel)
         SearchResult(bestModel, bestPm, bestScore, avg, perCandidate)
       } finally pool.shutdown()
     } finally { folded.unpersist(); () }

@@ -24,6 +24,30 @@ class MlSpec extends AnyFunSuite {
       .cache()
   }
 
+  test("GridSearchCV survives a session with an initialized ObservationManager") {
+    import spark.implicits._
+    // Force-initialize the session's lazy observationManager the way any
+    // Gates.observed user would. Before the stripTrainingSummary fix, every
+    // subsequent summary-bearing model.transform died with
+    // `Task not serializable` (ObservationManager isn't Serializable), so
+    // GridSearchCV only worked on observation-free sessions.
+    val obs = new org.apache.spark.sql.Observation()
+    spark.range(4).observe(obs, count(lit(1)).as("n")).collect()
+    assert(obs.get("n") == 4L)
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 120).map { _ =>
+      val cls = rng.nextInt(2)
+      (Array(cls * 4.0 - 2.0 + rng.nextGaussian() * 0.4), cls.toDouble)
+    }.toDF("arr", "label")
+      .select(array_to_vector($"arr").as("features"), $"label")
+    val lr = new LogisticRegression().setMaxIter(10)
+    val grid = new ParamGridBuilder().addGrid(lr.regParam, Array(0.01)).build()
+    val res = GridSearchCV(lr, grid,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"),
+      numFolds = 2, parallelism = 2).fit(pts)
+    assert(res.transform(pts).columns.contains("prediction"))
+  }
+
   test("GridSearchCV picks the planted-best candidate and exposes cv_results") {
     import spark.implicits._
     // linearly separable 2-class data: light regularization must win
