@@ -341,7 +341,93 @@ object Analytics {
       ORDER BY l_returnflag"""),
   )
 
+  /** Two-sample A/B comparison (Welch's t) of purchase value between two
+    * deterministically-hashed user buckets — the experiment-analysis
+    * pass, with the assignment itself reproducible on any partitioning
+    * (multiplicative md5 bucket, the q_split idiom — never a stored
+    * assignment table to join). ONE combinable scan computes both arms'
+    * moments via FILTERed aggregates; the t statistic is driver-side
+    * arithmetic on six scalars. The cross-engine float contract: per-row
+    * values and squares are IEEE-rounded to 6dp then fixed to LONG
+    * micro-units, so every aggregate is an exact integer sum and the
+    * mean/variance/t arithmetic runs on bit-identical doubles in both
+    * engines — no decimal-cast rounding-mode hazard anywhere. */
+  val qAbtest: GQuery = GQuery(
+    "q_abtest",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"value")
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+        .withColumn("v_u", floor($"value" * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("vv_u",
+          floor(rN($"value" * $"value", 6) * lit(1e6) + lit(0.5)).cast("long"))
+      val agg = ev.agg(
+        count(when($"variant" === 0, 1)).as("n_a"),
+        count(when($"variant" === 1, 1)).as("n_b"),
+        sum(when($"variant" === 0, $"v_u")).as("s1a"),
+        sum(when($"variant" === 1, $"v_u")).as("s1b"),
+        sum(when($"variant" === 0, $"vv_u")).as("s2a"),
+        sum(when($"variant" === 1, $"vv_u")).as("s2b"))
+      val mean = (s1: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+        (s1.cast("double") / lit(1e6)) / n.cast("double")
+      val variance = (s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =>
+        ((s2.cast("double") / lit(1e6)) -
+          (s1.cast("double") / lit(1e6)) * (s1.cast("double") / lit(1e6)) /
+            n.cast("double")) / (n.cast("double") - lit(1.0))
+      agg.select(
+        $"n_a", $"n_b",
+        rN(mean($"s1a", $"n_a"), 6).as("mean_a"),
+        rN(mean($"s1b", $"n_b"), 6).as("mean_b"),
+        rN(variance($"s1a", $"s2a", $"n_a"), 6).as("var_a"),
+        rN(variance($"s1b", $"s2b", $"n_b"), 6).as("var_b"),
+        rN((mean($"s1b", $"n_b") - mean($"s1a", $"n_a")) /
+          sqrt(variance($"s1b", $"s2b", $"n_b") / $"n_b".cast("double") +
+            variance($"s1a", $"s2a", $"n_a") / $"n_a".cast("double")), 6)
+          .as("t_welch"))
+    },
+    Some {
+      val meanA = "(cast(s1a as double) / 1e6) / cast(n_a as double)"
+      val meanB = "(cast(s1b as double) / 1e6) / cast(n_b as double)"
+      def varSql(s1: String, s2: String, n: String): String =
+        s"((cast($s2 as double) / 1e6) - " +
+          s"(cast($s1 as double) / 1e6) * (cast($s1 as double) / 1e6) / " +
+          s"cast($n as double)) / (cast($n as double) - cast(1.0 as double))"
+      val varA = varSql("s1a", "s2a", "n_a")
+      val varB = varSql("s1b", "s2b", "n_b")
+      s"""
+      WITH ev AS (
+        SELECT cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))::BIGINT
+                 % 2 as int) AS variant,
+               cast(floor(value * 1e6 + 0.5) as bigint) AS v_u,
+               cast(floor((${rNSql("value * value", 6)}) * 1e6 + 0.5) as bigint)
+                 AS vv_u
+        FROM events WHERE event_type = 'purchase'),
+      a AS (
+        SELECT count(*) FILTER (WHERE variant = 0) AS n_a,
+               count(*) FILTER (WHERE variant = 1) AS n_b,
+               sum(v_u) FILTER (WHERE variant = 0) AS s1a,
+               sum(v_u) FILTER (WHERE variant = 1) AS s1b,
+               sum(vv_u) FILTER (WHERE variant = 0) AS s2a,
+               sum(vv_u) FILTER (WHERE variant = 1) AS s2b
+        FROM ev)
+      SELECT n_a, n_b,
+             ${rNSql(meanA, 6)} AS mean_a,
+             ${rNSql(meanB, 6)} AS mean_b,
+             ${rNSql(varA, 6)} AS var_a,
+             ${rNSql(varB, 6)} AS var_b,
+             ${rNSql(s"(($meanB) - ($meanA)) / " +
+               s"sqrt(($varB) / cast(n_b as double) + ($varA) / cast(n_a as double))",
+               6)} AS t_welch
+      FROM a"""
+    },
+  )
+
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
-      qAggIncremental)
+      qAggIncremental, qAbtest)
 }

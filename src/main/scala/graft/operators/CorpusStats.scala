@@ -547,7 +547,148 @@ object CorpusStats {
       ORDER BY label_a, label_b"""),
   )
 
+  /** Edit-distance fuzzy dedup — the near-dup detector for SMALL local
+    * corruptions (typo fixes, trailing boilerplate, OCR noise) that
+    * shingle-Jaccard under-weights on short docs. The quadratic
+    * Levenshtein verify only ever runs on candidates from a BLOCKING
+    * equi-join (first-24-chars key + length-band post-filter), never
+    * all-pairs — the classic record-linkage shape: at 100 TB the cost is
+    * one shuffle on the block key and a per-bucket verify bounded by the
+    * bucket size (the blocking key is chosen so buckets stay O(1); a
+    * production pass would OR several keys — prefix, suffix, rare-token —
+    * each its own linear equi-join). Planted trailing-noise copies
+    * (`text || ' qq'`, distance 3) keep the output non-vacuous at every
+    * SF; distances are integers, so no rounding contract is needed. */
+  val qDedupEdit: GQuery = GQuery(
+    "q_dedup_edit",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 40)
+          .select(($"doc_id" + 200000L).as("doc_id"),
+            concat($"text", lit(" qq")).as("text")))
+      val keyed = docs.select($"doc_id", $"text",
+        substring($"text", 1, 24).as("bk"),
+        length($"text").cast("int").as("len"))
+      keyed.as("x").join(keyed.as("y"),
+          col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            abs(col("x.len") - col("y.len")) <= 6)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          levenshtein(col("x.text"), col("y.text")).cast("int").as("edit_dist"),
+          col("x.len").as("len1"), col("y.len").as("len2"))
+        .filter($"edit_dist" <= 6)
+        .orderBy($"d1", $"d2")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text || ' qq' FROM documents WHERE doc_id < 40),
+      k AS (SELECT doc_id, text, substr(text, 1, 24) AS bk,
+                   cast(length(text) as int) AS len
+            FROM docs)
+      SELECT x.doc_id AS d1, y.doc_id AS d2,
+             cast(levenshtein(x.text, y.text) as int) AS edit_dist,
+             x.len AS len1, y.len AS len2
+      FROM k x JOIN k y
+        ON x.bk = y.bk AND x.doc_id < y.doc_id AND abs(x.len - y.len) <= 6
+      WHERE levenshtein(x.text, y.text) <= 6
+      ORDER BY d1, d2"""),
+  )
+
+  /** Shingle CONTAINMENT — the asymmetric twin of Jaccard that catches
+    * SUBSET duplication (a fragment extracted from a longer doc scores
+    * containment ~1 while Jaccard ~0.5, below every near-dup threshold).
+    * Candidates come from an inverted-index equi-join restricted to RARE
+    * shingles (document frequency <= 8): the df cap bounds each gram's
+    * posting list, so candidate generation is a linear equi-join with
+    * O(df²) pairs per gram — the standard way to keep an inverted-index
+    * self-join from exploding on stopword-like shingles at corpus scale.
+    * Verification counts shared grams on candidates only (broadcast pair
+    * list, same shape as q_neardup_banded). Planted first-half fragments
+    * of 30 docs guarantee containment-1.0 pairs at every SF. */
+  val qContainment: GQuery = GQuery(
+    "q_containment",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 30)
+          .select(($"doc_id" + 300000L).as("doc_id"),
+            concat_ws(" ",
+              slice(split($"text", " "), lit(1),
+                floor(size(split($"text", " ")) / 2).cast("int")))
+              .as("text")))
+      val g = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val rare = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 8).select($"gram")
+      val posting = g.join(rare, "gram")
+      val cand = posting.as("x").join(posting.as("y"),
+          col("x.gram") === col("y.gram") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(g.as("g1"), col("g1.doc_id") === $"d1")
+        .join(g.as("g2"),
+          col("g2.doc_id") === $"d2" && col("g2.gram") === col("g1.gram"))
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+        .select($"d1", $"d2", $"n1", $"n2",
+          r6($"n_common".cast("double") / least($"n1", $"n2"))
+            .as("containment"))
+        .filter($"containment" >= 0.9)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000,
+               array_to_string(l[1:cast(floor(len(l) / 2) as int)], ' ')
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        WHERE doc_id < 30),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 8),
+      posting AS (SELECT doc_id, gram FROM g JOIN rare USING (gram)),
+      cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+               FROM posting x JOIN posting y
+                 ON x.gram = y.gram AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      inter AS (SELECT d1, d2, count(*) AS n_common
+                FROM cand
+                JOIN g g1 ON g1.doc_id = cand.d1
+                JOIN g g2 ON g2.doc_id = cand.d2 AND g2.gram = g1.gram
+                GROUP BY d1, d2)
+      SELECT d1, d2, n1, n2, containment FROM (
+        SELECT d1, d2, s1.n AS n1, s2.n AS n2,
+          ${r6Sql("cast(n_common as double) / least(s1.n, s2.n)")}
+            AS containment
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2) j
+      WHERE containment >= cast(0.9 as double)
+      ORDER BY d1, d2"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
-      qSketchCm, qClassScatter, qCentroidSim)
+      qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment)
 }

@@ -368,6 +368,60 @@ object EventOps {
       ORDER BY status"""),
   )
 
+  /** Linear multi-touch attribution: every purchase splits one unit of
+    * credit equally across the SAME user's view/click touches in the 7
+    * days before it, and the report totals credit per touch channel —
+    * the marketing-attribution pass (q_join_asof is its last-touch
+    * cousin; this one needs ALL prior touches, not the latest). The
+    * touch⋈purchase join is an equi-join on user_id with the 7-day
+    * interval as a post-join filter (hash/SMJ, never nested loop); fan-out
+    * is bounded by touches-per-user-per-week. The per-purchase touch
+    * count comes from ONE window over the joined rows (partitioned by
+    * purchase — no second join back), and per-touch credits are
+    * IEEE-rounded rationals summed in exact decimal. */
+  val qAttribution: GQuery = GQuery(
+    "q_attribution",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("t_user"), $"event_type".as("channel"), $"ts".as("t_ts"))
+      val joined = purchases.join(touches,
+        $"p_user" === $"t_user" &&
+          $"t_ts" <= $"p_ts" &&
+          $"t_ts" > $"p_ts" - expr("INTERVAL 7 DAYS"))
+      val w = Window.partitionBy($"p_id")
+      joined
+        .withColumn("n_touch", count(lit(1)).over(w))
+        .select($"channel", rN(lit(1.0) / $"n_touch".cast("double"), 6).as("credit"))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"), dsum($"credit", 6).as("total_credit"))
+        .orderBy($"channel")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         date_trunc('second', ts) AS ts FROM events),
+      p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+            FROM ev WHERE event_type = 'purchase'),
+      t AS (SELECT user_id AS t_user, event_type AS channel, ts AS t_ts
+            FROM ev WHERE event_type IN ('view', 'click')),
+      joined AS (
+        SELECT p_id, channel,
+               count(*) OVER (PARTITION BY p_id) AS n_touch
+        FROM p JOIN t
+          ON p_user = t_user AND t_ts <= p_ts
+             AND t_ts > p_ts - INTERVAL 7 DAY)
+      SELECT channel, count(*) AS n_touches,
+             ${dsumSql(rNSql("cast(1.0 as double) / cast(n_touch as double)", 6), 6)}
+               AS total_credit
+      FROM joined
+      GROUP BY channel
+      ORDER BY channel"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch, qJoinPit)
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch, qJoinPit,
+      qAttribution)
 }

@@ -482,8 +482,96 @@ object Joins {
       ORDER BY s_suppkey"""),
   )
 
+  /** TPC-H Q17 shape — small-quantity revenue against a PER-GROUP derived
+    * threshold: lineitems whose quantity is below 20% of their part's own
+    * average quantity, for a slice of parts. The correlated scalar
+    * subquery is de-correlated into one combinable per-part aggregate
+    * joined back to the fact — the per-part threshold table is |parts|
+    * rows, so at 100 TB the plan is agg-shuffle + one equi-join, never a
+    * per-row subquery re-execution. The threshold is exact-decimal-summed
+    * then finished in fixed-order IEEE (sum -> /count -> *0.2), so both
+    * engines compare l_quantity against the IDENTICAL double and the
+    * below-threshold set matches bit-for-bit. */
+  val qJoinQ17: GQuery = GQuery(
+    "q_join_q17",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val thr = li.groupBy($"l_partkey".as("t_partkey"))
+        .agg((lit(0.2) *
+          (sum($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double") / count(lit(1)))).as("thr"))
+      // p_size <= 5 keeps the part slice selective; part and the threshold
+      // table both grow with SF, so no broadcast hints — stats/AQE decide.
+      val pt = Tables.part(spark, dir).filter($"p_size" <= 5)
+        .select($"p_partkey", $"p_brand")
+      li.join(pt, $"l_partkey" === $"p_partkey")
+        .join(thr, $"l_partkey" === $"t_partkey")
+        .filter($"l_quantity" < $"thr")
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n_cheap"),
+          rN(dsum($"l_extendedprice", 6) / lit(7.0), 2).as("avg_yearly"))
+        .orderBy($"p_brand")
+    },
+    Some(s"""
+      WITH thr AS (
+        SELECT l_partkey AS t_partkey,
+               cast(0.2 as double) *
+                 (cast(sum(cast(l_quantity as decimal(30,6))) as double)
+                   / count(*)) AS thr
+        FROM lineitem GROUP BY l_partkey)
+      SELECT p_brand, count(*) AS n_cheap,
+             ${rNSql(s"(${dsumSql("l_extendedprice", 6)}) / cast(7.0 as double)", 2)}
+               AS avg_yearly
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN thr ON l_partkey = t_partkey
+      WHERE p_size <= 5 AND l_quantity < thr
+      GROUP BY p_brand
+      ORDER BY p_brand"""),
+  )
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total lineitem
+    * quantity exceeds a floor, with their customer, ranked by value. ONE
+    * aggregation over lineitem serves both the HAVING filter and the
+    * output quantity (no second lineitem scan: the filtered per-order agg
+    * IS the join input), then two equi-joins attach order and customer
+    * attributes and TakeOrderedAndProject keeps the top 20 without a
+    * global sort. Quantities are integral, so the exact-decimal sum makes
+    * the >150 cut and the output column identical in both engines. */
+  val qJoinQ18: GQuery = GQuery(
+    "q_join_q18",
+    (spark, dir) => {
+      import spark.implicits._
+      val big = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 150.0)
+      Tables.orders(spark, dir)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+    Some(s"""
+      WITH big AS (
+        SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING ${dsumSql("l_quantity")} > 150.0)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             total_qty
+      FROM orders
+      JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinIntervalOuter, qJoinCross,
-    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8)
+    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8, qJoinQ17, qJoinQ18)
 }

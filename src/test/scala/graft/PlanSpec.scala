@@ -165,6 +165,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_dedup_edit verifies only blocked candidates (no all-pairs operator)") {
+    val plan = physicalPlan("q_dedup_edit")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_containment generates candidates from the rare-gram equi-join only") {
+    val plan = physicalPlan("q_containment")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_attribution plans the interval as an equi-join post-filter, not BNL") {
+    val plan = physicalPlan("q_attribution")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q_merge_cdc applies the change set through one full outer join") {
     val plan = physicalPlan("q_merge_cdc")
     assert(plan.contains("FullOuter"), plan)
