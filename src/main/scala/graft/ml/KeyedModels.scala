@@ -481,6 +481,165 @@ object KeyedModels {
       .drop("__sse", "__sy", "__syy", "__sst")
   }
 
+  /** Fixed-size covariance buffer: per-feature sums, upper triangle of
+    * ΣxxT, count. Like [[GramBuf]], O(d²) state per key regardless of
+    * rows — the property that makes the per-key pass 100 TB-safe. */
+  final case class CovBuf(s: Array[Double], ss: Array[Double], n: Long)
+
+  final case class PcaFit(
+      mean: Array[Double], components: Array[Array[Double]],
+      explained_variance: Array[Double], n: Long)
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix (packed
+    * upper triangle). Returns (eigenvalues, eigenvectors as rows) sorted
+    * by eigenvalue descending, each vector's largest-|entry| coordinate
+    * forced positive so the answer is unique (eigenvector sign is
+    * otherwise arbitrary and would vary with sweep order). d is tiny
+    * (≤ tens of features); this runs inside the aggregation finish, never
+    * on a driver loop over keys. */
+  private[graft] def jacobiEigen(d: Int, upper: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+    val a = Array.ofDim[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) { a(i)(j) = upper(idx); a(j)(i) = upper(idx); idx += 1 }
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until d) {
+            val apj = a(p)(j); val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(m) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Aggregator computing per-key PCA from the covariance sufficient
+    * statistics: one pass accumulates (Σx, ΣxxT, n) — partial+final
+    * combinable, O(d²) state — and `finish` eigendecomposes the sample
+    * covariance and keeps the top k components. IN = features. */
+  final class CovPca(nFeatures: Int, k: Int)
+      extends Aggregator[Seq[Double], CovBuf, PcaFit] {
+    require(k >= 1 && k <= nFeatures, s"k must be in [1, $nFeatures], got $k")
+    private val d = nFeatures
+    private val triLen = d * (d + 1) / 2
+
+    def zero: CovBuf = CovBuf(new Array[Double](d), new Array[Double](triLen), 0L)
+
+    def reduce(b: CovBuf, fs: Seq[Double]): CovBuf = {
+      require(fs.size == d, s"expected $d features, got ${fs.size}")
+      val x = fs.toArray
+      var idx = 0
+      var r = 0
+      while (r < d) {
+        b.s(r) += x(r)
+        var c = r
+        while (c < d) { b.ss(idx) += x(r) * x(c); idx += 1; c += 1 }
+        r += 1
+      }
+      CovBuf(b.s, b.ss, b.n + 1)
+    }
+
+    def merge(a: CovBuf, b: CovBuf): CovBuf = {
+      var i = 0
+      while (i < d) { a.s(i) += b.s(i); i += 1 }
+      i = 0
+      while (i < triLen) { a.ss(i) += b.ss(i); i += 1 }
+      CovBuf(a.s, a.ss, a.n + b.n)
+    }
+
+    def finish(b: CovBuf): PcaFit = {
+      require(b.n >= 2, s"per-key PCA needs >= 2 rows, got ${b.n}")
+      val n = b.n.toDouble
+      val mean = b.s.map(_ / n)
+      val cov = new Array[Double](triLen)
+      var idx = 0
+      for (r <- 0 until d; c <- r until d) {
+        cov(idx) = (b.ss(idx) - n * mean(r) * mean(c)) / (n - 1.0)
+        idx += 1
+      }
+      val (vals, vecs) = jacobiEigen(d, cov)
+      PcaFit(mean, vecs.take(k), vals.take(k), b.n)
+    }
+
+    def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    def outputEncoder: Encoder[PcaFit] = Encoders.product[PcaFit]
+  }
+
+  /** Fit one PCA per key (A8's "transformer" estimator type — sklearn
+    * `PCA` per group): one shuffle on the key columns, map-side partial
+    * covariance accumulation, eigendecomposition in the final aggregation.
+    * Output: one row per key with mean, top-k components (rows), their
+    * explained variances, and n — a model TABLE, joinable like every
+    * other keyed model here. */
+  def fitPca(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      k: Int): DataFrame = {
+    val agg = udaf(new CovPca(featureCols.size, k))
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg(featuresArr).as("model"))
+      .select(keyCols.map(col) :+ col("model.mean").as("mean")
+        :+ col("model.components").as("components")
+        :+ col("model.explained_variance").as("explained_variance")
+        :+ col("model.n").as("n"): _*)
+  }
+
+  /** Project rows onto their key's principal components (A9 for
+    * [[fitPca]]): broadcast-join the model table on the key, score each
+    * row as components · (x − mean). The model side is one row per key,
+    * so the join is the same broadcast shape as [[transformLinear]]. */
+  def transformPca(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      outputCol: String = "pca_scores"): DataFrame = {
+    val project = udf {
+      (comps: Seq[Seq[Double]], mean: Seq[Double], x: Seq[Double]) =>
+        comps.map { w =>
+          var s = 0.0
+          var i = 0
+          while (i < w.size) { s += w(i) * (x(i) - mean(i)); i += 1 }
+          s
+        }
+    }
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    df.join(broadcast(models), keyCols)
+      .withColumn(outputCol, project(col("components"), col("mean"), featuresArr))
+      .drop("mean", "components", "explained_variance", "n")
+  }
+
   /** Per-key classification evaluation for [[fitLogistic]] models:
     * accuracy and log-loss (probabilities clipped to [1e-12, 1-1e-12]) in
     * one combinable aggregation after the broadcast-join scoring pass. */

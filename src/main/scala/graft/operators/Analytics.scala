@@ -427,7 +427,54 @@ object Analytics {
     },
   )
 
+  /** Per-brand skyline (Pareto frontier) of parts minimizing
+    * (retail price, size) — "no other part of the brand is both cheaper
+    * and smaller". The naive formulation is a quadratic NOT EXISTS
+    * self-join; this is the sort-based linear form: a per-(brand, price)
+    * min collapses price ties, one ROWS-framed running min over the
+    * per-brand price spine gives the best size among STRICTLY cheaper
+    * parts, and a part is on the frontier iff it achieves its price
+    * group's min and beats the running min. Both windows partition by
+    * brand, so parallelism is |brands| and no unpartitioned window ever
+    * forms — the per-entity skyline shape that survives scale-up (a
+    * GLOBAL skyline would instead range-partition the price axis and
+    * fix up partition boundaries with the same running min). Pure
+    * integer/double comparisons — no rounding contract needed. */
+  val qSkyline: GQuery = GQuery(
+    "q_skyline",
+    (spark, dir) => {
+      import spark.implicits._
+      val parts = Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand", $"p_retailprice", $"p_size")
+      val gmin = parts.groupBy($"p_brand", $"p_retailprice")
+        .agg(min($"p_size").as("gmin"))
+      val spine = gmin.withColumn("rsm",
+        min($"gmin").over(Window.partitionBy($"p_brand")
+          .orderBy($"p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      parts.join(spine, Seq("p_brand", "p_retailprice"))
+        .filter($"p_size" === $"gmin" && ($"rsm".isNull || $"p_size" < $"rsm"))
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+        .orderBy($"p_brand", $"p_retailprice", $"p_partkey")
+    },
+    Some("""
+      WITH gmin AS (
+        SELECT p_brand, p_retailprice, min(p_size) AS gmin
+        FROM part GROUP BY p_brand, p_retailprice),
+      spine AS (
+        SELECT p_brand, p_retailprice, gmin,
+               min(gmin) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rsm
+        FROM gmin)
+      SELECT p.p_brand, p_partkey, p.p_retailprice, p_size
+      FROM part p
+      JOIN spine s ON p.p_brand = s.p_brand
+                   AND p.p_retailprice = s.p_retailprice
+      WHERE p_size = gmin AND (rsm IS NULL OR p_size < rsm)
+      ORDER BY p.p_brand, p.p_retailprice, p_partkey"""),
+  )
+
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
-      qAggIncremental, qAbtest)
+      qAggIncremental, qAbtest, qSkyline)
 }

@@ -487,6 +487,42 @@ class MlSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3.0, "b" -> 10.0))
   }
 
+  test("fitPca recovers the planted principal direction per key") {
+    import spark.implicits._
+    // key a: variance concentrated along (3,4,0)/5; key b: along (0,0,1).
+    val rng = new scala.util.Random(11)
+    def pts(key: String, v: Array[Double], n: Int) = (1 to n).map { _ =>
+      val t = rng.nextGaussian() * 5.0
+      (key,
+        v(0) * t + rng.nextGaussian() * 0.1,
+        v(1) * t + rng.nextGaussian() * 0.1,
+        v(2) * t + rng.nextGaussian() * 0.1)
+    }
+    val df = (pts("a", Array(0.6, 0.8, 0.0), 300) ++
+      pts("b", Array(0.0, 0.0, 1.0), 300))
+      .toDF("k", "x1", "x2", "x3")
+    val models = KeyedModels.fitPca(df, Seq("k"), Seq("x1", "x2", "x3"), k = 2)
+    val rows = models.collect().map(r => r.getString(0) -> r).toMap
+    def cosTo(r: org.apache.spark.sql.Row, v: Array[Double]): Double = {
+      val c = r.getAs[collection.Seq[collection.Seq[Double]]]("components").head
+      math.abs(c.zip(v).map { case (a, b) => a * b }.sum) /
+        math.sqrt(c.map(x => x * x).sum)
+    }
+    assert(cosTo(rows("a"), Array(0.6, 0.8, 0.0)) > 0.99)
+    assert(cosTo(rows("b"), Array(0.0, 0.0, 1.0)) > 0.99)
+    // spectrum: the planted direction dominates the noise floor
+    val evA = rows("a").getAs[collection.Seq[Double]]("explained_variance")
+    assert(evA.head > 10 * evA(1), s"expected dominant first eigenvalue: $evA")
+    // PCA identity: variance of component-0 scores equals eigenvalue 0
+    val scored = KeyedModels.transformPca(df, models, Seq("k"),
+      Seq("x1", "x2", "x3"))
+      .select($"k", element_at($"pca_scores", 1).as("s0"))
+      .groupBy($"k").agg(var_samp($"s0").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(scored("a") - evA.head) / evA.head < 1e-6,
+      s"score variance ${scored("a")} vs eigenvalue ${evA.head}")
+  }
+
   test("fitKMeans recovers planted per-key clusters") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
