@@ -640,6 +640,42 @@ object KeyedModels {
       .drop("mean", "components", "explained_variance", "n")
   }
 
+  /** Per-key PCA reconstruction error — the `score` half of [[fitPca]]
+    * and the classic subspace anomaly signal (a row far from its key's
+    * principal subspace is an outlier even when every coordinate is in
+    * range). Components are orthonormal, so the squared residual is
+    * ‖x−μ‖² − Σsᵢ² (no explicit reconstruction). Broadcast-join scoring
+    * pass + one combinable aggregation per key: (n, mean/max residual). */
+  def scorePca(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String]): DataFrame = {
+    val resid = udf {
+      (comps: Seq[Seq[Double]], mean: Seq[Double], x: Seq[Double]) =>
+        var c2 = 0.0
+        var i = 0
+        while (i < x.size) {
+          val d = x(i) - mean(i); c2 += d * d; i += 1
+        }
+        var s2 = 0.0
+        comps.foreach { w =>
+          var s = 0.0
+          var j = 0
+          while (j < w.size) { s += w(j) * (x(j) - mean(j)); j += 1 }
+          s2 += s * s
+        }
+        math.max(c2 - s2, 0.0)
+    }
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    df.join(broadcast(models), keyCols)
+      .withColumn("__r2", resid(col("components"), col("mean"), featuresArr))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        avg(col("__r2")).as("mean_resid"),
+        max(col("__r2")).as("max_resid"))
+  }
+
   /** Per-key classification evaluation for [[fitLogistic]] models:
     * accuracy and log-loss (probabilities clipped to [1e-12, 1-1e-12]) in
     * one combinable aggregation after the broadcast-join scoring pass. */

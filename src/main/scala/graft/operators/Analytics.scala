@@ -474,7 +474,60 @@ object Analytics {
       ORDER BY p.p_brand, p.p_retailprice, p_partkey"""),
   )
 
+  /** Market-basket co-occurrence: the 20 part pairs most often bought in
+    * the SAME order, with their lift against independence — the
+    * association-rule / recommender primitive. The pair space comes from
+    * a lineitem SELF-JOIN ON THE ORDER KEY, whose fan-out is bounded by
+    * lines-per-order (≤ ~7 here), so pair generation is linear in
+    * lineitems at any corpus size — never a part×part cross product. Per-
+    * part support is a second combinable count; lift = N·c(a,b)/(c(a)c(b))
+    * is pure IEEE arithmetic over exact integers, rounded at 6dp. Distinct
+    * (order, part) first so multi-line quantities don't double-count a
+    * pair within one order. */
+  val qCopurchase: GQuery = GQuery(
+    "q_copurchase",
+    (spark, dir) => {
+      import spark.implicits._
+      val op = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+      val supp = op.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      val tot = op.agg(countDistinct($"l_orderkey").as("n_orders"))
+      pairs
+        .join(supp.select($"l_partkey".as("p1"), $"n".as("n1")), "p1")
+        .join(supp.select($"l_partkey".as("p2"), $"n".as("n2")), "p2")
+        .crossJoin(broadcast(tot))
+        .select($"p1", $"p2", $"n_both", $"n1", $"n2",
+          r6($"n_orders".cast("double") * $"n_both".cast("double") /
+            ($"n1".cast("double") * $"n2".cast("double"))).as("lift"))
+        .orderBy($"n_both".desc, $"p1", $"p2")
+        .limit(20)
+    },
+    Some(s"""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY p1, p2),
+      supp AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY l_partkey),
+      tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+      SELECT p1, p2, n_both, s1.n AS n1, s2.n AS n2,
+             ${r6Sql("cast(n_orders as double) * cast(n_both as double) / " +
+               "(cast(s1.n as double) * cast(s2.n as double))")} AS lift
+      FROM pairs
+      JOIN supp s1 ON s1.l_partkey = p1
+      JOIN supp s2 ON s2.l_partkey = p2
+      CROSS JOIN tot
+      ORDER BY n_both DESC, p1, p2
+      LIMIT 20"""),
+  )
+
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
-      qAggIncremental, qAbtest, qSkyline)
+      qAggIncremental, qAbtest, qSkyline, qCopurchase)
 }

@@ -521,6 +521,19 @@ class MlSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(scored("a") - evA.head) / evA.head < 1e-6,
       s"score variance ${scored("a")} vs eigenvalue ${evA.head}")
+    // reconstruction error: against a k=1 model (subspace = the planted
+    // direction alone), an off-axis outlier inflates max_resid by orders
+    // of magnitude over the ~0.01 noise floor. k=1 keeps the test
+    // deterministic — with k=2 the second component's direction inside
+    // the noise plane is arbitrary and could absorb the outlier.
+    val m1 = KeyedModels.fitPca(df, Seq("k"), Seq("x1", "x2", "x3"), k = 1)
+    val withOutlier = df.unionByName(
+      Seq(("a", 0.0, 0.0, 10.0)).toDF("k", "x1", "x2", "x3"))
+    val sc = KeyedModels.scorePca(withOutlier, m1, Seq("k"),
+      Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("max_resid")).toMap
+    // (0,0,10) ⊥ (0.6,0.8,0): residual ≈ 100
+    assert(sc("a") > 50.0, s"outlier residual should dominate: $sc")
   }
 
   test("fitKMeans recovers planted per-key clusters") {
