@@ -129,4 +129,84 @@ object NearDup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Distinct word 3-gram shingles, one row per (id, gram) — shared by
+    * signature building and exact verification below. Docs with < 3
+    * tokens contribute no grams (and thus never pair). */
+  private def wordGrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
+      .select(col("id"),
+        explode(array_distinct(
+          when(size(col("l")) < 3, array().cast("array<string>"))
+            .otherwise(expr(
+              "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+          .as("gram"))
+
+  /** Portable banded minhash signatures — the same deterministic
+    * construction the oracle-checked `q_neardup_banded` uses (16 md5
+    * minhashes from 4 digests, 4 bands of 4): (id, band_id, sig), 4 rows
+    * per document. MATERIALIZE THIS ONCE for the standing corpus (it is
+    * 4 short rows per doc, cheap to store as a lake table); each ingest
+    * batch then computes only its own signatures. */
+  def bandedSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g = wordGrams(docs, idCol, textCol)
+    val minhashes = (0 until 16).map { s =>
+      val digest = md5(concat_ws("|", lit((s / 4).toString), col("gram")))
+      min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
+    }
+    val sigs = g.groupBy(col("id")).agg(minhashes.head, minhashes.tail: _*)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+          col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as("sig")))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
+  }
+
+  /** INCREMENTAL near-dup: match an ingest batch against the standing
+    * corpus without ever pairing the corpus with itself — the shape a
+    * daily 100 TB pipeline actually runs (corpus×corpus is a one-time
+    * backfill; day N only needs batch×corpus ∪ batch×batch). Candidates
+    * come from the band equi-join of the batch's signatures against the
+    * PRECOMPUTED corpus signature table (pass `corpusSigs` from the lake;
+    * recomputing from `corpusDocs` is the fallback), then exact word-gram
+    * Jaccard verifies candidates only. Returns
+    * (new_id, corpus_id, jaccard ≥ minJaccard). Batch-internal dups are
+    * deliberately excluded here — run the symmetric pass on the batch
+    * alone for those. */
+  def incrementalNearDups(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      corpusSigs: Option[DataFrame] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.8): DataFrame = {
+    val nSigs = bandedSignatures(newDocs, idCol, textCol)
+    val cSigs = corpusSigs.getOrElse(bandedSignatures(corpusDocs, idCol, textCol))
+    val cand = nSigs.as("n").join(cSigs.as("c"),
+        col("n.band_id") === col("c.band_id") && col("n.sig") === col("c.sig"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val gN = wordGrams(newDocs, idCol, textCol)
+    val gC = wordGrams(corpusDocs, idCol, textCol)
+    val nSizes = gN.groupBy(col("id")).agg(count(lit(1)).as("n_new"))
+    val cSizes = gC.groupBy(col("id")).agg(count(lit(1)).as("n_corpus"))
+    val inter = broadcast(cand)
+      .join(gN.as("g1"), col("g1.id") === col("new_id"))
+      .join(gC.as("g2"),
+        col("g2.id") === col("corpus_id") && col("g2.gram") === col("g1.gram"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(nSizes.select(col("id").as("new_id"), col("n_new")), "new_id")
+      .join(cSizes.select(col("id").as("corpus_id"), col("n_corpus")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("n_common").cast("double") /
+          (col("n_new") + col("n_corpus") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

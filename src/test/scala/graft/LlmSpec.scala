@@ -22,6 +22,45 @@ class LlmSpec extends AnyFunSuite {
     base.unionAll(nearDups)
   }
 
+  test("incremental near-dup matches the batch against the corpus only") {
+    import spark.implicits._
+    val corpus = graft.engine.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    // batch: 15 exact copies of corpus docs + 5 novel docs sharing no
+    // 3-gram with anything (distinct synthetic vocab per doc)
+    val copies = corpus.filter($"doc_id" < 15)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+    val novel = (0 until 5).map { i =>
+      (900100L + i, (0 until 30).map(j => s"zz${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = copies.unionByName(novel)
+
+    val pairs = NearDup.incrementalNearDups(batch, corpus, minJaccard = 0.8)
+      .select($"new_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    // every pair is batch x corpus by construction
+    pairs.foreach { case (n, c, _) =>
+      assert(n >= 900000L && c < 900000L, s"non-incremental pair ($n, $c)")
+    }
+    // all 15 planted copies surface at jaccard 1.0
+    (0L until 15L).foreach { id =>
+      val hit = pairs.find(p => p._1 == id + 900000L && p._2 == id)
+      assert(hit.exists(_._3 == 1.0), s"planted copy $id missing: $hit")
+    }
+    // novel docs pair with nothing
+    assert(!pairs.exists(_._1 >= 900100L), s"novel doc paired: ${pairs.toSeq}")
+
+    // the precomputed-signature path (the lake-table workflow) is
+    // identical to recomputing corpus signatures inline
+    val sigs = NearDup.bandedSignatures(corpus)
+    val viaSigs = NearDup
+      .incrementalNearDups(batch, corpus, corpusSigs = Some(sigs),
+        minJaccard = 0.8)
+      .select($"new_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(viaSigs.sorted.toSeq == pairs.sorted.toSeq)
+  }
+
   test("MinHashLSH pairs every planted near-duplicate") {
     import spark.implicits._
     val pairs = NearDup.minHashPairs(docsWithPlantedDups, minJaccard = 0.5)
