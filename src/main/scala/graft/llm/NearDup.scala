@@ -167,6 +167,40 @@ object NearDup {
       .select(col("id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
   }
 
+  /** The SAME banded-signature construction computed entirely with
+    * PER-ROW array expressions — `array_min` over the transformed gram
+    * list replaces the explode + groupBy(min), so there is NO SHUFFLE at
+    * all (lexicographic min of fixed-width hex is numeric min either
+    * way; LlmSpec proves row-for-row equality with [[bandedSignatures]]).
+    * This is the form a STREAMING ingest gate needs — stateless, no
+    * aggregation state, usable on an unbounded stream — and it keeps
+    * batch signature building inside one whole-stage-codegen pass. Docs
+    * with < 3 tokens yield no signature rows (they cannot near-dup by
+    * 3-gram shingles). */
+  def bandedSignaturesPerRow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
+      .filter(size(col("l")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+          "element_at(l, i), element_at(l, i+1), element_at(l, i+2))))"))
+    val hs = (0 until 16).map { s =>
+      expr(s"array_min(transform(grams, g -> " +
+        s"substring(md5(concat_ws('|', '${s / 4}', g)), ${8 * (s % 4) + 1}, 8)))")
+        .as(s"h$s")
+    }
+    val sigs = base.select((col("id") +: hs): _*)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+          col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as("sig")))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
+  }
+
   /** INCREMENTAL near-dup: match an ingest batch against the standing
     * corpus without ever pairing the corpus with itself — the shape a
     * daily 100 TB pipeline actually runs (corpus×corpus is a one-time

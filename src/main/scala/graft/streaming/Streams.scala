@@ -177,6 +177,28 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Streaming ingest-time dedup gate: flag documents in an unbounded
+    * stream whose banded minhash signature collides with the standing
+    * corpus's PRECOMPUTED signature table (see
+    * [[graft.llm.NearDup.bandedSignatures]] — 4 short rows per corpus
+    * doc, refreshed between micro-batches like any stream-static dim).
+    * Signatures for stream rows come from
+    * [[graft.llm.NearDup.bandedSignaturesPerRow]], which is pure per-row
+    * expression work — no aggregation, NO STREAMING STATE — so the gate
+    * is stateless end to end: per-row signatures + one stream-static
+    * equi-join. Emits (doc_id, band_id, corpus_id) candidate rows; a doc
+    * matching the same corpus doc in several bands emits several rows —
+    * the downstream exact-verify (batch `incrementalNearDups` on the
+    * flagged slice) dedups, keeping this gate free of dropDuplicates
+    * state. */
+  def corpusDupCandidates(streamDocs: DataFrame,
+      corpusSigs: DataFrame): DataFrame =
+    graft.llm.NearDup.bandedSignaturesPerRow(streamDocs)
+      .join(corpusSigs
+        .select(col("id").as("corpus_id"), col("band_id"), col("sig")),
+        Seq("band_id", "sig"))
+      .select(col("id").as("doc_id"), col("band_id"), col("corpus_id"))
+
   /** Windowed approximate-distinct users — the streaming cardinality
     * monitor (uniques per window). The HyperLogLog++ buffer per window is
     * CONSTANT-SIZE regardless of user count, so streaming state stays

@@ -61,6 +61,18 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSigs.sorted.toSeq == pairs.sorted.toSeq)
   }
 
+  test("per-row banded signatures equal the aggregated construction exactly") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val viaAgg = NearDup.bandedSignatures(docs)
+      .as[(Long, Int, String)].collect().toSet
+    val perRow = NearDup.bandedSignaturesPerRow(docs)
+      .as[(Long, Int, String)].collect().toSet
+    assert(perRow == viaAgg,
+      s"diff: ${(perRow diff viaAgg).take(3)} / ${(viaAgg diff perRow).take(3)}")
+    assert(perRow.nonEmpty)
+  }
+
   test("MinHashLSH pairs every planted near-duplicate") {
     import spark.implicits._
     val pairs = NearDup.minHashPairs(docsWithPlantedDups, minJaccard = 0.5)

@@ -254,6 +254,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming corpus-dup gate flags a copied doc, passes a novel one") {
+    implicit val sq = spark.sqlContext
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val corpusSigs = graft.llm.NearDup.bandedSignatures(corpus)
+    val copiedText = corpus.filter(col("doc_id") === 7L)
+      .select("text").collect().head.getString(0)
+    val mem = MemoryStream[(Long, String)]
+    val flagged = Streams.corpusDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), corpusSigs)
+    val q = flagged.writeStream.format("memory")
+      .queryName("dupgate" + System.nanoTime()).outputMode("append").start()
+    mem.addData(Seq(
+      (900007L, copiedText),
+      (900100L, (0 until 30).map(j => s"qq_$j").mkString(" "))))
+    q.processAllAvailable()
+    val name = q.name
+    q.stop()
+    val out = spark.table(name)
+      .select(col("doc_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(out.contains((900007L, 7L)), s"copied doc not flagged: $out")
+    assert(!out.exists(_._1 == 900100L), s"novel doc flagged: $out")
+  }
+
   test("observed gate metrics surface per micro-batch in streaming") {
     // the Gates claim, golden-tested: the SAME observe instrumentation
     // that rides a batch action reports per micro-batch through
