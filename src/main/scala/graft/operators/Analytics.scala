@@ -476,24 +476,33 @@ object Analytics {
 
   /** Market-basket co-occurrence: the 20 part pairs most often bought in
     * the SAME order, with their lift against independence — the
-    * association-rule / recommender primitive. The pair space comes from
-    * a lineitem SELF-JOIN ON THE ORDER KEY, whose fan-out is bounded by
-    * lines-per-order (≤ ~7 here), so pair generation is linear in
-    * lineitems at any corpus size — never a part×part cross product. Per-
-    * part support is a second combinable count; lift = N·c(a,b)/(c(a)c(b))
-    * is pure IEEE arithmetic over exact integers, rounded at 6dp. Distinct
-    * (order, part) first so multi-line quantities don't double-count a
-    * pair within one order. */
+    * association-rule / recommender primitive. Pair generation collects
+    * each order's distinct part SET (bounded by lines-per-order, ≤ ~7
+    * here) in ONE shuffle and explodes the C(n,2) combinations per row —
+    * measured faster than the equivalent self-join on the order key
+    * (1.12s vs 1.34s core at sf0.1, tools/PerfProbe) because the
+    * (order, part) table shuffles once, not twice; both are linear in
+    * lineitems, never a part×part cross product. The sorted array makes
+    * i<j ⇒ p1<p2, matching the oracle's a.partkey < b.partkey. Per-part
+    * support is a second combinable count; lift = N·c(a,b)/(c(a)c(b)) is
+    * pure IEEE arithmetic over exact integers, rounded at 6dp. Distinct
+    * parts per order so multi-line quantities don't double-count. */
   val qCopurchase: GQuery = GQuery(
     "q_copurchase",
     (spark, dir) => {
       import spark.implicits._
       val op = Tables.lineitem(spark, dir)
         .select($"l_orderkey", $"l_partkey").distinct()
-      val pairs = op.as("a").join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      val pairs = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps)-1), i -> " +
+            "transform(sequence(i+1, size(ps)), j -> " +
+            "struct(element_at(ps, i) as p1, element_at(ps, j) as p2))))"))
+          .as("pr"))
+        .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
         .agg(count(lit(1)).as("n_both"))
       val supp = op.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
       val tot = op.agg(countDistinct($"l_orderkey").as("n_orders"))
