@@ -421,7 +421,51 @@ object EventOps {
       ORDER BY channel"""),
   )
 
+  /** Inter-arrival time analysis — the point-process view of the event
+    * stream (engagement cadence, anomaly baselines, queue-theory inputs):
+    * per-user gaps between consecutive events from ONE lag window, then
+    * count / mean / max / median gap per event type of the later event.
+    * One shuffle by user for the window, one combinable agg (the exact
+    * median swaps for the GK sketch at 100 TB unchanged — GkSwapSpec's
+    * contract). Gaps are integer seconds (ts is second-truncated on both
+    * engines) so only the mean needs the decimal-sum contract. */
+  val qInterarrival: GQuery = GQuery(
+    "q_interarrival",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+        .withColumn("gap",
+          $"ts".cast("long") - lag($"ts".cast("long"), 1).over(w))
+        .filter($"gap".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          davg($"gap", 6).as("mean_gap_s"),
+          max($"gap").as("max_gap_s"),
+          expr("percentile(gap, 0.5)").as("median_gap_s"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch(date_trunc('second', ts))::BIGINT AS tse
+        FROM events),
+      g AS (
+        SELECT event_type,
+               tse - lag(tse) OVER (PARTITION BY user_id
+                 ORDER BY tse, event_id) AS gap
+        FROM ev)
+      SELECT event_type, count(*) AS n_gaps,
+             ${davgSql("gap", 6)} AS mean_gap_s,
+             max(gap) AS max_gap_s,
+             quantile_cont(gap, 0.5) AS median_gap_s
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch, qJoinPit,
-      qAttribution)
+      qAttribution, qInterarrival)
 }

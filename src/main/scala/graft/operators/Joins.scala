@@ -570,8 +570,45 @@ object Joins {
       LIMIT 20"""),
   )
 
+  /** TPC-H Q16 shape — supplier diversity per part attribute group,
+    * EXCLUDING a blacklist: how many distinct suppliers ship each
+    * (brand, size) slice, ignoring suppliers on a complaints list
+    * (negative account balance stands in for Q16's LIKE '%Complaints%').
+    * The supplier-per-part relation is a distinct over lineitem (this
+    * schema has no partsupp); the NOT IN becomes a LEFT ANTI join BEFORE
+    * the distinct-count aggregation — the decorrelated form that scales
+    * (an IN-subquery per row would not). All integers; TakeOrdered
+    * keeps the top 25 without a global sort. */
+  val qJoinQ16: GQuery = GQuery(
+    "q_join_q16",
+    (spark, dir) => {
+      import spark.implicits._
+      val ps = Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val blacklist = Tables.supplier(spark, dir)
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      ps.join(blacklist, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+        .limit(25)
+    },
+    Some("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      ok AS (SELECT l_partkey, l_suppkey FROM ps
+             WHERE l_suppkey NOT IN
+               (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      SELECT p_brand, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM ok JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_size
+      LIMIT 25"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinIntervalOuter, qJoinCross,
-    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8, qJoinQ17, qJoinQ18)
+    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8, qJoinQ17, qJoinQ18, qJoinQ16)
 }
