@@ -607,8 +607,43 @@ object Joins {
       LIMIT 25"""),
   )
 
+  /** TPC-H Q4 shape — order-priority distribution of orders with at
+    * least one SLOW lineitem (shipped > 90 days after the order date; the
+    * schema has no commit/receipt dates, so ship-lag stands in for Q4's
+    * late-delivery predicate). The EXISTS is a LEFT SEMI join on the
+    * order key whose date comparison is a join-condition post-filter —
+    * semi joins never multiply rows, so the aggregate input stays
+    * |orders|-bounded however many lineitems match. One combinable count
+    * per priority; all integers. */
+  val qJoinQ4: GQuery = GQuery(
+    "q_join_q4",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_shipdate")
+      ord.join(li,
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinIntervalOuter, qJoinCross,
-    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8, qJoinQ17, qJoinQ18, qJoinQ16)
+    qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8, qJoinQ17, qJoinQ18, qJoinQ16,
+    qJoinQ4)
 }

@@ -24,6 +24,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("Catalog.registerAll exposes the engine to plain spark.sql") {
+    graft.engine.Catalog.registerAll(spark, sf)
+    // a join + aggregate through the views matches the DataFrame twin
+    val viaSql = spark.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+    val viaDf = {
+      import org.apache.spark.sql.functions._
+      graft.engine.Tables.customer(spark, sf)
+        .join(graft.engine.Tables.nation(spark, sf),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name")).collect()
+    }
+    assert(viaSql.toSeq == viaDf.toSeq)
+    // the events view carries the ns-normalization: ts is a usable
+    // second-truncated timestamp, not the raw nano long
+    val tsType = spark.sql("SELECT ts FROM events").schema.head.dataType
+    assert(tsType.typeName.startsWith("timestamp"), s"ts type: $tsType")
+  }
+
   test("oracle SQL declared for every oracle-bearing query exactly once") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
