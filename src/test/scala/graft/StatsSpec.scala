@@ -57,6 +57,42 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective fact-fact join") {
+    // The third runtime lever beside AQE skew-split and stats-informed
+    // broadcast: when one side of a shuffle join carries a selective
+    // filter, the optimizer builds a bloom filter from it and pushes a
+    // might_contain probe into the OTHER side's scan — at 100 TB this
+    // skips most of the probe-side shuffle for month-slice joins. The
+    // default application-side threshold (10GB) exists so small scans
+    // skip the overhead; lower it (and disable broadcast) to observe the
+    // mechanism at test scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-02-01").cast("timestamp_ntz"))
+      val joined = Tables.lineitem(spark, sf)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("ANALYZE TABLE populates row-count and column statistics the planner sees") {
     val cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
     try {
