@@ -262,6 +262,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_join_q19 pushes the factored OR bounds into both parquet scans") {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val plan = physicalPlan("q_join_q19")
+      // the hand-factored common bounds must reach the scans — Catalyst
+      // does not CNF-push the straddling OR on its own
+      assert(plan.contains("LessThanOrEqual(l_quantity,30.0)"), plan)
+      assert(plan.contains("In(p_brand"), plan)
+      assert(plan.contains("LessThanOrEqual(p_size,15)"), plan)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
+  test("q_join_q13 keeps the outer join (exclusion lives in the join condition)") {
+    val plan = physicalPlan("q_join_q13")
+    // a WHERE-placed exclusion would let Catalyst turn this inner and
+    // silently drop the k=0 bucket — the classic Q13 trap
+    assert(plan.contains("LeftOuter"), plan)
+  }
+
+  test("q_join_q21 stays semi/anti on the order key (no row multiplication)") {
+    val plan = physicalPlan("q_join_q21")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_join_q10 takes the top 20 without a global sort") {
+    val plan = physicalPlan("q_join_q10")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_join_q15 computes the per-supplier aggregate once (exchange reuse)") {
+    // reuse is decided during adaptive execution — run the query, then
+    // inspect the final plan; without the explicit isNotNull on the
+    // shared subtree the two rev branches are not canonically equal and
+    // lineitem is scanned twice
+    val df = Registry.byName("q_join_q15").run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
   test("q_scan_zorder pushes both cluster-column predicates to the scan") {
     // the default 100-char metadata truncation cuts the PushedFilters list
     // before the second column — widen it for this assertion
