@@ -454,7 +454,34 @@ object TpchShapes {
       ORDER BY cntrycode"""),
   )
 
+  /** TPC-H Q6 shape — forecasting revenue change: one conditional sum
+    * over filtered lineitem, no join at all. All three predicates are
+    * range/bound filters on scanned columns, so the whole WHERE reaches
+    * the parquet scan as PushedFilters and row groups outside the year
+    * or discount band never decompress. The aggregate is a single
+    * decimal per task (map-side partial), constant-size at any SF. */
+  val qAggQ6: GQuery = GQuery(
+    "q_agg_q6",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+        .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qJoinQ7, qJoinQ9, qJoinQ10, qJoinQ12, qJoinQ13, qJoinQ14, qJoinQ15,
-    qJoinQ19, qJoinQ21, qJoinQ22)
+    qAggQ6, qJoinQ7, qJoinQ9, qJoinQ10, qJoinQ12, qJoinQ13, qJoinQ14,
+    qJoinQ15, qJoinQ19, qJoinQ21, qJoinQ22)
 }

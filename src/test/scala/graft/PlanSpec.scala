@@ -275,6 +275,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
+  test("q_agg_q6 pushes all three predicates to the scan (join-free shape)") {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val plan = physicalPlan("q_agg_q6")
+      assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+      assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"), plan)
+      assert(plan.contains("LessThan(l_quantity,24.0)"), plan)
+      assert(!plan.contains("Join"), "Q6 must not join anything: " + plan)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
   test("q_join_q13 keeps the outer join (exclusion lives in the join condition)") {
     val plan = physicalPlan("q_join_q13")
     // a WHERE-placed exclusion would let Catalyst turn this inner and
