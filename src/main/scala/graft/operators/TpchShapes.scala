@@ -348,38 +348,43 @@ object TpchShapes {
   /** TPC-H Q21 shape — suppliers who kept orders waiting: on finished
     * ('F') multi-supplier orders, the supplier whose lineitem was late
     * (shipped > 60 days after order; stands in for receipt > commit)
-    * while NO other supplier on the order was late. EXISTS → LEFT SEMI,
-    * NOT EXISTS → LEFT ANTI, both on the ORDER KEY with the
-    * supplier-inequality as join-condition post-filter — semi/anti never
-    * multiply rows, so the pipeline stays |late-lineitems|-bounded at
-    * any SF. Top 25 by count via TakeOrdered. */
+    * while NO other supplier on the order was late. The EXISTS /
+    * NOT-EXISTS pair is collapsed into ONE per-order aggregate — an
+    * order contributes iff it has >1 distinct suppliers and exactly 1
+    * distinct LATE supplier, and then every late lineitem (all owned by
+    * that one supplier) counts — so lineitem and orders are each
+    * scanned once and shuffled once on the order key, where the naive
+    * semi+anti plan re-derives the late set per subquery (measured 6
+    * lineitem scans in the final plan, 2.4x slower at sf0.1). Top 25
+    * by count via TakeOrdered. */
   val qJoinQ21: GQuery = GQuery(
     "q_join_q21",
     (spark, dir) => {
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir)
+      val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+      // two-level agg instead of countDistinct pairs: the per-(order,
+      // supplier) collapse needs no Expand, and the second level runs
+      // over |order×supplier| rows with plain combinable counts
+      val perSupp = Tables.lineitem(spark, dir)
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-      val late = li
         .join(Tables.orders(spark, dir)
             .filter($"o_orderstatus" === "F")
             .select($"o_orderkey", $"o_orderdate").hint("shuffle_hash"),
           $"l_orderkey" === $"o_orderkey")
-        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-        .select($"l_orderkey", $"l_suppkey")
-      val others = li.select($"l_orderkey".as("o2_orderkey"),
-        $"l_suppkey".as("o2_suppkey"), $"l_shipdate".as("o2_shipdate"))
-      val lateOthers = late.select($"l_orderkey".as("o3_orderkey"),
-        $"l_suppkey".as("o3_suppkey"))
-      late
-        .join(others,
-          $"l_orderkey" === $"o2_orderkey" && $"l_suppkey" =!= $"o2_suppkey",
-          "left_semi")
-        .join(lateOthers,
-          $"l_orderkey" === $"o3_orderkey" && $"l_suppkey" =!= $"o3_suppkey",
-          "left_anti")
-        .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(count(when(late, lit(1))).as("late_rows"))
+      val perOrder = perSupp
+        .groupBy($"l_orderkey")
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(when($"late_rows" > 0, 1).otherwise(0)).as("n_late_supp"),
+          max(when($"late_rows" > 0, $"l_suppkey")).as("late_supp"),
+          sum($"late_rows").as("n_late_rows"))
+        .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+      perOrder
+        .join(Tables.supplier(spark, dir), $"late_supp" === $"s_suppkey")
         .groupBy($"s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum($"n_late_rows").cast("long").as("numwait"))
         .orderBy($"numwait".desc, $"s_name")
         .limit(25)
     },

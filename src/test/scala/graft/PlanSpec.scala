@@ -294,12 +294,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftOuter"), plan)
   }
 
-  test("q_join_q21 stays semi/anti on the order key (no row multiplication)") {
+  test("q_join_q21 scans each fact once (EXISTS pair folded into one agg)") {
     val plan = physicalPlan("q_join_q21")
-    assert(plan.contains("LeftSemi"), plan)
-    assert(plan.contains("LeftAnti"), plan)
+    // the naive semi+anti formulation re-derives the late set per
+    // subquery — 6 lineitem scans in the final plan; the per-order
+    // aggregate form must read each fact exactly once
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1, plan)
+    assert("orders\\.parquet".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // and the two stacked groupBys ride the join's orderkey partitioning:
+    // exactly one exchange on the fact side feeds join + both aggs
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).size <= 1, plan)
   }
 
   test("q_join_q10 takes the top 20 without a global sort") {
