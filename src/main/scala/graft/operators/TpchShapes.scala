@@ -5,14 +5,16 @@ import graft.engine.{GQuery, Tables}
 import graft.engine.GQuery._
 
 /** The remaining TPC-H plan shapes (SURVEY.md §2.B.3 continuation, round
-  * 6): Q7, Q9, Q10, Q12, Q13, Q14, Q15, Q19, Q21, Q22 — adapted to this
-  * schema (no partsupp / shipmode / phone / commit-receipt dates; each
-  * scaladoc names the stand-in). Together with q_pricing (Q1), q_join_smj
-  * (Q3), q_join_q4/q5/q8/q16/q17/q18 and the subquery family, every
-  * TPC-H query whose relations exist in this schema now has a declared,
-  * oracle-checked twin. Posture follows Joins.scala: constant-size dims
-  * broadcast, SF-growing tables un-hinted (stats/AQE decide), fact⋈fact
-  * shuffled, disjunctions hand-factored into pushable bounds.
+  * 6): Q2, Q6, Q7, Q9, Q10, Q11, Q12, Q13, Q14, Q15, Q19, Q20, Q21, Q22
+  * — adapted to this schema (no partsupp / shipmode / phone /
+  * commit-receipt dates; each scaladoc names the stand-in — Q2/Q11/Q20
+  * derive their partsupp-like relation by aggregating lineitem per
+  * (part, supplier)). Together with q_pricing (Q1), q_join_smj (Q3),
+  * q_join_q4/q5/q8/q16/q17/q18 and the subquery family, ALL 22 TPC-H
+  * queries now have declared, oracle-checked twins. Posture follows
+  * Joins.scala: constant-size dims broadcast, SF-growing tables
+  * un-hinted (stats/AQE decide), fact⋈fact shuffled, disjunctions
+  * hand-factored into pushable bounds.
   */
 object TpchShapes {
 
@@ -486,7 +488,183 @@ object TpchShapes {
         AND l_quantity < 24"""),
   )
 
+  /** TPC-H Q2 shape — minimum-cost supplier per part in one region.
+    * No partsupp in this schema: the (part, supplier) cost relation is
+    * aggregated off lineitem, with min unit price standing in for
+    * ps_supplycost (min over per-row doubles is exact — no
+    * accumulation order — so it bit-matches DuckDB without decimal
+    * staging). The part and region-supplier prunes are pushed BELOW
+    * that aggregate — legal because the agg key is exactly the two
+    * join keys, so filtering pairs before or after the per-pair min is
+    * identical — shrinking the groupBy input from |lineitem| to the
+    * few matching parts' rows (measured 1.38s → 0.88s at sf0.1). The
+    * per-part argmin is then de-correlated: ONE aggregate over the
+    * pruned cost relation, equality-joined back (double equality is
+    * safe for a min), ties surfacing like Q2's >= ANY. Supplier is
+    * un-hinted (SF-growing); TakeOrdered keeps 100. */
+  val qJoinQ2: GQuery = GQuery(
+    "q_join_q2",
+    (spark, dir) => {
+      import spark.implicits._
+      val regionNations = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+            .filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val sup = Tables.supplier(spark, dir)
+        .join(broadcast(regionNations), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val pt = Tables.part(spark, dir)
+        .filter($"p_size".between(10, 20) && $"p_type" === "STANDARD")
+        .select($"p_partkey", $"p_brand")
+      val costs = Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+        .join(pt, $"l_partkey" === $"p_partkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"p_partkey", $"p_brand", $"s_suppkey", $"s_name",
+          $"s_acctbal", $"n_name")
+        .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
+      val minCost = costs.groupBy($"p_partkey".as("mc_partkey"))
+        .agg(min($"supplycost").as("min_cost"))
+      costs
+        .join(minCost,
+          $"p_partkey" === $"mc_partkey" && $"supplycost" === $"min_cost")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"p_brand", r6($"supplycost").as("supplycost"))
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    },
+    Some(s"""
+      WITH costs AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+               supplycost
+        FROM (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE r_name = 'EUROPE'
+          AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'),
+      mc AS (
+        SELECT p_partkey AS mc_partkey, min(supplycost) AS min_cost
+        FROM costs GROUP BY p_partkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             ${r6Sql("supplycost")} AS supplycost
+      FROM costs JOIN mc
+        ON p_partkey = mc_partkey AND supplycost = min_cost
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100"""),
+  )
+
+  /** TPC-H Q11 shape — important stock identification: parts whose
+    * one-nation shipped value exceeds a fixed fraction of that nation's
+    * total. The global total is the per-part values re-accumulated as
+    * decimals (the values are 2-dp doubles, so the decimal sum is
+    * exact and order-free) and broadcast as ONE row into the
+    * comparison — two aggregates, zero self-joins. The fraction
+    * literal is cast to double on the DuckDB side so both engines
+    * compare against the same IEEE product. */
+  val qJoinQ11: GQuery = GQuery(
+    "q_join_q11",
+    (spark, dir) => {
+      import spark.implicits._
+      val natSup = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+            .filter($"n_name" === "NATION_3")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val pv = Tables.lineitem(spark, dir)
+        .join(natSup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(dsum($"l_extendedprice").as("value"))
+      val total = pv.agg(
+        (sum($"value".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double") * lit(0.0001)).as("threshold"))
+      pv.join(broadcast(total)).filter($"value" > $"threshold")
+        .select($"l_partkey", $"value")
+        .orderBy($"value".desc, $"l_partkey")
+    },
+    Some(s"""
+      WITH pv AS (
+        SELECT l_partkey, ${dsumSql("l_extendedprice")} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey)
+      SELECT l_partkey, value
+      FROM pv
+      WHERE value > (
+        SELECT cast(sum(cast(value as decimal(30,6))) as double)
+                 * cast(0.0001 as double)
+        FROM pv)
+      ORDER BY value DESC, l_partkey"""),
+  )
+
+  /** TPC-H Q20 shape — suppliers holding excess share: suppliers who
+    * shipped more than twice their fair share (2/n_suppliers) of some
+    * small-named part's total quantity. The synthetic data is uniform —
+    * a TPC-H-style fixed 50% cut selects nothing at any SF — so
+    * "excess" is relative to the part's supplier count, which keeps
+    * selectivity SF-stable (~1% of suppliers). Share numerator and
+    * denominator BOTH derive from one aggregation of the part-filtered
+    * lineitem (the per-part total re-accumulates the 2-dp per-supplier
+    * sums as exact decimals; the comparison is integer×decimal-derived
+    * doubles, bit-identical cross-engine), and the two stacked groupBys
+    * ride one partkey-compatible shuffle. The supplier list comes out
+    * through a LEFT SEMI (a supplier heavy on many parts appears once);
+    * the 25-row nation broadcast only decorates the output. */
+  val qJoinQ20: GQuery = GQuery(
+    "q_join_q20",
+    (spark, dir) => {
+      import spark.implicits._
+      val perPS = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir)
+            .filter($"p_name".like("small%")).select($"p_partkey"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(dsum($"l_quantity").as("ps_qty"))
+      val perPart = perPS.groupBy($"l_partkey".as("pp_partkey"))
+        .agg(
+          sum($"ps_qty".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("p_qty"),
+          count(lit(1)).as("nsupp"))
+      val heavy = perPS
+        .join(perPart, $"l_partkey" === $"pp_partkey")
+        .filter($"ps_qty" * $"nsupp" > lit(2.0) * $"p_qty")
+        .select($"l_suppkey")
+      Tables.supplier(spark, dir)
+        .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(broadcast(Tables.nation(spark, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+        .orderBy($"s_name")
+    },
+    Some(s"""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey, ${dsumSql("l_quantity")} AS ps_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY l_partkey, l_suppkey),
+      pp AS (
+        SELECT l_partkey AS pp_partkey,
+               cast(sum(cast(ps_qty as decimal(30,6))) as double) AS p_qty,
+               count(*) AS nsupp
+        FROM ps GROUP BY l_partkey),
+      heavy AS (
+        SELECT l_suppkey FROM ps JOIN pp ON l_partkey = pp_partkey
+        WHERE ps_qty * nsupp > cast(2.0 as double) * p_qty)
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE EXISTS (SELECT 1 FROM heavy WHERE l_suppkey = s_suppkey)
+      ORDER BY s_name"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qAggQ6, qJoinQ7, qJoinQ9, qJoinQ10, qJoinQ12, qJoinQ13, qJoinQ14,
-    qJoinQ15, qJoinQ19, qJoinQ21, qJoinQ22)
+    qAggQ6, qJoinQ2, qJoinQ7, qJoinQ9, qJoinQ10, qJoinQ11, qJoinQ12,
+    qJoinQ13, qJoinQ14, qJoinQ15, qJoinQ19, qJoinQ20, qJoinQ21, qJoinQ22)
 }
