@@ -578,13 +578,17 @@ object CorpusStats {
       // projected edit_dist instead lets Catalyst push the predicate into
       // the join CONDITION HEAD, where levenshtein then runs on every
       // block-mate first — measured 5.6s → 0.85s at sf0.1 for this
-      // reordering alone (tools/PerfProbe). The projection recomputes the
-      // distance only for the handful of surviving pairs.
+      // reordering alone (tools/PerfProbe). The bound itself uses the
+      // THRESHOLDED levenshtein (banded O(k·n) DP that bails as soon as
+      // the distance provably exceeds 6, returning -1) — same verdict as
+      // `levenshtein(...) <= 6` at a fraction of the DP work. The
+      // projection recomputes the exact distance only for the handful of
+      // surviving pairs.
       keyed.as("x").join(keyed.as("y"),
           col("x.bk") === col("y.bk") &&
             col("x.doc_id") < col("y.doc_id") &&
             abs(col("x.len") - col("y.len")) <= 6 &&
-            levenshtein(col("x.text"), col("y.text")) <= 6)
+            levenshtein(col("x.text"), col("y.text"), 6) >= 0)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
           levenshtein(col("x.text"), col("y.text")).cast("int").as("edit_dist"),
           col("x.len").as("len1"), col("y.len").as("len2"))

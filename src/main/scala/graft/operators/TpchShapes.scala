@@ -621,7 +621,12 @@ object TpchShapes {
     "q_join_q20",
     (spark, dir) => {
       import spark.implicits._
+      // explicit isNotNull on both keys: the heavy-join branch infers
+      // them, the per-part aggregate branch does not — without this the
+      // two perPS subtrees are not canonically equal and ReuseExchange
+      // re-scans lineitem (4 scans in the final plan instead of 1)
       val perPS = Tables.lineitem(spark, dir)
+        .filter($"l_partkey".isNotNull && $"l_suppkey".isNotNull)
         .join(Tables.part(spark, dir)
             .filter($"p_name".like("small%")).select($"p_partkey"),
           $"l_partkey" === $"p_partkey")
