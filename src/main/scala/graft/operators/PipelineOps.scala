@@ -309,6 +309,90 @@ object PipelineOps {
       ORDER BY source, verdict"""),
   )
 
+  /** Paragraph-level exact dedup with reassembly — the FineWeb-style
+    * pass that removes REPEATED BLOCKS (boilerplate headers, licence
+    * stanzas, copied sections) while keeping the documents that carry
+    * them: every document is split into deterministic 20-word chunks
+    * ("paragraphs" — the synthetic corpus has no newlines; on real data
+    * the splitter is the only line that changes), each paragraph is
+    * deduplicated CORPUS-WIDE by md5 with first occurrence winning
+    * ((doc_id, pos) order), and each document is reassembled from its
+    * surviving paragraphs in original order. Scale shape: one
+    * posexplode (linear), ONE shuffle on the 32-byte paragraph digest
+    * for the global keep-first window, one shuffle on doc_id for the
+    * ordered reassembly — no pairwise comparison anywhere, so the cost
+    * is |paragraphs|, not |docs|². Planted full-copy clones (doc_id <
+    * 25, shifted +400000) dedup to nothing — n_kept = 0 and the empty
+    * digest — so the pass can never pass vacuously; the LEFT join keeps
+    * those emptied docs in the output (they exit the text pipeline but
+    * stay in the manifest). */
+  val qDedupPara: GQuery = GQuery(
+    "q_dedup_para",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 25)
+          .select(($"doc_id" + 400000L).as("doc_id"), $"text"))
+      val withWords = docs.select($"doc_id", split($"text", " ").as("l"))
+      val paras = withWords.select($"doc_id",
+          posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(l) / 20.0) as int) - 1), " +
+              "i -> concat_ws(' ', slice(l, i * 20 + 1, 20)))")))
+        .toDF("doc_id", "pos", "para")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"para")).orderBy($"doc_id", $"pos")
+      val kept = paras
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      val reassembled = kept
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, para))), " +
+              "x -> x.para)")).as("out_text"))
+      withWords
+        .select($"doc_id",
+          ceil(size($"l") / lit(20.0)).cast("int").as("n_paras"))
+        .join(reassembled, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_paras",
+          coalesce($"n_kept", lit(0)).as("n_kept"),
+          length(coalesce($"out_text", lit(""))).cast("int").as("out_len"),
+          md5(coalesce($"out_text", lit(""))).as("content_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 400000, text FROM documents WHERE doc_id < 25),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      paras AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(l[(i * 20 + 1):(i * 20 + 20)], ' ') AS para
+        FROM lt, unnest(generate_series(0,
+               cast(ceil(len(l) / 20.0) as int) - 1)) AS t(i)),
+      kept AS (
+        SELECT doc_id, pos, para FROM (
+          SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM paras)
+        WHERE rn = 1),
+      re AS (
+        SELECT doc_id, cast(count(*) as int) AS n_kept,
+               string_agg(para, ' ' ORDER BY pos) AS out_text
+        FROM kept GROUP BY doc_id)
+      SELECT lt.doc_id,
+             cast(ceil(len(l) / 20.0) as int) AS n_paras,
+             coalesce(n_kept, 0) AS n_kept,
+             cast(length(coalesce(out_text, '')) as int) AS out_len,
+             md5(coalesce(out_text, '')) AS content_md5
+      FROM lt LEFT JOIN re ON lt.doc_id = re.doc_id
+      ORDER BY lt.doc_id"""),
+  )
+
   /** Perplexity-proxy quality score: each document's mean log-probability
     * under the corpus's own add-one-smoothed bigram LM — the classic
     * cheap LM filter (a doc whose bigrams are improbable under the corpus
@@ -368,5 +452,5 @@ object PipelineOps {
 
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
-      qSelectBudget, qFilterFunnel, qLmScore)
+      qSelectBudget, qFilterFunnel, qLmScore, qDedupPara)
 }
