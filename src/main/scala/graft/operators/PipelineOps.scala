@@ -318,10 +318,15 @@ object PipelineOps {
     * deduplicated CORPUS-WIDE by md5 with first occurrence winning
     * ((doc_id, pos) order), and each document is reassembled from its
     * surviving paragraphs in original order. Scale shape: one
-    * posexplode (linear), ONE shuffle on the 32-byte paragraph digest
-    * for the global keep-first window, one shuffle on doc_id for the
-    * ordered reassembly — no pairwise comparison anywhere, so the cost
-    * is |paragraphs|, not |docs|². Planted full-copy clones (doc_id <
+    * posexplode (linear); the keep-first decision is a COMBINABLE
+    * min(struct(doc_id, pos)) per digest — map-side partials collapse a
+    * boilerplate paragraph's 10^8 copies before the shuffle, where a
+    * row_number window would sort them all inside one hot partition —
+    * then a LEFT SEMI on row identity and one doc_id shuffle for the
+    * ordered reassembly. No pairwise comparison anywhere, so the cost
+    * is |paragraphs|, not |docs|². The DuckDB oracle states the same
+    * keep-first semantics as a row_number window — the spec, not the
+    * plan. Planted full-copy clones (doc_id <
     * 25, shifted +400000) dedup to nothing — n_kept = 0 and the empty
     * digest — so the pass can never pass vacuously; the LEFT join keeps
     * those emptied docs in the output (they exit the text pipeline but
@@ -340,11 +345,21 @@ object PipelineOps {
             "transform(sequence(0, cast(ceil(size(l) / 20.0) as int) - 1), " +
               "i -> concat_ws(' ', slice(l, i * 20 + 1, 20)))")))
         .toDF("doc_id", "pos", "para")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5($"para")).orderBy($"doc_id", $"pos")
+      // keep-first via a COMBINABLE min(struct), not a row_number window:
+      // a boilerplate paragraph repeated 10^8 times at 100 TB lands every
+      // copy in one window partition (full sort of the hot key), while
+      // the aggregate collapses each digest's copies map-side before the
+      // shuffle — the winner set that crosses the wire is |distinct
+      // paragraphs| regardless of skew
+      val winners = paras
+        .groupBy(md5($"para").as("ph"))
+        .agg(min(struct($"doc_id", $"pos")).as("w"))
+        .select($"w.doc_id".as("w_doc"), $"w.pos".as("w_pos"))
+      // LEFT SEMI on the (doc_id, pos) row identity — never on the
+      // digest, which would re-concentrate the hot key's copies
       val kept = paras
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+        .join(winners,
+          $"doc_id" === $"w_doc" && $"pos" === $"w_pos", "left_semi")
       val reassembled = kept
         .groupBy($"doc_id")
         .agg(
