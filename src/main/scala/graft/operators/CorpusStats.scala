@@ -710,7 +710,125 @@ object CorpusStats {
       ORDER BY d1, d2"""),
   )
 
+  /** EXACT-threshold set-similarity self-join via PREFIX FILTERING — the
+    * PPJoin candidate bound, completing the dedup ladder: q_neardup_*
+    * are probabilistic (bands can miss), q_containment caps posting
+    * lists (documented recall loss), this one GUARANTEES every pair
+    * with word-set Jaccard >= 0.8 is found. The filter: order each
+    * document's distinct words by a single global order (ascending
+    * document frequency, token as tiebreak — rarest first) and keep
+    * only the first n - ceil(0.8·n) + 1 as its prefix; two sets with
+    * Jaccard >= 0.8 MUST share a prefix token (pigeonhole on the
+    * (1-t)/(1+t) overlap bound), so candidates come from an equi-join
+    * on prefix tokens only — and prefixes are short AND rare by
+    * construction, so posting lists stay small without any cap. The
+    * set elements are 3-gram SHINGLES, not words: this corpus draws
+    * from a ~50-word vocabulary, so word SETS are near-identical
+    * across unrelated docs (word-level J >= 0.8 holds for half of all
+    * pairs — quadratic output), while the shingle space keeps
+    * unrelated docs near J = 0 and posting lists short. No global
+    * token ranking is materialized: (df, token) tuple order IS the
+    * global order, applied per-doc by a doc-partitioned window —
+    * vocabulary never funnels through one partition. Verification
+    * computes exact |intersection| on candidates only (broadcast pair
+    * list). Planted one-extra-word clones (shingle J ≈ (g-2)/(g+1)
+    * >= 0.8 for docs of >= ~15 words) keep the output non-vacuous at
+    * every SF. */
+  val qJaccardPrefix: GQuery = GQuery(
+    "q_jaccard_prefix",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 35)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat($"text", lit(" zzextra")).as("text")))
+      val tok = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("token"))
+      val df = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+      val ranked = tok.join(df, "token")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df", $"token")
+      val sized = ranked
+        .withColumn("pos", row_number().over(wDoc))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      val prefix = sized
+        .filter($"pos" <= $"n" - ceil(lit(0.8) * $"n").cast("int") + 1)
+        .select($"doc_id", $"token", $"n")
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.token") === col("y.token") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.n").as("n1"), col("y.n").as("n2"))
+        .distinct()
+      val inter = broadcast(cand)
+        .join(tok.as("t1"), col("t1.doc_id") === $"d1")
+        .join(tok.as("t2"),
+          col("t2.doc_id") === $"d2" && col("t2.token") === col("t1.token"))
+        .groupBy($"d1", $"d2", $"n1", $"n2")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .select($"d1", $"d2", $"n1".cast("int").as("n1"),
+          $"n2".cast("int").as("n2"), $"n_inter".cast("int").as("n_inter"),
+          r6($"n_inter".cast("double") /
+            ($"n1" + $"n2" - $"n_inter").cast("double")).as("jaccard"))
+        .filter($"jaccard" >= 0.8)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, text || ' zzextra' FROM documents
+        WHERE doc_id < 35),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      tok AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(l) < 3 THEN [] ELSE list_transform(
+            generate_series(1, len(l) - 2),
+            i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) END)) AS token
+        FROM lt),
+      df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      sized AS (
+        SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY df, token) AS pos,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tok JOIN df USING (token)),
+      prefix AS (
+        SELECT doc_id, token, n FROM sized
+        WHERE pos <= n - cast(ceil(cast(0.8 as double) * n) as int) + 1),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+               x.n AS n1, y.n AS n2
+        FROM prefix x JOIN prefix y
+          ON x.token = y.token AND x.doc_id < y.doc_id),
+      inter AS (
+        SELECT d1, d2, n1, n2, count(*) AS n_inter
+        FROM cand
+        JOIN tok t1 ON t1.doc_id = cand.d1
+        JOIN tok t2 ON t2.doc_id = cand.d2 AND t2.token = t1.token
+        GROUP BY d1, d2, n1, n2)
+      SELECT d1, d2, n1, n2, n_inter, jaccard FROM (
+        SELECT d1, d2, cast(n1 as int) AS n1, cast(n2 as int) AS n2,
+               cast(n_inter as int) AS n_inter,
+               ${r6Sql("cast(n_inter as double) / " +
+                 "cast(n1 + n2 - n_inter as double)")} AS jaccard
+        FROM inter) j
+      WHERE jaccard >= cast(0.8 as double)
+      ORDER BY d1, d2"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
-      qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment)
+      qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
+      qJaccardPrefix)
 }
