@@ -202,6 +202,87 @@ object EventOps {
       ORDER BY c_custkey"""),
   )
 
+  /** Snapshot DIFF — the inverse of [[qMergeCdc]]: given two snapshots of
+    * the customer dimension, derive the change set (the CDC feed a
+    * lakehouse table's change-data-feed view emits): rows only in the
+    * old snapshot → D, only in the new → I, in both with any tracked
+    * column differing → U with the changed-column list (deterministic
+    * fixed order). Unchanged rows produce NOTHING — the changeset is
+    * |changes|-sized, which is what makes log-shipping a 100 TB table
+    * feasible. ONE full outer join on the key (one shuffle each side);
+    * column comparison is null-safe (<=>). The new snapshot is derived
+    * from the old by key-mod rules so both engines construct identical
+    * inputs; both sides' doubles come from the same source column with
+    * the same IEEE ops, so equality is bit-safe. */
+  val qSnapshotDiff: GQuery = GQuery(
+    "q_snapshot_diff",
+    (spark, dir) => {
+      import spark.implicits._
+      val a = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment".as("seg"),
+          r2($"c_acctbal".cast("double")).as("bal"))
+      val b = a
+        .filter($"c_custkey" % 11 =!= 4) // deletes
+        .select($"c_custkey",
+          when($"c_custkey" % 17 === 5, lit("SHIFTED")).otherwise($"seg")
+            .as("seg"),
+          when($"c_custkey" % 9 === 2, r2($"bal" + 50.0)).otherwise($"bal")
+            .as("bal"))
+        .unionByName(
+          a.filter($"c_custkey" % 19 === 6) // inserts
+            .select(($"c_custkey" + 700000L).as("c_custkey"), $"seg",
+              $"bal"))
+      val j = a.select($"c_custkey".as("k_a"), $"seg".as("seg_a"),
+          $"bal".as("bal_a"))
+        .join(b.select($"c_custkey".as("k_b"), $"seg".as("seg_b"),
+          $"bal".as("bal_b")), $"k_a" === $"k_b", "full_outer")
+      j.select(
+          coalesce($"k_a", $"k_b").as("c_custkey"),
+          when($"k_b".isNull, "D").when($"k_a".isNull, "I")
+            .otherwise("U").as("op"),
+          $"seg_a".as("old_seg"), $"seg_b".as("new_seg"),
+          $"bal_a".as("old_bal"), $"bal_b".as("new_bal"),
+          concat_ws(",",
+            when(!($"seg_a" <=> $"seg_b"), lit("seg")),
+            when(!($"bal_a" <=> $"bal_b"), lit("bal"))).as("changed_cols"))
+        .filter($"op" =!= "U" || $"changed_cols" =!= "")
+        .orderBy($"c_custkey")
+    },
+    Some(s"""
+      WITH a AS (SELECT c_custkey, c_mktsegment AS seg,
+                        ${r2Sql("cast(c_acctbal as double)")} AS bal
+                 FROM customer),
+      b AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 17 = 5 THEN 'SHIFTED' ELSE seg END
+                 AS seg,
+               CASE WHEN c_custkey % 9 = 2 THEN ${r2Sql("bal + 50.0")}
+                    ELSE bal END AS bal
+        FROM a WHERE c_custkey % 11 <> 4
+        UNION ALL
+        SELECT c_custkey + 700000, seg, bal FROM a
+        WHERE c_custkey % 19 = 6),
+      j AS (
+        SELECT a.c_custkey AS k_a, a.seg AS seg_a, a.bal AS bal_a,
+               b.c_custkey AS k_b, b.seg AS seg_b, b.bal AS bal_b
+        FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+      SELECT c_custkey, op, old_seg, new_seg, old_bal, new_bal,
+             changed_cols
+      FROM (
+        SELECT coalesce(k_a, k_b) AS c_custkey,
+               CASE WHEN k_b IS NULL THEN 'D'
+                    WHEN k_a IS NULL THEN 'I' ELSE 'U' END AS op,
+               seg_a AS old_seg, seg_b AS new_seg,
+               bal_a AS old_bal, bal_b AS new_bal,
+               concat_ws(',',
+                 CASE WHEN seg_a IS DISTINCT FROM seg_b THEN 'seg' END,
+                 CASE WHEN bal_a IS DISTINCT FROM bal_b THEN 'bal' END)
+                 AS changed_cols
+        FROM j) d
+      WHERE op <> 'U' OR changed_cols <> ''
+      ORDER BY c_custkey"""),
+  )
+
   /** Longest consecutive-day activity streak per user — gaps-and-islands
     * on the DATE axis (q_sessionize is the TIME-gap variant; this is the
     * calendar variant behind "N-day streak" engagement metrics). The
@@ -466,6 +547,6 @@ object EventOps {
   )
 
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qStreak, qSeqMatch, qJoinPit,
-      qAttribution, qInterarrival)
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak,
+      qSeqMatch, qJoinPit, qAttribution, qInterarrival)
 }
