@@ -653,8 +653,95 @@ object Windows {
       ORDER BY user_id, day"""),
   )
 
+  /** Classical seasonal decomposition of the per-type daily event count:
+    * additive trend + weekly seasonal + residual — the time-series op
+    * behind capacity planning and seasonal-aware anomaly detection.
+    * The series is SPINE-COMPLETED first (day × type grid, zero-filled,
+    * like q_gapfill) so the ROWS-framed window equals calendar days even
+    * when a sparse (type, day) slice is empty. Trend = centered 7-day
+    * moving average (exact: integer frame sum, one double division),
+    * defined only on full frames; seasonal = per-(type, weekday) mean of
+    * the detrended series, decimal-staged (shuffle-order-free); residual
+    * = n − trend − seasonal. Weekday is epoch-day mod 7 in BOTH engines
+    * — Spark's dayofweek (1=Sunday) and DuckDB's (0=Sunday) disagree,
+    * the epoch modulus doesn't. One partitioning by type serves the
+    * window; the spine and seasonal tables are broadcast-sized at any
+    * SF (days × types). */
+  val qSeasonal: GQuery = GQuery(
+    "q_seasonal",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(to_date($"ts").as("day"), $"event_type")
+      val daily = ev.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .crossJoin(ev.select($"event_type").distinct())
+      val full = spine.join(daily, Seq("day", "event_type"), "left_outer")
+        .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      val fr = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-3, 3)
+      val w = full
+        .withColumn("trend",
+          when(count(lit(1)).over(fr) === 7,
+            sum($"n").over(fr).cast("double") / 7.0))
+        .withColumn("dow",
+          (datediff($"day", to_date(lit("1970-01-01"))) % 7).cast("int"))
+      val seasonal = w.filter($"trend".isNotNull)
+        .groupBy($"event_type", $"dow")
+        .agg((sum(($"n" - $"trend").cast(DecimalType(30, 6))).cast("double")
+          / count(lit(1))).as("seasonal"))
+      w.join(seasonal, Seq("event_type", "dow"))
+        .select($"day", $"event_type", $"n".cast("int").as("n"),
+          r6($"trend").as("trend"), r6($"seasonal").as("seasonal"),
+          r6($"n" - $"trend" - $"seasonal").as("residual"))
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, event_type
+        FROM events),
+      daily AS (
+        SELECT day, event_type, count(*) AS n FROM ev GROUP BY day,
+        event_type),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      grid AS (
+        SELECT day, event_type
+        FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+      f AS (
+        SELECT grid.day, grid.event_type, coalesce(n, 0) AS n
+        FROM grid LEFT JOIN daily
+          ON grid.day = daily.day AND grid.event_type = daily.event_type),
+      w AS (
+        SELECT day, event_type, n,
+               CASE WHEN count(*) OVER fr = 7
+                    THEN cast(sum(n) OVER fr as double) / 7.0 END AS trend,
+               cast(date_diff('day', DATE '1970-01-01', day) % 7 as int)
+                 AS dow
+        FROM f
+        WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      s AS (
+        SELECT event_type, dow,
+               cast(sum(cast(n - trend as decimal(30,6))) as double)
+                 / count(*) AS seasonal
+        FROM w WHERE trend IS NOT NULL GROUP BY event_type, dow)
+      SELECT day, w.event_type, cast(n as int) AS n,
+             ${r6Sql("trend")} AS trend,
+             ${r6Sql("seasonal")} AS seasonal,
+             ${r6Sql("n - trend - seasonal")} AS residual
+      FROM w JOIN s ON w.event_type = s.event_type AND w.dow = s.dow
+      ORDER BY w.event_type, day"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
-    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear)
+    qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear,
+    qSeasonal)
 }
