@@ -667,39 +667,53 @@ object Windows {
     * the epoch modulus doesn't. One partitioning by type serves the
     * window; the spine and seasonal tables are broadcast-sized at any
     * SF (days × types). */
-  val qSeasonal: GQuery = GQuery(
-    "q_seasonal",
-    (spark, dir) => {
-      import spark.implicits._
-      val ev = Tables.events(spark, dir)
-        .select(to_date($"ts").as("day"), $"event_type")
-      val daily = ev.groupBy($"day", $"event_type")
-        .agg(count(lit(1)).as("n"))
-      val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-        .crossJoin(ev.select($"event_type").distinct())
-      val full = spine.join(daily, Seq("day", "event_type"), "left_outer")
-        .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
-      val fr = Window.partitionBy($"event_type").orderBy($"day")
-        .rowsBetween(-3, 3)
-      val w = full
-        .withColumn("trend",
-          when(count(lit(1)).over(fr) === 7,
-            sum($"n").over(fr).cast("double") / 7.0))
-        .withColumn("dow",
-          (datediff($"day", to_date(lit("1970-01-01"))) % 7).cast("int"))
-      val seasonal = w.filter($"trend".isNotNull)
-        .groupBy($"event_type", $"dow")
-        .agg((sum(($"n" - $"trend").cast(DecimalType(30, 6))).cast("double")
-          / count(lit(1))).as("seasonal"))
-      w.join(seasonal, Seq("event_type", "dow"))
-        .select($"day", $"event_type", $"n".cast("int").as("n"),
-          r6($"trend").as("trend"), r6($"seasonal").as("seasonal"),
-          r6($"n" - $"trend" - $"seasonal").as("residual"))
-        .orderBy($"event_type", $"day")
-    },
-    Some(s"""
-      WITH ev AS (
+  /** Shared decomposition frame for q_seasonal / q_anomaly: day×type
+    * spine-completed daily counts with trend/seasonal/raw-residual
+    * columns. `spike` injects a deterministic +400 on one mid-series
+    * day — the planted anomaly that keeps q_anomaly non-vacuous (the
+    * decomposition partially absorbs it into trend/seasonal, exactly
+    * as a real spike would). */
+  private def seasonalFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String, spike: Boolean) = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"event_type")
+    val daily = ev.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(ev.select($"event_type").distinct())
+    val zeroFilled = spine.join(daily, Seq("day", "event_type"), "left_outer")
+      .select($"day", $"event_type", coalesce($"n", lit(0L)).as("n"))
+    val full =
+      if (spike) zeroFilled.select($"day", $"event_type",
+        ($"n" + when($"day" === to_date(lit("2024-01-15")), 400L)
+          .otherwise(0L)).as("n"))
+      else zeroFilled
+    val fr = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    val w = full
+      .withColumn("trend",
+        when(count(lit(1)).over(fr) === 7,
+          sum($"n").over(fr).cast("double") / 7.0))
+      .withColumn("dow",
+        (datediff($"day", to_date(lit("1970-01-01"))) % 7).cast("int"))
+    val seasonal = w.filter($"trend".isNotNull)
+      .groupBy($"event_type", $"dow")
+      .agg((sum(($"n" - $"trend").cast(DecimalType(30, 6))).cast("double")
+        / count(lit(1))).as("seasonal"))
+    w.join(seasonal, Seq("event_type", "dow"))
+      .select($"day", $"event_type", $"n",
+        $"trend", $"seasonal", ($"n" - $"trend" - $"seasonal").as("resid"))
+  }
+
+  /** SQL twin of [[seasonalFrame]]: the shared CTE block ending in a
+    * relation `d(day, event_type, n, trend, seasonal, resid)`. */
+  private def seasonalCte(spike: Boolean): String = {
+    val spikeExpr =
+      if (spike) "n + CASE WHEN day = DATE '2024-01-15' THEN 400 ELSE 0 END"
+      else "n"
+    s"""ev AS (
         SELECT cast(date_trunc('day', ts) as date) AS day, event_type
         FROM events),
       daily AS (
@@ -714,9 +728,11 @@ object Windows {
         SELECT day, event_type
         FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
       f AS (
-        SELECT grid.day, grid.event_type, coalesce(n, 0) AS n
-        FROM grid LEFT JOIN daily
-          ON grid.day = daily.day AND grid.event_type = daily.event_type),
+        SELECT day, event_type, $spikeExpr AS n FROM (
+          SELECT grid.day, grid.event_type, coalesce(n, 0) AS n
+          FROM grid LEFT JOIN daily
+            ON grid.day = daily.day AND grid.event_type = daily.event_type)
+          f0),
       w AS (
         SELECT day, event_type, n,
                CASE WHEN count(*) OVER fr = 7
@@ -730,18 +746,88 @@ object Windows {
         SELECT event_type, dow,
                cast(sum(cast(n - trend as decimal(30,6))) as double)
                  / count(*) AS seasonal
-        FROM w WHERE trend IS NOT NULL GROUP BY event_type, dow)
-      SELECT day, w.event_type, cast(n as int) AS n,
+        FROM w WHERE trend IS NOT NULL GROUP BY event_type, dow),
+      d AS (
+        SELECT day, w.event_type, n, trend, seasonal,
+               n - trend - seasonal AS resid
+        FROM w JOIN s ON w.event_type = s.event_type AND w.dow = s.dow)"""
+  }
+
+  val qSeasonal: GQuery = GQuery(
+    "q_seasonal",
+    (spark, dir) => {
+      import spark.implicits._
+      seasonalFrame(spark, dir, spike = false)
+        .select($"day", $"event_type", $"n".cast("int").as("n"),
+          r6($"trend").as("trend"), r6($"seasonal").as("seasonal"),
+          r6($"resid").as("residual"))
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH ${seasonalCte(spike = false)}
+      SELECT day, event_type, cast(n as int) AS n,
              ${r6Sql("trend")} AS trend,
              ${r6Sql("seasonal")} AS seasonal,
-             ${r6Sql("n - trend - seasonal")} AS residual
-      FROM w JOIN s ON w.event_type = s.event_type AND w.dow = s.dow
-      ORDER BY w.event_type, day"""),
+             ${r6Sql("resid")} AS residual
+      FROM d
+      ORDER BY event_type, day"""),
+  )
+
+  /** Seasonal-aware robust anomaly detection — the composition the
+    * decomposition exists for: a point is anomalous when its RESIDUAL
+    * (what trend and weekly seasonality cannot explain) exceeds 3
+    * robust sigmas, with sigma = 1.4826·MAD of the type's residuals —
+    * so a legitimate weekly peak is NOT flagged and one planted spike
+    * cannot inflate the threshold that should catch it (a stddev-based
+    * gate dilutes itself; the MAD one doesn't, same argument as q_mad).
+    * The per-type MAD is two exact medians over ~|days| values — tiny
+    * after the decomposition's aggregations; at 100 TB the same plan
+    * swaps GK quantiles in unchanged (GkSwapSpec contract). A +400
+    * spike planted on one mid-series day (inside the shared
+    * [[seasonalFrame]]) keeps the output non-vacuous at every SF. */
+  val qAnomaly: GQuery = GQuery(
+    "q_anomaly",
+    (spark, dir) => {
+      import spark.implicits._
+      val d = seasonalFrame(spark, dir, spike = true)
+        .filter($"resid".isNotNull)
+        .select($"day", $"event_type", $"n", r6($"resid").as("resid"))
+      val med = d.groupBy($"event_type")
+        .agg(expr("percentile(resid, 0.5)").as("med"))
+      val sigma = d.join(med, Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(expr("percentile(abs(resid - med), 0.5)").as("mad"))
+      d.join(sigma, Seq("event_type"))
+        .select($"event_type", $"day", $"n".cast("int").as("n"), $"resid",
+          r6(abs($"resid") / (lit(1.4826) * $"mad")).as("score"))
+        .filter($"score" > 3.0)
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH ${seasonalCte(spike = true)},
+      dd AS (
+        SELECT day, event_type, n, ${r6Sql("resid")} AS resid
+        FROM d WHERE resid IS NOT NULL),
+      med AS (
+        SELECT event_type, quantile_cont(resid, 0.5) AS med
+        FROM dd GROUP BY event_type),
+      sig AS (
+        SELECT dd.event_type,
+               quantile_cont(abs(resid - med), 0.5) AS mad
+        FROM dd JOIN med ON dd.event_type = med.event_type
+        GROUP BY dd.event_type)
+      SELECT event_type, day, cast(n as int) AS n, resid,
+             ${r6Sql("abs(resid) / (cast(1.4826 as double) * mad)")}
+               AS score
+      FROM dd JOIN sig USING (event_type)
+      WHERE ${r6Sql("abs(resid) / (cast(1.4826 as double) * mad)")}
+              > cast(3.0 as double)
+      ORDER BY event_type, day"""),
   )
 
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
     qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear,
-    qSeasonal)
+    qSeasonal, qAnomaly)
 }

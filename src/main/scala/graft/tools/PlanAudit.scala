@@ -24,7 +24,7 @@ object PlanAudit {
     // scalar/uncorrelated subquery rewrites (1-row broadcast by definition)
     "q_subquery", "q_corr_scalar",
     // bounded generated spines (per-user day ranges, constant width)
-    "q_gapfill", "q_locf", "q_fill_linear", "q_seasonal",
+    "q_gapfill", "q_locf", "q_fill_linear", "q_seasonal", "q_anomaly",
     // bounded probe/centroid/salt-replication sets
     "q_sim_topk", "q_ann_ivf", "q_centroid_sim", "q_join_salted")
 
