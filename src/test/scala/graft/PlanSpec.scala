@@ -324,6 +324,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("round-6 dedup/graph additions stay equi-join (no all-pairs operator)") {
+    // prefix-filtered similarity join: candidates ONLY from the prefix
+    // token equi-join; paragraph dedup: digest agg + row-identity semi;
+    // pagerank: edge-list equi-joins (the 1-row nv broadcast is the
+    // allowlisted scalar cross)
+    for (q <- Seq("q_jaccard_prefix", "q_dedup_para")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+    val pr = physicalPlan("q_pagerank")
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
   test("q_scan_zorder pushes both cluster-column predicates to the scan") {
     // the default 100-char metadata truncation cuts the PushedFilters list
     // before the second column — widen it for this assertion
