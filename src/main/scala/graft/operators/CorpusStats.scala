@@ -734,57 +734,61 @@ object CorpusStats {
     * list). Planted one-extra-word clones (shingle J ≈ (g-2)/(g+1)
     * >= 0.8 for docs of >= ~15 words) keep the output non-vacuous at
     * every SF. */
-  val qJaccardPrefix: GQuery = GQuery(
-    "q_jaccard_prefix",
-    (spark, dir) => {
-      import spark.implicits._
-      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
-      val docs = base.unionByName(
-        base.filter($"doc_id" < 35)
-          .select(($"doc_id" + 500000L).as("doc_id"),
-            concat($"text", lit(" zzextra")).as("text")))
-      val tok = docs
-        .select($"doc_id", split($"text", " ").as("l"))
-        .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("token"))
-      val df = tok.groupBy($"token").agg(count(lit(1)).as("df"))
-      val ranked = tok.join(df, "token")
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"df", $"token")
-      val sized = ranked
-        .withColumn("pos", row_number().over(wDoc))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-      val prefix = sized
-        .filter($"pos" <= $"n" - ceil(lit(0.8) * $"n").cast("int") + 1)
-        .select($"doc_id", $"token", $"n")
-      val cand = prefix.as("x").join(prefix.as("y"),
-          col("x.token") === col("y.token") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.n").as("n1"), col("y.n").as("n2"))
-        .distinct()
-      val inter = broadcast(cand)
-        .join(tok.as("t1"), col("t1.doc_id") === $"d1")
-        .join(tok.as("t2"),
-          col("t2.doc_id") === $"d2" && col("t2.token") === col("t1.token"))
-        .groupBy($"d1", $"d2", $"n1", $"n2")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .select($"d1", $"d2", $"n1".cast("int").as("n1"),
-          $"n2".cast("int").as("n2"), $"n_inter".cast("int").as("n_inter"),
-          r6($"n_inter".cast("double") /
-            ($"n1" + $"n2" - $"n_inter").cast("double")).as("jaccard"))
-        .filter($"jaccard" >= 0.8)
-        .orderBy($"d1", $"d2")
-    },
-    Some(s"""
-      WITH docs AS (
+  /** Shared exact-pair pipeline for q_jaccard_prefix / q_er_match: all
+    * (d1 < d2) pairs with shingle-set Jaccard >= 0.8, found via the
+    * prefix filter, with exact counts. Returns columns
+    * (d1, d2, n1, n2, n_inter, jaccard). */
+  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val docs = base.unionByName(
+      base.filter($"doc_id" < 35)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat($"text", lit(" zzextra")).as("text")))
+    val tok = docs
+      .select($"doc_id", split($"text", " ").as("l"))
+      .select($"doc_id",
+        explode(array_distinct(
+          when(size($"l") < 3, array().cast("array<string>"))
+            .otherwise(expr(
+              "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+          .as("token"))
+    val df = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(df, "token")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"token")
+    val sized = ranked
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+    val prefix = sized
+      .filter($"pos" <= $"n" - ceil(lit(0.8) * $"n").cast("int") + 1)
+      .select($"doc_id", $"token", $"n")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.token") === col("y.token") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.n").as("n1"), col("y.n").as("n2"))
+      .distinct()
+    val inter = broadcast(cand)
+      .join(tok.as("t1"), col("t1.doc_id") === $"d1")
+      .join(tok.as("t2"),
+        col("t2.doc_id") === $"d2" && col("t2.token") === col("t1.token"))
+      .groupBy($"d1", $"d2", $"n1", $"n2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .select($"d1", $"d2", $"n1".cast("int").as("n1"),
+        $"n2".cast("int").as("n2"), $"n_inter".cast("int").as("n_inter"),
+        r6($"n_inter".cast("double") /
+          ($"n1" + $"n2" - $"n_inter").cast("double")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+  }
+
+  /** SQL twin of [[jaccardPairs]]: CTE block ending in a relation
+    * `pairs(d1, d2, n1, n2, n_inter, jaccard)`. */
+  private val jaccardPairsCte: String = s"""docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 500000, text || ' zzextra' FROM documents
@@ -816,19 +820,70 @@ object CorpusStats {
         FROM cand
         JOIN tok t1 ON t1.doc_id = cand.d1
         JOIN tok t2 ON t2.doc_id = cand.d2 AND t2.token = t1.token
-        GROUP BY d1, d2, n1, n2)
-      SELECT d1, d2, n1, n2, n_inter, jaccard FROM (
-        SELECT d1, d2, cast(n1 as int) AS n1, cast(n2 as int) AS n2,
-               cast(n_inter as int) AS n_inter,
-               ${r6Sql("cast(n_inter as double) / " +
-                 "cast(n1 + n2 - n_inter as double)")} AS jaccard
-        FROM inter) j
-      WHERE jaccard >= cast(0.8 as double)
+        GROUP BY d1, d2, n1, n2),
+      pairs AS (
+        SELECT d1, d2, n1, n2, n_inter, jaccard FROM (
+          SELECT d1, d2, cast(n1 as int) AS n1, cast(n2 as int) AS n2,
+                 cast(n_inter as int) AS n_inter,
+                 ${r6Sql("cast(n_inter as double) / " +
+                   "cast(n1 + n2 - n_inter as double)")} AS jaccard
+          FROM inter) j
+        WHERE jaccard >= cast(0.8 as double))"""
+
+  val qJaccardPrefix: GQuery = GQuery(
+    "q_jaccard_prefix",
+    (spark, dir) => {
+      import spark.implicits._
+      jaccardPairs(spark, dir).orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH $jaccardPairsCte
+      SELECT d1, d2, n1, n2, n_inter, jaccard FROM pairs
       ORDER BY d1, d2"""),
+  )
+
+  /** Entity resolution, the matching step: collapse the >= 0.8 similarity
+    * pairs to MUTUAL-BEST 1:1 matches — each record pairs with its
+    * single best counterpart, and the pair survives only if the choice
+    * is mutual (the standard greedy-stable approximation; a record in
+    * several near-dup relationships contributes exactly one merge edge,
+    * which is what an identity-merge job can actually apply). Two
+    * row_number windows over the pair table — |pairs|-sized, tiny after
+    * candidate filtering — with the r6'd score and doc-id tiebreaks
+    * making both engines pick identical winners. Planted one-word-off
+    * clones resolve 1:1 to their originals at every SF. */
+  val qErMatch: GQuery = GQuery(
+    "q_er_match",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = jaccardPairs(spark, dir)
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"d1").orderBy($"jaccard".desc, $"d2")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"d2").orderBy($"jaccard".desc, $"d1")
+      pairs
+        .withColumn("r1", row_number().over(w1))
+        .withColumn("r2", row_number().over(w2))
+        .filter($"r1" === 1 && $"r2" === 1)
+        .select($"d1".as("canonical"), $"d2".as("duplicate"), $"jaccard")
+        .orderBy($"canonical")
+    },
+    Some(s"""
+      WITH $jaccardPairsCte,
+      rk AS (
+        SELECT d1, d2, jaccard,
+               row_number() OVER (PARTITION BY d1
+                                  ORDER BY jaccard DESC, d2) AS r1,
+               row_number() OVER (PARTITION BY d2
+                                  ORDER BY jaccard DESC, d1) AS r2
+        FROM pairs)
+      SELECT d1 AS canonical, d2 AS duplicate, jaccard
+      FROM rk WHERE r1 = 1 AND r2 = 1
+      ORDER BY canonical"""),
   )
 
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
-      qJaccardPrefix)
+      qJaccardPrefix, qErMatch)
 }
