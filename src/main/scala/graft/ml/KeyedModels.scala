@@ -481,6 +481,54 @@ object KeyedModels {
       .drop("__sse", "__sy", "__syy", "__sst")
   }
 
+  /** Split-conformal calibration of the per-key linear models: from a
+    * CALIBRATION split (held out from the fit), the per-key
+    * finite-sample-corrected quantile of the absolute residual,
+    * `qhat = |resid|_(ceil((n+1)(1-alpha)))` — the half-width that makes
+    * `prediction ± qhat` cover a fresh point with probability >= 1-alpha
+    * under exchangeability, REGARDLESS of whether the linear model is
+    * well-specified (the distribution-free guarantee; the model being
+    * wrong just makes intervals wider). The order statistic is exact via
+    * a per-key sorted collect — calibration sets are bounded by
+    * construction (a held-out sample, not the corpus; at 100 TB you
+    * sample the calibration split, you don't grow it), which is why this
+    * is the one per-key pass allowed to materialize its group. */
+  def calibrateIntervals(
+      df: DataFrame,
+      models: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    val scored = transformLinear(df, models, keyCols, featureCols, "__pred")
+    scored
+      .withColumn("__r", abs(col(yCol).cast("double") - col("__pred")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_calib"),
+        sort_array(collect_list(col("__r"))).as("__rs"))
+      .withColumn("qhat",
+        element_at(col("__rs"),
+          least(col("n_calib"),
+            ceil((col("n_calib") + 1) * lit(1.0 - alpha)).cast("int"))
+            .cast("int")))
+      .drop("__rs")
+  }
+
+  /** Attach conformal intervals: prediction ± the key's calibrated qhat
+    * (broadcast join — the calibration table is |keys|-sized). */
+  def withIntervals(
+      df: DataFrame,
+      models: DataFrame,
+      calib: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      predictionCol: String = "prediction"): DataFrame =
+    transformLinear(df, models, keyCols, featureCols, predictionCol)
+      .join(broadcast(calib.select((keyCols.map(col) :+ col("qhat")): _*)),
+        keyCols)
+      .withColumn(s"${predictionCol}_lo", col(predictionCol) - col("qhat"))
+      .withColumn(s"${predictionCol}_hi", col(predictionCol) + col("qhat"))
+
   /** Fixed-size covariance buffer: per-feature sums, upper triangle of
     * ΣxxT, count. Like [[GramBuf]], O(d²) state per key regardless of
     * rows — the property that makes the per-key pass 100 TB-safe. */

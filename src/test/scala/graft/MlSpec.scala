@@ -628,4 +628,38 @@ class MlSpec extends AnyFunSuite {
       .fit(embFeatures)
     assert(tv.validationMetrics.length == 2)
   }
+
+  test("calibrateIntervals: qhat tracks each key's noise scale; coverage >= 1-alpha") {
+    import spark.implicits._
+    // planted per-key linear data with deterministic uniform-ish noise in
+    // [-e_k, e_k]: key a has e=1.0, key b e=3.0. The conformal qhat must
+    // land near each key's 0.9 noise quantile (0.9*e for uniform) and the
+    // resulting intervals must cover ~90% of a fresh split.
+    def mk(lo: Int, hi: Int) = (lo until hi).flatMap { i =>
+      Seq("a", "b").map { k =>
+        val e = if (k == "a") 1.0 else 3.0
+        val x = (i % 50).toDouble
+        val noise = (((i * 2654435761L + k.hashCode) % 2001 + 2001) % 2001
+          - 1000) / 1000.0 * e
+        (k, x, 2.0 * x + 5.0 + noise)
+      }
+    }.toDF("k", "x", "y")
+    val train = mk(0, 400)
+    val calib = mk(400, 700)
+    val test = mk(700, 1000)
+    val models = KeyedModels.fitLinear(train, Seq("k"), Seq("x"), "y")
+    val cal = KeyedModels.calibrateIntervals(
+      calib, models, Seq("k"), Seq("x"), "y", alpha = 0.1)
+    val qh = cal.select($"k", $"qhat").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(qh("a") - 0.9) < 0.25, s"qhat(a)=${qh("a")}")
+    assert(math.abs(qh("b") - 2.7) < 0.6, s"qhat(b)=${qh("b")}")
+    val iv = KeyedModels.withIntervals(
+      test, models, cal, Seq("k"), Seq("x"))
+    val cov = iv.select(
+        ($"y" >= $"prediction_lo" && $"y" <= $"prediction_hi")
+          .cast("int").as("hit"))
+      .agg(avg($"hit")).head.getDouble(0)
+    assert(cov >= 0.85 && cov <= 1.0, s"coverage=$cov")
+  }
 }
