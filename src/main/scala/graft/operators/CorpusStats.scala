@@ -856,7 +856,10 @@ object CorpusStats {
     "q_er_match",
     (spark, dir) => {
       import spark.implicits._
-      val pairs = jaccardPairs(spark, dir)
+      // the pair table is tiny (|near-dup pairs|); checkpointing it lets
+      // the two window passes and the final sort run over a materialized
+      // few-hundred-row input instead of re-entering the full pipeline
+      val pairs = jaccardPairs(spark, dir).localCheckpoint()
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy($"d1").orderBy($"jaccard".desc, $"d2")
       val w2 = org.apache.spark.sql.expressions.Window
