@@ -596,7 +596,69 @@ object ScaleOps {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
+  /** Approximate query processing from a DETERMINISTIC sample: estimate
+    * per-flag revenue from the 10% of orders whose md5-derived hash lands
+    * in buckets 0-9, scale by the known inverse sampling rate, and pin the
+    * estimate IN-PLAN against the exact value (relative error as a data
+    * column both engines hash-match, the q_approx_distinct contract).
+    * Sampling by ORDER key — the cluster-sampling unit — keeps each
+    * order's lineitems together, so per-order correlation doesn't bias
+    * the estimator; the hash is the portable conv(md5) idiom, so the
+    * sample (and hence the estimate, error and all) is bit-identical on
+    * any engine, any partitioning, any rerun. The 100 TB story: the
+    * exact column drops and the scan shrinks 100× — the estimator and
+    * its plan stay byte-for-byte. Planted tolerance: 10% cluster samples
+    * of this corpus sit within 25% relative error at every SF (a 1%
+    * sample is ~6 orders per flag at sf0.001 — 40% swings; the rate is
+    * the knob, the plan is fixed). */
+  val qAqpSample: GQuery = GQuery(
+    "q_aqp_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val bucket = expr(
+        "conv(substring(md5(cast(l_orderkey as string)), 1, 8), 16, 10)")
+        .cast("long") % 100
+      val agg = li
+        .groupBy($"l_returnflag")
+        .agg(
+          dsum($"l_extendedprice").as("exact_rev"),
+          dsum(when(bucket < 10, $"l_extendedprice").otherwise(lit(0.0)))
+            .as("sample_rev"),
+          sum(when(bucket < 10, 1L).otherwise(0L)).as("n_sample"),
+          count(lit(1)).as("n_total"))
+      agg.select($"l_returnflag", $"exact_rev",
+          r2($"sample_rev" * 10.0).as("est_rev"),
+          $"n_sample", $"n_total",
+          r6(abs($"sample_rev" * 10.0 - $"exact_rev") / $"exact_rev")
+            .as("rel_err"),
+          (abs($"sample_rev" * 10.0 - $"exact_rev")
+            <= $"exact_rev" * 0.25).as("within_25pct"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, exact_rev,
+             ${r2Sql("sample_rev * cast(10.0 as double)")} AS est_rev,
+             n_sample, n_total,
+             ${r6Sql("abs(sample_rev * cast(10.0 as double) - exact_rev)" +
+               " / exact_rev")} AS rel_err,
+             abs(sample_rev * cast(10.0 as double) - exact_rev)
+               <= exact_rev * cast(0.25 as double) AS within_25pct
+      FROM (
+        SELECT l_returnflag,
+               ${dsumSql("l_extendedprice")} AS exact_rev,
+               ${dsumSql("CASE WHEN ('0x' || substring(md5(" +
+                 "cast(l_orderkey as varchar)), 1, 8))::BIGINT % 100 < 10 " +
+                 "THEN l_extendedprice ELSE 0.0 END")} AS sample_rev,
+               cast(sum(CASE WHEN ('0x' || substring(md5(
+                 cast(l_orderkey as varchar)), 1, 8))::BIGINT % 100 < 10
+                 THEN 1 ELSE 0 END) as bigint) AS n_sample,
+               count(*) AS n_total
+        FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY l_returnflag"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
-    qApproxDistinct, qApproxPctl)
+    qApproxDistinct, qApproxPctl, qAqpSample)
 }
