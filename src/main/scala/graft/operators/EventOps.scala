@@ -283,6 +283,50 @@ object EventOps {
       ORDER BY c_custkey"""),
   )
 
+  /** Behavioral transition matrix — the Markov view of the event stream:
+    * for each (previous event type → current event type) step within a
+    * user's timeline, the count and the row-normalized transition
+    * probability. ONE lag window per user (the q_sessionize
+    * partitioning) feeds one combinable pair count; the normalization
+    * denominator is a window sum over the TINY |types|² matrix, not a
+    * second pass over events. Probabilities are exact integer ratios
+    * finished with one IEEE division, so both engines hash-match without
+    * decimal staging. The ordering key is the second-truncated ts +
+    * event_id total order (the q_seq_match tiebreak contract). */
+  val qTransitions: GQuery = GQuery(
+    "q_transitions",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val steps = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+      val m = steps.groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val wRow = Window.partitionBy($"prev_type")
+      m.select($"prev_type", $"event_type", $"n",
+          r6($"n".cast("double") / sum($"n").over(wRow).cast("double"))
+            .as("p"))
+        .orderBy($"prev_type", $"event_type")
+    },
+    Some(s"""
+      WITH steps AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('second', ts), event_id) AS prev_type
+        FROM events),
+      m AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM steps WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+      SELECT prev_type, event_type, n,
+             ${r6Sql("cast(n as double) / cast(sum(n) OVER " +
+               "(PARTITION BY prev_type) as double)")} AS p
+      FROM m
+      ORDER BY prev_type, event_type"""),
+  )
+
   /** Longest consecutive-day activity streak per user — gaps-and-islands
     * on the DATE axis (q_sessionize is the TIME-gap variant; this is the
     * calendar variant behind "N-day streak" engagement metrics). The
@@ -547,6 +591,6 @@ object EventOps {
   )
 
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak,
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival)
 }
