@@ -327,6 +327,66 @@ object EventOps {
       ORDER BY prev_type, event_type"""),
   )
 
+  /** Period-over-period rank movement — the leaderboard "movers" view:
+    * each month's customer revenue rank compared against the SAME
+    * customer's rank in the previous month (lag over the customer's own
+    * month sequence — no self-join on the period axis), with the delta
+    * and a gained/dropped/steady/new classification. Ranks are computed
+    * per month over decimal-exact revenue (ties broken by custkey, the
+    * §5.2 total-order rule) and cast to int in both engines. Two window
+    * partitionings — (month) for the rank, (customer) for the lag —
+    * over one monthly aggregate whose size is |customers|·|months|,
+    * already reduced from the fact table by a combinable sum. Output is
+    * bounded to rank <= 15 per month AFTER the movement columns are
+    * attached (the filter cannot disturb the lag). */
+  val qRankDelta: GQuery = GQuery(
+    "q_rankdelta",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = Tables.orders(spark, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"),
+          $"o_custkey")
+        .agg(dsum($"o_totalprice").as("revenue"))
+      val wRank = Window.partitionBy($"month")
+        .orderBy($"revenue".desc, $"o_custkey")
+      val wLag = Window.partitionBy($"o_custkey").orderBy($"month")
+      monthly
+        .withColumn("rnk", row_number().over(wRank).cast("int"))
+        .withColumn("prev_rnk", lag($"rnk", 1).over(wLag))
+        .select($"month", $"o_custkey", $"revenue", $"rnk",
+          $"prev_rnk".cast("int").as("prev_rnk"),
+          when($"prev_rnk".isNull, "new")
+            .when($"prev_rnk" > $"rnk", "up")
+            .when($"prev_rnk" < $"rnk", "down")
+            .otherwise("steady").as("movement"))
+        .filter($"rnk" <= 15)
+        .orderBy($"month", $"rnk")
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT cast(date_trunc('month', o_orderdate) as date) AS month,
+               o_custkey, ${dsumSql("o_totalprice")} AS revenue
+        FROM orders GROUP BY month, o_custkey),
+      ranked AS (
+        SELECT month, o_custkey, revenue,
+               cast(row_number() OVER (PARTITION BY month
+                 ORDER BY revenue DESC, o_custkey) as int) AS rnk
+        FROM monthly),
+      moved AS (
+        SELECT month, o_custkey, revenue, rnk,
+               cast(lag(rnk, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY month) as int) AS prev_rnk
+        FROM ranked)
+      SELECT month, o_custkey, revenue, rnk, prev_rnk,
+             CASE WHEN prev_rnk IS NULL THEN 'new'
+                  WHEN prev_rnk > rnk THEN 'up'
+                  WHEN prev_rnk < rnk THEN 'down'
+                  ELSE 'steady' END AS movement
+      FROM moved
+      WHERE rnk <= 15
+      ORDER BY month, rnk"""),
+  )
+
   /** Longest consecutive-day activity streak per user — gaps-and-islands
     * on the DATE axis (q_sessionize is the TIME-gap variant; this is the
     * calendar variant behind "N-day streak" engagement metrics). The
@@ -591,6 +651,6 @@ object EventOps {
   )
 
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions,
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival)
 }
