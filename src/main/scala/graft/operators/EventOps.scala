@@ -387,6 +387,42 @@ object EventOps {
       ORDER BY month, rnk"""),
   )
 
+  /** Daily percentile bands per event type — the SLO dashboard query
+    * (p50/p95/p99 of the event value per day and type, plus count and
+    * max): one combinable-input groupBy whose output is |days|·|types|
+    * rows regardless of event volume. Exact interpolated percentiles via
+    * the verified `percentile` ≡ `quantile_cont` idiom (q_percentile);
+    * at 100 TB the same plan swaps GK sketches in unchanged (GkSwapSpec
+    * contract). l_quantity-style value column is a plain double both
+    * engines read identically; `round(…, 6)` on percentile outputs is
+    * the q_percentile contract (interpolation of identical doubles is
+    * bit-identical). */
+  val qSloBands: GQuery = GQuery(
+    "q_slo_bands",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          max($"value").as("max_value"))
+        .orderBy($"day", $"event_type")
+    },
+    Some("""
+      SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
+             count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.95), 6) AS p95,
+             round(quantile_cont(value, 0.99), 6) AS p99,
+             max(value) AS max_value
+      FROM events
+      GROUP BY day, event_type
+      ORDER BY day, event_type"""),
+  )
+
   /** Longest consecutive-day activity streak per user — gaps-and-islands
     * on the DATE axis (q_sessionize is the TIME-gap variant; this is the
     * calendar variant behind "N-day streak" engagement metrics). The
@@ -651,6 +687,6 @@ object EventOps {
   )
 
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta,
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival)
 }
