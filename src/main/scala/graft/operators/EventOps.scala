@@ -423,6 +423,52 @@ object EventOps {
       ORDER BY day, event_type"""),
   )
 
+  /** Interval concurrency by SWEEP-LINE — how many orders are open on
+    * each calendar day (occupancy/utilization analytics): every interval
+    * emits a +1 at its start and a −1 after its end, deltas are summed
+    * per day (combinable), and one running-sum window over the DAY AXIS
+    * — thousands of rows however big the fact table — yields the
+    * concurrency curve. The naive day-spine × interval join materializes
+    * |days|·|open intervals| rows; the sweep is linear in |intervals|
+    * and its window input is |distinct days|. Interval length is derived
+    * deterministically from the key (o_orderkey % 30 days, no close date
+    * in this schema); output restricted to days with activity (the
+    * delta-carrying days), ordered by day. */
+  val qConcurrency: GQuery = GQuery(
+    "q_concurrency",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("d0"),
+          ($"o_orderkey" % 30).cast("int").as("len"))
+      val deltas = ord.select($"d0".as("day"), lit(1L).as("delta"))
+        .unionByName(ord.select(date_add($"d0", $"len" + 1).as("day"),
+          lit(-1L).as("delta")))
+      val daily = deltas.groupBy($"day").agg(sum($"delta").as("net"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select($"day", sum($"net").over(w).cast("long").as("open_orders"))
+        .orderBy($"day")
+    },
+    Some("""
+      WITH ord AS (
+        SELECT cast(o_orderdate as date) AS d0,
+               cast(o_orderkey % 30 as int) AS len
+        FROM orders),
+      deltas AS (
+        SELECT d0 AS day, 1 AS delta FROM ord
+        UNION ALL
+        SELECT d0 + to_days(len + 1) AS day, -1 AS delta FROM ord),
+      daily AS (SELECT day, sum(delta) AS net FROM deltas GROUP BY day)
+      SELECT day,
+             cast(sum(net) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+               AS open_orders
+      FROM daily
+      ORDER BY day"""),
+  )
+
   /** Longest consecutive-day activity streak per user — gaps-and-islands
     * on the DATE axis (q_sessionize is the TIME-gap variant; this is the
     * calendar variant behind "N-day streak" engagement metrics). The
@@ -687,6 +733,6 @@ object EventOps {
   )
 
   val all: Seq[GQuery] =
-    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands,
+    Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival)
 }
