@@ -638,7 +638,90 @@ object Analytics {
     )
   }
 
+  /** Revenue concentration per market segment — the inequality view
+    * behind "whale" risk analysis: the Gini coefficient of per-customer
+    * revenue (G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over ascending-sorted
+    * x) and the share held by the top decile of customers. Per-customer
+    * revenue is one combinable dsum; both rank-weighted sums accumulate
+    * in DECIMAL (the 2-dp revenues and integer ranks make every product
+    * exact), and the Gini/share finishes are fixed-order IEEE — so the
+    * statistics are bit-identical across engines and layouts. The rank
+    * windows partition by segment; everything after the per-customer
+    * aggregate is |customers|-sized. */
+  val qConcentration: GQuery = GQuery(
+    "q_concentration",
+    (spark, dir) => {
+      import spark.implicits._
+      val rev = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(dsum($"o_totalprice").as("rev"))
+      val wAsc = Window.partitionBy($"c_mktsegment")
+        .orderBy($"rev", $"c_custkey")
+      val wDesc = Window.partitionBy($"c_mktsegment")
+        .orderBy($"rev".desc, $"c_custkey")
+      val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+      rev
+        .withColumn("rnk", row_number().over(wAsc))
+        .withColumn("drnk", row_number().over(wDesc))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum($"rev".cast(dec)).cast("double").as("total_rev"),
+          sum(($"rnk" * $"rev").cast(dec)).cast("double").as("iwsum"))
+        .join(
+          rev.withColumn("drnk", row_number().over(wDesc))
+            .withColumn("nseg", count(lit(1)).over(
+              Window.partitionBy($"c_mktsegment")))
+            .filter($"drnk" <= ceil($"nseg" / lit(10.0)).cast("int"))
+            .groupBy($"c_mktsegment")
+            .agg(sum($"rev".cast(dec)).cast("double").as("top_decile_rev")),
+          Seq("c_mktsegment"))
+        .select($"c_mktsegment", $"n_customers",
+          r2($"total_rev").as("total_rev"),
+          r6(lit(2.0) * $"iwsum" / ($"n_customers" * $"total_rev") -
+            ($"n_customers" + lit(1.0)) / $"n_customers").as("gini"),
+          r6($"top_decile_rev" / $"total_rev").as("top_decile_share"))
+        .orderBy($"c_mktsegment")
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT c_mktsegment, c_custkey, ${dsumSql("o_totalprice")} AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, c_custkey),
+      rk AS (
+        SELECT c_mktsegment, c_custkey, rev,
+               row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY rev, c_custkey) AS rnk,
+               row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY rev DESC, c_custkey) AS drnk,
+               count(*) OVER (PARTITION BY c_mktsegment) AS nseg
+        FROM rev),
+      agg AS (
+        SELECT c_mktsegment, count(*) AS n_customers,
+               cast(sum(cast(rev as decimal(30,6))) as double) AS total_rev,
+               cast(sum(cast(rnk * rev as decimal(30,6))) as double)
+                 AS iwsum
+        FROM rk GROUP BY c_mktsegment),
+      topd AS (
+        SELECT c_mktsegment,
+               cast(sum(cast(rev as decimal(30,6))) as double)
+                 AS top_decile_rev
+        FROM rk
+        WHERE drnk <= cast(ceil(nseg / cast(10.0 as double)) as int)
+        GROUP BY c_mktsegment)
+      SELECT agg.c_mktsegment, n_customers,
+             ${r2Sql("total_rev")} AS total_rev,
+             ${r6Sql("cast(2.0 as double) * iwsum / (n_customers * total_rev)" +
+               " - (n_customers + cast(1.0 as double)) / n_customers")}
+               AS gini,
+             ${r6Sql("top_decile_rev / total_rev")} AS top_decile_share
+      FROM agg JOIN topd ON agg.c_mktsegment = topd.c_mktsegment
+      ORDER BY agg.c_mktsegment"""),
+  )
+
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
-      qAggIncremental, qAbtest, qSkyline, qCopurchase, qPagerank)
+      qAggIncremental, qAbtest, qSkyline, qCopurchase, qPagerank,
+      qConcentration)
 }
