@@ -46,8 +46,13 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_HISTORY").foreach { path =>
       val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "untagged")
       val tagged = s"""{"tag":${jstr(tag)},${line.stripPrefix("{")}"""
-      val w = new java.io.FileWriter(path, true)
-      try w.write(tagged + "\n") finally w.close()
+      // One atomic append of the whole line (newline included): concurrent
+      // Bench processes on the same history file interleave whole records,
+      // never partial lines, so the jsonl stays parseable.
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (tagged + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
     spark.stop()
   }

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Gates {
 
+  /** Observed-metric names must be unique within one query, and an
+    * Observation object cannot be re-registered — so defaulted names get
+    * a process-unique suffix (gate_1, gate_2, …), letting callers stack
+    * several gates in one pipeline without naming any of them. Explicit
+    * names are used verbatim (pick distinct ones per query). */
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def autoName(base: String): String =
+    s"${base}_${nameSeq.incrementAndGet()}"
+
   /** Attach named metrics to a frame in-pass. `obs.get` blocks until the
     * next action on the returned frame completes, then yields the metric
     * row as a Map. */
@@ -35,8 +44,8 @@ object Gates {
     * the returned frame is post-filter). The funnel summary every
     * cleaning stage should emit, for free. */
   def observedFilter(df: DataFrame, keep: Column,
-      name: String = "gate"): (DataFrame, Observation) = {
-    val obs = Observation(name)
+      name: String = ""): (DataFrame, Observation) = {
+    val obs = Observation(if (name.isEmpty) autoName("gate") else name)
     val instrumented = df
       .observe(obs,
         count(lit(1)).as("rows_in"),
@@ -60,8 +69,8 @@ object Gates {
   /** Observed null-rate audit over the named columns, riding whatever
     * action the caller runs next. */
   def observedNullAudit(df: DataFrame, cols: Seq[String],
-      name: String = "null_audit"): (DataFrame, Observation) = {
-    val obs = Observation(name)
+      name: String = ""): (DataFrame, Observation) = {
+    val obs = Observation(if (name.isEmpty) autoName("null_audit") else name)
     val metrics = count(lit(1)).as("rows") +:
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)

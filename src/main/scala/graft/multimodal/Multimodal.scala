@@ -34,6 +34,20 @@ object Multimodal {
       format: String,
       features: Array[Float])
 
+  /** One-pass decode output: the typed metadata rides along with the
+    * features, so profiling queries never join features back to the
+    * source (which would scan the binary lake twice AND shuffle the
+    * blobs on the join key). `n_bytes` replaces the raw payload — the
+    * bytes are dropped inside the partition. */
+  case class MediaFeaturesMeta(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_bytes: Long,
+      features: Array[Float])
+
   /** Decode+featurize contract. Implementations must be deterministic per
     * byte content for replayable pipelines. */
   trait MediaCodec extends Serializable {
@@ -85,6 +99,24 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         MediaFeatures(r.media_id, r.format,
+          codec.decodeFeatures(r.bytes, r.format))
+      }
+    }
+  }
+
+  /** Single-pass decode → features WITH the source metadata attached:
+    * the 100 TB profile shape — one scan of the binary lake, bytes
+    * dropped in-partition, only fixed-width rows downstream. Use this
+    * (not extractFeatures + join) whenever the consumer also needs the
+    * media metadata. */
+  def extractFeaturesWithMeta(
+      media: Dataset[MediaRow],
+      codec: MediaCodec = DeterministicFakeCodec): Dataset[MediaFeaturesMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeaturesMeta(r.media_id, r.format, r.width, r.height,
+          r.n_frames, r.bytes.length.toLong,
           codec.decodeFeatures(r.bytes, r.format))
       }
     }

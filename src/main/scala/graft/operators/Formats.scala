@@ -76,35 +76,35 @@ object Formats {
 
   /** Binary-media profile — the multimodal pipeline under the hash-match
     * oracle (SURVEY.md §2.B.8's last zero-oracle capability). The query
-    * drives the REAL decode seam: the media lake fixture (binary payload +
-    * typed metadata, Lake.ensureMedia) is read back as a typed Dataset and
-    * pushed through Multimodal.extractFeatures (mapPartitions, bytes stay
-    * in-partition — the 100 TB posture), then profiled per format:
-    * byte-stats straight off the binary column, two codec-feature
-    * components the oracle can recompute from the same bytes
-    * (feature[17] = payload length, feature[20] = first byte — DuckDB
-    * octet_length / ascii on the identical blob), and the resize/frame-
-    * sample plan arithmetic. A codec emitting wrong lengths or content
-    * features hash-mismatches against the oracle's independent read of
-    * the same parquet. */
+    * drives the REAL decode seam in ONE pass: the media lake fixture
+    * (binary payload + typed metadata, Lake.ensureMedia) is read back as
+    * a typed Dataset and pushed through Multimodal.extractFeaturesWithMeta
+    * (mapPartitions; bytes stay in-partition and are dropped there — the
+    * 100 TB posture: one scan of the binary lake, no feature-join shuffle
+    * of the blobs; ReuseAudit flagged the earlier extractFeatures + join
+    * form as a double scan). Profiled per format: byte-stats off the
+    * in-partition payload length, two codec-feature components the oracle
+    * can recompute from the same bytes (feature[17] = payload length,
+    * feature[20] = first byte — DuckDB octet_length / ascii on the
+    * identical blob), and the resize/frame-sample plan arithmetic. A
+    * codec emitting wrong lengths or content features hash-mismatches
+    * against the oracle's independent read of the same parquet. */
   val qMediaProfile: GQuery = GQuery(
     "q_media_profile",
     (spark, dir) => {
       import spark.implicits._
       val path = Lake.ensureMedia(spark, dir)
       val media = spark.read.parquet(path)
-      val feats = graft.multimodal.Multimodal
-        .extractFeatures(media.as[graft.multimodal.Multimodal.MediaRow])
-        .toDF().select($"media_id", $"features")
-      media.join(feats, "media_id")
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeaturesWithMeta(media).toDF()
         .withColumn("scale",
           when(greatest($"width", $"height") <= 256, lit(1.0))
             .otherwise(lit(256.0) / greatest($"width", $"height").cast("double")))
         .groupBy($"format")
         .agg(
           count(lit(1)).as("n_media"),
-          sum(length($"bytes").cast("long")).as("total_bytes"),
-          max(length($"bytes").cast("long")).as("max_bytes"),
+          sum($"n_bytes").as("total_bytes"),
+          max($"n_bytes").as("max_bytes"),
           sum(element_at($"features", 17).cast("long")).as("feat_len_sum"),
           sum(element_at($"features", 20).cast("long")).as("first_byte_sum"),
           sum(floor($"width" * $"scale").cast("long")).as("out_w_sum"),

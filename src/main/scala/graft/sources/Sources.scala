@@ -43,9 +43,14 @@ object Sources {
     * raw file scan is disallowed (the parser prunes columns, so the
     * corrupt marker alone is not derivable) — materializing the parsed
     * frame first is the documented workaround, and at ingest the parsed
-    * batch is about to be written anyway. */
-  def readJsonQuarantine(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+    * batch is about to be written anyway.
+    *
+    * The third element is the cached raw frame itself: call
+    * `raw.unpersist()` once clean + quarantine are written, or repeated
+    * ingests in a long-lived session accumulate cached partitions until
+    * storage eviction kicks in. */
+  def readJsonQuarantineCached(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame, DataFrame) = {
     val corrupt = "_corrupt_record"
     val raw = spark.read
       .schema(StructType(schema.fields :+
@@ -58,6 +63,15 @@ object Sources {
     val clean = raw.filter(col(corrupt).isNull).drop(corrupt)
     val quarantined = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_record"))
+    (clean, quarantined, raw)
+  }
+
+  /** Convenience form without the unpersist handle — fine for one-shot
+    * jobs whose session ends after the load; long-lived sessions should
+    * use [[readJsonQuarantineCached]] and unpersist the raw frame. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val (clean, quarantined, _) = readJsonQuarantineCached(spark, path, schema)
     (clean, quarantined)
   }
 

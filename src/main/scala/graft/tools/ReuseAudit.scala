@@ -28,6 +28,9 @@ object ReuseAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Location strings truncate at the default 100-char metadata limit,
+      // which would hide the path this audit keys on.
+      .config("spark.sql.maxMetadataStringLength", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,8 +42,15 @@ object ReuseAudit {
         val full = df.queryExecution.executedPlan.toString
         // keep only the final plan; AQE appends the pre-execution tree
         val plan = full.split("== Initial Plan ==")(0)
-        val scans = "([a-z_]+)\\.parquet".r.findAllMatchIn(plan)
-          .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size)
+        // Key each scan node by the last segment of its Location root path
+        // (works for single-file tables AND lake-fixture directories like
+        // orders_by_month / media — a '.parquet' filename regex misses the
+        // latter entirely).
+        val scans = "Location: \\w+\\(\\d+ paths?\\)\\[([^\\]]*)\\]".r
+          .findAllMatchIn(plan)
+          .map(_.group(1).split(",")(0).trim
+            .stripSuffix("/").split("/").last.stripSuffix(".parquet"))
+          .toSeq.groupBy(identity).view.mapValues(_.size)
           .filter(_._2 > 1).toMap
         val reused = "ReusedExchange".r.findAllIn(plan).size
         if (scans.nonEmpty) {

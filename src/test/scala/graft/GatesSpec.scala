@@ -23,6 +23,18 @@ class GatesSpec extends AnyFunSuite {
     assert(m("rows_kept") == docs.filter(keep).count())
   }
 
+  test("two default-named gates stack in one query (auto-unique names)") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // Duplicate observed-metric names fail at analysis time; defaulted
+    // names must therefore be per-call unique or this pipeline can't form.
+    val (g1, o1) = graft.engine.Gates.observedFilter(docs, length($"text") > 100)
+    val (g2, o2) = graft.engine.Gates.observedFilter(g1, $"lang" === "en")
+    val out = g2.count()
+    assert(o1.get("rows_kept") == o2.get("rows_in"))
+    assert(o2.get("rows_kept") == out)
+  }
+
   test("observedNullAudit reports per-column null counts with the job") {
     import spark.implicits._
     val df = Seq(
@@ -49,8 +61,8 @@ class GatesSpec extends AnyFunSuite {
         |""".stripMargin)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, n_chars BIGINT")
-    val (clean, quarantined) = graft.sources.Sources
-      .readJsonQuarantine(spark, dir.toString, schema)
+    val (clean, quarantined, raw) = graft.sources.Sources
+      .readJsonQuarantineCached(spark, dir.toString, schema)
     assert(clean.count() == 3)
     assert(clean.columns.toSeq == Seq("doc_id", "n_chars"))
     assert(quarantined.count() == 2)
@@ -60,5 +72,9 @@ class GatesSpec extends AnyFunSuite {
     // clean rows parsed with full fidelity
     val kept = clean.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(kept == Set((1L, 10L), (3L, 30L), (5L, 50L)))
+    // the returned handle releases the load-bearing cache after the writes
+    assert(raw.storageLevel.useMemory)
+    raw.unpersist(blocking = true)
+    assert(!raw.storageLevel.useMemory)
   }
 }
