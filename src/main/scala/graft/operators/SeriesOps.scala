@@ -1,0 +1,367 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Time-series statistics over the event stream and the order history
+  * (SURVEY.md §2.B extension, round 7): autocorrelation, rolling
+  * correlation, CUSUM change-point detection, conversion-delay
+  * distribution, and weekly churn. The scale posture shared by all five:
+  * the raw fact (events / orders) is collapsed FIRST by a map-side-
+  * combinable aggregation onto its natural coarse key (day, week, user),
+  * so every window or join downstream runs over a series whose size is
+  * bounded by the calendar or the user count — never by raw event volume.
+  * The unpartitioned windows below are over |days|-sized aggregates
+  * (30–2500 rows at ANY SF); the 100 TB-sensitive work is all in the
+  * first groupBy.
+  *
+  * Determinism: series values are exact integers (counts / integer
+  * cents), so window sums and sufficient statistics are order-free; the
+  * only floating point is the final closed-form arithmetic, IEEE-rounded
+  * via rN (see GQuery scaladoc).
+  */
+object SeriesOps {
+
+  /** Shared daily-count spine for the event series: calendar-complete
+    * (missing days are real zeros, not missing rows — a lag-k pair that
+    * silently skips a gap day is wrong). */
+  private def dailyCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(to_date($"ts").as("day"))
+    val daily = ev.groupBy($"day").agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .select($"day", coalesce($"n", lit(0L)).as("n"))
+  }
+
+  /** SQL twin of [[dailyCounts]], ending in `daily(day, n)`. */
+  private val dailyCte: String = s"""
+      ev AS (SELECT cast(date_trunc('day', ts) as date) AS day FROM events),
+      daily0 AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      daily AS (
+        SELECT spine.day, coalesce(n, 0) AS n
+        FROM spine LEFT JOIN daily0 USING (day))"""
+
+  /** Autocorrelation function of the daily event-count series, lags 1–7
+    * — the first diagnostic run on any metric series (a weekly cycle
+    * shows as a positive r at lag 7). Pearson r over the (x_t, x_{t−k})
+    * overlap pairs, computed from INTEGER sufficient statistics (counts,
+    * sums, sums of products — exact in int64 at any SF, since the series
+    * is |days| long); the only doubles are the final closed form. The
+    * lag columns come from one unpartitioned window over the |days|-row
+    * aggregate (tiny by construction); stack() unpivots the 7 lags so
+    * one grouped pass produces all seven rows. */
+  val qAutocorr: GQuery = GQuery(
+    "q_autocorr",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"day")
+      val lagged = (1 to 7).foldLeft(dailyCounts(spark, dir)) {
+        case (df, k) => df.withColumn(s"lag$k", lag($"n", k).over(w))
+      }
+      val stackArgs = (1 to 7).map(k => s"$k, lag$k").mkString(", ")
+      lagged
+        .selectExpr("n AS x", s"stack(7, $stackArgs) AS (k, y)")
+        .filter($"y".isNotNull)
+        .groupBy($"k")
+        .agg(count(lit(1)).as("np"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .select($"k", $"np".as("n_pairs"),
+          r6((($"np" * $"sxy" - $"sx" * $"sy").cast("double")) /
+            sqrt(($"np" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"np" * $"syy" - $"sy" * $"sy").cast("double"))).as("r"))
+        .orderBy($"k")
+    },
+    Some {
+      val lagCols = (1 to 7).map(k => s"lag(n, $k) OVER w AS lag$k")
+        .mkString(", ")
+      val arms = (1 to 7).map(k =>
+        s"SELECT $k AS k, n AS x, lag$k AS y FROM l WHERE lag$k IS NOT NULL")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $dailyCte,
+      l AS (SELECT n, $lagCols FROM daily WINDOW w AS (ORDER BY day)),
+      p AS (
+        $arms),
+      s AS (
+        SELECT k, count(*) AS np,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(y*y) as bigint) AS syy
+        FROM p GROUP BY k)
+      SELECT k, np AS n_pairs,
+             ${r6Sql("cast(np*sxy - sx*sy as double) / " +
+               "sqrt(cast(np*sxx - sx*sx as double) * " +
+               "cast(np*syy - sy*sy as double))")} AS r
+      FROM s ORDER BY k"""
+    },
+  )
+
+  /** 7-day rolling Pearson correlation between the 'view' and 'click'
+    * daily series — the co-movement monitor between two metrics. Both
+    * series ride ONE spine (calendar-complete, zeros real); the frame
+    * sums are integer-exact; the correlation is emitted only on full
+    * 7-day frames, NULL when either series is constant in the frame
+    * (zero variance — both engines agree via an explicit guard, not a
+    * division error). The long difference terms are exact (≤ ~5e10 at
+    * sf1), and are cast to double BEFORE the product, which would
+    * overflow int64. */
+  val qRollingCorr: GQuery = GQuery(
+    "q_rolling_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("view", "click"))
+        .select(to_date($"ts").as("day"), $"event_type")
+      val daily = ev.groupBy($"day")
+        .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("y"))
+      val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val series = spine.join(daily, Seq("day"), "left_outer")
+        .select($"day", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+      val fr = Window.orderBy($"day").rowsBetween(-6, 0)
+      val nx = lit(7) * sum($"x" * $"x").over(fr) -
+        sum($"x").over(fr) * sum($"x").over(fr)
+      val ny = lit(7) * sum($"y" * $"y").over(fr) -
+        sum($"y").over(fr) * sum($"y").over(fr)
+      val cov = lit(7) * sum($"x" * $"y").over(fr) -
+        sum($"x").over(fr) * sum($"y").over(fr)
+      series
+        .withColumn("nw", count(lit(1)).over(fr))
+        .withColumn("r",
+          when($"nw" === 7 && nx > 0 && ny > 0,
+            r6(cov.cast("double") /
+              sqrt(nx.cast("double") * ny.cast("double")))))
+        .filter($"nw" === 7)
+        .select($"day", $"x".cast("int").as("views"),
+          $"y".cast("int").as("clicks"), $"r")
+        .orderBy($"day")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, event_type
+        FROM events WHERE event_type IN ('view', 'click')),
+      daily0 AS (
+        SELECT day,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+        FROM ev GROUP BY day),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      series AS (
+        SELECT spine.day, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        FROM spine LEFT JOIN daily0 USING (day)),
+      f AS (
+        SELECT day, x, y, count(*) OVER fr AS nw,
+               cast(7*sum(x*x) OVER fr - sum(x) OVER fr * sum(x) OVER fr
+                 as bigint) AS nx,
+               cast(7*sum(y*y) OVER fr - sum(y) OVER fr * sum(y) OVER fr
+                 as bigint) AS ny,
+               cast(7*sum(x*y) OVER fr - sum(x) OVER fr * sum(y) OVER fr
+                 as bigint) AS cov
+        FROM series
+        WINDOW fr AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT day, cast(x as int) AS views, cast(y as int) AS clicks,
+             CASE WHEN nx > 0 AND ny > 0 THEN
+               ${r6Sql("cast(cov as double) / " +
+                 "sqrt(cast(nx as double) * cast(ny as double))")}
+             END AS r
+      FROM f WHERE nw = 7 ORDER BY day"""),
+  )
+
+  /** CUSUM change-point detection on the daily order-revenue series: the
+    * day t maximizing |n·prefix_t − t·total| — an integer rescaling of
+    * the classic max-|cumulative-deviation-from-mean| statistic (×n
+    * clears the mean's division, so the ENTIRE argmax runs in exact
+    * int64 cents; ties impossible to mis-order across engines). Revenue
+    * is IEEE-rounded to integer cents per order (the rN trick), summed
+    * per day (combinable), and a deterministic +$5M/day level shift (~30% of a typical day) is
+    * planted after 1998-06-01 so the detector has a true change to find
+    * at every SF (same convention as q_anomaly's spike). Output: the
+    * change-point day, the CUSUM peak in dollars, and the mean daily
+    * revenue on each side. The cumulative window runs over the ~2400-row
+    * daily aggregate — calendar-bounded at any scale. */
+  val qChangepoint: GQuery = GQuery(
+    "q_changepoint",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val daily = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("day"), cents.as("cents"))
+        .groupBy($"day")
+        .agg((sum($"cents") +
+          when($"day" > to_date(lit("1998-06-01")), 500000000L).otherwise(0L))
+          .as("rev"))
+      val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+      // whole-series totals as an unpartitioned window over the SAME
+      // 2400-row daily aggregate — not a second aggregate branch, which
+      // would scan orders twice (the Q15 shared-subtree trap)
+      val wAll = Window.partitionBy()
+      val cum = daily
+        .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
+        .withColumn("prefix", sum($"rev").over(w))
+        .withColumn("nd", max($"t").over(wAll))
+        .withColumn("total", sum($"rev").over(wAll))
+      cum
+        .withColumn("d", $"nd" * $"prefix" - $"t" * $"total")
+        .orderBy(abs($"d").desc, $"day")
+        .limit(1)
+        .select($"day".as("cp_day"),
+          r6(abs($"d").cast("double") / $"nd" / lit(100.0)).as("max_cusum"),
+          r6($"prefix".cast("double") / $"t" / lit(100.0)).as("mean_before"),
+          r6(($"total" - $"prefix").cast("double") / ($"nd" - $"t") /
+            lit(100.0)).as("mean_after"),
+          $"nd".cast("int").as("n_days"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT day, cast(sum(c) as bigint)
+               + (CASE WHEN day > DATE '1998-06-01' THEN 500000000 ELSE 0 END)
+                 AS rev
+        FROM (SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+                     cast(floor(o_totalprice * cast(100.0 as double)
+                       + cast(0.5 as double)) as bigint) AS c
+              FROM orders) o
+        GROUP BY day),
+      cum AS (
+        SELECT day, rev,
+               cast(row_number() OVER (ORDER BY day) as bigint) AS t,
+               cast(sum(rev) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS prefix,
+               cast(count(*) OVER () as bigint) AS nd,
+               cast(sum(rev) OVER () as bigint) AS total
+        FROM daily)
+      SELECT day AS cp_day,
+             ${r6Sql("cast(abs(nd*prefix - t*total) as double) / nd " +
+               "/ cast(100.0 as double)")} AS max_cusum,
+             ${r6Sql("cast(prefix as double) / t / cast(100.0 as double)")}
+               AS mean_before,
+             ${r6Sql("cast(total - prefix as double) / (nd - t) " +
+               "/ cast(100.0 as double)")} AS mean_after,
+             cast(nd as int) AS n_days
+      FROM cum
+      ORDER BY abs(nd*prefix - t*total) DESC, day LIMIT 1"""),
+  )
+
+  /** Conversion-delay distribution: seconds from a user's FIRST view to
+    * their first purchase strictly after it, summarized as exact
+    * quartiles + p90. Two per-user min-aggregations (combinable, the
+    * q_funnel shape — the join is |users|-bounded) feed one tiny
+    * percentile pass over |converted users| integer deltas; percentile ≡
+    * quantile_cont bit-wise on integers (q_percentile contract). */
+  val qConvertTime: GQuery = GQuery(
+    "q_convert_time",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val p = ev.filter($"event_type" === "purchase").join(v, "user_id")
+        .filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
+      p.select(($"t2".cast("long") - $"t1".cast("long")).as("delay"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(delay, 0.25)"), 6).as("p25"),
+          round(expr("percentile(delay, 0.5)"), 6).as("p50"),
+          round(expr("percentile(delay, 0.75)"), 6).as("p75"),
+          round(expr("percentile(delay, 0.9)"), 6).as("p90"),
+          max($"delay").as("max_delay"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch(date_trunc('second', ts))::BIGINT AS tse
+                  FROM events),
+      v AS (SELECT user_id, min(tse) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT ev.user_id, min(tse) AS t2, min(t1) AS t1
+            FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'purchase' AND tse > t1
+            GROUP BY ev.user_id),
+      d AS (SELECT t2 - t1 AS delay FROM p)
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(delay, 0.25), 6) AS p25,
+             round(quantile_cont(delay, 0.5), 6) AS p50,
+             round(quantile_cont(delay, 0.75), 6) AS p75,
+             round(quantile_cont(delay, 0.9), 6) AS p90,
+             cast(max(delay) as bigint) AS max_delay
+      FROM d"""),
+  )
+
+  /** Weekly churn: of the users active in week w, how many are NOT seen
+    * in week w+1. The fact collapses to distinct (user, week) FIRST
+    * (map-side combinable; the shuffle carries |users|·|weeks|, never
+    * raw events); retention is one self equi-join on (user, week+1);
+    * the last week has no successor and is excluded. Weeks are
+    * epoch-anchored day/7 buckets — weekday-convention-free in both
+    * engines (CLAUDE.md dayofweek gotcha). */
+  val qChurn: GQuery = GQuery(
+    "q_churn",
+    (spark, dir) => {
+      import spark.implicits._
+      val uw = Tables.events(spark, dir)
+        .select($"user_id",
+          // integer div, not `/` (double division) — stays exact in longs
+          expr("datediff(to_date(ts), date '1970-01-01') div 7")
+            .cast("long").as("wk"))
+        .distinct()
+      val next = uw.select($"user_id", ($"wk" - 1).as("wk"))
+        .withColumn("retained", lit(1L)).distinct()
+      val agg = uw.join(next, Seq("user_id", "wk"), "left_outer")
+        .groupBy($"wk")
+        .agg(count(lit(1)).as("active"),
+          sum(coalesce($"retained", lit(0L))).as("retained"))
+      // week bounds as unpartitioned windows over the |weeks|-row
+      // aggregate (a second uw branch would re-shuffle the events)
+      val wAll = Window.partitionBy()
+      agg
+        .withColumn("maxwk", max($"wk").over(wAll))
+        .withColumn("minwk", min($"wk").over(wAll))
+        .filter($"wk" < $"maxwk")
+        .select(($"wk" - $"minwk").cast("int").as("week"),
+          $"active", $"retained",
+          r6(($"active" - $"retained").cast("double") / $"active")
+            .as("churn_rate"))
+        .orderBy($"week")
+    },
+    Some(s"""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) // 7 AS wk
+        FROM events),
+      nxt AS (SELECT DISTINCT user_id, wk - 1 AS wk, 1 AS retained FROM uw),
+      agg AS (
+        SELECT uw.wk, count(*) AS active,
+               cast(sum(coalesce(retained, 0)) as bigint) AS retained
+        FROM uw LEFT JOIN nxt ON uw.user_id = nxt.user_id AND uw.wk = nxt.wk
+        GROUP BY uw.wk),
+      w2 AS (SELECT wk, active, retained,
+                    max(wk) OVER () AS maxwk, min(wk) OVER () AS minwk
+             FROM agg)
+      SELECT cast(wk - minwk as int) AS week, active, retained,
+             ${r6Sql("cast(active - retained as double) / active")}
+               AS churn_rate
+      FROM w2 WHERE wk < maxwk ORDER BY week"""),
+  )
+
+  val all: Seq[GQuery] = Seq(
+    qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn)
+}
