@@ -183,6 +183,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_triangles closes triangles via equi-joins on the oriented edges") {
+    val plan = physicalPlan("q_triangles")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_ks_test collapses to per-value counts before the ECDF windows") {
+    val plan = physicalPlan("q_ks_test")
+    // the only pass over raw orders is the combinable groupBy(v):
+    // partial+final HashAggregate pair below the window operators
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("PushedFilters: ["), plan)
+  }
+
   test("q_merge_cdc applies the change set through one full outer join") {
     val plan = physicalPlan("q_merge_cdc")
     assert(plan.contains("FullOuter"), plan)
