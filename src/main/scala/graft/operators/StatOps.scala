@@ -285,6 +285,327 @@ object StatOps {
       ORDER BY a, b, c"""),
   )
 
+  /** Connected components over the co-purchase graph (support ≥ 2 edges
+    * + the planted 4-clique, same edge list as q_triangles): EIGHT fixed
+    * min-label-propagation iterations. Each iteration is ONE equi-join
+    * of the (localCheckpoint'd, SELF-LOOP-augmented) edge list with the
+    * current labels and one combinable min-groupBy — the self-loops
+    * fold "keep your own label" into the same join, so every iteration
+    * references the previous labels EXACTLY ONCE. That single-reference
+    * shape matters twice: it is the q_pagerank iteration template on
+    * the Spark side, and it keeps the oracle's chained CTEs linear — a
+    * LEFT-JOIN formulation references each level twice and DuckDB
+    * re-evaluates the chain exponentially (observed: disk-filling spill
+    * at sf0.1). Eight hops cover every observed component diameter
+    * here; on a larger graph the count is raised (or squared via
+    * pointer doubling) with the same per-iteration shape — and a fixed
+    * count is computed identically by both engines either way, so the
+    * oracle match does not depend on convergence. Output: one row per
+    * component (min vertex id as the label) with its size. */
+  val qConncomp: GQuery = {
+    val iters = 8
+    GQuery(
+      "q_conncomp",
+      (spark, dir) => {
+        import spark.implicits._
+        val lp = Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val organic = lp.as("a").join(lp.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("s"))
+          .filter($"s" >= 2)
+          .select($"pa", $"pb")
+        val k4 = Seq(9000001L, 9000002L, 9000003L, 9000004L)
+        val planted = k4.combinations(2).map { case Seq(x, y) => (x, y) }
+          .toSeq.toDF("pa", "pb")
+        val und = organic.unionByName(planted)
+        val vs = und.select($"pa".as("v"))
+          .unionByName(und.select($"pb".as("v"))).distinct()
+        // undirected edges + self-loops: min over in-neighbors ∪ self
+        val e = und.select($"pa".as("src"), $"pb".as("dst"))
+          .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
+          .unionByName(vs.select($"v".as("src"), $"v".as("dst")))
+          .localCheckpoint()
+        var l = vs.select($"v".as("node"), $"v".as("lbl"))
+        for (_ <- 1 to iters) {
+          l = e.join(l, $"src" === $"node")
+            .groupBy($"dst").agg(min($"lbl").as("l2"))
+            .select($"dst".as("node"), $"l2".as("lbl"))
+        }
+        l.groupBy($"lbl".as("component"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy($"n_nodes".desc, $"component")
+          .limit(50)
+      },
+      Some {
+        val steps = (1 to iters).map { k =>
+          s"""l$k AS (
+             |  SELECT e.dst AS node, min(lp.lbl) AS lbl
+             |  FROM e JOIN l${k - 1} lp ON e.src = lp.node
+             |  GROUP BY e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH lpx AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        organic AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lpx a JOIN lpx b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        planted AS (
+          SELECT cast(pa as bigint) AS pa, cast(pb as bigint) AS pb
+          FROM (VALUES (9000001, 9000002), (9000001, 9000003),
+                       (9000001, 9000004), (9000002, 9000003),
+                       (9000002, 9000004), (9000003, 9000004)) v(pa, pb)),
+        und AS (SELECT pa, pb FROM organic
+                UNION ALL SELECT pa, pb FROM planted),
+        vs AS (SELECT DISTINCT v FROM (
+                 SELECT pa AS v FROM und UNION ALL SELECT pb FROM und) u),
+        e AS MATERIALIZED (
+              SELECT pa AS src, pb AS dst FROM und
+              UNION ALL SELECT pb, pa FROM und
+              UNION ALL SELECT v, v FROM vs),
+        l0 AS (SELECT v AS node, v AS lbl FROM vs),
+        $steps
+        SELECT lbl AS component, count(*) AS n_nodes
+        FROM l$iters
+        GROUP BY lbl ORDER BY n_nodes DESC, component LIMIT 50"""
+      },
+    )
+  }
+
+  /** Mutual information between event type and weekday — the dependence
+    * detector between two categoricals (0 nats = independent). The
+    * contingency table is ONE combinable groupBy over raw events (the
+    * only full pass); margins and the total ride windowed sums over the
+    * |types|×|weekdays| cells. Per-cell MI terms use exact integer
+    * products inside one IEEE division + ln (the q_entropy ln contract),
+    * IEEE-rounded and decimal-summed. Weekday is epoch-day mod 7 in both
+    * engines (the dayofweek convention trap). */
+  val qMutualInfo: GQuery = GQuery(
+    "q_mutual_info",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .select($"event_type",
+          (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+            .cast("int").as("dow"))
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("cxy"))
+      val wx = Window.partitionBy($"event_type")
+      val wy = Window.partitionBy($"dow")
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("cx", sum($"cxy").over(wx))
+        .withColumn("cy", sum($"cxy").over(wy))
+        .withColumn("n", sum($"cxy").over(wAll))
+        .select(
+          $"n",
+          rN(($"cxy".cast("double") / $"n") *
+            log(($"cxy" * $"n").cast("double") /
+              ($"cx" * $"cy").cast("double")), 9).as("term"))
+        .groupBy($"n".as("n_events"))
+        .agg(dsum($"term", 6).as("mi_nats"))
+        .select($"n_events", $"mi_nats")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type,
+               cast(date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) % 7 as int) AS dow,
+               count(*) AS cxy
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT cast(cxy as bigint) AS cxy,
+               cast(sum(cxy) OVER (PARTITION BY event_type) as bigint) AS cx,
+               cast(sum(cxy) OVER (PARTITION BY dow) as bigint) AS cy,
+               cast(sum(cxy) OVER () as bigint) AS n
+        FROM cells)
+      SELECT n AS n_events, ${dsumSql("term", 6)} AS mi_nats
+      FROM (SELECT n,
+              ${rNSql("(cast(cxy as double) / n) * " +
+                "ln(cast(cxy * n as double) / cast(cx * cy as double))", 9)}
+                AS term
+            FROM m) t
+      GROUP BY n"""),
+  )
+
+  /** Benford first-digit audit of order values — the fabricated-data
+    * smell test. The leading digit comes from INTEGER string conversion
+    * of IEEE-rounded cents (float-to-string formatting differs between
+    * engines; int64-to-string doesn't), counts are one combinable
+    * groupBy, and the expected Benford mass ln(1+1/d)/ln(10) plus each
+    * digit's chi-square contribution finish in fixed-order IEEE. */
+  val qBenford: GQuery = GQuery(
+    "q_benford",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5))
+        .cast("long")
+      val wAll = Window.partitionBy()
+      Tables.orders(spark, dir)
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy($"digit")
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum($"n_obs").over(wAll))
+        .select($"digit", $"n_obs",
+          r6($"n_obs".cast("double") / $"n").as("obs_share"),
+          r6(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+            .as("benford_p"),
+          r6(pow($"n_obs".cast("double") -
+            $"n" * (log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))),
+            2.0) /
+            ($"n" * (log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))))
+            .as("chi2_term"))
+        .orderBy($"digit")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT cast(substr(cast(cast(floor(o_totalprice
+                 * cast(100.0 as double) + cast(0.5 as double)) as bigint)
+                 as varchar), 1, 1) as int) AS digit
+        FROM orders),
+      g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+      t AS (SELECT digit, cast(n_obs as bigint) AS n_obs,
+                   cast(sum(n_obs) OVER () as bigint) AS n
+            FROM g)
+      SELECT digit, n_obs,
+             ${r6Sql("cast(n_obs as double) / n")} AS obs_share,
+             ${r6Sql("ln(cast(1.0 as double) + cast(1.0 as double) / digit)" +
+               " / ln(cast(10.0 as double))")} AS benford_p,
+             ${r6Sql("pow(cast(n_obs as double) - n * " +
+               "(ln(cast(1.0 as double) + cast(1.0 as double) / digit) / " +
+               "ln(cast(10.0 as double))), 2.0) / (n * " +
+               "(ln(cast(1.0 as double) + cast(1.0 as double) / digit) / " +
+               "ln(cast(10.0 as double))))")} AS chi2_term
+      FROM t ORDER BY digit"""),
+  )
+
+  /** Wald–Wolfowitz runs test on the daily-revenue series: is the
+    * above/below-median sign sequence random, or does the series trend?
+    * The fact collapses to daily integer cents first (the q_changepoint
+    * posture, no planted shift); the median is a windowed exact
+    * percentile over the |days| series; runs are counted by one lag
+    * window; the z-statistic closes over exact integer (n₁, n₂, R).
+    * Median-equal days are dropped (both engines agree exactly on
+    * integer-vs-half comparisons). */
+  val qRunsTest: GQuery = GQuery(
+    "q_runs_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val daily = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("day"), cents.as("c"))
+        .groupBy($"day").agg(sum($"c").as("rev"))
+      val wAll = Window.partitionBy()
+      val signs = daily
+        .withColumn("med", expr("percentile(rev, 0.5)").over(wAll))
+        .filter($"rev" =!= $"med")
+        .select($"day", ($"rev" > $"med").cast("int").as("sgn"))
+      val w = Window.orderBy($"day")
+      signs
+        .withColumn("chg",
+          when(lag($"sgn", 1).over(w).isNull ||
+            lag($"sgn", 1).over(w) =!= $"sgn", 1L).otherwise(0L))
+        .agg(sum($"sgn").as("n_above"),
+          sum(lit(1L) - $"sgn").as("n_below"),
+          sum($"chg").as("runs"))
+        .select($"n_above", $"n_below", $"runs",
+          r6(($"runs".cast("double") -
+            (lit(1.0) + lit(2.0) * $"n_above" * $"n_below" /
+              ($"n_above" + $"n_below"))) /
+            sqrt((lit(2.0) * $"n_above" * $"n_below" *
+              (lit(2.0) * $"n_above" * $"n_below" - $"n_above" - $"n_below"))
+              .cast("double") /
+              (pow(($"n_above" + $"n_below").cast("double"), 2.0) *
+                ($"n_above" + $"n_below" - 1).cast("double"))))
+            .as("z"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT day, cast(sum(c) as bigint) AS rev
+        FROM (SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+                     cast(floor(o_totalprice * cast(100.0 as double)
+                       + cast(0.5 as double)) as bigint) AS c
+              FROM orders) o
+        GROUP BY day),
+      sg AS (
+        SELECT day, cast(rev > med as int) AS sgn
+        FROM (SELECT day, rev,
+                quantile_cont(rev, 0.5) OVER () AS med FROM daily) m
+        WHERE rev <> med),
+      r AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                      OR lag(sgn) OVER (ORDER BY day) <> sgn
+                    THEN 1 ELSE 0 END AS chg
+        FROM sg),
+      s AS (
+        SELECT cast(sum(sgn) as bigint) AS n_above,
+               cast(sum(1 - sgn) as bigint) AS n_below,
+               cast(sum(chg) as bigint) AS runs
+        FROM r)
+      SELECT n_above, n_below, runs,
+             ${r6Sql("(cast(runs as double) - (cast(1.0 as double) + " +
+               "cast(2.0 as double) * n_above * n_below / " +
+               "(n_above + n_below))) / " +
+               "sqrt(cast(cast(2.0 as double) * n_above * n_below * " +
+               "(cast(2.0 as double) * n_above * n_below - n_above - " +
+               "n_below) as double) / " +
+               "(pow(cast(n_above + n_below as double), 2.0) * " +
+               "cast(n_above + n_below - 1 as double)))")} AS z
+      FROM s"""),
+  )
+
+  /** Audience overlap between event types: Jaccard and containment of
+    * the distinct-user sets behind each behavior pair. The fact
+    * collapses to distinct (type, user) FIRST (combinable; the shuffle
+    * carries |types|·|users| rows max); pair intersections are one self
+    * equi-join ON USER (bounded fan-out: a user contributes at most
+    * |types|² pairs); set sizes ride a windowed sum — no second pass.
+    * All counts integer-exact; divisions close in IEEE at 6 dp. */
+  val qUserOverlap: GQuery = GQuery(
+    "q_user_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      val tu = Tables.events(spark, dir)
+        .select($"event_type".as("t"), $"user_id").distinct()
+      val sized = tu.withColumn("sz",
+        count(lit(1)).over(Window.partitionBy($"t")))
+      val inter = sized.as("a").join(sized.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"),
+          col("a.sz").as("na"), col("b.sz").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      inter.select($"type_a", $"type_b", $"na", $"nb", $"inter",
+          r6($"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+            .as("jaccard"),
+          r6($"inter".cast("double") / least($"na", $"nb"))
+            .as("containment"))
+        .orderBy($"type_a", $"type_b")
+    },
+    Some(s"""
+      WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+      sized AS (
+        SELECT t, user_id,
+               cast(count(*) OVER (PARTITION BY t) as bigint) AS sz
+        FROM tu),
+      i AS (
+        SELECT a.t AS type_a, b.t AS type_b, a.sz AS na, b.sz AS nb,
+               count(*) AS inter
+        FROM sized a JOIN sized b
+          ON a.user_id = b.user_id AND a.t < b.t
+        GROUP BY 1, 2, 3, 4)
+      SELECT type_a, type_b, na, nb, inter,
+             ${r6Sql("cast(inter as double) / (na + nb - inter)")}
+               AS jaccard,
+             ${r6Sql("cast(inter as double) / least(na, nb)")}
+               AS containment
+      FROM i ORDER BY type_a, type_b"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qKsTest, qWinsorize, qDiversity, qZipf, qTriangles)
+    qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
+    qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap)
 }
