@@ -10,7 +10,7 @@ object Registry {
     Scans.all ++ Joins.all ++ Aggregations.all ++ Windows.all ++
       SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all ++
       Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all ++
-      EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++ StatOps.all
+      EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++ StatOps.all ++ QualityOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

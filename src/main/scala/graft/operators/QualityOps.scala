@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Corpus-quality and heavy-tail audits (SURVEY.md §2.B.8 extension,
+  * round 7): n-gram novelty attribution, readability scoring, Hill
+  * tail-index estimation, the language-id confusion matrix, and market
+  * concentration (HHI). Like the rest of the LLM-data family, every
+  * query collapses to (group, token/gram)-bounded intermediates via
+  * combinable aggregations before any join, and keeps floating point to
+  * final closed-form arithmetic under the established cross-engine ln()
+  * + IEEE-rounding contracts.
+  */
+object QualityOps {
+
+  /** Trigram novelty per document: the fraction of a doc's distinct
+    * 3-gram shingles whose corpus-FIRST occurrence (min doc_id) is this
+    * document — the originality/boilerplate gauge that complements the
+    * dedup family (a doc can be pairwise-unique yet 0% novel). Shingles
+    * are the q_neardup_banded per-row construction (no self-join); the
+    * first-occurrence table is one combinable min-groupBy on gram; the
+    * attribution is one equi-join on gram. At 100 TB the gram table is
+    * the same one a stored-signature dedup already maintains. */
+  val qNgramNovelty: GQuery = GQuery(
+    "q_ngram_novelty",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.documents(spark, dir)
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val first = g.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+      g.join(first, "gram")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+            .as("n_novel"))
+        .select($"doc_id", $"n_grams", $"n_novel",
+          r6($"n_novel".cast("double") / $"n_grams").as("novelty"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH lt AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+      SELECT g.doc_id, count(*) AS n_grams,
+             cast(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+               as bigint) AS n_novel,
+             ${r6Sql("cast(sum(CASE WHEN first_doc = g.doc_id THEN 1 " +
+               "ELSE 0 END) as double) / count(*)")} AS novelty
+      FROM g JOIN f ON g.gram = f.gram
+      GROUP BY g.doc_id ORDER BY g.doc_id"""),
+  )
+
+  /** Flesch-style readability per document from three exact integer
+    * counts — words (whitespace tokens), sentences (maximal [.!?]+
+    * runs, floored at 1), and a vowel-group syllable proxy — finished
+    * by one fixed-order IEEE formula with every float literal cast to
+    * double in the oracle (DuckDB folds bare decimals exactly,
+    * CLAUDE.md). The per-row regex work is codegen'd and embarrassingly
+    * parallel — the same per-row posture as q_textquality. */
+  val qReadability: GQuery = GQuery(
+    "q_readability",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_words"),
+          greatest(
+            expr("size(regexp_extract_all(text, '[.!?]+', 0))"), lit(1))
+            .cast("long").as("n_sentences"),
+          greatest(
+            expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"),
+            lit(1)).cast("long").as("n_syllables"))
+        .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+          r6(lit(206.835) -
+            lit(1.015) * ($"n_words".cast("double") / $"n_sentences") -
+            lit(84.6) * ($"n_syllables".cast("double") / $"n_words"))
+            .as("flesch"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             ${r6Sql("cast(206.835 as double) - cast(1.015 as double) * " +
+               "(cast(n_words as double) / n_sentences) - " +
+               "cast(84.6 as double) * " +
+               "(cast(n_syllables as double) / n_words)")} AS flesch
+      FROM (
+        SELECT doc_id,
+               cast(len(string_split(text, ' ')) as bigint) AS n_words,
+               cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 as bigint) AS n_sentences,
+               cast(greatest(len(regexp_extract_all(lower(text),
+                 '[aeiouy]+')), 1) as bigint) AS n_syllables
+        FROM documents) t
+      ORDER BY doc_id"""),
+  )
+
+  /** Hill tail-index estimate of the order-value distribution over the
+    * top k = 500 order statistics: α = k / Σ ln(x_i / x_{k+1}) — the
+    * heavy-tail exponent behind "how extreme can a day get" risk
+    * arithmetic (the continuous companion to q_zipf). The top-(k+1)
+    * set comes from a distributed TakeOrdered (total order: value desc,
+    * key asc — never a global sort of the fact); the per-term logs ride
+    * the established ln() + dsum contract over that 501-row frame. */
+  val qTailIndex: GQuery = {
+    val k = 500
+    GQuery(
+      "q_tail_index",
+      (spark, dir) => {
+        import spark.implicits._
+        val top = Tables.orders(spark, dir)
+          .select($"o_totalprice".as("v"), $"o_orderkey")
+          .orderBy($"v".desc, $"o_orderkey")
+          .limit(k + 1)
+        val wAll = Window.partitionBy()
+        top
+          .withColumn("xk1", min($"v").over(wAll))
+          .withColumn("rk",
+            row_number().over(Window.orderBy($"v".desc, $"o_orderkey")))
+          .filter($"rk" <= k)
+          .select(rN(log($"v" / $"xk1"), 9).as("term"), $"xk1")
+          .groupBy($"xk1")
+          .agg(count(lit(1)).as("n_top"), dsum($"term", 6).as("hill_sum"))
+          .select($"n_top", $"xk1".as("x_kplus1"),
+            r6($"hill_sum" / $"n_top").as("hill_mean"),
+            r6($"n_top" / $"hill_sum").as("alpha"))
+      },
+      Some(s"""
+        WITH top AS (
+          SELECT o_totalprice AS v, o_orderkey FROM orders
+          ORDER BY v DESC, o_orderkey LIMIT ${k + 1}),
+        w AS (
+          SELECT v, min(v) OVER () AS xk1,
+                 row_number() OVER (ORDER BY v DESC, o_orderkey) AS rk
+          FROM top),
+        t AS (
+          SELECT xk1, ${rNSql("ln(v / xk1)", 9)} AS term
+          FROM w WHERE rk <= $k),
+        s AS (
+          SELECT xk1, count(*) AS n_top, ${dsumSql("term", 6)} AS hill_sum
+          FROM t GROUP BY xk1)
+        SELECT n_top, xk1 AS x_kplus1,
+               ${r6Sql("hill_sum / n_top")} AS hill_mean,
+               ${r6Sql("n_top / hill_sum")} AS alpha
+        FROM s"""),
+    )
+  }
+
+  /** Language-id confusion matrix: the declared-vs-predicted cross-tab
+    * of q_langid's n-gram-marker classifier — the evaluation view every
+    * corpus language filter ships with. Defined ON TOP of the declared
+    * q_langid query (same classifier, no drift between the two), then
+    * one combinable groupBy; the oracle wraps q_langid's own SQL. */
+  val qLangConfusion: GQuery = GQuery(
+    "q_lang_confusion",
+    (spark, dir) => {
+      import spark.implicits._
+      LlmOps.qLangId.run(spark, dir)
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"lang_pred")
+    },
+    LlmOps.qLangId.oracle.map(inner => s"""
+      SELECT lang, lang_pred, count(*) AS n_docs
+      FROM ($inner) li
+      GROUP BY lang, lang_pred
+      ORDER BY lang, lang_pred"""),
+  )
+
+  /** Supplier market concentration per nation: the Herfindahl–Hirschman
+    * index (Σ share², ×10000) of lineitem revenue across suppliers —
+    * the antitrust-style complement to q_concentration's Gini. Revenue
+    * is IEEE-rounded to integer cents per row (one deterministic
+    * floor), summed per (nation, supplier) in one combinable pass; the
+    * nation totals ride a windowed sum over the |suppliers|-bounded
+    * aggregate; shares close in IEEE and the HHI terms decimal-sum. */
+  val qHhi: GQuery = GQuery(
+    "q_hhi",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"l_extendedprice" *
+        (lit(1.0) - $"l_discount") * lit(100.0) + lit(0.5)).cast("long")
+      val bySupp = Tables.lineitem(spark, dir)
+        .join(Tables.supplier(spark, dir),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_nationkey", $"s_suppkey", cents.as("c"))
+        .groupBy($"s_nationkey", $"s_suppkey")
+        .agg(sum($"c").as("rev"))
+      val wNation = Window.partitionBy($"s_nationkey")
+      bySupp
+        .withColumn("tot", sum($"rev").over(wNation))
+        .select($"s_nationkey",
+          rN(pow($"rev".cast("double") / $"tot", 2.0) * lit(10000.0), 9)
+            .as("term"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"), dsum($"term", 6).as("hhi"))
+        .orderBy($"s_nationkey")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT s_nationkey, s_suppkey,
+               cast(sum(cast(floor(l_extendedprice *
+                 (cast(1.0 as double) - l_discount) *
+                 cast(100.0 as double) + cast(0.5 as double)) as bigint))
+                 as bigint) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, s_suppkey),
+      t AS (
+        SELECT s_nationkey,
+               ${rNSql("pow(cast(rev as double) / tot, 2.0) * " +
+                 "cast(10000.0 as double)", 9)} AS term
+        FROM (SELECT s_nationkey, rev,
+                cast(sum(rev) OVER (PARTITION BY s_nationkey) as bigint)
+                  AS tot
+              FROM r) x)
+      SELECT s_nationkey, count(*) AS n_suppliers,
+             ${dsumSql("term", 6)} AS hhi
+      FROM t GROUP BY s_nationkey ORDER BY s_nationkey"""),
+  )
+
+  val all: Seq[GQuery] = Seq(
+    qNgramNovelty, qReadability, qTailIndex, qLangConfusion, qHhi)
+}
