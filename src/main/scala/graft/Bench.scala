@@ -38,7 +38,25 @@ object Bench {
     val total = timed.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // Full detail first (humans + history file), compact line LAST: the
+    // driver records only the final ~2000 chars of output, so a ~5000-char
+    // 196-query line is always front-truncated and has parsed as null in
+    // every round so far. The last printed line must be a complete JSON
+    // object well under that window: total + counts + the slowest queries'
+    // timings, map truncated at a character budget.
     println(line)
+    val budget = 1200
+    val slowestFirst = timed.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val ent = jstr(k) + ":" + f"$v%.3f"
+      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+    }
+    val omitted = timed.size - kept.size
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    println(compact)
     // Opt-in machine-readable history: append the same JSON line, tagged,
     // to SPARK_GRAFT_BENCH_HISTORY (round-over-round regression tracking —
     // see tools/bench_diff.py). The driver's plain `runMain graft.Bench`

@@ -15,11 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        failed(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        // A failing query must still produce an output: a 1-row frame with a
+        // single non-null `err` column. The driver's compare then records an
+        // explicit schema-mismatch FAIL for this query instead of silently
+        // omitting it from CORRECTNESS_r{N}.json (round-7 lesson: 36 broken
+        // queries vanished from the artifact and it read as all-green).
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +50,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing failure record alongside the dumps (count + per-query
+    // message), so breakage is visible even to a reader who only lists outDir.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString(s"""{"n_errors": ${failed.size}, "errors": {""", ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} of ${SparkEntry.queries.size} queries FAILED")
     spark.stop()
   }
 }

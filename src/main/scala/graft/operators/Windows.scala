@@ -270,14 +270,14 @@ object Windows {
   /** Keep-latest dedup (CDC compaction): one row per (user_id, event_type),
     * the one with the greatest timestamp. The row_number ≤ 1 pattern is the
     * scalable form — partial top-1 per partition before the shuffle, no
-    * global sort. Ordering ties break on raw nanosecond ts then event_id,
+    * global sort. Ordering ties break on raw sub-second ticks then event_id,
     * so the survivor is deterministic on any cluster. */
   val qDedupLatest: GQuery = GQuery(
     "q_dedup_latest",
     (spark, dir) => {
       import spark.implicits._
       val w = Window.partitionBy($"user_id", $"event_type")
-        .orderBy($"ts_nanos".desc, $"event_id".desc)
+        .orderBy($"ts_ticks".desc, $"event_id".desc)
       Tables.events(spark, dir)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -458,7 +458,7 @@ object Windows {
     "q_ewma",
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts_nanos", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ticks", $"event_id")
       def coef(k: Int): org.apache.spark.sql.Column =
         (1 to k).foldLeft(lit(0.3): org.apache.spark.sql.Column)(
           (c, _) => c * lit(0.7))
@@ -467,7 +467,7 @@ object Windows {
         coalesce(v, lit(0.0)) * coef(k)
       }
       Tables.events(spark, dir)
-        .select($"event_id", $"user_id", $"ts_nanos", $"value")
+        .select($"event_id", $"user_id", $"ts_ticks", $"value")
         .select($"event_id", $"user_id",
           r6(terms.reduceLeft(_ + _)).as("ewma_value"))
         .orderBy($"event_id")

@@ -26,7 +26,7 @@ object PipelineDemo {
     println(s"[2] quality gate kept ${clean.count()} rows")
 
     val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts_nanos".desc, $"event_id".desc)
+      .orderBy($"ts_ticks".desc, $"event_id".desc)
     val latest = clean.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn")
     println(s"[3] keep-latest compaction → ${latest.count()} rows (one per user×type)")
@@ -34,9 +34,9 @@ object PipelineDemo {
     // simulate a late-arriving correction batch and merge it in
     val corrections = latest.limit(5)
       .withColumn("value", $"value" * 2)
-      .withColumn("ts_nanos", $"ts_nanos" + 1)
+      .withColumn("ts_ticks", $"ts_ticks" + 1)
     val merged = Upsert.mergeByKey(
-      latest, corrections, Seq("user_id", "event_type"), "ts_nanos")
+      latest, corrections, Seq("user_id", "event_type"), "ts_ticks")
     println(s"[4] CDC merge of ${corrections.count()} corrections → ${merged.count()} rows")
 
     Sources.writeParquetZstd(

@@ -30,7 +30,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // keep-latest per (user, type): CDC-style compaction
     val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts_nanos".desc, $"event_id".desc)
+      .orderBy($"ts_ticks".desc, $"event_id".desc)
     val latest = clean.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn")
     val n2 = latest.count()
