@@ -320,10 +320,18 @@ object StatOps {
         val k4 = Seq(9000001L, 9000002L, 9000003L, 9000004L)
         val planted = k4.combinations(2).map { case Seq(x, y) => (x, y) }
           .toSeq.toDF("pa", "pb")
-        val und = organic.unionByName(planted)
+        // Checkpoint the UNDIRECTED edge list itself, not a derivative:
+        // both the expanded edge list AND l0's vertex set hang off `und`,
+        // so checkpointing only `e` left l0 re-evaluating the lineitem
+        // self-join a second time inside the final 8-join query
+        // (measured ~1s of the 4s warm runtime at sf0.1).
+        val und = organic.unionByName(planted).localCheckpoint()
         val vs = und.select($"pa".as("v"))
           .unionByName(und.select($"pb".as("v"))).distinct()
         // undirected edges + self-loops: min over in-neighbors ∪ self
+        // e is referenced by all 8 iterations — checkpoint it as well (off
+        // the cheap checkpointed und, this job is milliseconds) so the
+        // per-iteration lineage is a flat scan, not union+distinct chains.
         val e = und.select($"pa".as("src"), $"pb".as("dst"))
           .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
           .unionByName(vs.select($"v".as("src"), $"v".as("dst")))
