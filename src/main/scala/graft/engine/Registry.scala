@@ -10,7 +10,8 @@ object Registry {
     Scans.all ++ Joins.all ++ Aggregations.all ++ Windows.all ++
       SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all ++
       Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all ++
-      EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++ StatOps.all ++ QualityOps.all
+      EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++
+      StatOps.all ++ QualityOps.all ++ GraphOps.all ++ MetricOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Graph analytics beyond components/triangles/pagerank: bipartite
+  * projection, k-core peeling, and Markov-chain power iteration — all as
+  * plain joins + aggregates (no GraphX), all oracle-declared.
+  */
+object GraphOps {
+
+  /** Weighted BIPARTITE PROJECTION — collapse a two-mode graph
+    * (supplier–brand, derived from lineitem×part) onto its SMALL side:
+    * brand pairs weighted by how many distinct suppliers stock both,
+    * plus the Jaccard overlap of their supplier sets. Projecting onto
+    * the small side is THE scale rule for this operator: per-node
+    * fan-out is bounded by |brands|² (25² here), so a supplier
+    * contributes at most 300 pairs no matter how many line items it
+    * has — the projection explode can never follow the fact-table
+    * skew. The two-mode edge list collapses to DISTINCT first
+    * (combinable, shuffle carries |suppliers|·|brands| rows max);
+    * set sizes ride a window over that reduced table; the pair join
+    * is a self equi-join ON SUPPLIER (the bounded side). */
+  val qBipartiteProj: GQuery = GQuery(
+    "q_bipartite_proj",
+    (spark, dir) => {
+      import spark.implicits._
+      val sb = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_suppkey".as("s"), $"p_brand".as("b"))
+        .distinct()
+      val sized = sb.withColumn("sz",
+        count(lit(1)).over(Window.partitionBy($"b")))
+      sized.as("x").join(sized.as("y"),
+          col("x.s") === col("y.s") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"),
+          col("x.sz").as("na"), col("y.sz").as("nb"))
+        .agg(count(lit(1)).as("w"))
+        .select($"brand_a", $"brand_b", $"na", $"nb", $"w",
+          r6($"w".cast("double") / ($"na" + $"nb" - $"w")).as("jaccard"))
+        .orderBy($"brand_a", $"brand_b")
+    },
+    Some(s"""
+      WITH sb AS (
+        SELECT DISTINCT l_suppkey AS s, p_brand AS b
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      sized AS (
+        SELECT s, b,
+               cast(count(*) OVER (PARTITION BY b) as bigint) AS sz
+        FROM sb),
+      pr AS (
+        SELECT x.b AS brand_a, y.b AS brand_b, x.sz AS na, y.sz AS nb,
+               count(*) AS w
+        FROM sized x JOIN sized y ON x.s = y.s AND x.b < y.b
+        GROUP BY 1, 2, 3, 4)
+      SELECT brand_a, brand_b, na, nb, w,
+             ${r6Sql("cast(w as double) / (na + nb - w)")} AS jaccard
+      FROM pr ORDER BY brand_a, brand_b"""),
+  )
+
+  /** K-CORE decomposition (k = 3) by FIXED-ROUND peeling over the
+    * co-purchase graph: each round computes degrees (one combinable
+    * groupBy over the edge list), keeps nodes with degree >= k, and
+    * restricts edges to kept endpoints (two LEFT SEMI joins). Four
+    * rounds reach the fixed point on this graph at every SF — and a
+    * fixed round count is computed identically by both engines, so
+    * the oracle match never depends on a convergence test (the
+    * q_conncomp rule). Per round the work is linear in |E|; the edge
+    * list is the same small-parts co-purchase restriction as
+    * q_pagerank (p_size <= 10 keeps the per-order pair explode
+    * SF-linear) and each round's survivor set is localCheckpoint'd —
+    * a peeled level is referenced twice (degree pass + next level),
+    * and without materialization the lineage doubles per round
+    * (2^rounds recomputes; the recursive-CTE lesson). The oracle
+    * mirrors this with MATERIALIZED per-level CTEs. Output: the
+    * 3-core members with their core degree. */
+  val qKcore: GQuery = {
+    val k = 3
+    val rounds = 4
+    GQuery(
+      "q_kcore",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val und = op.groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+            .as("pr"))
+          .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+          .distinct()
+        var e = und.select($"pa".as("src"), $"pb".as("dst"))
+          .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
+          .localCheckpoint()
+        for (_ <- 1 to rounds) {
+          val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= k).select($"src".as("v"))
+          e = e.join(keep.select($"v".as("src")), "src", "left_semi")
+            .join(keep.select($"v".as("dst")), "dst", "left_semi")
+            .select($"src", $"dst")
+            .localCheckpoint()
+        }
+        e.groupBy($"src".as("node"))
+          .agg(count(lit(1)).cast("int").as("core_degree"))
+          .orderBy($"node")
+      },
+      Some {
+        val steps = (1 to rounds).map { i =>
+          s"""k$i AS MATERIALIZED (
+             |  SELECT src AS v FROM e${i - 1}
+             |  GROUP BY src HAVING count(*) >= $k),
+             |e$i AS MATERIALIZED (
+             |  SELECT src, dst FROM e${i - 1}
+             |  WHERE src IN (SELECT v FROM k$i)
+             |    AND dst IN (SELECT v FROM k$i))""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part
+            ON l_partkey = p_partkey AND p_size <= 10),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        e0 AS MATERIALIZED (
+          SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+        $steps
+        SELECT src AS node, cast(count(*) as int) AS core_degree
+        FROM e$rounds GROUP BY src ORDER BY node"""
+      },
+    )
+  }
+
+  /** Markov-chain POWER ITERATION over the event-type transition
+    * matrix: consecutive same-user events define the 5×5 row-stochastic
+    * matrix (the q_transitions extraction — lag window ordered by
+    * (ts, event_id), no self-join), then four fixed v·P steps from the
+    * uniform start approximate the stationary behavior mix. Matrix
+    * power as relational algebra: each step is ONE equi-join of the
+    * |types|-row distribution with the |types|²-row matrix and ONE
+    * groupBy — the template that scales to a million-state chain
+    * (shuffle on the join key, combinable sum) even though it is tiny
+    * here. Cross-engine float determinism: each cell probability and
+    * each product term is IEEE-rounded (rN at 12 dp) BEFORE the
+    * per-step sum, and the sum accumulates in exact decimal(30,12) —
+    * shuffle-order-free on any cluster (the dsum contract); the final
+    * distribution rounds to 6 dp. */
+  val qMarkov: GQuery = {
+    val steps = 4
+    GQuery(
+      "q_markov",
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val m = Tables.events(spark, dir)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type".as("i"), $"event_type".as("j"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", rN($"n".cast("double") /
+            sum($"n").over(Window.partitionBy($"i")).cast("double"), 12))
+          .select($"i", $"j", $"p")
+          .localCheckpoint()
+        var v = m.select($"i".as("state")).distinct()
+          .withColumn("prob", lit(0.2))
+        for (_ <- 1 to steps) {
+          v = v.join(m, $"state" === $"i")
+            .select($"j", rN($"prob" * $"p", 12).as("term"))
+            .groupBy($"j")
+            .agg(sum($"term".cast("decimal(30,12)")).cast("double")
+              .as("prob"))
+            .select($"j".as("state"), $"prob")
+        }
+        v.select($"state", r6($"prob").as("stationary_p"))
+          .orderBy($"state")
+      },
+      Some {
+        val chain = (1 to steps).map { s =>
+          s"""v$s AS (
+             |  SELECT j AS state,
+             |         cast(sum(cast(${rNSql(s"prob * p", 12)}
+             |           as decimal(30,12))) as double) AS prob
+             |  FROM v${s - 1} JOIN m ON state = i
+             |  GROUP BY j)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH st AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id) AS prev_type
+          FROM events),
+        cnt AS (
+          SELECT prev_type AS i, event_type AS j, count(*) AS n
+          FROM st WHERE prev_type IS NOT NULL
+          GROUP BY i, j),
+        m AS MATERIALIZED (
+          SELECT i, j, ${rNSql("cast(n as double) / cast(sum(n) OVER " +
+                "(PARTITION BY i) as double)", 12)} AS p
+          FROM cnt),
+        v0 AS (SELECT DISTINCT i AS state, cast(0.2 as double) AS prob
+               FROM m),
+        $chain
+        SELECT state, ${r6Sql("prob")} AS stationary_p
+        FROM v$steps ORDER BY state"""
+      },
+    )
+  }
+
+  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov)
+}

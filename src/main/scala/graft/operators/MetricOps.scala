@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Economic / survival / distribution-comparison metrics: Gini
+  * concentration, Kaplan-Meier survival, lead-lag cross-correlation,
+  * and exact order-statistic Q-Q comparison — the analyst-grade
+  * statistics layer over the TPC-H and event tables.
+  */
+object MetricOps {
+
+  /** GINI COEFFICIENT of customer spend per nation — the inequality
+    * measure behind every concentration dashboard. Per-customer spend
+    * accumulates in exact decimal (shuffle-order-free); the sorted-index
+    * formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) needs ONE total-order
+    * window per nation (rank by (spend, custkey) — the §5.2 unique
+    * tiebreak, so ranks are identical on any cluster) and one aggregate
+    * over it. i·xᵢ products stay in decimal (exact: rank ≤ |customers|,
+    * spend ≤ 1e8 — far inside decimal(38,6)); the only double is the
+    * final ratio, one IEEE division rounded at 6 dp. Scales as a
+    * groupBy + per-key window over the |customers|-row aggregate, never
+    * the fact table. */
+  val qGini: GQuery = GQuery(
+    "q_gini",
+    (spark, dir) => {
+      import spark.implicits._
+      val spend = Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(30,6)")).as("x"))
+      val byNation = spend
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+        .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"c_custkey", $"x")
+      val w = Window.partitionBy($"n_name").orderBy($"x", $"c_custkey")
+      byNation
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"x").as("sx"),
+          sum($"x" * $"i").as("six"))
+        .select($"n_name", $"n_cust",
+          r6((lit(2) * $"six" - ($"n_cust" + 1) * $"sx").cast("double") /
+            ($"n_cust" * $"sx").cast("double")).as("gini"))
+        .orderBy($"n_name")
+    },
+    Some(s"""
+      WITH spend AS (
+        SELECT o_custkey, sum(cast(o_totalprice as decimal(30,6))) AS x
+        FROM orders GROUP BY o_custkey),
+      bn AS (
+        SELECT n_name, c_custkey, x
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      r AS (
+        SELECT n_name, x,
+               cast(row_number() OVER (PARTITION BY n_name
+                 ORDER BY x, c_custkey) as bigint) AS i
+        FROM bn),
+      s AS (
+        SELECT n_name, cast(count(*) as bigint) AS n_cust,
+               sum(x) AS sx, sum(x * i) AS six
+        FROM r GROUP BY n_name)
+      SELECT n_name, n_cust,
+             ${r6Sql("cast(2 * six - (n_cust + 1) * sx as double) / " +
+               "cast(n_cust * sx as double)")} AS gini
+      FROM s ORDER BY n_name"""),
+  )
+
+  /** KAPLAN-MEIER survival over user engagement lifetimes — the
+    * censoring-aware retention curve (a plain "% still active after t
+    * days" overstates churn because users still active at the window
+    * edge haven't churned, they're CENSORED). Lifetime = days between a
+    * user's first and last event; a user whose last event falls within
+    * 7 days of the window end is censored, otherwise the churn is
+    * observed. The estimator runs entirely on the |users|-row aggregate:
+    * the at-risk count n_t rides a cumulative window over the
+    * |lifetimes|-row table (never a per-user scan per time point), and
+    * the product Π(1 − d/n) is carried in LOG space — each factor's ln
+    * is IEEE-rounded at 6 dp BEFORE the cumulative DECIMAL sum (the
+    * q_entropy ln contract: 1-ulp libm differences are absorbed by the
+    * per-term rounding, and the running sum is shuffle-order-free).
+    * Output keeps log-survival (exp would reintroduce a cross-engine
+    * libm edge); rows where the last at-risk cohort dies out entirely
+    * (n = d ⇒ S = 0, ln = −∞) are excluded by construction. */
+  val qSurvival: GQuery = GQuery(
+    "q_survival",
+    (spark, dir) => {
+      import spark.implicits._
+      val real = Tables.events(spark, dir)
+        .select($"user_id",
+          datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+        .groupBy($"user_id")
+        .agg(min($"d").as("first_d"), max($"d").as("last_d"))
+      // The synthetic corpus keeps every user active to the window edge
+      // (verified at all SFs), so natural churn is vacuous — plant a
+      // shifted-id early-quitter cohort (lifetime = user_id % 9 days)
+      // so observed deaths exist at every SF and the estimator can
+      // never pass on an empty result. Same plant in the oracle.
+      val users = real.unionByName(
+        real.filter($"user_id" < 12)
+          .select(($"user_id" + 9000000L).as("user_id"), $"first_d",
+            least($"last_d", $"first_d" + $"user_id" % 9).as("last_d")))
+      val maxD = real.agg(max($"last_d").as("max_d"))
+      val lt = users.crossJoin(broadcast(maxD))
+        .select(($"last_d" - $"first_d").cast("int").as("t"),
+          ($"last_d" <= $"max_d" - 7).cast("int").as("death"))
+      val byT = lt.groupBy($"t")
+        .agg(count(lit(1)).as("n_all"), sum($"death").as("d"))
+      val wCum = Window.orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wLog = Window.orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = lt.agg(count(lit(1)).as("n_users"))
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          ($"n_users" - coalesce(sum($"n_all").over(wCum), lit(0L)))
+            .cast("long"))
+        .filter($"d" > 0 && $"n_risk" > $"d")
+        .withColumn("term",
+          rN(log(($"n_risk" - $"d").cast("double") /
+            $"n_risk".cast("double")), 6))
+        .withColumn("km_log_surv",
+          r6(sum($"term".cast("decimal(30,6)")).over(wLog).cast("double")))
+        .select($"t".as("lifetime_days"), $"n_risk", $"d".as("n_deaths"),
+          $"km_log_surv")
+        .orderBy($"lifetime_days")
+    },
+    Some(s"""
+      WITH u0 AS (
+        SELECT user_id,
+               min(datediff('day', DATE '1970-01-01', cast(ts as date)))
+                 AS first_d,
+               max(datediff('day', DATE '1970-01-01', cast(ts as date)))
+                 AS last_d
+        FROM events GROUP BY user_id),
+      u AS (
+        SELECT * FROM u0
+        UNION ALL
+        SELECT user_id + 9000000, first_d,
+               least(last_d, first_d + user_id % 9)
+        FROM u0 WHERE user_id < 12),
+      mx AS (SELECT max(last_d) AS max_d FROM u0),
+      lt AS (
+        SELECT cast(last_d - first_d as int) AS t,
+               cast(last_d <= max_d - 7 as int) AS death
+        FROM u CROSS JOIN mx),
+      byt AS (
+        SELECT t, cast(count(*) as bigint) AS n_all,
+               cast(sum(death) as bigint) AS d
+        FROM lt GROUP BY t),
+      tot AS (SELECT cast(count(*) as bigint) AS n_users FROM lt),
+      rk AS (
+        SELECT t, d,
+               n_users - coalesce(sum(n_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM byt CROSS JOIN tot),
+      tm AS (
+        SELECT t, n_risk, d,
+               ${rNSql("ln(cast(n_risk - d as double) / " +
+                 "cast(n_risk as double))", 6)} AS term
+        FROM rk WHERE d > 0 AND n_risk > d)
+      SELECT t AS lifetime_days, cast(n_risk as bigint) AS n_risk,
+             d AS n_deaths,
+             ${r6Sql("cast(sum(cast(term as decimal(30,6))) OVER " +
+               "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+               "CURRENT ROW) as double)")} AS km_log_surv
+      FROM tm ORDER BY lifetime_days"""),
+  )
+
+  /** LEAD-LAG CROSS-CORRELATION between the daily 'click' and
+    * 'purchase' series (lags −3..+3) — the causality-direction probe:
+    * if clicks lead purchases, positive lags dominate. Both series ride
+    * ONE calendar-complete spine (missing days are true zeros); each
+    * lag's Pearson r comes from INTEGER sufficient statistics over the
+    * |days|-row table (exact in int64 well past sf100), assembled by a
+    * 7-row lag frame broadcast against the spine self-join — the
+    * pattern stays a tiny-dimension broadcast no matter the fact
+    * volume, because everything downstream of the first groupBy is
+    * |days|-sized. */
+  val qCrossCorr: GQuery = GQuery(
+    "q_cross_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select(to_date($"ts").as("day"), $"event_type")
+      val daily0 = ev.groupBy($"day")
+        .agg(sum(($"event_type" === "click").cast("long")).as("c0"),
+          sum(($"event_type" === "purchase").cast("long")).as("p0"))
+      val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = spine.join(daily0, Seq("day"), "left_outer")
+        .select($"day", coalesce($"c0", lit(0L)).as("c"),
+          coalesce($"p0", lit(0L)).as("p"))
+      val lags = spark.range(-3, 4).select($"id".cast("int").as("lg"))
+      daily.as("a").crossJoin(broadcast(lags))
+        .join(daily.as("b"),
+          expr("b.day = date_add(a.day, lg)"))
+        .select($"lg", col("a.c").as("x"), col("b.p").as("y"))
+        .groupBy($"lg")
+        .agg(count(lit(1)).as("np"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .select($"lg".as("lag_days"), $"np".as("n_days"),
+          r6((($"np" * $"sxy" - $"sx" * $"sy").cast("double")) /
+            sqrt(($"np" * $"sxx" - $"sx" * $"sx").cast("double") *
+              ($"np" * $"syy" - $"sy" * $"sy").cast("double"))).as("r"))
+        .orderBy($"lag_days")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      daily0 AS (
+        SELECT day,
+               cast(sum(cast(event_type = 'click' as int)) as bigint) AS c0,
+               cast(sum(cast(event_type = 'purchase' as int)) as bigint) AS p0
+        FROM ev GROUP BY day),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      daily AS (
+        SELECT spine.day, coalesce(c0, 0) AS c, coalesce(p0, 0) AS p
+        FROM spine LEFT JOIN daily0 USING (day)),
+      lg AS (SELECT unnest(generate_series(-3, 3)) AS lg),
+      pr AS (
+        SELECT lg, a.c AS x, b.p AS y
+        FROM daily a CROSS JOIN lg
+        JOIN daily b ON b.day = a.day + to_days(cast(lg as int))),
+      s AS (
+        SELECT lg, count(*) AS np,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(y*y) as bigint) AS syy
+        FROM pr GROUP BY lg)
+      SELECT cast(lg as int) AS lag_days, np AS n_days,
+             ${r6Sql("cast(np*sxy - sx*sy as double) / " +
+               "sqrt(cast(np*sxx - sx*sx as double) * " +
+               "cast(np*syy - sy*sy as double))")} AS r
+      FROM s ORDER BY lag_days"""),
+  )
+
+  /** Q-Q COMPARISON of the click vs purchase `value` distributions at
+    * the deciles — distribution drift rendered as nine exact points.
+    * Quantiles are EXACT ORDER STATISTICS (row_number over (value,
+    * event_id) — the unique tiebreak — selected at index
+    * ceil(q·n/10) computed in INTEGER arithmetic), not interpolated:
+    * interpolation conventions differ between engines (and between
+    * Spark's percentile flavors), exact selection is bit-identical
+    * everywhere and is also the only honest quantile at 100 TB (a
+    * selected value is a real observation, not an average of two).
+    * One window per type over the filtered fact, one 9-row broadcast
+    * of the decile indexes, one equi-join on the index. */
+  val qQq: GQuery = GQuery(
+    "q_qq",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", $"value", $"event_id")
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"value", $"event_id")
+      val ranked = ev
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy($"event_type")))
+      val qs = spark.range(1, 10).select($"id".cast("int").as("q"))
+      val picked = ranked.crossJoin(broadcast(qs))
+        .filter($"rn" === expr("(q * n + 9) div 10"))
+        .select($"q", $"event_type", $"value")
+      picked.filter($"event_type" === "click")
+        .select($"q", $"value".as("click_value"))
+        .join(picked.filter($"event_type" === "purchase")
+          .select($"q", $"value".as("purchase_value")), "q")
+        .select($"q".as("decile"), $"click_value", $"purchase_value",
+          r6($"click_value" - $"purchase_value").as("qq_diff"))
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      ranked AS (
+        SELECT event_type, value,
+               cast(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) as bigint) AS rn,
+               cast(count(*) OVER (PARTITION BY event_type) as bigint) AS n
+        FROM ev),
+      qs AS (SELECT unnest(generate_series(1, 9)) AS q),
+      picked AS (
+        SELECT cast(q as int) AS q, event_type, value
+        FROM ranked JOIN qs ON rn = (q * n + 9) // 10)
+      SELECT c.q AS decile, c.value AS click_value,
+             p.value AS purchase_value,
+             ${r6Sql("c.value - p.value")} AS qq_diff
+      FROM picked c JOIN picked p
+        ON c.q = p.q AND c.event_type = 'click'
+           AND p.event_type = 'purchase'
+      ORDER BY decile"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qGini, qSurvival, qCrossCorr, qQq)
+}
