@@ -11,7 +11,8 @@ object Registry {
       SetOps.all ++ Functions.all ++ LlmOps.all ++ ScaleOps.all ++
       Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all ++
       EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++
-      StatOps.all ++ QualityOps.all ++ GraphOps.all ++ MetricOps.all
+      StatOps.all ++ QualityOps.all ++ GraphOps.all ++ MetricOps.all ++
+      SearchOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -219,5 +219,90 @@ object GraphOps {
     )
   }
 
-  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov)
+  /** BFS HOP DISTANCES from a seed vertex by MIN-PLUS iteration — the
+    * "how far does influence reach" primitive (recall radius,
+    * contamination spread). Same single-reference iteration template
+    * as q_conncomp: the self-loop-augmented edge list folds "keep your
+    * current distance" into the one equi-join per hop
+    * (dist'(dst) = min over in-edges of dist(src) + w, w = 0 on the
+    * self-loop, 1 otherwise), so each level is ONE join + ONE
+    * combinable min-groupBy, linear in |E| — and the oracle's chained
+    * CTEs reference each level exactly once. The seed is derived
+    * in-query (min vertex id — deterministic at every SF). Four hops;
+    * unreached vertices simply never enter the distance table (no
+    * infinity sentinel to disagree on). Output: hop histogram, the
+    * |reached| per distance. */
+  val qBfs: GQuery = {
+    val hops = 4
+    GQuery(
+      "q_bfs",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val und = op.groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+            .as("pr"))
+          .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+          .distinct()
+          .localCheckpoint()
+        val vs = und.select($"pa".as("v"))
+          .unionByName(und.select($"pb".as("v"))).distinct()
+        val e = und.select($"pa".as("src"), $"pb".as("dst"), lit(1).as("w"))
+          .unionByName(und.select($"pb".as("src"), $"pa".as("dst"),
+            lit(1).as("w")))
+          .unionByName(vs.select($"v".as("src"), $"v".as("dst"),
+            lit(0).as("w")))
+          .localCheckpoint()
+        var dist = vs.agg(min($"v").as("seed"))
+          .select($"seed".as("node"), lit(0).as("dist"))
+        for (_ <- 1 to hops) {
+          dist = e.join(dist, $"src" === $"node")
+            .groupBy($"dst")
+            .agg(min($"dist" + $"w").as("d2"))
+            .select($"dst".as("node"), $"d2".as("dist"))
+        }
+        dist.groupBy($"dist".cast("int").as("hops"))
+          .agg(count(lit(1)).as("n_reached"))
+          .orderBy($"hops")
+      },
+      Some {
+        val steps = (1 to hops).map { k =>
+          s"""d$k AS (
+             |  SELECT e.dst AS node, min(dp.dist + e.w) AS dist
+             |  FROM e JOIN d${k - 1} dp ON e.src = dp.node
+             |  GROUP BY e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part
+            ON l_partkey = p_partkey AND p_size <= 10),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        vs AS (SELECT DISTINCT v FROM (
+                 SELECT pa AS v FROM pairs
+                 UNION ALL SELECT pb FROM pairs) u),
+        e AS MATERIALIZED (
+          SELECT pa AS src, pb AS dst, 1 AS w FROM pairs
+          UNION ALL SELECT pb, pa, 1 FROM pairs
+          UNION ALL SELECT v, v, 0 FROM vs),
+        d0 AS (SELECT min(v) AS node, 0 AS dist FROM vs),
+        $steps
+        SELECT cast(dist as int) AS hops, count(*) AS n_reached
+        FROM d$hops GROUP BY dist ORDER BY hops"""
+      },
+    )
+  }
+
+  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs)
 }

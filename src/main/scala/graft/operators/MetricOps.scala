@@ -308,5 +308,67 @@ object MetricOps {
       ORDER BY decile"""),
   )
 
-  val all: Seq[GQuery] = Seq(qGini, qSurvival, qCrossCorr, qQq)
+  /** STICKINESS (DAU / trailing-28-day MAU per day) — the engagement
+    * ratio, and a case study in avoiding a sliding COUNT DISTINCT: the
+    * naive form is a range join (day BETWEEN day-27 AND day) that
+    * Spark can only execute as a broadcast-nested-loop. Instead each
+    * distinct (user, active-day) row EXPLODES into the ≤28 window
+    * anchor days it contributes to (an equi-join shape: combinable,
+    * partition-prunable, linear in |user-days|·28 at any SF), then one
+    * distinct + groupBy per anchor day. DAU rides the same user-day
+    * table. Anchors are restricted to days with a FULL 28-day window
+    * (partial windows would understate MAU). At petabyte scale the
+    * same shape holds (explode factor is the window length, a
+    * constant); the approximate alternative is per-day HLL sketch
+    * union, traded here for exactness. */
+  val qStickiness: GQuery = GQuery(
+    "q_stickiness",
+    (spark, dir) => {
+      import spark.implicits._
+      val ud = Tables.events(spark, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val bounds = ud.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val contrib = ud
+        .select($"user_id", explode(expr(
+          "sequence(day, date_add(day, 27), interval 1 day)"))
+          .as("anchor"))
+        .distinct()
+      val mau = contrib.groupBy($"anchor")
+        .agg(count(lit(1)).as("mau"))
+      val dau = ud.groupBy($"day".as("anchor"))
+        .agg(count(lit(1)).as("dau"))
+      mau.join(dau, "anchor")
+        .crossJoin(broadcast(bounds))
+        .filter($"anchor" >= expr("date_add(d0, 27)") && $"anchor" <= $"d1")
+        .select($"anchor".as("day"), $"dau", $"mau",
+          r6($"dau".cast("double") / $"mau".cast("double"))
+            .as("stickiness"))
+        .orderBy($"day")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, cast(ts as date) AS day FROM events),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      contrib AS (
+        SELECT DISTINCT user_id,
+               cast(unnest(generate_series(cast(day as timestamp),
+                 cast(day + 27 as timestamp), INTERVAL 1 DAY)) as date)
+                 AS anchor
+        FROM ud),
+      mau AS (
+        SELECT anchor, cast(count(*) as bigint) AS mau
+        FROM contrib GROUP BY anchor),
+      dau AS (
+        SELECT day AS anchor, cast(count(*) as bigint) AS dau
+        FROM ud GROUP BY day)
+      SELECT anchor AS day, dau, mau,
+             ${r6Sql("cast(dau as double) / cast(mau as double)")}
+               AS stickiness
+      FROM mau JOIN dau USING (anchor) CROSS JOIN bounds
+      WHERE anchor >= d0 + 27 AND anchor <= d1
+      ORDER BY day"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness)
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Corpus search & drift: positional inverted-index phrase lookup and
+  * per-source distribution drift — the retrieval/monitoring layer of a
+  * training-data pipeline.
+  */
+object SearchOps {
+
+  /** PHRASE SEARCH over a positional inverted index — exact multi-token
+    * lookup, the operation a substring/quote scan at corpus scale
+    * actually is (regex over raw text re-reads every byte; a positional
+    * index turns it into equi-joins). The index is (token, doc, pos)
+    * from ONE posexplode pass; the searched phrase is itself derived
+    * in-query (the corpus's most frequent trigram, count-desc /
+    * lexicographic tiebreak — deterministic at every SF, never an
+    * out-of-band literal); the phrase match is two self equi-joins ON
+    * TOKEN with adjacent-position conjuncts — candidate lists are
+    * per-token posting lists, so the join never touches documents that
+    * lack a phrase word. Output: matching docs with occurrence counts.
+    * At 100 TB the same index is a bucketed table keyed by token and
+    * the phrase join is three posting-list fetches. */
+  val qPhraseSearch: GQuery = GQuery(
+    "q_phrase_search",
+    (spark, dir) => {
+      import spark.implicits._
+      val idx = Tables.documents(spark, dir)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      // tokens contain no spaces, so lexicographic order on the joined
+      // gram string == order on the token tuple — one sort key, same in
+      // both engines
+      val phrase = Tables.documents(spark, dir)
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+            "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+            "element_at(split(text, ' '), i+1), " +
+            "element_at(split(text, ' '), i+2)))")).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"gram")
+        .limit(1)
+        .select(
+          element_at(split($"gram", " "), 1).as("w1"),
+          element_at(split($"gram", " "), 2).as("w2"),
+          element_at(split($"gram", " "), 3).as("w3"))
+      idx.as("t1")
+        .join(broadcast(phrase), $"t1.tok" === $"w1")
+        .join(idx.as("t2"),
+          col("t2.doc_id") === col("t1.doc_id") &&
+            col("t2.pos") === col("t1.pos") + 1 && col("t2.tok") === $"w2")
+        .join(idx.as("t3"),
+          col("t3.doc_id") === col("t1.doc_id") &&
+            col("t3.pos") === col("t1.pos") + 2 && col("t3.tok") === $"w3")
+        .groupBy(col("t1.doc_id").as("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_occurrences"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      idx AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(l))) - 1 AS pos,
+               unnest(l) AS tok
+        FROM toks),
+      grams AS (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(l) - 2, 0)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+        FROM toks),
+      top_gram AS (
+        SELECT gram, count(*) AS n FROM grams GROUP BY gram
+        ORDER BY n DESC, gram LIMIT 1),
+      phrase AS (
+        SELECT string_split(gram, ' ')[1] AS w1,
+               string_split(gram, ' ')[2] AS w2,
+               string_split(gram, ' ')[3] AS w3
+        FROM top_gram)
+      SELECT t1.doc_id AS doc_id,
+             cast(count(*) as int) AS n_occurrences
+      FROM idx t1
+      JOIN phrase ON t1.tok = w1
+      JOIN idx t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                 AND t2.tok = w2
+      JOIN idx t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+                 AND t3.tok = w3
+      GROUP BY t1.doc_id ORDER BY doc_id"""),
+  )
+
+  /** Per-source KL DIVERGENCE from the corpus unigram distribution —
+    * the drift monitor that tells a data pipeline WHICH feed is
+    * shifting (q_ngram_novelty says how much is new; KL says how far
+    * the whole distribution has moved). Both distributions come from
+    * ONE tokenize+groupBy pass (combinable counts); the per-source
+    * token table joins the corpus table on token (equi); each term
+    * pₛ·ln(pₛ/p) follows the q_entropy ln contract — IEEE-rounded at 6
+    * dp BEFORE the exact decimal sum, so 1-ulp libm skew can't
+    * accumulate. A source's tokens are a subset of the corpus's, so
+    * p(t) > 0 always — no smoothing term to disagree on. */
+  val qKlDrift: GQuery = GQuery(
+    "q_kl_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+      val bySrc = tok.groupBy($"source", $"tok")
+        .agg(count(lit(1)).as("c_st"))
+      val srcTot = bySrc.groupBy($"source").agg(sum($"c_st").as("n_s"))
+      val corpus = tok.groupBy($"tok").agg(count(lit(1)).as("c_t"))
+      val tot = corpus.agg(sum($"c_t").as("n"))
+      bySrc.join(srcTot, "source").join(corpus, "tok")
+        .crossJoin(broadcast(tot))
+        .select($"source",
+          rN(($"c_st".cast("double") / $"n_s".cast("double")) *
+            log(($"c_st".cast("double") * $"n".cast("double")) /
+              ($"n_s".cast("double") * $"c_t".cast("double"))), 6)
+            .as("term"))
+        .groupBy($"source")
+        .agg(dsum($"term", 6).as("kl_nats"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      by_src AS (
+        SELECT source, tok, count(*) AS c_st FROM tok GROUP BY source, tok),
+      src_tot AS (
+        SELECT source, sum(c_st) AS n_s FROM by_src GROUP BY source),
+      corpus AS (SELECT tok, count(*) AS c_t FROM tok GROUP BY tok),
+      tot AS (SELECT sum(c_t) AS n FROM corpus),
+      terms AS (
+        SELECT source,
+               ${rNSql("(cast(c_st as double) / cast(n_s as double)) * " +
+                 "ln((cast(c_st as double) * cast(n as double)) / " +
+                 "(cast(n_s as double) * cast(c_t as double)))", 6)} AS term
+        FROM by_src
+        JOIN src_tot USING (source)
+        JOIN corpus USING (tok)
+        CROSS JOIN tot)
+      SELECT source, ${dsumSql("term", 6)} AS kl_nats
+      FROM terms GROUP BY source ORDER BY source"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qPhraseSearch, qKlDrift)
+}

@@ -92,6 +92,54 @@ class GraphMetricSpec extends AnyFunSuite {
     }
   }
 
+  test("search/drift/stickiness/bfs invariants hold") {
+    for (q <- Seq("q_phrase_search", "q_kl_drift", "q_stickiness", "q_bfs"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+    val ps = Registry.byName("q_phrase_search").run(spark, sf).collect()
+    assert(ps.nonEmpty, "top trigram matched no document")
+    assert(ps.forall(_.getAs[Int]("n_occurrences") >= 1))
+    val kl = Registry.byName("q_kl_drift").run(spark, sf).collect()
+    assert(kl.nonEmpty)
+    assert(kl.forall(_.getAs[Double]("kl_nats") >= -1e-9),
+      "KL divergence must be non-negative")
+    val st = Registry.byName("q_stickiness").run(spark, sf).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("mau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0, s"stickiness $s")
+    }
+    val bfs = Registry.byName("q_bfs").run(spark, sf).collect()
+    val hop0 = bfs.filter(_.getAs[Int]("hops") == 0)
+    assert(hop0.length == 1 && hop0.head.getAs[Long]("n_reached") == 1L,
+      "exactly the seed at distance 0")
+    assert(bfs.length > 1, "BFS never left the seed")
+  }
+
+  test("q_triangles/q_conncomp edge list stays sparse under data drift") {
+    // The triangle close is two equi-joins whose wedge volume is
+    // sum(deg^2); the support>=2 floor is what keeps it sparse. Pin the
+    // resulting degree so a corpus regen that densifies co-purchases
+    // fails here, not as a silent bench blow-up (the q_containment
+    // lesson applied to the graph family). Threshold: max degree <= 64
+    // (measured <= ~20 at every current SF).
+    import spark.implicits._
+    val lp = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val e = lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("s"))
+      .filter($"s" >= 2)
+    val deg = e.select($"pa".as("v")).unionByName(e.select($"pb".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val maxDeg = deg.agg(max($"d")).head.getLong(0)
+    assert(maxDeg <= 64,
+      s"max co-purchase degree $maxDeg — support floor no longer bounds " +
+        "the wedge volume; add degree-ordered orientation before scaling")
+  }
+
   test("q_containment candidate volume stays linear in the corpus") {
     // Reconstruct the candidate-generation stage (rare-gram posting
     // self-join, support >= 2) and pin its volume: if a testdata regen
