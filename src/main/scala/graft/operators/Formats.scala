@@ -127,5 +127,79 @@ object Formats {
       GROUP BY format ORDER BY format"""),
   )
 
-  val all: Seq[GQuery] = Seq(qSourceCsv, qSourceJsonl, qMediaProfile)
+  private val orcSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** ORC source: full documents rows written to ORC once per run and read
+    * back through the columnar reader with an explicit schema. DuckDB has
+    * no ORC reader, so the oracle recomputes the profile from the source
+    * PARQUET — the graded property is write→read roundtrip fidelity: the
+    * text length sum recomputes from the round-tripped bytes, so any
+    * value the codec mangles (string encoding, nulls, int widths)
+    * hash-mismatches. */
+  val qSourceOrc: GQuery = GQuery(
+    "q_source_orc",
+    (spark, dir) => {
+      val path = Lake.ensureDocumentsOrc(spark, dir)
+      Sources.readOrc(spark, path, orcSchema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("text_chars"),
+          sum(col("n_chars")).as("meta_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      SELECT lang, count(*) AS n_docs,
+             cast(sum(length(text)) as bigint) AS text_chars,
+             cast(sum(n_chars) as bigint) AS meta_chars,
+             min(doc_id) AS first_doc
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""),
+  )
+
+  private val xmlSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", StringType),
+    StructField("o_orderpriority", StringType)))
+
+  /** XML source (Spark 4's built-in former spark-xml): orders rows with
+    * the date pinned to an ISO string in the fixture (timestamp XML
+    * serialization is format-dependent; the string form is
+    * engine-neutral). Oracle recomputes from parquet as with ORC. The
+    * revenue sum is decimal-staged (dsum) — doubles re-parsed from XML
+    * text must still sum shuffle-order-free — and the date round-trips
+    * through to_date, so a mangled serialization shifts min/max. */
+  val qSourceXml: GQuery = GQuery(
+    "q_source_xml",
+    (spark, dir) => {
+      val path = Lake.ensureOrdersXml(spark, dir)
+      Sources.readXml(spark, path, xmlSchema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("revenue"),
+          min(col("o_orderkey")).as("first_order"),
+          max(to_date(col("o_orderdate"), "yyyy-MM-dd")).as("last_date"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             ${dsumSql("o_totalprice", 2)} AS revenue,
+             min(o_orderkey) AS first_order,
+             max(cast(date_trunc('day', o_orderdate) as date)) AS last_date
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qSourceCsv, qSourceJsonl, qMediaProfile,
+    qSourceOrc, qSourceXml)
 }

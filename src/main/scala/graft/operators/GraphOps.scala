@@ -304,5 +304,98 @@ object GraphOps {
     )
   }
 
-  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs)
+  /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA) over the
+    * co-purchase graph: every node starts as its own community, then
+    * each round adopts the MOST FREQUENT label among its neighbors —
+    * ties broken by the smaller label, which (unlike vanilla LPA's
+    * random tie-break) makes the fixed-round result a pure function of
+    * the graph, reproducible on any cluster and in the oracle. The
+    * self-loop-augmented edge list (the q_bfs trick) folds "my own
+    * label votes once" into the one equi-join per round, so a round is
+    * join + combinable count + a per-node argmax window over the
+    * (node, label) count table — linear in |E|, the million-node
+    * template. Three rounds (fixed count, the q_kcore rule: both
+    * engines compute the identical number of steps); each round's
+    * label table is localCheckpoint'd (the recursive-CTE lineage
+    * lesson). Output: community histogram — label, member count, and
+    * the spread of community sizes is the useful audit signal. */
+  val qLpa: GQuery = {
+    val rounds = 3
+    GQuery(
+      "q_lpa",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val und = op.groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+            .as("pr"))
+          .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+          .distinct()
+        val verts = und.select($"pa".as("v"))
+          .unionByName(und.select($"pb".as("v"))).distinct()
+        val e = und.select($"pa".as("src"), $"pb".as("dst"))
+          .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
+          .unionByName(verts.select($"v".as("src"), $"v".as("dst")))
+          .localCheckpoint()
+        var l = verts.withColumn("lbl", $"v")
+        for (_ <- 1 to rounds) {
+          val counts = e.join(l, $"src" === $"v")
+            .groupBy($"dst", $"lbl").agg(count(lit(1)).as("n"))
+          l = counts
+            .withColumn("rk", row_number().over(
+              Window.partitionBy($"dst").orderBy($"n".desc, $"lbl")))
+            .filter($"rk" === 1)
+            .select($"dst".as("v"), $"lbl")
+            .localCheckpoint()
+        }
+        l.groupBy($"lbl".as("community"))
+          .agg(count(lit(1)).cast("int").as("n_members"),
+            min($"v").as("min_member"), max($"v").as("max_member"))
+          .orderBy($"community")
+      },
+      Some {
+        val chain = (1 to rounds).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS v, l.lbl AS lbl, count(*) AS n
+             |  FROM e JOIN l${i - 1} l ON e.src = l.v
+             |  GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT v, lbl FROM (
+             |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+             |      ORDER BY n DESC, lbl) AS rk FROM c$i) t
+             |  WHERE rk = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part
+            ON l_partkey = p_partkey AND p_size <= 10),
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        verts AS (
+          SELECT pa AS v FROM pairs UNION SELECT pb FROM pairs),
+        e AS MATERIALIZED (
+          SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs
+          UNION ALL SELECT v, v FROM verts),
+        l0 AS (SELECT v, v AS lbl FROM verts),
+        $chain
+        SELECT lbl AS community, cast(count(*) as int) AS n_members,
+               min(v) AS min_member, max(v) AS max_member
+        FROM l$rounds GROUP BY lbl ORDER BY community"""
+      },
+    )
+  }
+
+  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa)
 }

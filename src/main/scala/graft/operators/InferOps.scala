@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Inferential statistics over the corpus and event stream: Welch's
+  * two-sample t, one-way ANOVA, and Cramér's V effect size. All three
+  * reduce the fact table to per-group INTEGER moment sums (n, Σx, Σx²)
+  * in one combinable groupBy — the only pass that sees raw rows — then
+  * evaluate the closed-form statistic over a handful of group rows.
+  * Integer moments are exact in both engines (n_chars ≤ ~600, so Σx² at
+  * sf0.1 is ~1.8e9 ≪ 2⁶³ and ≪ 2⁵³ when cast to double), which makes
+  * the whole statistic a fixed-shape IEEE expression — bit-identical
+  * across engines and shuffle orders with no decimal staging needed
+  * until a sum over group terms appears (then dsum).
+  */
+object InferOps {
+
+  /** WELCH'S t-TEST: does mean document length differ between English
+    * and German docs? Unequal-variance form: t = (m₁−m₂)/√(v₁/n₁+v₂/n₂)
+    * with Welch–Satterthwaite degrees of freedom. The fact collapses to
+    * TWO rows of integer moments (conditional aggregation in one pass);
+    * the statistic is one fixed IEEE expression over them — the same
+    * plan at 100 TB is a single combinable aggregate, no shuffle beyond
+    * the 2-row reduce. */
+  val qTtest: GQuery = GQuery(
+    "q_ttest",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = Tables.documents(spark, dir)
+        .filter($"lang".isin("en", "de"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum($"n_chars").as("s"),
+          sum($"n_chars" * $"n_chars").as("q"))
+      val agg = m.agg(
+        max(when($"lang" === "en", $"n")).as("n1"),
+        max(when($"lang" === "en", $"s")).as("s1"),
+        max(when($"lang" === "en", $"q")).as("q1"),
+        max(when($"lang" === "de", $"n")).as("n2"),
+        max(when($"lang" === "de", $"s")).as("s2"),
+        max(when($"lang" === "de", $"q")).as("q2"))
+      val d = (c: String) => col(c).cast("double")
+      val m1 = d("s1") / d("n1")
+      val m2 = d("s2") / d("n2")
+      val v1 = (d("q1") - d("s1") * d("s1") / d("n1")) / (d("n1") - lit(1.0))
+      val v2 = (d("q2") - d("s2") * d("s2") / d("n2")) / (d("n2") - lit(1.0))
+      val se1 = v1 / d("n1")
+      val se2 = v2 / d("n2")
+      agg.select(
+        $"n1", $"n2",
+        r6(m1).as("mean_en"),
+        r6(m2).as("mean_de"),
+        r6((m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+        r6((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (d("n1") - lit(1.0)) +
+            se2 * se2 / (d("n2") - lit(1.0)))).as("df_welch"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT
+          cast(max(CASE WHEN lang = 'en' THEN n END) as bigint) AS n1,
+          cast(max(CASE WHEN lang = 'en' THEN s END) as bigint) AS s1,
+          cast(max(CASE WHEN lang = 'en' THEN q END) as bigint) AS q1,
+          cast(max(CASE WHEN lang = 'de' THEN n END) as bigint) AS n2,
+          cast(max(CASE WHEN lang = 'de' THEN s END) as bigint) AS s2,
+          cast(max(CASE WHEN lang = 'de' THEN q END) as bigint) AS q2
+        FROM (
+          SELECT lang, count(*) AS n, sum(n_chars) AS s,
+                 sum(n_chars * n_chars) AS q
+          FROM documents WHERE lang IN ('en', 'de') GROUP BY lang) g),
+      e AS (
+        SELECT n1, n2,
+               cast(s1 as double) / cast(n1 as double) AS m1,
+               cast(s2 as double) / cast(n2 as double) AS m2,
+               (cast(q1 as double) - cast(s1 as double) * cast(s1 as double)
+                  / cast(n1 as double)) / (cast(n1 as double) - 1.0)
+                 / cast(n1 as double) AS se1,
+               (cast(q2 as double) - cast(s2 as double) * cast(s2 as double)
+                  / cast(n2 as double)) / (cast(n2 as double) - 1.0)
+                 / cast(n2 as double) AS se2
+        FROM m)
+      SELECT n1, n2,
+             ${r6Sql("m1")} AS mean_en,
+             ${r6Sql("m2")} AS mean_de,
+             ${r6Sql("(m1 - m2) / sqrt(se1 + se2)")} AS t_stat,
+             ${r6Sql("(se1 + se2) * (se1 + se2) / " +
+               "(se1 * se1 / (cast(n1 as double) - 1.0) + " +
+               "se2 * se2 / (cast(n2 as double) - 1.0))")} AS df_welch
+      FROM e"""),
+  )
+
+  /** ONE-WAY ANOVA: F-statistic for document length across the five
+    * languages. SSB = Σᵢ Sᵢ²/nᵢ − S²/n and SSW = Q − Σᵢ Sᵢ²/nᵢ from the
+    * same per-group integer moments. The only cross-group float sum
+    * (Σᵢ Sᵢ²/nᵢ, five terms) is IEEE-rounded per term and decimal-summed
+    * (dsum) so group merge order can never flip a bit; grand totals stay
+    * integer. */
+  val qAnova: GQuery = GQuery(
+    "q_anova",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.documents(spark, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("ni"),
+          sum($"n_chars").as("si"),
+          sum($"n_chars" * $"n_chars").as("qi"))
+      val agg = g.agg(
+        count(lit(1)).cast("int").as("k"),
+        sum($"ni").as("n"),
+        sum($"si").as("s"),
+        sum($"qi").as("q"),
+        // Σ Sᵢ²/nᵢ: per-group IEEE term at 6 dp, exact decimal sum
+        sum(rN(($"si" * $"si").cast("double") / $"ni".cast("double"), 6)
+          .cast("decimal(30,6)")).cast("double").as("ssq_grp"))
+      val d = (c: String) => col(c).cast("double")
+      val ssb = $"ssq_grp" - d("s") * d("s") / d("n")
+      val ssw = d("q") - $"ssq_grp"
+      agg.select(
+        $"k", $"n",
+        r6(ssb).as("ss_between"),
+        r6(ssw).as("ss_within"),
+        r6((ssb / ($"k" - lit(1)).cast("double")) /
+          (ssw / (d("n") - $"k".cast("double")))).as("f_stat"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT lang, count(*) AS ni, sum(n_chars) AS si,
+               sum(n_chars * n_chars) AS qi
+        FROM documents GROUP BY lang),
+      m AS (
+        SELECT cast(count(*) as int) AS k,
+               cast(sum(ni) as bigint) AS n,
+               cast(sum(si) as bigint) AS s,
+               cast(sum(qi) as bigint) AS q,
+               cast(sum(cast(${rNSql(
+                 "cast(si * si as double) / cast(ni as double)", 6)}
+                 as decimal(30,6))) as double) AS ssq_grp
+        FROM g)
+      SELECT k, n,
+             ${r6Sql("ssq_grp - cast(s as double) * cast(s as double) " +
+               "/ cast(n as double)")} AS ss_between,
+             ${r6Sql("cast(q as double) - ssq_grp")} AS ss_within,
+             ${r6Sql("((ssq_grp - cast(s as double) * cast(s as double) " +
+               "/ cast(n as double)) / (cast(k as double) - 1.0)) / " +
+               "((cast(q as double) - ssq_grp) / " +
+               "(cast(n as double) - cast(k as double)))")} AS f_stat
+      FROM m"""),
+  )
+
+  /** CRAMÉR'S V effect size for event type × weekday — the normalized
+    * companion to q_mutual_info's dependence test: V = √(χ²/(n·min(r−1,
+    * c−1))) ∈ [0,1]. The contingency table is the one full pass
+    * (combinable groupBy); χ² accumulates per-cell IEEE terms at 9 dp
+    * through an exact decimal sum; r and c are windowed distinct counts
+    * over the ≤35-cell table. Weekday is epoch-day mod 7 in both engines
+    * (the dayofweek convention trap). */
+  val qCramersV: GQuery = GQuery(
+    "q_cramers_v",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .select($"event_type",
+          (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+            .cast("int").as("dow"))
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("cxy"))
+      val wx = Window.partitionBy($"event_type")
+      val wy = Window.partitionBy($"dow")
+      val wAll = Window.partitionBy()
+      val e = $"cx".cast("double") * $"cy".cast("double") /
+        $"n".cast("double")
+      val dims = cells.agg(
+        countDistinct($"event_type").cast("int").as("r"),
+        countDistinct($"dow").cast("int").as("c"))
+      cells
+        .withColumn("cx", sum($"cxy").over(wx))
+        .withColumn("cy", sum($"cxy").over(wy))
+        .withColumn("n", sum($"cxy").over(wAll))
+        .crossJoin(broadcast(dims))
+        .select($"n", $"r", $"c",
+          rN(($"cxy".cast("double") - e) * ($"cxy".cast("double") - e) / e,
+            9).as("term"))
+        .groupBy($"n".as("n_events"), $"r".as("n_types"),
+          $"c".as("n_days"))
+        .agg(sum($"term".cast("decimal(30,9)")).cast("double").as("chi2d"))
+        .select($"n_events", $"n_types", $"n_days",
+          r6($"chi2d").as("chi2"),
+          r6(sqrt($"chi2d" / ($"n_events".cast("double") *
+            least($"n_types" - 1, $"n_days" - 1).cast("double"))))
+            .as("cramers_v"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type,
+               cast(date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) % 7 as int) AS dow,
+               count(*) AS cxy
+        FROM events GROUP BY 1, 2),
+      dims AS (
+        SELECT cast(count(DISTINCT event_type) as int) AS r,
+               cast(count(DISTINCT dow) as int) AS c
+        FROM cells),
+      m AS (
+        SELECT cast(cxy as bigint) AS cxy,
+               cast(sum(cxy) OVER (PARTITION BY event_type) as bigint) AS cx,
+               cast(sum(cxy) OVER (PARTITION BY dow) as bigint) AS cy,
+               cast(sum(cxy) OVER () as bigint) AS n,
+               r, c
+        FROM cells CROSS JOIN dims),
+      t AS (
+        SELECT n, r, c,
+               ${rNSql("(cast(cxy as double) - cast(cx as double) * " +
+                 "cast(cy as double) / cast(n as double)) * " +
+                 "(cast(cxy as double) - cast(cx as double) * " +
+                 "cast(cy as double) / cast(n as double)) / " +
+                 "(cast(cx as double) * cast(cy as double) / " +
+                 "cast(n as double))", 9)} AS term
+        FROM m),
+      s AS (
+        SELECT n AS n_events, r AS n_types, c AS n_days,
+               cast(sum(cast(term as decimal(30,9))) as double) AS chi2d
+        FROM t GROUP BY 1, 2, 3)
+      SELECT n_events, n_types, n_days,
+             ${r6Sql("chi2d")} AS chi2,
+             ${r6Sql("sqrt(chi2d / (cast(n_events as double) * " +
+               "cast(least(n_types - 1, n_days - 1) as double)))")}
+               AS cramers_v
+      FROM s"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV)
+}

@@ -658,7 +658,144 @@ object ScaleOps {
       ORDER BY l_returnflag"""),
   )
 
+  /** MINHASH CALIBRATION AUDIT — how good is the 16-hash signature
+    * estimate, measured against the exact Jaccard on the SAME candidate
+    * pairs the LSH bands surface? The production question behind every
+    * sketch deployment ("can I trust est ≥ 0.5 as a dedup gate?")
+    * answered in-engine: one summary row with the candidate count, mean
+    * estimated vs mean exact similarity, and the mean/max absolute
+    * estimation error (expected ~√(J(1−J)/16) ≈ 0.12 at J=0.5). Unlike
+    * q_neardup_minhash (which SHIPS the estimate), this runs BOTH
+    * passes — signature compare AND exact shingle intersection — on
+    * candidates only; the exact pass joins the gram table twice per
+    * pair, still bounded by candidate volume, never all-pairs. A band
+    * collision without shared grams scores exact 0 via the left join
+    * (no silent drop). Estimates are dyadic (k/16, exact doubles);
+    * exact Jaccard is one integer division; errors are IEEE-rounded
+    * then decimal-averaged (davg contract). */
+  val qMinhashAcc: GQuery = GQuery(
+    "q_minhash_acc",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 50)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val g = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val minhashes = (0 until 16).map { s =>
+        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
+        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
+      }
+      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as("sig")))
+      val bands = sigs
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+        .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.sig".as("sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val sz = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = broadcast(cand)
+        .join(g.select($"doc_id".as("id_a"), $"gram"), "id_a")
+        .join(g.select($"doc_id".as("id_b"), $"gram"), Seq("id_b", "gram"))
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+      val sigsA = sigs.select(
+        ($"doc_id".as("id_a") +: (0 until 16).map(i => col(s"h$i").as(s"a$i"))): _*)
+      val sigsB = sigs.select(
+        ($"doc_id".as("id_b") +: (0 until 16).map(i => col(s"h$i").as(s"b$i"))): _*)
+      val nMatch = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val scored = broadcast(cand)
+        .join(sigsA, "id_a").join(sigsB, "id_b")
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(broadcast(sz.select($"doc_id".as("id_a"), $"sz".as("sa"))), "id_a")
+        .join(broadcast(sz.select($"doc_id".as("id_b"), $"sz".as("sb"))), "id_b")
+        .select(
+          (nMatch.cast("double") / lit(16.0)).as("est"),
+          (coalesce($"inter", lit(0L)).cast("double") /
+            ($"sa" + $"sb" - coalesce($"inter", lit(0L))).cast("double"))
+            .as("exact"))
+        .select($"est", $"exact",
+          rN(abs($"est" - $"exact"), 6).as("err"))
+      scored.agg(
+        count(lit(1)).cast("int").as("n_pairs"),
+        davg($"est", 6).as("mean_est"),
+        davg($"exact", 6).as("mean_exact"),
+        davg($"err", 6).as("mean_abs_err"),
+        r6(max($"err")).as("max_abs_err"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      sig AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM g GROUP BY doc_id),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.sig = y.sig
+                    AND x.doc_id < y.doc_id),
+      sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT
+          cast((${(0 until 16).map(i =>
+            s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")})
+            as double) / cast(16.0 as double) AS est,
+          cast(coalesce(inter, 0) as double) /
+            cast(sa.sz + sb.sz - coalesce(inter, 0) as double) AS exact
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sz sa ON sa.doc_id = c.id_a
+        JOIN sz sb ON sb.doc_id = c.id_b),
+      t AS (
+        SELECT est, exact, ${rNSql("abs(est - exact)", 6)} AS err
+        FROM scored)
+      SELECT cast(count(*) as int) AS n_pairs,
+             ${davgSql("est", 6)} AS mean_est,
+             ${davgSql("exact", 6)} AS mean_exact,
+             ${davgSql("err", 6)} AS mean_abs_err,
+             ${r6Sql("max(err)")} AS max_abs_err
+      FROM t"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
-    qApproxDistinct, qApproxPctl, qAqpSample)
+    qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc)
 }

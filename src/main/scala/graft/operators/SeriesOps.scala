@@ -362,6 +362,162 @@ object SeriesOps {
       FROM w2 WHERE wk < maxwk ORDER BY week"""),
   )
 
+  /** PER-SERIES OLS TREND: least-squares slope of daily event counts per
+    * event type, with r² goodness of fit. x = epoch-day, y = count — both
+    * integers, so every moment sum (Σx, Σy, Σxy, Σx², Σy²) is EXACT
+    * int64 (the q_ttest moment contract; magnitudes ≤ ~1e10 at sf0.1)
+    * and the closed-form slope (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) is one
+    * fixed-shape IEEE expression — bit-identical across engines with no
+    * staging. The r² numerator is cast to double BEFORE squaring (its
+    * integer square would exceed int64). One combinable groupBy per
+    * stage; the regression itself runs over |types| rows. */
+  val qTrend: GQuery = GQuery(
+    "q_trend",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .select($"event_type",
+          datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+            .cast("long").as("x"))
+        .groupBy($"event_type", $"x")
+        .agg(count(lit(1)).as("y"))
+      val m = daily.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      val d = (c: String) => col(c).cast("double")
+      val num = d("n") * d("sxy") - d("sx") * d("sy")
+      val denx = d("n") * d("sxx") - d("sx") * d("sx")
+      val deny = d("n") * d("syy") - d("sy") * d("sy")
+      m.select($"event_type", $"n".cast("int").as("n_days"),
+          r6(d("sy") / d("n")).as("mean_daily"),
+          r6(num / denx).as("slope_per_day"),
+          r6(num * num / (denx * deny)).as("r2"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type,
+               cast(date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) as bigint) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(y) as bigint) AS sy,
+               cast(sum(x * y) as bigint) AS sxy,
+               cast(sum(x * x) as bigint) AS sxx,
+               cast(sum(y * y) as bigint) AS syy
+        FROM daily GROUP BY event_type),
+      e AS (
+        SELECT event_type, n, sy,
+               cast(n as double) * sxy - cast(sx as double) * sy AS num,
+               cast(n as double) * sxx - cast(sx as double) * sx AS denx,
+               cast(n as double) * syy - cast(sy as double) * sy AS deny
+        FROM m)
+      SELECT event_type, cast(n as int) AS n_days,
+             ${r6Sql("cast(sy as double) / cast(n as double)")}
+               AS mean_daily,
+             ${r6Sql("num / denx")} AS slope_per_day,
+             ${r6Sql("num * num / (denx * deny)")} AS r2
+      FROM e ORDER BY event_type"""),
+  )
+
+  /** SAX SYMBOLIZATION of the daily order-revenue series: z-normalize
+    * the ~2400-day series against its own mean/std, discretize into a
+    * 4-letter alphabet at the standard Gaussian quartile breakpoints
+    * (−0.6745, 0, 0.6745), slide a 3-day word over the letters, and
+    * emit the motif histogram — the symbolic index that makes
+    * subsequence matching over a 100 TB series a string equi-join
+    * instead of a numeric scan. Determinism: daily revenue is exact
+    * integer cents (the q_changepoint trick) turned into one IEEE
+    * division; mean/std come from decimal-staged sums of value and
+    * value² (dollar² ≤ 1e12 fits decimal(30,6)); z is rounded (rN 6)
+    * BEFORE the breakpoint comparison so a 1-ulp straddle can't flip a
+    * letter. The letter/word windows run over the calendar-bounded
+    * daily table. */
+  val qSax: GQuery = GQuery(
+    "q_sax",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val daily = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("day"), cents.as("c"))
+        .groupBy($"day")
+        .agg((sum($"c").cast("double") / lit(100.0)).as("rd"))
+      val wAll = Window.partitionBy()
+      val z = daily
+        .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("s",
+          sum($"rd".cast("decimal(30,6)")).over(wAll).cast("double"))
+        .withColumn("q",
+          sum(($"rd" * $"rd").cast("decimal(30,6)")).over(wAll)
+            .cast("double"))
+        .withColumn("z", rN(($"rd" - $"s" / $"n") /
+          sqrt(($"q" - $"s" * $"s" / $"n") / ($"n" - lit(1.0))), 6))
+        .withColumn("letter",
+          when($"z" < lit(-0.6745), "a")
+            .when($"z" < lit(0.0), "b")
+            .when($"z" < lit(0.6745), "c")
+            .otherwise("d"))
+      val wDay = Window.orderBy($"day")
+      val words = z
+        .withColumn("word", concat($"letter",
+          lead($"letter", 1).over(wDay), lead($"letter", 2).over(wDay)))
+        .filter($"word".isNotNull)
+        .groupBy($"word").agg(count(lit(1)).as("n_windows"))
+      val tot = words.agg(sum($"n_windows").as("nw"))
+      words.crossJoin(broadcast(tot))
+        .select($"word", $"n_windows",
+          r6($"n_windows".cast("double") / $"nw".cast("double"))
+            .as("share"))
+        .orderBy($"word")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT day, cast(sum(c) as double) / cast(100.0 as double) AS rd
+        FROM (SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+                     cast(floor(o_totalprice * cast(100.0 as double)
+                       + cast(0.5 as double)) as bigint) AS c
+              FROM orders) o
+        GROUP BY day),
+      stats AS (
+        SELECT day, rd,
+               cast(count(*) OVER () as double) AS n,
+               cast(sum(cast(rd as decimal(30,6))) OVER () as double) AS s,
+               cast(sum(cast(rd * rd as decimal(30,6))) OVER () as double)
+                 AS q
+        FROM daily),
+      lets AS (
+        SELECT day,
+               CASE WHEN z < cast(-0.6745 as double) THEN 'a'
+                    WHEN z < cast(0.0 as double) THEN 'b'
+                    WHEN z < cast(0.6745 as double) THEN 'c'
+                    ELSE 'd' END AS letter
+        FROM (SELECT day,
+                ${rNSql("(rd - s / n) / " +
+                  "sqrt((q - s * s / n) / (n - 1.0))", 6)} AS z
+              FROM stats) zt),
+      words AS (
+        SELECT letter || lead(letter, 1) OVER (ORDER BY day)
+                      || lead(letter, 2) OVER (ORDER BY day) AS word
+        FROM lets),
+      wc AS (
+        SELECT word, count(*) AS n_windows FROM words
+        WHERE word IS NOT NULL GROUP BY word),
+      tot AS (SELECT cast(sum(n_windows) as bigint) AS nw FROM wc)
+      SELECT word, cast(n_windows as bigint) AS n_windows,
+             ${r6Sql("cast(n_windows as double) / cast(nw as double)")}
+               AS share
+      FROM wc CROSS JOIN tot ORDER BY word"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn)
+    qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
+    qTrend, qSax)
 }

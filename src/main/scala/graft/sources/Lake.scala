@@ -160,4 +160,32 @@ object Lake {
     ensure(dir, documentsJsonlPath) {
       Sources.writeJsonLines(Tables.documents(spark, dir), documentsJsonlPath)
     }
+
+  val documentsOrcPath: String = s"$root/documents_orc"
+
+  /** ORC interchange fixture: full documents rows. DuckDB has no ORC
+    * reader, so the declared oracle recomputes from the source parquet —
+    * what is graded is Spark's ORC write→read ROUNDTRIP fidelity (any
+    * value the codec mangles hash-mismatches). */
+  def ensureDocumentsOrc(spark: SparkSession, dir: String): String =
+    ensure(dir, documentsOrcPath) {
+      Sources.writeOrc(Tables.documents(spark, dir), documentsOrcPath)
+    }
+
+  val ordersXmlPath: String = s"$root/orders_xml"
+
+  /** XML interchange fixture: orders with the date serialized as an ISO
+    * string (timestamp round-tripping through XML is format-dependent;
+    * pinning the string form keeps the fixture engine-neutral). Oracle
+    * recomputes from parquet, as with ORC. */
+  def ensureOrdersXml(spark: SparkSession, dir: String): String =
+    ensure(dir, ordersXmlPath) {
+      Sources.writeXml(
+        Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority")),
+        ordersXmlPath)
+    }
 }

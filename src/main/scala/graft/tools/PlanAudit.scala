@@ -26,7 +26,11 @@ object PlanAudit {
     // bounded generated spines (per-user day ranges, constant width)
     "q_gapfill", "q_locf", "q_fill_linear", "q_seasonal", "q_anomaly",
     // bounded probe/centroid/salt-replication sets
-    "q_sim_topk", "q_ann_ivf", "q_centroid_sim", "q_join_salted")
+    "q_sim_topk", "q_ann_ivf", "q_centroid_sim", "q_join_salted",
+    // round-8 single-row scalar broadcasts (series/corpus totals,
+    // quantile-bound rows, constant lag tables) — audited 2026-08-14
+    "q_sax", "q_survival", "q_cross_corr", "q_qq", "q_stickiness",
+    "q_kl_drift", "q_cramers_v", "q_assoc_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Registry, Tables}
+
+/** Semantic invariants + plan pins for the round-8 session-2 surface:
+  * inferential statistics (InferOps), market-basket (RecOps), trend/SAX
+  * (SeriesOps), LPA communities (GraphOps), the minhash calibration
+  * audit (ScaleOps), and the ORC/XML roundtrip sources (Formats).
+  */
+class InferRecSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).run(spark, sf)
+
+  test("new queries never degrade to a cartesian product") {
+    for (q <- Seq("q_ttest", "q_anova", "q_cramers_v", "q_assoc_rules",
+        "q_itemsim", "q_trend", "q_sax", "q_lpa", "q_minhash_acc")) {
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q_ttest statistic is finite and df is in the Welch range") {
+    val r = run("q_ttest").head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val df = r.getAs[Double]("df_welch")
+    assert(n1 > 1 && n2 > 1)
+    assert(!r.getAs[Double]("t_stat").isNaN)
+    // Welch df is bounded by [min(n1,n2)-1, n1+n2-2]
+    assert(df >= math.min(n1, n2) - 1.0 && df <= (n1 + n2 - 2).toDouble,
+      s"df=$df outside [${math.min(n1, n2) - 1}, ${n1 + n2 - 2}]")
+  }
+
+  test("q_anova decomposes total sum of squares exactly") {
+    val r = run("q_anova").head
+    val ssb = r.getAs[Double]("ss_between")
+    val ssw = r.getAs[Double]("ss_within")
+    assert(ssb >= 0 && ssw > 0)
+    // recompute total SS directly from the raw column
+    val st = Tables.documents(spark, sf)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("n_chars")).cast("double").as("s"),
+        sum(col("n_chars") * col("n_chars")).cast("double").as("q")).head
+    val sst = st.getAs[Double]("q") -
+      st.getAs[Double]("s") * st.getAs[Double]("s") / st.getAs[Double]("n")
+    assert(math.abs(ssb + ssw - sst) < 1e-2,
+      s"SSB+SSW=${ssb + ssw} vs SST=$sst")
+    assert(r.getAs[Double]("f_stat") >= 0)
+  }
+
+  test("q_cramers_v is a valid effect size in [0,1]") {
+    val r = run("q_cramers_v").head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"V=$v")
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("q_assoc_rules probabilities are coherent") {
+    val rows = run("q_assoc_rules").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      val sup = r.getAs[Double]("support")
+      val conf = r.getAs[Double]("confidence")
+      assert(r.getAs[String]("antecedent") != r.getAs[String]("consequent"))
+      assert(sup > 0 && sup <= 1.0 + 1e-9)
+      // P(a∧b) <= P(b|a); both rounded at 6dp
+      assert(conf >= sup - 1e-6, s"conf=$conf < support=$sup")
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("q_itemsim emits at most 3 neighbors per brand with valid cosines") {
+    val rows = run("q_itemsim").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("brand")).foreach { case (b, rs) =>
+      assert(rs.length <= 3, s"$b has ${rs.length} neighbors")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0 && c <= 1.0 + 1e-9, s"cosine=$c")
+    }
+  }
+
+  test("q_trend fits are well-formed (r2 in [0,1], one row per type)") {
+    val rows = run("q_trend").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length ==
+      rows.length)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9,
+        s"${r.getAs[String]("event_type")}: r2=$r2")
+      assert(r.getAs[Int]("n_days") <= 40) // events span ~30 days
+    }
+  }
+
+  test("q_sax words are 3-letter a-d motifs whose shares sum to 1") {
+    val rows = run("q_sax").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[String]("word").matches("[abcd]{3}"),
+        r.getAs[String]("word")))
+    val tot = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(tot - 1.0) < 1e-3, s"share sum=$tot")
+  }
+
+  test("q_lpa communities partition the co-purchase vertex set") {
+    val rows = run("q_lpa").collect()
+    assert(rows.nonEmpty)
+    // independent vertex count from the same graph restriction
+    val op = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey") && col("p_size") <= 10)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nverts = op.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(col("ps")).as("v")).distinct().count()
+    val total = rows.map(_.getAs[Int]("n_members").toLong).sum
+    assert(total == nverts, s"members=$total vs verts=$nverts")
+    // propagation actually merged communities (fewer labels than nodes)
+    assert(rows.length < nverts)
+  }
+
+  test("q_minhash_acc error bound matches 16-hash binomial noise") {
+    val r = run("q_minhash_acc").head
+    assert(r.getAs[Int]("n_pairs") > 0)
+    val est = r.getAs[Double]("mean_est")
+    val exact = r.getAs[Double]("mean_exact")
+    assert(est >= 0 && est <= 1 && exact >= 0 && exact <= 1)
+    // std err of a 16-trial proportion is <= 0.125; mean |err| over
+    // band-selected (high-J) pairs stays well inside 2x that
+    assert(r.getAs[Double]("mean_abs_err") <= 0.25,
+      s"mean_abs_err=${r.getAs[Double]("mean_abs_err")}")
+  }
+
+  test("ORC and XML roundtrips preserve the source tables exactly") {
+    val orc = run("q_source_orc").collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("text_chars"),
+        sum(col("n_chars")).as("meta_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang")).collect()
+    assert(orc.map(_.toString).sameElements(direct.map(_.toString)))
+
+    val xml = run("q_source_xml").collect()
+    assert(xml.nonEmpty)
+    val nOrders = xml.map(_.getAs[Long]("n_orders")).sum
+    assert(nOrders == Tables.orders(spark, sf).count())
+  }
+}
