@@ -732,7 +732,70 @@ object EventOps {
       ORDER BY event_type"""),
   )
 
+  /** TOP SESSION JOURNEYS — the behavioral-path report product teams
+    * actually read: sessionize (30-min gap, the q_sessionize contract),
+    * concatenate each session's event types IN ORDER into a path
+    * string, and rank the 15 most common journeys. The in-order
+    * concatenation is the deterministic-collect idiom:
+    * sort_array(collect_list(struct(ts, event_id, type))) — struct
+    * field order IS the sort key, so shuffle arrival order can never
+    * reorder a path (bare collect_list is nondeterministic); DuckDB's
+    * twin is string_agg(... ORDER BY ts, event_id). Path cardinality
+    * is bounded by session count; the heavy groupBy keys on
+    * (user, session) and combines map-side. */
+  val qPathTop: GQuery = GQuery(
+    "q_path_top",
+    (spark, dir) => {
+      import spark.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(spark, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id", $"session_id")
+        .agg(array_join(expr(
+          "transform(sort_array(collect_list(" +
+            "struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(15)
+    },
+    Some("""
+      WITH sess AS (
+        SELECT user_id, event_id, ts, event_type,
+          cast(sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+            AS session_id
+        FROM (
+          SELECT user_id, event_id, ts, event_type,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, event_id, event_type,
+              date_trunc('second', ts) AS ts,
+              lag(date_trunc('second', ts), 1) OVER (
+                PARTITION BY user_id
+                ORDER BY date_trunc('second', ts), event_id) AS prev_ts
+            FROM events) a) b),
+      paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, session_id)
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 15"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
-      qSeqMatch, qJoinPit, qAttribution, qInterarrival)
+      qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop)
 }

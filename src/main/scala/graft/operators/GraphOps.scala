@@ -397,5 +397,272 @@ object GraphOps {
     )
   }
 
-  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa)
+  /** HITS (hubs & authorities) on the DIRECTED supplier→brand bipartite
+    * graph: two full hub/authority rounds with L1 normalization per
+    * half-step. Each half-step is ONE equi-join of scores with the
+    * distinct (supplier, brand) edge list + ONE combinable groupBy —
+    * linear in |E| like q_markov, whose float contract it follows
+    * exactly (per-term rN 12 before an exact decimal(30,12) sum; the
+    * normalizing total is itself a decimal sum, so the divisor is
+    * bit-identical everywhere). Output: per-brand authority after round
+    * 2, the "which brands does the well-stocked supplier base endorse"
+    * ranking. */
+  val qHits: GQuery = GQuery(
+    "q_hits",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .select($"l_suppkey".as("s"), $"p_brand".as("b"))
+        .distinct()
+        .localCheckpoint()
+      var auth = e.select($"b").distinct().withColumn("a", lit(1.0))
+      for (_ <- 1 to 2) {
+        val hubRaw = e.join(auth, "b")
+          .select($"s", rN($"a", 12).as("t"))
+          .groupBy($"s")
+          .agg(sum($"t".cast("decimal(30,12)")).cast("double").as("h"))
+        val hubTot = hubRaw.agg(
+          sum(rN($"h", 12).cast("decimal(30,12)")).cast("double").as("ht"))
+        val hub = hubRaw.crossJoin(broadcast(hubTot))
+          .select($"s", ($"h" / $"ht").as("h"))
+        val authRaw = e.join(hub, "s")
+          .select($"b", rN($"h", 12).as("t"))
+          .groupBy($"b")
+          .agg(sum($"t".cast("decimal(30,12)")).cast("double").as("a"))
+        val authTot = authRaw.agg(
+          sum(rN($"a", 12).cast("decimal(30,12)")).cast("double").as("at"))
+        auth = authRaw.crossJoin(broadcast(authTot))
+          .select($"b", ($"a" / $"at").as("a"))
+      }
+      auth.select($"b".as("brand"), r6($"a" * lit(1000.0)).as("authority_pm"))
+        .orderBy($"brand")
+    },
+    Some {
+      def round(i: Int, prev: String): String =
+        s"""hr$i AS (
+           |  SELECT s, cast(sum(cast(${rNSql("a", 12)} as decimal(30,12)))
+           |    as double) AS h
+           |  FROM e JOIN $prev USING (b) GROUP BY s),
+           |ht$i AS (SELECT cast(sum(cast(${rNSql("h", 12)}
+           |  as decimal(30,12))) as double) AS ht FROM hr$i),
+           |h$i AS (SELECT s, h / ht AS h FROM hr$i CROSS JOIN ht$i),
+           |ar$i AS (
+           |  SELECT b, cast(sum(cast(${rNSql("h", 12)} as decimal(30,12)))
+           |    as double) AS a
+           |  FROM e JOIN h$i USING (s) GROUP BY b),
+           |at$i AS (SELECT cast(sum(cast(${rNSql("a", 12)}
+           |  as decimal(30,12))) as double) AS at FROM ar$i),
+           |a$i AS (SELECT b, a / at AS a FROM ar$i CROSS JOIN at$i)"""
+          .stripMargin
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, p_brand AS b
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      a0 AS (SELECT DISTINCT b, cast(1.0 as double) AS a FROM e),
+      ${round(1, "a0")},
+      ${round(2, "a1")}
+      SELECT b AS brand,
+             ${r6Sql("a * cast(1000.0 as double)")} AS authority_pm
+      FROM a2 ORDER BY brand"""
+    },
+  )
+
+  /** DEGREE ASSORTATIVITY of the co-purchase graph — do high-degree
+    * items co-occur with high-degree items? Newman's r as a pure
+    * INTEGER computation: with M edges, S1 = Σ(j+k), S2 = Σ(j²+k²),
+    * Sjk = Σ j·k over undirected edges (j, k endpoint degrees),
+    * r = (4M·Sjk − S1²)/(2M·S2 − S1²) — every sum is exact int64
+    * (bounded by |E|·maxdeg² ≈ 1e10 here, ≪ 2⁶³), so the whole
+    * statistic is ONE IEEE division. Degrees are a combinable groupBy
+    * over the doubled edge list; the per-edge (j,k) attach is two
+    * broadcast joins on the endpoint. */
+  val qAssortativity: GQuery = GQuery(
+    "q_assortativity",
+    (spark, dir) => {
+      import spark.implicits._
+      val op = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val und = op.groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps)-1), i -> " +
+            "transform(sequence(i+1, size(ps)), j -> " +
+            "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+          .as("pr"))
+        .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+        .distinct()
+      val deg = und.select($"pa".as("v"))
+        .unionByName(und.select($"pb".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      val m = und
+        .join(broadcast(deg.select($"v".as("pa"), $"d".as("j"))), "pa")
+        .join(broadcast(deg.select($"v".as("pb"), $"d".as("k"))), "pb")
+        .agg(count(lit(1)).as("m"),
+          sum($"j" + $"k").as("s1"),
+          sum($"j" * $"j" + $"k" * $"k").as("s2"),
+          sum($"j" * $"k").as("sjk"))
+      m.select($"m".cast("int").as("n_edges"),
+        r6((lit(4L) * $"m" * $"sjk" - $"s1" * $"s1").cast("double") /
+          (lit(2L) * $"m" * $"s2" - $"s1" * $"s1").cast("double"))
+          .as("assortativity"))
+    },
+    Some(s"""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey AND p_size <= 10),
+      und AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT pa AS v FROM und UNION ALL SELECT pb FROM und) t
+        GROUP BY v),
+      s AS (
+        SELECT cast(count(*) as bigint) AS m,
+               cast(sum(j + k) as bigint) AS s1,
+               cast(sum(j * j + k * k) as bigint) AS s2,
+               cast(sum(j * k) as bigint) AS sjk
+        FROM (SELECT da.d AS j, db.d AS k
+              FROM und
+              JOIN deg da ON da.v = und.pa
+              JOIN deg db ON db.v = und.pb) e)
+      SELECT cast(m as int) AS n_edges,
+             ${r6Sql("cast(4 * m * sjk - s1 * s1 as double) / " +
+               "cast(2 * m * s2 - s1 * s1 as double)")} AS assortativity
+      FROM s"""),
+  )
+
+  /** MODULARITY of the q_lpa communities — the quality score that turns
+    * "LPA produced labels" into "LPA found structure": Q = Σ_c [e_c/m −
+    * (d_c/2m)²] over the SAME 3-round label propagation (re-derived
+    * in-query with the identical fixed-round chain, so oracle and engine
+    * agree label for label). e_c (intra-community edge count) is one
+    * equi-join of the undirected edge list with the final labels on both
+    * endpoints; d_c is a combinable degree sum per community (communities
+    * with no internal edge still contribute their −(d_c/2m)² via the
+    * left join + coalesce). Integer counts throughout; per-community
+    * terms are IEEE-rounded then decimal-summed (dsum contract). */
+  val qModularity: GQuery = {
+    val rounds = 3
+    GQuery(
+      "q_modularity",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val und = op.groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+            .as("pr"))
+          .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+          .distinct()
+          .localCheckpoint()
+        val verts = und.select($"pa".as("v"))
+          .unionByName(und.select($"pb".as("v"))).distinct()
+        val e = und.select($"pa".as("src"), $"pb".as("dst"))
+          .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
+          .unionByName(verts.select($"v".as("src"), $"v".as("dst")))
+          .localCheckpoint()
+        var l = verts.withColumn("lbl", $"v")
+        for (_ <- 1 to rounds) {
+          val counts = e.join(l, $"src" === $"v")
+            .groupBy($"dst", $"lbl").agg(count(lit(1)).as("n"))
+          l = counts
+            .withColumn("rk", row_number().over(
+              Window.partitionBy($"dst").orderBy($"n".desc, $"lbl")))
+            .filter($"rk" === 1)
+            .select($"dst".as("v"), $"lbl")
+            .localCheckpoint()
+        }
+        val mm = und.agg(count(lit(1)).as("m"))
+        val degC = und.select($"pa".as("v"))
+          .unionByName(und.select($"pb".as("v")))
+          .join(l, "v")
+          .groupBy($"lbl").agg(count(lit(1)).as("dc"))
+        val ec = und
+          .join(l.select($"v".as("pa"), $"lbl".as("la")), "pa")
+          .join(l.select($"v".as("pb"), $"lbl".as("lb")), "pb")
+          .filter($"la" === $"lb")
+          .groupBy($"la".as("lbl")).agg(count(lit(1)).as("ec"))
+        val md = $"m".cast("double")
+        degC.join(ec, Seq("lbl"), "left")
+          .crossJoin(broadcast(mm))
+          .select($"m",
+            rN(coalesce($"ec", lit(0L)).cast("double") / md -
+              ($"dc".cast("double") / (lit(2.0) * md)) *
+                ($"dc".cast("double") / (lit(2.0) * md)), 9).as("term"))
+          .agg(count(lit(1)).cast("int").as("n_communities"),
+            max($"m").as("m_edges"),
+            dsum($"term", 6).as("modularity"))
+          .select($"n_communities", $"m_edges", $"modularity")
+      },
+      Some {
+        val chain = (1 to rounds).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS v, l.lbl AS lbl, count(*) AS n
+             |  FROM e JOIN l${i - 1} l ON e.src = l.v
+             |  GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT v, lbl FROM (
+             |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+             |      ORDER BY n DESC, lbl) AS rk FROM c$i) t
+             |  WHERE rk = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part
+            ON l_partkey = p_partkey AND p_size <= 10),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        verts AS (
+          SELECT pa AS v FROM pairs UNION SELECT pb FROM pairs),
+        e AS MATERIALIZED (
+          SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs
+          UNION ALL SELECT v, v FROM verts),
+        l0 AS (SELECT v, v AS lbl FROM verts),
+        $chain,
+        mm AS (SELECT cast(count(*) as bigint) AS m FROM pairs),
+        degc AS (
+          SELECT lbl, count(*) AS dc FROM (
+            SELECT pa AS v FROM pairs UNION ALL SELECT pb FROM pairs) t
+          JOIN l$rounds USING (v) GROUP BY lbl),
+        ec AS (
+          SELECT la.lbl AS lbl, count(*) AS ec
+          FROM pairs
+          JOIN l$rounds la ON la.v = pairs.pa
+          JOIN l$rounds lb ON lb.v = pairs.pb
+          WHERE la.lbl = lb.lbl
+          GROUP BY 1),
+        terms AS (
+          SELECT ${rNSql("cast(coalesce(ec, 0) as double) / cast(m as " +
+            "double) - (cast(dc as double) / (2.0 * cast(m as double))) * " +
+            "(cast(dc as double) / (2.0 * cast(m as double)))", 9)} AS term,
+                 m
+          FROM degc LEFT JOIN ec USING (lbl) CROSS JOIN mm)
+        SELECT cast(count(*) as int) AS n_communities,
+               cast(max(m) as bigint) AS m_edges,
+               ${dsumSql("term", 6)} AS modularity
+        FROM terms"""
+      },
+    )
+  }
+
+  val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
+    qHits, qAssortativity, qModularity)
 }

@@ -139,6 +139,46 @@ class InferRecSpec extends AnyFunSuite {
       s"mean_abs_err=${r.getAs[Double]("mean_abs_err")}")
   }
 
+  test("q_hits authorities form a probability distribution after round 2") {
+    val rows = run("q_hits").collect()
+    assert(rows.nonEmpty)
+    // authority_pm is the L1-normalized score x1000 — sums to ~1000
+    val tot = rows.map(_.getAs[Double]("authority_pm")).sum
+    assert(math.abs(tot - 1000.0) < 1.0, s"sum=$tot")
+    rows.foreach(r => assert(r.getAs[Double]("authority_pm") >= 0))
+  }
+
+  test("q_assortativity is a correlation coefficient in [-1,1]") {
+    val r = run("q_assortativity").head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"r=$a")
+    assert(r.getAs[Int]("n_edges") > 0)
+  }
+
+  test("q_modularity is bounded and counts match q_lpa") {
+    val m = run("q_modularity").head
+    val q = m.getAs[Double]("modularity")
+    // modularity of any partition lies in [-0.5, 1)
+    assert(q >= -0.5 - 1e-9 && q < 1.0, s"Q=$q")
+    assert(m.getAs[Int]("n_communities") ==
+      run("q_lpa").count().toInt,
+      "modularity and LPA disagree on the community count")
+  }
+
+  test("q_path_top paths are nonempty ordered event-type chains") {
+    val rows = run("q_path_top").collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val p = r.getAs[String]("path")
+      assert(p.split(">").forall(types.contains), p)
+      assert(r.getAs[Long]("n_sessions") > 0)
+    }
+    // ranking is by frequency
+    val ns = rows.map(_.getAs[Long]("n_sessions"))
+    assert(ns.sameElements(ns.sorted.reverse))
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
