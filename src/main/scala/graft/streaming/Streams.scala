@@ -259,6 +259,112 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class DriftAlert(event_type: String, at_ts: Timestamp,
+      direction: String, magnitude: Double, n_since_reset: Long)
+
+  /** Per-key CUSUM state: positive/negative cumulative deviation and the
+    * sample count since the last alert reset (fixed-size per key). */
+  final case class CusumS(pos: Double, neg: Double, n: Long)
+
+  /** STREAMING CUSUM DRIFT MONITOR — the online twin of q_changepoint's
+    * offline detector: per event type, accumulate the one-sided
+    * cumulative deviations of `value` from `target` (pos ← max(0,
+    * pos + (v − target)), neg symmetric) and emit a [[DriftAlert]] the
+    * moment either side crosses `threshold`, then reset both — the
+    * classic Page test, O(1) state per key. Rows within a micro-batch
+    * are processed in (ts, event_id) order so replays and shuffle
+    * arrival order can't change the alert sequence; the watermark
+    * bounds out-of-orderness across batches (later-than-delay stragglers
+    * are dropped by the engine, same as every stateful op here). At
+    * scale this runs per (metric, shard) key with millions of keys —
+    * the state is three numbers per key. */
+  def driftCusum(events: Dataset[Ev], target: Double, threshold: Double,
+      watermarkDelay: String = "10 minutes"): Dataset[DriftAlert] = {
+    import events.sparkSession.implicits._
+
+    def update(key: String, rows: Iterator[Ev],
+        state: GroupState[CusumS]): Iterator[DriftAlert] = {
+      if (state.hasTimedOut) Iterator.empty
+      else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = state.getOption.getOrElse(CusumS(0.0, 0.0, 0L))
+        var out = List.empty[DriftAlert]
+        sorted.foreach { e =>
+          val pos = math.max(0.0, s.pos + (e.value - target))
+          val neg = math.min(0.0, s.neg + (e.value - target))
+          val n = s.n + 1
+          if (pos > threshold)
+            { out ::= DriftAlert(key, e.ts, "up", pos, n)
+              s = CusumS(0.0, 0.0, 0L) }
+          else if (-neg > threshold)
+            { out ::= DriftAlert(key, e.ts, "down", -neg, n)
+              s = CusumS(0.0, 0.0, 0L) }
+          else s = CusumS(pos, neg, n)
+        }
+        state.update(s)
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  final case class AnomalyOut(event_type: String, event_id: Long,
+      at_ts: Timestamp, value: Double, zscore: Double)
+
+  /** Welford running-moment state: count, mean, and M2 (sum of squared
+    * deviations) — numerically stable, three numbers per key. */
+  final case class WelfordS(n: Long, mean: Double, m2: Double)
+
+  /** STREAMING Z-SCORE ANOMALY GATE — the online twin of q_anomaly /
+    * q_zscore: per event type, maintain running mean/variance with
+    * Welford's update (no Σx² cancellation blow-up on long streams) and
+    * emit each event whose |z| exceeds `z` once at least `minN` samples
+    * have been absorbed. The anomalous value still updates the moments
+    * (a level shift eventually becomes the new normal — the CUSUM
+    * monitor above is the one that ALERTS on the shift itself).
+    * Deterministic per-batch ordering as in [[driftCusum]]. */
+  def welfordZscore(events: Dataset[Ev], minN: Long = 30L, z: Double = 3.0,
+      watermarkDelay: String = "10 minutes"): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+
+    def update(key: String, rows: Iterator[Ev],
+        state: GroupState[WelfordS]): Iterator[AnomalyOut] = {
+      if (state.hasTimedOut) Iterator.empty
+      else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = state.getOption.getOrElse(WelfordS(0L, 0.0, 0.0))
+        var out = List.empty[AnomalyOut]
+        sorted.foreach { e =>
+          if (s.n >= minN) {
+            val sd = math.sqrt(s.m2 / (s.n - 1))
+            if (sd > 0) {
+              val zi = (e.value - s.mean) / sd
+              if (math.abs(zi) > z)
+                out ::= AnomalyOut(key, e.event_id, e.ts, e.value, zi)
+            }
+          }
+          val n = s.n + 1
+          val d = e.value - s.mean
+          val mean = s.mean + d / n
+          s = WelfordS(n, mean, s.m2 + d * (e.value - mean))
+        }
+        state.update(s)
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Append the stream to a parquet directory with exactly-once file-sink
     * semantics (the sink's transaction log in `checkpoint` makes replays
     * idempotent). The durable landing path for raw events at scale —

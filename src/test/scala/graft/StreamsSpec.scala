@@ -301,4 +301,68 @@ class StreamsSpec extends AnyFunSuite {
     assert(m.get.getAs[Long]("rows_in") == 3L)
     assert(m.get.getAs[Long]("rows_kept") == 2L)
   }
+
+  test("driftCusum alerts on a planted level shift, not on the stable prefix") {
+    // 10 stable samples around the target, then a +5 shift: the Page
+    // statistic needs ceil(20 / (5-0)) = 4 shifted samples to cross 20
+    val stable = (1 to 10).map(i =>
+      Ev(i, 1, ts(i), "m", 10.0 + (if (i % 2 == 0) 0.5 else -0.5)))
+    val shifted = (11 to 16).map(i => Ev(i, 1, ts(i), "m", 15.0))
+    val out = runStream(Seq(stable, shifted))(
+      df => Streams.driftCusum(df.as[Ev], target = 10.0, threshold = 20.0)
+        .toDF())
+    val alerts = out.as[Streams.DriftAlert].collect().sortBy(_.at_ts.getTime)
+    assert(alerts.nonEmpty, "no drift alert on a 5-sigma-scale level shift")
+    assert(alerts.head.direction == "up")
+    // first alert at the 4th shifted sample (cum dev 4*5=20 > 20 fails;
+    // 5th gives 25): allow the 5th, but never inside the stable prefix
+    assert(alerts.head.at_ts.getTime >= ts(14).getTime,
+      s"alert fired too early: ${alerts.head}")
+    assert(alerts.head.magnitude > 20.0)
+  }
+
+  test("driftCusum detects downward drift and resets after alerting") {
+    val down = (1 to 10).map(i => Ev(i, 1, ts(i), "m", 4.0))
+    val out = runStream(Seq(down))(
+      df => Streams.driftCusum(df.as[Ev], target = 10.0, threshold = 20.0)
+        .toDF())
+    val alerts = out.as[Streams.DriftAlert].collect().sortBy(_.at_ts.getTime)
+    // each sample adds -6; threshold 20 crossed every 4 samples; after a
+    // reset the accumulation restarts — 10 samples → 2 alerts (4th, 8th)
+    assert(alerts.length == 2, s"expected 2 reset-separated alerts: ${alerts.toSeq}")
+    assert(alerts.forall(_.direction == "down"))
+    assert(alerts.map(_.n_since_reset).toSeq == Seq(4L, 4L))
+  }
+
+  test("welfordZscore flags a spike after warmup and never before") {
+    val warm = (1 to 40).map(i =>
+      Ev(i, 1, ts(i), "m", 10.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+    val spike = Seq(Ev(41, 1, ts(41), "m", 30.0))
+    val calm = Seq(Ev(42, 1, ts(42), "m", 10.0))
+    val out = runStream(Seq(warm, spike ++ calm))(
+      df => Streams.welfordZscore(df.as[Ev], minN = 30L, z = 3.0).toDF())
+    val an = out.as[Streams.AnomalyOut].collect()
+    assert(an.length == 1, s"exactly the spike should flag: ${an.toSeq}")
+    assert(an.head.event_id == 41L)
+    // sd of the +-1 alternation is ~1; a +20 excursion is z ~ 20
+    assert(an.head.zscore > 10.0, s"z=${an.head.zscore}")
+  }
+
+  test("welfordZscore matches the batch z-score on the same prefix") {
+    val warm = (1 to 40).map(i =>
+      Ev(i, 1, ts(i), "m", (i % 7).toDouble))
+    val probe = Seq(Ev(41, 1, ts(41), "m", 25.0))
+    val out = runStream(Seq(warm, probe))(
+      df => Streams.welfordZscore(df.as[Ev], minN = 30L, z = 3.0).toDF())
+    val an = out.as[Streams.AnomalyOut].collect()
+    assert(an.length == 1)
+    // batch twin: mean/std of the 40 warmup values
+    val vals = warm.map(_.value)
+    val mean = vals.sum / vals.length
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum /
+      (vals.length - 1))
+    val want = (25.0 - mean) / sd
+    assert(math.abs(an.head.zscore - want) < 1e-9,
+      s"stream z=${an.head.zscore} batch z=$want")
+  }
 }
