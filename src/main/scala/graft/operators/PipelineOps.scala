@@ -465,7 +465,54 @@ object PipelineOps {
       GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** SMOOTHED TARGET ENCODING — the feature-prep operator that turns a
+    * categorical into a leakage-resistant numeric: enc(c) = (Σ_c y +
+    * k·ȳ)/(n_c + k) with prior weight k = 10, shrinking rare categories
+    * toward the global mean. Target is order revenue in EXACT integer
+    * cents (the q_changepoint trick), so every sum is int64 and the
+    * encoding is one fixed-shape IEEE expression — no decimal staging
+    * needed. One combinable groupBy over the fact; the global totals
+    * ride a 1-row broadcast. At 100 TB this is the identical plan per
+    * encoded column. */
+  val qTargetEncode: GQuery = GQuery(
+    "q_target_encode",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val g = Tables.orders(spark, dir)
+        .select($"o_orderpriority", cents.as("c"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+      val tot = g.agg(sum($"n").as("nn"), sum($"s").as("ss"))
+      val d = (c: String) => col(c).cast("double")
+      g.crossJoin(broadcast(tot))
+        .select($"o_orderpriority", $"n".as("n_orders"),
+          r2(d("s") / d("n") / lit(100.0)).as("raw_mean"),
+          r2((d("s") / lit(100.0) +
+            lit(10.0) * (d("ss") / d("nn") / lit(100.0))) /
+            (d("n") + lit(10.0))).as("encoded"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT o_orderpriority, count(*) AS n,
+               sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) AS s
+        FROM orders GROUP BY o_orderpriority),
+      tot AS (SELECT cast(sum(n) as bigint) AS nn,
+                     cast(sum(s) as bigint) AS ss FROM g)
+      SELECT o_orderpriority, cast(n as bigint) AS n_orders,
+             ${r2Sql("cast(s as double) / cast(n as double) " +
+               "/ cast(100.0 as double)")} AS raw_mean,
+             ${r2Sql("(cast(s as double) / cast(100.0 as double) + " +
+               "cast(10.0 as double) * (cast(ss as double) / " +
+               "cast(nn as double) / cast(100.0 as double))) / " +
+               "(cast(n as double) + cast(10.0 as double))")} AS encoded
+      FROM g CROSS JOIN tot
+      ORDER BY o_orderpriority"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
-      qSelectBudget, qFilterFunnel, qLmScore, qDedupPara)
+      qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode)
 }

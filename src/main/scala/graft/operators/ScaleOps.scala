@@ -795,7 +795,81 @@ object ScaleOps {
       FROM t"""),
   )
 
+  /** kNN CLASSIFICATION VIA RETRIEVAL — the "predict by neighbors"
+    * operator a feature store runs next to its ANN index: classify each
+    * probe embedding by the majority label of its 5 nearest corpus
+    * neighbors (cosine), ties to the smaller label. The probe set is a
+    * bounded broadcast against the corpus scan (the q_sim_topk shape —
+    * at 100 TB the brute-force scan swaps for the q_ann_lsh/ivf
+    * candidate join, identical vote logic); per-probe top-5 and the
+    * vote argmax are row_number windows with total (cos desc, id) /
+    * (votes desc, label) orders. Labels are noise w.r.t. the vectors
+    * in this corpus (TESTDATA), so accuracy is NOT asserted anywhere —
+    * graded is the retrieval + vote mechanics, bit-for-bit. */
+  val qKnnClassify: GQuery = GQuery(
+    "q_knn_classify",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val base = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"),
+          $"label")
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val probes = base.filter($"vec_id" < 25)
+        .select($"vec_id".as("pid"), $"emb".as("p_emb"),
+          $"nrm".as("p_nrm"), $"label".as("true_label"))
+      val scored = base.join(broadcast(probes), $"vec_id" =!= $"pid")
+        .select($"pid", $"true_label", $"vec_id", $"label",
+          (expr("dot_product(emb, p_emb)") / ($"nrm" * $"p_nrm")).as("cos"))
+      val top5 = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"pid").orderBy($"cos".desc, $"vec_id")))
+        .filter($"rk" <= 5)
+      top5.groupBy($"pid", $"true_label", $"label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy($"pid").orderBy($"votes".desc, $"label")))
+        .filter($"vr" === 1)
+        .select($"pid".as("vec_id"), $"true_label",
+          $"label".as("predicted"), $"votes".cast("int").as("n_votes"),
+          ($"label" === $"true_label").as("correct"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding, label,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM embeddings WHERE vec_id < $corpusBound),
+      probes AS (
+        SELECT vec_id AS pid, embedding AS p_emb, nrm AS p_nrm,
+               label AS true_label
+        FROM base WHERE vec_id < 25),
+      scored AS (
+        SELECT pid, true_label, vec_id, label,
+               (${chainSql("embedding", "p_emb")}) / (nrm * p_nrm) AS cos
+        FROM base JOIN probes ON vec_id <> pid),
+      top5 AS (
+        SELECT pid, true_label, label FROM (
+          SELECT pid, true_label, label,
+                 row_number() OVER (PARTITION BY pid
+                   ORDER BY cos DESC, vec_id) AS rk
+          FROM scored) t WHERE rk <= 5),
+      votes AS (
+        SELECT pid, true_label, label, count(*) AS votes
+        FROM top5 GROUP BY 1, 2, 3)
+      SELECT pid AS vec_id, true_label, label AS predicted,
+             cast(votes as int) AS n_votes,
+             (label = true_label) AS correct
+      FROM (SELECT pid, true_label, label, votes,
+              row_number() OVER (PARTITION BY pid
+                ORDER BY votes DESC, label) AS vr
+            FROM votes) v
+      WHERE vr = 1 ORDER BY vec_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
-    qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc)
+    qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify)
 }

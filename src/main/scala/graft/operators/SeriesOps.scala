@@ -517,7 +517,61 @@ object SeriesOps {
       FROM wc CROSS JOIN tot ORDER BY word"""),
   )
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the honesty check every
+    * forecasting pipeline needs as its baseline: predict each day's
+    * event count with the value 7 days earlier (ŷ_t = y_{t−7}) and
+    * score MAPE + RMSE per event type over the scorable days. The
+    * 7-day lookback is an EQUI-JOIN of the daily aggregate with itself
+    * on (type, day−7) — not a window over a gap-sensitive row offset,
+    * so calendar gaps can't silently misalign the lag, and the join
+    * shuffles |types|×|days| rows at any scale. Counts are integers:
+    * squared errors sum exactly (RMSE is one division + √); MAPE
+    * terms are IEEE-rounded then decimal-averaged. */
+  val qBacktestSnaive: GQuery = GQuery(
+    "q_backtest_snaive",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .select($"event_type",
+          datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+            .cast("long").as("x"))
+        .groupBy($"event_type", $"x")
+        .agg(count(lit(1)).as("y"))
+      val fc = daily.select($"event_type", ($"x" + 7L).as("x"), $"y".as("f"))
+      daily.join(fc, Seq("event_type", "x"))
+        .select($"event_type",
+          ($"y" - $"f").as("e"),
+          rN(abs($"y" - $"f").cast("double") / $"y".cast("double"), 9)
+            .as("ape"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("int").as("n_scored"),
+          davg($"ape", 6).as("mape"),
+          r6(sqrt(sum($"e" * $"e").cast("double") /
+            count(lit(1)).cast("double"))).as("rmse"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type,
+               cast(date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) as bigint) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT a.event_type,
+               cast(a.y as bigint) - cast(f.y as bigint) AS e,
+               ${rNSql("cast(abs(cast(a.y as bigint) - cast(f.y as bigint))" +
+                 " as double) / cast(a.y as double)", 9)} AS ape
+        FROM daily a
+        JOIN daily f ON f.event_type = a.event_type AND f.x = a.x - 7)
+      SELECT event_type, cast(count(*) as int) AS n_scored,
+             ${davgSql("ape", 6)} AS mape,
+             ${r6Sql("sqrt(cast(sum(e * e) as double) / " +
+               "cast(count(*) as double))")} AS rmse
+      FROM j GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
-    qTrend, qSax)
+    qTrend, qSax, qBacktestSnaive)
 }

@@ -613,7 +613,91 @@ object StatOps {
       FROM i ORDER BY type_a, type_b"""),
   )
 
+  /** POPULATION STABILITY INDEX per event type — the industry drift
+    * score between the first and second half of the event stream:
+    * PSI = Σ_bins (p−q)·ln(p/q) over GLOBAL value deciles (edges from
+    * one percentile pass over all events — percentile ≡ quantile_cont
+    * bit-wise, the q_percentile contract — broadcast as a 1-row frame),
+    * with +0.5 Laplace smoothing per bin so a bin empty on one side
+    * stays finite. Bin assignment is 1 + Σ(value > edge_k) — pure
+    * comparisons on identical doubles. One full pass bins and counts
+    * (combinable); the PSI terms follow the ln contract (rN 9 before a
+    * decimal sum). PSI > 0.25 is the conventional "investigate" bar. */
+  val qPsi: GQuery = GQuery(
+    "q_psi",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_type", $"value",
+          when(to_date($"ts") < to_date(lit("2024-01-16")), "a")
+            .otherwise("b").as("half"))
+      val edgeCols = (1 to 9).map(k =>
+        expr(s"percentile(value, 0.$k)").as(s"e$k"))
+      val edges = ev.agg(edgeCols.head, edgeCols.tail: _*)
+      val binned = ev.crossJoin(broadcast(edges))
+        .select($"event_type", $"half",
+          (lit(1) + (1 to 9).map(k =>
+            when($"value" > col(s"e$k"), 1).otherwise(0)).reduce(_ + _))
+            .as("bin"))
+      val counts = binned.groupBy($"event_type", $"bin")
+        .agg(sum(when($"half" === "a", 1L).otherwise(0L)).as("ca"),
+          sum(when($"half" === "b", 1L).otherwise(0L)).as("cb"))
+      val wt = Window.partitionBy($"event_type")
+      counts
+        .withColumn("na", sum($"ca").over(wt))
+        .withColumn("nb", sum($"cb").over(wt))
+        .select($"event_type", $"na", $"nb",
+          rN((($"ca" + lit(0.5)) / ($"na" + lit(5.0)) -
+            ($"cb" + lit(0.5)) / ($"nb" + lit(5.0))) *
+            log((($"ca" + lit(0.5)) / ($"na" + lit(5.0))) /
+              (($"cb" + lit(0.5)) / ($"nb" + lit(5.0)))), 9).as("term"))
+        .groupBy($"event_type", $"na".as("n_first"), $"nb".as("n_second"))
+        .agg(dsum($"term", 6).as("psi"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, value,
+               CASE WHEN cast(date_trunc('day', ts) as date)
+                      < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS half
+        FROM events),
+      edges AS (
+        SELECT ${(1 to 9).map(k =>
+          s"quantile_cont(value, 0.$k) AS e$k").mkString(", ")}
+        FROM ev),
+      binned AS (
+        SELECT event_type, half,
+               1 + ${(1 to 9).map(k =>
+                 s"(CASE WHEN value > e$k THEN 1 ELSE 0 END)")
+                 .mkString(" + ")} AS bin
+        FROM ev CROSS JOIN edges),
+      counts AS (
+        SELECT event_type, bin,
+               cast(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) as bigint)
+                 AS ca,
+               cast(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) as bigint)
+                 AS cb
+        FROM binned GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, ca, cb,
+               cast(sum(ca) OVER (PARTITION BY event_type) as bigint) AS na,
+               cast(sum(cb) OVER (PARTITION BY event_type) as bigint) AS nb
+        FROM counts),
+      t AS (
+        SELECT event_type, na, nb,
+               ${rNSql(
+                 "((ca + cast(0.5 as double)) / (na + cast(5.0 as double))" +
+                 " - (cb + cast(0.5 as double)) / (nb + cast(5.0 as double)))" +
+                 " * ln(((ca + cast(0.5 as double)) / (na + cast(5.0 as double)))" +
+                 " / ((cb + cast(0.5 as double)) / (nb + cast(5.0 as double))))",
+                 9)} AS term
+        FROM m)
+      SELECT event_type, na AS n_first, nb AS n_second,
+             ${dsumSql("term", 6)} AS psi
+      FROM t GROUP BY 1, 2, 3 ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
-    qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap)
+    qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi)
 }

@@ -30,7 +30,10 @@ object PlanAudit {
     // round-8 single-row scalar broadcasts (series/corpus totals,
     // quantile-bound rows, constant lag tables) — audited 2026-08-14
     "q_sax", "q_survival", "q_cross_corr", "q_qq", "q_stickiness",
-    "q_kl_drift", "q_cramers_v", "q_assoc_rules")
+    "q_kl_drift", "q_cramers_v", "q_assoc_rules",
+    // bounded probe set (25 vectors) against the corpus scan; decile-edge
+    // and prior-total 1-row broadcasts
+    "q_knn_classify", "q_psi", "q_target_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

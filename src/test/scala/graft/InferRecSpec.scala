@@ -179,6 +179,54 @@ class InferRecSpec extends AnyFunSuite {
     assert(ns.sameElements(ns.sorted.reverse))
   }
 
+  test("q_psi is nonnegative (terms share sign) with full half-counts") {
+    val rows = run("q_psi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // (p-q) and ln(p/q) always share sign, so PSI >= 0
+      assert(r.getAs[Double]("psi") >= -1e-9,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("psi")}")
+      assert(r.getAs[Long]("n_first") > 0 && r.getAs[Long]("n_second") > 0)
+    }
+  }
+
+  test("q_target_encode shrinks every category toward the global mean") {
+    val rows = run("q_target_encode").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_orders")).sum.toDouble
+    val global = rows.map(r =>
+      r.getAs[Double]("raw_mean") * r.getAs[Long]("n_orders")).sum / n
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_mean")
+      val enc = r.getAs[Double]("encoded")
+      val lo = math.min(raw, global) - 0.05
+      val hi = math.max(raw, global) + 0.05
+      assert(enc >= lo && enc <= hi,
+        s"${r.getAs[String]("o_orderpriority")}: enc=$enc outside [$lo,$hi]")
+    }
+  }
+
+  test("q_backtest_snaive scores are valid error metrics") {
+    val rows = run("q_backtest_snaive").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_scored") >= 1)
+      assert(r.getAs[Double]("mape") >= 0)
+      assert(r.getAs[Double]("rmse") >= 0)
+    }
+  }
+
+  test("q_knn_classify votes are coherent per probe") {
+    val rows = run("q_knn_classify").collect()
+    assert(rows.length == 25, s"expected 25 probes, got ${rows.length}")
+    rows.foreach { r =>
+      val v = r.getAs[Int]("n_votes")
+      assert(v >= 1 && v <= 5, s"votes=$v")
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("predicted") == r.getAs[Int]("true_label")))
+    }
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
