@@ -795,7 +795,58 @@ object EventOps {
       ORDER BY n_sessions DESC, path LIMIT 15"""),
   )
 
+  /** EVENT BURST COLLAPSE — the ingest-dedup operator for double-fires
+    * and retry storms: per (user, event type), events within 5 s of the
+    * PREVIOUS event chain into one burst (lag + gap-flag + running sum,
+    * the q_sessionize machinery at a 5-second gap), and the report
+    * shows the per-type collapse factor a kept-first dedup would
+    * achieve. Burst chaining (each event compared to its predecessor,
+    * not the burst head) is deliberate — it is what a streaming
+    * keep-latest gate sees, and it never needs the burst extent in
+    * state. Second-resolution gaps compare the truncated ts both
+    * engines share; ties within a second chain via (ts, event_id)
+    * order regardless. */
+  val qEventCollapse: GQuery = GQuery(
+    "q_event_collapse",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_burst",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 5, 1L)
+            .otherwise(0L))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"new_burst").as("n_bursts"))
+        .select($"event_type", $"n_events", $"n_bursts",
+          r6($"n_events".cast("double") / $"n_bursts".cast("double"))
+            .as("events_per_burst"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type,
+          CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 5
+               THEN 1 ELSE 0 END AS new_burst
+        FROM (
+          SELECT event_type, date_trunc('second', ts) AS ts,
+            lag(date_trunc('second', ts), 1) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY date_trunc('second', ts), event_id) AS prev_ts
+          FROM events) a)
+      SELECT event_type, count(*) AS n_events,
+             cast(sum(new_burst) as bigint) AS n_bursts,
+             floor((cast(count(*) as double) /
+               cast(sum(new_burst) as double)) * 1e6 + 0.5) / 1e6
+               AS events_per_burst
+      FROM b GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
-      qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop)
+      qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
+      qEventCollapse)
 }

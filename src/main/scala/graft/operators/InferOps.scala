@@ -232,5 +232,141 @@ object InferOps {
       FROM s"""),
   )
 
-  val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV)
+  /** SPEARMAN RANK CORRELATION between per-user click and purchase
+    * volume — the monotone-association test that ignores the heavy
+    * tails Pearson chokes on. Tie handling is the textbook average
+    * rank, kept EXACT by working with DOUBLED ranks: 2·avgrank =
+    * 2·minrank + ties − 1 is an INTEGER (rank() + a count window), so
+    * the Pearson-on-ranks moments are exact int64 sums (the q_trend
+    * contract) and rho is one fixed-shape IEEE expression. Scaling
+    * ranks by 2 leaves the correlation unchanged. One groupBy builds
+    * the per-user table; ranks ride two windows over |users| rows. */
+  val qSpearman: GQuery = GQuery(
+    "q_spearman",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val rx = rank().over(Window.orderBy($"x")) * lit(2L) +
+        count(lit(1)).over(Window.partitionBy($"x")) - lit(1L)
+      val ry = rank().over(Window.orderBy($"y")) * lit(2L) +
+        count(lit(1)).over(Window.partitionBy($"y")) - lit(1L)
+      val m = u.select($"user_id", rx.cast("long").as("a"),
+          ry.cast("long").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum($"a").as("sa"), sum($"b").as("sb"),
+          sum($"a" * $"b").as("sab"),
+          sum($"a" * $"a").as("saa"),
+          sum($"b" * $"b").as("sbb"))
+      val d = (c: String) => col(c).cast("double")
+      val num = d("n") * d("sab") - d("sa") * d("sb")
+      val den = sqrt((d("n") * d("saa") - d("sa") * d("sa")) *
+        (d("n") * d("sbb") - d("sb") * d("sb")))
+      m.select($"n".cast("int").as("n_users"),
+        r6(num / den).as("spearman_rho"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 as bigint) AS x,
+               cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 as bigint) AS y
+        FROM events GROUP BY user_id),
+      r AS (
+        SELECT cast(rank() OVER (ORDER BY x) * 2
+                 + count(*) OVER (PARTITION BY x) - 1 as bigint) AS a,
+               cast(rank() OVER (ORDER BY y) * 2
+                 + count(*) OVER (PARTITION BY y) - 1 as bigint) AS b
+        FROM u),
+      m AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(a) as bigint) AS sa, cast(sum(b) as bigint) AS sb,
+               cast(sum(a * b) as bigint) AS sab,
+               cast(sum(a * a) as bigint) AS saa,
+               cast(sum(b * b) as bigint) AS sbb
+        FROM r)
+      SELECT cast(n as int) AS n_users,
+             ${r6Sql("(cast(n as double) * sab - cast(sa as double) * sb)" +
+               " / sqrt((cast(n as double) * saa - cast(sa as double) * sa)" +
+               " * (cast(n as double) * sbb - cast(sb as double) * sb))")}
+               AS spearman_rho
+      FROM m"""),
+  )
+
+  /** JACKKNIFE STANDARD ERROR of the corpus mean document length with
+    * SOURCES as the resampling unit — the honest uncertainty estimate
+    * when documents within a feed are correlated (the iid SE lies).
+    * Leave-one-source-out means come from the grand integer moments
+    * minus each source's (one combinable groupBy + a 1-row broadcast —
+    * NO g passes over the fact); the variance of the 20 loo means is
+    * the only float sum, IEEE-rounded per term and decimal-staged.
+    * SE = √((g−1)/g · Σ(θ̂ᵢ − θ̄)²). */
+  val qJackknife: GQuery = GQuery(
+    "q_jackknife",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.documents(spark, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("ni"), sum($"n_chars").as("si"))
+      val tot = g.agg(count(lit(1)).as("gg"),
+        sum($"ni").as("n"), sum($"si").as("s"))
+      val d = (c: String) => col(c).cast("double")
+      val loo = g.crossJoin(broadcast(tot))
+        .select($"gg", $"n", $"s",
+          ((d("s") - d("si")) / (d("n") - d("ni"))).as("theta_i"))
+      val mloo = loo.groupBy($"gg", $"n", $"s")
+        .agg(sum(rN($"theta_i", 9).cast("decimal(30,9)")).cast("double")
+          .as("sum_theta"))
+      loo.join(broadcast(mloo), Seq("gg", "n", "s"))
+        .select($"gg", $"n", $"s",
+          rN(($"theta_i" - $"sum_theta" / d("gg")) *
+            ($"theta_i" - $"sum_theta" / d("gg")), 9).as("dev2"))
+        .groupBy($"gg", $"n", $"s")
+        .agg(sum($"dev2".cast("decimal(30,9)")).cast("double").as("ssd"))
+        .select($"gg".cast("int").as("n_sources"),
+          r6(d("s") / d("n")).as("mean_chars"),
+          r6(sqrt(($"gg" - lit(1)).cast("double") / d("gg") * $"ssd"))
+            .as("jackknife_se"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT source, count(*) AS ni, sum(n_chars) AS si
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT cast(count(*) as bigint) AS gg,
+               cast(sum(ni) as bigint) AS n,
+               cast(sum(si) as bigint) AS s
+        FROM g),
+      loo AS (
+        SELECT gg, n, s,
+               (cast(s as double) - cast(si as double))
+                 / (cast(n as double) - cast(ni as double)) AS theta_i
+        FROM g CROSS JOIN tot),
+      ml AS (
+        SELECT gg, n, s,
+               cast(sum(cast(${rNSql("theta_i", 9)} as decimal(30,9)))
+                 as double) AS sum_theta
+        FROM loo GROUP BY 1, 2, 3),
+      dv AS (
+        SELECT loo.gg, loo.n, loo.s,
+               ${rNSql("(theta_i - sum_theta / cast(loo.gg as double)) * " +
+                 "(theta_i - sum_theta / cast(loo.gg as double))", 9)} AS dev2
+        FROM loo JOIN ml ON loo.gg = ml.gg AND loo.n = ml.n
+                        AND loo.s = ml.s),
+      sd AS (
+        SELECT gg, n, s,
+               cast(sum(cast(dev2 as decimal(30,9))) as double) AS ssd
+        FROM dv GROUP BY 1, 2, 3)
+      SELECT cast(gg as int) AS n_sources,
+             ${r6Sql("cast(s as double) / cast(n as double)")} AS mean_chars,
+             ${r6Sql("sqrt(cast(gg - 1 as double) / cast(gg as double) " +
+               "* ssd)")} AS jackknife_se
+      FROM sd"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
+    qJackknife)
 }

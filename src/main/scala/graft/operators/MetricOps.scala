@@ -369,6 +369,70 @@ object MetricOps {
       ORDER BY day"""),
   )
 
+  /** THEIL T INDEX of customer spend per nation — q_gini's
+    * decomposable sibling (Theil splits cleanly into within/between
+    * components at 100 TB; Gini does not). T = (1/n)Σ (xᵢ/μ)ln(xᵢ/μ)
+    * over per-customer revenue in EXACT integer cents: each term's
+    * argument xᵢ·n/S is integers-in, one IEEE division + ln (the
+    * q_entropy ln contract — rN 9 before the exact decimal sum). The
+    * per-customer collapse is the only pass over orders; everything
+    * after runs on the |customers|-row aggregate joined to its
+    * nation's 1-row moments via a window. */
+  val qTheil: GQuery = GQuery(
+    "q_theil",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val spend = Tables.orders(spark, dir)
+        .select($"o_custkey", cents.as("c"))
+        .groupBy($"o_custkey")
+        .agg(sum($"c").as("x"))
+      val byNation = spend
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(spark, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"x")
+      val w = Window.partitionBy($"n_name")
+      byNation
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum($"x").over(w))
+        .select($"n_name", $"n",
+          rN(($"x".cast("double") * $"n".cast("double") /
+            $"s".cast("double")) *
+            log($"x".cast("double") * $"n".cast("double") /
+              $"s".cast("double")) / $"n".cast("double"), 9).as("term"))
+        .groupBy($"n_name", $"n".cast("int").as("n_customers"))
+        .agg(dsum($"term", 6).as("theil_t"))
+        .orderBy($"n_name")
+    },
+    Some(s"""
+      WITH spend AS (
+        SELECT o_custkey,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS x
+        FROM orders GROUP BY o_custkey),
+      bn AS (
+        SELECT n_name, x
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      m AS (
+        SELECT n_name, x,
+               cast(count(*) OVER (PARTITION BY n_name) as bigint) AS n,
+               cast(sum(x) OVER (PARTITION BY n_name) as bigint) AS s
+        FROM bn),
+      t AS (
+        SELECT n_name, n,
+               ${rNSql("(cast(x as double) * cast(n as double) / " +
+                 "cast(s as double)) * ln(cast(x as double) * " +
+                 "cast(n as double) / cast(s as double)) / " +
+                 "cast(n as double)", 9)} AS term
+        FROM m)
+      SELECT n_name, cast(n as int) AS n_customers,
+             ${dsumSql("term", 6)} AS theil_t
+      FROM t GROUP BY 1, 2 ORDER BY n_name"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness)
+    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil)
 }

@@ -227,6 +227,45 @@ class InferRecSpec extends AnyFunSuite {
     }
   }
 
+  test("q_spearman is a correlation in [-1,1]") {
+    val r = run("q_spearman").head
+    val rho = r.getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho=$rho")
+    assert(r.getAs[Int]("n_users") > 1)
+  }
+
+  test("q_jackknife SE is positive and the mean is within source extremes") {
+    val r = run("q_jackknife").head
+    assert(r.getAs[Double]("jackknife_se") > 0)
+    val ext = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg((sum(col("n_chars")) / count(lit(1))).as("m"))
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi")).head
+    val mean = r.getAs[Double]("mean_chars")
+    assert(mean >= ext.getAs[Double]("lo") && mean <= ext.getAs[Double]("hi"))
+  }
+
+  test("q_theil indices are nonnegative per nation") {
+    val rows = run("q_theil").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("theil_t") >= -1e-9,
+        s"${r.getAs[String]("n_name")}: ${r.getAs[Double]("theil_t")}")
+      assert(r.getAs[Int]("n_customers") > 0)
+    }
+  }
+
+  test("q_event_collapse bursts never exceed events and cover them all") {
+    val rows = run("q_event_collapse").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bursts") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("events_per_burst") >= 1.0 - 1e-9)
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
