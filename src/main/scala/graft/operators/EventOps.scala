@@ -845,8 +845,67 @@ object EventOps {
       FROM b GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** BURSTINESS INDEX per event type — Goh–Barabási B = (σ−μ)/(σ+μ)
+    * over the interarrival gaps, the single number separating Poisson
+    * traffic (B≈0) from bursty retry storms (B→1) and clockwork
+    * heartbeats (B→−1). Gaps are INTEGER seconds (second-truncated ts
+    * lag per type), so the moment sums n/Σg/Σg² are exact int64 (gap ≤
+    * 2.6e6 s over the 30-day span → Σg² ≤ ~1e13 per type) and σ, μ, B
+    * are one fixed-shape IEEE expression. One window pass + one
+    * combinable groupBy. */
+  val qBurstiness: GQuery = GQuery(
+    "q_burstiness",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val gaps = Tables.events(spark, dir)
+        .withColumn("gap",
+          unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+        .filter($"gap".isNotNull)
+      val m = gaps.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"gap").as("s"),
+          sum($"gap" * $"gap").as("q"))
+      val d = (c: String) => col(c).cast("double")
+      val mu = d("s") / d("n")
+      val sd = sqrt((d("q") - d("s") * d("s") / d("n")) / (d("n") - lit(1.0)))
+      m.select($"event_type", $"n".cast("int").as("n_gaps"),
+          r6(mu).as("mean_gap_s"),
+          r6(sd / mu).as("cv"),
+          r6((sd - mu) / (sd + mu)).as("burstiness"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH gaps AS (
+        SELECT event_type,
+               epoch(ts) - epoch(prev_ts) AS gap
+        FROM (
+          SELECT event_type, date_trunc('second', ts) AS ts,
+            lag(date_trunc('second', ts), 1) OVER (
+              PARTITION BY event_type
+              ORDER BY date_trunc('second', ts), event_id) AS prev_ts
+          FROM events) a
+        WHERE prev_ts IS NOT NULL),
+      m AS (
+        SELECT event_type, cast(count(*) as bigint) AS n,
+               cast(sum(gap) as bigint) AS s,
+               cast(sum(gap * gap) as bigint) AS q
+        FROM gaps GROUP BY event_type),
+      e AS (
+        SELECT event_type, n,
+               cast(s as double) / cast(n as double) AS mu,
+               sqrt((cast(q as double) - cast(s as double) *
+                 cast(s as double) / cast(n as double)) /
+                 (cast(n as double) - 1.0)) AS sd
+        FROM m)
+      SELECT event_type, cast(n as int) AS n_gaps,
+             ${r6Sql("mu")} AS mean_gap_s,
+             ${r6Sql("sd / mu")} AS cv,
+             ${r6Sql("(sd - mu) / (sd + mu)")} AS burstiness
+      FROM e ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
-      qEventCollapse)
+      qEventCollapse, qBurstiness)
 }

@@ -322,7 +322,91 @@ object Functions {
       ORDER BY doc_id"""),
   )
 
+  /** VARIANT ingestion (Spark 4's semi-structured type): `props` parsed
+    * ONCE to VARIANT with parse_json, fields pulled with typed
+    * variant_get paths — the schema-on-read path that replaces
+    * per-field JSON re-parsing (from_json with a fixed schema, q_fn_json)
+    * when the payload shape is open. Only extracted primitives reach
+    * the output (VARIANT itself is an engine-internal encoding; the
+    * oracle recomputes the fields from the raw JSON text). try-semantics
+    * on malformed rows: variant_get of a missing path is NULL, counted
+    * explicitly. */
+  val qVariant: GQuery = GQuery(
+    "q_variant",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("v", expr("parse_json(props)"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count($"k").as("n_with_k"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum($"k").as("sum_k"),
+          countDistinct($"k").as("n_distinct_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             count(k) AS n_with_k,
+             cast(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) as bigint)
+               AS n_missing,
+             cast(sum(k) as bigint) AS sum_k,
+             count(DISTINCT k) AS n_distinct_k
+      FROM (
+        SELECT event_type,
+          cast(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) as bigint) AS k
+        FROM events) t
+      GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  /** HIGHER-ORDER-FUNCTION kernels over token arrays — filter /
+    * transform / aggregate / exists lambdas, the codegen-friendly way
+    * to run per-row array logic WITHOUT exploding (explode multiplies
+    * the row count through the shuffle; a lambda keeps the work inside
+    * the row's projection). DuckDB twins: list_filter / list_transform
+    * / list_sum / len(list_filter) > 0. All outputs are integer
+    * aggregates of integer per-row values — exact both sides. */
+  val qFnHof: GQuery = GQuery(
+    "q_fn_hof",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"lang", split($"text", " ").as("toks"))
+        .select($"lang",
+          size($"toks").cast("long").as("n_toks"),
+          size(expr("filter(toks, t -> length(t) >= 6)")).cast("long")
+            .as("n_long"),
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("chars"),
+          when(expr("exists(toks, t -> length(t) >= 10)"), 1L).otherwise(0L)
+            .as("has_rare"))
+        .groupBy($"lang")
+        .agg(sum($"n_toks").as("total_tokens"),
+          sum($"n_long").as("long_tokens"),
+          sum($"chars").as("token_chars"),
+          sum($"has_rare").as("docs_with_rare"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang,
+             cast(sum(n_toks) as bigint) AS total_tokens,
+             cast(sum(n_long) as bigint) AS long_tokens,
+             cast(sum(chars) as bigint) AS token_chars,
+             cast(sum(has_rare) as bigint) AS docs_with_rare
+      FROM (
+        SELECT lang,
+               cast(len(l) as bigint) AS n_toks,
+               cast(len(list_filter(l, t -> length(t) >= 6)) as bigint)
+                 AS n_long,
+               cast(list_sum(list_transform(l, t -> length(t))) as bigint)
+                 AS chars,
+               CASE WHEN len(list_filter(l, t -> length(t) >= 10)) > 0
+                    THEN 1 ELSE 0 END AS has_rare
+        FROM (SELECT lang, string_split(text, ' ') AS l FROM documents) d) t
+      GROUP BY lang ORDER BY lang"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFnString, qFnDate, qFnMath, qFnArray, qFnJson, qFnBitwise,
-      qFnRegex, qFnHash, qExplode, qFnMap)
+      qFnRegex, qFnHash, qExplode, qFnMap, qVariant, qFnHof)
 }

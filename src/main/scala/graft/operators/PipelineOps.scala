@@ -512,7 +512,50 @@ object PipelineOps {
       ORDER BY o_orderpriority"""),
   )
 
+  /** CURRICULUM STAGING — order the corpus by a deterministic
+    * difficulty proxy (distinct-token count: lexical richness) and cut
+    * it into 5 equal-frequency training stages with ntile, easiest
+    * stage first. The per-doc score is an integer computed INSIDE the
+    * row's projection (array_distinct on the token array — no explode
+    * shuffle); the ntile ORDER BY carries the (score, doc_id) unique
+    * tiebreak so stage assignment is cluster-reproducible; per-stage
+    * profiles are integer sums. The emitted plan (stage → doc count +
+    * score/length profile) is what a data loader consumes to schedule
+    * epochs. */
+  val qCurriculum: GQuery = GQuery(
+    "q_curriculum",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars",
+          size(array_distinct(split($"text", " "))).cast("long").as("score"))
+        .withColumn("stage", ntile(5).over(
+          Window.orderBy($"score", $"doc_id")).cast("int"))
+        .groupBy($"stage")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"score").as("min_score"),
+          max($"score").as("max_score"),
+          sum($"n_chars").as("total_chars"))
+        .orderBy($"stage")
+    },
+    Some("""
+      SELECT stage, count(*) AS n_docs,
+             min(score) AS min_score, max(score) AS max_score,
+             cast(sum(n_chars) as bigint) AS total_chars
+      FROM (
+        SELECT doc_id, n_chars,
+               cast(len(list_distinct(string_split(text, ' '))) as bigint)
+                 AS score,
+               cast(ntile(5) OVER (ORDER BY
+                 cast(len(list_distinct(string_split(text, ' '))) as bigint),
+                 doc_id) as int) AS stage
+        FROM documents) t
+      GROUP BY stage ORDER BY stage"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
-      qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode)
+      qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
+      qCurriculum)
 }

@@ -825,9 +825,49 @@ object Windows {
       ORDER BY event_type, day"""),
   )
 
+  /** NTILE bucketing — equal-frequency quartiles of customers by
+    * account balance, with per-quartile integer-cent spend stats.
+    * Determinism: the ntile ORDER BY carries the §5.2 unique tiebreak
+    * (acctbal, custkey), so bucket boundaries are identical on any
+    * cluster; both engines assign remainder rows to the LEADING
+    * buckets (SQL-standard ntile). Balances aggregate in exact cents;
+    * the only doubles are the final per-quartile means. */
+  val qWinNtile: GQuery = GQuery(
+    "q_win_ntile",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"c_acctbal" * lit(100.0) + lit(0.5)).cast("long")
+      Tables.customer(spark, dir)
+        .select($"c_custkey", cents.as("bal"))
+        .withColumn("q", ntile(4).over(
+          Window.orderBy($"bal", $"c_custkey")).cast("int"))
+        .groupBy($"q")
+        .agg(count(lit(1)).as("n_customers"),
+          min($"bal").as("min_cents"),
+          max($"bal").as("max_cents"),
+          r2(sum($"bal").cast("double") / count(lit(1)) / lit(100.0))
+            .as("mean_balance"))
+        .orderBy($"q")
+    },
+    Some(s"""
+      SELECT q, count(*) AS n_customers,
+             min(bal) AS min_cents, max(bal) AS max_cents,
+             ${r2Sql("cast(sum(bal) as double) / count(*) " +
+               "/ cast(100.0 as double)")} AS mean_balance
+      FROM (
+        SELECT c_custkey,
+               cast(floor(c_acctbal * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint) AS bal,
+               cast(ntile(4) OVER (ORDER BY
+                 cast(floor(c_acctbal * cast(100.0 as double)
+                   + cast(0.5 as double)) as bigint), c_custkey) as int) AS q
+        FROM customer) t
+      GROUP BY q ORDER BY q"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
     qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear,
-    qSeasonal, qAnomaly)
+    qSeasonal, qAnomaly, qWinNtile)
 }

@@ -266,6 +266,58 @@ class InferRecSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("q_variant extraction agrees with the fixed-schema JSON path") {
+    // variant_get('$.k') must see exactly what from_json(map) sees
+    val v = run("q_variant").select(col("event_type"), col("sum_k")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sum_k")).toMap
+    val j = run("q_fn_json").select(col("event_type"), col("sum_k")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sum_k")).toMap
+    assert(v == j, s"variant=$v json=$j")
+  }
+
+  test("q_fn_hof lambda counts are internally consistent") {
+    val rows = run("q_fn_hof").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("long_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("token_chars") > r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("q_win_ntile quartiles are balanced and ordered") {
+    val rows = run("q_win_ntile").collect()
+    assert(rows.length == 4)
+    val sizes = rows.map(_.getAs[Long]("n_customers"))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.toSeq}")
+    // quartile value ranges must be non-overlapping and increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_cents") <= b.getAs[Long]("min_cents"))
+    }
+  }
+
+  test("q_burstiness index lies in (-1, 1)") {
+    val rows = run("q_burstiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0, s"${r.getAs[String]("event_type")}: $b")
+      assert(r.getAs[Double]("cv") >= 0)
+    }
+  }
+
+  test("q_curriculum stages are monotone in difficulty and cover the corpus") {
+    val rows = run("q_curriculum").collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_score") <= b.getAs[Long]("min_score") ||
+        a.getAs[Long]("max_score") == b.getAs[Long]("min_score"),
+        "stage score ranges out of order")
+      assert(a.getAs[Int]("stage") < b.getAs[Int]("stage"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
