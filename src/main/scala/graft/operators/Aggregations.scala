@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
 import graft.engine.GQuery._
@@ -339,6 +340,58 @@ object Aggregations {
       ORDER BY gid, returnflag, linestatus"""),
   )
 
+  /** WEIGHTED MEDIAN of line-item quantity, weighted by extended price —
+    * "the quantity at which half the REVENUE sits", the robust center
+    * the unweighted median misses when big orders skew value. Fully
+    * integer: weights are exact cents, the fact collapses to per-
+    * (flag, qty) weight sums first (combinable — the only full pass),
+    * the cumulative ride is over ≤50 distinct quantities per flag, and
+    * the median pick is the integer test 2·cum ≥ total (no total/2
+    * division to round). Ties impossible to mis-order: qty is the
+    * window's total order within flag. */
+  val qWeightedMedian: GQuery = GQuery(
+    "q_weighted_median",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = floor($"l_extendedprice" * lit(100.0) + lit(0.5)).cast("long")
+      val g = Tables.lineitem(spark, dir)
+        .select($"l_returnflag", $"l_quantity", w.as("w"))
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(sum($"w").as("ws"))
+      val wc = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wa = Window.partitionBy($"l_returnflag")
+      g.withColumn("cum", sum($"ws").over(wc))
+        .withColumn("tot", sum($"ws").over(wa))
+        .filter(lit(2L) * $"cum" >= $"tot")
+        .groupBy($"l_returnflag")
+        .agg(min($"l_quantity").as("weighted_median_qty"),
+          r2(max($"tot").cast("double") / lit(100.0)).as("total_revenue"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT l_returnflag, l_quantity,
+               cast(sum(cast(floor(l_extendedprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS ws
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT l_returnflag, l_quantity,
+               cast(sum(ws) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum,
+               cast(sum(ws) OVER (PARTITION BY l_returnflag) as bigint)
+                 AS tot
+        FROM g)
+      SELECT l_returnflag,
+             min(l_quantity) AS weighted_median_qty,
+             ${r2Sql("cast(max(tot) as double) / cast(100.0 as double)")}
+               AS total_revenue
+      FROM c WHERE 2 * cum >= tot
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   /** min_by / max_by (arg-extrema): who holds the largest / smallest
     * account balance per nation. The struct second argument gives a total
     * order (balance, then custkey) so ties are deterministic; DuckDB 1.0's
@@ -560,5 +613,6 @@ object Aggregations {
   val all: Seq[GQuery] =
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
       qPivot, qStringAgg, qAggBool, qAggStats, qGroupingSets, qMinmaxBy,
-      qHistogram, qAggSalted, qNullProfile, qOutlier, qMad)
+      qHistogram, qAggSalted, qNullProfile, qOutlier, qMad,
+      qWeightedMedian)
 }

@@ -663,6 +663,81 @@ object GraphOps {
     )
   }
 
+  /** TWO-HOP REACH per node — the "friends of friends" expansion that
+    * prices out recommendation fan-out before anyone runs it: for each
+    * co-purchase node, how many nodes sit at distance EXACTLY 2
+    * (2-hop paths minus self minus direct neighbors)? One self
+    * equi-join of the doubled edge list on the middle vertex gives
+    * 2-hop pairs (Σ deg² work — the quantity this query measures);
+    * strictness is a LEFT ANTI join against the edge list; per-node
+    * counts are combinable. The deg²-scaling is exactly why the graph
+    * keeps the p_size restriction — and why the reported
+    * reach-per-degree ratio is the capacity-planning number. */
+  val qTwoHop: GQuery = GQuery(
+    "q_2hop",
+    (spark, dir) => {
+      import spark.implicits._
+      val op = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val und = op.groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps)-1), i -> " +
+            "transform(sequence(i+1, size(ps)), j -> " +
+            "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+          .as("pr"))
+        .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+        .distinct()
+      val e = und.select($"pa".as("src"), $"pb".as("dst"))
+        .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
+        .localCheckpoint()
+      val two = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter($"src" =!= $"dst")
+        .distinct()
+      val strict = two.join(e, Seq("src", "dst"), "left_anti")
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      deg.join(strict.groupBy($"src").agg(count(lit(1)).as("n2")),
+          Seq("src"), "left")
+        .select($"src".as("node"), $"deg".cast("int").as("degree"),
+          coalesce($"n2", lit(0L)).cast("int").as("n_2hop"),
+          r6(coalesce($"n2", lit(0L)).cast("double") /
+            $"deg".cast("double")).as("reach_per_degree"))
+        .orderBy($"node")
+    },
+    Some(s"""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey AND p_size <= 10),
+      und AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      e AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM und
+        UNION ALL SELECT pb, pa FROM und),
+      two AS (
+        SELECT DISTINCT a.src, b.dst
+        FROM e a JOIN e b ON a.dst = b.src
+        WHERE a.src <> b.dst),
+      strict AS (
+        SELECT t.src, t.dst FROM two t
+        LEFT JOIN e ON e.src = t.src AND e.dst = t.dst
+        WHERE e.src IS NULL),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      n2 AS (SELECT src, count(*) AS n2 FROM strict GROUP BY src)
+      SELECT d.src AS node, cast(d.deg as int) AS degree,
+             cast(coalesce(n2.n2, 0) as int) AS n_2hop,
+             ${r6Sql("cast(coalesce(n2.n2, 0) as double) / " +
+               "cast(d.deg as double)")} AS reach_per_degree
+      FROM deg d LEFT JOIN n2 ON n2.src = d.src
+      ORDER BY node"""),
+  )
+
   val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
-    qHits, qAssortativity, qModularity)
+    qHits, qAssortativity, qModularity, qTwoHop)
 }

@@ -231,6 +231,105 @@ object QualityOps {
       FROM t GROUP BY s_nationkey ORDER BY s_nationkey"""),
   )
 
+  /** LENGTH-BIAS CALIBRATION per source — map every document's length
+    * to its CORPUS percentile with cume_dist and report each feed's
+    * mean percentile: a balanced feed sits at ~0.5, a long-doc feed
+    * drifts high — the check that catches a crawler that silently
+    * started truncating. cume_dist carries the (n_chars, doc_id)
+    * unique tiebreak, so no two rows are window peers and the value is
+    * exactly rank/n in both engines — deterministic with no tie
+    * semantics to disagree on. The unpartitioned window runs over the
+    * |docs|-row metadata projection (never the text); at 100 TB the
+    * same query ranks within partitions of a pre-sorted length index. */
+  val qQuantileMap: GQuery = GQuery(
+    "q_quantile_map",
+    (spark, dir) => {
+      import spark.implicits._
+      val p = Tables.documents(spark, dir)
+        .select($"source", $"n_chars", $"doc_id")
+        .withColumn("pctl",
+          cume_dist().over(Window.orderBy($"n_chars", $"doc_id")))
+      p.select($"source", rN($"pctl", 9).as("t"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          davg($"t", 6).as("mean_pctl"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT source,
+               cume_dist() OVER (ORDER BY n_chars, doc_id) AS pctl
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             ${davgSql(rNSql("pctl", 9), 6)} AS mean_pctl
+      FROM p GROUP BY source ORDER BY source"""),
+  )
+
+  /** HEAPS'-LAW VOCABULARY GROWTH — how fast does the corpus vocabulary
+    * grow as documents accumulate (in doc_id order)? The sub-linear
+    * curve is the dedup/quality fingerprint: a vocabulary that grows
+    * LINEARLY is noise or unique IDs; one that flattens early is
+    * boilerplate. Cumulative-distinct without quadratic state via the
+    * FIRST-OCCURRENCE trick: a token joins the vocabulary at its
+    * min(doc_id), so vocab(checkpoint) = count(first_doc ≤ chk) — one
+    * tokenize pass, one |vocab|-row aggregate, both combinable; the 10
+    * decile checkpoints (ntile over doc ids) broadcast. Output per
+    * checkpoint: cumulative tokens, vocabulary size, type-token ratio. */
+  val qHeaps: GQuery = GQuery(
+    "q_heaps",
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+      val firsts = tok.groupBy($"token").agg(min($"doc_id").as("first_doc"))
+      val perDoc = tok.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+      val chk = perDoc
+        .withColumn("dec", ntile(10).over(
+          Window.orderBy($"doc_id")).cast("int"))
+        .groupBy($"dec").agg(max($"doc_id").as("chk"))
+      val cumTok = broadcast(chk).join(perDoc, $"doc_id" <= $"chk")
+        .groupBy($"dec", $"chk").agg(sum($"nt").as("cum_tokens"))
+      val vocab = broadcast(chk.select($"dec".as("d2"), $"chk".as("c2")))
+        .join(firsts, $"first_doc" <= $"c2")
+        .groupBy($"d2".as("dec")).agg(count(lit(1)).as("vocab"))
+      cumTok.join(vocab, "dec")
+        .select($"dec".as("decile"), $"chk".as("last_doc"),
+          $"cum_tokens", $"vocab",
+          r6($"vocab".cast("double") / $"cum_tokens".cast("double"))
+            .as("type_token_ratio"))
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      firsts AS (
+        SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token),
+      per_doc AS (
+        SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+      chk AS (
+        SELECT dec, max(doc_id) AS chk FROM (
+          SELECT doc_id,
+                 cast(ntile(10) OVER (ORDER BY doc_id) as int) AS dec
+          FROM per_doc) t
+        GROUP BY dec),
+      ct AS (
+        SELECT dec, chk, cast(sum(nt) as bigint) AS cum_tokens
+        FROM chk JOIN per_doc ON doc_id <= chk
+        GROUP BY dec, chk),
+      vc AS (
+        SELECT dec, count(*) AS vocab
+        FROM chk JOIN firsts ON first_doc <= chk
+        GROUP BY dec)
+      SELECT ct.dec AS decile, chk AS last_doc, cum_tokens,
+             cast(vocab as bigint) AS vocab,
+             ${r6Sql("cast(vocab as double) / cast(cum_tokens as double)")}
+               AS type_token_ratio
+      FROM ct JOIN vc ON vc.dec = ct.dec
+      ORDER BY decile"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qNgramNovelty, qReadability, qTailIndex, qLangConfusion, qHhi)
+    qNgramNovelty, qReadability, qTailIndex, qLangConfusion, qHhi,
+    qQuantileMap, qHeaps)
 }

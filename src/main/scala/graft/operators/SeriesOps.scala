@@ -571,7 +571,52 @@ object SeriesOps {
       FROM j GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** WEEK-OVER-WEEK REVENUE GROWTH — the KPI time series every
+    * dashboard opens with. Weeks are epoch-day DIV 7 (pure integer
+    * arithmetic, immune to both engines' week-numbering conventions —
+    * the weekday-convention trap generalized); weekly revenue sums in
+    * exact integer cents; the 1-week lookback is an equi-join on
+    * wk−1 (the q_backtest_snaive rule — a row-offset window would
+    * silently bridge gap weeks). Growth is one IEEE division on
+    * integer cents, NULL for the first week via the left join. */
+  val qWowGrowth: GQuery = GQuery(
+    "q_wow_growth",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val weekly = Tables.orders(spark, dir)
+        .select(expr(
+          "datediff(to_date(o_orderdate), date '1970-01-01') div 7")
+          .cast("long").as("wk"), cents.as("c"))
+        .groupBy($"wk")
+        .agg(sum($"c").as("rev"))
+      val prev = weekly.select(($"wk" + 1L).as("wk"), $"rev".as("prev_rev"))
+      weekly.join(prev, Seq("wk"), "left")
+        .select($"wk".cast("int").as("week_idx"),
+          r2($"rev".cast("double") / lit(100.0)).as("revenue"),
+          r6(($"rev" - $"prev_rev").cast("double") /
+            $"prev_rev".cast("double")).as("wow_growth"))
+        .orderBy($"week_idx")
+    },
+    Some(s"""
+      WITH weekly AS (
+        SELECT cast(date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', o_orderdate) as date)) // 7
+                 as bigint) AS wk,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS rev
+        FROM orders GROUP BY 1)
+      SELECT cast(w.wk as int) AS week_idx,
+             ${r2Sql("cast(w.rev as double) / cast(100.0 as double)")}
+               AS revenue,
+             ${r6Sql("cast(w.rev - p.rev as double) / cast(p.rev as double)")}
+               AS wow_growth
+      FROM weekly w
+      LEFT JOIN weekly p ON p.wk = w.wk - 1
+      ORDER BY week_idx"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
-    qTrend, qSax, qBacktestSnaive)
+    qTrend, qSax, qBacktestSnaive, qWowGrowth)
 }

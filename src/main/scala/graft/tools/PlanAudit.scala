@@ -33,7 +33,11 @@ object PlanAudit {
     "q_kl_drift", "q_cramers_v", "q_assoc_rules",
     // bounded probe set (25 vectors) against the corpus scan; decile-edge
     // and prior-total 1-row broadcasts
-    "q_knn_classify", "q_psi", "q_target_encode")
+    "q_knn_classify", "q_psi", "q_target_encode",
+    // 10-row checkpoint broadcasts driving <= range joins (Heaps curve)
+    "q_heaps",
+    // 1-row normalization/edge-count/grand-moment broadcasts
+    "q_hits", "q_modularity", "q_jackknife")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

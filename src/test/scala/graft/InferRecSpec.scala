@@ -318,6 +318,68 @@ class InferRecSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("q_quantile_map percentiles average to ~0.5 corpus-wide") {
+    val rows = run("q_quantile_map").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val grand = rows.map(r =>
+      r.getAs[Double]("mean_pctl") * r.getAs[Long]("n_docs")).sum / n
+    // mean of cume_dist over all rows is (n+1)/2n -> ~0.5
+    assert(math.abs(grand - 0.5) < 0.01, s"grand mean pctl=$grand")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_pctl")
+      assert(m > 0 && m < 1)
+    }
+  }
+
+  test("q_wow_growth first week has null growth, revenue always positive") {
+    val rows = run("q_wow_growth").orderBy(col("week_idx")).collect()
+    assert(rows.length > 10)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("wow_growth")))
+    val gi = rows.head.fieldIndex("wow_growth")
+    assert(rows.tail.count(!_.isNullAt(gi)) > 10,
+      "consecutive weeks should have growth values")
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("q_2hop reach excludes self and direct neighbors") {
+    val rows = run("q_2hop").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("degree") >= 1)
+      assert(r.getAs[Int]("n_2hop") >= 0)
+    }
+    // on a connected-ish graph someone must have strict 2-hop reach
+    assert(rows.exists(_.getAs[Int]("n_2hop") > 0))
+  }
+
+  test("q_heaps vocabulary growth is monotone and sub-linear") {
+    val rows = run("q_heaps").orderBy(col("decile")).collect()
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_tokens") < b.getAs[Long]("cum_tokens"))
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+      // sub-linear growth: type-token ratio is non-increasing
+      assert(a.getAs[Double]("type_token_ratio") >=
+        b.getAs[Double]("type_token_ratio") - 1e-9)
+    }
+  }
+
+  test("q_weighted_median splits revenue mass at the reported quantity") {
+    val rows = run("q_weighted_median").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val med = r.getAs[Double]("weighted_median_qty")
+      val li = Tables.lineitem(spark, sf).filter(col("l_returnflag") === flag)
+      val below = li.filter(col("l_quantity") <= med)
+        .agg(sum(col("l_extendedprice"))).head.getDouble(0)
+      val total = li.agg(sum(col("l_extendedprice"))).head.getDouble(0)
+      assert(below >= total / 2 * 0.999,
+        s"$flag: mass below median = ${below / total}")
+    }
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
