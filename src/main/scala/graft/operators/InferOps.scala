@@ -173,14 +173,15 @@ object InferOps {
       val wAll = Window.partitionBy()
       val e = $"cx".cast("double") * $"cy".cast("double") /
         $"n".cast("double")
-      val dims = cells.agg(
-        countDistinct($"event_type").cast("int").as("r"),
-        countDistinct($"dow").cast("int").as("c"))
+      // r and c ride the SAME window pass over the <=35-cell table (a
+      // separate countDistinct aggregate branch re-scanned events —
+      // ReuseAudit); element order in the set is irrelevant to size()
       cells
         .withColumn("cx", sum($"cxy").over(wx))
         .withColumn("cy", sum($"cxy").over(wy))
         .withColumn("n", sum($"cxy").over(wAll))
-        .crossJoin(broadcast(dims))
+        .withColumn("r", size(collect_set($"event_type").over(wAll)))
+        .withColumn("c", size(collect_set($"dow").over(wAll)))
         .select($"n", $"r", $"c",
           rN(($"cxy".cast("double") - e) * ($"cxy".cast("double") - e) / e,
             9).as("term"))

@@ -519,14 +519,17 @@ object SeriesOps {
 
   /** SEASONAL-NAIVE FORECAST BACKTEST — the honesty check every
     * forecasting pipeline needs as its baseline: predict each day's
-    * event count with the value 7 days earlier (ŷ_t = y_{t−7}) and
-    * score MAPE + RMSE per event type over the scorable days. The
-    * 7-day lookback is an EQUI-JOIN of the daily aggregate with itself
-    * on (type, day−7) — not a window over a gap-sensitive row offset,
-    * so calendar gaps can't silently misalign the lag, and the join
-    * shuffles |types|×|days| rows at any scale. Counts are integers:
-    * squared errors sum exactly (RMSE is one division + √); MAPE
-    * terms are IEEE-rounded then decimal-averaged. */
+    * event count with the value 7 CALENDAR days earlier (ŷ_t = y_{t−7})
+    * and score MAPE + RMSE per event type over the scorable days. The
+    * lookback is a RANGE window frame pinned to exactly x−7 (`RANGE
+    * BETWEEN 7 PRECEDING AND 7 PRECEDING` on the integer day) — the
+    * one-pass form that is simultaneously calendar-correct (a missing
+    * day yields an empty frame → unscored, where a row-offset lag
+    * would silently misalign) and single-scan (the earlier self-join
+    * form read events twice; ReuseExchange could not dedup across the
+    * +7 projection). Counts are integers: squared errors sum exactly
+    * (RMSE is one division + √); MAPE terms are IEEE-rounded then
+    * decimal-averaged. */
   val qBacktestSnaive: GQuery = GQuery(
     "q_backtest_snaive",
     (spark, dir) => {
@@ -537,8 +540,11 @@ object SeriesOps {
             .cast("long").as("x"))
         .groupBy($"event_type", $"x")
         .agg(count(lit(1)).as("y"))
-      val fc = daily.select($"event_type", ($"x" + 7L).as("x"), $"y".as("f"))
-      daily.join(fc, Seq("event_type", "x"))
+      val w7 = Window.partitionBy($"event_type").orderBy($"x")
+        .rangeBetween(-7, -7)
+      daily
+        .withColumn("f", max($"y").over(w7))
+        .filter($"f".isNotNull)
         .select($"event_type",
           ($"y" - $"f").as("e"),
           rN(abs($"y" - $"f").cast("double") / $"y".cast("double"), 9)
@@ -557,13 +563,17 @@ object SeriesOps {
                  cast(date_trunc('day', ts) as date)) as bigint) AS x,
                count(*) AS y
         FROM events GROUP BY 1, 2),
+      fc AS (
+        SELECT event_type, y,
+               max(y) OVER (PARTITION BY event_type ORDER BY x
+                 RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS f
+        FROM daily),
       j AS (
-        SELECT a.event_type,
-               cast(a.y as bigint) - cast(f.y as bigint) AS e,
-               ${rNSql("cast(abs(cast(a.y as bigint) - cast(f.y as bigint))" +
-                 " as double) / cast(a.y as double)", 9)} AS ape
-        FROM daily a
-        JOIN daily f ON f.event_type = a.event_type AND f.x = a.x - 7)
+        SELECT event_type,
+               cast(y as bigint) - cast(f as bigint) AS e,
+               ${rNSql("cast(abs(cast(y as bigint) - cast(f as bigint))" +
+                 " as double) / cast(y as double)", 9)} AS ape
+        FROM fc WHERE f IS NOT NULL)
       SELECT event_type, cast(count(*) as int) AS n_scored,
              ${davgSql("ape", 6)} AS mape,
              ${r6Sql("sqrt(cast(sum(e * e) as double) / " +
@@ -575,10 +585,11 @@ object SeriesOps {
     * dashboard opens with. Weeks are epoch-day DIV 7 (pure integer
     * arithmetic, immune to both engines' week-numbering conventions —
     * the weekday-convention trap generalized); weekly revenue sums in
-    * exact integer cents; the 1-week lookback is an equi-join on
-    * wk−1 (the q_backtest_snaive rule — a row-offset window would
-    * silently bridge gap weeks). Growth is one IEEE division on
-    * integer cents, NULL for the first week via the left join. */
+    * exact integer cents; the 1-week lookback is a RANGE frame pinned
+    * to exactly wk−1 (the q_backtest_snaive one-pass form — a
+    * row-offset lag would silently bridge gap weeks, and a self-join
+    * scans orders twice). Growth is one IEEE division on integer
+    * cents, NULL where the previous week is absent (empty frame). */
   val qWowGrowth: GQuery = GQuery(
     "q_wow_growth",
     (spark, dir) => {
@@ -590,8 +601,9 @@ object SeriesOps {
           .cast("long").as("wk"), cents.as("c"))
         .groupBy($"wk")
         .agg(sum($"c").as("rev"))
-      val prev = weekly.select(($"wk" + 1L).as("wk"), $"rev".as("prev_rev"))
-      weekly.join(prev, Seq("wk"), "left")
+      val w1 = Window.orderBy($"wk").rangeBetween(-1, -1)
+      weekly
+        .withColumn("prev_rev", max($"rev").over(w1))
         .select($"wk".cast("int").as("week_idx"),
           r2($"rev".cast("double") / lit(100.0)).as("revenue"),
           r6(($"rev" - $"prev_rev").cast("double") /
@@ -605,15 +617,18 @@ object SeriesOps {
                  as bigint) AS wk,
                cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
                  + cast(0.5 as double)) as bigint)) as bigint) AS rev
-        FROM orders GROUP BY 1)
-      SELECT cast(w.wk as int) AS week_idx,
-             ${r2Sql("cast(w.rev as double) / cast(100.0 as double)")}
+        FROM orders GROUP BY 1),
+      fc AS (
+        SELECT wk, rev,
+               max(rev) OVER (ORDER BY wk
+                 RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_rev
+        FROM weekly)
+      SELECT cast(wk as int) AS week_idx,
+             ${r2Sql("cast(rev as double) / cast(100.0 as double)")}
                AS revenue,
-             ${r6Sql("cast(w.rev - p.rev as double) / cast(p.rev as double)")}
-               AS wow_growth
-      FROM weekly w
-      LEFT JOIN weekly p ON p.wk = w.wk - 1
-      ORDER BY week_idx"""),
+             ${r6Sql("cast(rev - prev_rev as double) / " +
+               "cast(prev_rev as double)")} AS wow_growth
+      FROM fc ORDER BY week_idx"""),
   )
 
   val all: Seq[GQuery] = Seq(
