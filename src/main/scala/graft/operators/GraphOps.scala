@@ -345,6 +345,10 @@ object GraphOps {
           .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
           .unionByName(verts.select($"v".as("src"), $"v".as("dst")))
           .localCheckpoint()
+        // per-round checkpoints measured FASTER here (2.75s vs 3.66s
+        // un-checkpointed at sf0.1) despite the labels being
+        // single-reference: truncating the lineage keeps each round's
+        // optimization + scheduling unit small
         var l = verts.withColumn("lbl", $"v")
         for (_ <- 1 to rounds) {
           val counts = e.join(l, $"src" === $"v")
@@ -575,6 +579,9 @@ object GraphOps {
           .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
           .unionByName(verts.select($"v".as("src"), $"v".as("dst")))
           .localCheckpoint()
+        // in-loop labels are single-reference (no checkpoints, the q_lpa
+        // rule); the FINAL labels feed three consumers (degree sum + both
+        // endpoint joins), so only that table materializes
         var l = verts.withColumn("lbl", $"v")
         for (_ <- 1 to rounds) {
           val counts = e.join(l, $"src" === $"v")
@@ -584,8 +591,8 @@ object GraphOps {
               Window.partitionBy($"dst").orderBy($"n".desc, $"lbl")))
             .filter($"rk" === 1)
             .select($"dst".as("v"), $"lbl")
-            .localCheckpoint()
         }
+        l = l.localCheckpoint()
         val mm = und.agg(count(lit(1)).as("m"))
         val degC = und.select($"pa".as("v"))
           .unionByName(und.select($"pb".as("v")))

@@ -28,16 +28,26 @@ object RecOps {
     "q_assoc_rules",
     (spark, dir) => {
       import spark.implicits._
-      val basket = Tables.lineitem(spark, dir)
+      // ONE scan of the fact: per-order brand sets (collect_set dedups),
+      // checkpointed for the three consumers (pair explode, per-brand
+      // support, order total) — the basket self-join form scanned
+      // lineitem three times (measured 1.7s -> ~0.9s at sf0.1)
+      val sets = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir)),
           $"l_partkey" === $"p_partkey")
-        .select($"l_orderkey".as("o"), $"p_brand".as("b"))
-        .distinct()
-      val supp = basket.groupBy($"b").agg(count(lit(1)).as("n"))
-      val tot = basket.agg(countDistinct($"o").as("nn"))
-      val co = basket.as("x").join(basket.as("y"),
-          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("a"), col("y.b").as("b"))
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"p_brand")).as("bs"))
+        .localCheckpoint()
+      val supp = sets.select(explode($"bs").as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("n"))
+      val tot = sets.agg(count(lit(1)).as("nn"))
+      val co = sets.filter(size($"bs") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(bs)-1), i -> " +
+            "transform(sequence(i+1, size(bs)), j -> " +
+            "struct(element_at(bs, i) as a, element_at(bs, j) as b))))"))
+          .as("pr"))
+        .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
         .agg(count(lit(1)).as("co"))
       val directed = co.unionByName(
         co.select($"b".as("a"), $"a".as("b"), $"co"))
@@ -94,15 +104,22 @@ object RecOps {
     "q_itemsim",
     (spark, dir) => {
       import spark.implicits._
-      val basket = Tables.lineitem(spark, dir)
+      // same single-scan basket collapse as q_assoc_rules
+      val sets = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir)),
           $"l_partkey" === $"p_partkey")
-        .select($"l_orderkey".as("o"), $"p_brand".as("b"))
-        .distinct()
-      val supp = basket.groupBy($"b").agg(count(lit(1)).as("n"))
-      val co = basket.as("x").join(basket.as("y"),
-          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("a"), col("y.b").as("b"))
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"p_brand")).as("bs"))
+        .localCheckpoint()
+      val supp = sets.select(explode($"bs").as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("n"))
+      val co = sets.filter(size($"bs") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(bs)-1), i -> " +
+            "transform(sequence(i+1, size(bs)), j -> " +
+            "struct(element_at(bs, i) as a, element_at(bs, j) as b))))"))
+          .as("pr"))
+        .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
         .agg(count(lit(1)).as("co"))
       val directed = co.unionByName(
         co.select($"b".as("a"), $"a".as("b"), $"co"))
