@@ -313,6 +313,63 @@ object Streams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class TopKOut(event_type: String, user_id: Long,
+      est_count: Long, err_bound: Long, rank: Int)
+
+  /** SPACE-SAVING HEAVY HITTERS — bounded-state streaming top-k: per
+    * event type, track at most `capacity` user counters; an untracked
+    * arrival evicts the MINIMUM counter and inherits its count (+1),
+    * recording that count as the new entry's error bound — the classic
+    * Metwally et al. guarantee: true_count ≤ est ≤ true_count + err,
+    * and any user with true frequency > N/capacity is guaranteed
+    * tracked. State is exactly `capacity` (user, est, err) triples per
+    * key no matter how many distinct users flow past — the property
+    * that makes per-key top-k viable on an unbounded stream where an
+    * exact counter map would grow with the key cardinality. Emits the
+    * current top-k (count desc, user asc — deterministic) each batch
+    * in Update mode. Ties on eviction break by SMALLEST user id, and
+    * batch rows process in (ts, event_id) order, so replays produce
+    * identical streams of snapshots. */
+  def spaceSavingTopK(events: Dataset[Ev], capacity: Int = 10, k: Int = 3,
+      watermarkDelay: String = "10 minutes"): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+
+    def update(key: String, rows: Iterator[Ev],
+        state: GroupState[Map[Long, (Long, Long)]]): Iterator[TopKOut] = {
+      if (state.hasTimedOut) Iterator.empty
+      else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var m = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+        sorted.foreach { e =>
+          m.get(e.user_id) match {
+            case Some((c, err)) => m = m.updated(e.user_id, (c + 1, err))
+            case None if m.size < capacity =>
+              m = m.updated(e.user_id, (1L, 0L))
+            case None =>
+              val (victim, (minC, _)) =
+                m.minBy { case (u, (c, _)) => (c, u) }
+              m = (m - victim).updated(e.user_id, (minC + 1, minC))
+          }
+        }
+        state.update(m)
+        m.toSeq
+          .map { case (u, (c, err)) => (u, c, err) }
+          .sortBy { case (u, c, _) => (-c, u) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((u, c, err), i) =>
+            TopKOut(key, u, c, err, i + 1) }
+          .iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   final case class AnomalyOut(event_type: String, event_id: Long,
       at_ts: Timestamp, value: Double, zscore: Double)
 

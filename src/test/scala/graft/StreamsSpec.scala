@@ -348,6 +348,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(an.head.zscore > 10.0, s"z=${an.head.zscore}")
   }
 
+  test("spaceSavingTopK tracks true heavy hitters within the error bound") {
+    // 40 distinct users through a 10-counter budget: user 7 (30 hits) and
+    // user 8 (20 hits) are far above N/capacity = 9 -> guaranteed tracked
+    var id = 0L
+    def ev(u: Long) = { id += 1; Ev(id, u, ts(id), "m", 0.0) }
+    val evs = (1 to 30).map(_ => ev(7)) ++ (1 to 20).map(_ => ev(8)) ++
+      (10L until 48L).map(ev)
+    val out = runStream(Seq(evs), mode = "update")(
+      df => Streams.spaceSavingTopK(df.as[Ev], capacity = 10, k = 3).toDF())
+    val snap = out.as[Streams.TopKOut].collect().sortBy(_.rank)
+    assert(snap.length == 3)
+    assert(snap(0).user_id == 7L && snap(1).user_id == 8L,
+      s"heavy hitters missed: ${snap.toSeq}")
+    // space-saving guarantee: true <= est <= true + err
+    val true7 = 30L // the 10..47 tail does not include user 7
+    assert(snap(0).est_count >= true7 &&
+      snap(0).est_count - snap(0).err_bound <= true7, s"${snap(0)}")
+    val true8 = 20L
+    assert(snap(1).est_count >= true8 &&
+      snap(1).est_count - snap(1).err_bound <= true8, s"${snap(1)}")
+  }
+
+  test("spaceSavingTopK state stays bounded and exact under capacity") {
+    // fewer distinct users than capacity -> exact counts, zero error
+    val evs = (1L to 5L).flatMap(u =>
+      (1 to u.toInt).map(i => Ev(u * 100 + i, u, ts(u * 10 + i), "m", 0.0)))
+    val out = runStream(Seq(evs), mode = "update")(
+      df => Streams.spaceSavingTopK(df.as[Ev], capacity = 10, k = 3).toDF())
+    val snap = out.as[Streams.TopKOut].collect().sortBy(_.rank)
+    assert(snap.map(_.user_id).toSeq == Seq(5L, 4L, 3L))
+    assert(snap.forall(_.err_bound == 0L), s"under capacity: ${snap.toSeq}")
+    assert(snap.map(_.est_count).toSeq == Seq(5L, 4L, 3L))
+  }
+
   test("welfordZscore matches the batch z-score on the same prefix") {
     val warm = (1 to 40).map(i =>
       Ev(i, 1, ts(i), "m", (i % 7).toDouble))
