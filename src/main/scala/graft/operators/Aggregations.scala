@@ -392,6 +392,39 @@ object Aggregations {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
+  /** MODE (most frequent value) per group — the categorical central
+    * tendency, built from counts + a rank-1 window rather than the
+    * engines' native mode() (whose tie-breaking is implementation-
+    * defined in BOTH Spark and DuckDB; here ties break deterministically
+    * toward the SMALLEST value). One combinable count pass over the
+    * fact; the argmax window runs over ≤|distinct values| rows per
+    * group. */
+  val qAggMode: GQuery = GQuery(
+    "q_agg_mode",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"l_returnflag")
+            .orderBy($"n".desc, $"l_quantity")))
+        .filter($"rk" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"),
+          $"n".as("n_occurrences"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             cast(n as bigint) AS n_occurrences
+      FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS n,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY count(*) DESC, l_quantity) AS rk
+        FROM lineitem GROUP BY l_returnflag, l_quantity) t
+      WHERE rk = 1 ORDER BY l_returnflag"""),
+  )
+
   /** min_by / max_by (arg-extrema): who holds the largest / smallest
     * account balance per nation. The struct second argument gives a total
     * order (balance, then custkey) so ties are deterministic; DuckDB 1.0's
@@ -614,5 +647,5 @@ object Aggregations {
     Seq(qPricing, qAggDistinct, qRollup, qCube, qPercentile, qArrayAgg,
       qPivot, qStringAgg, qAggBool, qAggStats, qGroupingSets, qMinmaxBy,
       qHistogram, qAggSalted, qNullProfile, qOutlier, qMad,
-      qWeightedMedian)
+      qWeightedMedian, qAggMode)
 }

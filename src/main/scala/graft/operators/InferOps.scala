@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -368,6 +369,80 @@ object InferOps {
       FROM sd"""),
   )
 
+  /** PEARSON CORRELATION MATRIX of the four lineitem measures — the
+    * feature-selection screen, as ONE aggregation pass: all 4 first
+    * moments + 4 second moments + 6 cross moments accumulate in exact
+    * decimal(30,6) (per-term double products round identically at the
+    * decimal cast — the dsum contract; raw integer staging would
+    * overflow int64 on price²·|rows|), then each of the 6 pair
+    * correlations is a fixed-shape IEEE expression over the single
+    * moment row. No per-pair repass, no corr() (whose internal
+    * accumulation order differs between engines). */
+  val qCorrMatrix: GQuery = {
+    val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    GQuery(
+      "q_corr_matrix",
+      (spark, dir) => {
+        import spark.implicits._
+        val dec = (c: Column) => c.cast("decimal(30,6)")
+        val sums =
+          Seq(count(lit(1)).as("n")) ++
+          vars.map { case (a, c) => sum(dec(col(c))).cast("double").as(s"s_$a") } ++
+          (for {
+            i <- vars.indices; j <- i until vars.length
+          } yield {
+            val (na, ca) = vars(i); val (nb, cb) = vars(j)
+            sum(dec(col(ca) * col(cb))).cast("double").as(s"p_${na}_$nb")
+          })
+        val m = Tables.lineitem(spark, dir).agg(sums.head, sums.tail: _*)
+        val pairCols = for {
+          i <- vars.indices; j <- (i + 1) until vars.length
+        } yield {
+          val (na, _) = vars(i); val (nb, _) = vars(j)
+          val n = col("n").cast("double")
+          val num = n * col(s"p_${na}_$nb") - col(s"s_$na") * col(s"s_$nb")
+          val da = n * col(s"p_${na}_$na") - col(s"s_$na") * col(s"s_$na")
+          val db = n * col(s"p_${nb}_$nb") - col(s"s_$nb") * col(s"s_$nb")
+          struct(lit(na).as("var_a"), lit(nb).as("var_b"),
+            rN(num / sqrt(da * db), 6).as("corr"))
+        }
+        m.select(explode(array(pairCols: _*)).as("p"))
+          .select($"p.var_a".as("var_a"), $"p.var_b".as("var_b"),
+            $"p.corr".as("corr"))
+          .orderBy($"var_a", $"var_b")
+      },
+      Some {
+        val moments =
+          Seq("cast(count(*) as bigint) AS n") ++
+          vars.map { case (a, c) =>
+            s"cast(sum(cast($c as decimal(30,6))) as double) AS s_$a" } ++
+          (for {
+            i <- vars.indices; j <- i until vars.length
+          } yield {
+            val (na, ca) = vars(i); val (nb, cb) = vars(j)
+            s"cast(sum(cast($ca * $cb as decimal(30,6))) as double) AS p_${na}_$nb"
+          })
+        val pairs = (for {
+          i <- vars.indices; j <- (i + 1) until vars.length
+        } yield {
+          val (na, _) = vars(i); val (nb, _) = vars(j)
+          val num = s"(cast(n as double) * p_${na}_$nb - s_$na * s_$nb)"
+          val da = s"(cast(n as double) * p_${na}_$na - s_$na * s_$na)"
+          val db = s"(cast(n as double) * p_${nb}_$nb - s_$nb * s_$nb)"
+          s"SELECT '$na' AS var_a, '$nb' AS var_b, " +
+            s"${rNSql(s"$num / sqrt($da * $db)", 6)} AS corr FROM m"
+        }).mkString("\n      UNION ALL ")
+        s"""
+      WITH m AS (
+        SELECT ${moments.mkString(",\n               ")}
+        FROM lineitem)
+      $pairs
+      ORDER BY var_a, var_b"""
+      },
+    )
+  }
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
-    qJackknife)
+    qJackknife, qCorrMatrix)
 }

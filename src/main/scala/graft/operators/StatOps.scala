@@ -697,7 +697,77 @@ object StatOps {
       FROM t GROUP BY 1, 2, 3 ORDER BY event_type"""),
   )
 
+  /** GLOBAL CLUSTERING COEFFICIENT — how much of the co-purchase
+    * graph's wedge capacity closes into triangles: C = 3·T/W, computed
+    * as 6·T/W₂ where W₂ = Σ deg(deg−1) keeps everything INTEGER (W₂ is
+    * always even, so wedges = W₂ div 2 is exact). Same support-≥2 +
+    * planted-4-clique edge list as q_triangles/q_conncomp
+    * (localCheckpoint'd — the triple-join references it three times and
+    * the degree pass twice); T is one count over the oriented
+    * triple-join, degrees one combinable groupBy over the doubled list.
+    * The planted clique guarantees T > 0 at every SF. */
+  val qClusteringCoef: GQuery = GQuery(
+    "q_clustering_coef",
+    (spark, dir) => {
+      import spark.implicits._
+      val lp = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val organic = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("s"))
+        .filter($"s" >= 2)
+        .select($"pa", $"pb")
+      val k4 = Seq(9000001L, 9000002L, 9000003L, 9000004L)
+      val planted = k4.combinations(2).map { case Seq(x, y) => (x, y) }
+        .toSeq.toDF("pa", "pb")
+      val e = organic.unionByName(planted).localCheckpoint()
+      val tri = e.as("x").join(e.as("y"), col("x.pb") === col("y.pa"))
+        .join(e.as("z"),
+          col("z.pa") === col("x.pa") && col("z.pb") === col("y.pb"))
+        .agg(count(lit(1)).as("t"))
+      val w2 = e.select($"pa".as("v"))
+        .unionByName(e.select($"pb".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+        .agg(sum($"d" * ($"d" - 1L)).as("w2"))
+      tri.crossJoin(broadcast(w2))
+        .select($"t".as("n_triangles"),
+          expr("w2 div 2").as("n_wedges"),
+          r6(lit(6L) * $"t".cast("double") / $"w2".cast("double"))
+            .as("clustering_coef"))
+    },
+    Some(s"""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      organic AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      planted AS (
+        SELECT cast(pa as bigint) AS pa, cast(pb as bigint) AS pb
+        FROM (VALUES (9000001, 9000002), (9000001, 9000003),
+                     (9000001, 9000004), (9000002, 9000003),
+                     (9000002, 9000004), (9000003, 9000004)) v(pa, pb)),
+      e AS MATERIALIZED (
+        SELECT pa, pb FROM organic UNION ALL SELECT pa, pb FROM planted),
+      tri AS (
+        SELECT cast(count(*) as bigint) AS t
+        FROM e x JOIN e y ON x.pb = y.pa
+                 JOIN e z ON z.pa = x.pa AND z.pb = y.pb),
+      w AS (
+        SELECT cast(sum(d * (d - 1)) as bigint) AS w2 FROM (
+          SELECT v, count(*) AS d FROM (
+            SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) t
+          GROUP BY v) dd)
+      SELECT t AS n_triangles, w2 // 2 AS n_wedges,
+             ${r6Sql("6 * cast(t as double) / cast(w2 as double)")}
+               AS clustering_coef
+      FROM tri CROSS JOIN w"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
-    qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi)
+    qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
+    qClusteringCoef)
 }

@@ -380,6 +380,49 @@ class InferRecSpec extends AnyFunSuite {
     }
   }
 
+  test("q_clustering_coef is consistent with q_triangles") {
+    val r = run("q_clustering_coef").head
+    val c = r.getAs[Double]("clustering_coef")
+    assert(c > 0 && c <= 1.0 + 1e-9, s"C=$c")
+    // the oriented triple-join in q_triangles emits each triangle once
+    assert(r.getAs[Long]("n_triangles") == run("q_triangles").count(),
+      "triangle counts disagree between the two queries")
+    assert(r.getAs[Long]("n_wedges") >= r.getAs[Long]("n_triangles") * 3)
+  }
+
+  test("q_agg_mode picks the true per-group maximum frequency") {
+    val rows = run("q_agg_mode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val maxN = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(r.getAs[Long]("n_occurrences") == maxN, flag)
+    }
+  }
+
+  test("q_corr_matrix values are correlations with the expected signs") {
+    val rows = run("q_corr_matrix").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9,
+        s"${r.getAs[String]("var_a")}~${r.getAs[String]("var_b")}: $c")
+    }
+    // all 6 unordered pairs exactly once
+    assert(rows.map(r => (r.getAs[String]("var_a"),
+      r.getAs[String]("var_b"))).distinct.length == 6)
+    // cross-check one cell against Spark's own corr() (float tolerance;
+    // the query's decimal staging differs from corr()'s streaming form)
+    val qp = rows.find(r => r.getAs[String]("var_a") == "qty" &&
+      r.getAs[String]("var_b") == "price").get.getAs[Double]("corr")
+    val ref = Tables.lineitem(spark, sf)
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).head.getDouble(0)
+    assert(math.abs(qp - ref) < 1e-4, s"query=$qp corr()=$ref")
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
