@@ -869,7 +869,143 @@ object ScaleOps {
       WHERE vr = 1 ORDER BY vec_id"""),
   )
 
+  /** INCREMENTAL (day-N) NEAR-DUP GATE as a declared query — the shape
+    * that actually runs daily at 100 TB: an arriving BATCH is checked
+    * against the existing CORPUS via the banded-minhash equi-join with
+    * the batch side on the LEFT and the corpus on the RIGHT — candidates
+    * are batch×corpus ONLY (corpus×corpus was the one-time backfill;
+    * re-running it daily is the classic cost bug). Batch = docs with
+    * id ≥ 400 plus planted near-copies of corpus docs (shifted ids), so
+    * true incoming duplicates exist at every SF and the gate can never
+    * pass vacuously. Signatures use the portable 16-minhash/4-band
+    * family (q_neardup_banded); candidates get the exact-Jaccard
+    * verification ≥ 0.8. Output: each duplicate batch doc with its
+    * matched corpus doc — the reject list a day-N ingest applies. */
+  val qDedupIncr: GQuery = GQuery(
+    "q_dedup_incr",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val corpus = base.filter($"doc_id" < 400)
+      val batch = base.filter($"doc_id" >= 400)
+        .unionByName(base.filter($"doc_id" < 40)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      def grams(docs: org.apache.spark.sql.DataFrame) = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      def sigs(g: org.apache.spark.sql.DataFrame) = {
+        val minhashes = (0 until 16).map { s =>
+          val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
+          min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
+        }
+        g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      }
+      def bands(s: org.apache.spark.sql.DataFrame) = {
+        val bandStructs = (0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+              col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as("sig")))
+        s.select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+          .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.sig".as("sig"))
+      }
+      val gb = grams(batch); val gc = grams(corpus)
+      val cand = bands(sigs(gb)).as("x").join(bands(sigs(gc)).as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.sig") === col("y.sig"))
+        .select(col("x.doc_id").as("batch_id"),
+          col("y.doc_id").as("corpus_id"))
+        .distinct()
+      val szB = gb.groupBy($"doc_id").agg(count(lit(1)).as("szb"))
+      val szC = gc.groupBy($"doc_id").agg(count(lit(1)).as("szc"))
+      val inter = broadcast(cand)
+        .join(gb.select($"doc_id".as("batch_id"), $"gram"), "batch_id")
+        .join(gc.select($"doc_id".as("corpus_id"), $"gram"),
+          Seq("corpus_id", "gram"))
+        .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(szB.select($"doc_id".as("batch_id"),
+          $"szb")), "batch_id")
+        .join(broadcast(szC.select($"doc_id".as("corpus_id"),
+          $"szc")), "corpus_id")
+        .withColumn("j", $"inter".cast("double") /
+          ($"szb" + $"szc" - $"inter").cast("double"))
+        .filter($"j" >= 0.8)
+        .select($"batch_id", $"corpus_id", r6($"j").as("jaccard"))
+        .orderBy($"batch_id", $"corpus_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound),
+      corpus AS (SELECT * FROM base WHERE doc_id < 400),
+      batch AS (
+        SELECT doc_id, text FROM base WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM base WHERE doc_id < 40),
+      ltb AS (SELECT doc_id, string_split(text, ' ') AS l FROM batch),
+      ltc AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+      gb AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(l) - 2),
+          i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+        FROM ltb),
+      gc AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(l) - 2),
+          i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+        FROM ltc),
+      sb AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM gb GROUP BY doc_id),
+      sc AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM gc GROUP BY doc_id),
+      bb AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sb")
+          .mkString("\n        UNION ALL ")}),
+      bc AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sc")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+        FROM bb x JOIN bc y
+          ON x.band_id = y.band_id AND x.sig = y.sig),
+      szb AS (SELECT doc_id, count(*) AS szb FROM gb GROUP BY doc_id),
+      szc AS (SELECT doc_id, count(*) AS szc FROM gc GROUP BY doc_id),
+      inter AS (
+        SELECT c.batch_id, c.corpus_id, count(*) AS inter
+        FROM cand c
+        JOIN gb ON gb.doc_id = c.batch_id
+        JOIN gc ON gc.doc_id = c.corpus_id AND gc.gram = gb.gram
+        GROUP BY 1, 2),
+      j AS (
+        SELECT batch_id, corpus_id,
+               cast(inter as double) /
+                 cast(szb.szb + szc.szc - inter as double) AS j
+        FROM inter
+        JOIN szb ON szb.doc_id = batch_id
+        JOIN szc ON szc.doc_id = corpus_id)
+      SELECT batch_id, corpus_id, ${r6Sql("j")} AS jaccard
+      FROM j WHERE j >= cast(0.8 as double)
+      ORDER BY batch_id, corpus_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
-    qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify)
+    qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
+    qDedupIncr)
 }

@@ -423,6 +423,23 @@ class InferRecSpec extends AnyFunSuite {
     assert(math.abs(qp - ref) < 1e-4, s"query=$qp corr()=$ref")
   }
 
+  test("q_dedup_incr catches every planted incoming duplicate") {
+    val rows = run("q_dedup_incr").collect()
+    assert(rows.nonEmpty)
+    // each planted batch doc (id+2000000, identical text) must match its
+    // own corpus source with Jaccard 1.0
+    val planted = rows.filter(_.getAs[Long]("batch_id") >= 2000000L)
+    assert(planted.nonEmpty, "planted duplicates not detected")
+    val selfMatched = planted.filter(r =>
+      r.getAs[Long]("batch_id") - 2000000L == r.getAs[Long]("corpus_id"))
+    assert(selfMatched.length >= 35, // 40 planted; tiny docs (<3 grams) exempt
+      s"only ${selfMatched.length} planted docs matched their source")
+    selfMatched.foreach(r =>
+      assert(r.getAs[Double]("jaccard") == 1.0, r.toString))
+    val p = run("q_dedup_incr").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
