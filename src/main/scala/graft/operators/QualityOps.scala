@@ -329,7 +329,76 @@ object QualityOps {
       ORDER BY decile"""),
   )
 
+  /** PER-CLASS PRECISION / RECALL / F1 of the heuristic language-ID
+    * against the declared label — the classification-evaluation
+    * operator family, composed from the SAME classifier output that
+    * feeds q_lang_confusion (one source of truth for the predictions;
+    * the oracle nests q_langid's SQL the same way). All counts are
+    * integers off the ≤25-cell confusion matrix; the metric divisions
+    * are CASE-guarded on both sides because ANSI Spark ERRORS on /0
+    * where a lazy engine would emit NaN — a class the classifier never
+    * predicts gets NULL precision/F1, not a crash. */
+  val qPrf: GQuery = GQuery(
+    "q_prf",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = LlmOps.qLangId.run(spark, dir)
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val rowT = m.groupBy($"lang").agg(sum($"n").as("n_true"))
+      val colT = m.groupBy($"lang_pred").agg(sum($"n").as("n_pred"))
+      val diag = m.filter($"lang" === $"lang_pred")
+        .select($"lang", $"n".as("tp"))
+      val j = rowT
+        .join(broadcast(diag), Seq("lang"), "left")
+        .join(broadcast(colT.select($"lang_pred".as("lang"), $"n_pred")),
+          Seq("lang"), "left")
+        .select($"lang",
+          coalesce($"tp", lit(0L)).as("tp"),
+          $"n_true",
+          coalesce($"n_pred", lit(0L)).as("n_pred"))
+      val p = when($"n_pred" > 0,
+        $"tp".cast("double") / $"n_pred".cast("double"))
+      val r = $"tp".cast("double") / $"n_true".cast("double")
+      j.select($"lang", $"tp", $"n_true", $"n_pred",
+          r6(p).as("precision"), r6(r).as("recall"),
+          r6(when($"n_pred" > 0 && ($"tp" > 0),
+            lit(2.0) * p * r / (p + r))).as("f1"))
+        .orderBy($"lang")
+    },
+    LlmOps.qLangId.oracle.map(inner => s"""
+      WITH m AS (
+        SELECT lang, lang_pred, count(*) AS n
+        FROM ($inner) li
+        GROUP BY lang, lang_pred),
+      rt AS (SELECT lang, cast(sum(n) as bigint) AS n_true
+             FROM m GROUP BY lang),
+      ct AS (SELECT lang_pred, cast(sum(n) as bigint) AS n_pred
+             FROM m GROUP BY lang_pred),
+      dg AS (SELECT lang, cast(n as bigint) AS tp
+             FROM m WHERE lang = lang_pred),
+      j AS (
+        SELECT rt.lang, coalesce(dg.tp, 0) AS tp, rt.n_true,
+               coalesce(ct.n_pred, 0) AS n_pred
+        FROM rt
+        LEFT JOIN dg ON dg.lang = rt.lang
+        LEFT JOIN ct ON ct.lang_pred = rt.lang)
+      SELECT lang, tp, n_true, n_pred,
+             ${r6Sql("CASE WHEN n_pred > 0 THEN " +
+               "cast(tp as double) / cast(n_pred as double) END")}
+               AS precision,
+             ${r6Sql("cast(tp as double) / cast(n_true as double)")}
+               AS recall,
+             ${r6Sql("CASE WHEN n_pred > 0 AND tp > 0 THEN " +
+               "cast(2.0 as double) * " +
+               "(cast(tp as double) / cast(n_pred as double)) * " +
+               "(cast(tp as double) / cast(n_true as double)) / " +
+               "((cast(tp as double) / cast(n_pred as double)) + " +
+               "(cast(tp as double) / cast(n_true as double))) END")} AS f1
+      FROM j ORDER BY lang"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNgramNovelty, qReadability, qTailIndex, qLangConfusion, qHhi,
-    qQuantileMap, qHeaps)
+    qQuantileMap, qHeaps, qPrf)
 }

@@ -440,6 +440,28 @@ class InferRecSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_prf metrics reconcile with the confusion matrix") {
+    val rows = run("q_prf").collect()
+    assert(rows.nonEmpty)
+    val total = run("q_lang_confusion")
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    // every true doc appears in exactly one class row
+    assert(rows.map(_.getAs[Long]("n_true")).sum == total)
+    rows.foreach { r =>
+      val tp = r.getAs[Long]("tp")
+      assert(tp <= r.getAs[Long]("n_true") && tp <= r.getAs[Long]("n_pred"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0 && rec <= 1.0 + 1e-9)
+      if (!r.isNullAt(r.fieldIndex("f1"))) {
+        val f1 = r.getAs[Double]("f1")
+        val p = r.getAs[Double]("precision")
+        // F1 is the harmonic mean: bounded by min and max of (p, rec)
+        assert(f1 <= math.max(p, rec) + 1e-6 &&
+          f1 >= math.min(p, rec) - 1e-6, s"$r")
+      }
+    }
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
