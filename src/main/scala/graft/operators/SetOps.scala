@@ -230,7 +230,94 @@ object SetOps {
       ORDER BY nk"""),
   )
 
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic
+    * semantics test every engine must get right: `x NOT IN (subquery)`
+    * is UNKNOWN (filters the row) whenever the subquery contains a
+    * NULL, while the NOT EXISTS form ignores NULLs and returns the
+    * intuitive complement. The subquery (`CASE WHEN price > avg THEN
+    * custkey END`) always yields both NULLs and values, so the two
+    * counts differ by construction — an engine that "fixes" NOT IN to
+    * act like NOT EXISTS hash-mismatches. Spark plans the NOT IN as a
+    * null-aware anti join (the SQL surface is the point here — this is
+    * the one declared query exercising spark.sql directly). */
+  val qNotInNull: GQuery = GQuery(
+    "q_not_in_null",
+    (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("nin_customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("nin_orders")
+      spark.sql("""
+        SELECT
+          (SELECT count(*) FROM nin_customer
+           WHERE c_custkey NOT IN (
+             SELECT CASE WHEN o_totalprice >
+                 (SELECT cast(sum(cast(o_totalprice as decimal(30,6))) as double) / count(*) FROM nin_orders)
+               THEN o_custkey END
+             FROM nin_orders)) AS n_not_in,
+          (SELECT count(*) FROM nin_customer c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM nin_orders o
+             WHERE o.o_totalprice >
+                 (SELECT cast(sum(cast(o_totalprice as decimal(30,6))) as double) / count(*) FROM nin_orders)
+               AND o.o_custkey = c.c_custkey)) AS n_not_exists""")
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT CASE WHEN o_totalprice >
+               (SELECT cast(sum(cast(o_totalprice as decimal(30,6))) as double) / count(*) FROM orders)
+             THEN o_custkey END
+           FROM orders)) AS n_not_in,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_totalprice > (SELECT cast(sum(cast(o_totalprice as decimal(30,6))) as double) / count(*) FROM orders)
+             AND o.o_custkey = c.c_custkey)) AS n_not_exists"""),
+  )
+
+  /** SCHEMA-EVOLUTION UNION — the lake reality where yesterday's files
+    * lack today's columns: a v1 slice (doc_id, text, lang) unions a v2
+    * slice (doc_id, lang, source, n_chars) via unionByName with
+    * allowMissingColumns, absent fields padded NULL — then the
+    * per-lang null profile audits exactly which generation is missing
+    * what. The oracle spells out the padding with explicit NULL casts,
+    * so an engine mis-aligning columns by POSITION (the classic union
+    * bug this operator exists to avoid) hash-mismatches. */
+  val qUnionEvolve: GQuery = GQuery(
+    "q_union_evolve",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val v1 = docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text", $"lang")
+      val v2 = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"text".isNull.cast("long")).as("null_text"),
+          sum($"source".isNull.cast("long")).as("null_source"),
+          sum(coalesce($"n_chars", lit(0L))).as("v2_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, text, lang,
+               cast(NULL as varchar) AS source, cast(NULL as bigint) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, cast(NULL as varchar) AS text, lang, source, n_chars
+        FROM documents WHERE doc_id % 2 = 1)
+      SELECT lang, count(*) AS n_rows,
+             cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) as bigint)
+               AS null_text,
+             cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) as bigint)
+               AS null_source,
+             cast(sum(coalesce(n_chars, 0)) as bigint) AS v2_chars
+      FROM u GROUP BY lang ORDER BY lang"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept, qSubquery,
-      qLateral, qRecursive, qCorrScalar, qSetAll)
+      qLateral, qRecursive, qCorrScalar, qSetAll, qNotInNull, qUnionEvolve)
 }

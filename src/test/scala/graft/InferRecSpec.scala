@@ -462,6 +462,28 @@ class InferRecSpec extends AnyFunSuite {
     }
   }
 
+  test("q_not_in_null exhibits the three-valued-logic divergence") {
+    val r = run("q_not_in_null").head
+    // the subquery always contains NULLs -> NOT IN filters everything
+    assert(r.getAs[Long]("n_not_in") == 0L)
+    // NOT EXISTS ignores NULLs -> the intuitive complement is nonzero
+    assert(r.getAs[Long]("n_not_exists") >= 0L)
+    assert(r.getAs[Long]("n_not_exists") <=
+      Tables.customer(spark, sf).count())
+  }
+
+  test("q_union_evolve pads exactly the missing generation columns") {
+    val rows = run("q_union_evolve").collect()
+    assert(rows.nonEmpty)
+    val nulls = rows.map(r =>
+      (r.getAs[Long]("null_text"), r.getAs[Long]("null_source"),
+        r.getAs[Long]("n_rows"))).toSeq
+    // every row is missing exactly one generation's columns
+    nulls.foreach { case (nt, ns, n) => assert(nt + ns == n, s"$nt+$ns!=$n") }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
