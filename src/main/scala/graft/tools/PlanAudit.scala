@@ -37,7 +37,7 @@ object PlanAudit {
     // 10-row checkpoint broadcasts driving <= range joins (Heaps curve)
     "q_heaps",
     // 1-row normalization/edge-count/grand-moment broadcasts
-    "q_hits", "q_modularity", "q_jackknife")
+    "q_hits", "q_modularity", "q_jackknife", "q_clustering_coef")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
