@@ -904,8 +904,54 @@ object EventOps {
       FROM e ORDER BY event_type"""),
   )
 
+  /** NEW vs RETURNING daily actives — the growth-accounting split every
+    * product dashboard leads with: per day, how many active users saw
+    * their FIRST-EVER event that day vs came back. The (user, day)
+    * activity table collapses first (combinable distinct); each user's
+    * first day is one min-groupBy; the split is an equi-join of two
+    * \|users\|-bounded tables — never a self-join of raw events. At
+    * 100 TB the firsts table is the incrementally-maintained user
+    * dimension and only the day's partition joins it. */
+  val qNewVsReturning: GQuery = GQuery(
+    "q_new_vs_returning",
+    (spark, dir) => {
+      import spark.implicits._
+      val ud = Tables.events(spark, dir)
+        .select($"user_id", to_date($"ts").as("day"))
+        .distinct()
+      val firsts = ud.groupBy($"user_id").agg(min($"day").as("first_day"))
+      ud.join(broadcast(firsts), "user_id")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+        .select($"day", $"n_active", $"n_new",
+          ($"n_active" - $"n_new").as("n_returning"),
+          r6($"n_new".cast("double") / $"n_active".cast("double"))
+            .as("new_share"))
+        .orderBy($"day")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               cast(date_trunc('day', ts) as date) AS day
+        FROM events),
+      firsts AS (
+        SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+      j AS (
+        SELECT day, count(*) AS n_active,
+               cast(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                 as bigint) AS n_new
+        FROM ud JOIN firsts USING (user_id)
+        GROUP BY day)
+      SELECT day, n_active, n_new,
+             n_active - n_new AS n_returning,
+             ${r6Sql("cast(n_new as double) / cast(n_active as double)")}
+               AS new_share
+      FROM j ORDER BY day"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
-      qEventCollapse, qBurstiness)
+      qEventCollapse, qBurstiness, qNewVsReturning)
 }

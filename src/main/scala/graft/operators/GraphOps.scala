@@ -745,6 +745,83 @@ object GraphOps {
       ORDER BY node"""),
   )
 
+  /** ENTROPY RATE of the behavioral Markov chain — how predictable is
+    * the NEXT event given the current one? H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ
+    * with π approximated by q_markov's 4-step distribution (same
+    * matrix, same power iteration, same decimal-staging contract), so
+    * the two queries agree state for state. ln runs on the 12-dp
+    * rounded pᵢⱼ (identical inputs in both engines, the q_entropy ln
+    * contract) and the 25 weighted terms decimal-sum. One row:
+    * state count + the rate in nats — 0 means deterministic behavior,
+    * ln(5)≈1.609 means uniform chaos. */
+  val qEntropyRate: GQuery = {
+    val steps = 4
+    GQuery(
+      "q_entropy_rate",
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val m = Tables.events(spark, dir)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type".as("i"), $"event_type".as("j"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", rN($"n".cast("double") /
+            sum($"n").over(Window.partitionBy($"i")).cast("double"), 12))
+          .select($"i", $"j", $"p")
+          .localCheckpoint()
+        var v = m.select($"i".as("state")).distinct()
+          .withColumn("prob", lit(0.2))
+        for (_ <- 1 to steps) {
+          v = v.join(m, $"state" === $"i")
+            .select($"j", rN($"prob" * $"p", 12).as("term"))
+            .groupBy($"j")
+            .agg(sum($"term".cast("decimal(30,12)")).cast("double")
+              .as("prob"))
+            .select($"j".as("state"), $"prob")
+        }
+        v.join(m, $"state" === $"i")
+          .select(rN(-$"prob" * $"p" * log($"p"), 12).as("t"))
+          .agg(count(lit(1)).cast("int").as("n_transitions"),
+            dsum($"t", 6).as("entropy_rate_nats"))
+      },
+      Some {
+        val chain = (1 to steps).map { s =>
+          s"""v$s AS (
+             |  SELECT j AS state,
+             |         cast(sum(cast(${rNSql(s"prob * p", 12)}
+             |           as decimal(30,12))) as double) AS prob
+             |  FROM v${s - 1} JOIN m ON state = i
+             |  GROUP BY j)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH st AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id) AS prev_type
+          FROM events),
+        cnt AS (
+          SELECT prev_type AS i, event_type AS j, count(*) AS n
+          FROM st WHERE prev_type IS NOT NULL
+          GROUP BY i, j),
+        m AS MATERIALIZED (
+          SELECT i, j, ${rNSql("cast(n as double) / cast(sum(n) OVER " +
+                "(PARTITION BY i) as double)", 12)} AS p
+          FROM cnt),
+        v0 AS (SELECT DISTINCT i AS state, cast(0.2 as double) AS prob
+               FROM m),
+        $chain,
+        t AS (
+          SELECT ${rNSql("-prob * p * ln(p)", 12)} AS t
+          FROM v$steps JOIN m ON state = i)
+        SELECT cast(count(*) as int) AS n_transitions,
+               ${dsumSql("t", 6)} AS entropy_rate_nats
+        FROM t"""
+      },
+    )
+  }
+
   val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
-    qHits, qAssortativity, qModularity, qTwoHop)
+    qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate)
 }

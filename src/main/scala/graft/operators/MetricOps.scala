@@ -433,6 +433,70 @@ object MetricOps {
       FROM t GROUP BY 1, 2 ORDER BY n_name"""),
   )
 
+  /** ABC INVENTORY CLASSIFICATION — rank parts by revenue and cut the
+    * cumulative share at 80%/95% into the classic A/B/C tiers. The
+    * class boundaries are INTEGER comparisons (5·cum ≤ 4·tot and
+    * 20·cum ≤ 19·tot on exact cents — no 0.8·tot float to round), so a
+    * part can never flip class across engines or partitionings; the
+    * rank order carries the (revenue, partkey) unique tiebreak. One
+    * combinable revenue groupBy over the fact; the cumulative ride is
+    * a window over the \|parts\|-bounded aggregate. */
+  val qAbc: GQuery = GQuery(
+    "q_abc",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"l_extendedprice" *
+        (lit(1.0) - $"l_discount") * lit(100.0) + lit(0.5)).cast("long")
+      val rev = Tables.lineitem(spark, dir)
+        .select($"l_partkey", cents.as("c"))
+        .groupBy($"l_partkey")
+        .agg(sum($"c").as("rev"))
+      val wc = Window.orderBy($"rev".desc, $"l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      rev
+        .withColumn("cum", sum($"rev").over(wc))
+        .withColumn("tot", sum($"rev").over(wAll))
+        .withColumn("cls",
+          when($"cum" * 5L <= $"tot" * 4L, "A")
+            .when($"cum" * 20L <= $"tot" * 19L, "B")
+            .otherwise("C"))
+        .groupBy($"cls")
+        .agg(count(lit(1)).as("n_parts"),
+          r2(sum($"rev").cast("double") / lit(100.0)).as("revenue"),
+          r6(sum($"rev").cast("double") / max($"tot").cast("double"))
+            .as("share"))
+        .orderBy($"cls")
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT l_partkey,
+               cast(sum(cast(floor(l_extendedprice *
+                 (cast(1.0 as double) - l_discount) *
+                 cast(100.0 as double) + cast(0.5 as double)) as bigint))
+                 as bigint) AS rev
+        FROM lineitem GROUP BY l_partkey),
+      c AS (
+        SELECT l_partkey, rev,
+               cast(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum,
+               cast(sum(rev) OVER () as bigint) AS tot
+        FROM rev),
+      k AS (
+        SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS cls,
+               rev, tot
+        FROM c)
+      SELECT cls, count(*) AS n_parts,
+             ${r2Sql("cast(sum(rev) as double) / cast(100.0 as double)")}
+               AS revenue,
+             ${r6Sql("cast(sum(rev) as double) / cast(max(tot) as double)")}
+               AS share
+      FROM k GROUP BY cls ORDER BY cls"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil)
+    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc)
 }

@@ -484,6 +484,45 @@ class InferRecSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("q_abc classes partition the revenue with the 80/95 structure") {
+    val rows = run("q_abc").collect()
+    assert(rows.map(_.getAs[String]("cls")).toSet.subsetOf(Set("A", "B", "C")))
+    val shares = rows.map(r =>
+      r.getAs[String]("cls") -> r.getAs[Double]("share")).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-3)
+    // A holds at most 80% of revenue by construction; C the tail
+    assert(shares.getOrElse("A", 0.0) <= 0.80 + 1e-6)
+    // A has fewer parts than C on a concentrated distribution? not
+    // guaranteed on uniform data - assert the cumulative structure only
+    val n = rows.map(_.getAs[Long]("n_parts")).sum
+    assert(n == Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count())
+  }
+
+  test("q_new_vs_returning: day one is all-new, totals reconcile") {
+    val rows = run("q_new_vs_returning").orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_active"),
+      "every user on the first day is new")
+    assert(math.abs(first.getAs[Double]("new_share") - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_active"))
+    }
+    // total new users across days == distinct users
+    assert(rows.map(_.getAs[Long]("n_new")).sum ==
+      Tables.events(spark, sf).select(col("user_id")).distinct().count())
+  }
+
+  test("q_entropy_rate is bounded by the uniform-chain maximum") {
+    val r = run("q_entropy_rate").head
+    val h = r.getAs[Double]("entropy_rate_nats")
+    val states = run("q_markov").count().toDouble
+    assert(h >= 0 && h <= math.log(states) + 1e-6,
+      s"H=$h vs ln($states)=${math.log(states)}")
+  }
+
   test("ORC and XML roundtrips preserve the source tables exactly") {
     val orc = run("q_source_orc").collect()
     val direct = Tables.documents(spark, sf)
