@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Classifier-evaluation metrics over the heuristic language-ID
+  * (q_langid is the single source of truth for predictions, q_prf's
+  * precedent): ROC AUC, Cohen's kappa, Matthews correlation, and binned
+  * calibration error. Every metric reduces the corpus to INTEGER counts
+  * first — a confusion matrix, or per-distinct-score (positives,
+  * negatives) pairs — in one combinable groupBy, then evaluates the
+  * closed form over a value-bounded table. No ranks over raw rows
+  * anywhere: AUC uses the pairwise-count identity on the distinct-score
+  * axis, so the only unpartitioned window rides a table bounded by the
+  * number of DISTINCT scores (a small rational family s_en/n_tokens),
+  * not by corpus size.
+  */
+object EvalOps {
+
+  /** Continuous score for the binary "is English" task: density of the
+    * five English marker stopwords among whitespace tokens. Shared by
+    * q_roc_auc and q_ece; the SQL twin must stay textually in lockstep. */
+  private def scoredDocs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        expr("size(filter(split(text, ' '), t -> t IN " +
+          "('the', 'and', 'of', 'to', 'in')))").cast("long").as("hits"),
+        expr("size(split(text, ' '))").cast("long").as("nt"))
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"),
+        ($"hits".cast("double") / $"nt".cast("double")).as("score"))
+  }
+
+  private val scoredDocsSql: String = """
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               cast(len(list_filter(string_split(text, ' '), t -> t IN
+                 ('the', 'and', 'of', 'to', 'in'))) as double) /
+                 cast(len(string_split(text, ' ')) as double) AS score
+        FROM documents"""
+
+  /** ROC AUC of the English-marker-density score against the declared
+    * label, via the Mann–Whitney pairwise identity: AUC = (#{pos>neg} +
+    * ½#{ties}) / (n₁n₀). The corpus collapses to one row per DISTINCT
+    * score carrying integer (np, nn) counts; doubling the numerator
+    * (2·wins + ties) keeps every intermediate an exact bigint, so the
+    * statistic cannot drift with shuffle order. The cumulative
+    * negatives-below window runs on the distinct-score table only — at
+    * 100 TB the raw-row pass stays a combinable groupBy and this window
+    * still sees a few hundred rows. */
+  val qRocAuc: GQuery = GQuery(
+    "q_roc_auc",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = scoredDocs(spark, dir)
+        .groupBy($"score")
+        .agg(sum($"pos").as("np"), sum(lit(1L) - $"pos").as("nn"))
+      val wBelow = Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      g.withColumn("cum_nn", coalesce(sum($"nn").over(wBelow), lit(0L)))
+        .withColumn("n1", sum($"np").over(wAll))
+        .withColumn("n0", sum($"nn").over(wAll))
+        .agg(
+          max($"n1").as("n_pos"),
+          max($"n0").as("n_neg"),
+          sum($"np" * (lit(2L) * $"cum_nn" + $"nn")).as("num2"),
+          max($"n1" * $"n0").as("den"))
+        .select($"n_pos", $"n_neg",
+          r6($"num2".cast("double") /
+            (lit(2.0) * $"den".cast("double"))).as("auc"),
+          r6($"num2".cast("double") / $"den".cast("double") - lit(1.0))
+            .as("gini_coef"))
+    },
+    Some(s"""
+      WITH s AS ($scoredDocsSql),
+      g AS (
+        SELECT score, cast(sum(pos) as bigint) AS np,
+               cast(sum(1 - pos) as bigint) AS nn
+        FROM s GROUP BY score),
+      c AS (
+        SELECT np, nn,
+               cast(coalesce(sum(nn) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum_nn,
+               cast(sum(np) OVER () as bigint) AS n1,
+               cast(sum(nn) OVER () as bigint) AS n0
+        FROM g),
+      a AS (
+        SELECT max(n1) AS n_pos, max(n0) AS n_neg,
+               cast(sum(np * (2 * cum_nn + nn)) as bigint) AS num2,
+               max(n1 * n0) AS den
+        FROM c)
+      SELECT n_pos, n_neg,
+             ${r6Sql("cast(num2 as double) / " +
+               "(cast(2.0 as double) * cast(den as double))")} AS auc,
+             ${r6Sql("cast(num2 as double) / cast(den as double) - " +
+               "cast(1.0 as double)")} AS gini_coef
+      FROM a"""),
+  )
+
+  /** COHEN'S KAPPA: chance-corrected agreement between the declared
+    * language and the language-ID prediction, over the full ≤36-cell
+    * confusion matrix. κ = (N·Σdiag − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ)
+    * keeps numerator and denominator exact bigints; only the final
+    * division (and the po/pe report columns) are IEEE doubles. */
+  val qKappa: GQuery = GQuery(
+    "q_kappa",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = LlmOps.qLangId.run(spark, dir)
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val rowT = m.groupBy($"lang").agg(sum($"n").as("rt"))
+      val colT = m.groupBy($"lang_pred".as("lang")).agg(sum($"n").as("ct"))
+      val margins = rowT.join(colT, Seq("lang"), "full")
+        .agg(sum(coalesce($"rt", lit(0L)) * coalesce($"ct", lit(0L)))
+          .as("pe_num"))
+      val totals = m.agg(
+        sum($"n").as("n_docs"),
+        sum(when($"lang" === $"lang_pred", $"n").otherwise(0L)).as("diag"))
+      totals.crossJoin(broadcast(margins))
+        .select($"n_docs", $"diag",
+          r6($"diag".cast("double") / $"n_docs".cast("double")).as("po"),
+          r6($"pe_num".cast("double") /
+            ($"n_docs" * $"n_docs").cast("double")).as("pe"),
+          r6(($"n_docs" * $"diag" - $"pe_num").cast("double") /
+            ($"n_docs" * $"n_docs" - $"pe_num").cast("double")).as("kappa"))
+    },
+    LlmOps.qLangId.oracle.map(inner => s"""
+      WITH m AS (
+        SELECT lang, lang_pred, count(*) AS n
+        FROM ($inner) li GROUP BY lang, lang_pred),
+      rt AS (SELECT lang, cast(sum(n) as bigint) AS rt FROM m GROUP BY lang),
+      ct AS (SELECT lang_pred AS lang, cast(sum(n) as bigint) AS ct
+             FROM m GROUP BY lang_pred),
+      mg AS (
+        SELECT cast(sum(coalesce(rt.rt, 0) * coalesce(ct.ct, 0)) as bigint)
+                 AS pe_num
+        FROM rt FULL JOIN ct ON rt.lang = ct.lang),
+      tt AS (
+        SELECT cast(sum(n) as bigint) AS n_docs,
+               cast(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+                 as bigint) AS diag
+        FROM m)
+      SELECT n_docs, diag,
+             ${r6Sql("cast(diag as double) / cast(n_docs as double)")} AS po,
+             ${r6Sql("cast(pe_num as double) / " +
+               "cast(n_docs * n_docs as double)")} AS pe,
+             ${r6Sql("cast(n_docs * diag - pe_num as double) / " +
+               "cast(n_docs * n_docs - pe_num as double)")} AS kappa
+      FROM tt CROSS JOIN mg"""),
+  )
+
+  /** MATTHEWS CORRELATION of the binary "predicted English" decision.
+    * The 2×2 cells are one conditional-sum pass over the classifier
+    * output; the denominator multiplies the four marginals as
+    * √a·√b·√c·√d (each factor cast to double FIRST) because the raw
+    * product of four ~n counts overflows bigint at scale while the
+    * staged-sqrt form is a fixed IEEE expression. CASE-guarded: a
+    * degenerate margin yields NULL, not a crash (ANSI /0). */
+  val qMcc: GQuery = GQuery(
+    "q_mcc",
+    (spark, dir) => {
+      import spark.implicits._
+      val p = LlmOps.qLangId.run(spark, dir)
+        .select(
+          when($"lang" === "en", 1L).otherwise(0L).as("y"),
+          when($"lang_pred" === "en", 1L).otherwise(0L).as("yh"))
+      val c = p.agg(
+        sum($"y" * $"yh").as("tp"),
+        sum((lit(1L) - $"y") * $"yh").as("fp"),
+        sum($"y" * (lit(1L) - $"yh")).as("fn"),
+        sum((lit(1L) - $"y") * (lit(1L) - $"yh")).as("tn"))
+      val d = (c2: org.apache.spark.sql.Column) => c2.cast("double")
+      c.select($"tp", $"fp", $"fn", $"tn",
+        r6((d($"tp") + d($"tn")) /
+          (d($"tp") + d($"tn") + d($"fp") + d($"fn"))).as("accuracy"),
+        r6(when(
+          ($"tp" + $"fp") > 0 && ($"tp" + $"fn") > 0 &&
+            ($"tn" + $"fp") > 0 && ($"tn" + $"fn") > 0,
+          (d($"tp") * d($"tn") - d($"fp") * d($"fn")) /
+            (sqrt(d($"tp" + $"fp")) * sqrt(d($"tp" + $"fn")) *
+              sqrt(d($"tn" + $"fp")) * sqrt(d($"tn" + $"fn")))))
+          .as("mcc"))
+    },
+    LlmOps.qLangId.oracle.map(inner => s"""
+      WITH p AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END AS yh
+        FROM ($inner) li),
+      c AS (
+        SELECT cast(sum(y * yh) as bigint) AS tp,
+               cast(sum((1 - y) * yh) as bigint) AS fp,
+               cast(sum(y * (1 - yh)) as bigint) AS fn,
+               cast(sum((1 - y) * (1 - yh)) as bigint) AS tn
+        FROM p)
+      SELECT tp, fp, fn, tn,
+             ${r6Sql("(cast(tp as double) + cast(tn as double)) / " +
+               "(cast(tp as double) + cast(tn as double) + " +
+               "cast(fp as double) + cast(fn as double))")} AS accuracy,
+             ${r6Sql("CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0 AND " +
+               "(tn + fp) > 0 AND (tn + fn) > 0 THEN " +
+               "(cast(tp as double) * cast(tn as double) - " +
+               "cast(fp as double) * cast(fn as double)) / " +
+               "(sqrt(cast(tp + fp as double)) * " +
+               "sqrt(cast(tp + fn as double)) * " +
+               "sqrt(cast(tn + fp as double)) * " +
+               "sqrt(cast(tn + fn as double))) END")} AS mcc
+      FROM c"""),
+  )
+
+  /** EXPECTED CALIBRATION ERROR of the English-marker score read as a
+    * probability: fixed-width score bins (width 0.05, top-clamped), each
+    * reporting mean confidence (decimal-staged davg), empirical accuracy
+    * (exact integer ratio), and the |acc − conf| gap; the headline ECE
+    * is the n-weighted mean of the PRE-ROUNDED gaps so it derives from
+    * the published columns. The corpus pass is a single combinable
+    * groupBy on the bin key; everything after rides a ≤21-row table. */
+  val qEce: GQuery = GQuery(
+    "q_ece",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = scoredDocs(spark, dir)
+        .select($"pos", $"score",
+          least(floor($"score" * lit(20.0)).cast("long"), lit(20L)).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          sum($"pos").as("n_pos"),
+          davg($"score").as("conf"))
+        .withColumn("acc",
+          r6($"n_pos".cast("double") / $"n".cast("double")))
+        .withColumn("gap", r6(abs($"acc" - $"conf")))
+      val wAll = Window.partitionBy()
+      b.withColumn("ece",
+          r6(sum($"n".cast("double") * $"gap").over(wAll) /
+            sum($"n".cast("double")).over(wAll)))
+        .select($"bin", $"n", $"n_pos", $"conf", $"acc", $"gap", $"ece")
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH s AS ($scoredDocsSql),
+      b AS (
+        SELECT bin, count(*) AS n, cast(sum(pos) as bigint) AS n_pos,
+               ${davgSql("score")} AS conf
+        FROM (SELECT pos, score,
+                     least(cast(floor(score * cast(20.0 as double))
+                       as bigint), 20) AS bin
+              FROM s) t
+        GROUP BY bin),
+      g AS (
+        SELECT bin, n, n_pos, conf,
+               ${r6Sql("cast(n_pos as double) / cast(n as double)")} AS acc
+        FROM b),
+      h AS (
+        SELECT bin, n, n_pos, conf, acc,
+               ${r6Sql("abs(acc - conf)")} AS gap
+        FROM g)
+      SELECT bin, n, n_pos, conf, acc, gap,
+             ${r6Sql("sum(cast(n as double) * gap) OVER () / " +
+               "sum(cast(n as double)) OVER ()")} AS ece
+      FROM h ORDER BY bin"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qRocAuc, qKappa, qMcc, qEce)
+}

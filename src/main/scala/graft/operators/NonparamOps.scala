@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Nonparametric and categorical tests: Mann–Whitney U, Brown–Forsythe
+  * Levene, Kendall's τ-b, and the 2×2 odds ratio. Like InferOps, every
+  * test reduces the fact table to integer counts or decimal-staged
+  * moments in ONE combinable pass, then evaluates a fixed IEEE closed
+  * form over a value- or calendar-bounded table — rank statistics are
+  * re-expressed as pairwise-count identities on the distinct-value axis
+  * so no raw-row global sort ever appears.
+  */
+object NonparamOps {
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) on order totals, URGENT vs LOW:
+    * U₁ counted pairwise on the distinct-value axis (wins + ½ties, kept
+    * exact by doubling), with the tie-corrected normal approximation
+    * z = (U₁ − n₁n₂/2)/σ, σ² = (n₁n₂/12)((n+1) − Σ(t³−t)/(n(n−1))).
+    * The raw pass is the same combinable per-value (c₁,c₂) reduction as
+    * q_ks_test; the cumulative window rides the distinct-value table.
+    * Also reports the common-language effect size U₁/(n₁n₂). */
+  val qMannWhitney: GQuery = GQuery(
+    "q_mannwhitney",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select($"o_totalprice".as("v"), $"o_orderpriority".as("pri"))
+      val g = o.groupBy($"v")
+        .agg(sum(when($"pri" === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+          sum(when($"pri" === "5-LOW", 1L).otherwise(0L)).as("c2"))
+      val wBelow = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val a = g
+        .withColumn("cum2", coalesce(sum($"c2").over(wBelow), lit(0L)))
+        .agg(
+          sum($"c1").as("n1"),
+          sum($"c2").as("n2"),
+          sum($"c1" * (lit(2L) * $"cum2" + $"c2")).as("u2"),
+          sum(($"c1" + $"c2") * ($"c1" + $"c2") * ($"c1" + $"c2") -
+            ($"c1" + $"c2")).as("ties3"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n1") + d("n2")
+      val u1 = d("u2") / lit(2.0)
+      val mu = d("n1") * d("n2") / lit(2.0)
+      val sig2 = d("n1") * d("n2") / lit(12.0) *
+        ((n + lit(1.0)) - d("ties3") / (n * (n - lit(1.0))))
+      a.select($"n1", $"n2", u1.as("u1"),
+        r6((u1 - mu) / sqrt(sig2)).as("z"),
+        r6(u1 / (d("n1") * d("n2"))).as("cles"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_totalprice AS v, o_orderpriority AS pri
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      g AS (
+        SELECT v,
+               cast(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END)
+                 as bigint) AS c1,
+               cast(sum(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END)
+                 as bigint) AS c2
+        FROM o GROUP BY v),
+      c AS (
+        SELECT c1, c2,
+               cast(coalesce(sum(c2) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum2
+        FROM g),
+      a AS (
+        SELECT cast(sum(c1) as bigint) AS n1,
+               cast(sum(c2) as bigint) AS n2,
+               cast(sum(c1 * (2 * cum2 + c2)) as bigint) AS u2,
+               cast(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                 as bigint) AS ties3
+        FROM c)
+      SELECT n1, n2,
+             cast(u2 as double) / cast(2.0 as double) AS u1,
+             ${r6Sql(
+               "(cast(u2 as double) / cast(2.0 as double) - " +
+               "cast(n1 as double) * cast(n2 as double) / " +
+               "cast(2.0 as double)) / " +
+               "sqrt(cast(n1 as double) * cast(n2 as double) / " +
+               "cast(12.0 as double) * " +
+               "((cast(n1 as double) + cast(n2 as double) + " +
+               "cast(1.0 as double)) - cast(ties3 as double) / " +
+               "((cast(n1 as double) + cast(n2 as double)) * " +
+               "(cast(n1 as double) + cast(n2 as double) - " +
+               "cast(1.0 as double)))))")} AS z,
+             ${r6Sql("cast(u2 as double) / cast(2.0 as double) / " +
+               "(cast(n1 as double) * cast(n2 as double))")} AS cles
+      FROM a"""),
+  )
+
+  /** BROWN–FORSYTHE LEVENE test: are account-balance spreads equal
+    * across market segments? One-way ANOVA on the absolute deviations
+    * from the per-segment MEDIAN (robust center — the BF variant). The
+    * per-segment median rides the same scan as a windowed percentile
+    * (q_winsorize shape) — but over INTEGER CENTS, because the
+    * interpolated median of even-count 2-decimal DOUBLES is an
+    * (a+b)/2-vs-a+0.5(b−a) one-ulp coin flip across engines (observed
+    * at sf0.1), while on integers both forms are exactly k or k+0.5.
+    * The exact cent deviation is scaled to KILOdollars by ONE shared
+    * IEEE division — the unit is free (F is scale-invariant) and it is
+    * load-bearing twice: cents² sums overflow the rN staging's bigint
+    * floor, and even dollar² group moments (~10¹¹) sit where a double's
+    * ulp exceeds 1e-6, so the 6 dp decimal staging itself diverges
+    * across engines (observed at sf0.1: shortest-repr vs binary-value
+    * rounding). In k$² every staged term stays ≪ 2³³ where the casts
+    * agree. The F statistic follows q_anova's staging; SS columns are
+    * in k$². */
+  val qLevene: GQuery = GQuery(
+    "q_levene",
+    (spark, dir) => {
+      import spark.implicits._
+      val wg = Window.partitionBy($"c_mktsegment")
+      val dev = Tables.customer(spark, dir)
+        .select($"c_mktsegment",
+          floor($"c_acctbal" * lit(100.0) + lit(0.5)).as("cents"))
+        .withColumn("med", expr("percentile(cents, 0.5)").over(wg))
+        .select($"c_mktsegment",
+          (abs($"cents" - $"med") / lit(100000.0)).as("w"))
+      val g = dev.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("ni"),
+          sum($"w".cast(DecimalType(30, 6))).as("si"),
+          sum(($"w" * $"w").cast(DecimalType(30, 6))).as("qi"))
+      val agg = g.agg(
+        count(lit(1)).cast("int").as("k"),
+        sum($"ni").as("n"),
+        sum($"si").cast("double").as("s"),
+        sum($"qi").cast("double").as("q"),
+        sum(rN($"si".cast("double") * $"si".cast("double") /
+            $"ni".cast("double"), 6)
+          .cast(DecimalType(30, 6))).cast("double").as("ssq_grp"))
+      val d = (c: String) => col(c).cast("double")
+      val ssb = $"ssq_grp" - $"s" * $"s" / d("n")
+      val ssw = $"q" - $"ssq_grp"
+      agg.select($"k", $"n",
+        r6(ssb).as("ss_between"),
+        r6(ssw).as("ss_within"),
+        r6((ssb / ($"k" - lit(1)).cast("double")) /
+          (ssw / (d("n") - $"k".cast("double")))).as("f_bf"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT c_mktsegment,
+               floor(c_acctbal * cast(100.0 as double) +
+                 cast(0.5 as double)) AS cents
+        FROM customer),
+      w AS (
+        SELECT c_mktsegment,
+               abs(cents - quantile_cont(cents, 0.5)
+                 OVER (PARTITION BY c_mktsegment)) /
+                 cast(100000.0 as double) AS w
+        FROM cents),
+      g AS (
+        SELECT c_mktsegment, count(*) AS ni,
+               sum(cast(w as decimal(30,6))) AS si,
+               sum(cast(w * w as decimal(30,6))) AS qi
+        FROM w GROUP BY c_mktsegment),
+      m AS (
+        SELECT cast(count(*) as int) AS k,
+               cast(sum(ni) as bigint) AS n,
+               cast(sum(si) as double) AS s,
+               cast(sum(qi) as double) AS q,
+               cast(sum(cast(${rNSql(
+                 "cast(si as double) * cast(si as double) / " +
+                   "cast(ni as double)", 6)}
+                 as decimal(30,6))) as double) AS ssq_grp
+        FROM g)
+      SELECT k, n,
+             ${r6Sql("ssq_grp - s * s / cast(n as double)")} AS ss_between,
+             ${r6Sql("q - ssq_grp")} AS ss_within,
+             ${r6Sql("((ssq_grp - s * s / cast(n as double)) / " +
+               "(cast(k as double) - 1.0)) / " +
+               "((q - ssq_grp) / " +
+               "(cast(n as double) - cast(k as double)))")} AS f_bf
+      FROM m"""),
+  )
+
+  /** KENDALL'S τ-b between monthly order volume and monthly revenue —
+    * rank correlation robust to the marginal distributions. The fact
+    * collapses to a ~24-row CALENDAR-BOUNDED monthly table (integer
+    * count, integer revenue cents); concordant/discordant/tied pair
+    * counts come from the C(n,2) self-pairs of that tiny table (an
+    * explicitly tiny broadcast non-equi join — the τ identity needs all
+    * pairs and n is fixed by the calendar, never by data volume).
+    * τ-b = (C−D)/(√(n₀−t₁)·√(n₀−t₂)) over exact bigints. */
+  val qKendall: GQuery = GQuery(
+    "q_kendall",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = Tables.orders(spark, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("mon"))
+        .agg(count(lit(1)).as("x"),
+          sum(floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long"))
+            .as("y"))
+      val a = m.select($"mon".as("m1"), $"x".as("x1"), $"y".as("y1"))
+      val b = m.select($"mon".as("m2"), $"x".as("x2"), $"y".as("y2"))
+      val pairs = a.join(broadcast(b), $"m1" < $"m2")
+      val agg = pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when(($"x2" - $"x1") * ($"y2" - $"y1") > 0, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(($"x2" - $"x1") * ($"y2" - $"y1") < 0, 1L).otherwise(0L))
+          .as("d"),
+        sum(when($"x1" === $"x2", 1L).otherwise(0L)).as("t1"),
+        sum(when($"y1" === $"y2", 1L).otherwise(0L)).as("t2"))
+      agg.select($"n0", $"c".as("concordant"), $"d".as("discordant"),
+        r6(($"c" - $"d").cast("double") /
+          (sqrt(($"n0" - $"t1").cast("double")) *
+            sqrt(($"n0" - $"t2").cast("double")))).as("tau_b"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               count(*) AS x,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint)) as bigint) AS y
+        FROM orders GROUP BY 1),
+      p AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM m a JOIN m b ON a.mon < b.mon),
+      agg AS (
+        SELECT cast(count(*) as bigint) AS n0,
+               cast(sum(CASE WHEN (x2 - x1) * (y2 - y1) > 0
+                 THEN 1 ELSE 0 END) as bigint) AS c,
+               cast(sum(CASE WHEN (x2 - x1) * (y2 - y1) < 0
+                 THEN 1 ELSE 0 END) as bigint) AS d,
+               cast(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) as bigint)
+                 AS t1,
+               cast(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) as bigint)
+                 AS t2
+        FROM p)
+      SELECT n0, c AS concordant, d AS discordant,
+             ${r6Sql("cast(c - d as double) / " +
+               "(sqrt(cast(n0 - t1 as double)) * " +
+               "sqrt(cast(n0 - t2 as double)))")} AS tau_b
+      FROM agg"""),
+  )
+
+  /** ODDS RATIO with Wald 95% CI for the 2×2 of weekend exposure ×
+    * purchase outcome over the event stream. Weekday is epoch-day mod 7
+    * in BOTH engines (1970-01-01 = Thursday ⇒ Sat/Sun ≡ 2/3) — never
+    * dayofweek, whose origin differs across engines. The whole test is
+    * one conditional-sum pass producing four bigint cells; OR, log-OR,
+    * and the CI bounds are a fixed IEEE expression over them. */
+  val qOddsRatio: GQuery = GQuery(
+    "q_oddsratio",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.events(spark, dir)
+        .select(
+          ((datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+            .isin(2, 3)).as("wknd"),
+          ($"event_type" === "purchase").as("pur"))
+      val c = e.agg(
+        sum(when($"wknd" && $"pur", 1L).otherwise(0L)).as("a"),
+        sum(when($"wknd" && !$"pur", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"wknd" && $"pur", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"wknd" && !$"pur", 1L).otherwise(0L)).as("d"))
+      val dd = (s: String) => col(s).cast("double")
+      val orr = dd("a") * dd("d") / (dd("b") * dd("c"))
+      val se = sqrt(lit(1.0) / dd("a") + lit(1.0) / dd("b") +
+        lit(1.0) / dd("c") + lit(1.0) / dd("d"))
+      c.select($"a", $"b", $"c", $"d",
+        r6(orr).as("odds_ratio"),
+        r6(log(orr)).as("log_or"),
+        r6(exp(log(orr) - lit(1.96) * se)).as("ci_lo"),
+        r6(exp(log(orr) + lit(1.96) * se)).as("ci_hi"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT (date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) % 7) IN (2, 3)
+                 AS wknd,
+               event_type = 'purchase' AS pur
+        FROM events),
+      c AS (
+        SELECT cast(sum(CASE WHEN wknd AND pur THEN 1 ELSE 0 END)
+                 as bigint) AS a,
+               cast(sum(CASE WHEN wknd AND NOT pur THEN 1 ELSE 0 END)
+                 as bigint) AS b,
+               cast(sum(CASE WHEN NOT wknd AND pur THEN 1 ELSE 0 END)
+                 as bigint) AS c,
+               cast(sum(CASE WHEN NOT wknd AND NOT pur THEN 1 ELSE 0 END)
+                 as bigint) AS d
+        FROM e)
+      SELECT a, b, c, d,
+             ${r6Sql("cast(a as double) * cast(d as double) / " +
+               "(cast(b as double) * cast(c as double))")} AS odds_ratio,
+             ${r6Sql("ln(cast(a as double) * cast(d as double) / " +
+               "(cast(b as double) * cast(c as double)))")} AS log_or,
+             ${r6Sql("exp(ln(cast(a as double) * cast(d as double) / " +
+               "(cast(b as double) * cast(c as double))) - " +
+               "cast(1.96 as double) * " +
+               "sqrt(cast(1.0 as double) / cast(a as double) + " +
+               "cast(1.0 as double) / cast(b as double) + " +
+               "cast(1.0 as double) / cast(c as double) + " +
+               "cast(1.0 as double) / cast(d as double)))")} AS ci_lo,
+             ${r6Sql("exp(ln(cast(a as double) * cast(d as double) / " +
+               "(cast(b as double) * cast(c as double))) + " +
+               "cast(1.96 as double) * " +
+               "sqrt(cast(1.0 as double) / cast(a as double) + " +
+               "cast(1.0 as double) / cast(b as double) + " +
+               "cast(1.0 as double) / cast(c as double) + " +
+               "cast(1.0 as double) / cast(d as double)))")} AS ci_hi
+      FROM c"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qMannWhitney, qLevene, qKendall, qOddsRatio)
+}

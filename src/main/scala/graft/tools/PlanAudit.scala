@@ -37,7 +37,12 @@ object PlanAudit {
     // 10-row checkpoint broadcasts driving <= range joins (Heaps curve)
     "q_heaps",
     // 1-row normalization/edge-count/grand-moment broadcasts
-    "q_hits", "q_modularity", "q_jackknife", "q_clustering_coef")
+    "q_hits", "q_modularity", "q_jackknife", "q_clustering_coef",
+    // calendar-bounded monthly self-pairs (~24-row broadcast; the τ-b
+    // identity needs all C(n,2) pairs and n is fixed by the calendar)
+    "q_kendall",
+    // 1-row broadcast of the chance-agreement margin / log-log slope
+    "q_kappa", "q_degree_dist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Registry
+
+/** Semantic invariants for the round-8 session-3 surface: classifier
+  * evaluation (EvalOps), nonparametric tests (NonparamOps), and link
+  * prediction / interval union (LinkOps). Each test pins a mathematical
+  * identity the oracle hash-match alone would not localize.
+  */
+class EvalNonparamSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).run(spark, sf)
+
+  test("q_roc_auc is a probability and gini is its affine twin") {
+    val r = run("q_roc_auc").head
+    val auc = r.getAs[Double]("auc")
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    assert(auc >= 0.0 && auc <= 1.0, s"auc=$auc")
+    assert(math.abs(r.getAs[Double]("gini_coef") - (2 * auc - 1)) < 2e-6)
+  }
+
+  test("q_kappa: po/pe are probabilities and kappa matches their ratio") {
+    val r = run("q_kappa").head
+    val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+    val k = r.getAs[Double]("kappa")
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4, s"k=$k po=$po pe=$pe")
+  }
+
+  test("q_mcc cells tile the corpus and accuracy matches the diagonal") {
+    val r = run("q_mcc").head
+    val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+    val fn = r.getAs[Long]("fn"); val tn = r.getAs[Long]("tn")
+    val n = graft.engine.Tables.documents(spark, sf).count()
+    assert(tp + fp + fn + tn === n)
+    assert(math.abs(r.getAs[Double]("accuracy") -
+      (tp + tn).toDouble / n) < 2e-6)
+    val m = r.getAs[Double]("mcc")
+    assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9)
+  }
+
+  test("q_ece rows are self-consistent and ece is their weighted gap") {
+    val rows = run("q_ece").collect()
+    assert(rows.nonEmpty)
+    var wsum = 0.0; var nsum = 0L
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("acc"); val conf = r.getAs[Double]("conf")
+      val gap = r.getAs[Double]("gap"); val nb = r.getAs[Long]("n")
+      assert(acc >= 0 && acc <= 1 && conf >= 0)
+      assert(math.abs(gap - math.abs(acc - conf)) < 2e-6)
+      wsum += nb * gap; nsum += nb
+    }
+    val ece = rows.head.getAs[Double]("ece")
+    assert(rows.forall(_.getAs[Double]("ece") == ece), "ece must be global")
+    assert(math.abs(ece - wsum / nsum) < 2e-6)
+  }
+
+  test("q_mannwhitney: U is within range and CLES is its normalization") {
+    val r = run("q_mannwhitney").head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val u1 = r.getAs[Double]("u1")
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2)
+    assert(math.abs(r.getAs[Double]("cles") - u1 / (n1.toDouble * n2)) < 2e-6)
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("q_levene: both sums of squares are nonnegative, F finite") {
+    val r = run("q_levene").head
+    assert(r.getAs[Int]("k") >= 2)
+    assert(r.getAs[Double]("ss_between") >= 0)
+    assert(r.getAs[Double]("ss_within") > 0)
+    assert(r.getAs[Double]("f_bf") >= 0)
+  }
+
+  test("q_kendall: tau-b bounded, pair counts tile C(n,2)") {
+    val r = run("q_kendall").head
+    val n0 = r.getAs[Long]("n0")
+    val c = r.getAs[Long]("concordant"); val d = r.getAs[Long]("discordant")
+    assert(c + d <= n0)
+    val t = r.getAs[Double]("tau_b")
+    assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9)
+  }
+
+  test("q_oddsratio: CI brackets the point estimate") {
+    val r = run("q_oddsratio").head
+    val or = r.getAs[Double]("odds_ratio")
+    assert(or > 0)
+    assert(r.getAs[Double]("ci_lo") <= or && or <= r.getAs[Double]("ci_hi"))
+    val total = r.getAs[Long]("a") + r.getAs[Long]("b") +
+      r.getAs[Long]("c") + r.getAs[Long]("d")
+    assert(total === graft.engine.Tables.events(spark, sf).count())
+  }
+
+  test("q_adamic_adar predicts only non-edges with positive scores") {
+    val rows = run("q_adamic_adar").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u") < r.getAs[Long]("w"))
+      assert(r.getAs[Long]("n_common") >= 1)
+      assert(r.getAs[Double]("aa_score") > 0)
+    }
+    // scores are sorted descending with the declared tiebreak
+    val scores = rows.map(_.getAs[Double]("aa_score")).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
+
+  test("q_degree_dist histogram is positive with one global slope") {
+    val rows = run("q_degree_dist").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_vertices") > 0))
+    val slopes = rows.map(_.getAs[Double]("loglog_slope")).distinct
+    assert(slopes.size == 1 && !slopes.head.isNaN)
+  }
+
+  test("q_interval_union: coverage is positive and bounded by the span") {
+    val rows = run("q_interval_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("covered_s"); val span = r.getAs[Long]("span_s")
+      assert(cov >= 1 && cov <= span,
+        s"user=${r.getAs[Long]("user_id")} covered=$cov span=$span")
+      assert(r.getAs[Double]("utilization") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("new queries never degrade to a cartesian product") {
+    for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
+        "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
+        "q_interval_union")) {
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+}
