@@ -950,8 +950,57 @@ object EventOps {
       FROM j ORDER BY day"""),
   )
 
+  /** PATH TRIGRAM MINING: the most frequent 3-step event sequences per
+    * user journey — the n-gram ladder between q_transitions/q_markov
+    * (bigrams) and q_path_top (whole journeys). Two lead() columns on
+    * one per-user window frame turn each event into its own trigram
+    * start (no explode, no self-join); the count groupBy is combinable.
+    * Ordering carries the (ts_ticks, event_id) unique tiebreak (raw ts
+    * + id on the oracle side — monotone-equivalent), so the sequence is
+    * total and both engines mine identical trigrams. Support share is
+    * against all complete trigrams. Top 15 with a total tiebreak. */
+  val qPathNgrams: GQuery = GQuery(
+    "q_path_ngrams",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ticks", $"event_id")
+      val tri = Tables.events(spark, dir)
+        .select($"user_id", $"ts_ticks", $"event_id", $"event_type")
+        .select($"user_id", $"event_type".as("e1"),
+          lead($"event_type", 1).over(w).as("e2"),
+          lead($"event_type", 2).over(w).as("e3"))
+        .filter($"e2".isNotNull && $"e3".isNotNull)
+      val wAll = Window.partitionBy()
+      tri.groupBy($"e1", $"e2", $"e3")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"))
+        .withColumn("support",
+          r6($"n".cast("double") / sum($"n").over(wAll).cast("double")))
+        .orderBy($"n".desc, $"e1", $"e2", $"e3")
+        .limit(15)
+    },
+    Some(s"""
+      WITH tri AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT e1, e2, e3, count(*) AS n,
+               cast(count(DISTINCT user_id) as bigint) AS n_users
+        FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1, e2, e3)
+      SELECT e1, e2, e3, n, n_users,
+             ${r6Sql("cast(n as double) / " +
+               "cast(sum(n) OVER () as double)")} AS support
+      FROM g
+      ORDER BY n DESC, e1, e2, e3
+      LIMIT 15"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
-      qEventCollapse, qBurstiness, qNewVsReturning)
+      qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams)
 }

@@ -200,6 +200,56 @@ object Formats {
       ORDER BY o_orderpriority"""),
   )
 
+  /** MEDIA BLOB DEDUP: exact content-level deduplication of the binary
+    * lake by payload digest — the multimodal twin of q_dedup_exact
+    * (identical images/audio re-ingested under different ids). Spark
+    * hashes the raw bytes (md5 over binary ≡ DuckDB md5 over the
+    * blob-as-VARCHAR for these UTF-8 payloads); the digest groupBy is
+    * combinable, so at 100 TB the blobs never shuffle — only (digest,
+    * id, len) triples do, and column pruning keeps metadata readers off
+    * the payload entirely. Duplicates are PLANTED in-query via the
+    * shifted-id union convention (media_id < 50 re-ingested at +9M), so
+    * rows>0 can never pass vacuously. Keeper = min id per group. */
+  val qMediaDedup: GQuery = GQuery(
+    "q_media_dedup",
+    (spark, dir) => {
+      val path = Lake.ensureMedia(spark, dir)
+      val m = spark.read.parquet(path)
+        .select(col("media_id"), col("bytes"), col("format"))
+      val replayed = m.filter(col("media_id") < 50)
+        .select((col("media_id") + lit(9000000L)).as("media_id"),
+          col("bytes"), col("format"))
+      m.unionByName(replayed)
+        .groupBy(md5(col("bytes")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("keeper"),
+          sum(length(col("bytes")).cast("long")).as("total_bytes"),
+          countDistinct(col("format")).as("n_formats"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("n_copies").desc, col("keeper"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT media_id, bytes, format FROM ${Lake.mediaOracle}),
+      a AS (
+        SELECT media_id, bytes, format FROM m
+        UNION ALL
+        SELECT media_id + 9000000, bytes, format
+        FROM m WHERE media_id < 50),
+      g AS (
+        SELECT md5(bytes::VARCHAR) AS digest,
+               count(*) AS n_copies,
+               min(media_id) AS keeper,
+               cast(sum(octet_length(bytes)) as bigint) AS total_bytes,
+               cast(count(DISTINCT format) as bigint) AS n_formats
+        FROM a GROUP BY 1)
+      SELECT digest, n_copies, keeper, total_bytes, n_formats
+      FROM g WHERE n_copies >= 2
+      ORDER BY n_copies DESC, keeper
+      LIMIT 20"""),
+  )
+
   val all: Seq[GQuery] = Seq(qSourceCsv, qSourceJsonl, qMediaProfile,
-    qSourceOrc, qSourceXml)
+    qSourceOrc, qSourceXml, qMediaDedup)
 }

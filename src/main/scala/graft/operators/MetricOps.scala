@@ -497,6 +497,70 @@ object MetricOps {
       FROM k GROUP BY cls ORDER BY cls"""),
   )
 
+  /** PRICE ELASTICITY per brand: log-log OLS of quantity on unit price
+    * over the lineitem×part join — the econometric demand-curve probe
+    * (slope ≈ elasticity of demand). One broadcast join (part is the
+    * small dim), then a single combinable groupBy collapses the fact to
+    * five decimal-staged moment sums per brand (ln terms are ≤ ~10 in
+    * magnitude, so the 9 dp staging is exact-range); the OLS closed
+    * form is a fixed IEEE expression over the ≤|brands| rows.
+    * Degenerate brands (zero price variance) CASE-guard to NULL. */
+  val qElasticity: GQuery = GQuery(
+    "q_elasticity",
+    (spark, dir) => {
+      import spark.implicits._
+      val j = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+          .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+        .select($"p_brand",
+          log($"l_extendedprice" / $"l_quantity").as("lx"),
+          log($"l_quantity").as("ly"))
+      def st(c: org.apache.spark.sql.Column) =
+        sum(rN(c, 9).cast(org.apache.spark.sql.types.DecimalType(30, 9)))
+          .cast("double")
+      val g = j.groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          st($"lx").as("sx"), st($"ly").as("sy"),
+          st($"lx" * $"lx").as("sxx"), st($"lx" * $"ly").as("sxy"))
+      val nd = $"n".cast("double")
+      val den = nd * $"sxx" - $"sx" * $"sx"
+      g.select($"p_brand", $"n",
+          r6(when(den > 0, (nd * $"sxy" - $"sx" * $"sy") / den))
+            .as("elasticity"),
+          r6(when(den > 0,
+            ($"sy" - (nd * $"sxy" - $"sx" * $"sy") / den * $"sx") / nd))
+            .as("intercept"))
+        .orderBy($"p_brand")
+    },
+    Some(s"""
+      WITH j AS (
+        SELECT p_brand,
+               ln(l_extendedprice / l_quantity) AS lx,
+               ln(l_quantity) AS ly
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      g AS (
+        SELECT p_brand, count(*) AS n,
+               cast(sum(cast(${rNSql("lx", 9)} as decimal(30,9)))
+                 as double) AS sx,
+               cast(sum(cast(${rNSql("ly", 9)} as decimal(30,9)))
+                 as double) AS sy,
+               cast(sum(cast(${rNSql("lx * lx", 9)} as decimal(30,9)))
+                 as double) AS sxx,
+               cast(sum(cast(${rNSql("lx * ly", 9)} as decimal(30,9)))
+                 as double) AS sxy
+        FROM j GROUP BY p_brand)
+      SELECT p_brand, n,
+             ${r6Sql("CASE WHEN cast(n as double) * sxx - sx * sx > 0 " +
+               "THEN (cast(n as double) * sxy - sx * sy) / " +
+               "(cast(n as double) * sxx - sx * sx) END")} AS elasticity,
+             ${r6Sql("CASE WHEN cast(n as double) * sxx - sx * sx > 0 " +
+               "THEN (sy - (cast(n as double) * sxy - sx * sy) / " +
+               "(cast(n as double) * sxx - sx * sx) * sx) / " +
+               "cast(n as double) END")} AS intercept
+      FROM g ORDER BY p_brand"""),
+  )
+
   val all: Seq[GQuery] =
-    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc)
+    Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
+      qElasticity)
 }

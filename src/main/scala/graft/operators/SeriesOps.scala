@@ -631,7 +631,78 @@ object SeriesOps {
       FROM fc ORDER BY week_idx"""),
   )
 
+  /** HOLT'S LINEAR TREND smoothing (α=0.5, β=0.3) over the daily order
+    * series, with a 7-day-ahead forecast — the true RECURSIVE double
+    * exponential smoother (unlike q_ewma's bounded convolution). The
+    * fact collapses to a calendar-bounded daily table; the recursion
+    * then runs over ONE sorted in-memory array via the aggregate() HOF
+    * — single scan, whole-stage codegen, no per-step shuffle — while
+    * the oracle replays the identical IEEE update chain with a
+    * recursive CTE on the day index. Initialization is pinned (l₀=x₀,
+    * b₀=0) and every coefficient is an explicit double cast, so both
+    * engines walk bit-identical (l, b) states; only the final report
+    * rounds. At 100 TB the daily reduce is the only data-sized pass;
+    * the fold's array is |calendar| elements regardless of row count
+    * (partition by series key for many series). */
+  val qHolt: GQuery = GQuery(
+    "q_holt",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val arr = daily
+        .agg(array_sort(collect_list(struct($"day", $"x"))).as("s"))
+      arr.select(
+          size($"s").as("n_days"),
+          expr("""aggregate(
+              slice(s, 2, size(s) - 1),
+              named_struct('l', element_at(s, 1).x, 'b', cast(0.0 as double)),
+              (acc, e) -> named_struct(
+                'l', cast(0.5 as double) * e.x +
+                     cast(0.5 as double) * (acc.l + acc.b),
+                'b', cast(0.3 as double) *
+                       ((cast(0.5 as double) * e.x +
+                         cast(0.5 as double) * (acc.l + acc.b)) - acc.l) +
+                     cast(0.7 as double) * acc.b),
+              acc -> acc)""").as("st"))
+        .select($"n_days",
+          r6($"st.l").as("level"),
+          r6($"st.b").as("trend"),
+          r6($"st.l" + lit(7.0) * $"st.b").as("forecast_7d"))
+    },
+    Some(s"""
+      WITH RECURSIVE daily AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(count(*) as double) AS x
+        FROM orders GROUP BY 1),
+      idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, x FROM daily),
+      r AS (
+        SELECT i, x AS l, cast(0.0 as double) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.i,
+               cast(0.5 as double) * idx.x +
+                 cast(0.5 as double) * (r.l + r.b),
+               cast(0.3 as double) *
+                   ((cast(0.5 as double) * idx.x +
+                     cast(0.5 as double) * (r.l + r.b)) - r.l) +
+                 cast(0.7 as double) * r.b
+        FROM r JOIN idx ON idx.i = r.i + 1),
+      last AS (
+        SELECT cast(max(i) as int) AS n_days FROM r),
+      fin AS (
+        SELECT r.l, r.b, last.n_days
+        FROM r JOIN last ON r.i = last.n_days)
+      SELECT n_days,
+             ${r6Sql("l")} AS level,
+             ${r6Sql("b")} AS trend,
+             ${r6Sql("l + cast(7.0 as double) * b")} AS forecast_7d
+      FROM fin"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
-    qTrend, qSax, qBacktestSnaive, qWowGrowth)
+    qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt)
 }

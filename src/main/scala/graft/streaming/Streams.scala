@@ -422,6 +422,60 @@ object Streams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class HoltS(n: Long, level: Double, trend: Double)
+
+  final case class HoltOut(event_type: String, event_id: Long,
+      at_ts: Timestamp, value: Double, forecast: Double, residual: Double,
+      level: Double, trend: Double)
+
+  /** STREAMING HOLT SMOOTHER — the online twin of q_holt: per key,
+    * maintain (level, trend) with the double-exponential update
+    * l' = αx + (1−α)(l+b), b' = β(l'−l) + (1−β)b and emit each
+    * observation with its one-step-ahead forecast (l+b BEFORE absorbing
+    * the value) and residual — the rolling forecast monitor behind
+    * q_backtest_snaive-style accuracy tracking, in O(1) state per key.
+    * Initialization matches the batch fold exactly (l₀ = x₀, b₀ = 0),
+    * so a replayed stream bit-matches q_holt's terminal (l, b) on the
+    * same sequence — pinned by the golden test. Deterministic per-batch
+    * ordering as in [[driftCusum]]. */
+  def holtSmooth(events: Dataset[Ev], alpha: Double = 0.5,
+      beta: Double = 0.3, watermarkDelay: String = "10 minutes")
+      : Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+
+    def update(key: String, rows: Iterator[Ev],
+        state: GroupState[HoltS]): Iterator[HoltOut] = {
+      if (state.hasTimedOut) Iterator.empty
+      else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = state.getOption.getOrElse(HoltS(0L, 0.0, 0.0))
+        var out = List.empty[HoltOut]
+        sorted.foreach { e =>
+          val s2 =
+            if (s.n == 0L) HoltS(1L, e.value, 0.0)
+            else {
+              val f = s.level + s.trend
+              val l2 = alpha * e.value + (1 - alpha) * f
+              HoltS(s.n + 1, l2,
+                beta * (l2 - s.level) + (1 - beta) * s.trend)
+            }
+          val forecast = if (s.n == 0L) e.value else s.level + s.trend
+          out ::= HoltOut(key, e.event_id, e.ts, e.value,
+            forecast, e.value - forecast, s2.level, s2.trend)
+          s = s2
+        }
+        state.update(s)
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Append the stream to a parquet directory with exactly-once file-sink
     * semantics (the sink's transaction log in `checkpoint` makes replays
     * idempotent). The durable landing path for raw events at scale —

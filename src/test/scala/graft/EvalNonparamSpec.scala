@@ -127,6 +127,42 @@ class EvalNonparamSpec extends AnyFunSuite {
     }
   }
 
+  test("q_holt: forecast is the linear extrapolation of (level, trend)") {
+    val r = run("q_holt").head
+    assert(r.getAs[Int]("n_days") > 10)
+    val l = r.getAs[Double]("level"); val b = r.getAs[Double]("trend")
+    assert(math.abs(r.getAs[Double]("forecast_7d") - (l + 7 * b)) < 1e-5)
+  }
+
+  test("q_elasticity covers every brand with a finite fit") {
+    val rows = run("q_elasticity").collect()
+    assert(rows.length >= 20, s"brands=${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      val e = r.getAs[Any]("elasticity")
+      if (e != null) assert(!e.asInstanceOf[Double].isNaN)
+    }
+  }
+
+  test("q_path_ngrams supports are a sub-distribution over trigrams") {
+    val rows = run("q_path_ngrams").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Double]("support")).sum
+    assert(total > 0 && total <= 1.0 + 1e-6, s"sum=$total")
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n")))
+  }
+
+  test("q_media_dedup finds the planted replicas as dup groups") {
+    val rows = run("q_media_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2)
+      assert(r.getAs[Long]("total_bytes") >= r.getAs[Long]("n_copies"))
+    }
+    // planted groups keep the original (< 50) id as keeper
+    assert(rows.exists(_.getAs[Long]("keeper") < 50))
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",

@@ -382,6 +382,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(snap.map(_.est_count).toSeq == Seq(5L, 4L, 3L))
   }
 
+  test("holtSmooth locks onto a linear ramp and bit-matches the batch fold") {
+    // exact linear data: level+trend converge, late residuals vanish
+    val ramp = (1 to 30).map(i => Ev(i, 1, ts(i), "m", 5.0 + 2.0 * i))
+    val out = runStream(Seq(ramp.take(17), ramp.drop(17)))(
+      df => Streams.holtSmooth(df.as[Ev]).toDF())
+    val rows = out.as[Streams.HoltOut].collect().sortBy(_.event_id)
+    assert(rows.length == 30)
+    assert(rows.head.residual == 0.0, "first obs initializes, f = x0")
+    assert(math.abs(rows.last.residual) < 1e-3,
+      s"late residual ${rows.last.residual} on exact linear data")
+    assert(math.abs(rows.last.trend - 2.0) < 1e-3, s"trend=${rows.last.trend}")
+    // replay the q_holt batch recursion (l0=x0, b0=0) in plain doubles:
+    // the cross-batch streamed state must reproduce it bit-for-bit
+    var l = ramp.head.value; var b = 0.0
+    ramp.drop(1).foreach { e =>
+      val l2 = 0.5 * e.value + 0.5 * (l + b)
+      b = 0.3 * (l2 - l) + 0.7 * b
+      l = l2
+    }
+    assert(rows.last.level == l && rows.last.trend == b,
+      s"stream (${rows.last.level}, ${rows.last.trend}) != batch ($l, $b)")
+  }
+
   test("welfordZscore matches the batch z-score on the same prefix") {
     val warm = (1 to 40).map(i =>
       Ev(i, 1, ts(i), "m", (i % 7).toDouble))
