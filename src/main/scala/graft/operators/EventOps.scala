@@ -999,8 +999,93 @@ object EventOps {
       LIMIT 15"""),
   )
 
+  /** GROWTH ACCOUNTING over daily active users: every day's actives
+    * split into new / retained (active yesterday) / resurrected
+    * (returning after a gap), plus churned (active yesterday, absent
+    * today) — the canonical DAU decomposition (new + resurrected −
+    * churned = net DAU change). One distinct (user, day) reduction of
+    * the stream, one per-user lag/lead window over it, then two
+    * combinable day-grain groupBys (statuses on the day itself, churn
+    * attributed to the following day) stitched with an outer join on
+    * the calendar-bounded day key. All counts are exact integers; the
+    * day after the observation window is clipped. */
+  val qGrowthAcct: GQuery = GQuery(
+    "q_growth_acct",
+    (spark, dir) => {
+      import spark.implicits._
+      val ud = Tables.events(spark, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val flagged = ud
+        .withColumn("prev", lag($"day", 1).over(w))
+        .withColumn("next", lead($"day", 1).over(w))
+      val statuses = flagged.groupBy($"day")
+        .agg(
+          sum(when($"prev".isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(datediff($"day", $"prev") === 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when($"prev".isNotNull && datediff($"day", $"prev") > 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      val churn = flagged
+        .filter($"next".isNull || datediff($"next", $"day") > 1)
+        .groupBy(date_add($"day", 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      val maxDay = ud.agg(max($"day").as("dmax"))
+      statuses.join(churn, Seq("day"), "full_outer")
+        .crossJoin(broadcast(maxDay))
+        .filter($"day" <= $"dmax")
+        .select($"day",
+          coalesce($"n_new", lit(0L)).as("n_new"),
+          coalesce($"n_retained", lit(0L)).as("n_retained"),
+          coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+          coalesce($"n_churned", lit(0L)).as("n_churned"))
+        .withColumn("net_change",
+          $"n_new" + $"n_resurrected" - $"n_churned")
+        .orderBy($"day")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               cast(date_trunc('day', ts) as date) AS day
+        FROM events),
+      flagged AS (
+        SELECT user_id, day,
+               lag(day, 1) OVER w AS prev,
+               lead(day, 1) OVER w AS next
+        FROM ud
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      statuses AS (
+        SELECT day,
+               cast(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                 as bigint) AS n_new,
+               cast(sum(CASE WHEN date_diff('day', prev, day) = 1
+                 THEN 1 ELSE 0 END) as bigint) AS n_retained,
+               cast(sum(CASE WHEN prev IS NOT NULL
+                 AND date_diff('day', prev, day) > 1
+                 THEN 1 ELSE 0 END) as bigint) AS n_resurrected
+        FROM flagged GROUP BY day),
+      churn AS (
+        SELECT day + 1 AS day, cast(count(*) as bigint) AS n_churned
+        FROM flagged
+        WHERE next IS NULL OR date_diff('day', day, next) > 1
+        GROUP BY day + 1),
+      md AS (SELECT max(day) AS dmax FROM ud)
+      SELECT day,
+             coalesce(n_new, 0) AS n_new,
+             coalesce(n_retained, 0) AS n_retained,
+             coalesce(n_resurrected, 0) AS n_resurrected,
+             coalesce(n_churned, 0) AS n_churned,
+             coalesce(n_new, 0) + coalesce(n_resurrected, 0) -
+               coalesce(n_churned, 0) AS net_change
+      FROM statuses FULL JOIN churn USING (day)
+      CROSS JOIN md
+      WHERE day <= dmax
+      ORDER BY day"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
-      qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams)
+      qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams,
+      qGrowthAcct)
 }

@@ -443,6 +443,101 @@ object InferOps {
     )
   }
 
+  /** BAYESIAN BOOTSTRAP CI for the mean document length: B = 50
+    * replicates, each reweighting every row with an Exponential(1)
+    * weight w = −ln(u) derived from the portable conv(md5) hash of
+    * (doc_id, replicate) — fully DETERMINISTIC resampling, identical on
+    * any cluster and in the oracle, with no RNG state to coordinate.
+    * The whole job is one combinable groupBy on the replicate id over
+    * the ×B exploded scan (B is a constant; at 100 TB swap the explode
+    * for per-partition weight generation — the bag-of-little-bootstraps
+    * layout — without touching the statistic). The CI bounds are EXACT
+    * order statistics of the 50 replicate means (ranks 2/49 ≈ the 2.5%
+    * and 97.5% tails — no interpolated percentile, no cross-engine ulp
+    * coin flip), and the bootstrap SE comes from decimal-staged moments
+    * of the means. */
+  val qBootstrap: GQuery = {
+    val reps = 50
+    GQuery(
+      "q_bootstrap",
+      (spark, dir) => {
+        import spark.implicits._
+        val dec = (c: Column) => c.cast("decimal(30,6)")
+        val rep = Tables.documents(spark, dir)
+          .select($"doc_id", $"n_chars")
+          .select($"doc_id", $"n_chars",
+            explode(expr(s"sequence(1, $reps)")).as("b"))
+        val u = (conv(substring(md5(
+            concat($"doc_id".cast("string"), lit("_"), $"b".cast("string"))),
+            1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+          lit(4294967296.0)
+        val means = rep
+          .select($"b", $"n_chars", (-log(u)).as("w"))
+          .groupBy($"b")
+          .agg((sum(dec($"w" * $"n_chars")).cast("double") /
+            sum(dec($"w")).cast("double")).as("m"))
+        val w = Window.orderBy($"m", $"b")
+        val ranked = means.withColumn("rn", row_number().over(w))
+        val ci = ranked.agg(
+          max(when($"rn" === 2, $"m")).as("lo"),
+          max(when($"rn" === reps - 1, $"m")).as("hi"),
+          count(lit(1)).as("b_reps"),
+          sum(rN($"m", 6).cast("decimal(30,6)")).cast("double").as("sm"),
+          sum(rN($"m" * $"m", 6).cast("decimal(30,6)")).cast("double")
+            .as("smm"))
+        val raw = Tables.documents(spark, dir)
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sx"))
+        val bd = $"b_reps".cast("double")
+        raw.crossJoin(broadcast(ci))
+          .select($"n_docs", $"b_reps",
+            r6($"sx".cast("double") / $"n_docs".cast("double"))
+              .as("mean_raw"),
+            r6(sqrt(($"smm" - $"sm" * $"sm" / bd) / (bd - lit(1.0))))
+              .as("boot_se"),
+            r6($"lo").as("ci_lo"),
+            r6($"hi").as("ci_hi"))
+      },
+      Some(s"""
+      WITH rep AS (
+        SELECT doc_id, n_chars, unnest(generate_series(1, $reps)) AS b
+        FROM documents),
+      wtd AS (
+        SELECT b, n_chars,
+               -ln((cast(cast(('0x' || substr(md5(
+                   cast(doc_id as varchar) || '_' || cast(b as varchar)),
+                   1, 8))::BIGINT as bigint) as double) +
+                 cast(0.5 as double)) / cast(4294967296.0 as double)) AS w
+        FROM rep),
+      means AS (
+        SELECT b,
+               cast(sum(cast(w * n_chars as decimal(30,6))) as double) /
+               cast(sum(cast(w as decimal(30,6))) as double) AS m
+        FROM wtd GROUP BY b),
+      ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+      ci AS (
+        SELECT max(CASE WHEN rn = 2 THEN m END) AS lo,
+               max(CASE WHEN rn = ${reps - 1} THEN m END) AS hi,
+               cast(count(*) as bigint) AS b_reps,
+               cast(sum(cast(${rNSql("m", 6)} as decimal(30,6)))
+                 as double) AS sm,
+               cast(sum(cast(${rNSql("m * m", 6)} as decimal(30,6)))
+                 as double) AS smm
+        FROM ranked),
+      raw AS (
+        SELECT count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sx
+        FROM documents)
+      SELECT n_docs, b_reps,
+             ${r6Sql("cast(sx as double) / cast(n_docs as double)")}
+               AS mean_raw,
+             ${r6Sql("sqrt((smm - sm * sm / cast(b_reps as double)) / " +
+               "(cast(b_reps as double) - 1.0))")} AS boot_se,
+             ${r6Sql("lo")} AS ci_lo,
+             ${r6Sql("hi")} AS ci_hi
+      FROM raw CROSS JOIN ci"""),
+    )
+  }
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
-    qJackknife, qCorrMatrix)
+    qJackknife, qCorrMatrix, qBootstrap)
 }

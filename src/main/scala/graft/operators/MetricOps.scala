@@ -560,7 +560,61 @@ object MetricOps {
       FROM g ORDER BY p_brand"""),
   )
 
+  /** MAXIMUM DRAWDOWN of the cumulative daily revenue flow — the
+    * peak-to-trough risk metric (here: worst relative dip of the daily
+    * revenue run-rate against its running peak). Revenue accumulates in
+    * exact integer cents; the running peak is one cumulative-max window
+    * over the calendar-bounded daily table, so the drawdown ratio is a
+    * per-day IEEE division of two exact integers — no float recursion,
+    * and the argmax row carries a total (dd desc, day) tiebreak. */
+  val qDrawdown: GQuery = GQuery(
+    "q_drawdown",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("cents"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("peak", max($"cents").over(w))
+        .withColumn("dd",
+          r6(($"peak" - $"cents").cast("double") / $"peak".cast("double")))
+        .orderBy($"dd".desc, $"day")
+        .limit(1)
+        .select($"day".as("trough_day"),
+          r2($"cents".cast("double") / lit(100.0)).as("trough_revenue"),
+          r2($"peak".cast("double") / lit(100.0)).as("peak_revenue"),
+          $"dd".as("max_drawdown"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint)) as bigint) AS cents
+        FROM orders GROUP BY 1),
+      run AS (
+        SELECT day, cents,
+               cast(max(cents) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS peak
+        FROM daily),
+      dd AS (
+        SELECT day, cents, peak,
+               ${r6Sql("cast(peak - cents as double) / " +
+                 "cast(peak as double)")} AS dd
+        FROM run)
+      SELECT day AS trough_day,
+             ${r2Sql("cast(cents as double) / cast(100.0 as double)")}
+               AS trough_revenue,
+             ${r2Sql("cast(peak as double) / cast(100.0 as double)")}
+               AS peak_revenue,
+             dd AS max_drawdown
+      FROM dd ORDER BY dd DESC, day LIMIT 1"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
-      qElasticity)
+      qElasticity, qDrawdown)
 }

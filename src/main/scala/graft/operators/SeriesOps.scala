@@ -702,7 +702,133 @@ object SeriesOps {
       FROM fin"""),
   )
 
+  /** PARTIAL AUTOCORRELATION (lags 1–3) of the daily event series via
+    * the Durbin–Levinson recursion UNROLLED to closed form — the
+    * AR-order diagnostic that separates direct lag influence from
+    * propagated correlation (q_autocorr's ACF cannot). The standard
+    * global-mean ACF numerators come from lag() columns on the
+    * calendar-bounded daily spine (one tiny unpartitioned window);
+    * everything after is a fixed IEEE expression on ONE pivoted moment
+    * row: φ₁₁=ρ₁, φ₂₂=(ρ₂−ρ₁²)/(1−ρ₁²), and φ₃₃ from the k=2
+    * prediction coefficients. Division guards: a constant series
+    * (zero variance) yields NULL, not a crash. */
+  val qPacf: GQuery = GQuery(
+    "q_pacf",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"day")
+      val lagged = (1 to 3).foldLeft(dailyCounts(spark, dir)) {
+        case (df, k) => df.withColumn(s"lag$k", lag($"n", k).over(w))
+      }
+      val m = lagged.agg(
+        count(lit(1)).as("nd"),
+        sum($"n").as("s"),
+        sum($"n" * $"n").as("q"),
+        sum(when($"lag1".isNotNull, $"n" * $"lag1")).as("p1"),
+        sum(when($"lag1".isNotNull, $"n")).as("a1"),
+        sum(when($"lag1".isNotNull, $"lag1")).as("b1"),
+        sum(when($"lag2".isNotNull, $"n" * $"lag2")).as("p2"),
+        sum(when($"lag2".isNotNull, $"n")).as("a2"),
+        sum(when($"lag2".isNotNull, $"lag2")).as("b2"),
+        sum(when($"lag3".isNotNull, $"n" * $"lag3")).as("p3"),
+        sum(when($"lag3".isNotNull, $"n")).as("a3"),
+        sum(when($"lag3".isNotNull, $"lag3")).as("b3"))
+      val d = (c: String) => col(c).cast("double")
+      val xb = d("s") / d("nd")
+      val c0 = d("q") - d("nd") * xb * xb
+      def rho(k: Int) =
+        (d(s"p$k") - xb * d(s"a$k") - xb * d(s"b$k") +
+          (d("nd") - lit(k.toDouble)) * xb * xb) / c0
+      val r1 = rho(1); val r2 = rho(2); val r3 = rho(3)
+      val phi22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+      val a21 = r1 - phi22 * r1
+      val phi33 = (r3 - a21 * r2 - phi22 * r1) /
+        (lit(1.0) - a21 * r1 - phi22 * r2)
+      val rows = array(
+        struct(lit(1).as("k"), r6(when(c0 > 0, r1)).as("pacf")),
+        struct(lit(2).as("k"), r6(when(c0 > 0, phi22)).as("pacf")),
+        struct(lit(3).as("k"), r6(when(c0 > 0, phi33)).as("pacf")))
+      m.select(explode(rows).as("r"))
+        .select($"r.k".as("k"), $"r.pacf".as("pacf"))
+        .orderBy($"k")
+    },
+    Some(s"""
+      WITH $dailyCte,
+      lagged AS (
+        SELECT n,
+               lag(n, 1) OVER (ORDER BY day) AS lag1,
+               lag(n, 2) OVER (ORDER BY day) AS lag2,
+               lag(n, 3) OVER (ORDER BY day) AS lag3
+        FROM daily),
+      m AS (
+        SELECT cast(count(*) as bigint) AS nd,
+               cast(sum(n) as bigint) AS s,
+               cast(sum(n * n) as bigint) AS q,
+               cast(sum(CASE WHEN lag1 IS NOT NULL THEN n * lag1 END)
+                 as bigint) AS p1,
+               cast(sum(CASE WHEN lag1 IS NOT NULL THEN n END)
+                 as bigint) AS a1,
+               cast(sum(CASE WHEN lag1 IS NOT NULL THEN lag1 END)
+                 as bigint) AS b1,
+               cast(sum(CASE WHEN lag2 IS NOT NULL THEN n * lag2 END)
+                 as bigint) AS p2,
+               cast(sum(CASE WHEN lag2 IS NOT NULL THEN n END)
+                 as bigint) AS a2,
+               cast(sum(CASE WHEN lag2 IS NOT NULL THEN lag2 END)
+                 as bigint) AS b2,
+               cast(sum(CASE WHEN lag3 IS NOT NULL THEN n * lag3 END)
+                 as bigint) AS p3,
+               cast(sum(CASE WHEN lag3 IS NOT NULL THEN n END)
+                 as bigint) AS a3,
+               cast(sum(CASE WHEN lag3 IS NOT NULL THEN lag3 END)
+                 as bigint) AS b3
+        FROM lagged),
+      e AS (
+        SELECT cast(s as double) / cast(nd as double) AS xb,
+               cast(q as double) -
+                 cast(nd as double) *
+                 (cast(s as double) / cast(nd as double)) *
+                 (cast(s as double) / cast(nd as double)) AS c0,
+               m.* FROM m),
+      r AS (
+        SELECT c0,
+               (cast(p1 as double) - xb * cast(a1 as double) -
+                 xb * cast(b1 as double) +
+                 (cast(nd as double) - cast(1.0 as double)) * xb * xb) / c0
+                 AS r1,
+               (cast(p2 as double) - xb * cast(a2 as double) -
+                 xb * cast(b2 as double) +
+                 (cast(nd as double) - cast(2.0 as double)) * xb * xb) / c0
+                 AS r2,
+               (cast(p3 as double) - xb * cast(a3 as double) -
+                 xb * cast(b3 as double) +
+                 (cast(nd as double) - cast(3.0 as double)) * xb * xb) / c0
+                 AS r3
+        FROM e),
+      f AS (
+        SELECT c0, r1, r2, r3,
+               (r2 - r1 * r1) / (cast(1.0 as double) - r1 * r1) AS phi22
+        FROM r),
+      g AS (
+        SELECT c0, r1, r2, r3, phi22,
+               r1 - phi22 * r1 AS a21
+        FROM f)
+      SELECT k, pacf FROM (
+        SELECT 1 AS k,
+               ${r6Sql("CASE WHEN c0 > 0 THEN r1 END")} AS pacf FROM g
+        UNION ALL
+        SELECT 2 AS k,
+               ${r6Sql("CASE WHEN c0 > 0 THEN phi22 END")} AS pacf FROM g
+        UNION ALL
+        SELECT 3 AS k,
+               ${r6Sql("CASE WHEN c0 > 0 THEN " +
+                 "(r3 - a21 * r2 - phi22 * r1) / " +
+                 "(cast(1.0 as double) - a21 * r1 - phi22 * r2) END")}
+                 AS pacf FROM g) t
+      ORDER BY k"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
-    qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt)
+    qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf)
 }

@@ -163,6 +163,68 @@ class EvalNonparamSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("keeper") < 50))
   }
 
+  test("q_bootstrap: CI brackets are ordered and consistent with the SE") {
+    val r = run("q_bootstrap").head
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    val se = r.getAs[Double]("boot_se"); val m = r.getAs[Double]("mean_raw")
+    assert(r.getAs[Long]("b_reps") === 50L)
+    assert(lo < hi && se > 0)
+    // the raw mean sits inside a generous multiple of the bootstrap SE
+    assert(math.abs(m - (lo + hi) / 2) < 10 * se,
+      s"mean=$m ci=($lo,$hi) se=$se")
+  }
+
+  test("q_pacf emits one bounded coefficient per lag") {
+    val rows = run("q_pacf").collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      val p = r.getAs[Double]("pacf")
+      assert(p >= -1.0 - 1e-9 && p <= 1.0 + 1e-9, s"pacf=$p")
+    }
+  }
+
+  test("q_drawdown is a valid peak-relative dip") {
+    val r = run("q_drawdown").head
+    val dd = r.getAs[Double]("max_drawdown")
+    assert(dd >= 0 && dd < 1)
+    assert(r.getAs[Double]("trough_revenue") <=
+      r.getAs[Double]("peak_revenue") + 1e-9)
+  }
+
+  test("q_growth_acct reconciles DAU day over day") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_growth_acct").collect()
+    assert(rows.nonEmpty)
+    val actives = graft.engine.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toString
+      val dau = actives.getOrElse(d, 0L)
+      // every active user is exactly one of new/retained/resurrected
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+        r.getAs[Long]("n_resurrected") === dau, s"day=$d")
+      assert(r.getAs[Long]("net_change") ===
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_resurrected") -
+          r.getAs[Long]("n_churned"))
+    }
+    // yesterday's actives either retain or churn
+    val byDay = rows.map(r =>
+      r.getAs[java.sql.Date]("day").toString -> r).toMap
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(
+        r.getAs[java.sql.Date]("day").toString)
+      actives.get(d.minusDays(1).toString).foreach { yesterday =>
+        assert(r.getAs[Long]("n_retained") + r.getAs[Long]("n_churned")
+          === yesterday, s"day=$d retained+churned != DAU(d-1)")
+      }
+    }
+    assert(byDay.nonEmpty)
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
