@@ -646,9 +646,77 @@ object Joins {
       ORDER BY o_orderpriority"""),
   )
 
+  /** Nearest as-of join: each purchase matched to the same user's
+    * CLOSEST signup in either direction (ties → the prior one) — the
+    * third asof flavor after backward ([[qJoinAsof]]) and forward
+    * ([[qJoinAsofFwd]]), used when staleness is symmetric (sensor
+    * alignment, nearest quote). BOTH direction candidates come from two
+    * frames over ONE per-user sort (same partitioning + ordering ⇒ a
+    * single WindowExec sort services both), then an IEEE second-diff
+    * comparison picks the winner — still one shuffle, no row explosion,
+    * no range join. A signup at the exact purchase timestamp sorts
+    * before it and is the backward candidate at distance 0. */
+  val qJoinAsofNear: GQuery = GQuery(
+    "q_join_asof_near",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("signup", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "signup", $"ts").as("signup_ts"))
+      val ord = Seq($"ts",
+        when($"event_type" === "signup", 0).otherwise(1), $"event_id")
+      val wb = Window.partitionBy($"user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"user_id").orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val prior = last($"signup_ts", ignoreNulls = true).over(wb)
+      val next = first($"signup_ts", ignoreNulls = true).over(wf)
+      ev.withColumn("prior_ts", prior)
+        .withColumn("next_ts", next)
+        .filter($"event_type" === "purchase")
+        .withColumn("nearest_signup_ts",
+          when($"prior_ts".isNull, $"next_ts")
+            .when($"next_ts".isNull, $"prior_ts")
+            .when(unix_timestamp($"ts") - unix_timestamp($"prior_ts") <=
+              unix_timestamp($"next_ts") - unix_timestamp($"ts"),
+              $"prior_ts")
+            .otherwise($"next_ts"))
+        .select($"event_id", $"user_id", $"ts", $"nearest_signup_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+             CASE WHEN prior_ts IS NULL THEN next_ts
+                  WHEN next_ts IS NULL THEN prior_ts
+                  WHEN epoch(ts) - epoch(prior_ts) <=
+                       epoch(next_ts) - epoch(ts) THEN prior_ts
+                  ELSE next_ts END AS nearest_signup_ts
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+          last_value(signup_ts IGNORE NULLS) OVER (
+            PARTITION BY user_id
+            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                     event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_ts,
+          first_value(signup_ts IGNORE NULLS) OVER (
+            PARTITION BY user_id
+            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                     event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        FROM (
+          SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+                 event_type,
+                 CASE WHEN event_type = 'signup'
+                      THEN date_trunc('second', ts) END AS signup_ts
+          FROM events WHERE event_type IN ('signup', 'purchase')) ev
+      ) t WHERE event_type = 'purchase'
+      ORDER BY event_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qJoinBcast, qJoinSmj, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofFwd, qJoinIntervalOuter, qJoinCross,
     qJoinQ5, qJoinFull, qJoinSalted, qJoinQ8, qJoinQ17, qJoinQ18, qJoinQ16,
-    qJoinQ4)
+    qJoinQ4, qJoinAsofNear)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
 import graft.engine.GQuery._
@@ -138,6 +139,64 @@ object Partitioned {
       ORDER BY o_orderpriority"""),
   )
 
+  /** SMALL-FILE COMPACTION PLANNER over the partitioned lake: per-file
+    * row counts (metadata-scale, via the engine's own file attribution
+    * — input_file_name here, read_parquet(filename=true) in the oracle,
+    * both naming the SAME on-disk files) rolled into greedy
+    * target-sized output bins: files in path order, bin boundary every
+    * `target` cumulative rows. This is the maintenance query every
+    * 100 TB lake runs nightly — the plan TELLS the rewrite job what to
+    * coalesce; only file stats move, never data. The cumulative window
+    * rides the |files|-bounded listing. */
+  val qCompaction: GQuery = {
+    val target = 25000L
+    GQuery(
+      "q_compaction",
+      (spark, dir) => {
+        import spark.implicits._
+        val path = Lake.ensureOrdersByMonth(spark, dir)
+        val files = spark.read.parquet(path)
+          .select(regexp_extract(input_file_name(), "[^/]+/[^/]+$", 0)
+            .as("file"))
+          .groupBy($"file")
+          .agg(count(lit(1)).as("n_rows"))
+        val w = Window.orderBy($"file")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        files
+          .withColumn("cum_before", coalesce(sum($"n_rows").over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div $target"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum($"n_rows").as("n_rows"),
+            min($"file").as("first_file"))
+          .withColumn("fill",
+            r6($"n_rows".cast("double") / lit(target.toDouble)))
+          .orderBy($"bin")
+      },
+      Some(s"""
+      WITH files AS (
+        SELECT regexp_extract(filename, '[^/]+/[^/]+$$', 0) AS file,
+               count(*) AS n_rows
+        FROM read_parquet('${Lake.ordersByMonthPath}/*/*.parquet',
+               hive_partitioning=true, filename=true)
+        GROUP BY 1),
+      cum AS (
+        SELECT file, n_rows,
+               cast(coalesce(sum(n_rows) OVER (ORDER BY file
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum_before
+        FROM files)
+      SELECT cum_before // $target AS bin,
+             count(*) AS n_files,
+             cast(sum(n_rows) as bigint) AS n_rows,
+             min(file) AS first_file,
+             ${r6Sql(s"cast(sum(n_rows) as double) / " +
+               s"cast($target.0 as double)")} AS fill
+      FROM cum
+      GROUP BY 1 ORDER BY bin"""),
+    )
+  }
+
   val all: Seq[GQuery] = Seq(qScanPartitioned, qJoinDpp, qScanZOrder,
-    qJoinBucketed)
+    qJoinBucketed, qCompaction)
 }

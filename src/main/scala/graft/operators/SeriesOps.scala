@@ -828,7 +828,81 @@ object SeriesOps {
       ORDER BY k"""),
   )
 
+  /** PER-KEY CUSUM CHANGE-POINT: q_changepoint's statistic run
+    * PARTITION-PARALLEL, one change-point per event type over its daily
+    * count series — the shape the global query's scaladoc promises at
+    * 100 TB ("the same plan runs per key"): every window below is
+    * partitionBy(event_type), so series of different keys never
+    * serialize through one task, and the per-key argmax is a
+    * row_number pick with the total (|d| desc, day) tiebreak. Counts
+    * are exact integers end to end. */
+  val qChangepointKeyed: GQuery = GQuery(
+    "q_changepoint_keyed",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy($"event_type")
+      val cum = daily
+        .withColumn("t", row_number()
+          .over(Window.partitionBy($"event_type").orderBy($"day"))
+          .cast("long"))
+        .withColumn("prefix", sum($"n").over(wc))
+        .withColumn("nd", max($"t").over(wAll))
+        .withColumn("total", sum($"n").over(wAll))
+        .withColumn("d", $"nd" * $"prefix" - $"t" * $"total")
+      cum
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy(abs($"d").desc, $"day")))
+        .filter($"rn" === 1 && $"nd" > $"t")
+        .select($"event_type",
+          $"day".as("cp_day"),
+          r6(abs($"d").cast("double") / $"nd".cast("double")).as("max_cusum"),
+          r6($"prefix".cast("double") / $"t".cast("double")).as("mean_before"),
+          r6(($"total" - $"prefix").cast("double") /
+            ($"nd" - $"t").cast("double")).as("mean_after"),
+          $"nd".cast("int").as("n_days"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, cast(date_trunc('day', ts) as date) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, day, n,
+               cast(row_number() OVER (PARTITION BY event_type
+                 ORDER BY day) as bigint) AS t,
+               cast(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS prefix,
+               cast(count(*) OVER (PARTITION BY event_type) as bigint) AS nd,
+               cast(sum(n) OVER (PARTITION BY event_type) as bigint) AS total
+        FROM daily),
+      d AS (
+        SELECT event_type, day, t, prefix, nd, total,
+               nd * prefix - t * total AS d,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(nd * prefix - t * total) DESC, day) AS rn
+        FROM cum)
+      SELECT event_type, day AS cp_day,
+             ${r6Sql("cast(abs(d) as double) / cast(nd as double)")}
+               AS max_cusum,
+             ${r6Sql("cast(prefix as double) / cast(t as double)")}
+               AS mean_before,
+             ${r6Sql("cast(total - prefix as double) / " +
+               "cast(nd - t as double)")} AS mean_after,
+             cast(nd as int) AS n_days
+      FROM d WHERE rn = 1 AND nd > t
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
-    qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf)
+    qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
+    qChangepointKeyed)
 }

@@ -225,6 +225,44 @@ class EvalNonparamSpec extends AnyFunSuite {
     assert(byDay.nonEmpty)
   }
 
+  test("q_join_asof_near picks the closer of the two asof directions") {
+    val near = run("q_join_asof_near").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.sql.Timestamp]("nearest_signup_ts"))).toMap
+    val prior = run("q_join_asof").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.sql.Timestamp]("asof_signup_ts"))).toMap
+    assert(near.keySet == prior.keySet, "same purchase set as backward asof")
+    prior.foreach { case (id, p) =>
+      // when a prior signup exists, nearest is never null and never
+      // farther than the prior candidate
+      p.foreach { _ => assert(near(id).isDefined, s"event $id") }
+    }
+    assert(near.values.exists(_.isDefined))
+  }
+
+  test("q_compaction bins tile the partitioned lake exactly") {
+    val rows = run("q_compaction").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === graft.engine.Tables.orders(spark, sf).count(),
+      "bin rows must tile the table")
+    assert(rows.map(_.getAs[Long]("bin")).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getAs[Long]("n_files") >= 1))
+  }
+
+  test("q_changepoint_keyed: one split per key with consistent means") {
+    val rows = run("q_changepoint_keyed").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length ==
+      rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_before") >= 0)
+      assert(r.getAs[Double]("mean_after") >= 0)
+      assert(r.getAs[Double]("max_cusum") >= 0)
+    }
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
