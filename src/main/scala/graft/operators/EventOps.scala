@@ -1026,13 +1026,17 @@ object EventOps {
             .as("n_retained"),
           sum(when($"prev".isNotNull && datediff($"day", $"prev") > 1, 1L)
             .otherwise(0L)).as("n_resurrected"))
+        .withColumn("act", lit(1))
       val churn = flagged
         .filter($"next".isNull || datediff($"next", $"day") > 1)
         .groupBy(date_add($"day", 1).as("day"))
         .agg(count(lit(1)).as("n_churned"))
-      val maxDay = ud.agg(max($"day").as("dmax"))
+      // last OBSERVED day from the joined day table itself (an active-day
+      // marker + unpartitioned max over the calendar-bounded join — not a
+      // third scan of events just for max(day); ReuseAudit-measured)
+      val wAll = Window.partitionBy()
       statuses.join(churn, Seq("day"), "full_outer")
-        .crossJoin(broadcast(maxDay))
+        .withColumn("dmax", max(when($"act" === 1, $"day")).over(wAll))
         .filter($"day" <= $"dmax")
         .select($"day",
           coalesce($"n_new", lit(0L)).as("n_new"),
@@ -1062,14 +1066,18 @@ object EventOps {
                  THEN 1 ELSE 0 END) as bigint) AS n_retained,
                cast(sum(CASE WHEN prev IS NOT NULL
                  AND date_diff('day', prev, day) > 1
-                 THEN 1 ELSE 0 END) as bigint) AS n_resurrected
+                 THEN 1 ELSE 0 END) as bigint) AS n_resurrected,
+               1 AS act
         FROM flagged GROUP BY day),
       churn AS (
         SELECT day + 1 AS day, cast(count(*) as bigint) AS n_churned
         FROM flagged
         WHERE next IS NULL OR date_diff('day', day, next) > 1
         GROUP BY day + 1),
-      md AS (SELECT max(day) AS dmax FROM ud)
+      j AS (
+        SELECT day, n_new, n_retained, n_resurrected, n_churned,
+               max(CASE WHEN act = 1 THEN day END) OVER () AS dmax
+        FROM statuses FULL JOIN churn USING (day))
       SELECT day,
              coalesce(n_new, 0) AS n_new,
              coalesce(n_retained, 0) AS n_retained,
@@ -1077,8 +1085,7 @@ object EventOps {
              coalesce(n_churned, 0) AS n_churned,
              coalesce(n_new, 0) + coalesce(n_resurrected, 0) -
                coalesce(n_churned, 0) AS net_change
-      FROM statuses FULL JOIN churn USING (day)
-      CROSS JOIN md
+      FROM j
       WHERE day <= dmax
       ORDER BY day"""),
   )
