@@ -1090,9 +1090,81 @@ object EventOps {
       ORDER BY day"""),
   )
 
+  /** COHORT LTV CURVES: cumulative revenue per acquisition cohort by
+    * account age — q_cohort's revenue twin (retention counts there,
+    * lifetime value here). The fact collapses to exact integer cents
+    * per (cohort month, age-in-months) in one pass (cohort = each
+    * customer's first order month, a \|customers\|-bounded min-agg
+    * joined back on the key); the cumulative ride and the per-user
+    * normalization run over the ≤\|months\|² cohort grid. Month
+    * arithmetic is integer (year·12+month) in BOTH engines — no
+    * months_between float. */
+  val qCohortLtv: GQuery = GQuery(
+    "q_cohort_ltv",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_custkey",
+          (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+      val first = o.groupBy($"o_custkey").agg(min($"m").as("m0"))
+      val grid = o.join(first, "o_custkey")
+        .groupBy($"m0", ($"m" - $"m0").as("age"))
+        .agg(sum($"cents").as("cents"),
+          countDistinct($"o_custkey").as("n_active"))
+      val size = first.groupBy($"m0").agg(count(lit(1)).as("n_cohort"))
+      val w = Window.partitionBy($"m0").orderBy($"age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(size, "m0")
+        .withColumn("cum_cents", sum($"cents").over(w))
+        .select(
+          expr("(m0 - 1) div 12").cast("int").as("cohort_year"),
+          (($"m0" - lit(1)) % lit(12) + lit(1)).cast("int").as("cohort_month"),
+          $"age".cast("int").as("age_months"),
+          $"n_cohort", $"n_active",
+          r2($"cum_cents".cast("double") / lit(100.0)).as("cum_revenue"),
+          r2($"cum_cents".cast("double") / lit(100.0) /
+            $"n_cohort".cast("double")).as("ltv_per_user"))
+        .orderBy($"cohort_year", $"cohort_month", $"age_months")
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM orders),
+      first AS (
+        SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+      grid AS (
+        SELECT m0, m - m0 AS age,
+               cast(sum(cents) as bigint) AS cents,
+               cast(count(DISTINCT o.o_custkey) as bigint) AS n_active
+        FROM o JOIN first USING (o_custkey)
+        GROUP BY m0, m - m0),
+      sz AS (SELECT m0, count(*) AS n_cohort FROM first GROUP BY m0),
+      cum AS (
+        SELECT m0, age, n_active, n_cohort,
+               cast(sum(cents) OVER (PARTITION BY m0 ORDER BY age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum_cents
+        FROM grid JOIN sz USING (m0))
+      SELECT cast((m0 - 1) // 12 as int) AS cohort_year,
+             cast((m0 - 1) % 12 + 1 as int) AS cohort_month,
+             cast(age as int) AS age_months,
+             n_cohort, n_active,
+             ${r2Sql("cast(cum_cents as double) / cast(100.0 as double)")}
+               AS cum_revenue,
+             ${r2Sql("cast(cum_cents as double) / cast(100.0 as double) / " +
+               "cast(n_cohort as double)")} AS ltv_per_user
+      FROM cum
+      ORDER BY cohort_year, cohort_month, age_months"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
       qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams,
-      qGrowthAcct)
+      qGrowthAcct, qCohortLtv)
 }

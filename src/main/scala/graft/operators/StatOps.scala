@@ -766,8 +766,74 @@ object StatOps {
       FROM tri CROSS JOIN w"""),
   )
 
+  /** POISSON GOODNESS-OF-FIT for lines-per-order: observed k-histogram
+    * vs N·e^{−λ}λᵏ/k! at the MLE λ = mean — the count-model audit
+    * (q_benford's cousin for arrival-like counts). Two combinable
+    * groupBys collapse the fact to a ≤\|max k\| histogram plus two
+    * integer totals; the expected mass is exp(k·ln λ − λ)/k! — exp/ln
+    * only (their cross-engine agreement is load-bearing across the
+    * existing surface), integer factorial in both engines, NO pow()
+    * (whose libm rounding is not pinned). χ² accumulates per-k IEEE
+    * terms at 9 dp through an exact decimal sum and rides every row. */
+  val qPoissonFit: GQuery = GQuery(
+    "q_poisson_fit",
+    (spark, dir) => {
+      import spark.implicits._
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("k"))
+      val hist = perOrder.groupBy($"k").agg(count(lit(1)).as("obs"))
+      val wAll = Window.partitionBy()
+      val withTot = hist
+        .withColumn("n", sum($"obs").over(wAll))
+        .withColumn("sk", sum($"k" * $"obs").over(wAll))
+      val lam = $"sk".cast("double") / $"n".cast("double")
+      val expected = $"n".cast("double") *
+        exp($"k".cast("double") * log(lam) - lam) /
+        factorial($"k".cast("int")).cast("double")
+      val scored = withTot
+        .withColumn("expected", r6(expected))
+        .withColumn("chi2_term",
+          rN(($"obs".cast("double") - $"expected") *
+            ($"obs".cast("double") - $"expected") / $"expected", 9))
+      scored
+        .withColumn("chi2",
+          r6(sum($"chi2_term".cast("decimal(30,9)")).over(wAll)
+            .cast("double")))
+        .select($"k".cast("int").as("k"), $"obs", $"expected", $"chi2")
+        .orderBy($"k")
+    },
+    Some(s"""
+      WITH per_order AS (
+        SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY l_orderkey),
+      hist AS (
+        SELECT k, count(*) AS obs FROM per_order GROUP BY k),
+      tot AS (
+        SELECT k, obs,
+               cast(sum(obs) OVER () as bigint) AS n,
+               cast(sum(k * obs) OVER () as bigint) AS sk
+        FROM hist),
+      e AS (
+        SELECT k, obs, n,
+               ${r6Sql("cast(n as double) * " +
+                 "exp(cast(k as double) * " +
+                 "ln(cast(sk as double) / cast(n as double)) - " +
+                 "cast(sk as double) / cast(n as double)) / " +
+                 "cast(factorial(cast(k as int)) as double)")} AS expected
+        FROM tot),
+      t AS (
+        SELECT k, obs, expected,
+               ${rNSql("(cast(obs as double) - expected) * " +
+                 "(cast(obs as double) - expected) / expected", 9)}
+                 AS chi2_term
+        FROM e)
+      SELECT cast(k as int) AS k, obs, expected,
+             ${r6Sql("cast(sum(cast(chi2_term as decimal(30,9))) OVER () " +
+               "as double)")} AS chi2
+      FROM t ORDER BY k"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
-    qClusteringCoef)
+    qClusteringCoef, qPoissonFit)
 }

@@ -865,9 +865,85 @@ object Windows {
       GROUP BY q ORDER BY q"""),
   )
 
+  /** STRENGTH OF TREND / SEASONALITY (Hyndman's variance-ratio form)
+    * per event type, computed over the SAME decomposition frame as
+    * q_seasonal (one shared code path, so the two queries can never
+    * disagree about what "trend" means): Fₜ = max(0, 1 −
+    * var(resid)/var(deseasonalized)) and Fₛ likewise against the
+    * detrended series. The decomposition parts are SNAPPED TO A 3 DP
+    * GRID with the pure-IEEE rN before any decimal staging — their raw
+    * values are sums of sevenths (trend/seasonal divisions) whose 6 dp
+    * decimal casts sit on rounding ties where the two engines' cast
+    * semantics diverge (observed at sf0.1: shortest-repr HALF_UP vs
+    * binary-value rounding flipped single rows); on the 3 dp grid the
+    * values AND their squares are exact decimal(30,6) citizens, so the
+    * staged moments are tie-free. One combinable groupBy; everything
+    * after is a fixed IEEE expression on ≤\|types\| rows. */
+  val qSeasonStrength: GQuery = GQuery(
+    "q_season_strength",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 6))
+      val f = seasonalFrame(spark, dir, spike = false)
+        .filter($"trend".isNotNull)
+        .select($"event_type",
+          rN($"resid", 3).as("r"),
+          rN($"n" - $"seasonal", 3).as("des"),
+          rN($"seasonal" + $"resid", 3).as("det"))
+      val g = f.groupBy($"event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(dec($"r")).cast("double").as("sr"),
+        sum(dec($"r" * $"r")).cast("double").as("qr"),
+        sum(dec($"des")).cast("double").as("sd"),
+        sum(dec($"des" * $"des")).cast("double").as("qd"),
+        sum(dec($"det")).cast("double").as("st"),
+        sum(dec($"det" * $"det")).cast("double").as("qt"))
+      val n = $"cnt".cast("double")
+      def v(s: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+        (q - s * s / n) / (n - lit(1.0))
+      g.select($"event_type", $"cnt".as("n_days"),
+          r6(greatest(lit(0.0),
+            lit(1.0) - v($"sr", $"qr") / v($"sd", $"qd")))
+            .as("strength_trend"),
+          r6(greatest(lit(0.0),
+            lit(1.0) - v($"sr", $"qr") / v($"st", $"qt")))
+            .as("strength_seasonal"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH ${seasonalCte(spike = false)},
+      parts AS (
+        SELECT event_type,
+               ${rNSql("resid", 3)} AS r,
+               ${rNSql("n - seasonal", 3)} AS des,
+               ${rNSql("seasonal + resid", 3)} AS det
+        FROM d WHERE trend IS NOT NULL),
+      mom AS (
+        SELECT event_type, count(*) AS cnt,
+               cast(sum(cast(r as decimal(30,6))) as double) AS sr,
+               cast(sum(cast(r * r as decimal(30,6))) as double) AS qr,
+               cast(sum(cast(des as decimal(30,6))) as double) AS sd,
+               cast(sum(cast(des * des as decimal(30,6))) as double) AS qd,
+               cast(sum(cast(det as decimal(30,6))) as double) AS st,
+               cast(sum(cast(det * det as decimal(30,6))) as double) AS qt
+        FROM parts GROUP BY event_type)
+      SELECT event_type, cnt AS n_days,
+             ${r6Sql("greatest(cast(0.0 as double), cast(1.0 as double) - " +
+               "((qr - sr * sr / cast(cnt as double)) / " +
+               "(cast(cnt as double) - 1.0)) / " +
+               "((qd - sd * sd / cast(cnt as double)) / " +
+               "(cast(cnt as double) - 1.0)))")} AS strength_trend,
+             ${r6Sql("greatest(cast(0.0 as double), cast(1.0 as double) - " +
+               "((qr - sr * sr / cast(cnt as double)) / " +
+               "(cast(cnt as double) - 1.0)) / " +
+               "((qt - st * st / cast(cnt as double)) / " +
+               "(cast(cnt as double) - 1.0)))")} AS strength_seasonal
+      FROM mom ORDER BY event_type"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
     qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear,
-    qSeasonal, qAnomaly, qWinNtile)
+    qSeasonal, qAnomaly, qWinNtile, qSeasonStrength)
 }

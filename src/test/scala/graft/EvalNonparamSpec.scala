@@ -263,6 +263,48 @@ class EvalNonparamSpec extends AnyFunSuite {
     }
   }
 
+  test("q_season_strength: strengths are in [0,1] for every type") {
+    val rows = run("q_season_strength").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getAs[Double]("strength_trend")
+      val ss = r.getAs[Double]("strength_seasonal")
+      assert(st >= 0 && st <= 1, s"trend=$st")
+      assert(ss >= 0 && ss <= 1, s"seasonal=$ss")
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+  }
+
+  test("q_cohort_ltv: LTV is cumulative and normalizations agree") {
+    val rows = run("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[Int]("cohort_year"),
+        r.getAs[Int]("cohort_month"))).foreach { case (_, g) =>
+      val byAge = g.sortBy(_.getAs[Int]("age_months"))
+      val revs = byAge.map(_.getAs[Double]("cum_revenue"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a <= b + 1e-6 },
+        "cumulative revenue must be monotone in age")
+      byAge.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+        assert(math.abs(r.getAs[Double]("ltv_per_user") -
+          r.getAs[Double]("cum_revenue") / r.getAs[Long]("n_cohort"))
+          < 0.02)
+      }
+    }
+  }
+
+  test("q_poisson_fit: expected masses nearly tile N, chi2 global") {
+    val rows = run("q_poisson_fit").collect()
+    assert(rows.nonEmpty)
+    val obsTotal = rows.map(_.getAs[Long]("obs")).sum
+    val expTotal = rows.map(_.getAs[Double]("expected")).sum
+    // the histogram support covers almost all Poisson mass
+    assert(expTotal > 0.8 * obsTotal && expTotal < 1.05 * obsTotal,
+      s"expected=$expTotal obs=$obsTotal")
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(chi2 >= 0 && rows.forall(_.getAs[Double]("chi2") == chi2))
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
