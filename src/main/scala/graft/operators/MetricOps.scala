@@ -614,7 +614,66 @@ object MetricOps {
       FROM dd ORDER BY dd DESC, day LIMIT 1"""),
   )
 
+  /** WEIBULL FIT of the user-lifetime distribution by regressing the
+    * Kaplan–Meier curve: ln(−ln S(t)) is LINEAR in ln t under Weibull,
+    * so shape = the OLS slope and scale = exp(−intercept/shape).
+    * Composed from q_survival's OUTPUT (one source of truth for the KM
+    * estimate, the q_prf composition pattern — the oracle nests the
+    * same SQL); the regression runs over the ≤\|observed lifetimes\|
+    * KM rows with rN-staged decimal sums, so the heavy lifting is
+    * still q_survival's one event-stream pass. */
+  val qWeibullFit: GQuery = GQuery(
+    "q_weibull_fit",
+    (spark, dir) => {
+      import spark.implicits._
+      val km = qSurvival.run(spark, dir)
+        .filter($"lifetime_days" >= 1 && $"km_log_surv" < 0)
+        .select(log($"lifetime_days".cast("double")).as("lx"),
+          log(-$"km_log_surv").as("ly"))
+      def st(c: org.apache.spark.sql.Column) =
+        sum(rN(c, 9).cast("decimal(30,9)")).cast("double")
+      val m = km.agg(count(lit(1)).as("np"),
+        st($"lx").as("sx"), st($"ly").as("sy"),
+        st($"lx" * $"lx").as("sxx"), st($"lx" * $"ly").as("sxy"))
+      val nd = $"np".cast("double")
+      val den = nd * $"sxx" - $"sx" * $"sx"
+      val slope = (nd * $"sxy" - $"sx" * $"sy") / den
+      val icept = ($"sy" - slope * $"sx") / nd
+      m.select($"np".as("n_points"),
+        r6(when(den > 0, slope)).as("shape"),
+        r6(when(den > 0, exp(-icept / slope))).as("scale_days"))
+    },
+    qSurvival.oracle.map(inner => s"""
+      WITH km AS (
+        SELECT ln(cast(lifetime_days as double)) AS lx,
+               ln(-km_log_surv) AS ly
+        FROM ($inner) s
+        WHERE lifetime_days >= 1 AND km_log_surv < 0),
+      m AS (
+        SELECT cast(count(*) as bigint) AS np,
+               cast(sum(cast(${rNSql("lx", 9)} as decimal(30,9)))
+                 as double) AS sx,
+               cast(sum(cast(${rNSql("ly", 9)} as decimal(30,9)))
+                 as double) AS sy,
+               cast(sum(cast(${rNSql("lx * lx", 9)} as decimal(30,9)))
+                 as double) AS sxx,
+               cast(sum(cast(${rNSql("lx * ly", 9)} as decimal(30,9)))
+                 as double) AS sxy
+        FROM km)
+      SELECT np AS n_points,
+             ${r6Sql("CASE WHEN cast(np as double) * sxx - sx * sx > 0 " +
+               "THEN (cast(np as double) * sxy - sx * sy) / " +
+               "(cast(np as double) * sxx - sx * sx) END")} AS shape,
+             ${r6Sql("CASE WHEN cast(np as double) * sxx - sx * sx > 0 " +
+               "THEN exp(-((sy - ((cast(np as double) * sxy - sx * sy) / " +
+               "(cast(np as double) * sxx - sx * sx)) * sx) / " +
+               "cast(np as double)) / " +
+               "((cast(np as double) * sxy - sx * sy) / " +
+               "(cast(np as double) * sxx - sx * sx))) END")} AS scale_days
+      FROM m"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
-      qElasticity, qDrawdown)
+      qElasticity, qDrawdown, qWeibullFit)
 }

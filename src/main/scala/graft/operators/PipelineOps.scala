@@ -554,8 +554,94 @@ object PipelineOps {
       GROUP BY stage ORDER BY stage"""),
   )
 
+  /** K-FOLD ASSIGNMENT BALANCE AUDIT: deterministic hash folds (the
+    * portable conv(md5) idiom — reproducible on any cluster, no RNG
+    * state) over the corpus, then the balance report every CV split
+    * should ship with: per-fold size, share, mean length, language
+    * entropy, and a χ² against the uniform fold split (accumulated on
+    * the ≤k-row tail). A skewed fold histogram here means the ML
+    * layer's foldCol splits train on a biased subset. */
+  val qFoldBalance: GQuery = {
+    val k = 5
+    GQuery(
+      "q_fold_balance",
+      (spark, dir) => {
+        import spark.implicits._
+        val f = Tables.documents(spark, dir)
+          .select($"doc_id", $"n_chars", $"lang",
+            (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("long") % k).as("fold"))
+        val g = f.groupBy($"fold", $"lang").agg(
+          count(lit(1)).as("nl"),
+          sum($"n_chars").as("sc"))
+        val byFold = g.groupBy($"fold").agg(
+          sum($"nl").as("n_docs"),
+          sum($"sc").as("sum_chars"),
+          sum(rN(-($"nl".cast("double")) *
+              log($"nl".cast("double")), 9)
+            .cast("decimal(30,9)")).cast("double").as("hraw"))
+        val wAll = Window.partitionBy()
+        byFold
+          .withColumn("n_total", sum($"n_docs").over(wAll))
+          .select($"fold", $"n_docs",
+            r6($"n_docs".cast("double") / $"n_total".cast("double"))
+              .as("share"),
+            r6($"sum_chars".cast("double") / $"n_docs".cast("double"))
+              .as("mean_chars"),
+            r6(($"hraw" / $"n_docs".cast("double")) +
+              log($"n_docs".cast("double"))).as("lang_entropy"),
+            r6(sum(
+              rN(($"n_docs".cast("double") -
+                  $"n_total".cast("double") / lit(k.toDouble)) *
+                ($"n_docs".cast("double") -
+                  $"n_total".cast("double") / lit(k.toDouble)) /
+                ($"n_total".cast("double") / lit(k.toDouble)), 9)
+                .cast("decimal(30,9)")).over(wAll).cast("double"))
+              .as("chi2_uniform"))
+          .orderBy($"fold")
+      },
+      Some(s"""
+      WITH f AS (
+        SELECT doc_id, n_chars, lang,
+               ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT
+                 % $k AS fold
+        FROM documents),
+      g AS (
+        SELECT fold, lang, count(*) AS nl,
+               cast(sum(n_chars) as bigint) AS sc
+        FROM f GROUP BY fold, lang),
+      by_fold AS (
+        SELECT fold,
+               cast(sum(nl) as bigint) AS n_docs,
+               cast(sum(sc) as bigint) AS sum_chars,
+               cast(sum(cast(${rNSql(
+                 "-cast(nl as double) * ln(cast(nl as double))", 9)}
+                 as decimal(30,9))) as double) AS hraw
+        FROM g GROUP BY fold),
+      t AS (
+        SELECT fold, n_docs, sum_chars, hraw,
+               cast(sum(n_docs) OVER () as bigint) AS n_total
+        FROM by_fold)
+      SELECT fold, n_docs,
+             ${r6Sql("cast(n_docs as double) / cast(n_total as double)")}
+               AS share,
+             ${r6Sql("cast(sum_chars as double) / cast(n_docs as double)")}
+               AS mean_chars,
+             ${r6Sql("hraw / cast(n_docs as double) + " +
+               "ln(cast(n_docs as double))")} AS lang_entropy,
+             ${r6Sql("cast(sum(cast(" + rNSql(
+                 "(cast(n_docs as double) - cast(n_total as double) / " +
+                   s"cast($k.0 as double)) * " +
+                 "(cast(n_docs as double) - cast(n_total as double) / " +
+                   s"cast($k.0 as double)) / " +
+                 s"(cast(n_total as double) / cast($k.0 as double))", 9) +
+               " as decimal(30,9))) OVER () as double)")} AS chi2_uniform
+      FROM t ORDER BY fold"""),
+    )
+  }
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
-      qCurriculum)
+      qCurriculum, qFoldBalance)
 }

@@ -832,8 +832,59 @@ object StatOps {
       FROM t ORDER BY k"""),
   )
 
+  /** CAPTURE–RECAPTURE population estimate (Chapman's nearly-unbiased
+    * form): treat viewers and clickers as two independent samples of
+    * the user universe; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the overlap m
+    * — the audit that says how many users the telemetry NEVER saw. One
+    * combinable per-user flag reduction, three integer totals, one
+    * closed form; coverage = observed/N̂. */
+  val qCaptureRecapture: GQuery = GQuery(
+    "q_capture_recapture",
+    (spark, dir) => {
+      import spark.implicits._
+      val flags = Tables.events(spark, dir)
+        .filter($"event_type".isin("view", "click"))
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "view", 1L).otherwise(0L)).as("v"),
+          max(when($"event_type" === "click", 1L).otherwise(0L)).as("c"))
+      val t = flags.agg(
+        sum($"v").as("n1"),
+        sum($"c").as("n2"),
+        sum($"v" * $"c").as("m"),
+        count(lit(1)).as("n_observed"))
+      val d = (s: String) => col(s).cast("double")
+      val nhat = (d("n1") + lit(1.0)) * (d("n2") + lit(1.0)) /
+        (d("m") + lit(1.0)) - lit(1.0)
+      t.select($"n1", $"n2", $"m", $"n_observed",
+        r2(nhat).as("n_est"),
+        r6(d("n_observed") / nhat).as("coverage"))
+    },
+    Some(s"""
+      WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY user_id),
+      t AS (
+        SELECT cast(sum(v) as bigint) AS n1,
+               cast(sum(c) as bigint) AS n2,
+               cast(sum(v * c) as bigint) AS m,
+               cast(count(*) as bigint) AS n_observed
+        FROM flags)
+      SELECT n1, n2, m, n_observed,
+             ${r2Sql("(cast(n1 as double) + 1.0) * " +
+               "(cast(n2 as double) + 1.0) / " +
+               "(cast(m as double) + 1.0) - 1.0")} AS n_est,
+             ${r6Sql("cast(n_observed as double) / " +
+               "((cast(n1 as double) + 1.0) * " +
+               "(cast(n2 as double) + 1.0) / " +
+               "(cast(m as double) + 1.0) - 1.0)")} AS coverage
+      FROM t"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
-    qClusteringCoef, qPoissonFit)
+    qClusteringCoef, qPoissonFit, qCaptureRecapture)
 }

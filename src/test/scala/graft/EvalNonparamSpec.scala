@@ -305,6 +305,37 @@ class EvalNonparamSpec extends AnyFunSuite {
     assert(chi2 >= 0 && rows.forall(_.getAs[Double]("chi2") == chi2))
   }
 
+  test("q_capture_recapture: estimate dominates the observed union") {
+    val r = run("q_capture_recapture").head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val m = r.getAs[Long]("m"); val obs = r.getAs[Long]("n_observed")
+    assert(m <= math.min(n1, n2))
+    assert(obs === n1 + n2 - m, "observed = union of the two samples")
+    assert(r.getAs[Double]("n_est") >= obs - 1e-6,
+      "Chapman estimate can't undercut what was directly seen")
+    val cov = r.getAs[Double]("coverage")
+    assert(cov > 0 && cov <= 1.0 + 1e-6)
+  }
+
+  test("q_weibull_fit recovers a positive shape and scale") {
+    val r = run("q_weibull_fit").head
+    assert(r.getAs[Long]("n_points") >= 3)
+    assert(r.getAs[Double]("shape") > 0)
+    assert(r.getAs[Double]("scale_days") > 0)
+  }
+
+  test("q_fold_balance: folds tile the corpus with sane balance stats") {
+    val rows = run("q_fold_balance").collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === graft.engine.Tables.documents(spark, sf).count())
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+    val chi2 = rows.head.getAs[Double]("chi2_uniform")
+    assert(chi2 >= 0 && rows.forall(_.getAs[Double]("chi2_uniform") == chi2))
+    rows.foreach(r => assert(r.getAs[Double]("lang_entropy") >= -1e-9))
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
