@@ -650,11 +650,12 @@ object Joins {
     * CLOSEST signup in either direction (ties → the prior one) — the
     * third asof flavor after backward ([[qJoinAsof]]) and forward
     * ([[qJoinAsofFwd]]), used when staleness is symmetric (sensor
-    * alignment, nearest quote). BOTH direction candidates come from two
-    * frames over ONE per-user sort (same partitioning + ordering ⇒ a
-    * single WindowExec sort services both), then an IEEE second-diff
-    * comparison picks the winner — still one shuffle, no row explosion,
-    * no range join. A signup at the exact purchase timestamp sorts
+    * alignment, nearest quote). BOTH direction candidates share one
+    * hash partitioning (a single Exchange in the plan — Spark splits
+    * the flipped frame into a second WindowExec with a re-sort of the
+    * already-ordered partition, an O(n) formality, not a shuffle),
+    * then an IEEE second-diff comparison picks the winner — one
+    * shuffle total, no row explosion, no range join. A signup at the exact purchase timestamp sorts
     * before it and is the backward candidate at distance 0. */
   val qJoinAsofNear: GQuery = GQuery(
     "q_join_asof_near",
