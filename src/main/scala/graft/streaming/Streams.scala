@@ -476,6 +476,60 @@ object Streams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Open-interval occupancy state: the current coalesced interval
+    * [curStart, curEnd) plus the covered total of all CLOSED intervals —
+    * four numbers per user, regardless of stream length. */
+  final case class OccS(curStart: Long, curEnd: Long, closed: Long, n: Long)
+
+  final case class OccOut(user_id: Long, event_id: Long,
+      at_ts: Timestamp, covered_s: Long, n_events: Long)
+
+  /** STREAMING INTERVAL UNION (occupancy) — the online twin of
+    * q_interval_union: per user, each event spans [ts, ts + max(1,
+    * round(value)) s); the state keeps ONE open coalesced interval plus
+    * the closed-coverage total (O(1) per key — the sweep needs nothing
+    * else because events arrive time-ordered within a key), emitting
+    * the running covered seconds after each event. On a replayed
+    * stream the terminal covered_s per user equals the batch query's
+    * integer exactly — pinned by the golden test. Late events BEHIND
+    * the open interval's start are clamped to it (the watermark bounds
+    * how late they can be); the batch query is the exact backfill. */
+  def intervalUnion(events: Dataset[Ev],
+      watermarkDelay: String = "10 minutes"): Dataset[OccOut] = {
+    import events.sparkSession.implicits._
+
+    def update(key: Long, rows: Iterator[Ev],
+        state: GroupState[OccS]): Iterator[OccOut] = {
+      if (state.hasTimedOut) Iterator.empty
+      else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var s = state.getOption.getOrElse(OccS(0L, 0L, 0L, 0L))
+        var out = List.empty[OccOut]
+        sorted.foreach { e =>
+          val st = e.ts.getTime / 1000L
+          val dur = math.max(1L, math.round(e.value))
+          val en = st + dur
+          s =
+            if (s.n == 0L) OccS(st, en, 0L, 1L)
+            else if (st > s.curEnd)
+              OccS(st, en, s.closed + (s.curEnd - s.curStart), s.n + 1)
+            else
+              OccS(s.curStart, math.max(s.curEnd, en), s.closed, s.n + 1)
+          out ::= OccOut(key, e.event_id, e.ts,
+            s.closed + (s.curEnd - s.curStart), s.n)
+        }
+        state.update(s)
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Append the stream to a parquet directory with exactly-once file-sink
     * semantics (the sink's transaction log in `checkpoint` makes replays
     * idempotent). The durable landing path for raw events at scale —

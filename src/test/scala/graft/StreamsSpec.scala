@@ -405,6 +405,48 @@ class StreamsSpec extends AnyFunSuite {
       s"stream (${rows.last.level}, ${rows.last.trend}) != batch ($l, $b)")
   }
 
+  test("intervalUnion coalesces overlaps and matches the batch sweep") {
+    // user 1: [10,15) [12,20) [25,27) -> covered 10+2 = 12s
+    // user 2: [100,101) [100,103) -> covered 3s
+    def ev(id: Long, u: Long, sec: Long, dur: Double) =
+      Ev(id, u, new java.sql.Timestamp(sec * 1000L), "m", dur)
+    val evs = Seq(ev(1, 1, 10, 5.0), ev(2, 1, 12, 8.0), ev(3, 1, 25, 2.0),
+      ev(4, 2, 100, 1.0), ev(5, 2, 100, 3.0))
+    val out = runStream(Seq(evs.take(2), evs.drop(2)))(
+      df => Streams.intervalUnion(df.as[Ev]).toDF())
+    val rows = out.as[Streams.OccOut].collect()
+    val fin = rows.groupBy(_.user_id).map { case (u, g) =>
+      u -> g.maxBy(_.n_events).covered_s }
+    assert(fin == Map(1L -> 12L, 2L -> 3L), s"got $fin")
+    // running coverage is monotone per user
+    rows.groupBy(_.user_id).values.foreach { g =>
+      val cov = g.sortBy(_.n_events).map(_.covered_s)
+      assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("intervalUnion terminal coverage bit-matches q_interval_union") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Ev](org.apache.spark.sql.Encoders.product[Ev])
+      .collect().toSeq
+    val out = runStream(Seq(evs))(
+      df => Streams.intervalUnion(df.as[Ev]).toDF())
+    val streamed = out.as[Streams.OccOut].collect()
+      .groupBy(_.user_id).map { case (u, g) =>
+        u -> g.maxBy(_.n_events).covered_s }
+    val batch = graft.engine.Registry.byName("q_interval_union")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(streamed(u) == r.getAs[Long]("covered_s"),
+        s"user $u: stream=${streamed(u)} batch=${r.getAs[Long]("covered_s")}")
+    }
+  }
+
   test("welfordZscore matches the batch z-score on the same prefix") {
     val warm = (1 to 40).map(i =>
       Ev(i, 1, ts(i), "m", (i % 7).toDouble))
