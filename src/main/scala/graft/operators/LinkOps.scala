@@ -10,9 +10,12 @@ import graft.engine.GQuery._
 /** Graph link prediction and structure profiling over the co-purchase
   * graph (the q_triangles edge list: support ≥ 2 part pairs + the
   * planted 4-clique), plus the interval-union sweep over the event
-  * stream. The graph queries never materialize part×part: wedges come
-  * from the degree-bounded sparse edge list and candidates only from
-  * equi-joins — the same scale posture as q_triangles/q_conncomp.
+  * stream. The graph queries never materialize part×part: the edge
+  * list uses q_copurchase's single-shuffle per-order pair explode (one
+  * groupBy of the fact — the lp self-join shuffles the pair table
+  * twice), wedges come from the degree-bounded sparse edge list, and
+  * candidates only from equi-joins — the same scale posture as
+  * q_triangles/q_conncomp (whose oracles pin the identical edge set).
   */
 object LinkOps {
 
@@ -30,12 +33,16 @@ object LinkOps {
     "q_adamic_adar",
     (spark, dir) => {
       import spark.implicits._
-      val lp = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val organic = lp.as("a").join(lp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      val organic = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps)-1), i -> " +
+            "transform(sequence(i+1, size(ps)), j -> " +
+            "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+          .as("pr"))
+        .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
         .agg(count(lit(1)).as("s"))
         .filter($"s" >= 2)
         .select($"pa", $"pb")
@@ -109,12 +116,16 @@ object LinkOps {
     "q_degree_dist",
     (spark, dir) => {
       import spark.implicits._
-      val lp = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val organic = lp.as("a").join(lp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      val organic = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps)-1), i -> " +
+            "transform(sequence(i+1, size(ps)), j -> " +
+            "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+          .as("pr"))
+        .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
         .agg(count(lit(1)).as("s"))
         .filter($"s" >= 2)
         .select($"pa", $"pb")
