@@ -673,7 +673,98 @@ object MetricOps {
       FROM m"""),
   )
 
+  /** CHAINED PRICE INDEXES month over month: Laspeyres (base-month
+    * quantities), Paasche (current-month quantities), and their Fisher
+    * geometric mean, over the parts traded in BOTH months — the
+    * inflation-tracking operator every pricing warehouse runs. The
+    * fact collapses once to (month, part) unit-price/quantity cells
+    * (combinable; unit price is a per-cell ratio of decimal-staged
+    * sums); the base month arrives via a RANGE frame pinned to month−1
+    * on the integer month key (the q_wow_growth one-pass lookback — an
+    * empty frame on a trading gap yields NULL, which IS the
+    * both-months filter), so there is no self-join for ReuseExchange
+    * to miss. Index sums are decimal-staged products; month arithmetic
+    * is integer (year·12+month). */
+  val qPriceIndex: GQuery = GQuery(
+    "q_price_index",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(30,6)")
+      val mp = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.orders(spark, dir)
+          .select($"o_orderkey",
+            (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"m", $"l_partkey")
+        .agg(
+          (sum(dec($"l_extendedprice")).cast("double") /
+            sum(dec($"l_quantity")).cast("double")).as("p"),
+          sum(dec($"l_quantity")).cast("double").as("q"))
+      val wBase = Window.partitionBy($"l_partkey").orderBy($"m")
+        .rangeBetween(-1, -1)
+      val j = mp
+        .withColumn("p0", max($"p").over(wBase))
+        .withColumn("q0", max($"q").over(wBase))
+        .filter($"p0".isNotNull)
+        .select($"m", $"p".as("p1"), $"q".as("q1"), $"p0", $"q0")
+      j.groupBy($"m")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(rN($"p1" * $"q0", 6).cast("decimal(30,6)")).cast("double")
+            .as("l_num"),
+          sum(rN($"p0" * $"q0", 6).cast("decimal(30,6)")).cast("double")
+            .as("l_den"),
+          sum(rN($"p1" * $"q1", 6).cast("decimal(30,6)")).cast("double")
+            .as("p_num"),
+          sum(rN($"p0" * $"q1", 6).cast("decimal(30,6)")).cast("double")
+            .as("p_den"))
+        .select(
+          expr("(m - 1) div 12").cast("int").as("year"),
+          (($"m" - lit(1)) % lit(12) + lit(1)).cast("int").as("month"),
+          $"n_parts",
+          r6($"l_num" / $"l_den").as("laspeyres"),
+          r6($"p_num" / $"p_den").as("paasche"),
+          r6(sqrt(($"l_num" / $"l_den") * ($"p_num" / $"p_den")))
+            .as("fisher"))
+        .orderBy($"year", $"month")
+    },
+    Some(s"""
+      WITH mp AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               l_partkey,
+               cast(sum(cast(l_extendedprice as decimal(30,6))) as double) /
+                 cast(sum(cast(l_quantity as decimal(30,6))) as double) AS p,
+               cast(sum(cast(l_quantity as decimal(30,6))) as double) AS q
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      lagged AS (
+        SELECT m, p AS p1, q AS q1,
+               max(p) OVER w AS p0,
+               max(q) OVER w AS q0
+        FROM mp
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY m
+          RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)),
+      j AS (SELECT * FROM lagged WHERE p0 IS NOT NULL),
+      g AS (
+        SELECT m, count(*) AS n_parts,
+               cast(sum(cast(${rNSql("p1 * q0", 6)} as decimal(30,6)))
+                 as double) AS l_num,
+               cast(sum(cast(${rNSql("p0 * q0", 6)} as decimal(30,6)))
+                 as double) AS l_den,
+               cast(sum(cast(${rNSql("p1 * q1", 6)} as decimal(30,6)))
+                 as double) AS p_num,
+               cast(sum(cast(${rNSql("p0 * q1", 6)} as decimal(30,6)))
+                 as double) AS p_den
+        FROM j GROUP BY m)
+      SELECT cast((m - 1) // 12 as int) AS year,
+             cast((m - 1) % 12 + 1 as int) AS month,
+             n_parts,
+             ${r6Sql("l_num / l_den")} AS laspeyres,
+             ${r6Sql("p_num / p_den")} AS paasche,
+             ${r6Sql("sqrt((l_num / l_den) * (p_num / p_den))")} AS fisher
+      FROM g ORDER BY year, month"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
-      qElasticity, qDrawdown, qWeibullFit)
+      qElasticity, qDrawdown, qWeibullFit, qPriceIndex)
 }

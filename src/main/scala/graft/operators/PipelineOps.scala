@@ -640,8 +640,76 @@ object PipelineOps {
     )
   }
 
+  /** REJECTION RESAMPLING to a target language mixture — q_mix_weights
+    * COMPUTES the weights; this op EXECUTES the resample: each doc is
+    * kept with probability (t_l/s_l)/max_l(t_l/s_l) (retention-maximal
+    * rejection toward the uniform 1/5 target — the largest-deficit
+    * language keeps everything), decided by the deterministic
+    * conv(md5) uniform so the SAME docs survive on any cluster, any
+    * retry, and in the oracle. One combinable share pass (≤5-row
+    * broadcast back), one decide-and-count pass. */
+  val qRejectionSample: GQuery = GQuery(
+    "q_rejection_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
+      val shares = docs.groupBy($"lang").agg(count(lit(1)).as("n_before"))
+      val wAll = Window.partitionBy()
+      val rates = shares
+        .withColumn("n_total", sum($"n_before").over(wAll))
+        .withColumn("ratio",
+          (lit(0.2) * $"n_total".cast("double")) /
+            $"n_before".cast("double"))
+        .withColumn("accept",
+          $"ratio" / max($"ratio").over(wAll))
+      val u = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      docs.join(broadcast(rates), "lang")
+        .withColumn("keep", (u < $"accept").cast("long"))
+        .groupBy($"lang")
+        .agg(max($"n_before").as("n_before"),
+          r6(max($"accept")).as("accept_rate"),
+          sum($"keep").as("n_after"))
+        .withColumn("share_after",
+          r6($"n_after".cast("double") /
+            sum($"n_after").over(wAll).cast("double")))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id, lang FROM documents),
+      shares AS (
+        SELECT lang, count(*) AS n_before FROM docs GROUP BY lang),
+      rates AS (
+        SELECT lang, n_before,
+               (cast(0.2 as double) * cast(sum(n_before) OVER () as double))
+                 / cast(n_before as double) AS ratio
+        FROM shares),
+      acc AS (
+        SELECT lang, n_before,
+               ratio / max(ratio) OVER () AS accept
+        FROM rates),
+      dec AS (
+        SELECT d.lang, a.n_before, a.accept,
+               CASE WHEN (cast(cast(('0x' || substr(md5(
+                   cast(d.doc_id as varchar)), 1, 8))::BIGINT as bigint)
+                   as double) + cast(0.5 as double)) /
+                   cast(4294967296.0 as double) < a.accept
+                 THEN 1 ELSE 0 END AS keep
+        FROM docs d JOIN acc a USING (lang)),
+      g AS (
+        SELECT lang,
+               cast(max(n_before) as bigint) AS n_before,
+               ${r6Sql("max(accept)")} AS accept_rate,
+               cast(sum(keep) as bigint) AS n_after
+        FROM dec GROUP BY lang)
+      SELECT lang, n_before, accept_rate, n_after,
+             ${r6Sql("cast(n_after as double) / " +
+               "cast(sum(n_after) OVER () as double)")} AS share_after
+      FROM g ORDER BY lang"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
-      qCurriculum, qFoldBalance)
+      qCurriculum, qFoldBalance, qRejectionSample)
 }

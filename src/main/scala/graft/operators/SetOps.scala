@@ -317,7 +317,34 @@ object SetOps {
       FROM u GROUP BY lang ORDER BY lang"""),
   )
 
+  /** GROUP BY ALL parity: the SAME modern-SQL text (every non-aggregate
+    * select item becomes a grouping key implicitly) runs verbatim in
+    * Spark 4 and DuckDB — exercised through the spark.sql entry path
+    * rather than the DataFrame DSL, pinning that the engine's SQL
+    * surface (not just its Scala API) matches the oracle dialect. The
+    * plan is the ordinary partial/final hash aggregate. */
+  val qGroupByAll: GQuery = {
+    val sql = s"""
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n_items,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_price
+      FROM %s
+      GROUP BY ALL
+      ORDER BY l_returnflag, l_linestatus"""
+    GQuery(
+      "q_groupby_all",
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .createOrReplaceTempView("graft_gball_lineitem")
+        spark.sql(sql.format("graft_gball_lineitem"))
+      },
+      Some(sql.format("lineitem")),
+    )
+  }
+
   val all: Seq[GQuery] =
     Seq(qSortLimit, qSetUnion, qSetIntersect, qSetExcept, qSubquery,
-      qLateral, qRecursive, qCorrScalar, qSetAll, qNotInNull, qUnionEvolve)
+      qLateral, qRecursive, qCorrScalar, qSetAll, qNotInNull, qUnionEvolve,
+      qGroupByAll)
 }

@@ -42,7 +42,11 @@ object PlanAudit {
     // identity needs all C(n,2) pairs and n is fixed by the calendar)
     "q_kendall",
     // 1-row broadcast of the chance-agreement margin / log-log slope
-    "q_kappa", "q_degree_dist")
+    "q_kappa", "q_degree_dist",
+    // q_seasonal's bounded generated spine (shared frame), q_survival's
+    // 1-row broadcasts inherited by the Weibull composition, and the
+    // bootstrap's 1-row raw-stats broadcast
+    "q_season_strength", "q_weibull_fit", "q_bootstrap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

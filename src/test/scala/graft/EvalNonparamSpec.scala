@@ -336,6 +336,48 @@ class EvalNonparamSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("lang_entropy") >= -1e-9))
   }
 
+  test("q_rejection_sample moves every language toward the 0.2 target") {
+    val rows = run("q_rejection_sample").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("accept_rate")).max >= 1.0 - 1e-6,
+      "the largest-deficit language keeps everything")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      val rate = r.getAs[Double]("accept_rate")
+      assert(rate > 0 && rate <= 1.0 + 1e-6)
+    }
+    val shares = rows.map(_.getAs[Double]("share_after")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+  }
+
+  test("q_price_index: Fisher is the geometric mean of L and P") {
+    val rows = run("q_price_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Double]("laspeyres"); val p = r.getAs[Double]("paasche")
+      val f = r.getAs[Double]("fisher")
+      assert(l > 0 && p > 0)
+      assert(math.abs(f - math.sqrt(l * p)) < 1e-4, s"f=$f l=$l p=$p")
+      assert(r.getAs[Long]("n_parts") > 0)
+    }
+  }
+
+  test("q_groupby_all matches the explicit grouping through spark.sql") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_groupby_all").collect()
+    val want = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_items"))
+      .toMap
+    assert(got.length == want.size)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_items") ===
+        want((r.getString(0), r.getString(1))))
+    }
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
