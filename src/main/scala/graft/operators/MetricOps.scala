@@ -764,7 +764,64 @@ object MetricOps {
       FROM g ORDER BY year, month"""),
   )
 
+  /** LORENZ CURVE DECILES of customer spend — the curve q_gini
+    * integrates: decile d of customers (poorest→richest by exact
+    * decimal spend, custkey tiebreak) vs its cumulative share of total
+    * spend. Spend accumulates in exact integer cents; ntile and the
+    * cumulative ride run over the \|customers\|-row aggregate (the
+    * scaladoc'd q_win_pctrank caveat applies: per-row exact deciles at
+    * 100 TB swap to broadcast quantile breakpoints, identical output
+    * contract). */
+  val qLorenz: GQuery = GQuery(
+    "q_lorenz",
+    (spark, dir) => {
+      import spark.implicits._
+      val spend = Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("cents"))
+      val wOrd = Window.orderBy($"cents", $"o_custkey")
+      val wCum = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      spend
+        .withColumn("decile", ntile(10).over(wOrd))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents"))
+        .withColumn("cum_share",
+          r6(sum($"cents").over(wCum).cast("double") /
+            sum($"cents").over(wAll).cast("double")))
+        .select($"decile", $"n_customers",
+          r2($"cents".cast("double") / lit(100.0)).as("decile_spend"),
+          $"cum_share")
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH spend AS (
+        SELECT o_custkey,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint)) as bigint) AS cents
+        FROM orders GROUP BY o_custkey),
+      dec AS (
+        SELECT cast(ntile(10) OVER (ORDER BY cents, o_custkey) as int)
+                 AS decile,
+               cents
+        FROM spend),
+      g AS (
+        SELECT decile, count(*) AS n_customers,
+               cast(sum(cents) as bigint) AS cents
+        FROM dec GROUP BY decile)
+      SELECT decile, n_customers,
+             ${r2Sql("cast(cents as double) / cast(100.0 as double)")}
+               AS decile_spend,
+             ${r6Sql("cast(sum(cents) OVER (ORDER BY decile " +
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+               "as double) / cast(sum(cents) OVER () as double)")}
+               AS cum_share
+      FROM g ORDER BY decile"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
-      qElasticity, qDrawdown, qWeibullFit, qPriceIndex)
+      qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz)
 }

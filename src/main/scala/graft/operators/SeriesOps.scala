@@ -901,8 +901,63 @@ object SeriesOps {
       ORDER BY event_type"""),
   )
 
+  /** PEAK DETECTION on the daily revenue series: a day is a peak when
+    * it beats both neighbors (strictly, ties broken toward the earlier
+    * day by >= / > asymmetry) AND clears 1.25× its trailing 7-day mean
+    * — the spike-mining op behind alerting and campaign attribution.
+    * Exact integer cents; neighbors via lag/lead, the trailing mean as
+    * one ROWS frame on the same calendar-bounded sort; prominence is
+    * the only double. Top 10 by prominence with a total tiebreak. */
+  val qPeaks: GQuery = GQuery(
+    "q_peaks",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("rev"))
+      val w = Window.orderBy($"day")
+      val wTrail = Window.orderBy($"day").rowsBetween(-7, -1)
+      daily
+        .withColumn("prev", lag($"rev", 1).over(w))
+        .withColumn("next", lead($"rev", 1).over(w))
+        .withColumn("trail7", avg($"rev".cast("double")).over(wTrail))
+        .filter($"prev".isNotNull && $"next".isNotNull &&
+          $"rev" >= $"prev" && $"rev" > $"next" &&
+          $"rev".cast("double") > lit(1.25) * $"trail7")
+        .select($"day",
+          r2($"rev".cast("double") / lit(100.0)).as("revenue"),
+          r6($"rev".cast("double") / $"trail7").as("prominence"))
+        .orderBy($"prominence".desc, $"day")
+        .limit(10)
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint)) as bigint) AS rev
+        FROM orders GROUP BY 1),
+      x AS (
+        SELECT day, rev,
+               lag(rev, 1) OVER (ORDER BY day) AS prev,
+               lead(rev, 1) OVER (ORDER BY day) AS next,
+               avg(cast(rev as double)) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail7
+        FROM daily)
+      SELECT day,
+             ${r2Sql("cast(rev as double) / cast(100.0 as double)")}
+               AS revenue,
+             ${r6Sql("cast(rev as double) / trail7")} AS prominence
+      FROM x
+      WHERE prev IS NOT NULL AND next IS NOT NULL
+        AND rev >= prev AND rev > next
+        AND cast(rev as double) > cast(1.25 as double) * trail7
+      ORDER BY ${r6Sql("cast(rev as double) / trail7")} DESC, day
+      LIMIT 10"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
-    qChangepointKeyed)
+    qChangepointKeyed, qPeaks)
 }

@@ -378,6 +378,27 @@ class EvalNonparamSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lorenz: cumulative shares are monotone, convex, end at 1") {
+    val rows = run("q_lorenz").collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(cum.last - 1.0) < 1e-4)
+    // Lorenz curve lies under the diagonal (inequality exists)
+    assert(cum.head <= 0.1 + 1e-6)
+  }
+
+  test("q_peaks: every peak clears its trailing mean by the threshold") {
+    val rows = run("q_peaks").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("prominence") > 1.25)
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+    val prom = rows.map(_.getAs[Double]("prominence")).toSeq
+    assert(prom == prom.sortBy(-_))
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
