@@ -12,7 +12,7 @@ object Registry {
       Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all ++
       EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++
       StatOps.all ++ QualityOps.all ++ GraphOps.all ++ MetricOps.all ++
-      SearchOps.all ++ InferOps.all ++ RecOps.all ++ EvalOps.all ++ NonparamOps.all ++ LinkOps.all
+      SearchOps.all ++ InferOps.all ++ RecOps.all ++ EvalOps.all ++ NonparamOps.all ++ LinkOps.all ++ RankOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -266,5 +266,139 @@ object EvalOps {
       FROM h ORDER BY bin"""),
   )
 
-  val all: Seq[GQuery] = Seq(qRocAuc, qKappa, qMcc, qEce)
+  /** CUMULATIVE GAINS / LIFT curve of the English-marker score: the same
+    * fixed-width score bins as q_ece (width 0.05, top-clamped — never an
+    * ntile over raw rows), walked from the highest-score bin down.
+    * capture = share of all positives reached so far; lift = positive
+    * rate so far ÷ base rate. Every ratio is exact-bigint / exact-bigint
+    * → one IEEE division → r6, so the curve is bit-stable at any SF and
+    * the only windows ride the ≤21-row bin table. */
+  val qGains: GQuery = GQuery(
+    "q_gains",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = scoredDocs(spark, dir)
+        .select($"pos",
+          least(floor($"score" * lit(20.0)).cast("long"), lit(20L)).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"))
+      val wDesc = Window.orderBy($"bin".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      b.withColumn("cum_n", sum($"n").over(wDesc))
+        .withColumn("cum_pos", sum($"n_pos").over(wDesc))
+        .withColumn("tot_n", sum($"n").over(wAll))
+        .withColumn("tot_pos", sum($"n_pos").over(wAll))
+        .select($"bin", $"n", $"n_pos", $"cum_n", $"cum_pos",
+          r6(d($"cum_pos") / d($"tot_pos")).as("capture"),
+          r6((d($"cum_pos") / d($"cum_n")) /
+            (d($"tot_pos") / d($"tot_n"))).as("lift"))
+        .orderBy($"bin".desc)
+    },
+    Some(s"""
+      WITH s AS ($scoredDocsSql),
+      b AS (
+        SELECT bin, count(*) AS n, cast(sum(pos) as bigint) AS n_pos
+        FROM (SELECT pos,
+                     least(cast(floor(score * cast(20.0 as double))
+                       as bigint), 20) AS bin
+              FROM s) t
+        GROUP BY bin),
+      c AS (
+        SELECT bin, n, n_pos,
+               cast(sum(n) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum_n,
+               cast(sum(n_pos) OVER (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum_pos,
+               cast(sum(n) OVER () as bigint) AS tot_n,
+               cast(sum(n_pos) OVER () as bigint) AS tot_pos
+        FROM b)
+      SELECT bin, n, n_pos, cum_n, cum_pos,
+             ${r6Sql("cast(cum_pos as double) / cast(tot_pos as double)")}
+               AS capture,
+             ${r6Sql("(cast(cum_pos as double) / cast(cum_n as double)) / " +
+               "(cast(tot_pos as double) / cast(tot_n as double))")} AS lift
+      FROM c ORDER BY bin DESC"""),
+  )
+
+  /** BRIER SCORE + Murphy decomposition of the English-marker score read
+    * as a probability. The headline Brier is a decimal-staged corpus
+    * mean of (score − y)²; reliability and resolution re-derive from the
+    * q_ece bins' PRE-ROUNDED per-bin (conf, acc) columns — 6dp-rounded
+    * doubles, so the n-weighted squared-gap sums decimal-stage exactly —
+    * and uncertainty is ȳ(1−ȳ) from the rounded base rate. One
+    * combinable corpus pass + one ≤21-row bin table crossJoined via
+    * broadcast (qKappa's precedent). */
+  val qBrier: GQuery = GQuery(
+    "q_brier",
+    (spark, dir) => {
+      import spark.implicits._
+      val s = scoredDocs(spark, dir)
+      val overall = s.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"pos").as("tot_pos"),
+        davg(($"score" - $"pos".cast("double")) *
+          ($"score" - $"pos".cast("double")), 6).as("brier"))
+      val bins = s
+        .select($"pos", $"score",
+          least(floor($"score" * lit(20.0)).cast("long"), lit(20L)).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+          davg($"score").as("conf"))
+        .withColumn("acc",
+          r6($"n_pos".cast("double") / $"n".cast("double")))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      bins.crossJoin(broadcast(overall))
+        .withColumn("ybar", r6(d($"tot_pos") / d($"n_docs")))
+        .agg(
+          max($"n_docs").as("n_docs"),
+          max($"brier").as("brier"),
+          max(r6($"ybar" * (lit(1.0) - $"ybar"))).as("uncertainty"),
+          rN(sum((d($"n") * ($"conf" - $"acc") * ($"conf" - $"acc"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double") / max(d($"n_docs")), 6).as("reliability"),
+          rN(sum((d($"n") * ($"acc" - $"ybar") * ($"acc" - $"ybar"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double") / max(d($"n_docs")), 6).as("resolution"))
+    },
+    Some(s"""
+      WITH s AS ($scoredDocsSql),
+      o AS (
+        SELECT count(*) AS n_docs, cast(sum(pos) as bigint) AS tot_pos,
+               ${davgSql("(score - cast(pos as double)) * " +
+                 "(score - cast(pos as double))", 6)} AS brier
+        FROM s),
+      b AS (
+        SELECT bin, count(*) AS n, cast(sum(pos) as bigint) AS n_pos,
+               ${davgSql("score")} AS conf
+        FROM (SELECT pos, score,
+                     least(cast(floor(score * cast(20.0 as double))
+                       as bigint), 20) AS bin
+              FROM s) t
+        GROUP BY bin),
+      g AS (
+        SELECT bin, n, n_pos, conf,
+               ${r6Sql("cast(n_pos as double) / cast(n as double)")} AS acc
+        FROM b),
+      j AS (
+        SELECT g.*, o.n_docs, o.tot_pos, o.brier,
+               ${r6Sql("cast(o.tot_pos as double) / " +
+                 "cast(o.n_docs as double)")} AS ybar
+        FROM g CROSS JOIN o)
+      SELECT max(n_docs) AS n_docs, max(brier) AS brier,
+             max(${r6Sql("ybar * (cast(1.0 as double) - ybar)")})
+               AS uncertainty,
+             ${rNSql("cast(sum(cast(cast(n as double) * (conf - acc) * " +
+               "(conf - acc) as decimal(30,6))) as double) / " +
+               "max(cast(n_docs as double))", 6)} AS reliability,
+             ${rNSql("cast(sum(cast(cast(n as double) * (acc - ybar) * " +
+               "(acc - ybar) as decimal(30,6))) as double) / " +
+               "max(cast(n_docs as double))", 6)} AS resolution
+      FROM j"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qRocAuc, qKappa, qMcc, qEce, qGains, qBrier)
 }

@@ -399,6 +399,67 @@ class EvalNonparamSpec extends AnyFunSuite {
     assert(prom == prom.sortBy(-_))
   }
 
+  test("q_ndcg: idcg dominates dcg and ndcg is their guarded ratio") {
+    val rows = run("q_ndcg").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val nRel = r.getAs[Int]("n_rel")
+      val dcg = r.getAs[Double]("dcg"); val idcg = r.getAs[Double]("idcg")
+      assert(nRel >= 0 && nRel <= 10)
+      assert(idcg >= dcg - 2e-6, s"idcg=$idcg dcg=$dcg")
+      if (nRel > 0) {
+        val ndcg = r.getAs[Double]("ndcg")
+        assert(ndcg >= 0 && ndcg <= 1 + 2e-6)
+        assert(math.abs(ndcg - dcg / idcg) < 2e-6)
+      } else assert(r.isNullAt(r.fieldIndex("ndcg")))
+    }
+  }
+
+  test("q_mrr: rr inverts the first relevant rank; mrr is their mean") {
+    val rows = run("q_mrr").collect()
+    assert(rows.length === 10)
+    var s = 0.0
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      if (r.isNullAt(r.fieldIndex("first_rel_rank"))) assert(rr === 0.0)
+      else {
+        val fr = r.getAs[Int]("first_rel_rank")
+        assert(fr >= 1 && fr <= 10)
+        assert(math.abs(rr - 1.0 / fr) < 2e-6)
+      }
+      s += rr
+    }
+    val mrr = rows.head.getAs[Double]("mrr")
+    assert(rows.forall(_.getAs[Double]("mrr") == mrr), "mrr must be global")
+    assert(math.abs(mrr - s / rows.length) < 2e-6)
+  }
+
+  test("q_gains: capture is monotone to 1 and the full-corpus lift is 1") {
+    val rows = run("q_gains").collect()
+    assert(rows.nonEmpty)
+    val caps = rows.map(_.getAs[Double]("capture")).toSeq
+    assert(caps == caps.sorted, "capture must be nondecreasing down-score")
+    assert(math.abs(caps.last - 1.0) < 2e-6)
+    assert(math.abs(rows.last.getAs[Double]("lift") - 1.0) < 2e-6)
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      rows.last.getAs[Long]("cum_n"))
+  }
+
+  test("q_brier satisfies the Murphy decomposition within rounding") {
+    val r = run("q_brier").head
+    val brier = r.getAs[Double]("brier")
+    val unc = r.getAs[Double]("uncertainty")
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    assert(brier >= 0 && brier <= 1)
+    assert(unc >= 0 && unc <= 0.25 + 1e-9)
+    assert(rel >= 0 && res >= 0)
+    // decomposition is exact only for in-bin-constant forecasts; with
+    // 0.05-wide bins the within-bin variance term bounds the residual
+    assert(math.abs(brier - (unc - res + rel)) < 0.01,
+      s"brier=$brier unc=$unc rel=$rel res=$res")
+  }
+
   test("new queries never degrade to a cartesian product") {
     for (q <- Seq("q_roc_auc", "q_kappa", "q_mcc", "q_ece", "q_mannwhitney",
         "q_levene", "q_oddsratio", "q_adamic_adar", "q_degree_dist",
