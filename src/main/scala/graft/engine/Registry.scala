@@ -12,7 +12,8 @@ object Registry {
       Partitioned.all ++ Formats.all ++ PipelineOps.all ++ CorpusStats.all ++
       EventOps.all ++ Analytics.all ++ TpchShapes.all ++ SeriesOps.all ++
       StatOps.all ++ QualityOps.all ++ GraphOps.all ++ MetricOps.all ++
-      SearchOps.all ++ InferOps.all ++ RecOps.all ++ EvalOps.all ++ NonparamOps.all ++ LinkOps.all ++ RankOps.all
+      SearchOps.all ++ InferOps.all ++ RecOps.all ++ EvalOps.all ++
+      NonparamOps.all ++ LinkOps.all ++ RankOps.all ++ CausalOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,488 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GQuery, Tables}
+import graft.engine.GQuery._
+
+/** Experimentation / causal-inference operators: CUPED variance
+  * reduction, difference-in-differences, and a Granger-style lead-lag
+  * predictive test. Scale posture (shared with InferOps/NonparamOps):
+  * the raw fact collapses FIRST onto its natural coarse key (user, day,
+  * group-cell) via one map-side-combinable pass of EXACT integer
+  * moments (counts / integer cents), so everything downstream runs over
+  * a user-count- or calendar-bounded table and the only floating point
+  * is a fixed IEEE closed form over exact integers — order-free, hence
+  * bit-identical on a 1000-executor cluster and in the DuckDB oracle.
+  */
+object CausalOps {
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data): the
+    * industry-standard variance-reduction estimator for A/B tests.
+    * Users are hash-split 50/50 (md5 — the cross-engine stable split,
+    * CLAUDE.md idiom); the covariate X is each user's first-15-day
+    * spend, the metric Y the remaining days' spend, both as exact
+    * integer cents from ONE per-user pass. θ = cov(X,Y)/var(X) is
+    * computed from pooled integer moments, and the adjusted per-variant
+    * mean is the closed form Ȳ_v − θ(X̄_v − X̄) — no per-row second
+    * pass. ρ² (the achieved variance reduction) rides the same moments.
+    * The N·Sxy-style products are formed in DOUBLE after the exact
+    * bigint moments (each moment fits int64 at any SF; their products
+    * would not) — IEEE on exact inputs, so still deterministic. */
+  val qCuped: GQuery = GQuery(
+    "q_cuped",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(to_date($"ts").as("day"), $"user_id",
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val b = ev.agg(min($"day").as("d0"))
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy($"user_id")
+        .agg(
+          sum(when(datediff($"day", $"d0") < 15, $"cents").otherwise(0L))
+            .as("x"),
+          sum(when(datediff($"day", $"d0") >= 15, $"cents").otherwise(0L))
+            .as("y"))
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+      val cells = u.groupBy($"variant").agg(
+        count(lit(1)).as("nv"),
+        sum($"x").as("sxv"), sum($"y").as("syv"),
+        sum($"x" * $"x").as("sxxv"), sum($"x" * $"y").as("sxyv"),
+        sum($"y" * $"y").as("syyv"))
+      val pool = cells.agg(
+        sum($"nv").as("n"), sum($"sxv").as("sx"), sum($"syv").as("sy"),
+        sum($"sxxv").as("sxx"), sum($"sxyv").as("sxy"),
+        sum($"syyv").as("syy"))
+      val d = (c: String) => col(c).cast("double")
+      val cxy = d("n") * d("sxy") - d("sx") * d("sy")
+      val cxx = d("n") * d("sxx") - d("sx") * d("sx")
+      val cyy = d("n") * d("syy") - d("sy") * d("sy")
+      val g = cells.crossJoin(broadcast(pool))
+      g.select($"variant", $"nv".as("n_users"),
+          r6(d("syv") / d("nv") / lit(100.0)).as("mean_post"),
+          r6((d("syv") / d("nv") -
+            (cxy / cxx) * (d("sxv") / d("nv") - d("sx") / d("n"))) /
+            lit(100.0)).as("mean_post_adj"),
+          r6(cxy / cxx).as("theta"),
+          r6(cxy * cxy / (cxx * cyy)).as("rho2"))
+        .orderBy($"variant")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, user_id,
+               cast(floor("value" * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM events),
+      b AS (SELECT min(day) AS d0 FROM ev),
+      u AS (
+        SELECT user_id,
+               cast(sum(CASE WHEN date_diff('day', d0, day) < 15
+                 THEN cents ELSE 0 END) as bigint) AS x,
+               cast(sum(CASE WHEN date_diff('day', d0, day) >= 15
+                 THEN cents ELSE 0 END) as bigint) AS y,
+               cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+                 ::BIGINT % 2 as int) AS variant
+        FROM ev, b GROUP BY user_id, variant),
+      cells AS (
+        SELECT variant, count(*) AS nv,
+               cast(sum(x) as bigint) AS sxv, cast(sum(y) as bigint) AS syv,
+               cast(sum(x*x) as bigint) AS sxxv,
+               cast(sum(x*y) as bigint) AS sxyv,
+               cast(sum(y*y) as bigint) AS syyv
+        FROM u GROUP BY variant),
+      pool AS (
+        SELECT cast(sum(nv) as bigint) AS n,
+               cast(sum(sxv) as bigint) AS sx,
+               cast(sum(syv) as bigint) AS sy,
+               cast(sum(sxxv) as bigint) AS sxx,
+               cast(sum(sxyv) as bigint) AS sxy,
+               cast(sum(syyv) as bigint) AS syy
+        FROM cells)
+      SELECT variant, nv AS n_users,
+             ${r6Sql("cast(syv as double) / cast(nv as double) / " +
+               "cast(100.0 as double)")} AS mean_post,
+             ${r6Sql(
+               "(cast(syv as double) / cast(nv as double) - " +
+               "((cast(n as double)*cast(sxy as double) - " +
+               "cast(sx as double)*cast(sy as double)) / " +
+               "(cast(n as double)*cast(sxx as double) - " +
+               "cast(sx as double)*cast(sx as double))) * " +
+               "(cast(sxv as double) / cast(nv as double) - " +
+               "cast(sx as double) / cast(n as double))) / " +
+               "cast(100.0 as double)")} AS mean_post_adj,
+             ${r6Sql(
+               "(cast(n as double)*cast(sxy as double) - " +
+               "cast(sx as double)*cast(sy as double)) / " +
+               "(cast(n as double)*cast(sxx as double) - " +
+               "cast(sx as double)*cast(sx as double))")} AS theta,
+             ${r6Sql(
+               "(cast(n as double)*cast(sxy as double) - " +
+               "cast(sx as double)*cast(sy as double)) * " +
+               "(cast(n as double)*cast(sxy as double) - " +
+               "cast(sx as double)*cast(sy as double)) / " +
+               "((cast(n as double)*cast(sxx as double) - " +
+               "cast(sx as double)*cast(sx as double)) * " +
+               "(cast(n as double)*cast(syy as double) - " +
+               "cast(sy as double)*cast(sy as double)))")} AS rho2
+      FROM cells, pool ORDER BY variant"""),
+  )
+
+  /** DIFFERENCE-IN-DIFFERENCES on average order value: treatment =
+    * customers of ASIA nations, pre/post split at 1998-01-01 (the order
+    * history spans 1995–2001 at every SF). The whole design collapses
+    * to ONE conditional-aggregation row — four (n, Σcents, Σcents²)
+    * cells — so no cross-row float sum exists at all. Σcents² exceeds
+    * int64 at sf0.1 (avg 2.2e14/order × 150k rows), so it is summed in
+    * decimal(38,0) — exact in both engines — and cast to double once
+    * for the variance closed form. Reports the four cell means, the DiD
+    * estimate, and its large-sample Wald SE / t. */
+  val qDid: GQuery = GQuery(
+    "q_did",
+    (spark, dir) => {
+      import spark.implicits._
+      val asia = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")
+      val cust = Tables.customer(spark, dir)
+        .join(broadcast(asia), $"c_nationkey" === $"n_nationkey", "left_outer")
+        .select($"c_custkey", $"n_nationkey".isNotNull.as("trt"))
+      val o = Tables.orders(spark, dir)
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .select($"trt",
+          ($"o_orderdate" >= lit("1998-01-01").cast("timestamp_ntz"))
+            .as("post"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+      def cell(tr: Boolean, po: Boolean, suf: String) = Seq(
+        sum(when($"trt" === tr && $"post" === po, 1L).otherwise(0L))
+          .as(s"n$suf"),
+        sum(when($"trt" === tr && $"post" === po, $"cents").otherwise(0L))
+          .as(s"s$suf"),
+        sum(when($"trt" === tr && $"post" === po,
+          ($"cents" * $"cents").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"q$suf"))
+      val cols = cell(false, false, "00") ++ cell(false, true, "01") ++
+        cell(true, false, "10") ++ cell(true, true, "11")
+      val a = o.agg(cols.head, cols.tail: _*)
+      val d = (c: String) => col(c).cast("double")
+      def m(suf: String) = d(s"s$suf") / d(s"n$suf") / lit(100.0)
+      def v(suf: String) =
+        (d(s"q$suf") - d(s"s$suf") * d(s"s$suf") / d(s"n$suf")) /
+          (d(s"n$suf") - lit(1.0)) / lit(10000.0)
+      val did = (m("11") - m("10")) - (m("01") - m("00"))
+      val se = sqrt(v("00") / d("n00") + v("01") / d("n01") +
+        v("10") / d("n10") + v("11") / d("n11"))
+      a.select($"n00", $"n01", $"n10", $"n11",
+        r6(m("00")).as("mean_ctl_pre"), r6(m("01")).as("mean_ctl_post"),
+        r6(m("10")).as("mean_trt_pre"), r6(m("11")).as("mean_trt_post"),
+        r6(did).as("did"), r6(se).as("se"), r6(did / se).as("t_stat"))
+    },
+    Some {
+      def mS(s: String) =
+        s"cast(s$s as double) / cast(n$s as double) / cast(100.0 as double)"
+      def vS(s: String) =
+        s"(cast(q$s as double) - cast(s$s as double) * cast(s$s as double)" +
+          s" / cast(n$s as double)) / (cast(n$s as double) - " +
+          s"cast(1.0 as double)) / cast(10000.0 as double)"
+      val didS = s"((${mS("11")}) - (${mS("10")})) - " +
+        s"((${mS("01")}) - (${mS("00")}))"
+      val seS = s"sqrt((${vS("00")}) / cast(n00 as double) + " +
+        s"(${vS("01")}) / cast(n01 as double) + " +
+        s"(${vS("10")}) / cast(n10 as double) + " +
+        s"(${vS("11")}) / cast(n11 as double))"
+      def cellS(tr: Int, po: Int, suf: String) =
+        s"""cast(sum(CASE WHEN trt = $tr AND post = $po
+               THEN 1 ELSE 0 END) as bigint) AS n$suf,
+             cast(sum(CASE WHEN trt = $tr AND post = $po
+               THEN cents ELSE 0 END) as bigint) AS s$suf,
+             sum(CASE WHEN trt = $tr AND post = $po
+               THEN cast(cents * cents as decimal(38,0))
+               ELSE cast(0 as decimal(38,0)) END) AS q$suf"""
+      s"""
+      WITH asia AS (
+        SELECT n_nationkey FROM nation JOIN region
+          ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      cust AS (
+        SELECT c_custkey,
+               CASE WHEN n_nationkey IS NOT NULL THEN 1 ELSE 0 END AS trt
+        FROM customer LEFT JOIN asia ON c_nationkey = n_nationkey),
+      o AS (
+        SELECT trt,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                 THEN 1 ELSE 0 END AS post,
+               cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM orders JOIN cust ON o_custkey = c_custkey),
+      a AS (
+        SELECT ${cellS(0, 0, "00")}, ${cellS(0, 1, "01")},
+               ${cellS(1, 0, "10")}, ${cellS(1, 1, "11")}
+        FROM o)
+      SELECT n00, n01, n10, n11,
+             ${r6Sql(mS("00"))} AS mean_ctl_pre,
+             ${r6Sql(mS("01"))} AS mean_ctl_post,
+             ${r6Sql(mS("10"))} AS mean_trt_pre,
+             ${r6Sql(mS("11"))} AS mean_trt_post,
+             ${r6Sql(didS)} AS did,
+             ${r6Sql(seS)} AS se,
+             ${r6Sql(s"($didS) / ($seS)")} AS t_stat
+      FROM a"""
+    },
+  )
+
+  /** GRANGER-style lead-lag test: do yesterday's clicks predict today's
+    * purchases beyond yesterday's purchases? Restricted (y ~ y₋₁) vs
+    * full (y ~ y₋₁ + x₋₁) OLS on the calendar-complete daily count
+    * series (30 rows at any SF — missing days are true zeros, a lag
+    * pair across a silent gap would be wrong), both models solved in
+    * closed form from one pass of INTEGER sufficient statistics; F =
+    * ((SSE_r − SSE_f)/1)/(SSE_f/(n−3)). The unpartitioned lag window
+    * rides the |days|-row aggregate, never raw events. */
+  val qGranger: GQuery = GQuery(
+    "q_granger",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select(to_date($"ts").as("day"), $"event_type")
+      val daily = ev.groupBy($"day").agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val s = spine.join(daily, Seq("day"), "left_outer")
+        .select($"day", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+      val w = Window.orderBy($"day")
+      val l = s
+        .withColumn("x1", lag($"x", 1).over(w))
+        .withColumn("y1", lag($"y", 1).over(w))
+        .filter($"y1".isNotNull)
+      val a = l.agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"), sum($"y1").as("sy1"), sum($"x1").as("sx1"),
+        sum($"y" * $"y").as("syy"), sum($"y" * $"y1").as("syy1"),
+        sum($"y" * $"x1").as("syx1"), sum($"y1" * $"y1").as("sy1y1"),
+        sum($"x1" * $"x1").as("sx1x1"), sum($"y1" * $"x1").as("sy1x1"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n")
+      val cyy = d("syy") - d("sy") * d("sy") / n
+      val cyy1 = d("syy1") - d("sy") * d("sy1") / n
+      val cyx1 = d("syx1") - d("sy") * d("sx1") / n
+      val c11 = d("sy1y1") - d("sy1") * d("sy1") / n
+      val c22 = d("sx1x1") - d("sx1") * d("sx1") / n
+      val c12 = d("sy1x1") - d("sy1") * d("sx1") / n
+      val sseR = cyy - cyy1 * cyy1 / c11
+      val den = c11 * c22 - c12 * c12
+      val b1 = (cyy1 * c22 - cyx1 * c12) / den
+      val b2 = (cyx1 * c11 - cyy1 * c12) / den
+      val sseF = cyy - b1 * cyy1 - b2 * cyx1
+      a.select($"n".as("n_obs"),
+        r6(b1).as("b_ylag"), r6(b2).as("b_xlag"),
+        r6(sseR).as("sse_r"), r6(sseF).as("sse_f"),
+        r6((sseR - sseF) / (sseF / (n - lit(3.0)))).as("f_stat"))
+    },
+    Some {
+      val n = "cast(n as double)"
+      def dd(c: String) = s"cast($c as double)"
+      val cyy = s"(${dd("syy")} - ${dd("sy")} * ${dd("sy")} / $n)"
+      val cyy1 = s"(${dd("syy1")} - ${dd("sy")} * ${dd("sy1")} / $n)"
+      val cyx1 = s"(${dd("syx1")} - ${dd("sy")} * ${dd("sx1")} / $n)"
+      val c11 = s"(${dd("sy1y1")} - ${dd("sy1")} * ${dd("sy1")} / $n)"
+      val c22 = s"(${dd("sx1x1")} - ${dd("sx1")} * ${dd("sx1")} / $n)"
+      val c12 = s"(${dd("sy1x1")} - ${dd("sy1")} * ${dd("sx1")} / $n)"
+      val sseR = s"($cyy - $cyy1 * $cyy1 / $c11)"
+      val den = s"($c11 * $c22 - $c12 * $c12)"
+      val b1 = s"(($cyy1 * $c22 - $cyx1 * $c12) / $den)"
+      val b2 = s"(($cyx1 * $c11 - $cyy1 * $c12) / $den)"
+      val sseF = s"($cyy - $b1 * $cyy1 - $b2 * $cyx1)"
+      s"""
+      WITH ev AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      daily0 AS (
+        SELECT day,
+               cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 as bigint) AS x,
+               cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 as bigint) AS y
+        FROM ev GROUP BY day),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      s AS (
+        SELECT spine.day, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        FROM spine LEFT JOIN daily0 USING (day)),
+      l AS (
+        SELECT y, lag(x) OVER (ORDER BY day) AS x1,
+               lag(y) OVER (ORDER BY day) AS y1
+        FROM s),
+      a AS (
+        SELECT count(*) AS n,
+               cast(sum(y) as bigint) AS sy,
+               cast(sum(y1) as bigint) AS sy1,
+               cast(sum(x1) as bigint) AS sx1,
+               cast(sum(y*y) as bigint) AS syy,
+               cast(sum(y*y1) as bigint) AS syy1,
+               cast(sum(y*x1) as bigint) AS syx1,
+               cast(sum(y1*y1) as bigint) AS sy1y1,
+               cast(sum(x1*x1) as bigint) AS sx1x1,
+               cast(sum(y1*x1) as bigint) AS sy1x1
+        FROM l WHERE y1 IS NOT NULL)
+      SELECT n AS n_obs,
+             ${r6Sql(b1)} AS b_ylag,
+             ${r6Sql(b2)} AS b_xlag,
+             ${r6Sql(sseR)} AS sse_r,
+             ${r6Sql(sseF)} AS sse_f,
+             ${r6Sql(s"($sseR - $sseF) / ($sseF / ($n - " +
+               "cast(3.0 as double)))")} AS f_stat
+      FROM a"""
+    },
+  )
+
+  /** SAMPLE-RATIO MISMATCH (SRM) check — the first gate run on any
+    * experiment: χ² of the observed variant split against the intended
+    * 50/50. Uses the same md5 hash split as q_cuped (so the two queries
+    * audit the same assignment); one combinable distinct-user pass →
+    * two integer cells → fixed IEEE χ². A healthy split at every SF
+    * (the hash is uniform), but the operator exists to catch the
+    * non-uniform day. */
+  val qSrm: GQuery = GQuery(
+    "q_srm",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = Tables.events(spark, dir).select($"user_id").distinct()
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+      val c = u.agg(
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n1"))
+      val d = (s: String) => col(s).cast("double")
+      val e = (d("n0") + d("n1")) / lit(2.0)
+      val chi2 = (d("n0") - e) * (d("n0") - e) / e +
+        (d("n1") - e) * (d("n1") - e) / e
+      c.select($"n0", $"n1",
+        r6(d("n0") / (d("n0") + d("n1"))).as("ratio0"),
+        r6(chi2).as("chi2"),
+        (chi2 > lit(3.841)).as("srm_flag"))
+    },
+    Some {
+      val e = "((cast(n0 as double) + cast(n1 as double)) / " +
+        "cast(2.0 as double))"
+      val chi2 = s"(cast(n0 as double) - $e) * (cast(n0 as double) - $e)" +
+        s" / $e + (cast(n1 as double) - $e) * (cast(n1 as double) - $e)" +
+        s" / $e"
+      s"""
+      WITH u AS (
+        SELECT DISTINCT user_id,
+               cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+                 ::BIGINT % 2 as int) AS variant
+        FROM events),
+      c AS (
+        SELECT cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) as bigint)
+                 AS n0,
+               cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) as bigint)
+                 AS n1
+        FROM u)
+      SELECT n0, n1,
+             ${r6Sql("cast(n0 as double) / (cast(n0 as double) + " +
+               "cast(n1 as double))")} AS ratio0,
+             ${r6Sql(chi2)} AS chi2,
+             ($chi2) > cast(3.841 as double) AS srm_flag
+      FROM c"""
+    },
+  )
+
+  /** MINIMUM DETECTABLE EFFECT for the q_cuped experiment design:
+    * MDE = (z_{α/2}+z_β)·σ·√(2/n̄) at 95%/80% (the two z constants are
+    * fixed literals — no quantile function needed), reported for both
+    * the raw metric σ and the CUPED-adjusted σ·√(1−ρ²), quantifying
+    * what the variance reduction buys in absolute dollars. Rides the
+    * identical per-user integer-moment pass as q_cuped; one output
+    * row. */
+  val qMde: GQuery = GQuery(
+    "q_mde",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(to_date($"ts").as("day"), $"user_id",
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val b = ev.agg(min($"day").as("d0"))
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy($"user_id")
+        .agg(
+          sum(when(datediff($"day", $"d0") < 15, $"cents").otherwise(0L))
+            .as("x"),
+          sum(when(datediff($"day", $"d0") >= 15, $"cents").otherwise(0L))
+            .as("y"))
+      val a = u.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n")
+      val varY = (n * d("syy") - d("sy") * d("sy")) / (n * (n - lit(1.0)))
+      val rho2 = (n * d("sxy") - d("sx") * d("sy")) *
+        (n * d("sxy") - d("sx") * d("sy")) /
+        ((n * d("sxx") - d("sx") * d("sx")) *
+          (n * d("syy") - d("sy") * d("sy")))
+      val zsum = lit(1.959964) + lit(0.841621)
+      val mde = zsum * sqrt(varY) * sqrt(lit(2.0) / (n / lit(2.0)))
+      a.select($"n".as("n_users"),
+        r6(sqrt(varY) / lit(100.0)).as("sd_dollars"),
+        r6(rho2).as("rho2"),
+        r6(mde / lit(100.0)).as("mde_raw"),
+        r6(mde * sqrt(lit(1.0) - rho2) / lit(100.0)).as("mde_cuped"))
+    },
+    Some {
+      val n = "cast(n as double)"
+      val varY = s"(($n * cast(syy as double) - cast(sy as double) * " +
+        s"cast(sy as double)) / ($n * ($n - cast(1.0 as double))))"
+      val rho2 = s"(($n * cast(sxy as double) - cast(sx as double) * " +
+        s"cast(sy as double)) * ($n * cast(sxy as double) - " +
+        s"cast(sx as double) * cast(sy as double)) / " +
+        s"(($n * cast(sxx as double) - cast(sx as double) * " +
+        s"cast(sx as double)) * ($n * cast(syy as double) - " +
+        s"cast(sy as double) * cast(sy as double))))"
+      val mde = s"((cast(1.959964 as double) + cast(0.841621 as double))" +
+        s" * sqrt($varY) * sqrt(cast(2.0 as double) / " +
+        s"($n / cast(2.0 as double))))"
+      s"""
+      WITH ev AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, user_id,
+               cast(floor("value" * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM events),
+      b AS (SELECT min(day) AS d0 FROM ev),
+      u AS (
+        SELECT user_id,
+               cast(sum(CASE WHEN date_diff('day', d0, day) < 15
+                 THEN cents ELSE 0 END) as bigint) AS x,
+               cast(sum(CASE WHEN date_diff('day', d0, day) >= 15
+                 THEN cents ELSE 0 END) as bigint) AS y
+        FROM ev, b GROUP BY user_id),
+      a AS (
+        SELECT count(*) AS n,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(y*y) as bigint) AS syy
+        FROM u)
+      SELECT n AS n_users,
+             ${r6Sql(s"sqrt($varY) / cast(100.0 as double)")} AS sd_dollars,
+             ${r6Sql(rho2)} AS rho2,
+             ${r6Sql(s"$mde / cast(100.0 as double)")} AS mde_raw,
+             ${r6Sql(s"$mde * sqrt(cast(1.0 as double) - $rho2) / " +
+               "cast(100.0 as double)")} AS mde_cuped
+      FROM a"""
+    },
+  )
+
+  val all: Seq[GQuery] = Seq(qCuped, qDid, qGranger, qSrm, qMde)
+}

@@ -885,8 +885,86 @@ object CorpusStats {
       ORDER BY canonical"""),
   )
 
+  /** DUNNING G² (log-likelihood ratio) collocation score for bigrams —
+    * the significance-based companion to q_pmi (PMI over-ranks rare
+    * pairs; G² does not). The 2×2 contingency per bigram uses the
+    * BIGRAM margins (count of pairs starting with tok1 / ending with
+    * tok2), both derived from the same shingled pair-count table by two
+    * combinable re-aggregations + equi-joins — no second corpus scan
+    * and no self-join. All four cells are exact int64; G² =
+    * 2·Σ O·ln(O/E) is a fixed per-row IEEE form (zero cells contribute
+    * 0 via an identical CASE in both engines). The ≥5 support floor
+    * bounds the output exactly as q_pmi's does at 100 TB. */
+  val qCollocation: GQuery = GQuery(
+    "q_collocation",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select(split($"text", " ").as("l"))
+      val len1 = greatest(size($"l") - 1, lit(0))
+      val big0 = docs
+        .select(explode(zip_with(
+          slice($"l", lit(1), len1), slice($"l", lit(2), len1),
+          (a, b) => struct(a.as("tok1"), b.as("tok2")))).as("bg"))
+        .select($"bg.tok1".as("tok1"), $"bg.tok2".as("tok2"))
+        .groupBy($"tok1", $"tok2").agg(count(lit(1)).as("a"))
+      val m1 = big0.groupBy($"tok1").agg(sum($"a").as("c1"))
+      val m2 = big0.groupBy($"tok2").agg(sum($"a").as("c2"))
+      val nTot = big0.agg(sum($"a").as("nn"))
+      val cells = big0.filter($"a" >= 5)
+        .join(m1, "tok1").join(m2, "tok2")
+        .crossJoin(broadcast(nTot))
+        .select($"tok1", $"tok2", $"a".as("n_pair"),
+          $"a", $"c1" - $"a" as "b", $"c2" - $"a" as "c",
+          $"nn" - $"c1" - $"c2" + $"a" as "d", $"c1", $"c2", $"nn")
+      import org.apache.spark.sql.Column
+      val dd = (c: Column) => c.cast("double")
+      def term(o: Column, e: Column): Column =
+        when(o > 0, dd(o) * log(dd(o) / e)).otherwise(lit(0.0))
+      val n = dd($"nn")
+      val ea = dd($"c1") * dd($"c2") / n
+      val eb = dd($"c1") * (n - dd($"c2")) / n
+      val ec = (n - dd($"c1")) * dd($"c2") / n
+      val ed = (n - dd($"c1")) * (n - dd($"c2")) / n
+      cells.select($"tok1", $"tok2", $"n_pair",
+          r6(lit(2.0) * (term($"a", ea) + term($"b", eb) +
+            term($"c", ec) + term($"d", ed))).as("g2"))
+        .orderBy($"tok1", $"tok2")
+    },
+    Some {
+      def t(o: String, e: String) =
+        s"(CASE WHEN $o > 0 THEN cast($o as double) * " +
+          s"ln(cast($o as double) / ($e)) ELSE cast(0.0 as double) END)"
+      val n = "cast(nn as double)"
+      val ea = s"cast(c1 as double) * cast(c2 as double) / $n"
+      val eb = s"cast(c1 as double) * ($n - cast(c2 as double)) / $n"
+      val ec = s"($n - cast(c1 as double)) * cast(c2 as double) / $n"
+      val ed = s"($n - cast(c1 as double)) * ($n - cast(c2 as double)) / $n"
+      s"""
+      WITH l AS (SELECT string_split(text, ' ') AS l FROM documents),
+      big0 AS (SELECT tok1, tok2, cast(count(*) as bigint) AS a FROM (
+          SELECT l[i] AS tok1, l[i + 1] AS tok2 FROM (
+            SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM l) b0) b1
+        GROUP BY tok1, tok2),
+      m1 AS (SELECT tok1, cast(sum(a) as bigint) AS c1
+             FROM big0 GROUP BY tok1),
+      m2 AS (SELECT tok2, cast(sum(a) as bigint) AS c2
+             FROM big0 GROUP BY tok2),
+      tot AS (SELECT cast(sum(a) as bigint) AS nn FROM big0),
+      cells AS (
+        SELECT tok1, tok2, a AS n_pair, a, c1 - a AS b, c2 - a AS c,
+               nn - c1 - c2 + a AS d, c1, c2, nn
+        FROM big0 JOIN m1 USING (tok1) JOIN m2 USING (tok2) CROSS JOIN tot
+        WHERE a >= 5)
+      SELECT tok1, tok2, n_pair,
+             ${r6Sql(s"cast(2.0 as double) * (${t("a", ea)} + " +
+               s"${t("b", eb)} + ${t("c", ec)} + ${t("d", ed)})")} AS g2
+      FROM cells
+      ORDER BY tok1, tok2"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
-      qJaccardPrefix, qErMatch)
+      qJaccardPrefix, qErMatch, qCollocation)
 }

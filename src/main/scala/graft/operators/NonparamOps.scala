@@ -312,5 +312,97 @@ object NonparamOps {
       FROM c"""),
   )
 
-  val all: Seq[GQuery] = Seq(qMannWhitney, qLevene, qKendall, qOddsRatio)
+  /** KRUSKAL–WALLIS H across all five order priorities — the k-group
+    * generalization of q_mannwhitney. Average ranks are kept EXACT by
+    * doubling (2·rank = 2·cum_below + t + 1, an integer), accumulated
+    * per group on the distinct-value axis, so the raw pass is the same
+    * combinable per-(value,group) count reduction and the only window
+    * rides the distinct-value table. H = 12/(n(n+1))·ΣRᵢ²/nᵢ − 3(n+1)
+    * is evaluated with the mean-rank substitution uᵢ = R2ᵢ/(2n) so the
+    * per-group staged terms uᵢ²/nᵢ·n stay ≪ 2³³ (the decimal-staging
+    * validity bound, CLAUDE.md round-8 gotcha); the k-row cross-group
+    * sum is decimal-staged, hence order-free. Tie correction
+    * C = 1 − Σ(t³−t)/(n³−n) and the ε² effect size ride the same
+    * aggregates. */
+  val qKruskal: GQuery = GQuery(
+    "q_kruskal",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_totalprice".as("v"), $"o_orderpriority".as("pri"))
+      val pv = o.groupBy($"v", $"pri").agg(count(lit(1)).as("c"))
+      val tv = pv.groupBy($"v").agg(sum($"c").as("t"))
+      val wc = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tc = tv.withColumn("cum", coalesce(sum($"t").over(wc), lit(0L)))
+      val tot = tc.agg(sum($"t").as("n"),
+        sum($"t" * $"t" * $"t" - $"t").as("ties3"))
+      val grp = pv.join(tc.select($"v", $"t", $"cum"), Seq("v"))
+        .groupBy($"pri")
+        .agg(sum($"c").as("ni"),
+          sum($"c" * (lit(2L) * $"cum" + $"t" + lit(1L))).as("r2i"))
+      val d = (c: String) => col(c).cast("double")
+      val ui = d("r2i") / (lit(2.0) * d("n"))
+      val s = grp.crossJoin(broadcast(tot))
+        .select($"ni", $"n", $"ties3",
+          rN(ui * ui / d("ni") * d("n"), 6).as("term"))
+        .agg(count(lit(1)).cast("int").as("k"),
+          max($"n").as("n"), max($"ties3").as("ties3"),
+          sum($"term".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("s"))
+      val n = d("n")
+      val h = lit(12.0) / (n * (n + lit(1.0))) * $"s" - lit(3.0) * (n + lit(1.0))
+      val cTie = lit(1.0) - d("ties3") / (n * n * n - n)
+      s.select($"k", $"n", r6(h).as("h"),
+        r6(h / cTie).as("h_adj"),
+        r6((h / cTie - ($"k" - lit(1)).cast("double")) /
+          (n - $"k".cast("double"))).as("eps2"))
+    },
+    Some {
+      val n = "cast(n as double)"
+      val h = s"cast(12.0 as double) / ($n * ($n + cast(1.0 as double)))" +
+        s" * s - cast(3.0 as double) * ($n + cast(1.0 as double))"
+      val cTie = s"(cast(1.0 as double) - cast(ties3 as double) / " +
+        s"($n * $n * $n - $n))"
+      s"""
+      WITH o AS (
+        SELECT o_totalprice AS v, o_orderpriority AS pri FROM orders),
+      pv AS (
+        SELECT v, pri, cast(count(*) as bigint) AS c
+        FROM o GROUP BY v, pri),
+      tv AS (SELECT v, cast(sum(c) as bigint) AS t FROM pv GROUP BY v),
+      tc AS (
+        SELECT v, t,
+               cast(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum
+        FROM tv),
+      tot AS (
+        SELECT cast(sum(t) as bigint) AS n,
+               cast(sum(t*t*t - t) as bigint) AS ties3
+        FROM tc),
+      grp AS (
+        SELECT pri, cast(sum(c) as bigint) AS ni,
+               cast(sum(c * (2 * cum + t + 1)) as bigint) AS r2i
+        FROM pv JOIN tc USING (v) GROUP BY pri),
+      st AS (
+        SELECT cast(count(*) as int) AS k,
+               max(n) AS n, max(ties3) AS ties3,
+               cast(sum(cast(${rNSql(
+                 "(cast(r2i as double) / (cast(2.0 as double) * " +
+                 "cast(n as double))) * (cast(r2i as double) / " +
+                 "(cast(2.0 as double) * cast(n as double))) / " +
+                 "cast(ni as double) * cast(n as double)", 6)}
+                 as decimal(30,6))) as double) AS s
+        FROM grp, tot)
+      SELECT k, n, ${r6Sql(h)} AS h,
+             ${r6Sql(s"($h) / $cTie")} AS h_adj,
+             ${r6Sql(s"(($h) / $cTie - (cast(k as double) - " +
+               s"cast(1.0 as double))) / ($n - cast(k as double))")} AS eps2
+      FROM st"""
+    },
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal)
 }

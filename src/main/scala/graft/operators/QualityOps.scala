@@ -398,7 +398,53 @@ object QualityOps {
       FROM j ORDER BY lang"""),
   )
 
+  /** HAPAX LEGOMENA profile per source: vocabulary size, share of
+    * once-only tokens (hapax ratio), and type-token ratio — the
+    * lexical-richness triple that distinguishes generative/natural text
+    * from template spam (near-zero hapax share) at a glance. One
+    * explode + one combinable (source, token) count + one combinable
+    * per-source reduction; every ratio is a single IEEE division of
+    * exact int64 counts. The intermediate is vocabulary-bounded per
+    * source — the same posture as q_heaps/q_zipf at 100 TB. */
+  val qHapax: GQuery = GQuery(
+    "q_hapax",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("vocab"),
+          sum($"c").as("n_tokens"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("hapax"))
+        .select($"source", $"vocab", $"n_tokens", $"hapax",
+          r6($"hapax".cast("double") / $"vocab".cast("double"))
+            .as("hapax_ratio"),
+          r6($"vocab".cast("double") / $"n_tokens".cast("double"))
+            .as("ttr"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source, tok, cast(count(*) as bigint) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) t0
+        GROUP BY source, tok),
+      g AS (
+        SELECT source, cast(count(*) as bigint) AS vocab,
+               cast(sum(c) as bigint) AS n_tokens,
+               cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint)
+                 AS hapax
+        FROM c GROUP BY source)
+      SELECT source, vocab, n_tokens, hapax,
+             ${r6Sql("cast(hapax as double) / cast(vocab as double)")}
+               AS hapax_ratio,
+             ${r6Sql("cast(vocab as double) / cast(n_tokens as double)")}
+               AS ttr
+      FROM g ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNgramNovelty, qReadability, qTailIndex, qLangConfusion, qHhi,
-    qQuantileMap, qHeaps, qPrf)
+    qQuantileMap, qHeaps, qPrf, qHapax)
 }

@@ -956,8 +956,225 @@ object SeriesOps {
       LIMIT 10"""),
   )
 
+  /** HURST EXPONENT of the daily order-revenue series by rescaled-range
+    * (R/S) analysis — the long-memory diagnostic (H≈0.5 random walk,
+    * H>0.5 persistent). The calendar-complete daily series (zero-fill
+    * days, integer DOLLARS via exact `div 100` of the cents sum — cents²
+    * would overflow int64 in the chunk moments) is cut into
+    * non-overlapping chunks of 16/32/64 days; within a chunk the
+    * cumulative deviation is kept EXACT by the ×n rescaling
+    * W_t·n = n·cum_t − t·Σx (all int64), so R = (maxW−minW)/n and
+    * S = √(Σx²/n − (Σx/n)²) are fixed IEEE forms over exact integers.
+    * Per size, mean ln(R/S) is decimal-staged (order-free); the Hurst
+    * slope is the 3-point OLS of mean ln(R/S) on ln(size). Chunks with
+    * zero spread (S=0 or R=0 — possible at sf0.001 where many days are
+    * empty) are excluded by an exact INTEGER predicate so both engines
+    * drop identical rows. Every window rides the ~2400-row daily
+    * aggregate — calendar-bounded at any SF. */
+  val qHurst: GQuery = GQuery(
+    "q_hurst",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val daily0 = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("day"), cents.as("cents"))
+        .groupBy($"day").agg(sum($"cents").as("c"))
+      val spine = daily0.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = spine.join(daily0, Seq("day"), "left_outer")
+        .select($"day", expr("coalesce(c, 0L) div 100").as("x"))
+      val idx = daily
+        .withColumn("i", row_number().over(Window.orderBy($"day")) - 1)
+      val chunks = idx
+        .select($"x", $"i",
+          explode(array(lit(16L), lit(32L), lit(64L))).as("sz"))
+        .selectExpr("sz", "x", "i div sz AS ck", "i % sz + 1 AS t")
+      val wCk = Window.partitionBy($"sz", $"ck").orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = chunks
+        .withColumn("cumx", sum($"x").over(wCk))
+        .withColumn("sxall",
+          sum($"x").over(Window.partitionBy($"sz", $"ck")))
+      val g = cum.groupBy($"sz", $"ck").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sq"),
+        max($"cumx" * $"sz" - $"t" * $"sxall").as("maxd"),
+        min($"cumx" * $"sz" - $"t" * $"sxall").as("mind"))
+      val d = (c: String) => col(c).cast("double")
+      val r = ($"maxd" - $"mind").cast("double") / d("sz")
+      val s2 = d("sq") / d("sz") - (d("sx") / d("sz")) * (d("sx") / d("sz"))
+      val perSize = g
+        .filter($"n" === $"sz" && $"maxd" > $"mind" &&
+          $"sq" * $"sz" > $"sx" * $"sx")
+        .select($"sz", rN(log(r / sqrt(s2)), 6).as("lrs"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_chunks"),
+          (sum($"lrs".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double") / count(lit(1))).as("mean_log_rs"))
+      val fit = perSize
+        .select($"sz", $"mean_log_rs", log($"sz".cast("double")).as("u"))
+        .agg(count(lit(1)).cast("double").as("k"),
+          sum(rN($"u", 6)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("su"),
+          sum(rN($"mean_log_rs", 6)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("sv"),
+          sum(rN($"u" * $"mean_log_rs", 6)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("suv"),
+          sum(rN($"u" * $"u", 6)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("suu"))
+        .select(r6(($"k" * $"suv" - $"su" * $"sv") /
+          ($"k" * $"suu" - $"su" * $"su")).as("hurst"))
+      perSize.crossJoin(broadcast(fit))
+        .select($"sz".cast("int").as("size"), $"n_chunks",
+          r6($"mean_log_rs").as("mean_log_rs"), $"hurst")
+        .orderBy($"size")
+    },
+    Some {
+      val s2 = "(cast(sq as double) / cast(sz as double) - " +
+        "(cast(sx as double) / cast(sz as double)) * " +
+        "(cast(sx as double) / cast(sz as double)))"
+      val rr = "(cast(maxd - mind as double) / cast(sz as double))"
+      s"""
+      WITH daily0 AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS c
+        FROM orders GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      daily AS (
+        SELECT spine.day, coalesce(c, 0) // 100 AS x
+        FROM spine LEFT JOIN daily0 USING (day)),
+      idx AS (
+        SELECT x, cast(row_number() OVER (ORDER BY day) as bigint) - 1 AS i
+        FROM daily),
+      chunks AS (
+        SELECT sz, x, i // sz AS ck, i % sz + 1 AS t
+        FROM idx, (SELECT unnest([16, 32, 64]) AS sz) sizes),
+      cum AS (
+        SELECT sz, ck, t, x,
+               cast(sum(x) OVER (PARTITION BY sz, ck ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cumx,
+               cast(sum(x) OVER (PARTITION BY sz, ck) as bigint) AS sxall
+        FROM chunks),
+      g AS (
+        SELECT sz, ck, count(*) AS n,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(x*x) as bigint) AS sq,
+               cast(max(cumx * sz - t * sxall) as bigint) AS maxd,
+               cast(min(cumx * sz - t * sxall) as bigint) AS mind
+        FROM cum GROUP BY sz, ck),
+      persize AS (
+        SELECT sz, count(*) AS n_chunks,
+               cast(sum(cast(${rNSql(s"ln($rr / sqrt($s2))", 6)}
+                 as decimal(30,6))) as double) / count(*) AS mean_log_rs
+        FROM g
+        WHERE n = sz AND maxd > mind AND sq * sz > sx * sx
+        GROUP BY sz),
+      fit AS (
+        SELECT ${GQuery.r6Sql(
+          "(k * suv - su * sv) / (k * suu - su * su)")} AS hurst
+        FROM (
+          SELECT cast(count(*) as double) AS k,
+                 cast(sum(cast(${rNSql("ln(cast(sz as double))", 6)}
+                   as decimal(30,6))) as double) AS su,
+                 cast(sum(cast(${rNSql("mean_log_rs", 6)} as decimal(30,6)))
+                   as double) AS sv,
+                 cast(sum(cast(${rNSql(
+                   "ln(cast(sz as double)) * mean_log_rs", 6)}
+                   as decimal(30,6))) as double) AS suv,
+                 cast(sum(cast(${rNSql(
+                   "ln(cast(sz as double)) * ln(cast(sz as double))", 6)}
+                   as decimal(30,6))) as double) AS suu
+          FROM persize) t0)
+      SELECT cast(sz as int) AS size, n_chunks,
+             ${r6Sql("mean_log_rs")} AS mean_log_rs, hurst
+      FROM persize CROSS JOIN fit
+      ORDER BY size"""
+    },
+  )
+
+  /** 14-DAY RSI (Cutler's SMA variant) of the daily order-revenue
+    * series — the bounded momentum oscillator. On the zero-filled
+    * calendar spine the day-over-day diff, its gain/loss split, and the
+    * 14-row window sums are all EXACT integer dollars, so
+    * RSI = 100·gain₁₄/(gain₁₄+loss₁₄) is a single IEEE division per row
+    * — no recursive Wilder smoothing, no float accumulation. Rows
+    * before the 15th observation (incomplete window) and all-flat
+    * fortnights (gain₁₄+loss₁₄=0, possible only at tiny SF) are
+    * excluded by exact integer predicates. Output is the last 90 days
+    * — a bounded report over the calendar-bounded daily table. */
+  val qRsi: GQuery = GQuery(
+    "q_rsi",
+    (spark, dir) => {
+      import spark.implicits._
+      val cents = floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+      val daily0 = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("day"), cents.as("cents"))
+        .groupBy($"day").agg(sum($"cents").as("c"))
+      val spine = daily0.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = spine.join(daily0, Seq("day"), "left_outer")
+        .select($"day", expr("coalesce(c, 0L) div 100").as("x"))
+      val w = Window.orderBy($"day")
+      val w14 = Window.orderBy($"day").rowsBetween(-13, 0)
+      val out = daily
+        .withColumn("i", row_number().over(w))
+        .withColumn("diff", $"x" - lag($"x", 1).over(w))
+        .withColumn("gain14", sum(greatest($"diff", lit(0L))).over(w14))
+        .withColumn("loss14", sum(greatest(-$"diff", lit(0L))).over(w14))
+        .filter($"i" >= 15 && $"gain14" + $"loss14" > 0)
+      out.select($"day", $"gain14", $"loss14",
+          r6(lit(100.0) * $"gain14".cast("double") /
+            ($"gain14" + $"loss14").cast("double")).as("rsi"))
+        .orderBy($"day".desc).limit(90)
+        .orderBy($"day")
+    },
+    Some(s"""
+      WITH daily0 AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS c
+        FROM orders GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      daily AS (
+        SELECT spine.day, coalesce(c, 0) // 100 AS x
+        FROM spine LEFT JOIN daily0 USING (day)),
+      l AS (
+        SELECT day, x,
+               cast(row_number() OVER (ORDER BY day) as bigint) AS i,
+               x - lag(x, 1) OVER (ORDER BY day) AS diff
+        FROM daily),
+      s AS (
+        SELECT day, i,
+               cast(sum(greatest(diff, 0)) OVER (ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) as bigint)
+                 AS gain14,
+               cast(sum(greatest(-diff, 0)) OVER (ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) as bigint)
+                 AS loss14
+        FROM l)
+      SELECT day, gain14, loss14,
+             ${r6Sql("cast(100.0 as double) * cast(gain14 as double) / " +
+               "cast(gain14 + loss14 as double)")} AS rsi
+      FROM (SELECT * FROM s WHERE i >= 15 AND gain14 + loss14 > 0
+            ORDER BY day DESC LIMIT 90) t0
+      ORDER BY day"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
-    qChangepointKeyed, qPeaks)
+    qChangepointKeyed, qPeaks, qHurst, qRsi)
 }
