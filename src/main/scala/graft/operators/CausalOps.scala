@@ -484,5 +484,101 @@ object CausalOps {
     },
   )
 
-  val all: Seq[GQuery] = Seq(qCuped, qDid, qGranger, qSrm, qMde)
+  /** PERMUTATION TEST for the variant difference in per-user spend —
+    * the assumption-free significance check beside q_mde's normal
+    * theory. The B=200 resamples are DETERMINISTIC hash relabelings
+    * (md5(user_id || ':' || b) — same split idiom as q_cuped, so both
+    * engines generate bit-identical permutations; no RNG state to
+    * disagree on). The fact collapses to the |users|-bounded integer
+    * table FIRST; the B-fold expansion explodes THAT (users × 200, not
+    * events × 200 — the blow-up is bounded by B·|users| at any SF),
+    * and each permutation is one conditional integer sum. p-value uses
+    * the standard (1 + #{|T_b| ≥ |T_obs|})/(B+1) correction; the ≥
+    * compare is between identically-computed IEEE doubles, so the
+    * survivor set is identical across engines. */
+  val qPermTest: GQuery = GQuery(
+    "q_perm_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = Tables.events(spark, dir)
+        .select($"user_id",
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy($"user_id").agg(sum($"cents").as("y"))
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+        .localCheckpoint()
+      val d = (c: String) => col(c).cast("double")
+      val obs = u.agg(
+        sum(when($"variant" === 1, $"y").otherwise(0L)).as("s1"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"variant" === 0, $"y").otherwise(0L)).as("s0"),
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n0"))
+        .select((d("s1") / d("n1") - d("s0") / d("n0")).as("t_obs"),
+          ($"n1" + $"n0").as("n_users"))
+      val perms = u
+        .select($"user_id", $"y",
+          explode(expr("sequence(1, 200)")).as("b"))
+        .withColumn("pv",
+          (conv(substring(md5(concat($"user_id".cast("string"), lit(":"),
+            $"b".cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+            .cast("int"))
+        .groupBy($"b").agg(
+          sum(when($"pv" === 1, $"y").otherwise(0L)).as("s1"),
+          sum(when($"pv" === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when($"pv" === 0, $"y").otherwise(0L)).as("s0"),
+          sum(when($"pv" === 0, 1L).otherwise(0L)).as("n0"))
+        .select($"b", (d("s1") / d("n1") - d("s0") / d("n0")).as("tb"))
+      perms.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_perms"),
+          max($"n_users").as("n_users"),
+          max($"t_obs").as("t_obs_c"),
+          sum(when(abs($"tb") >= abs($"t_obs"), 1L).otherwise(0L))
+            .as("n_ge"))
+        .select($"n_users", $"n_perms",
+          r6($"t_obs_c" / lit(100.0)).as("obs_diff"),
+          r6(($"n_ge" + lit(1L)).cast("double") /
+            ($"n_perms" + lit(1L)).cast("double")).as("p_value"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, cast(sum(cast(floor("value" *
+                 cast(100.0 as double) + cast(0.5 as double)) as bigint))
+                 as bigint) AS y,
+               cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+                 ::BIGINT % 2 as int) AS variant
+        FROM events GROUP BY user_id),
+      obs AS (
+        SELECT cast(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) as double)
+                 / cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                 as double)
+               - cast(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+                 as double)
+                 / cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                 as double) AS t_obs,
+               cast(count(*) as bigint) AS n_users
+        FROM u),
+      perms AS (
+        SELECT b,
+               cast(sum(CASE WHEN pv = 1 THEN y ELSE 0 END) as double)
+                 / cast(sum(CASE WHEN pv = 1 THEN 1 ELSE 0 END) as double)
+               - cast(sum(CASE WHEN pv = 0 THEN y ELSE 0 END) as double)
+                 / cast(sum(CASE WHEN pv = 0 THEN 1 ELSE 0 END) as double)
+                 AS tb
+        FROM (
+          SELECT user_id, y, b,
+                 cast(('0x' || substr(md5(cast(user_id as varchar) || ':' ||
+                   cast(b as varchar)), 1, 8))::BIGINT % 2 as int) AS pv
+          FROM u, (SELECT unnest(generate_series(1, 200)) AS b) bs) p
+        GROUP BY b)
+      SELECT n_users, cast(count(*) as bigint) AS n_perms,
+             ${r6Sql("max(t_obs) / cast(100.0 as double)")} AS obs_diff,
+             ${r6Sql("cast(sum(CASE WHEN abs(tb) >= abs(t_obs) " +
+               "THEN 1 ELSE 0 END) + 1 as double) / " +
+               "cast(count(*) + 1 as double)")} AS p_value
+      FROM perms CROSS JOIN obs
+      GROUP BY n_users"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest)
 }

@@ -822,6 +822,99 @@ object GraphOps {
     )
   }
 
+  /** HARMONIC CLOSENESS CENTRALITY for five deterministic seed vertices
+    * (the 5 smallest part ids in the co-purchase graph) by MULTI-SOURCE
+    * min-plus BFS: the q_bfs iteration run once with a composite
+    * (seed, node) distance key, so five centralities cost the SAME four
+    * equi-join + min-groupBy rounds as one — the standard trick for
+    * batched centrality probes at scale (state is |seeds|·|reached|,
+    * never |V|²). Harmonic form C(s) = Σ 1/d(v) handles disconnected
+    * components without an infinity sentinel; the 4-hop truncation
+    * makes it a local centrality (documented, same radius as q_bfs).
+    * The per-seed 1/d sum is decimal-staged (order-free); everything
+    * else is exact integers. */
+  val qCloseness: GQuery = {
+    val hops = 4
+    GQuery(
+      "q_closeness",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val und = op.groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+            .as("pr"))
+          .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+          .distinct()
+          .localCheckpoint()
+        val vs = und.select($"pa".as("v"))
+          .unionByName(und.select($"pb".as("v"))).distinct()
+        val e = und.select($"pa".as("src"), $"pb".as("dst"), lit(1).as("w"))
+          .unionByName(und.select($"pb".as("src"), $"pa".as("dst"),
+            lit(1).as("w")))
+          .unionByName(vs.select($"v".as("src"), $"v".as("dst"),
+            lit(0).as("w")))
+          .localCheckpoint()
+        var dist = vs.orderBy($"v").limit(5)
+          .select($"v".as("seed"), $"v".as("node"), lit(0).as("dist"))
+        for (_ <- 1 to hops) {
+          dist = e.join(dist, $"src" === $"node")
+            .groupBy($"seed", $"dst")
+            .agg(min($"dist" + $"w").as("d2"))
+            .select($"seed", $"dst".as("node"), $"d2".as("dist"))
+        }
+        dist.filter($"dist" > 0)
+          .select($"seed", $"dist",
+            rN(lit(1.0) / $"dist".cast("double"), 6).as("inv"))
+          .groupBy($"seed")
+          .agg(count(lit(1)).as("n_reached"), sum($"dist").as("sum_dist"),
+            dsum($"inv", 6).as("harmonic"))
+          .orderBy($"seed")
+      },
+      Some {
+        val steps = (1 to hops).map { k =>
+          s"""d$k AS (
+             |  SELECT dp.seed AS seed, e.dst AS node,
+             |         min(dp.dist + e.w) AS dist
+             |  FROM e JOIN d${k - 1} dp ON e.src = dp.node
+             |  GROUP BY dp.seed, e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem JOIN part
+            ON l_partkey = p_partkey AND p_size <= 10),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        vs AS (SELECT DISTINCT v FROM (
+                 SELECT pa AS v FROM pairs
+                 UNION ALL SELECT pb FROM pairs) u),
+        e AS MATERIALIZED (
+          SELECT pa AS src, pb AS dst, 1 AS w FROM pairs
+          UNION ALL SELECT pb, pa, 1 FROM pairs
+          UNION ALL SELECT v, v, 0 FROM vs),
+        d0 AS (SELECT v AS seed, v AS node, 0 AS dist
+               FROM (SELECT v FROM vs ORDER BY v LIMIT 5) s),
+        $steps
+        SELECT seed, count(*) AS n_reached,
+               cast(sum(dist) as bigint) AS sum_dist,
+               ${dsumSql(rNSql(
+                 "cast(1.0 as double) / cast(dist as double)", 6), 6)}
+                 AS harmonic
+        FROM d$hops WHERE dist > 0 GROUP BY seed ORDER BY seed"""
+      },
+    )
+  }
+
   val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
-    qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate)
+    qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate, qCloseness)
 }

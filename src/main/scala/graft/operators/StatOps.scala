@@ -883,8 +883,75 @@ object StatOps {
       FROM t"""),
   )
 
+  /** GRUBBS' TEST for a single outlier in customer account balances:
+    * G = max|x−x̄|/s with the offending row identified. The argmax runs
+    * entirely in EXACT integers — |n·cents − Σcents| clears the mean's
+    * division (the q_changepoint ×n trick), so no float tie can pick a
+    * different row across engines; the unique-custkey tiebreak makes
+    * the order total. One moments pass (Σcents² stays under int64 —
+    * balances are bounded) + one broadcast of the 1-row stats + a
+    * top-1. The fixed G>4 flag is documented as a rule-of-thumb
+    * threshold (the exact critical value needs a t-quantile — out of
+    * scope for both engines). */
+  val qGrubbs: GQuery = GQuery(
+    "q_grubbs",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir)
+        .select($"c_custkey",
+          floor($"c_acctbal" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+      val st = c.agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"cents" * $"cents").as("q"))
+      val d = (x: String) => col(x).cast("double")
+      val sd = sqrt((d("q") / d("n") - (d("s") / d("n")) * (d("s") / d("n")))
+        * (d("n") / (d("n") - lit(1.0))))
+      c.crossJoin(broadcast(st))
+        .withColumn("devn", abs($"n" * $"cents" - $"s"))
+        .orderBy($"devn".desc, $"c_custkey")
+        .limit(1)
+        .select($"c_custkey",
+          r6($"cents".cast("double") / lit(100.0)).as("acctbal"),
+          r6((d("devn") / d("n")) / lit(100.0)).as("abs_dev"),
+          r6((d("devn") / d("n")) / sd).as("g"),
+          ((d("devn") / d("n")) / sd > lit(4.0)).as("outlier_flag"))
+    },
+    Some {
+      val sd = "sqrt((cast(q as double) / cast(n as double) - " +
+        "(cast(s as double) / cast(n as double)) * " +
+        "(cast(s as double) / cast(n as double))) * " +
+        "(cast(n as double) / (cast(n as double) - cast(1.0 as double))))"
+      s"""
+      WITH c AS (
+        SELECT c_custkey,
+               cast(floor(c_acctbal * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM customer),
+      st AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(cents) as bigint) AS s,
+               cast(sum(cents * cents) as bigint) AS q
+        FROM c),
+      top AS (
+        SELECT c_custkey, cents, n, s, q,
+               abs(n * cents - s) AS devn
+        FROM c CROSS JOIN st
+        ORDER BY devn DESC, c_custkey LIMIT 1)
+      SELECT c_custkey,
+             ${r6Sql("cast(cents as double) / cast(100.0 as double)")}
+               AS acctbal,
+             ${r6Sql("(cast(devn as double) / cast(n as double)) / " +
+               "cast(100.0 as double)")} AS abs_dev,
+             ${r6Sql(s"(cast(devn as double) / cast(n as double)) / $sd")}
+               AS g,
+             (cast(devn as double) / cast(n as double)) / $sd >
+               cast(4.0 as double) AS outlier_flag
+      FROM top"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
-    qClusteringCoef, qPoissonFit, qCaptureRecapture)
+    qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs)
 }
