@@ -538,6 +538,95 @@ object InferOps {
     )
   }
 
+  /** VARIANCE INFLATION FACTORS for the (quantity, extendedprice,
+    * discount) feature triple — the multicollinearity audit run before
+    * any regression on them. For three features the inverse-correlation
+    * diagonal has a closed form: VIFᵢ = (1 − r_jk²)/det with
+    * det = 1 + 2·r₁₂r₁₃r₂₃ − r₁₂² − r₁₃² − r₂₃², so the whole audit is
+    * the SAME one decimal-staged moment pass as q_corr_matrix (same
+    * exactness contract) followed by fixed IEEE arithmetic — no second
+    * scan, no matrix library. */
+  val qVif: GQuery = {
+    val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount")
+    GQuery(
+      "q_vif",
+      (spark, dir) => {
+        import spark.implicits._
+        val dec = (c: Column) => c.cast("decimal(30,6)")
+        val sums =
+          Seq(count(lit(1)).as("n")) ++
+          vars.map { case (a, c) =>
+            sum(dec(col(c))).cast("double").as(s"s_$a") } ++
+          (for {
+            i <- vars.indices; j <- i until vars.length
+          } yield {
+            val (na, ca) = vars(i); val (nb, cb) = vars(j)
+            sum(dec(col(ca) * col(cb))).cast("double").as(s"p_${na}_$nb")
+          })
+        val m = Tables.lineitem(spark, dir).agg(sums.head, sums.tail: _*)
+        def corr(a: String, b: String): Column = {
+          val n = col("n").cast("double")
+          val num = n * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+          val da = n * col(s"p_${a}_$a") - col(s"s_$a") * col(s"s_$a")
+          val db = n * col(s"p_${b}_$b") - col(s"s_$b") * col(s"s_$b")
+          num / sqrt(da * db)
+        }
+        val r12 = corr("qty", "price")
+        val r13 = corr("qty", "disc")
+        val r23 = corr("price", "disc")
+        val det = lit(1.0) + lit(2.0) * r12 * r13 * r23 -
+          r12 * r12 - r13 * r13 - r23 * r23
+        val rows = array(
+          struct(lit("qty").as("feature"),
+            rN((lit(1.0) - r23 * r23) / det, 6).as("vif")),
+          struct(lit("price").as("feature"),
+            rN((lit(1.0) - r13 * r13) / det, 6).as("vif")),
+          struct(lit("disc").as("feature"),
+            rN((lit(1.0) - r12 * r12) / det, 6).as("vif")))
+        m.select(explode(rows).as("p"))
+          .select($"p.feature".as("feature"), $"p.vif".as("vif"))
+          .orderBy($"feature")
+      },
+      Some {
+        val moments =
+          Seq("cast(count(*) as bigint) AS n") ++
+          vars.map { case (a, c) =>
+            s"cast(sum(cast($c as decimal(30,6))) as double) AS s_$a" } ++
+          (for {
+            i <- vars.indices; j <- i until vars.length
+          } yield {
+            val (na, ca) = vars(i); val (nb, cb) = vars(j)
+            s"cast(sum(cast($ca * $cb as decimal(30,6))) as double)" +
+              s" AS p_${na}_$nb"
+          })
+        def corr(a: String, b: String): String = {
+          val n = "cast(n as double)"
+          val num = s"($n * p_${a}_$b - s_$a * s_$b)"
+          val da = s"($n * p_${a}_$a - s_$a * s_$a)"
+          val db = s"($n * p_${b}_$b - s_$b * s_$b)"
+          s"($num / sqrt($da * $db))"
+        }
+        val r12 = corr("qty", "price")
+        val r13 = corr("qty", "disc")
+        val r23 = corr("price", "disc")
+        val det = s"(cast(1.0 as double) + cast(2.0 as double) * $r12 * " +
+          s"$r13 * $r23 - $r12 * $r12 - $r13 * $r13 - $r23 * $r23)"
+        val arms = Seq(
+          ("qty", r23), ("price", r13), ("disc", r12)).map { case (f, r) =>
+          s"SELECT '$f' AS feature, ${rNSql(
+            s"(cast(1.0 as double) - $r * $r) / $det", 6)} AS vif FROM m"
+        }.mkString("\n      UNION ALL ")
+        s"""
+      WITH m AS (
+        SELECT ${moments.mkString(",\n               ")}
+        FROM lineitem)
+      $arms
+      ORDER BY feature"""
+      },
+    )
+  }
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
-    qJackknife, qCorrMatrix, qBootstrap)
+    qJackknife, qCorrMatrix, qBootstrap, qVif)
 }

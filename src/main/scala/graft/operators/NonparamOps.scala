@@ -403,6 +403,67 @@ object NonparamOps {
     },
   )
 
+  /** COCHRAN–ARMITAGE trend test: does the share of high-value orders
+    * (>$200k) trend monotonically across the ORDERED priority scale
+    * 1-URGENT … 5-LOW? Scores wᵢ = 1..5 from the priority's leading
+    * digit (cross-engine-identical substring parse). The statistic is
+    * kept exact by the ×N clearing trick: T·N = Σwᵢ(aᵢN − nᵢA) is pure
+    * int64 (magnitudes ≤ 5·N² ≈ 10¹¹ at sf0.1), and Var(T) needs only
+    * the integer moments Σwnᵢ, Σw²nᵢ — so the 5-cell reduction has no
+    * float accumulation anywhere; z is one fixed IEEE form. */
+  val qArmitage: GQuery = GQuery(
+    "q_armitage",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select(substring($"o_orderpriority", 1, 1).cast("long").as("w"),
+          when($"o_totalprice" > 200000.0, 1L).otherwise(0L).as("pos"))
+      val g = o.groupBy($"w").agg(count(lit(1)).as("ni"),
+        sum($"pos").as("ai"))
+      val a = g.agg(sum($"ni").as("nn"), sum($"ai").as("aa"),
+        sum($"w" * $"ni").as("swn"), sum($"w" * $"w" * $"ni").as("sw2n"),
+        sum($"w" * $"ai").as("swa"))
+      val d = (c: String) => col(c).cast("double")
+      val tn = d("swa") * d("nn") - d("swn") * d("aa")
+      val p = d("aa") / d("nn")
+      val varTn2 = p * (lit(1.0) - p) *
+        (d("nn") * d("sw2n") - d("swn") * d("swn")) * d("nn")
+      a.select($"nn".as("n"), $"aa".as("n_pos"),
+        r6(p).as("base_rate"),
+        r6(tn / d("nn")).as("t_stat"),
+        r6(tn / sqrt(varTn2)).as("z"))
+    },
+    Some {
+      val tn = "(cast(swa as double) * cast(nn as double) - " +
+        "cast(swn as double) * cast(aa as double))"
+      val p = "(cast(aa as double) / cast(nn as double))"
+      val varTn2 = s"($p * (cast(1.0 as double) - $p) * " +
+        "(cast(nn as double) * cast(sw2n as double) - " +
+        "cast(swn as double) * cast(swn as double)) * cast(nn as double))"
+      s"""
+      WITH o AS (
+        SELECT cast(substr(o_orderpriority, 1, 1) as bigint) AS w,
+               CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END AS pos
+        FROM orders),
+      g AS (
+        SELECT w, cast(count(*) as bigint) AS ni,
+               cast(sum(pos) as bigint) AS ai
+        FROM o GROUP BY w),
+      a AS (
+        SELECT cast(sum(ni) as bigint) AS nn,
+               cast(sum(ai) as bigint) AS aa,
+               cast(sum(w * ni) as bigint) AS swn,
+               cast(sum(w * w * ni) as bigint) AS sw2n,
+               cast(sum(w * ai) as bigint) AS swa
+        FROM g)
+      SELECT nn AS n, aa AS n_pos,
+             ${r6Sql(p)} AS base_rate,
+             ${r6Sql(s"$tn / cast(nn as double)")} AS t_stat,
+             ${r6Sql(s"$tn / sqrt($varTn2)")} AS z
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] =
-    Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal)
+    Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage)
 }

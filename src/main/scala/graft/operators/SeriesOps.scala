@@ -1173,8 +1173,150 @@ object SeriesOps {
       ORDER BY day"""),
   )
 
+  /** MANN–KENDALL trend test on WEEKLY order revenue — the
+    * nonparametric is-there-a-monotone-trend check (the rank companion
+    * to q_trend's OLS slope). S = Σ_{i<j} sign(xⱼ−xᵢ) over all week
+    * pairs; the pair table is an EXPLICITLY CALENDAR-BOUNDED broadcast
+    * non-equi self-join (~345 weeks → ~59k pairs at ANY SF — the
+    * q_kendall posture, never data-scaled). Weeks via
+    * date_trunc('week') — ISO Monday in BOTH engines (safe, unlike
+    * dayofweek). S and the tie-corrected variance
+    * (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 are pure int64; z applies the
+    * standard ±1 continuity correction via integer sign tests. */
+  val qMkTrend: GQuery = GQuery(
+    "q_mk_trend",
+    (spark, dir) => {
+      import spark.implicits._
+      val wk = Tables.orders(spark, dir)
+        .groupBy(date_trunc("week", $"o_orderdate").as("w"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("x"))
+        .localCheckpoint()
+      val a = wk.select($"w".as("w1"), $"x".as("x1"))
+      val b = wk.select($"w".as("w2"), $"x".as("x2"))
+      val s = a.join(broadcast(b), $"w1" < $"w2")
+        .agg(sum(signum(($"x2" - $"x1").cast("double")).cast("long"))
+          .as("s"))
+      val ties = wk.groupBy($"x").agg(count(lit(1)).as("t"))
+        .agg(sum($"t").as("n"),
+          sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tt"))
+      val d = (c: String) => col(c).cast("double")
+      val varS = (d("n") * (d("n") - lit(1.0)) *
+        (lit(2.0) * d("n") + lit(5.0)) - d("tt")) / lit(18.0)
+      val num = when($"s" > 0, d("s") - lit(1.0))
+        .when($"s" < 0, d("s") + lit(1.0)).otherwise(lit(0.0))
+      s.crossJoin(broadcast(ties))
+        .select($"n".cast("int").as("n_weeks"), $"s",
+          r6(varS).as("var_s"),
+          r6(num / sqrt(varS)).as("z"))
+    },
+    Some(s"""
+      WITH wk AS (
+        SELECT date_trunc('week', o_orderdate) AS w,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1),
+      s AS (
+        SELECT cast(sum(CASE WHEN b.x > a.x THEN 1
+                            WHEN b.x < a.x THEN -1 ELSE 0 END) as bigint)
+                 AS s
+        FROM wk a JOIN wk b ON a.w < b.w),
+      ties AS (
+        SELECT cast(sum(t) as bigint) AS n,
+               cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) AS tt
+        FROM (SELECT x, cast(count(*) as bigint) AS t
+              FROM wk GROUP BY x) t0)
+      SELECT cast(n as int) AS n_weeks, s,
+             ${r6Sql("(cast(n as double) * (cast(n as double) - " +
+               "cast(1.0 as double)) * (cast(2.0 as double) * " +
+               "cast(n as double) + cast(5.0 as double)) - " +
+               "cast(tt as double)) / cast(18.0 as double)")} AS var_s,
+             ${r6Sql("(CASE WHEN s > 0 THEN cast(s as double) - " +
+               "cast(1.0 as double) WHEN s < 0 THEN cast(s as double) + " +
+               "cast(1.0 as double) ELSE cast(0.0 as double) END) / " +
+               "sqrt((cast(n as double) * (cast(n as double) - " +
+               "cast(1.0 as double)) * (cast(2.0 as double) * " +
+               "cast(n as double) + cast(5.0 as double)) - " +
+               "cast(tt as double)) / cast(18.0 as double))")} AS z
+      FROM s CROSS JOIN ties"""),
+  )
+
+  /** LJUNG–BOX portmanteau test (lags 1–7) on the daily event-count
+    * series — "is there ANY autocorrelation left": the standard
+    * residual-whiteness gate after a forecast fit. The ACF here is the
+    * textbook full-series form, kept EXACT by the ×n clearing trick:
+    * devₜ = n·xₜ − Σx is int64, so every lag's numerator Σdevₜdevₜ₋ₖ
+    * and the common denominator Σdev² are exact integers (the n²
+    * factors cancel in rₖ). Q = n(n+2)·Σ rₖ²/(n−k) decimal-stages its
+    * 7-term sum. Windows ride the 30-row daily aggregate. */
+  val qLjungBox: GQuery = GQuery(
+    "q_ljung_box",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = dailyCounts(spark, dir)
+      val wAll = Window.partitionBy()
+      val dev = daily
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("tot", sum($"n").over(wAll))
+        .select($"day", $"nd", ($"nd" * $"n" - $"tot").as("dev"))
+      val w = Window.orderBy($"day")
+      val lagged = (1 to 7).foldLeft(dev) {
+        case (df, k) => df.withColumn(s"l$k", lag($"dev", k).over(w))
+      }
+      val stackArgs = (1 to 7).map(k => s"$k, l$k").mkString(", ")
+      val byLag = lagged
+        .selectExpr("nd", "dev", s"stack(7, $stackArgs) AS (k, y)")
+        .filter($"y".isNotNull)
+        .groupBy($"k")
+        .agg(max($"nd").as("nd"), sum($"dev" * $"y").as("num"))
+      val den = dev.agg(sum($"dev" * $"dev").as("den"))
+      val d = (c: String) => col(c).cast("double")
+      val q = byLag.crossJoin(broadcast(den))
+        .select($"k", $"nd",
+          rN((d("num") / d("den")) * (d("num") / d("den")) /
+            (d("nd") - col("k").cast("double")), 6).as("term"))
+        .agg(max($"nd").as("nd"), count(lit(1)).cast("int").as("dof"),
+          sum($"term".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("s"))
+      q.select($"nd".cast("int").as("n_days"), $"dof",
+        r6(d("nd") * (d("nd") + lit(2.0)) * $"s").as("q_lb"))
+    },
+    Some(s"""
+      WITH $dailyCte,
+      dev AS (
+        SELECT day,
+               cast(count(*) OVER () as bigint) AS nd,
+               cast(count(*) OVER () * n - sum(n) OVER () as bigint) AS dev
+        FROM daily),
+      l AS (
+        SELECT nd, dev, ${(1 to 7).map(k =>
+          s"lag(dev, $k) OVER (ORDER BY day) AS l$k").mkString(", ")}
+        FROM dev),
+      p AS (
+        ${(1 to 7).map(k =>
+          s"SELECT $k AS k, nd, dev, l$k AS y FROM l WHERE l$k IS NOT NULL")
+          .mkString("\n        UNION ALL ")}),
+      bylag AS (
+        SELECT k, max(nd) AS nd,
+               cast(sum(dev * y) as bigint) AS num
+        FROM p GROUP BY k),
+      den AS (SELECT cast(sum(dev * dev) as bigint) AS den FROM dev),
+      st AS (
+        SELECT max(nd) AS nd, cast(count(*) as int) AS dof,
+               cast(sum(cast(${rNSql(
+                 "(cast(num as double) / cast(den as double)) * " +
+                 "(cast(num as double) / cast(den as double)) / " +
+                 "(cast(nd as double) - cast(k as double))", 6)}
+                 as decimal(30,6))) as double) AS s
+        FROM bylag CROSS JOIN den)
+      SELECT cast(nd as int) AS n_days, dof,
+             ${r6Sql("cast(nd as double) * (cast(nd as double) + " +
+               "cast(2.0 as double)) * s")} AS q_lb
+      FROM st"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
-    qChangepointKeyed, qPeaks, qHurst, qRsi)
+    qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox)
 }
