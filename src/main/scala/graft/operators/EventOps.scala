@@ -1162,9 +1162,73 @@ object EventOps {
       ORDER BY cohort_year, cohort_month, age_months"""),
   )
 
+  /** TIME-BOXED FUNNEL — q_funnel with per-step conversion deadlines
+    * (click within 1 h of first view, purchase within 24 h of that
+    * click), the form product funnels are actually defined in. Same
+    * scale shape as q_funnel (per-user min-aggregations chained by
+    * |users|-bounded equi-joins; raw events never shuffle twice), all
+    * on integer epoch seconds, plus the median step delay — exact
+    * integer percentile (the q_convert_time contract). */
+  val qFunnelWindow: GQuery = GQuery(
+    "q_funnel_window",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts".cast("long").as("e"))
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"e").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"e" > $"t1" && $"e" - $"t1" <= 3600L)
+        .groupBy($"user_id").agg(min($"e").as("t2"), min($"t1").as("t1"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"e" > $"t2" && $"e" - $"t2" <= 86400L)
+        .groupBy($"user_id").agg(min($"e").as("t3"), min($"t2").as("t2"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), $"n_users",
+          lit(0.0).as("median_delay_s"))
+        .unionByName(s2
+          .select(($"t2" - $"t1").as("d"))
+          .agg(count(lit(1)).as("n_users"),
+            round(expr("percentile(d, 0.5)"), 6).as("median_delay_s"))
+          .select(lit("2_click_1h").as("stage"), $"n_users",
+            $"median_delay_s"))
+        .unionByName(s3
+          .select(($"t3" - $"t2").as("d"))
+          .agg(count(lit(1)).as("n_users"),
+            round(expr("percentile(d, 0.5)"), 6).as("median_delay_s"))
+          .select(lit("3_purchase_24h").as("stage"), $"n_users",
+            $"median_delay_s"))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch(date_trunc('second', ts))::BIGINT AS e
+                  FROM events),
+      s1 AS (SELECT user_id, min(e) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(e) AS t2, min(t1) AS t1
+             FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND e > t1 AND e - t1 <= 3600
+             GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(e) AS t3, min(t2) AS t2
+             FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND e > t2 AND e - t2 <= 86400
+             GROUP BY ev.user_id)
+      SELECT stage, n_users, median_delay_s FROM (
+        SELECT '1_view' AS stage, count(*) AS n_users,
+               cast(0.0 as double) AS median_delay_s FROM s1
+        UNION ALL
+        SELECT '2_click_1h', count(*),
+               round(quantile_cont(t2 - t1, 0.5), 6) FROM s2
+        UNION ALL
+        SELECT '3_purchase_24h', count(*),
+               round(quantile_cont(t3 - t2, 0.5), 6) FROM s3) u
+      ORDER BY stage"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
       qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams,
-      qGrowthAcct, qCohortLtv)
+      qGrowthAcct, qCohortLtv, qFunnelWindow)
 }

@@ -1004,8 +1004,69 @@ object ScaleOps {
       ORDER BY batch_id, corpus_id"""),
   )
 
+  /** SCALAR-QUANTIZATION AUDIT (int8, per-dimension min/max) for the
+    * embedding store — the measurement behind the 4× memory cut every
+    * large ANN index takes: per dimension, the quantization grid and
+    * the reconstruction RMSE it would cost. Two combinable passes over
+    * the posexploded (dim, value) table: per-dim min/max, then the
+    * error moments of q = ⌊(v−mn)/(mx−mn)·255 + ½⌋ against the
+    * broadcast 64-row grid. Floats widen to double exactly; the
+    * per-row error² is IEEE-rounded at 12 dp and decimal-staged (terms
+    * ≪ 1 — far under the 2³³ staging bound), so the per-dim mean is
+    * order-free. Output is 64 rows at any corpus size. */
+  val qVecQuant: GQuery = GQuery(
+    "q_vec_quant",
+    (spark, dir) => {
+      import spark.implicits._
+      val dims = Tables.embeddings(spark, dir)
+        .select(posexplode($"embedding"))
+        .select(($"pos" + 1).cast("int").as("dim"),
+          $"col".cast("double").as("v"))
+      val grid = dims.groupBy($"dim")
+        .agg(min($"v").as("mn"), max($"v").as("mx"))
+      val q = dims.join(broadcast(grid), "dim")
+        .withColumn("qv",
+          floor(($"v" - $"mn") / ($"mx" - $"mn") * lit(255.0) + lit(0.5)))
+        .withColumn("err",
+          $"v" - ($"mn" + $"qv" * (($"mx" - $"mn") / lit(255.0))))
+      q.groupBy($"dim")
+        .agg(count(lit(1)).as("n"),
+          r6(min($"v")).as("mn"), r6(max($"v")).as("mx"),
+          rN(sqrt(
+            sum(rN($"err" * $"err", 12)
+              .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+              .cast("double") / count(lit(1))), 9).as("rmse"))
+        .orderBy($"dim")
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT cast(unnest(generate_series(1, len(embedding))) as int)
+                 AS dim,
+               unnest(list_transform(embedding, x -> cast(x as double)))
+                 AS v
+        FROM embeddings),
+      grid AS (
+        SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim),
+      q AS (
+        SELECT dims.dim, v, mn, mx,
+               floor((v - mn) / (mx - mn) * cast(255.0 as double) +
+                 cast(0.5 as double)) AS qv
+        FROM dims JOIN grid USING (dim)),
+      e AS (
+        SELECT dim, mn, mx,
+               v - (mn + qv * ((mx - mn) / cast(255.0 as double))) AS err
+        FROM q)
+      SELECT dim, count(*) AS n,
+             ${r6Sql("min(v2.mn)")} AS mn, ${r6Sql("max(v2.mx)")} AS mx,
+             ${rNSql("sqrt(cast(sum(cast(" +
+               rNSql("err * err", 12) +
+               " as decimal(30,12))) as double) / count(*))", 9)} AS rmse
+      FROM e v2
+      GROUP BY dim ORDER BY dim"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
-    qDedupIncr)
+    qDedupIncr, qVecQuant)
 }

@@ -1315,8 +1315,99 @@ object SeriesOps {
       FROM st"""),
   )
 
+  /** CROSTON'S METHOD for intermittent demand — the standard forecast
+    * for sparse series where SES on the raw (mostly-zero) signal fails.
+    * The probe series is the single most-ordered part's daily quantity
+    * (deterministic pick: max demand-days, min-key tiebreak), which is
+    * genuinely intermittent at every SF. Two coupled SES recursions
+    * (α=0.2) over demand SIZE and inter-demand INTERVAL, initialized
+    * z̄=z₁, x̄=gap₂ and folded over demands 2..m — the q_holt pattern:
+    * Spark runs the fold as a codegen'd `aggregate` HOF over the
+    * demand-bounded sorted array, DuckDB as a recursive CTE; both are
+    * the identical IEEE chain, so they bit-match. Forecast = z̄/x̄
+    * (demand per day). The per-part demand collapse is combinable; the
+    * array is |demand days| ≤ |calendar| long. */
+  val qCroston: GQuery = GQuery(
+    "q_croston",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_partkey", to_date($"l_shipdate").as("day"),
+          floor($"l_quantity" + lit(0.5)).cast("long").as("qty"))
+      val dem0 = li.groupBy($"l_partkey", $"day")
+        .agg(sum($"qty").as("z"))
+      val pick = dem0.groupBy($"l_partkey")
+        .agg(count(lit(1)).as("nd"))
+        .orderBy($"nd".desc, $"l_partkey").limit(1)
+        .select($"l_partkey".as("pk"), $"nd")
+      val dem = dem0.join(broadcast(pick), $"l_partkey" === $"pk")
+        .withColumn("gap",
+          datediff($"day", lag($"day", 1)
+            .over(Window.partitionBy($"pk").orderBy($"day"))).cast("long"))
+      val arr = dem.groupBy($"pk", $"nd")
+        .agg(array_sort(collect_list(struct($"day", $"z", $"gap")))
+          .as("s"))
+      arr.select($"pk".as("part_key"), $"nd".cast("int").as("n_demands"),
+          expr("""aggregate(
+              slice(s, 2, size(s) - 1),
+              named_struct(
+                'zh', cast(element_at(s, 1).z as double),
+                'xh', cast(element_at(s, 2).gap as double)),
+              (acc, e) -> named_struct(
+                'zh', cast(0.2 as double) * cast(e.z as double) +
+                      cast(0.8 as double) * acc.zh,
+                'xh', cast(0.2 as double) * cast(e.gap as double) +
+                      cast(0.8 as double) * acc.xh),
+              acc -> acc)""").as("st"))
+        .select($"part_key", $"n_demands",
+          r6($"st.zh").as("z_hat"),
+          r6($"st.xh").as("x_hat"),
+          r6($"st.zh" / $"st.xh").as("forecast_per_day"))
+    },
+    Some(s"""
+      WITH RECURSIVE li AS (
+        SELECT l_partkey, cast(date_trunc('day', l_shipdate) as date) AS day,
+               cast(floor(l_quantity + cast(0.5 as double)) as bigint)
+                 AS qty
+        FROM lineitem),
+      dem0 AS (
+        SELECT l_partkey, day, cast(sum(qty) as bigint) AS z
+        FROM li GROUP BY l_partkey, day),
+      pick AS (
+        SELECT l_partkey AS pk, cast(count(*) as bigint) AS nd
+        FROM dem0 GROUP BY l_partkey
+        ORDER BY nd DESC, l_partkey LIMIT 1),
+      dem AS (
+        SELECT pk, nd, day, z,
+               cast(date_diff('day', lag(day, 1) OVER (ORDER BY day), day)
+                 as bigint) AS gap,
+               cast(row_number() OVER (ORDER BY day) as bigint) AS i
+        FROM dem0 JOIN pick ON l_partkey = pk),
+      r AS (
+        SELECT i, cast(z as double) AS zh,
+               (SELECT cast(gap as double) FROM dem WHERE i = 2) AS xh
+        FROM dem WHERE i = 1
+        UNION ALL
+        SELECT dem.i,
+               cast(0.2 as double) * cast(dem.z as double) +
+                 cast(0.8 as double) * r.zh,
+               cast(0.2 as double) * cast(dem.gap as double) +
+                 cast(0.8 as double) * r.xh
+        FROM r JOIN dem ON dem.i = r.i + 1),
+      fin AS (
+        SELECT r.zh, r.xh FROM r
+        JOIN (SELECT max(i) AS m FROM r) lm ON r.i = lm.m)
+      SELECT (SELECT pk FROM pick) AS part_key,
+             (SELECT cast(nd as int) FROM pick) AS n_demands,
+             ${r6Sql("zh")} AS z_hat,
+             ${r6Sql("xh")} AS x_hat,
+             ${r6Sql("zh / xh")} AS forecast_per_day
+      FROM fin"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
-    qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox)
+    qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
+    qCroston)
 }
