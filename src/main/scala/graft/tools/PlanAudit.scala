@@ -46,7 +46,21 @@ object PlanAudit {
     // q_seasonal's bounded generated spine (shared frame), q_survival's
     // 1-row broadcasts inherited by the Weibull composition, and the
     // bootstrap's 1-row raw-stats broadcast
-    "q_season_strength", "q_weibull_fit", "q_bootstrap")
+    "q_season_strength", "q_weibull_fit", "q_bootstrap",
+    // round-8 session 4 (audited 2026-08-14): 10-row probe-set broadcast
+    // (the q_sim_topk posture) for the ranking metrics; 1-row calibration
+    // broadcast for the Brier decomposition
+    "q_ndcg", "q_mrr", "q_brier",
+    // 1-row scalar broadcasts: global moments/totals (Grubbs stats row,
+    // Kruskal n/ties row, Ljung-Box denominator, CUPED/MDE pooled moments
+    // + first-day bound, permutation-test observed statistic, Hurst
+    // 3-point OLS fit row)
+    "q_grubbs", "q_kruskal", "q_ljung_box", "q_cuped", "q_mde",
+    "q_perm_test", "q_hurst", "q_collocation",
+    // calendar-bounded weekly self-pairs (~345-row broadcast; the
+    // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
+    // calendar — the q_kendall posture)
+    "q_mk_trend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
