@@ -1226,9 +1226,135 @@ object EventOps {
       ORDER BY stage"""),
   )
 
+  /** D1/D3/D7 RETENTION — the product headline metric, distinct from
+    * q_cohort's weekly matrix: of users first seen on day d₀ (and whose
+    * d₀+k still lies inside the observation window — the right-censor
+    * guard), what share was active exactly on day d₀+k? The fact
+    * collapses to distinct (user, day) FIRST (combinable, the q_churn
+    * posture); the horizon explode is ×3 on the |users|-bounded first-day
+    * table; the activity probe is an equi-join on (user, datediff = k).
+    * Everything is integer until the final rate division. */
+  val qRetention: GQuery = GQuery(
+    "q_retention",
+    (spark, dir) => {
+      import spark.implicits._
+      val ud = Tables.events(spark, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        .localCheckpoint()
+      val first = ud.groupBy($"user_id").agg(min($"day").as("d0"))
+      val dmax = ud.agg(max($"day").as("dmax"))
+      val probes = first.crossJoin(broadcast(dmax))
+        .select($"user_id", $"d0",
+          explode(array(lit(1), lit(3), lit(7))).as("k"))
+        .filter(datediff($"dmax", $"d0") >= $"k")
+      val hit = probes.join(
+        ud.select($"user_id".as("u2"), $"day"),
+        $"user_id" === $"u2" && datediff($"day", $"d0") === $"k",
+        "left_outer")
+      hit.groupBy($"k")
+        .agg(count(lit(1)).as("n_eligible"),
+          sum(when($"day".isNotNull, 1L).otherwise(0L)).as("n_retained"))
+        .select($"k".as("horizon_days"), $"n_eligible", $"n_retained",
+          r6($"n_retained".cast("double") / $"n_eligible".cast("double"))
+            .as("retention"))
+        .orderBy($"horizon_days")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, cast(date_trunc('day', ts) as date) AS day
+        FROM events),
+      first AS (
+        SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id),
+      dmax AS (SELECT max(day) AS dmax FROM ud),
+      probes AS (
+        SELECT user_id, d0, k
+        FROM first CROSS JOIN dmax
+        CROSS JOIN (SELECT unnest([1, 3, 7]) AS k) ks
+        WHERE date_diff('day', d0, dmax) >= k),
+      hit AS (
+        SELECT p.k, ud.day
+        FROM probes p LEFT JOIN ud
+          ON p.user_id = ud.user_id
+          AND date_diff('day', p.d0, ud.day) = p.k)
+      SELECT k AS horizon_days, count(*) AS n_eligible,
+             cast(sum(CASE WHEN day IS NOT NULL THEN 1 ELSE 0 END)
+               as bigint) AS n_retained,
+             ${r6Sql("cast(sum(CASE WHEN day IS NOT NULL THEN 1 ELSE 0 " +
+               "END) as double) / cast(count(*) as double)")} AS retention
+      FROM hit GROUP BY k ORDER BY horizon_days"""),
+  )
+
+  /** POSITION-BASED (U-shaped, 40/40/20) ATTRIBUTION — the third
+    * standard credit model beside q_attribution's linear split: first
+    * and last touch in the 7-day pre-purchase window get 40% each, the
+    * middle touches share 20%. Same bounded purchase×touch interval
+    * join as q_attribution; position comes from one window ordered by
+    * (ts, event_id) — the unique-id tiebreak makes the credit
+    * assignment total-order deterministic even with same-second
+    * touches. Credits are fixed IEEE ratios, decimal-staged per
+    * channel. */
+  val qAttributionPos: GQuery = GQuery(
+    "q_attribution_pos",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("t_user"), $"event_type".as("channel"),
+          $"ts".as("t_ts"), $"event_id".as("t_id"))
+      val joined = purchases.join(touches,
+        $"p_user" === $"t_user" &&
+          $"t_ts" <= $"p_ts" &&
+          $"t_ts" > $"p_ts" - expr("INTERVAL 7 DAYS"))
+      val w = Window.partitionBy($"p_id")
+      val wo = Window.partitionBy($"p_id").orderBy($"t_ts", $"t_id")
+      val credit = joined
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("credit",
+          when($"n" === 1, lit(1.0))
+            .when($"n" === 2, lit(0.5))
+            .when($"rn" === 1 || $"rn" === $"n", lit(0.4))
+            .otherwise(rN(lit(0.2) / ($"n" - lit(2)).cast("double"), 6)))
+      credit.groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"),
+          dsum($"credit", 6).as("total_credit"))
+        .orderBy($"channel")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         date_trunc('second', ts) AS ts FROM events),
+      p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+            FROM ev WHERE event_type = 'purchase'),
+      t AS (SELECT user_id AS t_user, event_type AS channel, ts AS t_ts,
+                   event_id AS t_id
+            FROM ev WHERE event_type IN ('view', 'click')),
+      joined AS (
+        SELECT p_id, channel,
+               count(*) OVER (PARTITION BY p_id) AS n,
+               row_number() OVER (PARTITION BY p_id
+                 ORDER BY t_ts, t_id) AS rn
+        FROM p JOIN t
+          ON p_user = t_user AND t_ts <= p_ts
+             AND t_ts > p_ts - INTERVAL 7 DAY),
+      credit AS (
+        SELECT channel,
+               CASE WHEN n = 1 THEN cast(1.0 as double)
+                    WHEN n = 2 THEN cast(0.5 as double)
+                    WHEN rn = 1 OR rn = n THEN cast(0.4 as double)
+                    ELSE ${rNSql("cast(0.2 as double) / " +
+                      "cast(n - 2 as double)", 6)} END AS credit
+        FROM joined)
+      SELECT channel, count(*) AS n_touches,
+             ${dsumSql("credit", 6)} AS total_credit
+      FROM credit GROUP BY channel ORDER BY channel"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
       qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams,
-      qGrowthAcct, qCohortLtv, qFunnelWindow)
+      qGrowthAcct, qCohortLtv, qFunnelWindow, qRetention, qAttributionPos)
 }

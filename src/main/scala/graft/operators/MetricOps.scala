@@ -821,7 +821,45 @@ object MetricOps {
       FROM g ORDER BY decile"""),
   )
 
+  /** HOUR×WEEKDAY ACTIVITY HEATMAP — the ops-dashboard staple (when do
+    * users show up, where do the quiet windows for maintenance live).
+    * Weekday is the epoch-day modulus (0 = Thursday) — NEVER dayofweek,
+    * whose origin differs across engines (CLAUDE.md gotcha); hour is
+    * engine-identical on the NTZ timestamp. One combinable 168-cell
+    * count; the share denominator is a window over the 168-row result,
+    * not a second scan. */
+  val qTimeHeatmap: GQuery = GQuery(
+    "q_time_heatmap",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .select(
+          (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+            .as("dow7"),
+          hour($"ts").as("hr"))
+        .groupBy($"dow7", $"hr").agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("total", sum($"n").over(wAll))
+        .select($"dow7", $"hr", $"n",
+          r6($"n".cast("double") / $"total".cast("double")).as("share"))
+        .orderBy($"dow7", $"hr")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT cast(date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', ts) as date)) % 7 as int) AS dow7,
+               cast(date_part('hour', ts) as int) AS hr,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT dow7, hr, n,
+             ${r6Sql("cast(n as double) / " +
+               "cast(sum(n) OVER () as double)")} AS share
+      FROM cells ORDER BY dow7, hr"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
-      qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz)
+      qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz,
+      qTimeHeatmap)
 }

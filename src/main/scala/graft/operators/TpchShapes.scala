@@ -669,7 +669,50 @@ object TpchShapes {
       ORDER BY s_name"""),
   )
 
+  /** TPC-H Q3 shape — shipping-priority top-10: revenue of orders placed
+    * before a cutoff whose lineitems ship after it, for one customer
+    * segment. (The schema has no o_shippriority; o_orderpriority stands
+    * in.) The canonical fact-to-fact shuffle join with a broadcast-able
+    * dimension filter: customer's segment predicate prunes ~1/5 of the
+    * orders side BEFORE the lineitem join, both date predicates push to
+    * the scans, and the top-10 is a deterministic (revenue desc,
+    * orderkey) sort-limit — TakeOrderedAndProject, no global sort. */
+  val qJoinQ3: GQuery = GQuery(
+    "q_join_q3",
+    (spark, dir) => {
+      import spark.implicits._
+      val cut = lit("1995-03-15").cast("timestamp_ntz")
+      val cust = Tables.customer(spark, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = Tables.orders(spark, dir)
+        .filter($"o_orderdate" < cut)
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" > cut)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""),
+  )
+
   val all: Seq[GQuery] = Seq(
-    qAggQ6, qJoinQ2, qJoinQ7, qJoinQ9, qJoinQ10, qJoinQ11, qJoinQ12,
-    qJoinQ13, qJoinQ14, qJoinQ15, qJoinQ19, qJoinQ20, qJoinQ21, qJoinQ22)
+    qAggQ6, qJoinQ2, qJoinQ3, qJoinQ7, qJoinQ9, qJoinQ10, qJoinQ11,
+    qJoinQ12, qJoinQ13, qJoinQ14, qJoinQ15, qJoinQ19, qJoinQ20, qJoinQ21,
+    qJoinQ22)
 }

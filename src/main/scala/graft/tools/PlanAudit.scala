@@ -57,6 +57,8 @@ object PlanAudit {
     // 3-point OLS fit row)
     "q_grubbs", "q_kruskal", "q_ljung_box", "q_cuped", "q_mde",
     "q_perm_test", "q_hurst", "q_collocation",
+    // 1-row observation-window-end broadcast for the retention censor
+    "q_retention",
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
