@@ -915,6 +915,61 @@ object GraphOps {
     )
   }
 
+  /** NEXT-EVENT PREDICTION BASELINE — the bigram majority-vote model
+    * every sequence model is benchmarked against: for each state,
+    * predict the most frequent successor (ties to the lexicographically
+    * smaller type — total order, cross-engine stable) and score it
+    * in-sample. Rides q_markov's transition pairs (one per-user lag
+    * window with the (ts, event_id) tiebreak); prediction + accuracy
+    * come from the |types|²-bounded count table — pure integers until
+    * the final rate. */
+  val qSeqPredict: GQuery = GQuery(
+    "q_seq_predict",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = ev.withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+      val cnt = pairs.groupBy($"prev", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy($"prev").orderBy($"n".desc, $"event_type")
+      cnt.withColumn("rn", row_number().over(wp))
+        .groupBy($"prev")
+        .agg(sum($"n").as("n_state"),
+          max(when($"rn" === 1, $"event_type")).as("predicted"),
+          max(when($"rn" === 1, $"n")).as("n_correct"))
+        .select($"prev".as("state"), $"predicted", $"n_state", $"n_correct",
+          r6($"n_correct".cast("double") / $"n_state".cast("double"))
+            .as("accuracy"))
+        .orderBy($"state")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('second', ts), event_id) AS prev
+        FROM events),
+      cnt AS (
+        SELECT prev, event_type, cast(count(*) as bigint) AS n
+        FROM st WHERE prev IS NOT NULL
+        GROUP BY prev, event_type),
+      rk AS (
+        SELECT prev, event_type, n,
+               row_number() OVER (PARTITION BY prev
+                 ORDER BY n DESC, event_type) AS rn
+        FROM cnt)
+      SELECT prev AS state,
+             max(CASE WHEN rn = 1 THEN event_type END) AS predicted,
+             cast(sum(n) as bigint) AS n_state,
+             cast(max(CASE WHEN rn = 1 THEN n END) as bigint) AS n_correct,
+             ${r6Sql("cast(max(CASE WHEN rn = 1 THEN n END) as double) / " +
+               "cast(sum(n) as double)")} AS accuracy
+      FROM rk GROUP BY prev ORDER BY state"""),
+  )
+
   val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
-    qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate, qCloseness)
+    qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate, qCloseness,
+    qSeqPredict)
 }

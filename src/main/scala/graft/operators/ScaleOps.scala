@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
@@ -1065,8 +1066,102 @@ object ScaleOps {
       GROUP BY dim ORDER BY dim"""),
   )
 
+  /** ENERGY DISTANCE between two label groups in embedding space — the
+    * metric-space two-sample test behind "did the embedding distribution
+    * drift" checks (nonzero iff the distributions differ, no binning).
+    * E = 2·Ā_XY − B̄_XX − C̄_YY over Euclidean distances
+    * d = √max(‖x‖²+‖y‖²−2x·y, 0). The pair base is a DETERMINISTIC
+    * 40-per-label probe subset (row_number by vec_id — bounded at any
+    * SF, the documented estimator-on-a-probe pattern; at 100 TB the
+    * subset is a broadcast and nothing pairs corpus×corpus). Dot
+    * products are the sequential-fold dot_product Expression vs the
+    * explicit left-assoc chain (the established bit-match contract);
+    * per-pair distances are 6dp-IEEE-rounded then decimal-staged, so
+    * each mean is order-free. */
+  val qEnergyDist: GQuery = GQuery(
+    "q_energy_dist",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"label".isin(0, 1))
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> cast(x as double))").as("e"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"label").orderBy($"vec_id")))
+        .filter($"rn" <= 40)
+        .withColumn("nsq", expr("dot_product(e, e)"))
+        .localCheckpoint()
+      val x = emb.filter($"label" === 0)
+        .select($"vec_id".as("xid"), $"e".as("xe"), $"nsq".as("xn"))
+      val y = emb.filter($"label" === 1)
+        .select($"vec_id".as("yid"), $"e".as("ye"), $"nsq".as("yn"))
+      def dist(n1: Column, n2: Column, dot: Column): Column =
+        rN(sqrt(greatest(n1 + n2 - lit(2.0) * dot, lit(0.0))), 6)
+      val a = x.crossJoin(broadcast(y))
+        .select(dist($"xn", $"yn", expr("dot_product(xe, ye)")).as("d"))
+        .agg(count(lit(1)).as("n_ab"), dsum($"d", 6).as("s_ab"))
+      val b = x.as("p").join(broadcast(x.as("q")),
+          col("p.xid") < col("q.xid"))
+        .select(dist(col("p.xn"), col("q.xn"),
+          expr("dot_product(p.xe, q.xe)")).as("d"))
+        .agg(count(lit(1)).as("n_xx"), dsum($"d", 6).as("s_xx"))
+      val c = y.as("p").join(broadcast(y.as("q")),
+          col("p.yid") < col("q.yid"))
+        .select(dist(col("p.yn"), col("q.yn"),
+          expr("dot_product(p.ye, q.ye)")).as("d"))
+        .agg(count(lit(1)).as("n_yy"), dsum($"d", 6).as("s_yy"))
+      val dd = (c: String) => col(c).cast("double")
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+        .select($"n_ab", $"n_xx", $"n_yy",
+          r6($"s_ab" / dd("n_ab")).as("mean_between"),
+          r6($"s_xx" / dd("n_xx")).as("mean_within_x"),
+          r6($"s_yy" / dd("n_yy")).as("mean_within_y"),
+          r6(lit(2.0) * ($"s_ab" / dd("n_ab")) -
+            $"s_xx" / dd("n_xx") - $"s_yy" / dd("n_yy"))
+            .as("energy_dist"))
+    },
+    Some {
+      val dxy = rNSql("sqrt(greatest(p.nsq + q.nsq - " +
+        s"cast(2.0 as double) * (${chainSql("p.e", "q.e")}), " +
+        "cast(0.0 as double)))", 6)
+      s"""
+      WITH emb0 AS (
+        SELECT vec_id, label, list_transform(embedding,
+                 x -> cast(x as double)) AS e,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                 AS rn
+        FROM embeddings WHERE label IN (0, 1)),
+      emb AS (
+        SELECT vec_id, label, e, (${chainSql("e", "e")}) AS nsq
+        FROM emb0 WHERE rn <= 40),
+      a AS (
+        SELECT count(*) AS n_ab,
+               ${dsumSql(dxy, 6)} AS s_ab
+        FROM emb p JOIN emb q ON p.label = 0 AND q.label = 1),
+      b AS (
+        SELECT count(*) AS n_xx,
+               ${dsumSql(dxy, 6)} AS s_xx
+        FROM emb p JOIN emb q
+          ON p.label = 0 AND q.label = 0 AND p.vec_id < q.vec_id),
+      c AS (
+        SELECT count(*) AS n_yy,
+               ${dsumSql(dxy, 6)} AS s_yy
+        FROM emb p JOIN emb q
+          ON p.label = 1 AND q.label = 1 AND p.vec_id < q.vec_id)
+      SELECT n_ab, n_xx, n_yy,
+             ${r6Sql("s_ab / cast(n_ab as double)")} AS mean_between,
+             ${r6Sql("s_xx / cast(n_xx as double)")} AS mean_within_x,
+             ${r6Sql("s_yy / cast(n_yy as double)")} AS mean_within_y,
+             ${r6Sql("cast(2.0 as double) * (s_ab / cast(n_ab as double))" +
+               " - s_xx / cast(n_xx as double) - s_yy / " +
+               "cast(n_yy as double)")} AS energy_dist
+      FROM a CROSS JOIN b CROSS JOIN c"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
-    qDedupIncr, qVecQuant)
+    qDedupIncr, qVecQuant, qEnergyDist)
 }

@@ -59,6 +59,8 @@ object PlanAudit {
     "q_perm_test", "q_hurst", "q_collocation",
     // 1-row observation-window-end broadcast for the retention censor
     "q_retention",
+    // 40-per-label probe-subset pair joins (bounded at any SF)
+    "q_energy_dist",
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
