@@ -699,9 +699,100 @@ object LlmOps {
       GROUP BY lang ORDER BY lang"""),
   )
 
+  /** DEDUP THRESHOLD SWEEP — the policy-tuning report behind "where do
+    * we set τ": for τ ∈ {0.5, 0.7, 0.8, 0.9}, how many pairs and how
+    * many distinct documents would near-dup dedup touch? Runs on the
+    * bounded q_jaccard_pairs base with planted full-copy duplicates
+    * (shifted ids — the rows>0-can-never-pass-vacuously convention), so
+    * τ=0.9 always has members; thresholds are cast-double literals
+    * compared against the SAME r6-rounded Jaccard in both engines, so
+    * bucket membership cannot flip on a ulp. At scale the identical
+    * sweep aggregates the LSH candidate pairs (q_neardup_banded's
+    * output) instead of the exact ones. */
+  val qDedupSweep: GQuery = GQuery(
+    "q_dedup_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).filter($"doc_id" < 60)
+        .select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.select(($"doc_id" + 2000L).as("doc_id"), $"text"))
+      val t = docs.select($"doc_id", explode(array_distinct(toks)).as("term"))
+      val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
+      val inter = t.as("a").join(t.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("n_common"))
+      val pairs = inter
+        .join(sizes.withColumnRenamed("doc_id", "doc1")
+          .withColumnRenamed("n_terms", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2")
+          .withColumnRenamed("n_terms", "n2"), "doc2")
+        .select($"doc1", $"doc2",
+          r6($"n_common".cast("double") / ($"n1" + $"n2" - $"n_common"))
+            .as("j"))
+      val nDocs = sizes.agg(count(lit(1)).as("n_docs"))
+      val sweep = pairs
+        .select($"doc1", $"doc2", $"j",
+          explode(array(lit(0.5), lit(0.7), lit(0.8), lit(0.9))).as("tau"))
+        .filter($"j" >= $"tau")
+      sweep
+        .select($"tau", explode(array($"doc1", $"doc2")).as("d"))
+        .groupBy($"tau")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct($"d").as("n_docs_hit"))
+        .crossJoin(broadcast(nDocs))
+        .select(r6($"tau").as("tau"), $"n_pairs", $"n_docs_hit",
+          r6($"n_docs_hit".cast("double") / $"n_docs".cast("double"))
+            .as("dup_rate"))
+        .orderBy($"tau")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id + 2000, text FROM base),
+      t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+          AS term
+        FROM docs),
+      sizes AS (SELECT doc_id, count(*) AS n_terms FROM t GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT doc1, doc2,
+               ${r6Sql("cast(n_common as double) / " +
+                 "(s1.n_terms + s2.n_terms - n_common)")} AS j
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2),
+      ndocs AS (SELECT cast(count(*) as bigint) AS n_docs FROM sizes),
+      sweep AS (
+        SELECT tau, doc1, doc2 FROM pairs,
+          (SELECT unnest([cast(0.5 as double), cast(0.7 as double),
+                          cast(0.8 as double), cast(0.9 as double)])
+             AS tau) ts
+        WHERE j >= tau),
+      hits AS (
+        SELECT tau, d FROM (
+          SELECT tau, doc1 AS d FROM sweep
+          UNION ALL SELECT tau, doc2 FROM sweep) u)
+      SELECT ${r6Sql("tau")} AS tau,
+             cast(count(*) / 2 as bigint) AS n_pairs,
+             cast(count(DISTINCT d) as bigint) AS n_docs_hit,
+             ${r6Sql("cast(count(DISTINCT d) as double) / " +
+               "cast(n_docs as double)")} AS dup_rate
+      FROM hits CROSS JOIN ndocs
+      GROUP BY tau, n_docs ORDER BY tau"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
-    qSplit, qSampleStrat)
+    qSplit, qSampleStrat, qDedupSweep)
 }

@@ -1160,8 +1160,120 @@ object ScaleOps {
     },
   )
 
+  /** ANN RECALL@10 — the accuracy side of the LSH speed/recall trade
+    * q_ann_lsh only demonstrates: per probe, what fraction of the EXACT
+    * cosine top-10 does the 4-band sign-projection candidate set
+    * contain? Reuses q_ann_lsh's signature construction (identical
+    * md5-derived hyperplanes as literals in both engines) and
+    * q_sim_topk's brute-force ranking on the 6dp-rounded cosine with
+    * vec_id tiebreak — both sides of the comparison are deterministic,
+    * so recall is a stable number, not a seed-dependent estimate. The
+    * probe side stays a 5-row broadcast; the only corpus-sized work is
+    * the band equi-join and one broadcast-probe scan. */
+  val qAnnRecall: GQuery = GQuery(
+    "q_ann_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val projected = (0 until 16).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"p$j",
+          expr(s"dot_product(emb, ${planes(j).map(w => s"${w}D")
+            .mkString("array(", ", ", ")")})"))
+      }
+      val sig = projected.select(
+        ($"vec_id" +: $"emb" +: $"nrm" +:
+          (0 until 4).map(b => (0 until 4).map(k =>
+            when(col(s"p${4 * b + k}") > 0, lit(1 << k)).otherwise(lit(0)))
+            .reduce(_ + _).as(s"band$b"))): _*)
+        .localCheckpoint()
+      def bandRows(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band_id"), col(s"band$b").as("val"))): _*))
+            .as("bs"))
+          .select(col(idAs), $"bs.band_id".as("band_id"),
+            $"bs.val".as("val"))
+      val cand = bandRows(sig.filter($"vec_id" < 5), "p_id")
+        .join(bandRows(sig, "c_id"), Seq("band_id", "val"))
+        .filter($"p_id" =!= $"c_id")
+        .select($"p_id", $"c_id").distinct()
+        .localCheckpoint()
+      val p = sig.filter($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"),
+          $"nrm".as("p_nrm"))
+      val c = sig.select($"vec_id".as("c_id"), $"emb".as("c_emb"),
+        $"nrm".as("c_nrm"))
+      val w = Window.partitionBy($"p_id").orderBy($"cos".desc, $"c_id")
+      val exact = c.crossJoin(broadcast(p))
+        .filter($"c_id" =!= $"p_id")
+        .withColumn("cos",
+          r6(expr("dot_product(p_emb, c_emb)") / ($"p_nrm" * $"c_nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"p_id", $"c_id")
+      val hits = exact.join(cand, Seq("p_id", "c_id"), "left_semi")
+        .groupBy($"p_id").agg(count(lit(1)).as("n_hits"))
+      val nc = cand.groupBy($"p_id").agg(count(lit(1)).as("n_cand"))
+      exact.groupBy($"p_id").agg(count(lit(1)).as("k"))
+        .join(nc, Seq("p_id"), "left_outer")
+        .join(hits, Seq("p_id"), "left_outer")
+        .select($"p_id", coalesce($"n_cand", lit(0L)).as("n_cand"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          r6(coalesce($"n_hits", lit(0L)).cast("double") /
+            $"k".cast("double")).as("recall_at_10"))
+        .orderBy($"p_id")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound),
+      sig AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm,
+        ${(0 until 4).map(b => (0 until 4).map(k =>
+            s"(CASE WHEN (${planeChainSql("embedding", 4 * b + k)}) > 0 " +
+              s"THEN ${1 << k} ELSE 0 END)").mkString("(", " + ", s") AS band$b"))
+          .mkString(",\n        ")}
+        FROM emb),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT vec_id, $b AS band_id, band$b AS val FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.vec_id AS p_id, y.vec_id AS c_id
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.val = y.val
+               WHERE x.vec_id < 5 AND x.vec_id <> y.vec_id),
+      exact AS (
+        SELECT p_id, c_id FROM (
+          SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                   floor((${chainSql("p.embedding", "c.embedding")}) /
+                     (p.nrm * c.nrm) * 1e6 + 0.5) / 1e6 DESC,
+                   c.vec_id) AS rnk
+          FROM sig p JOIN sig c ON p.vec_id < 5 AND c.vec_id <> p.vec_id) t
+        WHERE rnk <= 10),
+      hits AS (
+        SELECT e.p_id, count(*) AS n_hits
+        FROM exact e JOIN cand ON e.p_id = cand.p_id AND e.c_id = cand.c_id
+        GROUP BY e.p_id),
+      nc AS (SELECT p_id, count(*) AS n_cand FROM cand GROUP BY p_id),
+      ek AS (SELECT p_id, count(*) AS k FROM exact GROUP BY p_id)
+      SELECT ek.p_id,
+             cast(coalesce(n_cand, 0) as bigint) AS n_cand,
+             cast(coalesce(n_hits, 0) as bigint) AS n_hits,
+             ${r6Sql("cast(coalesce(n_hits, 0) as double) / " +
+               "cast(k as double)")} AS recall_at_10
+      FROM ek LEFT JOIN nc ON ek.p_id = nc.p_id
+      LEFT JOIN hits ON ek.p_id = hits.p_id
+      ORDER BY ek.p_id"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
-    qDedupIncr, qVecQuant, qEnergyDist)
+    qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall)
 }

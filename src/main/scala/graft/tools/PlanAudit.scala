@@ -61,6 +61,9 @@ object PlanAudit {
     "q_retention",
     // 40-per-label probe-subset pair joins (bounded at any SF)
     "q_energy_dist",
+    // 1-row corpus-count broadcast (sweep denominator); 5-row probe
+    // broadcast for the exact-top-10 side of the recall comparison
+    "q_dedup_sweep", "q_ann_recall",
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
