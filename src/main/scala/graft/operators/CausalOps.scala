@@ -252,7 +252,8 @@ object CausalOps {
       val daily = ev.groupBy($"day").agg(
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
-      val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      // bounds from the 30-row aggregate, not a second events scan
+      val spine = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       val s = spine.join(daily, Seq("day"), "left_outer")
         .select($"day", coalesce($"x", lit(0L)).as("x"),
@@ -310,7 +311,7 @@ object CausalOps {
                cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  as bigint) AS y
         FROM ev GROUP BY day),
-      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
       spine AS (
         SELECT cast(unnest(generate_series(cast(d0 as timestamp),
                  cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day

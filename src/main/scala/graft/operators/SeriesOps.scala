@@ -32,7 +32,9 @@ object SeriesOps {
     import spark.implicits._
     val ev = Tables.events(spark, dir).select(to_date($"ts").as("day"))
     val daily = ev.groupBy($"day").agg(count(lit(1)).as("n"))
-    val spine = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    // bounds from the |days|-row aggregate — not a second events scan
+    // (ReuseAudit: the two aggregations never canonically match)
+    val spine = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
     spine.join(daily, Seq("day"), "left_outer")
       .select($"day", coalesce($"n", lit(0L)).as("n"))
@@ -42,7 +44,7 @@ object SeriesOps {
   private val dailyCte: String = s"""
       ev AS (SELECT cast(date_trunc('day', ts) as date) AS day FROM events),
       daily0 AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
-      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
       spine AS (
         SELECT cast(unnest(generate_series(cast(d0 as timestamp),
                  cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
