@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
 import graft.engine.GQuery._
@@ -916,7 +917,6 @@ object CorpusStats {
         .select($"tok1", $"tok2", $"a".as("n_pair"),
           $"a", $"c1" - $"a" as "b", $"c2" - $"a" as "c",
           $"nn" - $"c1" - $"c2" + $"a" as "d", $"c1", $"c2", $"nn")
-      import org.apache.spark.sql.Column
       val dd = (c: Column) => c.cast("double")
       def term(o: Column, e: Column): Column =
         when(o > 0, dd(o) * log(dd(o) / e)).otherwise(lit(0.0))
@@ -963,8 +963,77 @@ object CorpusStats {
     },
   )
 
+  /** CONDITIONAL TOKEN ENTROPY H(next|prev) and the information gain
+    * H(next) − H(next|prev) — how much one token of left context is
+    * worth, the corpus-level structure statistic that separates natural
+    * language (high gain) from shuffled tokens (≈0). Same shingled
+    * bigram + margin tables as q_collocation (combinable, no second
+    * corpus scan); the entropy terms are IEEE-rounded at TWELVE dp
+    * before decimal staging — per-term magnitudes are ~1e-5 over a
+    * vocabulary-squared term count, so 6 dp staging would round away
+    * the sum (measured hazard class, CLAUDE.md); at 12 dp the staged
+    * error bound is ≪ 1e-6 while terms stay far under the 2³³ staging
+    * validity bound. */
+  val qCondEntropy: GQuery = GQuery(
+    "q_cond_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val docs = Tables.documents(spark, dir).select(split($"text", " ").as("l"))
+      val len1 = greatest(size($"l") - 1, lit(0))
+      val big0 = docs
+        .select(explode(zip_with(
+          slice($"l", lit(1), len1), slice($"l", lit(2), len1),
+          (a, b) => struct(a.as("tok1"), b.as("tok2")))).as("bg"))
+        .select($"bg.tok1".as("tok1"), $"bg.tok2".as("tok2"))
+        .groupBy($"tok1", $"tok2").agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val m1 = big0.groupBy($"tok1").agg(sum($"nij").as("ni"))
+      val m2 = big0.groupBy($"tok2").agg(sum($"nij").as("nj"))
+      val tot = big0.agg(sum($"nij").as("nn"))
+      val d = (c: Column) => c.cast("double")
+      val hCond = big0.join(m1, "tok1").crossJoin(broadcast(tot))
+        .select(rN(d($"nij") / d($"nn") * log(d($"ni") / d($"nij")), 12)
+          .as("t"))
+        .agg(sum($"t".cast(dec12)).cast("double").as("h_cond"))
+      val hNext = m2.crossJoin(broadcast(tot))
+        .select(rN(d($"nj") / d($"nn") * log(d($"nn") / d($"nj")), 12)
+          .as("t"))
+        .agg(sum($"t".cast(dec12)).cast("double").as("h_next"))
+      hCond.crossJoin(broadcast(hNext))
+        .select(r6($"h_cond").as("h_cond"), r6($"h_next").as("h_next"),
+          r6($"h_next" - $"h_cond").as("info_gain"))
+    },
+    Some(s"""
+      WITH l AS (SELECT string_split(text, ' ') AS l FROM documents),
+      big0 AS (SELECT tok1, tok2, cast(count(*) as bigint) AS nij FROM (
+          SELECT l[i] AS tok1, l[i + 1] AS tok2 FROM (
+            SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM l) b0) b1
+        GROUP BY tok1, tok2),
+      m1 AS (SELECT tok1, cast(sum(nij) as bigint) AS ni
+             FROM big0 GROUP BY tok1),
+      m2 AS (SELECT tok2, cast(sum(nij) as bigint) AS nj
+             FROM big0 GROUP BY tok2),
+      tot AS (SELECT cast(sum(nij) as bigint) AS nn FROM big0),
+      hc AS (
+        SELECT cast(sum(cast(${rNSql(
+          "cast(nij as double) / cast(nn as double) * " +
+            "ln(cast(ni as double) / cast(nij as double))", 12)}
+          as decimal(30,12))) as double) AS h_cond
+        FROM big0 JOIN m1 USING (tok1) CROSS JOIN tot),
+      hn AS (
+        SELECT cast(sum(cast(${rNSql(
+          "cast(nj as double) / cast(nn as double) * " +
+            "ln(cast(nn as double) / cast(nj as double))", 12)}
+          as decimal(30,12))) as double) AS h_next
+        FROM m2 CROSS JOIN tot)
+      SELECT ${r6Sql("h_cond")} AS h_cond, ${r6Sql("h_next")} AS h_next,
+             ${r6Sql("h_next - h_cond")} AS info_gain
+      FROM hc CROSS JOIN hn"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
-      qJaccardPrefix, qErMatch, qCollocation)
+      qJaccardPrefix, qErMatch, qCollocation, qCondEntropy)
 }

@@ -627,6 +627,75 @@ object InferOps {
     )
   }
 
+  /** SIMPSON'S-PARADOX AUDIT on the discount→quantity association: the
+    * pooled OLS slope vs the per-returnflag slopes, flagging groups
+    * whose association sign flips the pooled one — the aggregation-bias
+    * check run before trusting any whole-corpus correlation. ONE
+    * decimal-staged moment pass per group (the q_corr_matrix exactness
+    * contract); the pooled moments are the exact decimal SUMS of the
+    * group moments, so no second scan and no float re-accumulation.
+    * Output: one row per group plus sign-flip flags against the pooled
+    * slope. */
+  val qSimpson: GQuery = GQuery(
+    "q_simpson",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = (c: Column) => c.cast("decimal(30,6)")
+      val g = Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_discount")).as("sx"),
+          sum(dec($"l_quantity")).as("sy"),
+          sum(dec($"l_discount" * $"l_quantity")).as("sxy"),
+          sum(dec($"l_discount" * $"l_discount")).as("sxx"))
+      val pool = g.agg(sum($"n").as("pn"), sum($"sx").as("psx"),
+        sum($"sy").as("psy"), sum($"sxy").as("psxy"),
+        sum($"sxx").as("psxx"))
+      def slope(n: Column, sx: Column, sy: Column, sxy: Column,
+          sxx: Column): Column = {
+        val nd = n.cast("double")
+        (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+          (nd * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+      }
+      g.crossJoin(broadcast(pool))
+        .select($"l_returnflag", $"n",
+          r6(slope($"n", $"sx", $"sy", $"sxy", $"sxx")).as("group_slope"),
+          r6(slope($"pn", $"psx", $"psy", $"psxy", $"psxx"))
+            .as("pooled_slope"),
+          (slope($"n", $"sx", $"sy", $"sxy", $"sxx") *
+            slope($"pn", $"psx", $"psy", $"psxy", $"psxx") < 0)
+            .as("sign_flip"))
+        .orderBy($"l_returnflag")
+    },
+    Some {
+      def slope(n: String, sx: String, sy: String, sxy: String,
+          sxx: String): String =
+        s"((cast($n as double) * cast($sxy as double) - " +
+          s"cast($sx as double) * cast($sy as double)) / " +
+          s"(cast($n as double) * cast($sxx as double) - " +
+          s"cast($sx as double) * cast($sx as double)))"
+      val gs = slope("n", "sx", "sy", "sxy", "sxx")
+      val ps = slope("pn", "psx", "psy", "psxy", "psxx")
+      s"""
+      WITH g AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(cast(l_discount as decimal(30,6))) AS sx,
+               sum(cast(l_quantity as decimal(30,6))) AS sy,
+               sum(cast(l_discount * l_quantity as decimal(30,6))) AS sxy,
+               sum(cast(l_discount * l_discount as decimal(30,6))) AS sxx
+        FROM lineitem GROUP BY l_returnflag),
+      pool AS (
+        SELECT cast(sum(n) as bigint) AS pn, sum(sx) AS psx,
+               sum(sy) AS psy, sum(sxy) AS psxy, sum(sxx) AS psxx
+        FROM g)
+      SELECT l_returnflag, n,
+             ${r6Sql(gs)} AS group_slope,
+             ${r6Sql(ps)} AS pooled_slope,
+             ($gs * $ps < 0) AS sign_flip
+      FROM g CROSS JOIN pool ORDER BY l_returnflag"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
-    qJackknife, qCorrMatrix, qBootstrap, qVif)
+    qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson)
 }

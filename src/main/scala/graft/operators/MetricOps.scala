@@ -858,8 +858,75 @@ object MetricOps {
       FROM cells ORDER BY dow7, hr"""),
   )
 
+  /** PRICE–VOLUME DECOMPOSITION of per-brand revenue growth, 1996→1997:
+    * Δrev = (q₂−q₁)·p₁ (volume effect) + (p₂−p₁)·q₂ (price effect), an
+    * identity that reconciles EXACTLY by construction — the BI "why did
+    * revenue move" driver analysis. One scan, conditional integer sums
+    * per (brand, year) pivoted into a single row per brand (quantities
+    * are integral doubles kept as int64, revenue as int64 cents); unit
+    * prices and effects are fixed IEEE forms over the four exact cells.
+    * ~25 brand rows at any SF. */
+  val qPriceVolume: GQuery = GQuery(
+    "q_price_volume",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .filter(year($"l_shipdate").isin(1996, 1997))
+        .select($"p_brand",
+          (year($"l_shipdate") === 1997).as("p2"),
+          floor($"l_quantity" + lit(0.5)).cast("long").as("qty"),
+          floor($"l_extendedprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+      val g = li.groupBy($"p_brand").agg(
+        sum(when(!$"p2", $"qty").otherwise(0L)).as("q1"),
+        sum(when(!$"p2", $"cents").otherwise(0L)).as("r1"),
+        sum(when($"p2", $"qty").otherwise(0L)).as("q2"),
+        sum(when($"p2", $"cents").otherwise(0L)).as("r2"))
+      val d = (c: String) => col(c).cast("double")
+      val p1 = d("r1") / d("q1")
+      val p2 = d("r2") / d("q2")
+      g.select($"p_brand", $"q1", $"q2",
+          r6((d("r2") - d("r1")) / lit(100.0)).as("delta_rev"),
+          r6((d("q2") - d("q1")) * p1 / lit(100.0)).as("volume_effect"),
+          r6((p2 - p1) * d("q2") / lit(100.0)).as("price_effect"))
+        .orderBy($"p_brand")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT p_brand,
+               (date_part('year', l_shipdate) = 1997) AS p2,
+               cast(floor(l_quantity + cast(0.5 as double)) as bigint)
+                 AS qty,
+               cast(floor(l_extendedprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE date_part('year', l_shipdate) IN (1996, 1997)),
+      g AS (
+        SELECT p_brand,
+               cast(sum(CASE WHEN NOT p2 THEN qty ELSE 0 END) as bigint)
+                 AS q1,
+               cast(sum(CASE WHEN NOT p2 THEN cents ELSE 0 END) as bigint)
+                 AS r1,
+               cast(sum(CASE WHEN p2 THEN qty ELSE 0 END) as bigint) AS q2,
+               cast(sum(CASE WHEN p2 THEN cents ELSE 0 END) as bigint)
+                 AS r2
+        FROM li GROUP BY p_brand)
+      SELECT p_brand, q1, q2,
+             ${r6Sql("(cast(r2 as double) - cast(r1 as double)) / " +
+               "cast(100.0 as double)")} AS delta_rev,
+             ${r6Sql("(cast(q2 as double) - cast(q1 as double)) * " +
+               "(cast(r1 as double) / cast(q1 as double)) / " +
+               "cast(100.0 as double)")} AS volume_effect,
+             ${r6Sql("(cast(r2 as double) / cast(q2 as double) - " +
+               "cast(r1 as double) / cast(q1 as double)) * " +
+               "cast(q2 as double) / cast(100.0 as double)")}
+               AS price_effect
+      FROM g ORDER BY p_brand"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
       qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz,
-      qTimeHeatmap)
+      qTimeHeatmap, qPriceVolume)
 }

@@ -941,9 +941,104 @@ object Windows {
       FROM mom ORDER BY event_type"""),
   )
 
+  /** HOURLY OHLC CANDLES of the event value stream — the
+    * downsample-to-candles aggregation every metrics store runs. Open
+    * and close are the chronologically first/last value per hour with
+    * the (ts_ticks, event_id) unique tiebreak (total order — no
+    * same-second ambiguity across engines; DuckDB orders by raw µs ts,
+    * which is tick-equivalent); high/low/volume are plain combinable
+    * aggregates. One shuffle on the hour key; ~720 output rows at any
+    * SF. */
+  val qOhlc: GQuery = GQuery(
+    "q_ohlc",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(date_trunc("hour", $"ts").as("hr"), $"value",
+          $"ts_ticks", $"event_id")
+      val wa = Window.partitionBy($"hr").orderBy($"ts_ticks", $"event_id")
+      val wd = Window.partitionBy($"hr")
+        .orderBy($"ts_ticks".desc, $"event_id".desc)
+      ev.withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy($"hr")
+        .agg(count(lit(1)).as("n"),
+          max(when($"ra" === 1, $"value")).as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max(when($"rd" === 1, $"value")).as("close"),
+          dsum($"value", 2).as("volume"))
+        .orderBy($"hr")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT date_trunc('hour', ts) AS hr, "value", ts, event_id
+        FROM events),
+      rk AS (
+        SELECT hr, "value",
+               row_number() OVER (PARTITION BY hr
+                 ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY hr
+                 ORDER BY ts DESC, event_id DESC) AS rd
+        FROM ev)
+      SELECT hr, count(*) AS n,
+             max(CASE WHEN ra = 1 THEN "value" END) AS open,
+             max("value") AS high,
+             min("value") AS low,
+             max(CASE WHEN rd = 1 THEN "value" END) AS close,
+             ${dsumSql("\"value\"", 2)} AS volume
+      FROM rk GROUP BY hr ORDER BY hr"""),
+  )
+
+  /** ROLLING 7-DAY QUANTILES (p50/p90) of daily order revenue — the
+    * moving-percentile band behind burn-rate and SLO dashboards, where
+    * a rolling MEAN hides the tail. The daily series is exact integer
+    * dollars (cents div 100 — q_hurst's convention), so the windowed
+    * interpolated percentile rides the established percentile ≡
+    * quantile_cont bit-contract on integers; the 7-row frame over the
+    * calendar-bounded daily aggregate costs nothing at any SF. Output
+    * is the last 60 complete-window days. */
+  val qRollingPctl: GQuery = GQuery(
+    "q_rolling_pctl",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(expr("sum(cast(floor(o_totalprice * cast(100.0 as double) " +
+          "+ cast(0.5 as double)) as long)) div 100").as("x"))
+      val w = Window.orderBy($"day")
+      val w7 = Window.orderBy($"day").rowsBetween(-6, 0)
+      daily
+        .withColumn("i", row_number().over(w))
+        .withColumn("p50_7d", round(expr("percentile(x, 0.5)").over(w7), 6))
+        .withColumn("p90_7d", round(expr("percentile(x, 0.9)").over(w7), 6))
+        .filter($"i" >= 7)
+        .orderBy($"day".desc).limit(60)
+        .select($"day", $"x".as("revenue"), $"p50_7d", $"p90_7d")
+        .orderBy($"day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) // 100 AS x
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT day, x,
+               cast(row_number() OVER (ORDER BY day) as bigint) AS i,
+               round(quantile_cont(x, 0.5) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p50_7d,
+               round(quantile_cont(x, 0.9) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p90_7d
+        FROM daily)
+      SELECT day, x AS revenue, p50_7d, p90_7d
+      FROM (SELECT * FROM r WHERE i >= 7 ORDER BY day DESC LIMIT 60) t
+      ORDER BY day"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
     qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear,
-    qSeasonal, qAnomaly, qWinNtile, qSeasonStrength)
+    qSeasonal, qAnomaly, qWinNtile, qSeasonStrength, qOhlc, qRollingPctl)
 }
