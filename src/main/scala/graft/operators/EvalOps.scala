@@ -400,5 +400,68 @@ object EvalOps {
       FROM j"""),
   )
 
-  val all: Seq[GQuery] = Seq(qRocAuc, qKappa, qMcc, qEce, qGains, qBrier)
+  /** PRECISION–RECALL CURVE at five operating thresholds for the
+    * English-marker score — the metric that matters when positives are
+    * the minority and ROC flatters (complements q_roc_auc/q_gains).
+    * The corpus collapses to the distinct-score (np, nn) table first
+    * (the q_roc_auc posture); the ×5 threshold explode runs on THAT,
+    * and each point is two conditional integer sums. Thresholds are
+    * cast-double literals compared against the identically-computed
+    * score — no ulp membership flips. */
+  val qPrCurve: GQuery = GQuery(
+    "q_pr_curve",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = scoredDocs(spark, dir)
+        .groupBy($"score")
+        .agg(sum($"pos").as("np"), sum(lit(1L) - $"pos").as("nn"))
+      val pts = g.select($"score", $"np", $"nn",
+          explode(array(lit(0.02), lit(0.04), lit(0.06), lit(0.08),
+            lit(0.10))).as("tau"))
+        .groupBy($"tau")
+        .agg(sum(when($"score" >= $"tau", $"np").otherwise(0L)).as("tp"),
+          sum(when($"score" >= $"tau", $"nn").otherwise(0L)).as("fp"),
+          sum(when($"score" < $"tau", $"np").otherwise(0L)).as("fn"))
+      val d = (c: String) => col(c).cast("double")
+      val prec = d("tp") / (d("tp") + d("fp"))
+      val rec = d("tp") / (d("tp") + d("fn"))
+      pts.select(r6($"tau").as("tau"), $"tp", $"fp", $"fn",
+          r6(prec).as("precision"), r6(rec).as("recall"),
+          r6(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+        .orderBy($"tau")
+    },
+    Some {
+      val prec = "(cast(tp as double) / (cast(tp as double) + " +
+        "cast(fp as double)))"
+      val rec = "(cast(tp as double) / (cast(tp as double) + " +
+        "cast(fn as double)))"
+      s"""
+      WITH s AS ($scoredDocsSql),
+      g AS (
+        SELECT score, cast(sum(pos) as bigint) AS np,
+               cast(sum(1 - pos) as bigint) AS nn
+        FROM s GROUP BY score),
+      pts AS (
+        SELECT tau,
+               cast(sum(CASE WHEN score >= tau THEN np ELSE 0 END)
+                 as bigint) AS tp,
+               cast(sum(CASE WHEN score >= tau THEN nn ELSE 0 END)
+                 as bigint) AS fp,
+               cast(sum(CASE WHEN score < tau THEN np ELSE 0 END)
+                 as bigint) AS fn
+        FROM g, (SELECT unnest([cast(0.02 as double), cast(0.04 as double),
+                   cast(0.06 as double), cast(0.08 as double),
+                   cast(0.10 as double)]) AS tau) ts
+        GROUP BY tau)
+      SELECT ${r6Sql("tau")} AS tau, tp, fp, fn,
+             ${r6Sql(prec)} AS precision,
+             ${r6Sql(rec)} AS recall,
+             ${r6Sql(s"cast(2.0 as double) * $prec * $rec / " +
+               s"($prec + $rec)")} AS f1
+      FROM pts ORDER BY tau"""
+    },
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qRocAuc, qKappa, qMcc, qEce, qGains, qBrier, qPrCurve)
 }

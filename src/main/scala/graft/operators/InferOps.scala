@@ -696,6 +696,88 @@ object InferOps {
     },
   )
 
+  /** STANDARDIZED EFFECT SIZES for the URGENT-vs-LOW order-value
+    * contrast — the "is it LARGE, not just significant" companion to
+    * q_ttest and q_mde: Cohen's d (pooled SD), Hedges' g (small-sample
+    * bias correction — a fixed rational factor), and Glass's Δ
+    * (control-group SD). One two-cell integer-cents moment pass;
+    * every statistic is a fixed IEEE form over six exact integers. */
+  val qEffectSize: GQuery = GQuery(
+    "q_effect_size",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(($"o_orderpriority" === "1-URGENT").as("grp"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("c"))
+      val a = o.agg(
+        sum(when($"grp", 1L).otherwise(0L)).as("n1"),
+        sum(when($"grp", $"c").otherwise(0L)).as("s1"),
+        sum(when($"grp", ($"c" * $"c").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(!$"grp", 1L).otherwise(0L)).as("n2"),
+        sum(when(!$"grp", $"c").otherwise(0L)).as("s2"),
+        sum(when(!$"grp", ($"c" * $"c").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
+      val d = (c: String) => col(c).cast("double")
+      def m(i: Int) = d(s"s$i") / d(s"n$i")
+      def v(i: Int) = (d(s"q$i") - d(s"s$i") * d(s"s$i") / d(s"n$i")) /
+        (d(s"n$i") - lit(1.0))
+      val sp = sqrt(((d("n1") - lit(1.0)) * v(1) +
+        (d("n2") - lit(1.0)) * v(2)) / (d("n1") + d("n2") - lit(2.0)))
+      val cd = (m(1) - m(2)) / sp
+      val df = d("n1") + d("n2") - lit(2.0)
+      a.select($"n1", $"n2",
+        r6((m(1) - m(2)) / lit(100.0)).as("mean_diff"),
+        r6(cd).as("cohens_d"),
+        r6(cd * (lit(1.0) - lit(3.0) / (lit(4.0) * df - lit(1.0))))
+          .as("hedges_g"),
+        r6((m(1) - m(2)) / sqrt(v(2))).as("glass_delta"))
+    },
+    Some {
+      def m(i: Int) = s"(cast(s$i as double) / cast(n$i as double))"
+      def v(i: Int) = s"((cast(q$i as double) - cast(s$i as double) * " +
+        s"cast(s$i as double) / cast(n$i as double)) / " +
+        s"(cast(n$i as double) - cast(1.0 as double)))"
+      val sp = s"sqrt(((cast(n1 as double) - cast(1.0 as double)) * " +
+        s"${v(1)} + (cast(n2 as double) - cast(1.0 as double)) * ${v(2)})" +
+        s" / (cast(n1 as double) + cast(n2 as double) - " +
+        s"cast(2.0 as double)))"
+      val cd = s"((${m(1)} - ${m(2)}) / $sp)"
+      val df = "(cast(n1 as double) + cast(n2 as double) - " +
+        "cast(2.0 as double))"
+      s"""
+      WITH o AS (
+        SELECT (o_orderpriority = '1-URGENT') AS grp,
+               cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS c
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      a AS (
+        SELECT cast(sum(CASE WHEN grp THEN 1 ELSE 0 END) as bigint) AS n1,
+               cast(sum(CASE WHEN grp THEN c ELSE 0 END) as bigint) AS s1,
+               sum(CASE WHEN grp THEN cast(c * c as decimal(38,0))
+                 ELSE cast(0 as decimal(38,0)) END) AS q1,
+               cast(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) as bigint)
+                 AS n2,
+               cast(sum(CASE WHEN NOT grp THEN c ELSE 0 END) as bigint)
+                 AS s2,
+               sum(CASE WHEN NOT grp THEN cast(c * c as decimal(38,0))
+                 ELSE cast(0 as decimal(38,0)) END) AS q2
+        FROM o)
+      SELECT n1, n2,
+             ${r6Sql(s"(${m(1)} - ${m(2)}) / cast(100.0 as double)")}
+               AS mean_diff,
+             ${r6Sql(cd)} AS cohens_d,
+             ${r6Sql(s"$cd * (cast(1.0 as double) - " +
+               s"cast(3.0 as double) / (cast(4.0 as double) * $df - " +
+               s"cast(1.0 as double)))")} AS hedges_g,
+             ${r6Sql(s"(${m(1)} - ${m(2)}) / sqrt(${v(2)})")}
+               AS glass_delta
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
-    qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson)
+    qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize)
 }

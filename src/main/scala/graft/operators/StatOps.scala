@@ -950,8 +950,88 @@ object StatOps {
     },
   )
 
+  /** MAHALANOBIS OUTLIERS in the (quantity, extendedprice) plane — the
+    * multivariate companion to q_grubbs/q_outlier: a cheap item can
+    * have an unremarkable price AND an unremarkable quantity yet an
+    * absurd combination, which no per-column rule sees. The 2×2
+    * covariance comes from ONE decimal-staged moment pass (the
+    * q_corr_matrix contract) and inverts in closed form; d² per row is
+    * a fixed IEEE quadratic, 6dp-rounded BEFORE the top-10 ordering
+    * with the unique (orderkey, linenumber) tiebreak, so rank order
+    * cannot flip on a ulp. Scale shape: moments pass + broadcast stats
+    * row + TakeOrdered — no sort of the fact table. */
+  val qMahalanobis: GQuery = GQuery(
+    "q_mahalanobis",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(30,6)")
+      // y in KILOdollars: extendedprice² (~1.2e10) crosses the 2³³
+      // decimal-staging validity bound (CLAUDE.md); d² is invariant
+      // under per-axis scaling, so the unit is free
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".as("x"),
+          ($"l_extendedprice" / lit(1000.0)).as("y"))
+      val st = li.agg(count(lit(1)).as("n"),
+        sum(dec($"x")).cast("double").as("sx"),
+        sum(dec($"y")).cast("double").as("sy"),
+        sum(dec($"x" * $"x")).cast("double").as("sxx"),
+        sum(dec($"y" * $"y")).cast("double").as("syy"),
+        sum(dec($"x" * $"y")).cast("double").as("sxy"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n")
+      val mx = $"sx" / n
+      val my = $"sy" / n
+      val vxx = $"sxx" / n - mx * mx
+      val vyy = $"syy" / n - my * my
+      val vxy = $"sxy" / n - mx * my
+      val det = vxx * vyy - vxy * vxy
+      val dx = $"x" - mx
+      val dy = $"y" - my
+      val d2 = (dx * dx * vyy - lit(2.0) * dx * dy * vxy +
+        dy * dy * vxx) / det
+      li.crossJoin(broadcast(st))
+        .select($"l_orderkey", $"l_linenumber", $"x".as("quantity"),
+          r6($"y" * lit(1000.0)).as("price"), r6(d2).as("d2"))
+        .orderBy($"d2".desc, $"l_orderkey", $"l_linenumber")
+        .limit(10)
+    },
+    Some {
+      val n = "cast(n as double)"
+      val mx = s"(sx / $n)"
+      val my = s"(sy / $n)"
+      val vxx = s"(sxx / $n - $mx * $mx)"
+      val vyy = s"(syy / $n - $my * $my)"
+      val vxy = s"(sxy / $n - $mx * $my)"
+      val det = s"($vxx * $vyy - $vxy * $vxy)"
+      val d2 = s"((x - $mx) * (x - $mx) * $vyy - cast(2.0 as double) * " +
+        s"(x - $mx) * (y - $my) * $vxy + (y - $my) * (y - $my) * $vxx)" +
+        s" / $det"
+      s"""
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_quantity AS x,
+               l_extendedprice / cast(1000.0 as double) AS y
+        FROM lineitem),
+      st AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(cast(x as decimal(30,6))) as double) AS sx,
+               cast(sum(cast(y as decimal(30,6))) as double) AS sy,
+               cast(sum(cast(x * x as decimal(30,6))) as double) AS sxx,
+               cast(sum(cast(y * y as decimal(30,6))) as double) AS syy,
+               cast(sum(cast(x * y as decimal(30,6))) as double) AS sxy
+        FROM li)
+      SELECT l_orderkey, l_linenumber, x AS quantity,
+             ${r6Sql("y * cast(1000.0 as double)")} AS price,
+             ${r6Sql(d2)} AS d2
+      FROM li CROSS JOIN st
+      ORDER BY d2 DESC, l_orderkey, l_linenumber
+      LIMIT 10"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
-    qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs)
+    qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs,
+    qMahalanobis)
 }

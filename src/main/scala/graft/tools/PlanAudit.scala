@@ -67,6 +67,8 @@ object PlanAudit {
     // 1-row broadcasts: bigram grand total (entropy denominators) and
     // pooled-moment row (Simpson pooled slope)
     "q_cond_entropy", "q_simpson",
+    // 1-row covariance-stats broadcast scoring the fact scan
+    "q_mahalanobis",
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
