@@ -925,8 +925,186 @@ object MetricOps {
       FROM g ORDER BY p_brand"""),
   )
 
+  /** XYZ DEMAND-VARIABILITY CLASSIFICATION — q_abc's standard partner:
+    * parts classed by the coefficient of variation of their WEEKLY
+    * demand (X steady < 0.5 ≤ Y variable < 1.0 ≤ Z erratic), reported
+    * as class-level counts and demand shares. Zero-demand weeks are
+    * handled WITHOUT a per-part spine: with W = the global week count,
+    * mean = S/W and E[x²] = Q/W need only the observed-week sums —
+    * zeros contribute nothing — so the whole audit is one combinable
+    * (part, week) pass + one per-part reduction + a 3-row rollup. The
+    * class cut compares the 6dp-rounded CV against literals, so
+    * boundary membership cannot flip on a ulp. */
+  val qXyz: GQuery = GQuery(
+    "q_xyz",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_partkey",
+          expr("datediff(to_date(l_shipdate), date '1970-01-01') div 7")
+            .as("wk"),
+          floor($"l_quantity" + lit(0.5)).cast("long").as("qty"))
+      val pw = li.groupBy($"l_partkey", $"wk").agg(sum($"qty").as("q"))
+      val weeks = pw.agg((max($"wk") - min($"wk") + 1L).as("w"))
+      val parts = pw.groupBy($"l_partkey")
+        .agg(sum($"q").as("s"), sum($"q" * $"q").as("qq"))
+      val d = (c: String) => col(c).cast("double")
+      val mean = d("s") / d("w")
+      val cv = sqrt(d("qq") / d("w") - mean * mean) / mean
+      val classed = parts.crossJoin(broadcast(weeks))
+        .select($"s", rN(cv, 6).as("cv"))
+        .withColumn("cls",
+          when($"cv" < 0.5, "X").when($"cv" < 1.0, "Y").otherwise("Z"))
+      val wAll = Window.partitionBy()
+      classed.groupBy($"cls")
+        .agg(count(lit(1)).as("n_parts"), sum($"s").as("demand"),
+          davg($"cv", 6).as("avg_cv"))
+        .withColumn("demand_share",
+          r6($"demand".cast("double") /
+            sum($"demand").over(wAll).cast("double")))
+        .select($"cls", $"n_parts", $"demand", $"avg_cv", $"demand_share")
+        .orderBy($"cls")
+    },
+    Some {
+      val mean = "(cast(s as double) / cast(w as double))"
+      val cv = s"(sqrt(cast(qq as double) / cast(w as double) - " +
+        s"$mean * $mean) / $mean)"
+      s"""
+      WITH li AS (
+        SELECT l_partkey,
+               date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('day', l_shipdate) as date)) // 7 AS wk,
+               cast(floor(l_quantity + cast(0.5 as double)) as bigint)
+                 AS qty
+        FROM lineitem),
+      pw AS (
+        SELECT l_partkey, wk, cast(sum(qty) as bigint) AS q
+        FROM li GROUP BY l_partkey, wk),
+      weeks AS (
+        SELECT cast(max(wk) - min(wk) + 1 as bigint) AS w FROM pw),
+      parts AS (
+        SELECT l_partkey, cast(sum(q) as bigint) AS s,
+               cast(sum(q * q) as bigint) AS qq
+        FROM pw GROUP BY l_partkey),
+      classed AS (
+        SELECT s, ${rNSql(cv, 6)} AS cv
+        FROM parts CROSS JOIN weeks),
+      cls AS (
+        SELECT CASE WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS cls,
+               s, cv
+        FROM classed)
+      SELECT cls, count(*) AS n_parts,
+             cast(sum(s) as bigint) AS demand,
+             ${davgSql("cv", 6)} AS avg_cv,
+             ${r6Sql("cast(sum(s) as double) / " +
+               "cast(sum(sum(s)) OVER () as double)")} AS demand_share
+      FROM cls GROUP BY cls ORDER BY cls"""
+    },
+  )
+
+  /** SUPPLIER LEAD-TIME PROFILE: ship-minus-order days per lineitem,
+    * summarized per supplier (mean, p50, p95, max) and reported for the
+    * 10 slowest suppliers by p95 (s_suppkey tiebreak on the ROUNDED
+    * rank key). Days are exact integers, so the percentile rides the
+    * established integer quantile contract; one fact join + one
+    * combinable per-supplier percentile pass. */
+  val qLeadTime: GQuery = GQuery(
+    "q_lead_time",
+    (spark, dir) => {
+      import spark.implicits._
+      val lt = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey",
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .cast("long").as("days"))
+      lt.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          davg($"days", 6).as("mean_days"),
+          round(expr("percentile(days, 0.5)"), 6).as("p50"),
+          round(expr("percentile(days, 0.95)"), 6).as("p95"),
+          max($"days").as("max_days"))
+        .orderBy($"p95".desc, $"l_suppkey")
+        .limit(10)
+    },
+    Some("""
+      WITH lt AS (
+        SELECT l_suppkey,
+               cast(date_diff('day',
+                 cast(date_trunc('day', o_orderdate) as date),
+                 cast(date_trunc('day', l_shipdate) as date)) as bigint)
+                 AS days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      g AS (
+        SELECT l_suppkey, count(*) AS n,
+               cast(sum(cast(days as decimal(30,6))) as double)
+                 / count(days) AS mean0,
+               round(quantile_cont(days, 0.5), 6) AS p50,
+               round(quantile_cont(days, 0.95), 6) AS p95,
+               cast(max(days) as bigint) AS max_days
+        FROM lt GROUP BY l_suppkey)
+      SELECT l_suppkey, n,
+             floor(mean0 * 1e6 + 0.5) / 1e6 AS mean_days,
+             p50, p95, max_days
+      FROM g
+      ORDER BY p95 DESC, l_suppkey
+      LIMIT 10"""),
+  )
+
+  /** OPEN-ORDER AGING REPORT — the AR staple: orders still open
+    * (status 'O') bucketed by age at the observation horizon (the max
+    * order date), with counts and value at stake. Ages are exact
+    * integer days against a 1-row horizon broadcast; buckets are
+    * integer comparisons, so membership is engine-exact; value sums
+    * ride the dsum contract. Four output rows at any SF. */
+  val qAging: GQuery = GQuery(
+    "q_aging",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+      val hor = o.agg(max(to_date($"o_orderdate")).as("h"))
+      val open = o.filter($"o_orderstatus" === "O")
+        .crossJoin(broadcast(hor))
+        .select(datediff($"h", to_date($"o_orderdate")).cast("long")
+          .as("age"), $"o_totalprice")
+        .withColumn("bucket",
+          when($"age" < 30, "a_0_29")
+            .when($"age" < 90, "b_30_89")
+            .when($"age" < 365, "c_90_364")
+            .otherwise("d_365_plus"))
+      open.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice", 2).as("value_at_stake"))
+        .orderBy($"bucket")
+    },
+    Some(s"""
+      WITH hor AS (
+        SELECT max(cast(date_trunc('day', o_orderdate) as date)) AS h
+        FROM orders),
+      open AS (
+        SELECT cast(date_diff('day',
+                 cast(date_trunc('day', o_orderdate) as date), h)
+                 as bigint) AS age,
+               o_totalprice,
+               CASE WHEN date_diff('day',
+                      cast(date_trunc('day', o_orderdate) as date), h) < 30
+                      THEN 'a_0_29'
+                    WHEN date_diff('day',
+                      cast(date_trunc('day', o_orderdate) as date), h) < 90
+                      THEN 'b_30_89'
+                    WHEN date_diff('day',
+                      cast(date_trunc('day', o_orderdate) as date), h) < 365
+                      THEN 'c_90_364'
+                    ELSE 'd_365_plus' END AS bucket
+        FROM orders CROSS JOIN hor
+        WHERE o_orderstatus = 'O')
+      SELECT bucket, count(*) AS n_orders,
+             ${dsumSql("o_totalprice", 2)} AS value_at_stake
+      FROM open GROUP BY bucket ORDER BY bucket"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
       qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz,
-      qTimeHeatmap, qPriceVolume)
+      qTimeHeatmap, qPriceVolume, qXyz, qLeadTime, qAging)
 }

@@ -69,6 +69,9 @@ object PlanAudit {
     "q_cond_entropy", "q_simpson",
     // 1-row covariance-stats broadcast scoring the fact scan
     "q_mahalanobis",
+    // 1-row broadcasts: global week count (XYZ CV denominator) and the
+    // aging observation horizon
+    "q_xyz", "q_aging",
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
