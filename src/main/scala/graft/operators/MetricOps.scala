@@ -1103,8 +1103,154 @@ object MetricOps {
       FROM open GROUP BY bucket ORDER BY bucket"""),
   )
 
+  /** PER-BRAND RETURN RATE with Wilson 95% intervals and a z against
+    * the pooled rate — the quality-escalation report (a brand whose
+    * interval clears the pooled rate is a real problem, not noise).
+    * One conditional-count pass per brand; the pooled cells are exact
+    * integer sums of the brand cells (1-row broadcast); Wilson bounds
+    * and z are fixed IEEE forms with a literal z=1.96. ~25 rows at any
+    * SF. */
+  val qReturnRate: GQuery = GQuery(
+    "q_return_rate",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .select($"p_brand", ($"l_returnflag" === "R").as("ret"))
+      val g = li.groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"ret", 1L).otherwise(0L)).as("r"))
+      val pool = g.agg(sum($"n").as("pn"), sum($"r").as("pr"))
+      val d = (c: String) => col(c).cast("double")
+      val p = d("r") / d("n")
+      val z = lit(1.959964)
+      val z2n = z * z / d("n")
+      val center = p + z2n / lit(2.0)
+      val half = z * sqrt(p * (lit(1.0) - p) / d("n") +
+        z * z / (lit(4.0) * d("n") * d("n")))
+      val denom = lit(1.0) + z2n
+      val pp = d("pr") / d("pn")
+      g.crossJoin(broadcast(pool))
+        .select($"p_brand", $"n", $"r",
+          r6(p).as("rate"),
+          r6((center - half) / denom).as("wilson_lo"),
+          r6((center + half) / denom).as("wilson_hi"),
+          r6((p - pp) / sqrt(pp * (lit(1.0) - pp) / d("n"))).as("z_pooled"))
+        .orderBy($"p_brand")
+    },
+    Some {
+      val p = "(cast(r as double) / cast(n as double))"
+      val z = "cast(1.959964 as double)"
+      val z2n = s"($z * $z / cast(n as double))"
+      val center = s"($p + $z2n / cast(2.0 as double))"
+      val half = s"($z * sqrt($p * (cast(1.0 as double) - $p) / " +
+        s"cast(n as double) + $z * $z / (cast(4.0 as double) * " +
+        s"cast(n as double) * cast(n as double))))"
+      val denom = s"(cast(1.0 as double) + $z2n)"
+      val pp = "(cast(pr as double) / cast(pn as double))"
+      s"""
+      WITH li AS (
+        SELECT p_brand, (l_returnflag = 'R') AS ret
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      g AS (
+        SELECT p_brand, count(*) AS n,
+               cast(sum(CASE WHEN ret THEN 1 ELSE 0 END) as bigint) AS r
+        FROM li GROUP BY p_brand),
+      pool AS (
+        SELECT cast(sum(n) as bigint) AS pn,
+               cast(sum(r) as bigint) AS pr
+        FROM g)
+      SELECT p_brand, n, r,
+             ${r6Sql(p)} AS rate,
+             ${r6Sql(s"($center - $half) / $denom")} AS wilson_lo,
+             ${r6Sql(s"($center + $half) / $denom")} AS wilson_hi,
+             ${r6Sql(s"($p - $pp) / sqrt($pp * (cast(1.0 as double) - " +
+               s"$pp) / cast(n as double))")} AS z_pooled
+      FROM g CROSS JOIN pool ORDER BY p_brand"""
+    },
+  )
+
+  /** VALUE-AT-RISK BACKTEST with the Kupiec proportion-of-failures
+    * test: historical 5% VaR of daily revenue fit on the pre-1998
+    * window, violations counted on the post-1998 window, and the POF
+    * likelihood ratio that says whether the violation count is
+    * consistent with 5%. The daily series is the zero-filled integer
+    * spine (q_hurst's convention — a no-order day IS a revenue
+    * observation); the only floats are the interpolated quantile
+    * (integer contract) and the final ln forms, with x=0 handled by an
+    * identical CASE in both engines. */
+  val qVarBacktest: GQuery = GQuery(
+    "q_var_backtest",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily0 = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("c"))
+      val spine = daily0.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = spine.join(daily0, Seq("day"), "left_outer")
+        .select($"day", expr("coalesce(c, 0L) div 100").as("x"),
+          ($"day" >= lit("1998-01-01").cast("date")).as("test"))
+        .localCheckpoint()
+      val varRow = daily.filter(!$"test")
+        .agg(round(expr("percentile(x, 0.05)"), 6).as("var05"))
+      val t = daily.filter($"test").crossJoin(broadcast(varRow))
+        .agg(max($"var05").as("var05"),
+          count(lit(1)).as("n_test"),
+          sum(when($"x" < $"var05", 1L).otherwise(0L)).as("x_viol"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n_test"); val x = d("x_viol")
+      val pNull = lit(0.05)
+      val lr = lit(-2.0) * ((n - x) * log(lit(1.0) - pNull) +
+        x * log(pNull) -
+        (n - x) * log(lit(1.0) - x / n) -
+        when($"x_viol" > 0, x * log(x / n)).otherwise(lit(0.0)))
+      t.select($"var05", $"n_test", $"x_viol",
+        r6(x / n).as("viol_rate"), r6(lr).as("lr_pof"))
+    },
+    Some {
+      val n = "cast(n_test as double)"
+      val x = "cast(x_viol as double)"
+      val lr = s"cast(-2.0 as double) * (($n - $x) * " +
+        s"ln(cast(1.0 as double) - cast(0.05 as double)) + " +
+        s"$x * ln(cast(0.05 as double)) - " +
+        s"($n - $x) * ln(cast(1.0 as double) - $x / $n) - " +
+        s"(CASE WHEN x_viol > 0 THEN $x * ln($x / $n) " +
+        s"ELSE cast(0.0 as double) END))"
+      s"""
+      WITH daily0 AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS c
+        FROM orders GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      daily AS (
+        SELECT spine.day, coalesce(c, 0) // 100 AS x,
+               spine.day >= DATE '1998-01-01' AS test
+        FROM spine LEFT JOIN daily0 USING (day)),
+      v AS (
+        SELECT round(quantile_cont(x, 0.05), 6) AS var05
+        FROM daily WHERE NOT test),
+      t AS (
+        SELECT max(var05) AS var05, count(*) AS n_test,
+               cast(sum(CASE WHEN x < var05 THEN 1 ELSE 0 END) as bigint)
+                 AS x_viol
+        FROM daily CROSS JOIN v WHERE test)
+      SELECT var05, n_test, x_viol,
+             ${r6Sql(s"$x / $n")} AS viol_rate,
+             ${r6Sql(lr)} AS lr_pof
+      FROM t"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
       qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz,
-      qTimeHeatmap, qPriceVolume, qXyz, qLeadTime, qAging)
+      qTimeHeatmap, qPriceVolume, qXyz, qLeadTime, qAging, qReturnRate,
+      qVarBacktest)
 }

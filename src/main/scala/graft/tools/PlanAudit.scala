@@ -72,6 +72,8 @@ object PlanAudit {
     // 1-row broadcasts: global week count (XYZ CV denominator) and the
     // aging observation horizon
     "q_xyz", "q_aging",
+    // 1-row broadcasts: pooled return cells; fitted VaR threshold
+    "q_return_rate", "q_var_backtest",
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
