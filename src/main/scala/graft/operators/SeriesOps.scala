@@ -1407,9 +1407,70 @@ object SeriesOps {
       FROM fin"""),
   )
 
+  /** ZERO-REVENUE GAP ANALYSIS — the gaps-and-islands report ops runs
+    * on any metric series: longest consecutive run of zero-revenue
+    * days, number of distinct gap runs, runs of ≥3 days, and total
+    * zero days. On the zero-filled calendar spine the island id is the
+    * classic i − row_number() difference over zero days — pure integer
+    * arithmetic end to end, windows riding the ~2400-row daily
+    * aggregate. One output row at any SF. */
+  val qGapAnalysis: GQuery = GQuery(
+    "q_gap_analysis",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily0 = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily0.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = spine.join(daily0, Seq("day"), "left_outer")
+        .select($"day", coalesce($"n", lit(0L)).as("n"))
+      val w = Window.orderBy($"day")
+      val zeros = daily
+        .withColumn("i", row_number().over(w))
+        .filter($"n" === 0L)
+        .withColumn("rz", row_number().over(Window.orderBy($"day")))
+        .withColumn("grp", $"i" - $"rz")
+      val runs = zeros.groupBy($"grp").agg(count(lit(1)).as("len"))
+      runs.agg(
+        coalesce(max($"len"), lit(0L)).as("longest_gap_days"),
+        count(lit(1)).as("n_gaps"),
+        coalesce(sum(when($"len" >= 3L, 1L).otherwise(0L)), lit(0L))
+          .as("n_gaps_3plus"),
+        coalesce(sum($"len"), lit(0L)).as("total_zero_days"))
+    },
+    Some("""
+      WITH daily0 AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               count(*) AS n
+        FROM orders GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+      spine AS (
+        SELECT cast(unnest(generate_series(cast(d0 as timestamp),
+                 cast(d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        FROM bounds),
+      daily AS (
+        SELECT spine.day, coalesce(n, 0) AS n
+        FROM spine LEFT JOIN daily0 USING (day)),
+      z AS (
+        SELECT day, i, row_number() OVER (ORDER BY day) AS rz
+        FROM (SELECT day, n, row_number() OVER (ORDER BY day) AS i
+              FROM daily) t
+        WHERE n = 0),
+      runs AS (
+        SELECT i - rz AS grp, cast(count(*) as bigint) AS len
+        FROM z GROUP BY grp)
+      SELECT cast(coalesce(max(len), 0) as bigint) AS longest_gap_days,
+             count(*) AS n_gaps,
+             cast(coalesce(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END), 0)
+               as bigint) AS n_gaps_3plus,
+             cast(coalesce(sum(len), 0) as bigint) AS total_zero_days
+      FROM runs"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
-    qCroston)
+    qCroston, qGapAnalysis)
 }
