@@ -132,8 +132,11 @@ object CausalOps {
   )
 
   /** DIFFERENCE-IN-DIFFERENCES on average order value: treatment =
-    * customers of ASIA nations, pre/post split at 1998-01-01 (the order
-    * history spans 1995–2001 at every SF). The whole design collapses
+    * customers of ASIA nations, pre/post split at 1998-01-01 (TPC-H
+    * orders span 1992 to mid-1998 at every SF, so "post" is the final
+    * ~7 months — thin but non-empty, and both engines see identical
+    * cells; the spec asserts all four cells are populated). The whole
+    * design collapses
     * to ONE conditional-aggregation row — four (n, Σcents, Σcents²)
     * cells — so no cross-row float sum exists at all. Σcents² exceeds
     * int64 at sf0.1 (avg 2.2e14/order × 150k rows), so it is summed in

@@ -545,9 +545,15 @@ object InferOps {
     * det = 1 + 2·r₁₂r₁₃r₂₃ − r₁₂² − r₁₃² − r₂₃², so the whole audit is
     * the SAME one decimal-staged moment pass as q_corr_matrix (same
     * exactness contract) followed by fixed IEEE arithmetic — no second
-    * scan, no matrix library. */
+    * scan, no matrix library. Price is staged in KILODOLLARS: price²
+    * (~1.2e10 in dollars²) crosses the 2³³ decimal-staging validity
+    * bound (CLAUDE.md round-8 gotcha), while k$² stays ≤ ~1e4;
+    * correlations and VIFs are scale-invariant so outputs are
+    * unchanged. The expression strings are shared verbatim by both
+    * engines (IEEE double division is bit-identical). */
   val qVif: GQuery = {
-    val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+    val vars = Seq("qty" -> "l_quantity",
+      "price" -> "(l_extendedprice / cast(1000.0 as double))",
       "disc" -> "l_discount")
     GQuery(
       "q_vif",
@@ -557,12 +563,12 @@ object InferOps {
         val sums =
           Seq(count(lit(1)).as("n")) ++
           vars.map { case (a, c) =>
-            sum(dec(col(c))).cast("double").as(s"s_$a") } ++
+            sum(dec(expr(c))).cast("double").as(s"s_$a") } ++
           (for {
             i <- vars.indices; j <- i until vars.length
           } yield {
             val (na, ca) = vars(i); val (nb, cb) = vars(j)
-            sum(dec(col(ca) * col(cb))).cast("double").as(s"p_${na}_$nb")
+            sum(dec(expr(ca) * expr(cb))).cast("double").as(s"p_${na}_$nb")
           })
         val m = Tables.lineitem(spark, dir).agg(sums.head, sums.tail: _*)
         def corr(a: String, b: String): Column = {

@@ -318,8 +318,9 @@ object NonparamOps {
     * per group on the distinct-value axis, so the raw pass is the same
     * combinable per-(value,group) count reduction and the only window
     * rides the distinct-value table. H = 12/(n(n+1))·ΣRᵢ²/nᵢ − 3(n+1)
-    * is evaluated with the mean-rank substitution uᵢ = R2ᵢ/(2n) so the
-    * per-group staged terms uᵢ²/nᵢ·n stay ≪ 2³³ (the decimal-staging
+    * is evaluated with the substitution uᵢ = R2ᵢ/(2n) = Rᵢ/n — which
+    * folds a 1/n into s, so the applied coefficient is 12/(n+1) — and
+    * the per-group staged terms uᵢ²/nᵢ·n stay ≪ 2³³ (the decimal-staging
     * validity bound, CLAUDE.md round-8 gotcha); the k-row cross-group
     * sum is decimal-staged, hence order-free. Tie correction
     * C = 1 − Σ(t³−t)/(n³−n) and the ε² effect size ride the same
@@ -351,7 +352,10 @@ object NonparamOps {
           sum($"term".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
             .cast("double").as("s"))
       val n = d("n")
-      val h = lit(12.0) / (n * (n + lit(1.0))) * $"s" - lit(3.0) * (n + lit(1.0))
+      // s already folds a 1/n (s = (1/n)·ΣRᵢ²/nᵢ via the uᵢ = Rᵢ/n
+      // substitution), so the classic 12/(n(n+1)) coefficient reduces
+      // to 12/(n+1) here. H ≥ 0 is pinned by CausalMetricSpec.
+      val h = lit(12.0) / (n + lit(1.0)) * $"s" - lit(3.0) * (n + lit(1.0))
       val cTie = lit(1.0) - d("ties3") / (n * n * n - n)
       s.select($"k", $"n", r6(h).as("h"),
         r6(h / cTie).as("h_adj"),
@@ -360,7 +364,7 @@ object NonparamOps {
     },
     Some {
       val n = "cast(n as double)"
-      val h = s"cast(12.0 as double) / ($n * ($n + cast(1.0 as double)))" +
+      val h = s"cast(12.0 as double) / ($n + cast(1.0 as double))" +
         s" * s - cast(3.0 as double) * ($n + cast(1.0 as double))"
       val cTie = s"(cast(1.0 as double) - cast(ties3 as double) / " +
         s"($n * $n * $n - $n))"

@@ -131,6 +131,28 @@ class CausalMetricSpec extends AnyFunSuite {
       s"recall not monotone: ${rec.mkString(",")}")
   }
 
+  test("q_kruskal H is nonnegative and eps2 is a valid effect share") {
+    // Would have caught the round-8 factor-of-n coefficient bug: the
+    // oracle shared the same formula, so only an invariant can see it.
+    val r = run("q_kruskal").head
+    val h = r.getAs[Double]("h")
+    val hAdj = r.getAs[Double]("h_adj")
+    assert(h >= 0.0, s"h=$h")
+    assert(hAdj >= 0.0 && !hAdj.isNaN, s"h_adj=$hAdj")
+    val eps2 = r.getAs[Double]("eps2")
+    assert(eps2 >= -1e-6 && eps2 <= 1.0, s"eps2=$eps2")
+  }
+
+  test("q_armitage z is finite and shares its sign with t_stat") {
+    val r = run("q_armitage").head
+    val z = r.getAs[Double]("z")
+    val t = r.getAs[Double]("t_stat")
+    assert(!z.isNaN && !z.isInfinite, s"z=$z")
+    assert(z * t >= 0.0, s"sign mismatch z=$z t=$t")
+    val p = r.getAs[Double]("base_rate")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
   test("q_closeness reaches at least its own component and stays positive") {
     for (r <- run("q_closeness").collect()) {
       assert(r.getAs[Long]("n_reached") > 0)
