@@ -28,6 +28,26 @@ object Bench {
     }
     val timed = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
+    // Self-adjudication: re-time the 5 slowest queries once more at the
+    // END of the run. A genuine plan regression repeats its number; a
+    // time inflated by in-sequence contention (GC/cache pressure from
+    // neighboring queries, codegen-compile queueing) comes back near the
+    // quiet figure. The artifact then carries BOTH numbers, so a reader
+    // can separate contention from regression without a second full run
+    // (this ambiguity consumed three verdict rounds).
+    val byName = benched.map(q => q.name -> q).toMap
+    val retimed: Seq[(String, Double)] =
+      timed.sortBy(-_._2).take(5).map { case (n, _) =>
+        val t0 = System.nanoTime()
+        try { byName(n).run(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    val firstByName = timed.toMap
+    // flagged = first pass >1.5x the retime → contention-suspect
+    val suspects = retimed.collect {
+      case (n, t2) if t2 > 0 && firstByName(n) / t2 > 1.5 => n
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -35,9 +55,12 @@ object Bench {
       } + "\""
     val qs = timed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val rt = retimed.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val sus = suspects.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"contention_suspect":$sus,"sf":"$sfDir"}"""
     // Full detail first (humans + history file), compact line LAST: the
     // driver records only the final ~2000 chars of output, so a ~5000-char
     // 196-query line is always front-truncated and has parsed as null in
@@ -55,7 +78,7 @@ object Bench {
     }
     val omitted = timed.size - kept.size
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"retimed":$rt,"contention_suspect":$sus,"sf":"$sfDir"}"""
     println(compact)
     // Opt-in machine-readable history: append the same JSON line, tagged,
     // to SPARK_GRAFT_BENCH_HISTORY (round-over-round regression tracking —

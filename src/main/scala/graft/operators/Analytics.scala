@@ -555,7 +555,17 @@ object Analytics {
     * graph at sf0.1 costs 21s for the same plan shape vs 2.3s here;
     * the subset keeps |E| SF-linear without changing the shape. The
     * undirected graph has no dangling nodes by construction, so rank
-    * mass is conserved without a dangling-redistribution term. */
+    * mass is conserved without a dangling-redistribution term.
+    * Round-9 adjudication of the BENCH_r08 10.7s driver outlier (4.3×
+    * the 2.48s quiet r8f number): PerfProbe best-of-3 WITH a full Bench
+    * running concurrently measured 2.43s, and quiet 2.64s — the driver
+    * figure is in-sequence contention, not a plan regression. A
+    * single-checkpoint variant (degree via a partitionBy(src) count
+    * window, one materialization) was built and measured SLOWER (3.04s
+    * vs 2.64s quiet best-of-3), consistent with the round-8
+    * checkpoint-adjudications-are-empirical gotcha, so the two-stage
+    * form stays. Bench now re-times the 5 slowest queries at the end of
+    * each run ("retimed" map) so this ambiguity is self-adjudicating. */
   val qPagerank: GQuery = {
     val iters = 5
     GQuery(

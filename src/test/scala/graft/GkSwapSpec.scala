@@ -72,4 +72,77 @@ class GkSwapSpec extends AnyFunSuite {
     }
     df.unpersist()
   }
+
+  /** q_lead_time's per-supplier percentile shape (operators/MetricOps
+    * qLeadTime), parameterized by the percentile kernel — the other
+    * exact-percentile-over-raw-fact-rows site (BENCH_r08 flagged it as
+    * the memory-heavy ObjectHashAggregate magnifying contention). The
+    * 100-TB swap is again one argument: GK's constant-size summary
+    * replaces the hold-all-values exact kernel with the identical
+    * join+groupBy plan. */
+  private def leadShape(sf: String, pct: (String, Double) => String) = {
+    import spark.implicits._
+    graft.engine.Tables.lineitem(spark, sf)
+      .join(graft.engine.Tables.orders(spark, sf),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+          .cast("long").as("days"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        expr(pct("days", 0.5)).as("p50"),
+        expr(pct("days", 0.95)).as("p95"))
+  }
+
+  test("GK sketch swaps into the q_lead_time per-supplier shape within bounds") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val acc = 1000
+    val gk = leadShape(sf, (c, p) => s"approx_percentile($c, $p, $acc)")
+    // rank bands from the exact kernel at p ± 2/accuracy (2x margin)
+    val bands = leadShape(sf, (c, p) => s"percentile($c, $p)")
+    // GK returns an actual data value whose RANK is within eps*n of the
+    // target — so the band must be true order statistics at rank offsets,
+    // not interpolated quantiles (whose index convention differs by a
+    // rank or two at small n). Value at rank k (ascending, 1-based) is
+    // max(days | rk <= k); margin = max(3, 2*eps*n) ranks.
+    val ranked = graft.engine.Tables.lineitem(spark, sf)
+      .join(graft.engine.Tables.orders(spark, sf),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+          .cast("long").as("days"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_suppkey").orderBy($"days")))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"l_suppkey")))
+    val margin = greatest(lit(3L), ceil($"cnt" * lit(2.0) / acc).cast("long"))
+    def bandAt(p: Double, name: String) = Seq(
+      max(when($"rk" <= greatest(floor($"cnt" * p) - margin, lit(1L)),
+        $"days")).as(s"lo$name"),
+      min(when($"rk" >= least(ceil($"cnt" * p) + margin, $"cnt"),
+        $"days")).as(s"hi$name"))
+    val exactLoHi = ranked.groupBy($"l_suppkey")
+      .agg((bandAt(0.5, "50") ++ bandAt(0.95, "95")).head,
+        (bandAt(0.5, "50") ++ bandAt(0.95, "95")).tail: _*)
+    val rows = gk.join(exactLoHi, "l_suppkey")
+      .select($"l_suppkey", $"p50".cast("double"), $"p95".cast("double"),
+        $"lo50".cast("double"), $"hi50".cast("double"), $"lo95".cast("double"), $"hi95".cast("double"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, p50, p95, lo50, hi50, lo95, hi95) =>
+      assert(p50 >= lo50 && p50 <= hi50,
+        s"supplier $s: GK p50 $p50 outside exact rank band [$lo50, $hi50]")
+      assert(p95 >= lo95 && p95 <= hi95,
+        s"supplier $s: GK p95 $p95 outside exact rank band [$lo95, $hi95]")
+    }
+    // end-to-end: the 10-slowest-by-p95 selection overlaps heavily
+    val topExact = bands.orderBy($"p95".cast("double").desc, $"l_suppkey")
+      .limit(10).select($"l_suppkey").as[Long].collect().toSet
+    val topGk = gk.orderBy($"p95".cast("double").desc, $"l_suppkey")
+      .limit(10).select($"l_suppkey").as[Long].collect().toSet
+    assert((topExact intersect topGk).size >= 8,
+      s"top-10 sets diverge: exact=$topExact gk=$topGk")
+  }
 }
