@@ -63,7 +63,15 @@ object ExplainAll {
     "q_roc_auc", "q_adamic_adar", "q_interval_union", "q_holt",
     "q_join_asof_near", "q_compaction", "q_bootstrap", "q_growth_acct",
     "q_media_dedup", "q_mannwhitney", "q_cohort_ltv", "q_poisson_fit",
-    "q_season_strength", "q_fold_balance")
+    "q_season_strength", "q_fold_balance",
+    // round 8 session 4: causal/experimentation, series diagnostics,
+    // graph closeness, business-metric profiles — the queries added
+    // after the 315-query regeneration (round-8 verdict hygiene item)
+    "q_cuped", "q_did", "q_retention", "q_hurst", "q_croston",
+    "q_closeness", "q_gap_analysis", "q_ohlc", "q_rolling_pctl",
+    "q_price_volume", "q_simpson", "q_cond_entropy", "q_effect_size",
+    "q_pr_curve", "q_mahalanobis", "q_xyz", "q_lead_time", "q_aging",
+    "q_return_rate", "q_var_backtest")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -78,6 +86,10 @@ object ExplainAll {
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for headline queries\n\n")
+    sb.append(s"Declared surface: ${Registry.all.size} queries; " +
+      s"${headline.size} headline plans dumped below (every plan-shape\n" +
+      "family is represented; PlanAudit sweeps the full surface for\n" +
+      "cartesian/BNL violations and ReuseAudit for duplicate scans).\n\n")
     sb.append(s"Generated by `graft.tools.ExplainAll` on $sf. What to look\n")
     sb.append("for: `PushedFilters`/`ReadSchema` on scans (pushdown/pruning),\n")
     sb.append("`BroadcastHashJoin` on dims vs `SortMergeJoin` on fact-fact\n")
