@@ -242,7 +242,10 @@ object InferOps {
     * the Pearson-on-ranks moments are exact int64 sums (the q_trend
     * contract) and rho is one fixed-shape IEEE expression. Scaling
     * ranks by 2 leaves the correlation unchanged. One groupBy builds
-    * the per-user table; ranks ride two windows over |users| rows. */
+    * the per-user table; ranks ride two windows over |users| rows —
+    * at a scale where |users| itself is too large for one task, each
+    * window swaps for the range-partitioned two-pass rank proven
+    * bit-identical in RankAtScaleSpec (integer rank arithmetic). */
   val qSpearman: GQuery = GQuery(
     "q_spearman",
     (spark, dir) => {

@@ -13,7 +13,13 @@ import graft.engine.GQuery._
   * moments in ONE combinable pass, then evaluates a fixed IEEE closed
   * form over a value- or calendar-bounded table — rank statistics are
   * re-expressed as pairwise-count identities on the distinct-value axis
-  * so no raw-row global sort ever appears.
+  * so no raw-row global sort ever appears. 100-TB posture of the one
+  * remaining unpartitioned window (the cum-below prefix on the
+  * collapsed distinct-value table): when |distinct| itself grows with
+  * data, it swaps for the range-partitioned two-pass prefix sum —
+  * per-partition local windows + a P-row broadcast offsets table —
+  * proven bit-identical (integer adds, different association) in
+  * RankAtScaleSpec; formulas, oracles, and outputs are unchanged.
   */
 object NonparamOps {
 

@@ -25,7 +25,9 @@ object StatOps {
     * inherent exact-KS shape; at 100 TB the same plan runs per
     * COMPARISON CELL (partitionBy the cell key), or the value axis is
     * pre-binned — both documented alternatives keep this query's
-    * integer-count determinism. The argmax row carries a total (D desc,
+    * integer-count determinism; a third, for an unbounded value axis,
+    * is the range-partitioned two-pass prefix sum proven bit-identical
+    * in RankAtScaleSpec. The argmax row carries a total (D desc,
     * value asc) tiebreak. */
   val qKsTest: GQuery = GQuery(
     "q_ks_test",
@@ -177,7 +179,9 @@ object StatOps {
     * the one-number summary of whether a corpus has natural long-tail
     * token statistics (≈ −1) or degenerate ones. Term counts are one
     * combinable groupBy; ranking is a window over the VOCABULARY-sized
-    * count table (bounded at any corpus scale); the regression runs on
+    * count table (bounded at any corpus scale — and if a tokenizer ever
+    * unbounds it, the rank swaps for RankAtScaleSpec's range-partitioned
+    * two-pass form bit-identically); the regression runs on
     * per-term contributions IEEE-rounded at 6dp and decimal-summed —
     * the same cross-engine ln() + dsum contract as q_entropy/q_tfidf.
     * Rank ties break on the token string, so ranks are total. */
