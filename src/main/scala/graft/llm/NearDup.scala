@@ -243,4 +243,37 @@ object NearDup {
           (col("n_new") + col("n_corpus") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Per-row paragraph chunk digests — q_dedup_para's 20-word chunking
+    * (operators/PipelineOps.scala qDedupPara) as a PURE PROJECTION:
+    * posexplode of a slice-transform then md5 per chunk, no aggregation,
+    * so it is usable on an unbounded stream (the same statelessness
+    * contract as [[bandedSignaturesPerRow]]). Output: (id, pos, ph). */
+  def paragraphDigestsPerRow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      words: Int = 20): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(l) / $words.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(l, i * $words + 1, $words)))")))
+      .toDF("id", "pos", "para")
+      .select(col("id"), col("pos"), md5(col("para")).as("ph"))
+
+  /** The standing corpus's paragraph digest table: one row per DISTINCT
+    * paragraph digest with its keep-first owner — q_dedup_para's
+    * combinable min(struct) winner rule, so a boilerplate paragraph
+    * repeated 10^8 times collapses map-side. MATERIALIZE ONCE as a lake
+    * table keyed by ph; ingest batches probe it (stream-static join)
+    * without ever re-scanning the corpus. */
+  def paragraphDigestTable(
+      corpusDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      words: Int = 20): DataFrame =
+    paragraphDigestsPerRow(corpusDocs, idCol, textCol, words)
+      .groupBy(col("ph"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("ph"), col("w.id").as("doc_id"), col("w.pos").as("pos"))
 }

@@ -199,6 +199,28 @@ object Streams {
         Seq("band_id", "sig"))
       .select(col("id").as("doc_id"), col("band_id"), col("corpus_id"))
 
+  /** Streaming PARAGRAPH-level dedup gate — q_dedup_para's ingest twin,
+    * the same stateless shape as [[corpusDupCandidates]]: each incoming
+    * doc is chunked per-row into 20-word paragraphs and digested
+    * ([[graft.llm.NearDup.paragraphDigestsPerRow]] — pure projection, NO
+    * STREAMING STATE), then probed against the standing corpus's
+    * keep-first paragraph digest table
+    * ([[graft.llm.NearDup.paragraphDigestTable]], a lake table refreshed
+    * between micro-batches like any stream-static dim). Emits one
+    * (doc_id, pos, corpus_id, corpus_pos) row per copied paragraph; a
+    * fully novel doc emits nothing. Downstream either drops the flagged
+    * chunks (boilerplate strip) or routes the doc to the batch exact
+    * verifier — this gate stays free of dropDuplicates state either way. */
+  def paragraphDupCandidates(streamDocs: DataFrame,
+      corpusParas: DataFrame): DataFrame =
+    graft.llm.NearDup.paragraphDigestsPerRow(streamDocs)
+      .join(corpusParas
+        .select(col("ph"), col("doc_id").as("corpus_id"),
+          col("pos").as("corpus_pos")),
+        Seq("ph"))
+      .select(col("id").as("doc_id"), col("pos"),
+        col("corpus_id"), col("corpus_pos"))
+
   /** Windowed approximate-distinct users — the streaming cardinality
     * monitor (uniques per window). The HyperLogLog++ buffer per window is
     * CONSTANT-SIZE regardless of user count, so streaming state stays

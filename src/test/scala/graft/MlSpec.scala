@@ -452,6 +452,58 @@ class MlSpec extends AnyFunSuite {
     assert(out.schema("features").dataType.typeName == "vector")
   }
 
+  test("GridSearchCV tunes a text pipeline end-to-end over documents join embeddings") {
+    import spark.implicits._
+    // The reference's test_search parity shape (pub:
+    // python/spark_sklearn/test/test_search_2.py) on this repo's own
+    // fixtures: a full Tokenizer -> HashingTF -> IDF -> LogisticRegression
+    // pipeline tuned by GridSearchCV over documents ⋈ embeddings.
+    // Labels are PLANTED (round-1 gotcha: embeddings.label is noise):
+    // even doc_ids get a marker token appended, label = parity — a
+    // signal only a working text pipeline (enough hash buckets so the
+    // marker's bucket is not swamped by collisions, sane
+    // regularization) can recover.
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .join(graft.engine.Tables.embeddings(spark, sf),
+        $"doc_id" === $"vec_id")
+      .select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 2 === 0, lit(" xplantedmarkerx xplantedmarkerx xplantedmarkerx")).otherwise(lit("")))
+          .as("text"),
+        ($"doc_id" % 2 === 0).cast("double").as("label"))
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(50)
+    val pipe = new Pipeline().setStages(Array(tok, tf, idf, lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(tf.numFeatures, Array(2, 4096))
+      .addGrid(lr.regParam, Array(100.0, 0.001))
+      .build()
+    val ev = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    // planted best must win across 2 seeds AND 2 physical partitionings
+    for (seed <- Seq(42L, 7L); parts <- Seq(3, 13)) {
+      val res = GridSearchCV(pipe, grid, ev, numFolds = 2,
+        parallelism = 2, seed = seed).fit(docs.repartition(parts))
+      assert(res.bestParams.get(tf.numFeatures).contains(4096),
+        s"seed=$seed parts=$parts picked numFeatures " +
+          s"${res.bestParams.get(tf.numFeatures)}")
+      assert(res.bestParams.get(lr.regParam).contains(0.001),
+        s"seed=$seed parts=$parts picked regParam " +
+          s"${res.bestParams.get(lr.regParam)}")
+      assert(res.bestScore > 0.85,
+        s"seed=$seed parts=$parts best accuracy ${res.bestScore}")
+      // and the degenerate candidates really are worse, so the pick is
+      // a recovery, not a tie broken by ordering
+      val worst = res.cvResults.collect {
+        case (pm, s) if pm.get(tf.numFeatures).contains(2) ||
+          pm.get(lr.regParam).contains(100.0) => s
+      }
+      assert(worst.nonEmpty && worst.max < res.bestScore,
+        s"seed=$seed parts=$parts degenerate candidates not dominated")
+    }
+  }
+
   test("MLWritable persistence: save -> load round-trips predictions (A5 capability)") {
     import spark.implicits._
     val rng = new scala.util.Random(17)

@@ -279,6 +279,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 900100L), s"novel doc flagged: $out")
   }
 
+  test("streaming paragraph-dup gate flags the copied chunk, passes novel docs") {
+    implicit val sq = spark.sqlContext
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val corpusParas = graft.llm.NearDup.paragraphDigestTable(corpus)
+    // build a stream doc that copies doc 7's FIRST 20-word paragraph
+    // verbatim, padded with novel words into its own second chunk
+    val firstPara = corpus.filter(col("doc_id") === 7L)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 20)))
+      .collect().head.getString(0)
+    val mixedText = firstPara + " " +
+      (0 until 20).map(j => s"zz_novel_$j").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val flagged = Streams.paragraphDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), corpusParas)
+    val q = flagged.writeStream.format("memory")
+      .queryName("paragate" + System.nanoTime()).outputMode("append").start()
+    mem.addData(Seq(
+      (910007L, mixedText),
+      (910100L, (0 until 45).map(j => s"yy_novel_$j").mkString(" "))))
+    q.processAllAvailable()
+    val name = q.name
+    q.stop()
+    val out = spark.table(name)
+      .select(col("doc_id"), col("pos"), col("corpus_id"))
+      .as[(Long, Int, Long)].collect()
+    // the copied chunk is pos 0 of the stream doc, owned by doc 7 (or an
+    // earlier doc sharing the same boilerplate — keep-first owner rule)
+    val hits = out.filter(_._1 == 910007L)
+    assert(hits.exists(h => h._2 == 0), s"copied paragraph not flagged: ${out.toSeq}")
+    assert(!out.exists(r => r._1 == 910007L && r._2 == 1),
+      s"novel tail chunk wrongly flagged: ${out.toSeq}")
+    assert(!out.exists(_._1 == 910100L), s"novel doc flagged: ${out.toSeq}")
+  }
+
   test("observed gate metrics surface per micro-batch in streaming") {
     // the Gates claim, golden-tested: the SAME observe instrumentation
     // that rides a batch action reports per micro-batch through
