@@ -474,6 +474,246 @@ object NonparamOps {
     },
   )
 
+  /** WILCOXON SIGNED-RANK test on paired per-customer revenue: total
+    * order value (exact integer cents) in the early half of the history
+    * (before 1995-01-01) vs the late half, customers active in both.
+    * Standard zero-drop; |d| average ranks kept EXACT by doubling on
+    * the distinct-|d| axis (2·avgrank = 2·cum_below + t + 1 — the
+    * q_kruskal contract, and the same RankAtScaleSpec swap applies at
+    * scale), so W⁺ = Σ₊avgrank is an exact integer half. The normal
+    * approximation uses the tie-corrected variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48. Effect size r = z/√n. Differences
+    * are integer cents, so every rank input is engine-exact. */
+  val qWilcoxon: GQuery = GQuery(
+    "q_wilcoxon",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_custkey",
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"),
+          ($"o_orderdate" < lit("1995-01-01").cast("timestamp_ntz"))
+            .as("early"))
+      val g = o.groupBy($"o_custkey")
+        .agg(sum(when($"early", $"cents").otherwise(0L)).as("c1"),
+          sum(when(!$"early", $"cents").otherwise(0L)).as("c2"),
+          sum(when($"early", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("n2"))
+      val p = g.filter($"n1" > 0 && $"n2" > 0)
+        .select(($"c2" - $"c1").as("d")).filter($"d" =!= 0L)
+      val v = p.groupBy(abs($"d").as("ad"))
+        .agg(count(lit(1)).as("t"),
+          sum(when($"d" > 0, 1L).otherwise(0L)).as("tpos"))
+      val wB = Window.orderBy($"ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = v.withColumn("cum", coalesce(sum($"t").over(wB), lit(0L)))
+      val a = c.agg(sum($"t").as("n"),
+        sum($"tpos" * (lit(2L) * $"cum" + $"t" + lit(1L))).as("w2"),
+        sum($"t" * $"t" * $"t" - $"t").as("ties3"))
+      val d = (s: String) => col(s).cast("double")
+      val n = d("n")
+      val wPlus = d("w2") / lit(2.0)
+      val mu = n * (n + lit(1.0)) / lit(4.0)
+      val sig2 = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+        d("ties3") / lit(48.0)
+      a.select($"n".as("n_pairs"), wPlus.as("w_plus"),
+        r6((wPlus - mu) / sqrt(sig2)).as("z"),
+        r6((wPlus - mu) / sqrt(sig2) / sqrt(n)).as("r_effect"))
+    },
+    Some {
+      val z = "((cast(w2 as double) / cast(2.0 as double) - " +
+        "cast(n as double) * (cast(n as double) + cast(1.0 as double)) / " +
+        "cast(4.0 as double)) / " +
+        "sqrt(cast(n as double) * (cast(n as double) + cast(1.0 as double)) * " +
+        "(cast(2.0 as double) * cast(n as double) + cast(1.0 as double)) / " +
+        "cast(24.0 as double) - cast(ties3 as double) / cast(48.0 as double)))"
+      s"""
+      WITH o AS (
+        SELECT o_custkey,
+               cast(floor(o_totalprice * 100.0 + 0.5) as bigint) AS cents,
+               (o_orderdate < TIMESTAMP '1995-01-01') AS early
+        FROM orders),
+      g AS (
+        SELECT o_custkey,
+               cast(sum(CASE WHEN early THEN cents ELSE 0 END) as bigint) AS c1,
+               cast(sum(CASE WHEN NOT early THEN cents ELSE 0 END) as bigint) AS c2,
+               sum(CASE WHEN early THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS n2
+        FROM o GROUP BY o_custkey),
+      p AS (
+        SELECT c2 - c1 AS d FROM g
+        WHERE n1 > 0 AND n2 > 0 AND c2 - c1 <> 0),
+      v AS (
+        SELECT abs(d) AS ad, cast(count(*) as bigint) AS t,
+               cast(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) as bigint) AS tpos
+        FROM p GROUP BY abs(d)),
+      c AS (
+        SELECT t, tpos,
+               cast(coalesce(sum(t) OVER (ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum
+        FROM v),
+      a AS (
+        SELECT cast(sum(t) as bigint) AS n,
+               cast(sum(tpos * (2 * cum + t + 1)) as bigint) AS w2,
+               cast(sum(t * t * t - t) as bigint) AS ties3
+        FROM c)
+      SELECT n AS n_pairs,
+             cast(w2 as double) / cast(2.0 as double) AS w_plus,
+             ${r6Sql(z)} AS z,
+             ${r6Sql(s"$z / sqrt(cast(n as double))")} AS r_effect
+      FROM a"""
+    },
+  )
+
+  /** FRIEDMAN TEST: do the five order priorities rank consistently on
+    * monthly revenue? Blocks = order months, treatments = priorities;
+    * within-block average ranks of the (exact integer cents) block
+    * totals are computed by a per-block PAIR COUNT (k=5, so the
+    * within-block self-join is 25 rows per block — never a global
+    * window), doubled to stay integer under ties. Only complete blocks
+    * (all 5 priorities present) enter, counted in the output. The
+    * statistic Q = 12/(n·k·(k+1))·ΣRⱼ² − 3n(k+1) and Kendall's
+    * W = Q/(n(k−1)) close in fixed IEEE arithmetic; R2ⱼ² terms stay
+    * ≪ 2³³ (R2ⱼ ≤ 2·k·n ≈ 10³). */
+  val qFriedman: GQuery = GQuery(
+    "q_friedman",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = Tables.orders(spark, dir)
+        .select(date_trunc("month", $"o_orderdate").cast("date").as("m"),
+          $"o_orderpriority".as("pri"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy($"m", $"pri").agg(sum($"cents").as("v"))
+      val full = b.groupBy($"m").agg(count(lit(1)).as("kk"))
+        .filter($"kk" === 5).select($"m")
+      val bb = b.join(full, "m")
+      // doubled average rank inside each 5-row block via pair counts:
+      // 2·rank = 2·(# strictly below) + (# ties incl self) + 1
+      val r2 = bb.as("x").join(bb.as("y"), col("x.m") === col("y.m"))
+        .groupBy(col("x.m").as("m"), col("x.pri").as("pri"))
+        .agg((lit(2L) * sum(when(col("y.v") < col("x.v"), 1L).otherwise(0L)) +
+          sum(when(col("y.v") === col("x.v"), 1L).otherwise(0L)) + lit(1L))
+          .as("r2"))
+      val rj = r2.groupBy($"pri")
+        .agg(sum($"r2").as("r2j"), count(lit(1)).as("nb"))
+      val d = (s: String) => col(s).cast("double")
+      val a = rj.agg(max($"nb").as("n"), count(lit(1)).cast("long").as("k"),
+        sum($"r2j" * $"r2j").as("sr2"))
+      val n = d("n"); val k = d("k")
+      // ranks were doubled: Rj = r2j/2, so ΣRj² = sr2/4
+      val q = lit(12.0) / (n * k * (k + lit(1.0))) * (d("sr2") / lit(4.0)) -
+        lit(3.0) * n * (k + lit(1.0))
+      a.select($"n".as("n_blocks"), $"k".cast("int").as("k"),
+        r6(q).as("q_stat"), r6(q / (n * (k - lit(1.0)))).as("kendall_w"))
+    },
+    Some {
+      val q = "(cast(12.0 as double) / (cast(n as double) * " +
+        "cast(k as double) * (cast(k as double) + cast(1.0 as double))) * " +
+        "(cast(sr2 as double) / cast(4.0 as double)) - " +
+        "cast(3.0 as double) * cast(n as double) * " +
+        "(cast(k as double) + cast(1.0 as double)))"
+      s"""
+      WITH b AS (
+        SELECT cast(date_trunc('month', o_orderdate) as date) AS m,
+               o_orderpriority AS pri,
+               cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))
+                 as bigint) AS v
+        FROM orders GROUP BY 1, 2),
+      full_b AS (SELECT m FROM b GROUP BY m HAVING count(*) = 5),
+      bb AS (SELECT b.* FROM b JOIN full_b USING (m)),
+      r2 AS (
+        SELECT x.m, x.pri,
+               cast(2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END) +
+                 sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1
+                 as bigint) AS r2
+        FROM bb x JOIN bb y ON x.m = y.m
+        GROUP BY x.m, x.pri),
+      rj AS (
+        SELECT pri, cast(sum(r2) as bigint) AS r2j,
+               cast(count(*) as bigint) AS nb
+        FROM r2 GROUP BY pri),
+      a AS (
+        SELECT max(nb) AS n, cast(count(*) as bigint) AS k,
+               cast(sum(r2j * r2j) as bigint) AS sr2
+        FROM rj)
+      SELECT n AS n_blocks, cast(k as int) AS k,
+             ${r6Sql(q)} AS q_stat,
+             ${r6Sql(s"$q / (cast(n as double) * (cast(k as double) - " +
+               "cast(1.0 as double)))")} AS kendall_w
+      FROM a"""
+    },
+  )
+
+  /** McNEMAR'S TEST on paired binary outcomes: per (user, epoch-week)
+    * pair, did the user click early in the week (first 3 epoch-days)
+    * vs late (the remaining 4)? Both the week key and the day split
+    * come from pure INTEGER epoch-day arithmetic (s div 86400, div/mod
+    * 7) — the CLAUDE.md weekday contract, identical in both engines
+    * (a whole-history half split is degenerate here: every active user
+    * clicks in both halves, leaving the discordant cells empty). The
+    * test needs only the discordant cells b (early-only) and c
+    * (late-only): χ² = (b−c)²/(b+c), with the continuity-corrected
+    * variant alongside. One combinable per-pair reduction, one 1-row
+    * finish — no window at all. */
+  val qMcnemar: GQuery = GQuery(
+    "q_mcnemar",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"event_type" === "click")
+        .select($"user_id", expr("unix_timestamp(ts) div 86400").as("d"))
+      val g = ev
+        .select($"user_id", expr("d div 7").as("wk"),
+          expr("d % 7").as("dow"))
+        .groupBy($"user_id", $"wk")
+        .agg(max(when($"dow" < 3, 1L).otherwise(0L)).as("e"),
+          max(when($"dow" >= 3, 1L).otherwise(0L)).as("l"))
+      val cells = g.agg(
+        sum(when($"e" === 1L && $"l" === 1L, 1L).otherwise(0L)).as("both"),
+        sum(when($"e" === 1L && $"l" === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when($"e" === 0L && $"l" === 1L, 1L).otherwise(0L)).as("c"))
+      val d = (s: String) => col(s).cast("double")
+      val chi2 = (d("b") - d("c")) * (d("b") - d("c")) / (d("b") + d("c"))
+      val chi2cc = (abs(d("b") - d("c")) - lit(1.0)) *
+        (abs(d("b") - d("c")) - lit(1.0)) / (d("b") + d("c"))
+      cells.select($"both".as("n_both"), $"b".as("n_early_only"),
+        $"c".as("n_late_only"), r6(chi2).as("chi2"), r6(chi2cc).as("chi2_cc"))
+    },
+    Some {
+      val chi2 = "((cast(b as double) - cast(c as double)) * " +
+        "(cast(b as double) - cast(c as double)) / " +
+        "(cast(b as double) + cast(c as double)))"
+      val chi2cc = "((abs(cast(b as double) - cast(c as double)) - " +
+        "cast(1.0 as double)) * " +
+        "(abs(cast(b as double) - cast(c as double)) - " +
+        "cast(1.0 as double)) / " +
+        "(cast(b as double) + cast(c as double)))"
+      s"""
+      WITH ev AS (
+        SELECT user_id,
+               cast(epoch(date_trunc('second', ts)) as bigint) // 86400 AS d
+        FROM events WHERE event_type = 'click'),
+      g AS (
+        SELECT user_id, d // 7 AS wk,
+               max(CASE WHEN d % 7 < 3 THEN 1 ELSE 0 END) AS e,
+               max(CASE WHEN d % 7 >= 3 THEN 1 ELSE 0 END) AS l
+        FROM ev GROUP BY user_id, d // 7),
+      cells AS (
+        SELECT cast(sum(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END)
+                 as bigint) AS n11,
+               cast(sum(CASE WHEN e = 1 AND l = 0 THEN 1 ELSE 0 END)
+                 as bigint) AS b,
+               cast(sum(CASE WHEN e = 0 AND l = 1 THEN 1 ELSE 0 END)
+                 as bigint) AS c
+        FROM g)
+      SELECT n11 AS n_both, b AS n_early_only, c AS n_late_only,
+             ${r6Sql(chi2)} AS chi2, ${r6Sql(chi2cc)} AS chi2_cc
+      FROM cells"""
+    },
+  )
+
   val all: Seq[GQuery] =
-    Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage)
+    Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
+      qWilcoxon, qFriedman, qMcnemar)
 }
