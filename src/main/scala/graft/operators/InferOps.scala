@@ -787,6 +787,83 @@ object InferOps {
     },
   )
 
+  /** TUKEY–KRAMER HSD post-hoc: after q_anova's omnibus F, WHICH
+    * priority pairs differ on mean order value? Per-group moments in
+    * KILODOLLARS (the q_levene staging bound: dollar² group moments
+    * cross 2³³ where double→decimal casts diverge; k$² stays small),
+    * pooled MSE from the same one pass, then all C(5,2)=10 pairs from
+    * a 5-row broadcast self-join — the q_kendall bounded-pair posture,
+    * never a fact-table pair join. The studentized-range statistic
+    * q = |mᵢ−mⱼ| / √(MSE/2·(1/nᵢ+1/nⱼ)) closes in fixed IEEE
+    * arithmetic per pair. */
+  val qTukeyHsd: GQuery = GQuery(
+    "q_tukey_hsd",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.orders(spark, dir)
+        .select($"o_orderpriority".as("pri"),
+          ($"o_totalprice" / lit(1000.0)).as("v"))
+        .groupBy($"pri")
+        .agg(count(lit(1)).as("ni"),
+          sum($"v".cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double").as("si"),
+          sum(($"v" * $"v").cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double")
+            .as("qi"))
+      val mseRow = g.agg(
+        sum($"ni").as("n"), count(lit(1)).cast("long").as("k"),
+        sum(rN($"si" * $"si" / $"ni".cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double").as("ssq_grp"),
+        sum($"qi".cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double").as("q"))
+        .select((($"q" - $"ssq_grp") /
+          ($"n" - $"k").cast("double")).as("mse"))
+      val a = g.select($"pri".as("pri_a"), $"ni".as("na"), $"si".as("sa"))
+      val b = g.select($"pri".as("pri_b"), $"ni".as("nb"), $"si".as("sb"))
+      val diff = $"sa" / $"na".cast("double") - $"sb" / $"nb".cast("double")
+      val se = sqrt($"mse" / lit(2.0) *
+        (lit(1.0) / $"na".cast("double") + lit(1.0) / $"nb".cast("double")))
+      a.join(broadcast(b), $"pri_a" < $"pri_b")
+        .crossJoin(broadcast(mseRow))
+        .select($"pri_a", $"pri_b",
+          r6(diff).as("diff_k"),
+          r6(abs(diff) / se).as("q_stat"))
+        .orderBy($"pri_a", $"pri_b")
+    },
+    Some {
+      val diff = "(sa / cast(na as double) - sb / cast(nb as double))"
+      val se = "sqrt(mse / cast(2.0 as double) * " +
+        "(cast(1.0 as double) / cast(na as double) + " +
+        "cast(1.0 as double) / cast(nb as double)))"
+      s"""
+      WITH g AS (
+        SELECT o_orderpriority AS pri, cast(count(*) as bigint) AS ni,
+               cast(sum(cast(o_totalprice / cast(1000.0 as double)
+                 as decimal(30,6))) as double) AS si,
+               cast(sum(cast((o_totalprice / cast(1000.0 as double)) *
+                 (o_totalprice / cast(1000.0 as double))
+                 as decimal(30,6))) as double) AS qi
+        FROM orders GROUP BY 1),
+      m AS (
+        -- cast each decimal sum to double BEFORE subtracting: the Spark
+        -- side subtracts doubles, and decimal-exact subtraction followed
+        -- by one cast could differ in the last ulp
+        SELECT (cast(sum(cast(qi as decimal(30,6))) as double) -
+                cast(sum(cast(${rNSql("si * si / cast(ni as double)", 6)}
+                  as decimal(30,6))) as double)) /
+               (cast(sum(ni) as double) - cast(count(*) as double)) AS mse
+        FROM g)
+      SELECT a.pri AS pri_a, b.pri AS pri_b,
+             ${r6Sql("(a.si / cast(a.ni as double) - " +
+               "b.si / cast(b.ni as double))")} AS diff_k,
+             ${r6Sql("abs(a.si / cast(a.ni as double) - " +
+               "b.si / cast(b.ni as double)) / " +
+               "sqrt(mse / cast(2.0 as double) * " +
+               "(cast(1.0 as double) / cast(a.ni as double) + " +
+               "cast(1.0 as double) / cast(b.ni as double)))")} AS q_stat
+      FROM g a JOIN g b ON a.pri < b.pri CROSS JOIN m
+      ORDER BY pri_a, pri_b"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
-    qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize)
+    qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
+    qTukeyHsd)
 }

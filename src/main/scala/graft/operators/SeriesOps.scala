@@ -1468,9 +1468,153 @@ object SeriesOps {
       FROM runs"""),
   )
 
+  /** THEIL–SEN ROBUST TREND: the median of all pairwise slopes of the
+    * weekly revenue series — the outlier-immune companion to
+    * q_mk_trend's S test (same calendar-bounded weekly axis, same
+    * C(n,2) broadcast pair join — |weeks| is fixed by the calendar, so
+    * the pair count never grows with data). Week indices are pure
+    * integer epoch-day arithmetic (epoch_day div 7 in BOTH engines —
+    * never date_trunc('week'), whose alignment is an engine
+    * convention); each slope
+    * (cents/week) is one fixed IEEE expression. MEDIANS ARE TAKEN OVER
+    * 6-dp-QUANTIZED INTEGERS then rescaled — the CLAUDE.md
+    * interpolated-median contract (an even-count double median is a
+    * one-ulp cross-engine coin flip; on integers both forms agree
+    * exactly). The intercept is med(xᵢ − m·tᵢ) under the same
+    * quantization. */
+  val qTheilSen: GQuery = GQuery(
+    "q_theil_sen",
+    (spark, dir) => {
+      import spark.implicits._
+      val wk = Tables.orders(spark, dir)
+        .select(expr(
+          "datediff(to_date(o_orderdate), date '1970-01-01') div 7")
+          .as("wi"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy($"wi").agg(sum($"cents").as("x"))
+        .localCheckpoint()
+      val a = wk.select($"wi".as("w1"), $"x".as("x1"))
+      val b = wk.select($"wi".as("w2"), $"x".as("x2"))
+      val slope = ($"x2" - $"x1").cast("double") /
+        ($"w2" - $"w1").cast("double")
+      val m = a.join(broadcast(b), $"w1" < $"w2")
+        .select(floor(slope * lit(1e6) + lit(0.5)).cast("long").as("sq"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (expr("percentile(sq, 0.5)") / lit(1e6)).as("m"))
+      val icpt = wk.crossJoin(broadcast(m))
+        .select($"n_pairs", $"m",
+          floor(($"x".cast("double") - $"m" * $"wi".cast("double")) *
+            lit(1e6) + lit(0.5)).cast("long").as("iq"))
+        .groupBy($"n_pairs", $"m")
+        .agg((expr("percentile(iq, 0.5)") / lit(1e6)).as("b0"),
+          count(lit(1)).cast("int").as("n_weeks"))
+      icpt.select($"n_weeks", $"n_pairs",
+        r6($"m").as("sen_slope"), r6($"b0").as("intercept"))
+    },
+    Some(s"""
+      WITH wk AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                 cast(o_orderdate as date)) // 7 AS wi,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT cast(count(*) as bigint) AS n_pairs,
+               quantile_cont(cast(floor(
+                 (cast(b.x - a.x as double) / cast(b.wi - a.wi as double))
+                 * cast(1e6 as double) + cast(0.5 as double)) as bigint),
+                 0.5) / cast(1e6 as double) AS m
+        FROM wk a JOIN wk b ON a.wi < b.wi),
+      icpt AS (
+        SELECT n_pairs, m,
+               quantile_cont(cast(floor(
+                 (cast(x as double) - m * cast(wi as double))
+                 * cast(1e6 as double) + cast(0.5 as double)) as bigint),
+                 0.5) / cast(1e6 as double) AS b0,
+               cast(count(*) as int) AS n_weeks
+        FROM wk CROSS JOIN m GROUP BY n_pairs, m)
+      SELECT n_weeks, n_pairs, ${r6Sql("m")} AS sen_slope,
+             ${r6Sql("b0")} AS intercept
+      FROM icpt"""),
+  )
+
+  /** GUMBEL EXTREME-VALUE FIT on monthly block maxima of daily revenue
+    * (in kilodollars — the q_levene unit bound) — the tail model behind
+    * capacity planning and risk limits. Block maxima are exact maxes of
+    * identically-computed doubles; the two moments over the ~|months|
+    * table ride the decimal-staging contract, and the
+    * method-of-moments closed form β = s√6/π, μ = m − γβ plus the
+    * 99% return level μ − β·ln(−ln 0.99) is fixed IEEE arithmetic
+    * (every constant cast per the cross-engine literal rule). Output is
+    * one row at any SF; the only windowless global agg rides the
+    * calendar-bounded month table. */
+  val qGumbel: GQuery = GQuery(
+    "q_gumbel",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .select(to_date($"o_orderdate").as("day"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy($"day").agg((sum($"cents").cast("double") / lit(1e5))
+          .as("v"))
+      val mx = daily
+        .groupBy(date_trunc("month", $"day").cast("date").as("m"))
+        .agg(max($"v").as("mv"))
+      val a = mx.agg(count(lit(1)).as("n"),
+        sum(rN($"mv", 6).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("s"),
+        sum(rN($"mv" * $"mv", 6)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("q"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n")
+      val mean = $"s" / n
+      val sd = sqrt(($"q" - $"s" * $"s" / n) / (n - lit(1.0)))
+      val beta = sd * sqrt(lit(6.0)) / lit(math.Pi)
+      val mu = mean - lit(0.5772156649015329) * beta
+      a.select($"n".cast("int").as("n_blocks"),
+        r6(mean).as("mean_max"), r6(sd).as("sd_max"),
+        r6(beta).as("beta"), r6(mu).as("mu"),
+        r6(mu - beta * log(-log(lit(0.99)))).as("rl99"))
+    },
+    Some {
+      val n = "cast(n as double)"
+      val mean = s"(s / $n)"
+      val sd = s"sqrt((q - s * s / $n) / ($n - cast(1.0 as double)))"
+      val beta = s"($sd * sqrt(cast(6.0 as double)) / pi())"
+      val mu = s"($mean - cast(0.5772156649015329 as double) * $beta)"
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as double)
+                 / cast(1e5 as double) AS v
+        FROM orders GROUP BY 1),
+      mx AS (
+        SELECT cast(date_trunc('month', day) as date) AS m,
+               max(v) AS mv
+        FROM daily GROUP BY 1),
+      a AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(cast(${rNSql("mv", 6)} as decimal(30,6)))
+                 as double) AS s,
+               cast(sum(cast(${rNSql("mv * mv", 6)} as decimal(30,6)))
+                 as double) AS q
+        FROM mx)
+      SELECT cast(n as int) AS n_blocks,
+             ${r6Sql(mean)} AS mean_max, ${r6Sql(sd)} AS sd_max,
+             ${r6Sql(beta)} AS beta, ${r6Sql(mu)} AS mu,
+             ${r6Sql(s"$mu - $beta * ln(-ln(cast(0.99 as double)))")}
+               AS rl99
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
-    qCroston, qGapAnalysis)
+    qCroston, qGapAnalysis, qTheilSen, qGumbel)
 }

@@ -77,7 +77,12 @@ object PlanAudit {
     // calendar-bounded weekly self-pairs (~345-row broadcast; the
     // Mann-Kendall S needs all C(n,2) pairs and n is fixed by the
     // calendar — the q_kendall posture)
-    "q_mk_trend")
+    "q_mk_trend",
+    // round 9 (audited 2026-08-14): 5-row group-table pair join +
+    // 1-row MSE broadcast (Tukey-Kramer); calendar-bounded weekly
+    // self-pairs + 1-row median-slope broadcast (Sen estimator — the
+    // q_mk_trend posture)
+    "q_tukey_hsd", "q_theil_sen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
