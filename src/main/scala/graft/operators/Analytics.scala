@@ -648,6 +648,122 @@ object Analytics {
     )
   }
 
+  /** PERSONALIZED PAGERANK — q_pagerank's seeded sibling, the
+    * "related-items for THIS catalog slice" primitive: the teleport
+    * vector concentrates on a seed set (the smallest parts, p_size ≤ 2,
+    * inside the same bounded p_size ≤ 10 co-purchase graph) instead of
+    * being uniform; r₀ = s and rₖ₊₁ = 0.15·s + 0.85·P·rₖ. Same
+    * plan economy as q_pagerank: degree pre-joined once, edge list
+    * localCheckpoint'd, per-iteration DECIMAL(38,18) contribution sums
+    * (shuffle-order-free), and the seed indicator rides the rank table
+    * so the teleport add is a projection, not a per-iteration join.
+    * Seeds are exact (1/|S| is one IEEE division broadcast from a
+    * 1-row aggregate). Output: top 25 nodes by personalized rank —
+    * the seeds' neighborhoods, not the global hubs. */
+  val qPagerankPers: GQuery = {
+    val iters = 5
+    GQuery(
+      "q_pagerank_pers",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir).filter($"p_size" <= 10)
+            .select($"p_partkey", $"p_size"), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val pr = op
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as p1, element_at(ps, j) as p2))))"))
+            .as("pr"))
+          .select($"pr.p1".as("p1"), $"pr.p2".as("p2")).distinct()
+        val eRaw = pr.select($"p1".as("src"), $"p2".as("dst"))
+          .unionByName(pr.select($"p2".as("src"), $"p1".as("dst")))
+          .localCheckpoint()
+        val deg = eRaw.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val e = eRaw.join(deg, "src").localCheckpoint()
+        val seeds = Tables.part(spark, dir).filter($"p_size" <= 2)
+          .select($"p_partkey".as("seed"))
+        val nodes = deg
+          .join(broadcast(seeds), $"src" === $"seed", "left_outer")
+          .select($"src".as("node"), $"deg",
+            $"seed".isNotNull.as("is_seed"))
+        val nS = nodes.filter($"is_seed")
+          .agg(count(lit(1)).cast("double").as("ns"))
+        var r = nodes.crossJoin(broadcast(nS))
+          .select($"node", $"is_seed", $"ns",
+            when($"is_seed", lit(1.0) / $"ns").otherwise(lit(0.0)).as("r"))
+        for (_ <- 1 to iters) {
+          r = e.join(r.select($"node", $"r"), $"src" === $"node")
+            .select($"dst", ($"r" / $"deg").as("c"))
+            .groupBy($"dst")
+            .agg(sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+              .cast("double").as("s"))
+            .join(nodes, $"dst" === $"node")
+            .crossJoin(broadcast(nS))
+            .select($"node", $"is_seed", $"ns",
+              (when($"is_seed", lit(0.15) / $"ns").otherwise(lit(0.0)) +
+                lit(0.85) * $"s").as("r"))
+        }
+        r.join(nodes.select($"node".as("n2"), $"deg"), $"node" === $"n2")
+          .select($"node", $"deg", $"is_seed",
+            r6($"r" * lit(1e3)).as("rank_m"))
+          .orderBy($"rank_m".desc, $"node")
+          .limit(25)
+      },
+      Some {
+        val steps = (1 to iters).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node, n.is_seed,
+             |         (CASE WHEN n.is_seed THEN cast(0.15 as double) /
+             |            (SELECT ns FROM ns) ELSE cast(0.0 as double) END) +
+             |         cast(0.85 as double) * coalesce(c$k.s, cast(0.0 as double))
+             |           AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT dst,
+             |           cast(sum(cast(r / deg as decimal(38,18))) as double)
+             |             AS s
+             |    FROM e JOIN r${k - 1} rp ON e.src = rp.node
+             |           JOIN deg ON e.src = deg.src
+             |    GROUP BY dst) c$k ON n.node = c$k.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_size <= 10),
+        pr AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        e AS (SELECT p1 AS src, p2 AS dst FROM pr
+              UNION ALL SELECT p2, p1 FROM pr),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        nodes AS (
+          SELECT d.src AS node, d.deg,
+                 (s.p_partkey IS NOT NULL) AS is_seed
+          FROM deg d LEFT JOIN
+            (SELECT p_partkey FROM part WHERE p_size <= 2) s
+            ON d.src = s.p_partkey),
+        ns AS (SELECT cast(count(*) as double) AS ns
+               FROM nodes WHERE is_seed),
+        r0 AS (SELECT node, is_seed,
+                      CASE WHEN is_seed
+                        THEN cast(1.0 as double) / (SELECT ns FROM ns)
+                        ELSE cast(0.0 as double) END AS r
+               FROM nodes),
+        $steps
+        SELECT r$iters.node AS node, nodes.deg AS deg, r$iters.is_seed,
+               ${r6Sql(s"r * cast(1e3 as double)")} AS rank_m
+        FROM r$iters JOIN nodes ON r$iters.node = nodes.node
+        ORDER BY rank_m DESC, node
+        LIMIT 25"""
+      },
+    )
+  }
+
   /** Revenue concentration per market segment — the inequality view
     * behind "whale" risk analysis: the Gini coefficient of per-customer
     * revenue (G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over ascending-sorted
@@ -733,5 +849,5 @@ object Analytics {
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
       qAggIncremental, qAbtest, qSkyline, qCopurchase, qPagerank,
-      qConcentration)
+      qConcentration, qPagerankPers)
 }

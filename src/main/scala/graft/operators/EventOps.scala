@@ -688,6 +688,70 @@ object EventOps {
       ORDER BY channel"""),
   )
 
+  /** TIME-DECAY multi-touch attribution — q_attribution's recency-
+    * weighted sibling: each view/click touch in the 7 days before a
+    * purchase earns weight 1/2^Δdays (halving per full day of age),
+    * normalized per purchase so every conversion still distributes ONE
+    * unit of credit. The weights are DYADIC RATIONALS (1 << Δdays is
+    * integer arithmetic, Δdays ≤ 6), so per-purchase weight sums are
+    * EXACT in double regardless of summation order — no decimal
+    * staging needed until the final per-channel credit sum (dsum). The
+    * join is the same user_id equi-join + interval conjunct as
+    * q_attribution; the per-purchase normalizer is one partitioned
+    * window over the joined rows. */
+  val qAttributionDecay: GQuery = GQuery(
+    "q_attribution_decay",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+          $"ts".as("p_ts"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("t_user"), $"event_type".as("channel"),
+          $"ts".as("t_ts"))
+      val joined = purchases.join(touches,
+        $"p_user" === $"t_user" &&
+          $"t_ts" <= $"p_ts" &&
+          $"t_ts" > $"p_ts" - expr("INTERVAL 7 DAYS"))
+        .withColumn("dd", expr(
+          "(unix_timestamp(p_ts) - unix_timestamp(t_ts)) div 86400"))
+        .withColumn("wt",
+          lit(1.0) / expr("shiftleft(1L, cast(dd as int))").cast("double"))
+      val w = Window.partitionBy($"p_id")
+      joined
+        .withColumn("wsum", sum($"wt").over(w))
+        .select($"channel", rN($"wt" / $"wsum", 6).as("credit"))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"), dsum($"credit", 6).as("total_credit"))
+        .orderBy($"channel")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         date_trunc('second', ts) AS ts FROM events),
+      p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+            FROM ev WHERE event_type = 'purchase'),
+      t AS (SELECT user_id AS t_user, event_type AS channel, ts AS t_ts
+            FROM ev WHERE event_type IN ('view', 'click')),
+      joined AS (
+        SELECT p_id, channel,
+               cast(1.0 as double) / cast(
+                 (1::BIGINT << ((cast(epoch(p_ts) as bigint) -
+                   cast(epoch(t_ts) as bigint)) // 86400)) as double) AS wt
+        FROM p JOIN t
+          ON p_user = t_user AND t_ts <= p_ts
+             AND t_ts > p_ts - INTERVAL 7 DAY),
+      n AS (
+        SELECT channel, wt,
+               sum(wt) OVER (PARTITION BY p_id) AS wsum
+        FROM joined)
+      SELECT channel, count(*) AS n_touches,
+             ${dsumSql(rNSql("wt / wsum", 6), 6)} AS total_credit
+      FROM n
+      GROUP BY channel
+      ORDER BY channel"""),
+  )
+
   /** Inter-arrival time analysis — the point-process view of the event
     * stream (engagement cadence, anomaly baselines, queue-theory inputs):
     * per-user gaps between consecutive events from ONE lag window, then
@@ -1356,5 +1420,6 @@ object EventOps {
     Seq(qFunnel, qCohort, qScd2, qMergeCdc, qSnapshotDiff, qStreak, qTransitions, qRankDelta, qSloBands, qConcurrency,
       qSeqMatch, qJoinPit, qAttribution, qInterarrival, qPathTop,
       qEventCollapse, qBurstiness, qNewVsReturning, qPathNgrams,
-      qGrowthAcct, qCohortLtv, qFunnelWindow, qRetention, qAttributionPos)
+      qGrowthAcct, qCohortLtv, qFunnelWindow, qRetention, qAttributionPos,
+      qAttributionDecay)
 }

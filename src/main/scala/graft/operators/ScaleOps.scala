@@ -1272,8 +1272,130 @@ object ScaleOps {
       ORDER BY ek.p_id"""),
   )
 
+  /** IVF PROBE-BUDGET SWEEP — q_ann_ivf's recall companion (the
+    * round-8 verdict's suggested widening): per probe AND per
+    * nProbe ∈ {1, 3}, what fraction of the exact cosine top-10 lies in
+    * the probed cells? This is the tuning curve an IVF deployment reads
+    * before fixing its probe budget — recall@10 must be monotone in
+    * nProbe (more cells ⊇ fewer cells), which the spec-side invariant
+    * can check for free since both budgets ride ONE cell assignment.
+    * Same plan economy as q_ann_ivf (broadcast mod-61 centroids, one
+    * argmax assignment pass, candidates from the cell equi-join) and
+    * q_ann_recall's deterministic exact side (6dp-rounded cosine,
+    * vec_id tiebreak, self excluded). */
+  val qAnnIvfProbe: GQuery = GQuery(
+    "q_ann_ivf_probe",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val cents = emb.filter($"vec_id" % 61 === 3)
+        .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
+      val assignW = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell")
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"cell")
+      val probeW = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell")
+      val probeCells = emb.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter($"rn" <= 3)
+        .select($"vec_id".as("p_id"), $"cell", $"rn")
+      // both probe budgets from the same ranked cells: np >= rn
+      val budgets = probeCells
+        .select($"p_id", $"cell", explode(array(lit(1), lit(3))).as("np"))
+        .filter($"np" >= $"rn")
+      val cand = assigned.join(broadcast(budgets), "cell")
+        .filter($"c_id" =!= $"p_id")
+        .select($"np", $"p_id", $"c_id")
+      val p = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"), $"nrm".as("p_nrm"))
+      val w = Window.partitionBy($"p_id").orderBy($"cos".desc, $"vec_id")
+      val exact = emb.crossJoin(broadcast(p))
+        .filter($"vec_id" =!= $"p_id")
+        .withColumn("cos",
+          r6(expr("dot_product(p_emb, emb)") / ($"p_nrm" * $"nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"p_id", $"vec_id".as("c_id"))
+      val hits = exact.join(cand, Seq("p_id", "c_id"))
+        .groupBy($"np", $"p_id").agg(count(lit(1)).as("n_hits"))
+      val nc = cand.groupBy($"np", $"p_id").agg(count(lit(1)).as("n_cand"))
+      nc.join(hits, Seq("np", "p_id"), "left_outer")
+        .select($"p_id", $"np".as("n_probe"), $"n_cand",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          r6(coalesce($"n_hits", lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy($"p_id", $"n_probe")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM embeddings WHERE vec_id < $corpusBound),
+      cents AS (
+        SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
+        FROM emb WHERE vec_id % 61 = 3),
+      assigned AS (
+        SELECT c_id, cell FROM (
+          SELECT e.vec_id AS c_id, cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${chainSql("e.embedding", "cents.cent")})
+                     / (e.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM emb e CROSS JOIN cents) t WHERE rn = 1),
+      pcells AS (
+        SELECT p_id, cell, rn FROM (
+          SELECT e.vec_id AS p_id, cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${chainSql("e.embedding", "cents.cent")})
+                     / (e.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM emb e CROSS JOIN cents WHERE e.vec_id < 5) t WHERE rn <= 3),
+      budgets AS (
+        SELECT p_id, cell, np FROM pcells
+        CROSS JOIN (SELECT unnest([1, 3]) AS np) b
+        WHERE np >= rn),
+      cand AS (
+        SELECT b.np, b.p_id, a.c_id
+        FROM assigned a JOIN budgets b ON a.cell = b.cell
+        WHERE a.c_id <> b.p_id),
+      exact AS (
+        SELECT p_id, c_id FROM (
+          SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                   floor((${chainSql("p.embedding", "c.embedding")}) /
+                     (p.nrm * c.nrm) * 1e6 + 0.5) / 1e6 DESC,
+                   c.vec_id) AS rnk
+          FROM emb p JOIN emb c ON p.vec_id < 5 AND c.vec_id <> p.vec_id) t
+        WHERE rnk <= 10),
+      hits AS (
+        SELECT cand.np, cand.p_id, count(*) AS n_hits
+        FROM exact JOIN cand
+          ON exact.p_id = cand.p_id AND exact.c_id = cand.c_id
+        GROUP BY cand.np, cand.p_id),
+      nc AS (SELECT np, p_id, count(*) AS n_cand
+             FROM cand GROUP BY np, p_id)
+      SELECT nc.p_id, nc.np AS n_probe,
+             cast(nc.n_cand as bigint) AS n_cand,
+             cast(coalesce(n_hits, 0) as bigint) AS n_hits,
+             ${r6Sql("cast(coalesce(n_hits, 0) as double) / " +
+               "cast(10.0 as double)")} AS recall_at_10
+      FROM nc LEFT JOIN hits
+        ON nc.np = hits.np AND nc.p_id = hits.p_id
+      ORDER BY nc.p_id, n_probe"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
-    qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall)
+    qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe)
 }

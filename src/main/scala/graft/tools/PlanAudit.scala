@@ -82,7 +82,11 @@ object PlanAudit {
     // 1-row MSE broadcast (Tukey-Kramer); calendar-bounded weekly
     // self-pairs + 1-row median-slope broadcast (Sen estimator — the
     // q_mk_trend posture)
-    "q_tukey_hsd", "q_theil_sen")
+    "q_tukey_hsd", "q_theil_sen",
+    // 1-row seed-count broadcast per iteration (personalized teleport —
+    // the q_pagerank posture); broadcast centroid/5-probe crosses (the
+    // q_ann_ivf / q_ann_recall posture)
+    "q_pagerank_pers", "q_ann_ivf_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -153,6 +153,28 @@ class CausalMetricSpec extends AnyFunSuite {
     assert(p >= 0.0 && p <= 1.0)
   }
 
+  test("q_ann_ivf_probe recall is monotone in the probe budget") {
+    val rows = run("q_ann_ivf_probe").collect()
+    assert(rows.length == 10, s"expected 5 probes x 2 budgets, got ${rows.length}")
+    val byProbe = rows.groupBy(_.getAs[Long]("p_id"))
+    for ((p, rs) <- byProbe) {
+      val m = rs.map(r => r.getAs[Int]("n_probe") -> r).toMap
+      assert(m(3).getAs[Double]("recall_at_10") >=
+        m(1).getAs[Double]("recall_at_10"),
+        s"probe $p: recall not monotone in nProbe")
+      assert(m(3).getAs[Long]("n_cand") >= m(1).getAs[Long]("n_cand"))
+    }
+  }
+
+  test("q_pagerank_pers concentrates rank mass on the seed neighborhood") {
+    val rows = run("q_pagerank_pers").collect()
+    assert(rows.nonEmpty)
+    // the top personalized node must be a seed (restart mass dominates
+    // on a 5-iteration walk), and some non-seed neighbors must rank
+    assert(rows.head.getAs[Boolean]("is_seed"), "top node is not a seed")
+    assert(rows.forall(_.getAs[Double]("rank_m") >= 0.0))
+  }
+
   test("q_closeness reaches at least its own component and stays positive") {
     for (r <- run("q_closeness").collect()) {
       assert(r.getAs[Long]("n_reached") > 0)
