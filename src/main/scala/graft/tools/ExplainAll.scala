@@ -71,7 +71,12 @@ object ExplainAll {
     "q_closeness", "q_gap_analysis", "q_ohlc", "q_rolling_pctl",
     "q_price_volume", "q_simpson", "q_cond_entropy", "q_effect_size",
     "q_pr_curve", "q_mahalanobis", "q_xyz", "q_lead_time", "q_aging",
-    "q_return_rate", "q_var_backtest")
+    "q_return_rate", "q_var_backtest",
+    // round 9: nonparametric/post-hoc family, robust/extreme trend,
+    // decay attribution, personalized PageRank, IVF probe sweep
+    "q_wilcoxon", "q_friedman", "q_mcnemar", "q_tukey_hsd",
+    "q_theil_sen", "q_gumbel", "q_attribution_decay",
+    "q_pagerank_pers", "q_ann_ivf_probe")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

