@@ -28,25 +28,60 @@ object Bench {
     }
     val timed = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
-    // Self-adjudication: re-time the 5 slowest queries once more at the
-    // END of the run. A genuine plan regression repeats its number; a
-    // time inflated by in-sequence contention (GC/cache pressure from
+    // Self-adjudication: re-time suspect queries once more at the END of
+    // the run. A genuine plan regression repeats its number; a time
+    // inflated by in-sequence contention (GC/cache pressure from
     // neighboring queries, codegen-compile queueing) comes back near the
     // quiet figure. The artifact then carries BOTH numbers, so a reader
     // can separate contention from regression without a second full run
     // (this ambiguity consumed three verdict rounds).
-    val byName = benched.map(q => q.name -> q).toMap
-    val retimed: Seq[(String, Double)] =
-      timed.sortBy(-_._2).take(5).map { case (n, _) =>
-        val t0 = System.nanoTime()
-        try { byName(n).run(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        n -> (System.nanoTime() - t0) / 1e9
-      }
+    // Retime set = the 5 slowest UNION every query >2x its previous
+    // recorded time (prior per-query map = last line of
+    // bench_history.jsonl, overridable via SPARK_GRAFT_BENCH_PRIOR) —
+    // round 9 had 9 contention-inflated movers outside the top 5 that the
+    // judge had to probe by hand.
     val firstByName = timed.toMap
+    val priorTimes: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_history.jsonl")
+      try {
+        val f = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(f)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val last = java.nio.file.Files.readAllLines(f).asScala
+            .filter(_.trim.nonEmpty).lastOption.getOrElse("")
+          // minimal extraction of the "queries":{...} object — no JSON lib
+          // on the classpath; names are [A-Za-z0-9_] so a regex is exact.
+          val qobj = """"queries":\{([^}]*)\}""".r
+            .findFirstMatchIn(last).map(_.group(1)).getOrElse("")
+          """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qobj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val movers = timed.collect {
+      case (n, t) if priorTimes.get(n).exists(p => p > 0 && t / p > 2.0) =>
+        n -> (t / priorTimes(n))
+    }.sortBy(-_._2).map(_._1)
+    // cap keeps the compact JSON line inside the driver's ~2000-char
+    // record window even on a heavily contended run; worst ratios first
+    val retimeSet =
+      (timed.sortBy(-_._2).take(5).map(_._1) ++ movers).distinct.take(20)
+    val byName = benched.map(q => q.name -> q).toMap
+    // A retime that FAILS must never pass its time-to-failure off as a
+    // quiet figure (it would falsely flag a real regression as
+    // contention) — failures go to retimeErrs, not retimed.
+    val retimeAttempts: Seq[(String, Either[String, Double])] =
+      retimeSet.map { n =>
+        val t0 = System.nanoTime()
+        try { byName(n).run(spark, sfDir).count(); n -> Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => n -> Left(e.getClass.getSimpleName) }
+      }
+    val retimed = retimeAttempts.collect { case (n, Right(t)) => n -> t }
+    val retimeErrs = retimeAttempts.collect { case (n, Left(m)) => n -> m }
     // flagged = first pass >1.5x the retime → contention-suspect
     val suspects = retimed.collect {
-      case (n, t2) if t2 > 0 && firstByName(n) / t2 > 1.5 => n
+      case (n, t2) if firstByName(n) / t2 > 1.5 => n
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -57,10 +92,12 @@ object Bench {
     val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val rt = retimed.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val rte = retimeErrs.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
     val sus = suspects.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"contention_suspect":$sus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
     // Full detail first (humans + history file), compact line LAST: the
     // driver records only the final ~2000 chars of output, so a ~5000-char
     // 196-query line is always front-truncated and has parsed as null in
@@ -78,7 +115,7 @@ object Bench {
     }
     val omitted = timed.size - kept.size
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"retimed":$rt,"contention_suspect":$sus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
     println(compact)
     // Opt-in machine-readable history: append the same JSON line, tagged,
     // to SPARK_GRAFT_BENCH_HISTORY (round-over-round regression tracking —

@@ -240,6 +240,108 @@ object KeyedModels {
       keyCols :+ "best_lambda")
   }
 
+  /** Gram re-aggregator over an already-aggregated Gram TABLE (input =
+    * GramBuf rows, not data rows): folds per-(key, fold) buffers into
+    * per-key totals. Model-table-sized work only. */
+  final class GramMerge(nFeatures: Int)
+      extends Aggregator[GramBuf, GramBuf, GramBuf] {
+    private val inner = new GramOLS(nFeatures)
+    def zero: GramBuf = inner.zero
+    def reduce(b: GramBuf, in: GramBuf): GramBuf = inner.merge(b, in)
+    def merge(a: GramBuf, b: GramBuf): GramBuf = inner.merge(a, b)
+    def finish(b: GramBuf): GramBuf = b
+    def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+  }
+
+  /** Per-key K-FOLD grid search — the GridSearchCV × KeyedModels
+    * composition (the reference's per-key sk GridSearchCV shape, A1 × A8)
+    * done with sufficient statistics instead of k·|λ| refits: folds are a
+    * deterministic hash of `idCol` (reproducible on any partitioning);
+    * ONE data pass accumulates a Gram buffer per (key, fold); because
+    * Gram buffers are ADDITIVE, every fold's training Gram is just
+    * total − held-out-fold (a zip_with subtraction on the model-sized
+    * table — no second aggregation), and every λ re-solves the same
+    * buffers at O(d³) each. The second and last data pass scores every
+    * row against the model of its OWN held-out fold (broadcast join on
+    * key+fold) and pools one cv_rmse per (key, λ); best λ per key by
+    * (cv_rmse, λ) argmin, then the deployed model re-solves the TOTAL
+    * Gram under the winning λ — the standard refit-on-all-data step,
+    * again without touching the data. Two passes total, independent of
+    * numFolds × |lambdas|. Keys too thin to train (a fold's training
+    * side has ≤ d rows) drop out of that fold's scoring rather than
+    * erroring. Returns (keys..., best_lambda, cv_rmse, coefficients,
+    * intercept, n). */
+  def selectRidgeCV(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      yCol: String,
+      idCol: String,
+      lambdas: Seq[Double],
+      numFolds: Int = 3): DataFrame = {
+    require(numFolds >= 2, s"numFolds must be >= 2, got $numFolds")
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0.0), s"bad lambdas: $lambdas")
+    val nF = featureCols.size
+    val d = nF + 1
+    val sess = df.sparkSession
+    import sess.implicits._
+    val data = df.withColumn("__fold",
+      pmod(xxhash64(col(idCol)), lit(numFolds.toLong)).cast("int"))
+    val gramAgg = udaf(new GramRaw(nF))
+    val featuresArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    val perFold = data.groupBy((keyCols.map(col) :+ col("__fold")): _*)
+      .agg(gramAgg(featuresArr, col(yCol).cast("double")).as("g"))
+    // udaf() flattens the Product IN type into one parameter per field
+    val mergeAgg = udaf(new GramMerge(nF))
+    val tot = perFold.groupBy(keyCols.map(col): _*)
+      .agg(mergeAgg(col("g.xtx"), col("g.xty"), col("g.n")).as("gt"))
+    val solve = udf { (xtx: Seq[Double], xty: Seq[Double], n: Long, lam: Double) =>
+      if (n <= d) None
+      else {
+        val a = xtx.toArray
+        var diag = 0
+        for (i <- 0 until d) { if (i > 0) a(diag) += lam; diag += d - i }
+        val beta = solveNormal(d, a, xty.toArray)
+        Some(LinearFit(beta.drop(1), beta(0), n))
+      }
+    }
+    val foldModels = perFold.join(tot, keyCols)
+      .withColumn("t_xtx", expr("zip_with(gt.xtx, g.xtx, (a, b) -> a - b)"))
+      .withColumn("t_xty", expr("zip_with(gt.xty, g.xty, (a, b) -> a - b)"))
+      .withColumn("t_n", col("gt.n") - col("g.n"))
+      .crossJoin(broadcast(lambdas.toDF("lambda")))
+      .withColumn("model",
+        solve(col("t_xtx"), col("t_xty"), col("t_n"), col("lambda")))
+      .filter(col("model").isNotNull)
+      .select(keyCols.map(col) :+ col("__fold") :+ col("lambda")
+        :+ col("model.coefficients").as("coefficients")
+        :+ col("model.intercept").as("intercept"): _*)
+    val arrSql =
+      featureCols.map(c => s"cast($c as double)").mkString("array(", ", ", ")")
+    val y = col(yCol).cast("double")
+    val scored = data.join(broadcast(foldModels), keyCols :+ "__fold")
+      .withColumn("__pred",
+        col("intercept") + expr(
+          s"aggregate(zip_with($arrSql, coefficients, " +
+            "(x, c) -> x * c), 0D, (s, v) -> s + v)"))
+      .groupBy((keyCols.map(col) :+ col("lambda")): _*)
+      .agg(sqrt(avg((y - col("__pred")) * (y - col("__pred")))).as("cv_rmse"))
+    val best = scored.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(col("lambda"), col("cv_rmse")),
+        struct(col("cv_rmse"), col("lambda"))).as("b"))
+      .select(keyCols.map(col) :+ col("b.lambda").as("best_lambda")
+        :+ col("b.cv_rmse").as("cv_rmse"): _*)
+    tot.join(broadcast(best), keyCols)
+      .withColumn("model",
+        solve(col("gt.xtx"), col("gt.xty"), col("gt.n"), col("best_lambda")))
+      .filter(col("model").isNotNull)
+      .select(keyCols.map(col) :+ col("best_lambda") :+ col("cv_rmse")
+        :+ col("model.coefficients").as("coefficients")
+        :+ col("model.intercept").as("intercept")
+        :+ col("model.n").as("n"): _*)
+  }
+
   /** A9: apply the per-key models — broadcast-join the (small) model table
     * to the data on the key columns and evaluate ŷ = β₀ + β·x as a
     * codegen'd expression. */

@@ -517,6 +517,97 @@ object ScaleOps {
       ORDER BY id_a, id_b"""),
   )
 
+  /** Embedding near-duplicate pairs with IVF-CELL BLOCKING — the
+    * vector-space dedup gate that REUSES the ANN index as its candidate
+    * generator: where q_neardup_cosine blocks on LSH sign bands, this
+    * blocks on the same deterministic coarse quantizer as q_ann_ivf
+    * (hash-sampled centroids, vec_id % 61 = 3), assigning every vector
+    * to its TOP-2 nearest cells (nProbe=2 blocking, so near-dups that
+    * straddle one cell boundary still collide in the other cell);
+    * candidate pairs come ONLY from the cell equi-join; exact cosine
+    * ≥ 0.95 verifies candidates only. 25 planted duplicate vectors
+    * (shifted ids, identical embeddings → identical cell ranks → always
+    * co-blocked, cos = 1) make the output non-vacuous at every SF. At
+    * 100 TB this is the dedup pass a corpus that ALREADY maintains an
+    * IVF index gets for free: the cell assignment is materialized once
+    * for search and the dedup candidates are a self equi-join on the
+    * cell column — no second hash family, no all-pairs. */
+  val qNeardupEmbed: GQuery = GQuery(
+    "q_neardup_embed",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val base = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id", $"embedding")
+      val corpus = base.unionByName(
+        base.filter($"vec_id" < 25)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      // centroids from the UNplanted corpus only: the quantizer is part
+      // of the standing index, not of the batch being checked
+      val cents = corpus.filter($"vec_id" % 61 === 3 && $"vec_id" < corpusBound)
+        .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
+      val assignW = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell")
+      val blocked = corpus.crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" <= 2)
+        .select($"vec_id", $"cell")
+      val cand = blocked.as("x").join(blocked.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val a = corpus.select($"vec_id".as("id_a"), $"emb".as("a_emb"),
+        $"nrm".as("a_nrm"))
+      val b = corpus.select($"vec_id".as("id_b"), $"emb".as("b_emb"),
+        $"nrm".as("b_nrm"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("cos",
+          expr("dot_product(a_emb, b_emb)") / ($"a_nrm" * $"b_nrm"))
+        .filter($"cos" >= 0.95)
+        .select($"id_a", $"id_b", r6($"cos").as("cos_sim"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25),
+      corpus AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM base),
+      cents AS (
+        SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
+        FROM corpus WHERE vec_id % 61 = 3 AND vec_id < $corpusBound),
+      blocked AS (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, cents.cell,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (${chainSql("c.embedding", "cents.cent")})
+                     / (c.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM corpus c CROSS JOIN cents) t WHERE rn <= 2),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM blocked x JOIN blocked y
+                 ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               (${chainSql("a.embedding", "b.embedding")})
+                 / (a.nrm * b.nrm) AS cos
+        FROM cand
+        JOIN corpus a ON a.vec_id = cand.id_a
+        JOIN corpus b ON b.vec_id = cand.id_b)
+      SELECT id_a, id_b, ${r6Sql("cos")} AS cos_sim
+      FROM scored WHERE cos >= cast(0.95 as double)
+      ORDER BY id_a, id_b"""),
+  )
+
   // ---------------------------------------------------------------------
   // Sketches: exact twins with in-plan error columns
   // ---------------------------------------------------------------------
@@ -1331,8 +1422,14 @@ object ScaleOps {
       val hits = exact.join(cand, Seq("p_id", "c_id"))
         .groupBy($"np", $"p_id").agg(count(lit(1)).as("n_hits"))
       val nc = cand.groupBy($"np", $"p_id").agg(count(lit(1)).as("n_cand"))
-      nc.join(hits, Seq("np", "p_id"), "left_outer")
-        .select($"p_id", $"np".as("n_probe"), $"n_cand",
+      // anchor on the FULL (p_id, np) budget grid: a probe whose probed
+      // cells hold no corpus vector besides itself must still surface as
+      // an n_cand=0 sweep point, not vanish from the curve
+      val keys = budgets.select($"p_id", $"np").distinct()
+      keys.join(nc, Seq("np", "p_id"), "left_outer")
+        .join(hits, Seq("np", "p_id"), "left_outer")
+        .select($"p_id", $"np".as("n_probe"),
+          coalesce($"n_cand", lit(0L)).as("n_cand"),
           coalesce($"n_hits", lit(0L)).as("n_hits"),
           r6(coalesce($"n_hits", lit(0L)).cast("double") / lit(10.0))
             .as("recall_at_10"))
@@ -1383,19 +1480,22 @@ object ScaleOps {
           ON exact.p_id = cand.p_id AND exact.c_id = cand.c_id
         GROUP BY cand.np, cand.p_id),
       nc AS (SELECT np, p_id, count(*) AS n_cand
-             FROM cand GROUP BY np, p_id)
-      SELECT nc.p_id, nc.np AS n_probe,
-             cast(nc.n_cand as bigint) AS n_cand,
+             FROM cand GROUP BY np, p_id),
+      keys AS (SELECT DISTINCT p_id, np FROM budgets)
+      SELECT k.p_id, k.np AS n_probe,
+             cast(coalesce(nc.n_cand, 0) as bigint) AS n_cand,
              cast(coalesce(n_hits, 0) as bigint) AS n_hits,
              ${r6Sql("cast(coalesce(n_hits, 0) as double) / " +
                "cast(10.0 as double)")} AS recall_at_10
-      FROM nc LEFT JOIN hits
-        ON nc.np = hits.np AND nc.p_id = hits.p_id
-      ORDER BY nc.p_id, n_probe"""),
+      FROM keys k
+      LEFT JOIN nc ON k.np = nc.np AND k.p_id = nc.p_id
+      LEFT JOIN hits ON k.np = hits.np AND k.p_id = hits.p_id
+      ORDER BY k.p_id, n_probe"""),
   )
 
   val all: Seq[GQuery] = Seq(
-    qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qAnnLsh, qAnnIvf,
+    qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
+    qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe)
 }

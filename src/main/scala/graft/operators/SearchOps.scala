@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{GQuery, Tables}
 import graft.engine.GQuery._
@@ -151,5 +153,96 @@ object SearchOps {
       FROM terms GROUP BY source ORDER BY source"""),
   )
 
-  val all: Seq[GQuery] = Seq(qPhraseSearch, qKlDrift)
+  /** MAP@10 RETRIEVAL QUALITY over the inverted index — the evaluation
+    * loop closed over q_phrase_search's posting lists: queries are the
+    * corpus's own 5 highest-document-frequency tokens (df desc,
+    * lexicographic tiebreak — derived in-query, never an out-of-band
+    * literal); retrieval ranks each query's posting list by term
+    * frequency (tf desc, doc_id tiebreak), top-10; relevance is a
+    * PLANTED binary table (doc_id % 3 = 0 — like q_ndcg's label-equality
+    * gains, the VALUES are near-chance but the METRIC COMPUTATION is
+    * exercised end-to-end and fully deterministic). AP@10 = Σ rel(r) ·
+    * P@r / n_rel with P@r = cum_rel/r — small-integer rationals,
+    * identical IEEE in both engines — summed under the dsum contract;
+    * MAP is the decimal-staged mean of the PUBLISHED per-query AP column
+    * (null AP → 0 credit, the convention for zero-relevant queries). At
+    * 100 TB the posting lists are the bucketed token table q_phrase_search
+    * ships, the query set is a broadcast, and the per-query top-10 is a
+    * partitioned window — one shuffle by token. */
+  val qMapAtK: GQuery = GQuery(
+    "q_map_at_k",
+    (spark, dir) => {
+      import spark.implicits._
+      val idx = Tables.documents(spark, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val qset = idx.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"tok").limit(5).select($"tok")
+      val wRank = Window.partitionBy($"tok").orderBy($"tf".desc, $"doc_id")
+      val ranked = idx.join(broadcast(qset), "tok")
+        .withColumn("rn", row_number().over(wRank))
+        .filter($"rn" <= 10)
+        .withColumn("rel",
+          when($"doc_id" % 3 === 0, 1L).otherwise(0L))
+      val wCum = Window.partitionBy($"tok").orderBy($"rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ap = ranked
+        .withColumn("p_at_r",
+          sum($"rel").over(wCum).cast("double") / $"rn".cast("double"))
+        .groupBy($"tok".as("q_tok"))
+        .agg(sum($"rel").cast("int").as("n_rel"),
+          dsum($"rel".cast("double") * $"p_at_r", 6).as("ap_sum"))
+        .select($"q_tok", $"n_rel",
+          when($"n_rel" > 0, r6($"ap_sum" / $"n_rel".cast("double")))
+            .as("ap"))
+      val wAll = Window.partitionBy()
+      ap.withColumn("map_at_10",
+          r6(sum(coalesce($"ap", lit(0.0)).cast(DecimalType(30, 6)))
+            .over(wAll).cast("double") /
+            count(lit(1)).over(wAll).cast("double")))
+        .orderBy($"q_tok")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      idx AS (
+        SELECT doc_id, tok, cast(count(*) as bigint) AS tf
+        FROM toks GROUP BY doc_id, tok),
+      qset AS (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS df FROM idx GROUP BY tok
+          ORDER BY df DESC, tok LIMIT 5) t),
+      ranked AS (
+        SELECT tok, doc_id, rn,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+        FROM (
+          SELECT i.tok, i.doc_id,
+                 cast(row_number() OVER (PARTITION BY i.tok
+                   ORDER BY i.tf DESC, i.doc_id) as bigint) AS rn
+          FROM idx i JOIN qset q ON i.tok = q.tok) t
+        WHERE rn <= 10),
+      prec AS (
+        SELECT tok, rel,
+               cast(sum(rel) OVER (PARTITION BY tok ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) as double)
+                 / cast(rn as double) AS p_at_r
+        FROM ranked),
+      ap AS (
+        SELECT tok AS q_tok, cast(sum(rel) as int) AS n_rel,
+               ${dsumSql("cast(rel as double) * p_at_r", 6)} AS ap_sum
+        FROM prec GROUP BY tok),
+      ap2 AS (
+        SELECT q_tok, n_rel,
+               CASE WHEN n_rel > 0 THEN
+                 ${r6Sql("ap_sum / cast(n_rel as double)")} END AS ap
+        FROM ap)
+      SELECT q_tok, n_rel, ap,
+             ${r6Sql("cast(sum(cast(coalesce(ap, 0.0) as decimal(30,6))) " +
+               "OVER () as double) / cast(count(*) OVER () as double)")}
+               AS map_at_10
+      FROM ap2 ORDER BY q_tok"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qPhraseSearch, qKlDrift, qMapAtK)
 }

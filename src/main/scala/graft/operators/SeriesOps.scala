@@ -1477,11 +1477,14 @@ object SeriesOps {
     * never date_trunc('week'), whose alignment is an engine
     * convention); each slope
     * (cents/week) is one fixed IEEE expression. MEDIANS ARE TAKEN OVER
-    * 6-dp-QUANTIZED INTEGERS then rescaled — the CLAUDE.md
+    * 2-dp-QUANTIZED INTEGERS then rescaled — the CLAUDE.md
     * interpolated-median contract (an even-count double median is a
     * one-ulp cross-engine coin flip; on integers both forms agree
-    * exactly). The intercept is med(xᵢ − m·tᵢ) under the same
-    * quantization. */
+    * exactly). 2 dp suffices (slopes are integer cents over integer
+    * weeks) and keeps the quantized long below 2^53 at any SF — at 6 dp
+    * a worst-case full-week-vs-empty-week slope at sf1 would overflow
+    * the exact-integer range of double inside percentile/quantile_cont.
+    * The intercept is med(xᵢ − m·tᵢ) under the same quantization. */
   val qTheilSen: GQuery = GQuery(
     "q_theil_sen",
     (spark, dir) => {
@@ -1499,15 +1502,15 @@ object SeriesOps {
       val slope = ($"x2" - $"x1").cast("double") /
         ($"w2" - $"w1").cast("double")
       val m = a.join(broadcast(b), $"w1" < $"w2")
-        .select(floor(slope * lit(1e6) + lit(0.5)).cast("long").as("sq"))
+        .select(floor(slope * lit(1e2) + lit(0.5)).cast("long").as("sq"))
         .agg(count(lit(1)).as("n_pairs"),
-          (expr("percentile(sq, 0.5)") / lit(1e6)).as("m"))
+          (expr("percentile(sq, 0.5)") / lit(1e2)).as("m"))
       val icpt = wk.crossJoin(broadcast(m))
         .select($"n_pairs", $"m",
           floor(($"x".cast("double") - $"m" * $"wi".cast("double")) *
-            lit(1e6) + lit(0.5)).cast("long").as("iq"))
+            lit(1e2) + lit(0.5)).cast("long").as("iq"))
         .groupBy($"n_pairs", $"m")
-        .agg((expr("percentile(iq, 0.5)") / lit(1e6)).as("b0"),
+        .agg((expr("percentile(iq, 0.5)") / lit(1e2)).as("b0"),
           count(lit(1)).cast("int").as("n_weeks"))
       icpt.select($"n_weeks", $"n_pairs",
         r6($"m").as("sen_slope"), r6($"b0").as("intercept"))
@@ -1523,15 +1526,15 @@ object SeriesOps {
         SELECT cast(count(*) as bigint) AS n_pairs,
                quantile_cont(cast(floor(
                  (cast(b.x - a.x as double) / cast(b.wi - a.wi as double))
-                 * cast(1e6 as double) + cast(0.5 as double)) as bigint),
-                 0.5) / cast(1e6 as double) AS m
+                 * cast(1e2 as double) + cast(0.5 as double)) as bigint),
+                 0.5) / cast(1e2 as double) AS m
         FROM wk a JOIN wk b ON a.wi < b.wi),
       icpt AS (
         SELECT n_pairs, m,
                quantile_cont(cast(floor(
                  (cast(x as double) - m * cast(wi as double))
-                 * cast(1e6 as double) + cast(0.5 as double)) as bigint),
-                 0.5) / cast(1e6 as double) AS b0,
+                 * cast(1e2 as double) + cast(0.5 as double)) as bigint),
+                 0.5) / cast(1e2 as double) AS b0,
                cast(count(*) as int) AS n_weeks
         FROM wk CROSS JOIN m GROUP BY n_pairs, m)
       SELECT n_weeks, n_pairs, ${r6Sql("m")} AS sen_slope,

@@ -221,6 +221,38 @@ object Streams {
       .select(col("id").as("doc_id"), col("pos"),
         col("corpus_id"), col("corpus_pos"))
 
+  /** Streaming TIME-DECAY ATTRIBUTION gate — q_attribution_decay's
+    * ingest twin, the same stateless shape as [[corpusDupCandidates]]:
+    * each arriving view/click touch stream-static-joins the standing
+    * purchase lake table (user equi-join + the 7-day interval conjunct,
+    * purchases re-planned per micro-batch like any dimension) and emits
+    * one (p_id, channel, wt) UNNORMALIZED credit row, wt = 1/2^Δdays.
+    * The weights are dyadic rationals (integer shiftleft, Δdays ≤ 6), so
+    * the downstream batch normalization — one groupBy(p_id) over the
+    * emitted rows, see q_attribution_decay — sums them EXACTLY in any
+    * arrival order: the streamed credits bit-match the batch query no
+    * matter how the touch stream is batched. Per-purchase normalization
+    * deliberately stays OUT of the gate: it would need per-purchase
+    * state that never expires (a purchase's touch set is only closed
+    * once the stream passes p_ts, which the batch pass already handles),
+    * while the gate itself holds NO streaming state at all. */
+  def touchCreditCandidates(streamTouches: DataFrame,
+      purchases: DataFrame): DataFrame =
+    streamTouches
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"),
+        col("event_type").as("channel"), col("ts").as("t_ts"))
+      .join(broadcast(purchases
+          .select(col("p_user"), col("p_id"), col("p_ts"))),
+        col("p_user") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("dd", expr(
+        "(unix_timestamp(p_ts) - unix_timestamp(t_ts)) div 86400"))
+      .withColumn("wt",
+        lit(1.0) / expr("shiftleft(1L, cast(dd as int))").cast("double"))
+      .select(col("p_id"), col("channel"), col("wt"))
+
   /** Windowed approximate-distinct users — the streaming cardinality
     * monitor (uniques per window). The HyperLogLog++ buffer per window is
     * CONSTANT-SIZE regardless of user count, so streaming state stays

@@ -76,7 +76,10 @@ object ExplainAll {
     // decay attribution, personalized PageRank, IVF probe sweep
     "q_wilcoxon", "q_friedman", "q_mcnemar", "q_tukey_hsd",
     "q_theil_sen", "q_gumbel", "q_attribution_decay",
-    "q_pagerank_pers", "q_ann_ivf_probe")
+    "q_pagerank_pers", "q_ann_ivf_probe",
+    // round 10: IVF-cell-blocked vector near-dup, MAP@10 over the
+    // inverted index
+    "q_neardup_embed", "q_map_at_k")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -86,7 +86,11 @@ object PlanAudit {
     // 1-row seed-count broadcast per iteration (personalized teleport —
     // the q_pagerank posture); broadcast centroid/5-probe crosses (the
     // q_ann_ivf / q_ann_recall posture)
-    "q_pagerank_pers", "q_ann_ivf_probe")
+    "q_pagerank_pers", "q_ann_ivf_probe",
+    // round 10: broadcast centroid cross for the cell assignment (the
+    // q_ann_ivf posture); candidates themselves come from the cell
+    // equi-join only
+    "q_neardup_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -42,6 +42,11 @@ object ModelFactory {
     */
   def stripTrainingSummary(m: AnyRef): Unit = m match {
     case h: HasTrainingSummary[_] => h.setSummary(None); ()
+    // Composite models carry no summary themselves but their STAGES do —
+    // a PipelineModel(…, LogisticRegressionModel) still ships the fitting
+    // session through the LR stage's summary if we stop at the top level.
+    case p: org.apache.spark.ml.PipelineModel =>
+      p.stages.foreach(stripTrainingSummary)
     case _ => ()
   }
 }

@@ -35,6 +35,7 @@ class MlSpec extends AnyFunSuite {
     spark.range(4).observe(obs, count(lit(1)).as("n")).collect()
     assert(obs.get("n") == 4L)
     val rng = new scala.util.Random(7)
+    // Variant 1: bare LR — the model itself is HasTrainingSummary.
     val pts = (1 to 120).map { _ =>
       val cls = rng.nextInt(2)
       (Array(cls * 4.0 - 2.0 + rng.nextGaussian() * 0.4), cls.toDouble)
@@ -46,6 +47,24 @@ class MlSpec extends AnyFunSuite {
       new MulticlassClassificationEvaluator().setMetricName("accuracy"),
       numFolds = 2, parallelism = 2).fit(pts)
     assert(res.transform(pts).columns.contains("prediction"))
+    // Variant 2: composite estimator — the PipelineModel is NOT
+    // HasTrainingSummary; the poisoned summary lives on the LR STAGE
+    // inside it, so the strip must recurse (the round-9 red-test class).
+    val txt = (1 to 120).map { i =>
+      val cls = i % 2
+      (if (cls == 1) s"alpha beta marker$i plantedpos" else s"alpha beta marker$i plantedneg",
+        cls.toDouble)
+    }.toDF("text", "label")
+    val ptok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val ptf = new HashingTF().setInputCol("words").setOutputCol("tf").setNumFeatures(512)
+    val pidf = new IDF().setInputCol("tf").setOutputCol("features")
+    val plr = new LogisticRegression().setMaxIter(10)
+    val pipe = new Pipeline().setStages(Array(ptok, ptf, pidf, plr))
+    val pgrid = new ParamGridBuilder().addGrid(plr.regParam, Array(0.01)).build()
+    val pres = GridSearchCV(pipe, pgrid,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"),
+      numFolds = 2, parallelism = 2).fit(txt)
+    assert(pres.transform(txt).columns.contains("prediction"))
   }
 
   test("GridSearchCV picks the planted-best candidate and exposes cv_results") {
@@ -493,9 +512,11 @@ class MlSpec extends AnyFunSuite {
           s"${res.bestParams.get(lr.regParam)}")
       // the absolute score is fold-split dependent (rand(seed) folds are
       // assigned per physical partition, and upstream layout varies with
-      // suite order) — the CONTRACT is param recovery + dominance; the
-      // loose floor only guards against a degenerate all-one-class split
-      assert(res.bestScore > 0.7,
+      // suite order) — the CONTRACT is param recovery + dominance. Floor
+      // backed by measurement (tools.MlFloorProbe, round 10, local[32]):
+      // bestScore over this exact 2x2 matrix spanned 0.8519..0.8584; 0.8
+      // leaves layout margin while still rejecting degenerate splits.
+      assert(res.bestScore > 0.8,
         s"seed=$seed parts=$parts best accuracy ${res.bestScore}")
       // and the degenerate candidates really are worse, so the pick is
       // a recovery, not a tie broken by ordering
@@ -505,6 +526,102 @@ class MlSpec extends AnyFunSuite {
       }
       assert(worst.nonEmpty && worst.max < res.bestScore,
         s"seed=$seed parts=$parts degenerate candidates not dominated")
+    }
+  }
+
+  test("RandomizedSearchCV tunes the text pipeline (A2 on a composite estimator)") {
+    import spark.implicits._
+    // same planted-marker corpus as the grid-search test; the randomized
+    // sampler must (a) survive the PipelineModel strip path and (b) land
+    // on the 4096-bucket candidates — the 2-bucket ones hash the marker
+    // into swamped buckets and lose
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 2 === 0, lit(" xplantedmarkerx xplantedmarkerx xplantedmarkerx")).otherwise(lit("")))
+          .as("text"),
+        ($"doc_id" % 2 === 0).cast("double").as("label"))
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(50)
+    val pipe = new Pipeline().setStages(Array(tok, tf, idf, lr))
+    val dists: Seq[(org.apache.spark.ml.param.Param[Any], ParamDist[Any])] = Seq(
+      (tf.numFeatures.asInstanceOf[org.apache.spark.ml.param.Param[Any]],
+        ParamDist.Choice(Seq(2, 4096)).asInstanceOf[ParamDist[Any]]),
+      (lr.regParam.asInstanceOf[org.apache.spark.ml.param.Param[Any]],
+        ParamDist.LogUniform(1e-4, 1e-2).asInstanceOf[ParamDist[Any]]))
+    val rs = RandomizedSearchCV(pipe, dists, nIter = 4,
+      new MulticlassClassificationEvaluator().setMetricName("accuracy"),
+      numFolds = 2, parallelism = 2, seed = 42L)
+    // seed sanity: the sampled grid must actually contain both choices
+    val nfs = rs.sampleGrid().map(_.get(tf.numFeatures).get).distinct
+    assert(nfs.length == 2, s"seed 42 sampled only $nfs — pick another seed")
+    val res = rs.fit(docs)
+    assert(res.bestParams.get(tf.numFeatures).contains(4096),
+      s"picked numFeatures ${res.bestParams.get(tf.numFeatures)}")
+    assert(res.bestScore > 0.8, s"best accuracy ${res.bestScore}")
+  }
+
+  test("selectRidgeCV: per-key k-fold grid search recovers planted models") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // clean keys: lambda=0 must win and coefficients must recover
+    val clean = (for {
+      (key, (a, b, c)) <- Seq("ka" -> (2.0, -1.0, 0.5), "kb" -> (-3.0, 0.5, -1.0))
+      i <- 1 to 200
+    } yield {
+      val x1 = rng.nextGaussian() * 3; val x2 = rng.nextGaussian() * 2
+      (key, i.toLong, x1, x2, a * x1 + b * x2 + c + rng.nextGaussian() * 0.01)
+    })
+    // collinear key: x2 = x1 + tiny noise — per-key OLS explodes on the
+    // near-singular Gram and generalizes badly; ridge must win CV
+    val coll = (1 to 60).map { i =>
+      val x1 = rng.nextGaussian() * 3
+      val x2 = x1 + rng.nextGaussian() * 1e-3
+      ("kc", i.toLong, x1, x2, x1 + x2 + rng.nextGaussian() * 0.5)
+    }
+    // thin key: 2 rows can never out-populate d=3 in any training fold —
+    // must drop out silently, not error
+    val thin = Seq(("kd", 1L, 1.0, 2.0, 3.0), ("kd", 2L, 2.0, 1.0, 1.0))
+    val df = (clean ++ coll ++ thin).toDF("key", "id", "x1", "x2", "y")
+    val lambdas = Seq(0.0, 0.5, 100.0)
+    def run(parts: Int) = KeyedModels.selectRidgeCV(
+      df.repartition(parts), Seq("key"), Seq("x1", "x2"), "y", "id",
+      lambdas, numFolds = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2),
+          r.getAs[scala.collection.Seq[Double]]("coefficients"),
+          r.getDouble(4), r.getLong(5)))
+      .toMap
+    val res = run(4)
+    assert(!res.contains("kd"), "thin key must drop out, not error")
+    for (k <- Seq("ka", "kb")) {
+      val (lam, rmse, coef, icpt, n) = res(k)
+      assert(lam == 0.0, s"$k: clean data must pick lambda 0, got $lam")
+      assert(rmse < 0.05, s"$k: cv_rmse $rmse")
+      assert(n == 200L)
+      val want = if (k == "ka") (2.0, -1.0, 0.5) else (-3.0, 0.5, -1.0)
+      assert(math.abs(coef(0) - want._1) < 0.02 &&
+        math.abs(coef(1) - want._2) < 0.02 &&
+        math.abs(icpt - want._3) < 0.02,
+        s"$k: got coef=$coef icpt=$icpt want $want")
+    }
+    val (lamC, _, coefC, _, _) = res("kc")
+    assert(lamC > 0.0, s"collinear key must prefer ridge, got lambda $lamC")
+    // the ridge solution spreads credit over the collinear pair: the SUM
+    // is identified (y ~ 2*x1) even though the split is not
+    assert(math.abs(coefC.sum - 2.0) < 0.2, s"kc coefficient sum ${coefC.sum}")
+    // fold hash is partitioning-independent: layouts only reorder float
+    // accumulation
+    val res13 = run(13)
+    assert(res.keySet == res13.keySet)
+    for (k <- res.keySet) {
+      val (l1, r1, c1, i1, _) = res(k); val (l2, r2, c2, i2, _) = res13(k)
+      assert(l1 == l2, s"$k: lambda differs across partitionings")
+      assert(math.abs(r1 - r2) < 1e-8 && math.abs(i1 - i2) < 1e-6 &&
+        c1.zip(c2).forall { case (x, y) => math.abs(x - y) < 1e-6 },
+        s"$k: results drift across partitionings")
     }
   }
 

@@ -252,6 +252,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
     }
+    // q_neardup_embed: candidates only from the cell equi-join; the only
+    // permitted non-equi joins are broadcast centroid assignments (tiny;
+    // one per side of the blocked self-join — the q_ann_ivf allowance)
+    val embed = physicalPlan("q_neardup_embed")
+    assert(!embed.contains("CartesianProduct"), embed)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(embed).size <= 2, embed)
   }
 
   test("promoted ANN queries bucket candidates; cross joins only touch broadcast centroids") {

@@ -36,8 +36,15 @@ class RankAtScaleSpec extends AnyFunSuite {
     * back. Integer adds in a different association — exact, so
     * bit-identical to the global window. */
   private def cumBelowRanged(g: DataFrame, parts: Int): DataFrame = {
+    // localCheckpoint: both consumers below (local prefix window, offsets
+    // table) must read ONE materialized range partitioning — if Catalyst
+    // planned the branches as two separate range exchanges, each
+    // RangePartitioner would sample its boundaries independently (seed
+    // tied to RDD id) and the two branches' pids could disagree,
+    // breaking the bit-identity contract flakily.
     val p = g.repartitionByRange(parts, col("v"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = p.withColumn("cum_in",

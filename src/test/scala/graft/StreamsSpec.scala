@@ -482,6 +482,51 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming touch-credit gate + batch normalize bit-matches q_attribution_decay") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    // feed ALL touches through the stream in two out-of-order batches
+    // (scrambled by event_id hash) — the dyadic weights make the batch
+    // normalization exact in any arrival order
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Timestamp)].collect()
+      .sortBy { case (u, t, s) => (u * 31 + s.getTime) % 97 }
+    val (b1, b2) = touches.zipWithIndex.partition(_._2 % 2 == 0)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val credits = Streams.touchCreditCandidates(
+      mem.toDF().toDF("user_id", "event_type", "ts"), purchases)
+    val q = credits.writeStream.format("memory")
+      .queryName("touchcredit" + System.nanoTime())
+      .outputMode("append").start()
+    Seq(b1, b2).foreach { b =>
+      mem.addData(b.map(_._1).toSeq); q.processAllAvailable()
+    }
+    val name = q.name
+    q.stop()
+    // downstream batch normalization over the streamed candidate rows —
+    // the second half of q_attribution_decay's plan, verbatim
+    import graft.engine.GQuery.{dsum, rN}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+    val streamed = spark.table(name)
+      .withColumn("wsum", sum(col("wt")).over(w))
+      .select(col("channel"), rN(col("wt") / col("wsum"), 6).as("credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), dsum(col("credit"), 6).as("total_credit"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val batch = graft.SparkEntry.queries("q_attribution_decay")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch,
+      s"streamed credits diverge: stream=$streamed batch=$batch")
+    assert(batch.nonEmpty && batch.values.map(_._1).sum > 0)
+  }
+
   test("welfordZscore matches the batch z-score on the same prefix") {
     val warm = (1 to 40).map(i =>
       Ev(i, 1, ts(i), "m", (i % 7).toDouble))
