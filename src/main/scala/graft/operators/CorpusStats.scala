@@ -1032,8 +1032,98 @@ object CorpusStats {
       FROM hc CROSS JOIN hn"""),
   )
 
+  /** SPARSE-VECTOR COSINE top-k via the inverted index — the weighted
+    * companion to q_jaccard_prefix and the scale path for tf-idf /
+    * sparse-embedding similarity: a document IS a sparse vector
+    * (token → tf·ln(N/df) weight), and the pairwise dot product is a
+    * POSTING-LIST SELF-JOIN on token — never a dense all-pairs pass.
+    * Stop-tokens are df-pruned (df ≤ 50 — the impact-pruning move that
+    * bounds every posting list, so the candidate join is
+    * |list|²-bounded per token instead of |docs|²); pairs must share a
+    * surviving token to exist at all. Weights are r6'd BEFORE any
+    * multiplication (the q_kl_drift libm contract: ln at 6 dp, then
+    * identical IEEE products), per-pair dot products and per-doc norm²
+    * are decimal-staged sums (dsum), and cos = dot/(‖a‖‖b‖) is one
+    * fixed expression; top-5 per doc by (cos desc, id). Docs bounded at
+    * 200 (the declared-pair-generator convention — the SHAPE is what
+    * scales: bucketed token postings, df-pruning, candidates-only
+    * scoring). */
+  val qSparseCosineTopk: GQuery = GQuery(
+    "q_sparse_cosine_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).filter($"doc_id" < 200)
+      val tokens = docs
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val tf = tokens.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 50)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val wts = tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+        .select($"doc_id", $"tok",
+          r6($"cnt".cast("double") * log($"n_docs" / $"df")).as("w"))
+      val norms = wts.groupBy($"doc_id")
+        .agg(sqrt(dsum(rN($"w" * $"w", 6), 6)).as("nrm"))
+      val a = wts.select($"doc_id".as("d1"), $"tok", $"w".as("w1"))
+      val b = wts.select($"doc_id".as("d2"), $"tok", $"w".as("w2"))
+      val dots = a.join(b, Seq("tok"))
+        .filter($"d1" =!= $"d2")
+        .groupBy($"d1", $"d2")
+        .agg(count(lit(1)).cast("int").as("n_shared"),
+          dsum(rN($"w1" * $"w2", 6), 6).as("dot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"d1").orderBy($"cos".desc, $"d2")
+      dots
+        .join(norms.select($"doc_id".as("d1"), $"nrm".as("na")), "d1")
+        .join(norms.select($"doc_id".as("d2"), $"nrm".as("nb")), "d2")
+        .select($"d1", $"d2", $"n_shared",
+          r6($"dot" / ($"na" * $"nb")).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter($"rnk" <= 5)
+        .select($"d1", $"d2", $"n_shared", $"cos".as("cos_sim"), $"rnk")
+        .orderBy($"d1", $"rnk")
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+      tf AS (
+        SELECT doc_id, tok, cast(count(*) as bigint) AS cnt
+        FROM tokens GROUP BY doc_id, tok),
+      dfreq AS (
+        SELECT tok, cast(count(*) as bigint) AS df
+        FROM tf GROUP BY tok HAVING count(*) <= 50),
+      nd AS (SELECT count(*) AS n_docs FROM docs),
+      wts AS (
+        SELECT doc_id, tok,
+               ${r6Sql("cast(cnt as double) * ln(n_docs / df)")} AS w
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+      norms AS (
+        SELECT doc_id, sqrt(${dsumSql(rNSql("w * w", 6), 6)}) AS nrm
+        FROM wts GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               cast(count(*) as int) AS n_shared,
+               ${dsumSql(rNSql("a.w * b.w", 6), 6)} AS dot
+        FROM wts a JOIN wts b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      scored AS (
+        SELECT d1, d2, n_shared,
+               ${r6Sql("dot / (na.nrm * nb.nrm)")} AS cos
+        FROM dots
+        JOIN norms na ON na.doc_id = d1
+        JOIN norms nb ON nb.doc_id = d2)
+      SELECT d1, d2, n_shared, cos AS cos_sim, rnk FROM (
+        SELECT d1, d2, n_shared, cos,
+               cast(row_number() OVER (PARTITION BY d1
+                 ORDER BY cos DESC, d2) as int) AS rnk
+        FROM scored) t
+      WHERE rnk <= 5
+      ORDER BY d1, rnk"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
-      qJaccardPrefix, qErMatch, qCollocation, qCondEntropy)
+      qJaccardPrefix, qErMatch, qCollocation, qCondEntropy, qSparseCosineTopk)
 }

@@ -713,7 +713,102 @@ object NonparamOps {
     },
   )
 
+  /** DUNN'S POST-HOC test — the rank-based pairwise follow-up to
+    * q_kruskal (exactly as q_tukey_hsd follows q_anova): which priority
+    * pairs actually differ in totalprice rank? Rides q_kruskal's
+    * collapsed-rank infrastructure verbatim: per-distinct-value counts,
+    * ONE cumulative window on the bounded value table, integer rank sums
+    * r2i = 2·ΣRᵢ (so mean ranks are one exact division); the k(k−1)/2
+    * group pairs are a 10-row broadcast self-join. zᵢⱼ = (R̄ᵢ − R̄ⱼ) /
+    * √(A(1/nᵢ + 1/nⱼ)) with the tie-corrected variance A = (N(N+1) −
+    * ties3/(N−1))/12 — all moments integer, z one fixed IEEE expression.
+    * The Bonferroni gate compares |z| to the α=0.05, m=10 critical value
+    * 2.807034 (a shared literal, not a quantile call — neither engine
+    * has Φ⁻¹). At 100 TB: same swap story as q_kruskal (the only
+    * unpartitioned window rides the collapsed per-value table;
+    * RankAtScaleSpec's range-partitioned two-pass form is bit-identical). */
+  val qDunnTest: GQuery = GQuery(
+    "q_dunn_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_totalprice".as("v"), $"o_orderpriority".as("pri"))
+      val pv = o.groupBy($"v", $"pri").agg(count(lit(1)).as("c"))
+      val tv = pv.groupBy($"v").agg(sum($"c").as("t"))
+      val wc = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tc = tv.withColumn("cum", coalesce(sum($"t").over(wc), lit(0L)))
+      val tot = tc.agg(sum($"t").as("n"),
+        sum($"t" * $"t" * $"t" - $"t").as("ties3"))
+      val grp = pv.join(tc.select($"v", $"t", $"cum"), Seq("v"))
+        .groupBy($"pri")
+        .agg(sum($"c").as("ni"),
+          sum($"c" * (lit(2L) * $"cum" + $"t" + lit(1L))).as("r2i"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val a = grp.select($"pri".as("pri_a"), $"ni".as("na"), $"r2i".as("ra"))
+      val b = grp.select($"pri".as("pri_b"), $"ni".as("nb"), $"r2i".as("rb"))
+      val mra = d($"ra") / (lit(2.0) * d($"na"))
+      val mrb = d($"rb") / (lit(2.0) * d($"nb"))
+      val aVar = (d($"n") * (d($"n") + lit(1.0)) -
+        d($"ties3") / (d($"n") - lit(1.0))) / lit(12.0)
+      val z = (mra - mrb) /
+        sqrt(aVar * (lit(1.0) / d($"na") + lit(1.0) / d($"nb")))
+      a.join(broadcast(b), $"pri_a" < $"pri_b")
+        .crossJoin(broadcast(tot))
+        .select($"pri_a", $"pri_b", $"na", $"nb",
+          r6(mra).as("mean_rank_a"), r6(mrb).as("mean_rank_b"),
+          r6(z).as("z"),
+          (abs(r6(z)) > lit(2.807034)).as("reject_bonf"))
+        .orderBy($"pri_a", $"pri_b")
+    },
+    Some {
+      val mra = "cast(ra as double) / (cast(2.0 as double) * cast(na as double))"
+      val mrb = "cast(rb as double) / (cast(2.0 as double) * cast(nb as double))"
+      val aVar = "((cast(n as double) * (cast(n as double) + " +
+        "cast(1.0 as double)) - cast(ties3 as double) / " +
+        "(cast(n as double) - cast(1.0 as double))) / cast(12.0 as double))"
+      val z = s"(($mra) - ($mrb)) / sqrt($aVar * " +
+        "(cast(1.0 as double) / cast(na as double) + " +
+        "cast(1.0 as double) / cast(nb as double)))"
+      s"""
+      WITH o AS (
+        SELECT o_totalprice AS v, o_orderpriority AS pri FROM orders),
+      pv AS (
+        SELECT v, pri, cast(count(*) as bigint) AS c
+        FROM o GROUP BY v, pri),
+      tv AS (SELECT v, cast(sum(c) as bigint) AS t FROM pv GROUP BY v),
+      tc AS (
+        SELECT v, t,
+               cast(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum
+        FROM tv),
+      tot AS (
+        SELECT cast(sum(t) as bigint) AS n,
+               cast(sum(t*t*t - t) as bigint) AS ties3
+        FROM tc),
+      grp AS (
+        SELECT pri, cast(sum(c) as bigint) AS ni,
+               cast(sum(c * (2 * cum + t + 1)) as bigint) AS r2i
+        FROM pv JOIN tc USING (v) GROUP BY pri)
+      SELECT a.pri AS pri_a, b.pri AS pri_b,
+             a.ni AS na, b.ni AS nb,
+             ${r6Sql(mra.replace("ra", "a.r2i").replace("na", "a.ni"))}
+               AS mean_rank_a,
+             ${r6Sql(mrb.replace("rb", "b.r2i").replace("nb", "b.ni"))}
+               AS mean_rank_b,
+             ${r6Sql(z.replace("ra", "a.r2i").replace("na", "a.ni")
+                .replace("rb", "b.r2i").replace("nb", "b.ni"))} AS z,
+             (abs(${r6Sql(z.replace("ra", "a.r2i").replace("na", "a.ni")
+                .replace("rb", "b.r2i").replace("nb", "b.ni"))}) >
+               cast(2.807034 as double)) AS reject_bonf
+      FROM grp a JOIN grp b ON a.pri < b.pri
+      CROSS JOIN tot
+      ORDER BY pri_a, pri_b"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
-      qWilcoxon, qFriedman, qMcnemar)
+      qWilcoxon, qFriedman, qMcnemar, qDunnTest)
 }

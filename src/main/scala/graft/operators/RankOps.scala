@@ -154,5 +154,136 @@ object RankOps {
       FROM rr ORDER BY p_id"""),
   )
 
-  val all: Seq[GQuery] = Seq(qNdcg, qMrr)
+  /** DuckDB left-associative dot-product chain (bit-identical to
+    * graft.functions.DotProduct's sequential fold) — local twin of
+    * ScaleOps.chainSql for the fusion query's vector side. */
+  private def chainSql64(a: String, b: String): String =
+    (1 to 64).map(i => s"(cast($a[$i] as double)*cast($b[$i] as double))")
+      .mkString(" + ")
+
+  /** RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
+    * (RRF, k=60): for 5 probe documents, fuse a VECTOR ranking (exact
+    * cosine top-10 over the bounded corpus, the q_sim_topk shape) with a
+    * TEXT ranking (token-set Jaccard top-10, candidates ONLY from the
+    * shared-token equi-join) into one list by Σ 1/(60 + rank). Ranks are
+    * integers, each reciprocal is one IEEE division, and a fused score
+    * is the sum of ≤ 2 exact terms — order-free, no staging needed; ties
+    * break on c_id. doc_id and vec_id are aligned in the fixtures, so
+    * the two modalities rank the same id space. At 100 TB each leg is
+    * its own bucketed index (IVF cells / token postings), the fusion is
+    * an id equi-join of two 10-row-per-probe lists — the cheap part. */
+  val qRrf: GQuery = GQuery(
+    "q_rrf",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val bound = 500L
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < bound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val probesV = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"), $"nrm".as("p_nrm"))
+      val wv = Window.partitionBy($"p_id").orderBy($"cos".desc, $"c_id")
+      val rankVec = emb.filter($"vec_id" >= 5).crossJoin(broadcast(probesV))
+        .select($"p_id", $"vec_id".as("c_id"),
+          r6(expr("dot_product(p_emb, emb)") / ($"p_nrm" * $"nrm")).as("cos"))
+        .withColumn("vr", row_number().over(wv))
+        .filter($"vr" <= 10)
+        .select($"p_id", $"c_id", $"vr")
+      val toks = Tables.documents(spark, dir)
+        .filter($"doc_id" < bound)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val probesT = toks.filter($"doc_id" < 5)
+        .select($"doc_id".as("p_id"), $"tok")
+      val inter = toks.filter($"doc_id" >= 5)
+        .join(probesT, "tok")
+        .groupBy($"p_id", $"doc_id".as("c_id"))
+        .agg(count(lit(1)).as("inter"))
+      val wt = Window.partitionBy($"p_id").orderBy($"jac".desc, $"c_id")
+      val rankTxt = inter
+        .join(sizes.select($"doc_id".as("p_id"), $"sz".as("sp")), "p_id")
+        .join(sizes.select($"doc_id".as("c_id"), $"sz".as("sc")), "c_id")
+        .select($"p_id", $"c_id",
+          ($"inter".cast("double") /
+            ($"sp" + $"sc" - $"inter").cast("double")).as("jac"))
+        .withColumn("tr", row_number().over(wt))
+        .filter($"tr" <= 10)
+        .select($"p_id", $"c_id", $"tr")
+      val wf = Window.partitionBy($"p_id").orderBy($"rrf".desc, $"c_id")
+      rankVec.join(rankTxt, Seq("p_id", "c_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + $"vr".cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + $"tr".cast("double")), lit(0.0)))
+        .withColumn("fused_rank", row_number().over(wf))
+        .filter($"fused_rank" <= 10)
+        .select($"p_id", $"c_id",
+          $"vr".cast("int").as("vec_rank"), $"tr".cast("int").as("text_rank"),
+          r6($"rrf").as("rrf_score"), $"fused_rank".cast("int").as("fused_rank"))
+        .orderBy($"p_id", $"fused_rank")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql64("embedding", "embedding")}) AS nrm
+        FROM embeddings WHERE vec_id < 500),
+      rank_vec AS (
+        SELECT p_id, c_id, vr FROM (
+          SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+                 cast(row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                   ${r6Sql(s"(${chainSql64("p.embedding", "c.embedding")})" +
+                     " / (p.nrm * c.nrm)")} DESC, c.vec_id) as bigint) AS vr
+          FROM emb p JOIN emb c ON p.vec_id < 5 AND c.vec_id >= 5) t
+        WHERE vr <= 10),
+      toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 500),
+      sizes AS (
+        SELECT doc_id, cast(count(*) as bigint) AS sz
+        FROM toks GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_id AS p_id, c.doc_id AS c_id,
+               cast(count(*) as bigint) AS inter
+        FROM toks p JOIN toks c ON p.tok = c.tok
+        WHERE p.doc_id < 5 AND c.doc_id >= 5
+        GROUP BY p.doc_id, c.doc_id),
+      rank_txt AS (
+        SELECT p_id, c_id, tr FROM (
+          SELECT i.p_id, i.c_id,
+                 cast(row_number() OVER (PARTITION BY i.p_id ORDER BY
+                   (cast(i.inter as double) /
+                    cast(sp.sz + sc.sz - i.inter as double)) DESC,
+                   i.c_id) as bigint) AS tr
+          FROM inter i
+          JOIN sizes sp ON sp.doc_id = i.p_id
+          JOIN sizes sc ON sc.doc_id = i.c_id) t
+        WHERE tr <= 10),
+      fused AS (
+        SELECT coalesce(v.p_id, x.p_id) AS p_id,
+               coalesce(v.c_id, x.c_id) AS c_id, v.vr, x.tr,
+               coalesce(cast(1.0 as double) /
+                 (cast(60.0 as double) + cast(v.vr as double)),
+                 cast(0.0 as double)) +
+               coalesce(cast(1.0 as double) /
+                 (cast(60.0 as double) + cast(x.tr as double)),
+                 cast(0.0 as double)) AS rrf
+        FROM rank_vec v FULL OUTER JOIN rank_txt x
+          ON v.p_id = x.p_id AND v.c_id = x.c_id)
+      SELECT p_id, c_id, cast(vr as int) AS vec_rank,
+             cast(tr as int) AS text_rank,
+             ${r6Sql("rrf")} AS rrf_score,
+             cast(fused_rank as int) AS fused_rank
+      FROM (
+        SELECT p_id, c_id, vr, tr, rrf,
+               row_number() OVER (PARTITION BY p_id
+                 ORDER BY rrf DESC, c_id) AS fused_rank
+        FROM fused) t
+      WHERE fused_rank <= 10
+      ORDER BY p_id, fused_rank"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qNdcg, qMrr, qRrf)
 }

@@ -79,7 +79,9 @@ object ExplainAll {
     "q_pagerank_pers", "q_ann_ivf_probe",
     // round 10: IVF-cell-blocked vector near-dup, MAP@10 over the
     // inverted index
-    "q_neardup_embed", "q_map_at_k")
+    "q_neardup_embed", "q_map_at_k",
+    // round 10 batch 2: Dunn post-hoc, hybrid RRF fusion, sparse cosine
+    "q_dunn_test", "q_rrf", "q_sparse_cosine_topk")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -90,7 +90,12 @@ object PlanAudit {
     // round 10: broadcast centroid cross for the cell assignment (the
     // q_ann_ivf posture); candidates themselves come from the cell
     // equi-join only
-    "q_neardup_embed")
+    "q_neardup_embed",
+    // round-10 batch 2: 5-row group-pair + 1-row moment broadcasts (Dunn
+    // post-hoc — the q_tukey_hsd posture); 5-probe bounded crosses (RRF
+    // vector leg — the q_sim_topk posture); 1-row n_docs broadcast
+    // (sparse-cosine idf)
+    "q_dunn_test", "q_rrf", "q_sparse_cosine_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
