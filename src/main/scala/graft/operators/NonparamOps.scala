@@ -808,7 +808,169 @@ object NonparamOps {
     },
   )
 
+  /** COCHRAN'S Q — the k-treatment extension of q_mcnemar (and the
+    * binary sibling of q_friedman): do view / click / purchase
+    * "activity marks" differ in prevalence across matched blocks?
+    * Blocks are (user, epoch-week) pairs (integer epoch-day div 7, the
+    * CLAUDE.md week contract), xᵢⱼ = 1 iff the user did event type j
+    * that week. Q = (k−1)(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²) is INTEGER
+    * arithmetic end to end (column totals Cⱼ, row totals Rᵢ, grand
+    * total T = ΣCⱼ = ΣRᵢ) — one distinct + two combinable aggs, a
+    * single IEEE division at the end. Blocks with all-zero rows never
+    * enter (no event → no row); all-full blocks contribute zero to the
+    * denominator, exactly as the statistic requires. */
+  val qCochranQ: GQuery = GQuery(
+    "q_cochran_q",
+    (spark, dir) => {
+      import spark.implicits._
+      val k = 3
+      val marks = Tables.events(spark, dir)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id",
+          expr("datediff(to_date(ts), date '1970-01-01') div 7").as("wk"),
+          $"event_type".as("et"))
+        .distinct()
+      val rows = marks.groupBy($"user_id", $"wk")
+        .agg(count(lit(1)).as("ri"))
+      val rAgg = rows.agg(count(lit(1)).as("n_blocks"),
+        sum($"ri").as("t_marks"), sum($"ri" * $"ri").as("sr2"))
+      val cols = marks.groupBy($"et").agg(count(lit(1)).as("cj"))
+      val cAgg = cols.agg(
+        sum(when($"et" === "view", $"cj").otherwise(0L)).as("c_view"),
+        sum(when($"et" === "click", $"cj").otherwise(0L)).as("c_click"),
+        sum(when($"et" === "purchase", $"cj").otherwise(0L)).as("c_purchase"),
+        sum($"cj" * $"cj").as("sc2"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val q = (lit((k - 1).toDouble) *
+        (lit(k.toDouble) * d($"sc2") - d($"t_marks") * d($"t_marks"))) /
+        (lit(k.toDouble) * d($"t_marks") - d($"sr2"))
+      rAgg.crossJoin(broadcast(cAgg))
+        .select($"n_blocks", $"t_marks", $"c_view", $"c_click",
+          $"c_purchase", r6(q).as("q_stat"))
+    },
+    Some {
+      val q = "(cast(2.0 as double) * (cast(3.0 as double) * " +
+        "cast(sc2 as double) - cast(t_marks as double) * " +
+        "cast(t_marks as double))) / (cast(3.0 as double) * " +
+        "cast(t_marks as double) - cast(sr2 as double))"
+      s"""
+      WITH marks AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('second', ts) as date)) // 7 AS wk,
+               event_type AS et
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      r AS (
+        SELECT cast(count(*) as bigint) AS ri
+        FROM marks GROUP BY user_id, wk),
+      ragg AS (
+        SELECT cast(count(*) as bigint) AS n_blocks,
+               cast(sum(ri) as bigint) AS t_marks,
+               cast(sum(ri * ri) as bigint) AS sr2
+        FROM r),
+      c AS (SELECT et, cast(count(*) as bigint) AS cj
+            FROM marks GROUP BY et),
+      cagg AS (
+        SELECT cast(sum(CASE WHEN et = 'view' THEN cj ELSE 0 END)
+                 as bigint) AS c_view,
+               cast(sum(CASE WHEN et = 'click' THEN cj ELSE 0 END)
+                 as bigint) AS c_click,
+               cast(sum(CASE WHEN et = 'purchase' THEN cj ELSE 0 END)
+                 as bigint) AS c_purchase,
+               cast(sum(cj * cj) as bigint) AS sc2
+        FROM c)
+      SELECT n_blocks, t_marks, c_view, c_click, c_purchase,
+             ${r6Sql(q)} AS q_stat
+      FROM ragg CROSS JOIN cagg"""
+    },
+  )
+
+  /** PAGE'S TREND TEST for ORDERED alternatives — q_friedman's
+    * directional sibling: the priority scale 1-URGENT…5-LOW is ORDERED,
+    * so instead of the omnibus "any difference" Q we test the specific
+    * monotone alternative with L = Σⱼ wⱼRⱼ (wⱼ = the priority's leading
+    * digit 1..5 — the q_armitage substring-parse score; Rⱼ = rank sum of
+    * priority j across complete monthly blocks). Reuses q_friedman's
+    * machinery verbatim: monthly cents totals, within-block DOUBLED avg
+    * ranks from 25-row-per-block pair counts (so 2L = Σwⱼ·r2ⱼ is pure
+    * int64 and L is exact), complete-block filter. Under H₀,
+    * E[L] = nk(k+1)²/4 and Var[L] = nk²(k+1)(k²−1)/144 (the classic
+    * no-ties form — block cents totals never tie in practice, and the
+    * rank machinery would still be exact if they did); z is one fixed
+    * IEEE expression over integers. */
+  val qPageTrend: GQuery = GQuery(
+    "q_page_trend",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = Tables.orders(spark, dir)
+        .select(date_trunc("month", $"o_orderdate").cast("date").as("m"),
+          $"o_orderpriority".as("pri"),
+          floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy($"m", $"pri").agg(sum($"cents").as("v"))
+      val full = b.groupBy($"m").agg(count(lit(1)).as("kk"))
+        .filter($"kk" === 5).select($"m")
+      val bb = b.join(full, "m")
+      val r2 = bb.as("x").join(bb.as("y"), col("x.m") === col("y.m"))
+        .groupBy(col("x.m").as("m"), col("x.pri").as("pri"))
+        .agg((lit(2L) * sum(when(col("y.v") < col("x.v"), 1L).otherwise(0L)) +
+          sum(when(col("y.v") === col("x.v"), 1L).otherwise(0L)) + lit(1L))
+          .as("r2"))
+      val rj = r2
+        .withColumn("w", expr("cast(substring(pri, 1, 1) as int)").cast("long"))
+        .groupBy($"pri", $"w")
+        .agg(sum($"r2").as("r2j"), count(lit(1)).as("nb"))
+      val a = rj.agg(max($"nb").as("n"), count(lit(1)).cast("long").as("k"),
+        sum($"w" * $"r2j").as("l2"))
+      val d = (s: String) => col(s).cast("double")
+      val n = d("n"); val k = d("k")
+      val lStat = d("l2") / lit(2.0)
+      val eL = n * k * (k + lit(1.0)) * (k + lit(1.0)) / lit(4.0)
+      val varL = n * k * k * (k + lit(1.0)) * (k * k - lit(1.0)) / lit(144.0)
+      a.select($"n".as("n_blocks"), $"k".cast("int").as("k"),
+        r6(lStat).as("l_stat"), r6((lStat - eL) / sqrt(varL)).as("z"))
+    },
+    Some {
+      val n = "cast(n as double)"; val k = "cast(k as double)"
+      val l = "(cast(l2 as double) / cast(2.0 as double))"
+      val eL = s"($n * $k * ($k + cast(1.0 as double)) * " +
+        s"($k + cast(1.0 as double)) / cast(4.0 as double))"
+      val varL = s"($n * $k * $k * ($k + cast(1.0 as double)) * " +
+        s"($k * $k - cast(1.0 as double)) / cast(144.0 as double))"
+      s"""
+      WITH b AS (
+        SELECT cast(date_trunc('month', o_orderdate) as date) AS m,
+               o_orderpriority AS pri,
+               cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))
+                 as bigint) AS v
+        FROM orders GROUP BY 1, 2),
+      full_b AS (SELECT m FROM b GROUP BY m HAVING count(*) = 5),
+      bb AS (SELECT b.* FROM b JOIN full_b USING (m)),
+      r2 AS (
+        SELECT x.m, x.pri,
+               cast(2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END) +
+                 sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1
+                 as bigint) AS r2
+        FROM bb x JOIN bb y ON x.m = y.m
+        GROUP BY x.m, x.pri),
+      rj AS (
+        SELECT pri, cast(substr(pri, 1, 1) as bigint) AS w,
+               cast(sum(r2) as bigint) AS r2j,
+               cast(count(*) as bigint) AS nb
+        FROM r2 GROUP BY pri),
+      a AS (
+        SELECT max(nb) AS n, cast(count(*) as bigint) AS k,
+               cast(sum(w * r2j) as bigint) AS l2
+        FROM rj)
+      SELECT n AS n_blocks, cast(k as int) AS k,
+             ${r6Sql(l)} AS l_stat,
+             ${r6Sql(s"($l - $eL) / sqrt($varL)")} AS z
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
-      qWilcoxon, qFriedman, qMcnemar, qDunnTest)
+      qWilcoxon, qFriedman, qMcnemar, qDunnTest, qCochranQ, qPageTrend)
 }

@@ -1033,9 +1033,104 @@ object StatOps {
     },
   )
 
+  /** CRAMÉR–VON MISES goodness-of-fit of the inter-arrival gaps against
+    * a FITTED EXPONENTIAL — the integral companion to q_ks_test's
+    * supremum statistic (W² weighs the whole CDF discrepancy, not just
+    * the worst point) and the distributional check behind every
+    * Poisson-process assumption (q_poisson_fit, q_burstiness). Gaps are
+    * integer seconds (ONE lag window per user, the q_interarrival pass);
+    * λ̂ = 1/mean is one IEEE division over exact integer sums. The
+    * order-statistic sum Σᵢ(F(x₍ᵢ₎)−(2i−1)/2n)² collapses to the
+    * per-DISTINCT-gap table (the q_ks_test/RankAtScaleSpec scale shape):
+    * for a gap value with count t and c predecessors, the run's closed
+    * form is t·F² − F·t(2c+t)/n + S₂/(4n²) with S₂ = f(c+t) − f(c),
+    * f(m) = m(2m−1)(2m+1)/3 — pure int64 (the pre-division product
+    * caps validity at n ≈ 1.3e6, comfortably past sf1; the bound is
+    * recorded like the other staging contracts). F is r6'd before
+    * use (the libm exp contract), every term is one fixed IEEE
+    * expression quantized at 12 dp into a decimal-staged sum (the
+    * q_cond_entropy pattern: terms are tiny and numerous). */
+  val qCvmExp: GQuery = GQuery(
+    "q_cvm_exp",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val wLag = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gaps = Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"ts")
+        .withColumn("g",
+          $"ts".cast("long") - lag($"ts".cast("long"), 1).over(wLag))
+        .filter($"g".isNotNull)
+        .select($"g")
+      val gv = gaps.groupBy($"g").agg(count(lit(1)).as("t"))
+      val wc = Window.orderBy($"g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tc = gv.withColumn("c", coalesce(sum($"t").over(wc), lit(0L)))
+      val tot = tc.agg(sum($"t").as("n"), sum($"g" * $"t").as("sg"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val lam = d($"n") / d($"sg")
+      val f = r6(lit(1.0) - exp(-lam * d($"g")))
+      // f(m) = m(2m−1)(2m+1)/3 is always an exact integer — keep it in
+      // int64 with `div` (Spark Column `/` on longs is DOUBLE division,
+      // and the two ~n³ magnitudes would cancel catastrophically)
+      val s2 = expr("(c + t) * (2*(c + t) - 1) * (2*(c + t) + 1) div 3 - " +
+        "c * (2*c - 1) * (2*c + 1) div 3")
+      val term = d($"t") * f * f -
+        f * (d($"t" * (lit(2L) * $"c" + $"t")) / d($"n")) +
+        d(s2) / (lit(4.0) * d($"n") * d($"n"))
+      tc.crossJoin(broadcast(tot))
+        .select($"n", lam.as("lam"), rN(term, 12).as("tm"))
+        .groupBy($"n", $"lam")
+        .agg(sum($"tm".cast(dec12)).cast("double").as("s"))
+        .select($"n".as("n_gaps"), r6($"lam").as("lambda_hat"),
+          r6(lit(1.0) / (lit(12.0) * d($"n")) + $"s").as("w2"))
+    },
+    Some {
+      val lam = "(cast(n as double) / cast(sg as double))"
+      val f = r6Sql(s"cast(1.0 as double) - exp(-$lam * cast(g as double))")
+      // integer // in DuckDB (its / on integers is double division)
+      val s2 = "((c + t) * (2*(c + t) - 1) * (2*(c + t) + 1) // 3 - " +
+        "c * (2*c - 1) * (2*c + 1) // 3)"
+      val term = s"cast(t as double) * ($f) * ($f) - " +
+        s"($f) * (cast(t * (2*c + t) as double) / cast(n as double)) + " +
+        s"cast($s2 as double) / (cast(4.0 as double) * " +
+        "cast(n as double) * cast(n as double))"
+      s"""
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch(date_trunc('second', ts))::BIGINT AS tse
+        FROM events),
+      gaps AS (
+        SELECT tse - lag(tse) OVER (PARTITION BY user_id
+                 ORDER BY tse, event_id) AS g
+        FROM ev),
+      gv AS (SELECT g, cast(count(*) as bigint) AS t
+             FROM gaps WHERE g IS NOT NULL GROUP BY g),
+      tc AS (
+        SELECT g, t,
+               cast(coalesce(sum(t) OVER (ORDER BY g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS c
+        FROM gv),
+      tot AS (SELECT cast(sum(t) as bigint) AS n,
+                     cast(sum(g * t) as bigint) AS sg
+              FROM tc),
+      st AS (
+        SELECT n, $lam AS lam,
+               cast(sum(cast(${rNSql("term", 12).replace("term", s"($term)")}
+                 as decimal(30,12))) as double) AS s
+        FROM tc CROSS JOIN tot
+        GROUP BY n, lam)
+      SELECT n AS n_gaps, ${r6Sql("lam")} AS lambda_hat,
+             ${r6Sql("cast(1.0 as double) / (cast(12.0 as double) * " +
+               "cast(n as double)) + s")} AS w2
+      FROM st"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
     qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs,
-    qMahalanobis)
+    qMahalanobis, qCvmExp)
 }

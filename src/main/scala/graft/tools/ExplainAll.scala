@@ -81,7 +81,10 @@ object ExplainAll {
     // inverted index
     "q_neardup_embed", "q_map_at_k",
     // round 10 batch 2: Dunn post-hoc, hybrid RRF fusion, sparse cosine
-    "q_dunn_test", "q_rrf", "q_sparse_cosine_topk")
+    "q_dunn_test", "q_rrf", "q_sparse_cosine_topk",
+    // round 10 batch 3: binary-blocks Cochran Q, ordered-alternative
+    // Page trend, Cramer-von Mises exponential fit
+    "q_cochran_q", "q_page_trend", "q_cvm_exp")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

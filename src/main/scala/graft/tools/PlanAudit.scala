@@ -95,7 +95,11 @@ object PlanAudit {
     // post-hoc — the q_tukey_hsd posture); 5-probe bounded crosses (RRF
     // vector leg — the q_sim_topk posture); 1-row n_docs broadcast
     // (sparse-cosine idf)
-    "q_dunn_test", "q_rrf", "q_sparse_cosine_topk")
+    "q_dunn_test", "q_rrf", "q_sparse_cosine_topk",
+    // round-10 batch 3: 1-row scalar broadcasts (column-total row for
+    // Cochran's Q; n/Σg total row for the CvM exponential fit — the
+    // q_kruskal / q_grubbs posture)
+    "q_cochran_q", "q_cvm_exp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
