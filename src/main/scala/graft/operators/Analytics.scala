@@ -846,8 +846,90 @@ object Analytics {
       ORDER BY agg.c_mktsegment"""),
   )
 
+  /** RFM SEGMENT MIGRATION — the longitudinal view q_rfm lacks: which
+    * monetary quartile did each customer move to between the first and
+    * second half of the observation window? The split point is pure
+    * integer epoch-day arithmetic (d0 + (d1−d0) div 2 — `div`/`//`, the
+    * CLAUDE.md quotient contract); per-half customer totals are exact
+    * integer cents, and the per-half quartile breakpoints are
+    * interpolated percentiles of INTEGER inputs (exactly k or k+0.5 in
+    * both engines — the q_levene median contract), so the 1–4 scores
+    * are deterministic strict-compare sums against a broadcast 1-row
+    * breakpoint table (the q_rfm scoring idiom). Output: the 4×4
+    * transition matrix over customers active in BOTH halves, with
+    * row-share percentages. One shuffle per half, matrix-sized output
+    * at any SF. */
+  val qRfmMigration: GQuery = GQuery(
+    "q_rfm_migration",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir).select($"o_custkey",
+        expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("ed"),
+        floor($"o_totalprice" * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      val b = ord.agg(min($"ed").as("d0"), max($"ed").as("d1"))
+        .select(($"d0" + expr("(d1 - d0) div 2")).as("mid"))
+      val halves = ord.crossJoin(broadcast(b))
+        .withColumn("h", when($"ed" <= $"mid", 1).otherwise(2))
+        .groupBy($"o_custkey", $"h").agg(sum($"cents").as("m"))
+      def score(h: Int): DataFrame = {
+        val hm = halves.filter($"h" === h)
+        val bp = hm.agg(
+          expr("percentile(m, 0.25)").as("q1"),
+          expr("percentile(m, 0.5)").as("q2"),
+          expr("percentile(m, 0.75)").as("q3"))
+        hm.crossJoin(broadcast(bp))
+          .select($"o_custkey",
+            (lit(1) + ($"m" > $"q1").cast("int") + ($"m" > $"q2").cast("int")
+              + ($"m" > $"q3").cast("int")).as(s"seg_h$h"))
+      }
+      val tm = score(1).join(score(2), "o_custkey")
+        .groupBy($"seg_h1", $"seg_h2")
+        .agg(count(lit(1)).as("n_customers"))
+      val wRow = Window.partitionBy($"seg_h1")
+      tm.withColumn("row_share",
+          r6($"n_customers".cast("double") /
+            sum($"n_customers").over(wRow).cast("double")))
+        .orderBy($"seg_h1", $"seg_h2")
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1970-01-01',
+                 cast(o_orderdate as date)) AS ed,
+               cast(floor(o_totalprice * 100.0 + 0.5) as bigint) AS cents
+        FROM orders),
+      b AS (SELECT min(ed) + (max(ed) - min(ed)) // 2 AS mid FROM o),
+      halves AS (
+        SELECT o_custkey, CASE WHEN ed <= mid THEN 1 ELSE 2 END AS h,
+               cast(sum(cents) as bigint) AS m
+        FROM o CROSS JOIN b GROUP BY 1, 2),
+      bp1 AS (SELECT quantile_cont(m, 0.25) AS q1, quantile_cont(m, 0.5) AS q2,
+                     quantile_cont(m, 0.75) AS q3 FROM halves WHERE h = 1),
+      bp2 AS (SELECT quantile_cont(m, 0.25) AS q1, quantile_cont(m, 0.5) AS q2,
+                     quantile_cont(m, 0.75) AS q3 FROM halves WHERE h = 2),
+      s1 AS (
+        SELECT o_custkey,
+               1 + (m > q1)::int + (m > q2)::int + (m > q3)::int AS seg_h1
+        FROM halves CROSS JOIN bp1 WHERE h = 1),
+      s2 AS (
+        SELECT o_custkey,
+               1 + (m > q1)::int + (m > q2)::int + (m > q3)::int AS seg_h2
+        FROM halves CROSS JOIN bp2 WHERE h = 2),
+      tm AS (
+        SELECT seg_h1, seg_h2, cast(count(*) as bigint) AS n_customers
+        FROM s1 JOIN s2 USING (o_custkey)
+        GROUP BY seg_h1, seg_h2)
+      SELECT seg_h1, seg_h2, n_customers,
+             ${r6Sql("cast(n_customers as double) / " +
+               "cast(sum(n_customers) OVER (PARTITION BY seg_h1) as double)")}
+               AS row_share
+      FROM tm
+      ORDER BY seg_h1, seg_h2"""),
+  )
+
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
       qAggIncremental, qAbtest, qSkyline, qCopurchase, qPagerank,
-      qConcentration, qPagerankPers)
+      qConcentration, qPagerankPers, qRfmMigration)
 }

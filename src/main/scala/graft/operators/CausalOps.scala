@@ -584,5 +584,104 @@ object CausalOps {
       GROUP BY n_users"""),
   )
 
-  val all: Seq[GQuery] = Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest)
+  /** INSTRUMENTAL-VARIABLE (2SLS) slope with INSTRUMENT-STRENGTH
+    * SCREENING — the causal workhorse the CUPED/DiD family lacks, run
+    * over TWO candidate instruments side by side so the weak-instrument
+    * diagnostic is demonstrated, not just printed: the net-on-gross
+    * revenue slope beta_IV = Cov(z,y)/Cov(z,x) under (a) z = the gross
+    * price band (x div 100 -- structurally tied to x, first stage
+    * r ~ 1) and (b) z = quantity (independent of price in the fixtures,
+    * first stage r ~ 0 -- the textbook weak instrument whose beta_IV is
+    * meaningless, which is exactly what the r column shows). Every
+    * derived column is exact integer arithmetic from the established
+    * cents extraction (gross dollars = cents div 100; net = x*(100-dh)
+    * div 100 -- the `div`/`//` quotient contract), so ONE combinable
+    * moment pass yields exact int64 sums at sf1, and the estimates are
+    * fixed IEEE ratios of the n-cleared covariances (the q_cuped moment
+    * contract: int64 sums cast to double BEFORE the n-products, so both
+    * engines round identically even where magnitudes cancel). */
+  val qIv2sls: GQuery = GQuery(
+    "q_iv_2sls",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir).select(
+        expr("floor(l_extendedprice * 100.0 + 0.5) div 100")
+          .cast("long").as("x"),
+        $"l_quantity".cast("long").as("z2"),
+        floor($"l_discount" * lit(100.0) + lit(0.5)).cast("long").as("dh"))
+        .withColumn("y", expr("x * (100 - dh) div 100"))
+        .withColumn("z1", expr("x div 100"))
+      val s = li.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"z1").as("sza"), sum($"z1" * $"y").as("szya"),
+        sum($"z1" * $"x").as("szxa"), sum($"z1" * $"z1").as("szza"),
+        sum($"z2").as("szb"), sum($"z2" * $"y").as("szyb"),
+        sum($"z2" * $"x").as("szxb"), sum($"z2" * $"z2").as("szzb"))
+      val stacked = s.selectExpr("n", "sx", "sy", "sxy", "sxx",
+        "stack(2, 'price_band', sza, szya, szxa, szza, " +
+          "'quantity', szb, szyb, szxb, szzb) AS (instrument, sz, szy, szx, szz)")
+      val d = (c: String) => col(c).cast("double")
+      val czy = d("n") * d("szy") - d("sz") * d("sy")
+      val czx = d("n") * d("szx") - d("sz") * d("sx")
+      val cxy = d("n") * d("sxy") - d("sx") * d("sy")
+      val cxx = d("n") * d("sxx") - d("sx") * d("sx")
+      val czz = d("n") * d("szz") - d("sz") * d("sz")
+      stacked.select($"instrument", $"n",
+        r6(cxy / cxx).as("beta_ols"),
+        r6(czy / czx).as("beta_iv"),
+        r6(czx / sqrt(czz * cxx)).as("first_stage_r"))
+        .orderBy($"instrument")
+    },
+    Some {
+      val czy = "(cast(n as double) * cast(szy as double) - " +
+        "cast(sz as double) * cast(sy as double))"
+      val czx = "(cast(n as double) * cast(szx as double) - " +
+        "cast(sz as double) * cast(sx as double))"
+      val cxy = "(cast(n as double) * cast(sxy as double) - " +
+        "cast(sx as double) * cast(sy as double))"
+      val cxx = "(cast(n as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double))"
+      val czz = "(cast(n as double) * cast(szz as double) - " +
+        "cast(sz as double) * cast(sz as double))"
+      s"""
+      WITH li0 AS (
+        SELECT cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) // 100
+                 AS x,
+               cast(l_quantity as bigint) AS z2,
+               cast(floor(l_discount * 100.0 + 0.5) as bigint) AS dh
+        FROM lineitem),
+      li AS (SELECT x, z2, x * (100 - dh) // 100 AS y, x // 100 AS z1
+             FROM li0),
+      s AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(z1) as bigint) AS sza,
+               cast(sum(z1*y) as bigint) AS szya,
+               cast(sum(z1*x) as bigint) AS szxa,
+               cast(sum(z1*z1) as bigint) AS szza,
+               cast(sum(z2) as bigint) AS szb,
+               cast(sum(z2*y) as bigint) AS szyb,
+               cast(sum(z2*x) as bigint) AS szxb,
+               cast(sum(z2*z2) as bigint) AS szzb
+        FROM li),
+      st AS (
+        SELECT n, sx, sy, sxy, sxx, 'price_band' AS instrument,
+               sza AS sz, szya AS szy, szxa AS szx, szza AS szz FROM s
+        UNION ALL
+        SELECT n, sx, sy, sxy, sxx, 'quantity' AS instrument,
+               szb AS sz, szyb AS szy, szxb AS szx, szzb AS szz FROM s)
+      SELECT instrument, n,
+             ${r6Sql(s"$cxy / $cxx")} AS beta_ols,
+             ${r6Sql(s"$czy / $czx")} AS beta_iv,
+             ${r6Sql(s"$czx / sqrt($czz * $cxx)")} AS first_stage_r
+      FROM st
+      ORDER BY instrument"""
+    },
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls)
 }

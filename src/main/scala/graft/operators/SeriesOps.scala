@@ -1615,9 +1615,93 @@ object SeriesOps {
     },
   )
 
+  /** YULE–WALKER AR(2) FIT on the daily event-count series — the
+    * parametric model on top of q_autocorr's diagnostics (and q_pacf's
+    * closed-form cousin): φ₁, φ₂ from the lag-1/lag-2 autocovariances.
+    * The ACF here is the standard single-denominator estimator
+    * rₖ = cₖ/c₀ (full-series mean, c₀ normalizer — NOT q_autocorr's
+    * per-lag Pearson), kept EXACT by n²-clearing: n²·Σ'xₜxₜ₊ₖ −
+    * n·sx·(s1ₖ+s2ₖ) + (n−k)·sx² is pure int64 (calendar-bounded n,
+    * counts ≤ ~10⁴/day keep the products under 2·10¹⁸ at sf1 — bound
+    * recorded like the staging contracts), so each rₖ is ONE IEEE
+    * division of exact integers and the φ's are fixed expressions:
+    * φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), innovation ratio
+    * σ²ₑ/σ² = 1 − φ₁r₁ − φ₂r₂. Rides the zero-filled calendar spine
+    * (gap days are real zeros; a lag pair skipping a gap is wrong). */
+  val qYuleWalker: GQuery = GQuery(
+    "q_yule_walker",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"day")
+      val lagged = dailyCounts(spark, dir)
+        .withColumn("lag1", lag($"n", 1).over(w))
+        .withColumn("lag2", lag($"n", 2).over(w))
+      val s = lagged.agg(
+        count(lit(1)).as("n"), sum($"n").as("sx"),
+        sum($"n" * $"n").as("sxx"),
+        sum(when($"lag1".isNotNull, $"n" * $"lag1").otherwise(0L)).as("sp1"),
+        sum(when($"lag1".isNotNull, $"n").otherwise(0L)).as("a1"),
+        sum(when($"lag1".isNotNull, $"lag1").otherwise(0L)).as("b1"),
+        sum(when($"lag2".isNotNull, $"n" * $"lag2").otherwise(0L)).as("sp2"),
+        sum(when($"lag2".isNotNull, $"n").otherwise(0L)).as("a2"),
+        sum(when($"lag2".isNotNull, $"lag2").otherwise(0L)).as("b2"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val n0 = $"n" * $"n" * $"sxx" - $"n" * $"sx" * $"sx"
+      val n1 = $"n" * $"n" * $"sp1" - $"n" * $"sx" * ($"a1" + $"b1") +
+        ($"n" - lit(1L)) * $"sx" * $"sx"
+      val n2 = $"n" * $"n" * $"sp2" - $"n" * $"sx" * ($"a2" + $"b2") +
+        ($"n" - lit(2L)) * $"sx" * $"sx"
+      val r1 = d(n1) / d(n0)
+      val r2 = d(n2) / d(n0)
+      val den = lit(1.0) - r1 * r1
+      val phi1 = r1 * (lit(1.0) - r2) / den
+      val phi2 = (r2 - r1 * r1) / den
+      s.select($"n".as("n_days"), r6(r1).as("r1"), r6(r2).as("r2"),
+        r6(phi1).as("phi1"), r6(phi2).as("phi2"),
+        r6(lit(1.0) - phi1 * r1 - phi2 * r2).as("innov_ratio"))
+    },
+    Some {
+      val n0 = "(n*n*sxx - n*sx*sx)"
+      val n1 = "(n*n*sp1 - n*sx*(a1 + b1) + (n - 1)*sx*sx)"
+      val n2 = "(n*n*sp2 - n*sx*(a2 + b2) + (n - 2)*sx*sx)"
+      val r1 = s"(cast($n1 as double) / cast($n0 as double))"
+      val r2 = s"(cast($n2 as double) / cast($n0 as double))"
+      val den = s"(cast(1.0 as double) - $r1 * $r1)"
+      val phi1 = s"($r1 * (cast(1.0 as double) - $r2) / $den)"
+      val phi2 = s"(($r2 - $r1 * $r1) / $den)"
+      s"""
+      WITH $dailyCte,
+      l AS (SELECT n, lag(n, 1) OVER (ORDER BY day) AS lag1,
+                   lag(n, 2) OVER (ORDER BY day) AS lag2
+            FROM daily),
+      s AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(n) as bigint) AS sx,
+               cast(sum(n*n) as bigint) AS sxx,
+               cast(sum(CASE WHEN lag1 IS NOT NULL THEN n*lag1 ELSE 0 END)
+                 as bigint) AS sp1,
+               cast(sum(CASE WHEN lag1 IS NOT NULL THEN n ELSE 0 END)
+                 as bigint) AS a1,
+               cast(sum(CASE WHEN lag1 IS NOT NULL THEN lag1 ELSE 0 END)
+                 as bigint) AS b1,
+               cast(sum(CASE WHEN lag2 IS NOT NULL THEN n*lag2 ELSE 0 END)
+                 as bigint) AS sp2,
+               cast(sum(CASE WHEN lag2 IS NOT NULL THEN n ELSE 0 END)
+                 as bigint) AS a2,
+               cast(sum(CASE WHEN lag2 IS NOT NULL THEN lag2 ELSE 0 END)
+                 as bigint) AS b2
+        FROM l)
+      SELECT n AS n_days, ${r6Sql(r1)} AS r1, ${r6Sql(r2)} AS r2,
+             ${r6Sql(phi1)} AS phi1, ${r6Sql(phi2)} AS phi2,
+             ${r6Sql(s"cast(1.0 as double) - $phi1 * $r1 - $phi2 * $r2")}
+               AS innov_ratio
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
-    qCroston, qGapAnalysis, qTheilSen, qGumbel)
+    qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker)
 }

@@ -84,7 +84,10 @@ object ExplainAll {
     "q_dunn_test", "q_rrf", "q_sparse_cosine_topk",
     // round 10 batch 3: binary-blocks Cochran Q, ordered-alternative
     // Page trend, Cramer-von Mises exponential fit
-    "q_cochran_q", "q_page_trend", "q_cvm_exp")
+    "q_cochran_q", "q_page_trend", "q_cvm_exp",
+    // round 10 batch 4: Yule-Walker AR(2), IV instrument screening,
+    // RFM quartile migration matrix
+    "q_yule_walker", "q_iv_2sls", "q_rfm_migration")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

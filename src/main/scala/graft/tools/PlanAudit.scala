@@ -99,7 +99,10 @@ object PlanAudit {
     // round-10 batch 3: 1-row scalar broadcasts (column-total row for
     // Cochran's Q; n/Σg total row for the CvM exponential fit — the
     // q_kruskal / q_grubbs posture)
-    "q_cochran_q", "q_cvm_exp")
+    "q_cochran_q", "q_cvm_exp",
+    // round-10 batch 4: 1-row broadcasts (epoch-day midpoint row, two
+    // 1-row quartile-breakpoint tables — the q_rfm posture)
+    "q_rfm_migration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
