@@ -682,6 +682,99 @@ object CausalOps {
     },
   )
 
+  /** GROUP-SEQUENTIAL A/B MONITORING — the "peek every week" view the
+    * one-shot q_cuped/q_mde tests deliberately avoid: cumulative Welch z
+    * between the md5-hash-split variants after every completed week,
+    * compared against a flat Pocock-style boundary (2.413, the K=5
+    * two-sided 0.05 constant — a shared literal, neither engine has the
+    * boundary function). Weekly (variant, week) cells are ONE combinable
+    * pass of exact integer moments (n, Σcents, Σcents²); the cumulative
+    * prefix sums ride a window over the |weeks|-row cell table, so every
+    * look's z is a fixed IEEE form over exact integers (the q_cuped
+    * contract — int64 sums cast to double BEFORE the n-products).
+    * Looks with a single observation in either arm emit NULL z (the
+    * variance guard both engines apply identically). */
+  val qGroupSeq: GQuery = GQuery(
+    "q_group_seq",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(
+          expr("datediff(to_date(ts), date '1970-01-01') div 7").as("wk"),
+          (conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int").as("v"),
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val cells = ev.groupBy($"wk", $"v")
+        .agg(count(lit(1)).as("nw"), sum($"cents").as("sw"),
+          sum($"cents" * $"cents").as("ssw"))
+      val wCum = Window.partitionBy($"v").orderBy($"wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells
+        .withColumn("cn", sum($"nw").over(wCum))
+        .withColumn("cs", sum($"sw").over(wCum))
+        .withColumn("css", sum($"ssw").over(wCum))
+        .select($"wk", $"v", $"cn", $"cs", $"css")
+      val a = cum.filter($"v" === 0)
+        .select($"wk", $"cn".as("n0"), $"cs".as("s0"), $"css".as("ss0"))
+      val b = cum.filter($"v" === 1)
+        .select($"wk", $"cn".as("n1"), $"cs".as("s1"), $"css".as("ss1"))
+      val d = (c: String) => col(c).cast("double")
+      val v0 = (d("n0") * d("ss0") - d("s0") * d("s0")) /
+        (d("n0") * (d("n0") - lit(1.0)))
+      val v1 = (d("n1") * d("ss1") - d("s1") * d("s1")) /
+        (d("n1") * (d("n1") - lit(1.0)))
+      val z = (d("s1") / d("n1") - d("s0") / d("n0")) /
+        sqrt(v1 / d("n1") + v0 / d("n0"))
+      a.join(b, "wk")
+        .select($"wk", $"n0", $"n1",
+          when($"n0" > 1 && $"n1" > 1, r6(z)).as("z"),
+          when($"n0" > 1 && $"n1" > 1, abs(r6(z)) > lit(2.413))
+            .as("crossed"))
+        .orderBy($"wk")
+    },
+    Some {
+      val v0 = "((cast(n0 as double) * cast(ss0 as double) - " +
+        "cast(s0 as double) * cast(s0 as double)) / " +
+        "(cast(n0 as double) * (cast(n0 as double) - cast(1.0 as double))))"
+      val v1 = "((cast(n1 as double) * cast(ss1 as double) - " +
+        "cast(s1 as double) * cast(s1 as double)) / " +
+        "(cast(n1 as double) * (cast(n1 as double) - cast(1.0 as double))))"
+      val z = s"((cast(s1 as double) / cast(n1 as double) - " +
+        s"cast(s0 as double) / cast(n0 as double)) / " +
+        s"sqrt($v1 / cast(n1 as double) + $v0 / cast(n0 as double)))"
+      s"""
+      WITH ev AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                 cast(date_trunc('second', ts) as date)) // 7 AS wk,
+               cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+                 ::BIGINT % 2 as int) AS v,
+               cast(floor("value" * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents
+        FROM events),
+      cells AS (
+        SELECT wk, v, cast(count(*) as bigint) AS nw,
+               cast(sum(cents) as bigint) AS sw,
+               cast(sum(cents * cents) as bigint) AS ssw
+        FROM ev GROUP BY wk, v),
+      cum AS (
+        SELECT wk, v,
+               cast(sum(nw) OVER w as bigint) AS cn,
+               cast(sum(sw) OVER w as bigint) AS cs,
+               cast(sum(ssw) OVER w as bigint) AS css
+        FROM cells
+        WINDOW w AS (PARTITION BY v ORDER BY wk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      a AS (SELECT wk, cn AS n0, cs AS s0, css AS ss0 FROM cum WHERE v = 0),
+      b AS (SELECT wk, cn AS n1, cs AS s1, css AS ss1 FROM cum WHERE v = 1)
+      SELECT wk, n0, n1,
+             CASE WHEN n0 > 1 AND n1 > 1 THEN ${r6Sql(z)} END AS z,
+             CASE WHEN n0 > 1 AND n1 > 1 THEN
+               abs(${r6Sql(z)}) > cast(2.413 as double) END AS crossed
+      FROM a JOIN b USING (wk)
+      ORDER BY wk"""
+    },
+  )
+
   val all: Seq[GQuery] =
-    Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls)
+    Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls, qGroupSeq)
 }

@@ -708,8 +708,96 @@ object PipelineOps {
       FROM g ORDER BY lang"""),
   )
 
+  /** BOILERPLATE STRIP by cross-corpus paragraph frequency — the CCNet
+    * move q_dedup_para (keep-FIRST) deliberately is not: a 20-word
+    * paragraph whose digest appears in ≥ 3 DISTINCT documents is
+    * boilerplate (footers, licenses, navigation chrome) and is dropped
+    * from EVERY document, originals included. 25 planted docs carrying a
+    * shared footer (the first 20 words of doc 0, PREPENDED in-query so
+    * it aligns to a clean chunk boundary — never an out-of-band literal) guarantee a ≥ 26-doc digest at every
+    * SF, so the gate can never pass vacuously. Same scale shape as
+    * q_dedup_para: one chunk explode, a COMBINABLE distinct-doc count
+    * per digest (map-side collapse — a 10⁸-copy footer at 100 TB never
+    * sorts through one window partition), and the boiler set joins back
+    * as a broadcast-able digest table. Output: per affected doc, chunk
+    * counts, boilerplate fraction, and surviving token count. */
+  val qBoilerplate: GQuery = GQuery(
+    "q_boilerplate",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val footer = base.filter($"doc_id" === 0)
+        .select(concat_ws(" ", slice(split($"text", " "), 1, 20)).as("ftr"))
+      val planted = base.filter($"doc_id" < 25).crossJoin(broadcast(footer))
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat($"ftr", lit(" "), $"text").as("text"))
+      val docs = base.unionByName(planted)
+      val withWords = docs.select($"doc_id", split($"text", " ").as("l"))
+      val paras = withWords.select($"doc_id",
+          posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(l) / 20.0) as int) - 1), " +
+              "i -> concat_ws(' ', slice(l, i * 20 + 1, 20)))")))
+        .toDF("doc_id", "pos", "para")
+        .withColumn("ph", md5($"para"))
+      val boiler = paras.select($"ph", $"doc_id").distinct()
+        .groupBy($"ph").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 3)
+      val flagged = paras
+        .join(boiler.select($"ph", lit(1).as("is_b")), Seq("ph"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_paras"),
+          sum(when($"is_b".isNotNull, 1L).otherwise(0L)).cast("int")
+            .as("n_boiler"),
+          sum(when($"is_b".isNull, size(split($"para", " ")).cast("long"))
+            .otherwise(0L)).as("tokens_kept"))
+      flagged.filter($"n_boiler" > 0)
+        .select($"doc_id", $"n_paras", $"n_boiler",
+          r6($"n_boiler".cast("double") / $"n_paras".cast("double"))
+            .as("boiler_frac"),
+          $"tokens_kept")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      footer AS (
+        SELECT array_to_string(string_split(text, ' ')[1:20], ' ') AS ftr
+        FROM base WHERE doc_id = 0),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 500000, ftr || ' ' || text
+        FROM base CROSS JOIN footer WHERE doc_id < 25),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      paras AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(l[(i * 20 + 1):(i * 20 + 20)], ' ') AS para,
+               md5(array_to_string(l[(i * 20 + 1):(i * 20 + 20)], ' ')) AS ph
+        FROM lt, unnest(generate_series(0,
+               cast(ceil(len(l) / 20.0) as int) - 1)) AS t(i)),
+      boiler AS (
+        SELECT ph FROM (
+          SELECT ph, count(DISTINCT doc_id) AS df FROM paras GROUP BY ph)
+        WHERE df >= 3),
+      flagged AS (
+        SELECT p.doc_id,
+               cast(count(*) as int) AS n_paras,
+               cast(sum(CASE WHEN b.ph IS NOT NULL THEN 1 ELSE 0 END)
+                 as int) AS n_boiler,
+               cast(sum(CASE WHEN b.ph IS NULL
+                 THEN len(string_split(para, ' ')) ELSE 0 END)
+                 as bigint) AS tokens_kept
+        FROM paras p LEFT JOIN boiler b ON p.ph = b.ph
+        GROUP BY p.doc_id)
+      SELECT doc_id, n_paras, n_boiler,
+             ${r6Sql("cast(n_boiler as double) / cast(n_paras as double)")}
+               AS boiler_frac,
+             tokens_kept
+      FROM flagged WHERE n_boiler > 0
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
-      qCurriculum, qFoldBalance, qRejectionSample)
+      qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate)
 }

@@ -1699,9 +1699,79 @@ object SeriesOps {
     },
   )
 
+  /** SEASONAL MANN–KENDALL — q_mk_trend's deseasonalized form: the S
+    * statistic is computed WITHIN each month-of-year (January totals
+    * compared only across years, never against a December) and summed,
+    * so an annual cycle cannot masquerade as trend. Monthly cents
+    * totals key on (year, month) — both engines' extraction functions
+    * agree on dates, unlike week truncation. The per-season pair join
+    * is an EQUI-join on month with the year inequality as conjunct
+    * (12 groups × C(years,2) pairs — calendar-bounded, no broadcast
+    * cross needed); per-season tie terms and variances follow
+    * q_mk_trend's integer forms summed over seasons; one continuity-
+    * corrected z at the end. */
+  val qSeasonalMk: GQuery = GQuery(
+    "q_seasonal_mk",
+    (spark, dir) => {
+      import spark.implicits._
+      val mo = Tables.orders(spark, dir)
+        .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("x"))
+        .localCheckpoint()
+      val a = mo.select($"m".as("ma"), $"y".as("ya"), $"x".as("xa"))
+      val b = mo.select($"m".as("mb"), $"y".as("yb"), $"x".as("xb"))
+      val s = a.join(b, $"ma" === $"mb" && $"ya" < $"yb")
+        .agg(sum(signum(($"xb" - $"xa").cast("double")).cast("long")).as("s"))
+      val ties = mo.groupBy($"m", $"x").agg(count(lit(1)).as("t"))
+        .groupBy($"m").agg(sum($"t").as("nm"),
+          sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("ttm"))
+        .agg(count(lit(1)).cast("int").as("n_seasons"),
+          sum($"nm" * ($"nm" - 1L) * (lit(2L) * $"nm" + 5L) - $"ttm")
+            .as("v18"))
+      val d = (c: String) => col(c).cast("double")
+      val varS = d("v18") / lit(18.0)
+      val num = when($"s" > 0, d("s") - lit(1.0))
+        .when($"s" < 0, d("s") + lit(1.0)).otherwise(lit(0.0))
+      s.crossJoin(broadcast(ties))
+        .select($"n_seasons", $"s", r6(varS).as("var_s"),
+          r6(num / sqrt(varS)).as("z"))
+    },
+    Some(s"""
+      WITH mo AS (
+        SELECT year(cast(o_orderdate as date)) AS y,
+               month(cast(o_orderdate as date)) AS m,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1, 2),
+      s AS (
+        SELECT cast(sum(CASE WHEN b.x > a.x THEN 1
+                            WHEN b.x < a.x THEN -1 ELSE 0 END) as bigint)
+                 AS s
+        FROM mo a JOIN mo b ON a.m = b.m AND a.y < b.y),
+      tm AS (
+        SELECT m, cast(sum(t) as bigint) AS nm,
+               cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) AS ttm
+        FROM (SELECT m, x, cast(count(*) as bigint) AS t
+              FROM mo GROUP BY m, x) t0
+        GROUP BY m),
+      ties AS (
+        SELECT cast(count(*) as int) AS n_seasons,
+               cast(sum(nm * (nm - 1) * (2 * nm + 5) - ttm) as bigint)
+                 AS v18
+        FROM tm)
+      SELECT n_seasons, s,
+             ${r6Sql("cast(v18 as double) / cast(18.0 as double)")} AS var_s,
+             ${r6Sql("(CASE WHEN s > 0 THEN cast(s as double) - " +
+               "cast(1.0 as double) WHEN s < 0 THEN cast(s as double) + " +
+               "cast(1.0 as double) ELSE cast(0.0 as double) END) / " +
+               "sqrt(cast(v18 as double) / cast(18.0 as double))")} AS z
+      FROM s CROSS JOIN ties"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
-    qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker)
+    qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk)
 }

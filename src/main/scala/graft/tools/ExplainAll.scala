@@ -87,7 +87,10 @@ object ExplainAll {
     "q_cochran_q", "q_page_trend", "q_cvm_exp",
     // round 10 batch 4: Yule-Walker AR(2), IV instrument screening,
     // RFM quartile migration matrix
-    "q_yule_walker", "q_iv_2sls", "q_rfm_migration")
+    "q_yule_walker", "q_iv_2sls", "q_rfm_migration",
+    // round 10 batch 5: CCNet-style boilerplate strip, sequential A/B
+    // monitoring, seasonal Mann-Kendall
+    "q_boilerplate", "q_group_seq", "q_seasonal_mk")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

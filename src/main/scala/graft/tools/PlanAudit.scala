@@ -102,7 +102,11 @@ object PlanAudit {
     "q_cochran_q", "q_cvm_exp",
     // round-10 batch 4: 1-row broadcasts (epoch-day midpoint row, two
     // 1-row quartile-breakpoint tables — the q_rfm posture)
-    "q_rfm_migration")
+    "q_rfm_migration",
+    // round-10 batch 5: 1-row broadcasts (the in-query footer row for
+    // the boilerplate plant; the S-row x ties-row cross for seasonal MK
+    // — the q_mk_trend posture)
+    "q_boilerplate", "q_seasonal_mk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
