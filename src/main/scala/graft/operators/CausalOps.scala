@@ -775,6 +775,94 @@ object CausalOps {
     },
   )
 
+  /** OAXACA–BLINDER three-fold decomposition of the returned-vs-kept
+    * net-revenue gap: Δȳ = E + C + I with endowments
+    * E = β_B(x̄_A − x̄_B), coefficients C = (α_A − α_B) + x̄_B(β_A − β_B),
+    * interaction I = (x̄_A − x̄_B)(β_A − β_B) — the standard audit of
+    * WHY two segments' means differ (different x, or different response
+    * to x). Groups: A = returned lines (l_returnflag = 'R'), B = the
+    * rest; x = gross dollars, y = net dollars (exact integer columns).
+    * Per-group slope/intercept come from the same n-cleared integer
+    * moment cells as q_cuped (ONE combinable pass, 2 cells); every
+    * reported component is a fixed IEEE form over the exact moments,
+    * and E + C + I reproduces the mean gap by construction. In the
+    * fixtures both segments share a distribution, so the gap is ~0 —
+    * the CONTRACT is the exact decomposition arithmetic (the q_ndcg
+    * convention: near-chance values, fully exercised computation). */
+  val qOaxaca: GQuery = GQuery(
+    "q_oaxaca",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir).select(
+        ($"l_returnflag" === "R").as("grp_a"),
+        expr("floor(l_extendedprice * 100.0 + 0.5) div 100")
+          .cast("long").as("x"),
+        floor($"l_discount" * lit(100.0) + lit(0.5)).cast("long").as("dh"))
+        .withColumn("y", expr("x * (100 - dh) div 100"))
+      val cells = li.groupBy($"grp_a")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      val a = cells.filter($"grp_a") .select($"n".as("na"), $"sx".as("sxa"),
+        $"sy".as("sya"), $"sxy".as("sxya"), $"sxx".as("sxxa"))
+      val b = cells.filter(!$"grp_a").select($"n".as("nb"), $"sx".as("sxb"),
+        $"sy".as("syb"), $"sxy".as("sxyb"), $"sxx".as("sxxb"))
+      val d = (c: String) => col(c).cast("double")
+      val betaA = (d("na") * d("sxya") - d("sxa") * d("sya")) /
+        (d("na") * d("sxxa") - d("sxa") * d("sxa"))
+      val betaB = (d("nb") * d("sxyb") - d("sxb") * d("syb")) /
+        (d("nb") * d("sxxb") - d("sxb") * d("sxb"))
+      val mxA = d("sxa") / d("na"); val myA = d("sya") / d("na")
+      val mxB = d("sxb") / d("nb"); val myB = d("syb") / d("nb")
+      val alphaA = myA - betaA * mxA
+      val alphaB = myB - betaB * mxB
+      a.crossJoin(broadcast(b))
+        .select($"na", $"nb",
+          r6(myA - myB).as("mean_gap"),
+          r6(betaB * (mxA - mxB)).as("endowment"),
+          r6((alphaA - alphaB) + mxB * (betaA - betaB)).as("coefficient"),
+          r6((mxA - mxB) * (betaA - betaB)).as("interaction"))
+    },
+    Some {
+      def beta(sfx: String) =
+        s"((cast(n$sfx as double) * cast(sxy$sfx as double) - " +
+          s"cast(sx$sfx as double) * cast(sy$sfx as double)) / " +
+          s"(cast(n$sfx as double) * cast(sxx$sfx as double) - " +
+          s"cast(sx$sfx as double) * cast(sx$sfx as double)))"
+      def m(v: String, sfx: String) =
+        s"(cast(${v}$sfx as double) / cast(n$sfx as double))"
+      val (ba, bb) = (beta("a"), beta("b"))
+      val (mxa, mya) = (m("sx", "a"), m("sy", "a"))
+      val (mxb, myb) = (m("sx", "b"), m("sy", "b"))
+      val aa = s"($mya - $ba * $mxa)"
+      val ab = s"($myb - $bb * $mxb)"
+      s"""
+      WITH li0 AS (
+        SELECT l_returnflag = 'R' AS grp_a,
+               cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) // 100
+                 AS x,
+               cast(floor(l_discount * 100.0 + 0.5) as bigint) AS dh
+        FROM lineitem),
+      li AS (SELECT grp_a, x, x * (100 - dh) // 100 AS y FROM li0),
+      cells AS (
+        SELECT grp_a, cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(x*x) as bigint) AS sxx
+        FROM li GROUP BY grp_a),
+      a AS (SELECT n AS na, sx AS sxa, sy AS sya, sxy AS sxya, sxx AS sxxa
+            FROM cells WHERE grp_a),
+      b AS (SELECT n AS nb, sx AS sxb, sy AS syb, sxy AS sxyb, sxx AS sxxb
+            FROM cells WHERE NOT grp_a)
+      SELECT na, nb,
+             ${r6Sql(s"$mya - $myb")} AS mean_gap,
+             ${r6Sql(s"$bb * ($mxa - $mxb)")} AS endowment,
+             ${r6Sql(s"($aa - $ab) + $mxb * ($ba - $bb)")} AS coefficient,
+             ${r6Sql(s"($mxa - $mxb) * ($ba - $bb)")} AS interaction
+      FROM a CROSS JOIN b"""
+    },
+  )
+
   val all: Seq[GQuery] =
-    Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls, qGroupSeq)
+    Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls, qGroupSeq,
+      qOaxaca)
 }

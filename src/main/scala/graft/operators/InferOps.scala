@@ -863,7 +863,84 @@ object InferOps {
     },
   )
 
+  /** PARTIAL CORRELATION — q_corr_matrix's conditional sibling: how
+    * correlated are gross and net line revenue once the discount level
+    * is CONTROLLED FOR? r_xy·z = (r_xy − r_xz r_yz)/√((1−r_xz²)(1−r_yz²))
+    * over (x = gross dollars, y = net dollars, z = discount hundredths)
+    * — all exact integer columns from the established cents extraction,
+    * so ONE combinable moment pass yields exact int64 sums and each
+    * pairwise r is the n-cleared ratio of the q_cuped contract (int64
+    * moments cast to double BEFORE the n-products). The partial is one
+    * fixed IEEE expression over the three r6'd r's. Discount is the
+    * only thing separating x from y, so controlling it drives the
+    * partial toward 1 — visibly above the raw r_xy. */
+  val qPartialCorr: GQuery = GQuery(
+    "q_partial_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir).select(
+        expr("floor(l_extendedprice * 100.0 + 0.5) div 100")
+          .cast("long").as("x"),
+        floor($"l_discount" * lit(100.0) + lit(0.5)).cast("long").as("z"))
+        .withColumn("y", expr("x * (100 - z) div 100"))
+      val s = li.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"z").as("sxz"),
+        sum($"y" * $"z").as("syz"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"z" * $"z").as("szz"))
+      val d = (c: String) => col(c).cast("double")
+      def cv(ab: String, a: String, b: String) =
+        d("n") * d(ab) - d(a) * d(b)
+      val rxy = r6(cv("sxy", "sx", "sy") /
+        sqrt(cv("sxx", "sx", "sx") * cv("syy", "sy", "sy")))
+      val rxz = r6(cv("sxz", "sx", "sz") /
+        sqrt(cv("sxx", "sx", "sx") * cv("szz", "sz", "sz")))
+      val ryz = r6(cv("syz", "sy", "sz") /
+        sqrt(cv("syy", "sy", "sy") * cv("szz", "sz", "sz")))
+      s.select($"n", rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+        r6((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+          .as("r_xy_given_z"))
+    },
+    Some {
+      def cv(ab: String, a: String, b: String) =
+        s"(cast(n as double) * cast($ab as double) - " +
+          s"cast($a as double) * cast($b as double))"
+      val rxy = rNSql(cv("sxy", "sx", "sy") +
+        s" / sqrt(${cv("sxx", "sx", "sx")} * ${cv("syy", "sy", "sy")})", 6)
+      val rxz = rNSql(cv("sxz", "sx", "sz") +
+        s" / sqrt(${cv("sxx", "sx", "sx")} * ${cv("szz", "sz", "sz")})", 6)
+      val ryz = rNSql(cv("syz", "sy", "sz") +
+        s" / sqrt(${cv("syy", "sy", "sy")} * ${cv("szz", "sz", "sz")})", 6)
+      s"""
+      WITH li0 AS (
+        SELECT cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) // 100
+                 AS x,
+               cast(floor(l_discount * 100.0 + 0.5) as bigint) AS z
+        FROM lineitem),
+      li AS (SELECT x, z, x * (100 - z) // 100 AS y FROM li0),
+      s AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(z) as bigint) AS sz,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(x*z) as bigint) AS sxz,
+               cast(sum(y*z) as bigint) AS syz,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(y*y) as bigint) AS syy,
+               cast(sum(z*z) as bigint) AS szz
+        FROM li)
+      SELECT n, $rxy AS r_xy, $rxz AS r_xz, $ryz AS r_yz,
+             ${rNSql(s"(($rxy) - ($rxz) * ($ryz)) / " +
+               s"sqrt((cast(1.0 as double) - ($rxz) * ($rxz)) * " +
+               s"(cast(1.0 as double) - ($ryz) * ($ryz)))", 6)}
+               AS r_xy_given_z
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
-    qTukeyHsd)
+    qTukeyHsd, qPartialCorr)
 }

@@ -608,6 +608,110 @@ object ScaleOps {
       ORDER BY id_a, id_b"""),
   )
 
+  /** EMBEDDING OUTLIER GATE — the vector-space twin of q_outlier's
+    * numeric IQR fence: flag vectors whose cosine to the GLOBAL corpus
+    * centroid sits more than 3 sd below the corpus mean — the cheap
+    * first-pass screen for corrupted/mis-embedded rows before they
+    * poison ANN cells or centroid stats. One planted anti-vector (the
+    * NEGATED base centroid, id 2000000) is maximally anti-aligned with
+    * the corpus direction, so the gate can never pass vacuously. Determinism chain:
+    * centroid components are davg's (exact decimal sums, one IEEE
+    * division); per-vector dots/norms are 12-dp-staged decimal sums
+    * over the pos-exploded equi-join (64 rows per vector — order-free
+    * by construction); corpus mean/sd of the r6'd cosines are decimal-
+    * staged moments. At 100 TB: one explode + two combinable aggs, the
+    * centroid is a 64-row broadcast — no pairwise anything. */
+  val qEmbedOutlier: GQuery = GQuery(
+    "q_embed_outlier",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val base = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, v -> cast(v as double))").as("emb"))
+      val ex0 = base
+        .select($"vec_id", posexplode($"emb")).toDF("vec_id", "pos", "x")
+      // the planted outlier is the NEGATED BASE CENTROID (id 2000000):
+      // anti-aligned with the corpus direction by construction
+      // (cos ~ -1), so the z < -3 gate can never pass vacuously — a
+      // negated random vector's own alignment is only ~1-2 sd and is
+      // NOT a reliable plant (measured: missed at sf0.001/sf0.1)
+      val cent0 = ex0.groupBy($"pos").agg(davg($"x", 6).as("c0"))
+      val ex = ex0.unionByName(cent0
+        .select(lit(2000000L).as("vec_id"), $"pos", (-$"c0").as("x")))
+      val cent = ex.groupBy($"pos").agg(davg($"x", 6).as("c"))
+      val nc = cent.agg(
+        sqrt(sum(rN($"c" * $"c", 12).cast(dec12)).cast("double")).as("nc"))
+      val per = ex.join(cent, "pos")
+        .groupBy($"vec_id")
+        .agg(sum(rN($"x" * $"c", 12).cast(dec12)).cast("double").as("dot"),
+          sqrt(sum(rN($"x" * $"x", 12).cast(dec12)).cast("double")).as("nv"))
+      val cos = per.crossJoin(broadcast(nc))
+        .select($"vec_id", r6($"dot" / ($"nv" * $"nc")).as("cs"))
+      val st = cos.agg(count(lit(1)).as("n"),
+        sum($"cs".cast(dec6)).cast("double").as("sc"),
+        sum(rN($"cs" * $"cs", 12).cast(dec12)).cast("double").as("scc"))
+      val d = (c: String) => col(c).cast("double")
+      val m = $"sc" / d("n")
+      val sd = sqrt((d("n") * $"scc" - $"sc" * $"sc") /
+        (d("n") * (d("n") - lit(1.0))))
+      cos.crossJoin(broadcast(st))
+        .withColumn("z", r6(($"cs" - m) / sd))
+        .filter($"z" < lit(-3.0))
+        .select($"vec_id", $"cs".as("cos_to_centroid"), $"z")
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, v -> cast(v as double))
+                 AS emb
+        FROM embeddings WHERE vec_id < $corpusBound),
+      ex0 AS (
+        SELECT vec_id,
+               cast(unnest(generate_series(1, len(emb))) as int) - 1 AS pos,
+               unnest(emb) AS x
+        FROM base),
+      cent0 AS (SELECT pos, ${davgSql("x", 6)} AS c0 FROM ex0 GROUP BY pos),
+      ex AS (
+        SELECT vec_id, pos, x FROM ex0
+        UNION ALL
+        SELECT 2000000, pos, -c0 FROM cent0),
+      cent AS (SELECT pos, ${davgSql("x", 6)} AS c FROM ex GROUP BY pos),
+      nc AS (
+        SELECT sqrt(cast(sum(cast(${rNSql("c * c", 12)} as decimal(30,12)))
+          as double)) AS nc
+        FROM cent),
+      per AS (
+        SELECT vec_id,
+               cast(sum(cast(${rNSql("x * c", 12)} as decimal(30,12)))
+                 as double) AS dot,
+               sqrt(cast(sum(cast(${rNSql("x * x", 12)} as decimal(30,12)))
+                 as double)) AS nv
+        FROM ex JOIN cent USING (pos)
+        GROUP BY vec_id),
+      cos AS (
+        SELECT vec_id, ${r6Sql("dot / (nv * nc)")} AS cs
+        FROM per CROSS JOIN nc),
+      st AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(cast(cs as decimal(30,6))) as double) AS sc,
+               cast(sum(cast(${rNSql("cs * cs", 12)} as decimal(30,12)))
+                 as double) AS scc
+        FROM cos)
+      SELECT vec_id, cs AS cos_to_centroid, z
+      FROM (
+        SELECT vec_id, cs,
+               ${r6Sql("(cs - sc / cast(n as double)) / " +
+                 "sqrt((cast(n as double) * scc - sc * sc) / " +
+                 "(cast(n as double) * (cast(n as double) - " +
+                 "cast(1.0 as double))))")} AS z
+        FROM cos CROSS JOIN st) t
+      WHERE z < cast(-3.0 as double)
+      ORDER BY vec_id"""),
+  )
+
   // ---------------------------------------------------------------------
   // Sketches: exact twins with in-plan error columns
   // ---------------------------------------------------------------------
@@ -1495,7 +1599,7 @@ object ScaleOps {
 
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
-    qAnnLsh, qAnnIvf,
+    qEmbedOutlier, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe)
 }

@@ -90,7 +90,10 @@ object ExplainAll {
     "q_yule_walker", "q_iv_2sls", "q_rfm_migration",
     // round 10 batch 5: CCNet-style boilerplate strip, sequential A/B
     // monitoring, seasonal Mann-Kendall
-    "q_boilerplate", "q_group_seq", "q_seasonal_mk")
+    "q_boilerplate", "q_group_seq", "q_seasonal_mk",
+    // round 10 batch 6: partial correlation, Oaxaca-Blinder gap
+    // decomposition, embedding outlier gate
+    "q_partial_corr", "q_oaxaca", "q_embed_outlier")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -106,7 +106,11 @@ object PlanAudit {
     // round-10 batch 5: 1-row broadcasts (the in-query footer row for
     // the boilerplate plant; the S-row x ties-row cross for seasonal MK
     // — the q_mk_trend posture)
-    "q_boilerplate", "q_seasonal_mk")
+    "q_boilerplate", "q_seasonal_mk",
+    // round-10 batch 6: 1-row broadcasts (centroid-norm row + corpus
+    // moment row for the embedding gate; the B-group cell row for the
+    // Oaxaca decomposition — the q_cuped posture)
+    "q_embed_outlier", "q_oaxaca")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
