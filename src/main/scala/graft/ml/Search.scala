@@ -150,6 +150,74 @@ final case class TrainValidationSearch(
   }
 }
 
+/** One successive-halving rung: the data fraction it ran on and every
+  * surviving candidate's mean CV score at that fraction. */
+final case class Rung(fraction: Double, scores: Seq[(ParamMap, Double)])
+
+/** The halving outcome: the final full-data [[SearchResult]] over the
+  * surviving candidates plus the full rung history (sklearn's
+  * HalvingGridSearchCV `cv_results_` trajectory). */
+final case class HalvingResult(best: SearchResult, rungs: Seq[Rung]) {
+  def transform(df: DataFrame): DataFrame = best.transform(df)
+}
+
+/** SUCCESSIVE-HALVING grid search (sklearn's HalvingGridSearchCV shape):
+  * score ALL candidates cheaply on a small deterministic slice of the
+  * data, keep the top 1/factor, multiply the slice, repeat — so the
+  * expensive full-data fits are spent only on candidates that survived
+  * the cheap rungs. Slices are nested md5-hash buckets of a row hash
+  * (fraction f keeps buckets < f·2³² — a LARGER fraction always
+  * CONTAINS the smaller one, the property that makes rung scores
+  * comparable and the whole trajectory reproducible on any
+  * partitioning, unlike rand()-sampled rows). Each rung reuses the
+  * [[GridSearchCV]] k-fold loop — every fit remains a fully distributed
+  * Spark job (the §3.1 scale redesign) — and the survivors get one
+  * final full-data GridSearchCV whose result is returned unchanged.
+  * Rough cost vs plain grid: n·f₀ + (n/2)·f₀·2 + … ≈ one full-data
+  * sweep of ~2 candidates instead of n. */
+final case class HalvingSearchCV(
+    estimator: Estimator[_],
+    paramGrid: Array[ParamMap],
+    evaluator: Evaluator,
+    factor: Int = 2,
+    minFraction: Double = 0.25,
+    numFolds: Int = 2,
+    parallelism: Int = 4,
+    seed: Long = 42L) {
+  require(factor >= 2, s"factor must be >= 2, got $factor")
+  require(minFraction > 0.0 && minFraction <= 1.0, s"bad minFraction")
+
+  def fit(df: DataFrame): HalvingResult = {
+    val hashed = df.withColumn("__graft_h",
+      pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)),
+        lit(1L << 32)))
+    var candidates = paramGrid
+    var fraction = minFraction
+    val rungs = scala.collection.mutable.ArrayBuffer.empty[Rung]
+    while (candidates.length > 1 && fraction < 1.0) {
+      val slice = hashed
+        .filter(col("__graft_h") < lit((fraction * (1L << 32)).toLong))
+        .drop("__graft_h")
+      val res = GridSearchCV(estimator, candidates, evaluator,
+        numFolds, parallelism, seed).fit(slice)
+      val keep = math.max(
+        math.ceil(candidates.length.toDouble / factor).toInt, 1)
+      val ranked =
+        if (evaluator.isLargerBetter) res.cvResults.sortBy(-_._2)
+        else res.cvResults.sortBy(_._2)
+      rungs += Rung(fraction, ranked)
+      candidates = ranked.take(keep).map(_._1).toArray
+      fraction = math.min(fraction * factor, 1.0)
+    }
+    val fin = GridSearchCV(estimator, candidates, evaluator,
+      numFolds, parallelism, seed).fit(hashed.drop("__graft_h"))
+    rungs += Rung(1.0,
+      if (evaluator.isLargerBetter) fin.cvResults.sortBy(-_._2)
+      else fin.cvResults.sortBy(_._2))
+    HalvingResult(fin, rungs.toSeq)
+  }
+}
+
 /** Search outcome mirroring sklearn's `best_params_` / `best_score_` /
   * `cv_results_` surface: `cvResults` carries the mean score per
   * candidate, `foldMetrics` the per-fold scores behind each mean (the

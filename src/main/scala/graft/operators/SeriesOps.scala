@@ -1769,9 +1769,119 @@ object SeriesOps {
       FROM s CROSS JOIN ties"""),
   )
 
+  /** HOLT–WINTERS additive triple smoothing (weekly seasonality, m=7)
+    * on the daily order-count series — the seasonal completion of
+    * q_holt's level+trend fold and the in-model counterpart of
+    * q_backtest_snaive's purely-seasonal baseline. Standard init
+    * (l0 = mean of week 1, b0 = 0, seasonal s_j = x_j − l0), then ONE
+    * sequential `aggregate` fold over the sorted remainder carrying
+    * (l, b, step k, 7-slot seasonal array): identical recursions, in
+    * identical order, in Spark's fold and DuckDB's recursive CTE —
+    * the q_holt determinism contract, with every smoothing constant
+    * cast per the float-literal rule and the seasonal slot updated by
+    * index (k mod 7) via indexed transform / list slicing. α=0.5,
+    * β=0.3, γ=0.4. Output: terminal level/trend, next-day forecast
+    * l + b + s_next, and the seasonal amplitude (max−min of the
+    * terminal seasonal array). Series length is calendar-bounded, so
+    * the collected fold input is tiny at any SF — same posture as
+    * q_holt/q_croston. */
+  val qHoltWinters: GQuery = GQuery(
+    "q_holt_winters",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val arr = daily
+        .agg(array_sort(collect_list(struct($"day", $"x"))).as("s"))
+      arr.select(
+          size($"s").as("n_days"),
+          expr("""aggregate(
+              slice(s, 8, size(s) - 7),
+              named_struct(
+                'l', aggregate(slice(s, 1, 7), cast(0.0 as double),
+                       (a, e) -> a + e.x) / cast(7.0 as double),
+                'b', cast(0.0 as double),
+                'k', 0,
+                'se', transform(slice(s, 1, 7),
+                        e -> e.x - aggregate(slice(s, 1, 7),
+                          cast(0.0 as double), (a, x2) -> a + x2.x) /
+                          cast(7.0 as double))),
+              (acc, e) -> named_struct(
+                'l', cast(0.5 as double) *
+                       (e.x - element_at(acc.se, acc.k % 7 + 1)) +
+                     cast(0.5 as double) * (acc.l + acc.b),
+                'b', cast(0.3 as double) *
+                       ((cast(0.5 as double) *
+                           (e.x - element_at(acc.se, acc.k % 7 + 1)) +
+                         cast(0.5 as double) * (acc.l + acc.b)) - acc.l) +
+                     cast(0.7 as double) * acc.b,
+                'k', acc.k + 1,
+                'se', transform(acc.se, (v, j) -> IF(j = acc.k % 7,
+                        cast(0.4 as double) * (e.x -
+                          (cast(0.5 as double) *
+                             (e.x - element_at(acc.se, acc.k % 7 + 1)) +
+                           cast(0.5 as double) * (acc.l + acc.b))) +
+                        cast(0.6 as double) * v,
+                        v))),
+              acc -> acc)""").as("st"))
+        .select($"n_days",
+          r6($"st.l").as("level"),
+          r6($"st.b").as("trend"),
+          r6($"st.l" + $"st.b" +
+            element_at($"st.se", pmod($"st.k", lit(7)) + 1))
+            .as("forecast_1d"),
+          r6(array_max($"st.se") - array_min($"st.se"))
+            .as("seasonal_amplitude"))
+    },
+    Some(s"""
+      WITH RECURSIVE daily AS (
+        SELECT cast(date_trunc('day', o_orderdate) as date) AS day,
+               cast(count(*) as double) AS x
+        FROM orders GROUP BY 1),
+      idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, x FROM daily),
+      init AS (
+        SELECT avg0.l0, list(idx.x ORDER BY idx.i) AS w1
+        FROM (SELECT sum(x) / cast(7.0 as double) AS l0
+              FROM idx WHERE i <= 7) avg0,
+             idx WHERE idx.i <= 7 GROUP BY avg0.l0),
+      r AS (
+        SELECT cast(7 as bigint) AS i, l0 AS l, cast(0.0 as double) AS b,
+               list_transform(w1, v -> v - l0) AS se
+        FROM init
+        UNION ALL
+        SELECT idx.i,
+               cast(0.5 as double) * (idx.x - r.se[cast((r.i - 7) % 7 as int) + 1]) +
+                 cast(0.5 as double) * (r.l + r.b),
+               cast(0.3 as double) *
+                   ((cast(0.5 as double) * (idx.x - r.se[cast((r.i - 7) % 7 as int) + 1]) +
+                     cast(0.5 as double) * (r.l + r.b)) - r.l) +
+                 cast(0.7 as double) * r.b,
+               r.se[1:cast((r.i - 7) % 7 as int)] ||
+                 [cast(0.4 as double) * (idx.x -
+                    (cast(0.5 as double) * (idx.x - r.se[cast((r.i - 7) % 7 as int) + 1]) +
+                     cast(0.5 as double) * (r.l + r.b))) +
+                  cast(0.6 as double) * r.se[cast((r.i - 7) % 7 as int) + 1]] ||
+                 r.se[cast((r.i - 7) % 7 as int) + 2:]
+        FROM r JOIN idx ON idx.i = r.i + 1),
+      last AS (SELECT cast(max(i) as int) AS n_days FROM r),
+      fin AS (
+        SELECT r.l, r.b, r.se, r.i, last.n_days
+        FROM r JOIN last ON r.i = last.n_days)
+      SELECT n_days,
+             ${r6Sql("l")} AS level,
+             ${r6Sql("b")} AS trend,
+             ${r6Sql("l + b + se[cast((i - 7) % 7 as int) + 1]")}
+               AS forecast_1d,
+             ${r6Sql("list_max(se) - list_min(se)")} AS seasonal_amplitude
+      FROM fin"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
-    qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk)
+    qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk,
+    qHoltWinters)
 }

@@ -478,6 +478,70 @@ object Streams {
 
   final case class HoltS(n: Long, level: Double, trend: Double)
 
+  /** Both arms' cumulative integer moments — six longs, constant size. */
+  final case class SeqS(n0: Long, s0: Long, ss0: Long,
+      n1: Long, s1: Long, ss1: Long)
+
+  final case class SeqOut(n0: Long, n1: Long, z: Option[Double],
+      crossed: Option[Boolean])
+
+  /** The engine's md5 variant split (CLAUDE.md cross-engine idiom) in
+    * driver/executor Scala: first 8 hex chars of md5(user_id-as-string)
+    * parsed base-16, mod 2 — identical to the batch queries'
+    * conv(substring(md5(...), 1, 8), 16, 10) % 2. */
+  private[graft] def md5Variant(userId: Long): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.toString.getBytes("UTF-8"))
+    val hex = h.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 2).toInt
+  }
+
+  /** STREAMING SEQUENTIAL A/B MONITOR — q_group_seq's online twin: one
+    * constant-size state cell (six int64 moments, both arms) absorbs
+    * each micro-batch's events and emits the cumulative Welch z vs the
+    * same flat 2.413 boundary after every batch. Because the moments
+    * are INTEGER sums (cents), state is exact and order-free: after any
+    * batching of the same events, the final emitted z BIT-MATCHES the
+    * batch query's last-week row (StreamsSpec pins this). Single
+    * constant key: the state is 48 bytes total, so keying by a constant
+    * is the correct shape (no skew concern — there is exactly one
+    * monitor); the per-event work (hash split + cents floor) is
+    * embarrassingly parallel upstream of the one-row state. */
+  def seqMonitor(events: Dataset[Ev], boundary: Double = 2.413)
+      : Dataset[SeqOut] = {
+    import events.sparkSession.implicits._
+    def update(key: Int, rows: Iterator[Ev],
+        state: GroupState[SeqS]): Iterator[SeqOut] = {
+      var s = state.getOption.getOrElse(SeqS(0L, 0L, 0L, 0L, 0L, 0L))
+      rows.foreach { e =>
+        val cents = math.floor(e.value * 100.0 + 0.5).toLong
+        if (md5Variant(e.user_id) == 0)
+          s = s.copy(n0 = s.n0 + 1, s0 = s.s0 + cents,
+            ss0 = s.ss0 + cents * cents)
+        else
+          s = s.copy(n1 = s.n1 + 1, s1 = s.s1 + cents,
+            ss1 = s.ss1 + cents * cents)
+      }
+      state.update(s)
+      val z =
+        if (s.n0 > 1 && s.n1 > 1) {
+          val (n0, n1) = (s.n0.toDouble, s.n1.toDouble)
+          val v0 = (n0 * s.ss0.toDouble - s.s0.toDouble * s.s0.toDouble) /
+            (n0 * (n0 - 1.0))
+          val v1 = (n1 * s.ss1.toDouble - s.s1.toDouble * s.s1.toDouble) /
+            (n1 * (n1 - 1.0))
+          val raw = (s.s1.toDouble / n1 - s.s0.toDouble / n0) /
+            math.sqrt(v1 / n1 + v0 / n0)
+          Some(math.floor(raw * 1e6 + 0.5) / 1e6)
+        } else None
+      Iterator.single(
+        SeqOut(s.n0, s.n1, z, z.map(v => math.abs(v) > boundary)))
+    }
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   final case class HoltOut(event_type: String, event_id: Long,
       at_ts: Timestamp, value: Double, forecast: Double, residual: Double,
       level: Double, trend: Double)

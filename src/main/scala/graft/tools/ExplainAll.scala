@@ -93,7 +93,9 @@ object ExplainAll {
     "q_boilerplate", "q_group_seq", "q_seasonal_mk",
     // round 10 batch 6: partial correlation, Oaxaca-Blinder gap
     // decomposition, embedding outlier gate
-    "q_partial_corr", "q_oaxaca", "q_embed_outlier")
+    "q_partial_corr", "q_oaxaca", "q_embed_outlier",
+    // round 10 batch 7: Holt-Winters triple smoothing
+    "q_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -563,6 +563,51 @@ class MlSpec extends AnyFunSuite {
     assert(res.bestScore > 0.8, s"best accuracy ${res.bestScore}")
   }
 
+  test("HalvingSearchCV eliminates planted-bad candidates on cheap rungs") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 2 === 0, lit(" xplantedmarkerx xplantedmarkerx xplantedmarkerx")).otherwise(lit("")))
+          .as("text"),
+        ($"doc_id" % 2 === 0).cast("double").as("label"))
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(50)
+    val pipe = new Pipeline().setStages(Array(tok, tf, idf, lr))
+    val grid = new ParamGridBuilder()
+      .addGrid(tf.numFeatures, Array(2, 4096))
+      .addGrid(lr.regParam, Array(100.0, 0.001))
+      .build()
+    val ev = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    val res = HalvingSearchCV(pipe, grid, ev, factor = 2,
+      minFraction = 0.25, numFolds = 2, parallelism = 2, seed = 42L)
+      .fit(docs)
+    assert(res.best.bestParams.get(tf.numFeatures).contains(4096),
+      s"picked ${res.best.bestParams}")
+    assert(res.best.bestParams.get(lr.regParam).contains(0.001))
+    assert(res.best.bestScore > 0.8, s"final score ${res.best.bestScore}")
+    // trajectory shape: rung 0 scores all 4 on the quarter slice, the
+    // candidate count halves per rung, the final rung runs on all data
+    assert(res.rungs.head.fraction == 0.25)
+    assert(res.rungs.head.scores.length == 4)
+    assert(res.rungs.last.fraction == 1.0)
+    assert(res.rungs.last.scores.length < 4, "final rung must be pruned")
+    res.rungs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.scores.length <= a.scores.length)
+      assert(b.fraction >= a.fraction)
+    }
+    // the winner survived every rung
+    res.rungs.foreach { r =>
+      assert(r.scores.exists(_._1 eq res.best.bestParams) ||
+        r.scores.exists(p =>
+          p._1.get(tf.numFeatures) == res.best.bestParams.get(tf.numFeatures) &&
+            p._1.get(lr.regParam) == res.best.bestParams.get(lr.regParam)),
+        s"winner absent from rung at ${r.fraction}")
+    }
+  }
+
   test("selectRidgeCV: per-key k-fold grid search recovers planted models") {
     import spark.implicits._
     val rng = new scala.util.Random(23)

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the round-10 declared queries — properties the
+  * shared-formula DuckDB oracle cannot see (it would reproduce a wrong
+  * formula bit-for-bit): metric ranges, planted-row guarantees,
+  * accounting identities, and cross-query consistency.
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def rows(q: String): Array[Row] =
+    SparkEntry.queries(q)(spark, sf).collect()
+
+  test("q_neardup_embed finds every planted duplicate pair at cos 1.0") {
+    val r = rows("q_neardup_embed")
+    val planted = r.filter(x =>
+      x.getLong(1) == x.getLong(0) + 1000000L)
+    assert(planted.length == 25, s"expected 25 planted pairs, got ${planted.length}")
+    planted.foreach(x => assert(x.getDouble(2) == 1.0,
+      s"planted pair ${x.getLong(0)} cos ${x.getDouble(2)}"))
+    r.foreach(x => assert(x.getDouble(2) >= 0.95))
+  }
+
+  test("q_map_at_k: AP in [0,1], MAP is the mean of null-as-zero APs") {
+    val r = rows("q_map_at_k")
+    assert(r.length == 5)
+    val aps = r.map(x => if (x.isNullAt(2)) 0.0 else x.getDouble(2))
+    aps.foreach(a => assert(a >= 0.0 && a <= 1.0))
+    val map = r.head.getDouble(3)
+    assert(r.forall(_.getDouble(3) == map), "MAP must be constant")
+    assert(math.abs(map - aps.sum / aps.length) < 2e-6,
+      s"MAP $map vs mean ${aps.sum / aps.length}")
+  }
+
+  test("q_dunn_test: 10 pairs, rank-sum identity, z antisymmetric in sign") {
+    val r = rows("q_dunn_test")
+    assert(r.length == 10, s"C(5,2) pairs expected, got ${r.length}")
+    r.foreach { x =>
+      val (na, nb) = (x.getLong(2), x.getLong(3))
+      val (ma, mb, z) = (x.getDouble(4), x.getDouble(5), x.getDouble(6))
+      assert(ma >= 1.0 && mb >= 1.0, "mean ranks start at 1")
+      // z sign must match the mean-rank difference
+      assert((ma - mb) * z >= 0.0, s"sign mismatch: $ma $mb $z")
+      assert(na > 0 && nb > 0)
+    }
+  }
+
+  test("q_rrf: fused list comes only from the two legs, scores bounded") {
+    val r = rows("q_rrf")
+    r.foreach { x =>
+      val vr = if (x.isNullAt(2)) None else Some(x.getInt(2))
+      val tr = if (x.isNullAt(3)) None else Some(x.getInt(3))
+      assert(vr.nonEmpty || tr.nonEmpty, "fused row in neither leg")
+      val score = x.getDouble(4)
+      val want = vr.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        tr.map(t => 1.0 / (60 + t)).getOrElse(0.0)
+      assert(math.abs(score - want) < 2e-6, s"score $score vs $want")
+      assert(score <= 2.0 / 61 + 1e-9 && score >= 1.0 / 70 - 1e-9)
+    }
+    // per probe: exactly 10 fused rows, ranks 1..10
+    r.groupBy(_.getLong(0)).foreach { case (p, g) =>
+      assert(g.map(_.getInt(5)).sorted.toSeq == (1 to 10), s"probe $p ranks")
+    }
+  }
+
+  test("q_cochran_q: totals reconcile and Q is non-negative") {
+    val Array(r) = rows("q_cochran_q")
+    val t = r.getLong(1)
+    assert(t == r.getLong(2) + r.getLong(3) + r.getLong(4),
+      "grand total = sum of column totals")
+    assert(r.getDouble(5) >= 0.0, s"Q ${r.getDouble(5)}")
+    assert(t >= r.getLong(0), "every block has >= 1 mark")
+    assert(t <= 3 * r.getLong(0), "at most k marks per block")
+  }
+
+  test("q_page_trend: L within its algebraic bounds, k = 5 complete blocks") {
+    val Array(r) = rows("q_page_trend")
+    val (n, k, l) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+    assert(k == 5)
+    // per block, L contribution lies between sum_j w_j (k+1-j) and
+    // sum_j w_j j  (anti-sorted vs sorted ranks): 35..55 for k=5
+    assert(l >= 35.0 * n && l <= 55.0 * n, s"L=$l n=$n")
+  }
+
+  test("q_cvm_exp: W2 positive and bounded by n/3 identity range") {
+    val Array(r) = rows("q_cvm_exp")
+    assert(r.getDouble(1) > 0.0, "lambda_hat")
+    val w2 = r.getDouble(2)
+    assert(w2 > 0.0 && w2 < r.getLong(0) / 3.0, s"W2 $w2")
+  }
+
+  test("q_iv_2sls: strong instrument recovers OLS, weak one is flagged") {
+    val r = rows("q_iv_2sls").map(x => x.getString(0) ->
+      (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    val (olsS, ivS, rS) = r("price_band")
+    assert(rS > 0.99, s"price band first stage $rS")
+    assert(math.abs(ivS - olsS) < 0.01, s"strong IV $ivS vs OLS $olsS")
+    val (_, _, rW) = r("quantity")
+    assert(math.abs(rW) < 0.05, s"quantity first stage $rW should be ~0")
+  }
+
+  test("q_rfm_migration: matrix covers both-half customers exactly once") {
+    val r = rows("q_rfm_migration")
+    r.foreach { x =>
+      assert(x.getInt(0) >= 1 && x.getInt(0) <= 4)
+      assert(x.getInt(1) >= 1 && x.getInt(1) <= 4)
+      assert(x.getDouble(3) > 0.0 && x.getDouble(3) <= 1.0)
+    }
+    // row shares sum to ~1 within each origin segment
+    r.groupBy(_.getInt(0)).foreach { case (seg, g) =>
+      val s = g.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"seg $seg row shares sum $s")
+    }
+  }
+
+  test("q_boilerplate flags all 25 planted docs and the footer's origin") {
+    val r = rows("q_boilerplate")
+    val ids = r.map(_.getLong(0)).toSet
+    (0 until 25).foreach(i => assert(ids.contains(500000L + i),
+      s"planted doc ${500000 + i} not flagged"))
+    assert(ids.contains(0L), "doc 0 (footer origin) must be flagged")
+    r.foreach { x =>
+      assert(x.getInt(2) >= 1 && x.getInt(2) <= x.getInt(1))
+      val frac = x.getDouble(3)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("q_group_seq: cumulative counts are monotone; crossings match z") {
+    val r = rows("q_group_seq")
+    assert(r.length > 1)
+    val n0 = r.map(_.getLong(1)); val n1 = r.map(_.getLong(2))
+    assert(n0.zip(n0.tail).forall { case (a, b) => b >= a }, "n0 monotone")
+    assert(n1.zip(n1.tail).forall { case (a, b) => b >= a }, "n1 monotone")
+    r.filter(x => !x.isNullAt(3)).foreach { x =>
+      assert(x.getBoolean(4) == (math.abs(x.getDouble(3)) > 2.413))
+    }
+  }
+
+  test("q_seasonal_mk variance is below the unseasonal q_mk_trend bound") {
+    val Array(r) = rows("q_seasonal_mk")
+    assert(r.getInt(0) == 12, "12 seasons")
+    assert(r.getDouble(2) > 0.0)
+    // |S| can never exceed the total number of within-season pairs
+    // (12 seasons x C(years,2); years < 10 in every fixture)
+    assert(math.abs(r.getLong(1)) <= 12L * 45, "S bounded by pair count")
+  }
+
+  test("q_partial_corr: controlling the only confounder tightens the correlation") {
+    val Array(r) = rows("q_partial_corr")
+    val (rxy, pc) = (r.getDouble(1), r.getDouble(4))
+    assert(rxy > 0.9 && pc >= rxy - 1e-9, s"partial $pc vs raw $rxy")
+    assert(pc <= 1.0)
+  }
+
+  test("q_oaxaca: components reproduce the mean gap") {
+    val Array(r) = rows("q_oaxaca")
+    val gap = r.getDouble(2)
+    val sum = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+    assert(math.abs(gap - sum) < 5e-6, s"gap $gap vs E+C+I $sum")
+  }
+
+  test("q_embed_outlier always flags the planted anti-centroid at cos -1") {
+    val r = rows("q_embed_outlier")
+    val planted = r.find(_.getLong(0) == 2000000L)
+    assert(planted.nonEmpty, "planted anti-centroid missing")
+    assert(planted.get.getDouble(1) == -1.0)
+    assert(planted.get.getDouble(2) < -3.0)
+    r.foreach(x => assert(x.getDouble(2) < -3.0))
+  }
+
+  test("q_holt_winters: seasonal fold matches a reference Scala fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val xs = graft.engine.Tables.orders(spark, sf)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .orderBy($"day").select($"x").as[Double].collect()
+    var l = xs.take(7).sum / 7.0
+    var b = 0.0
+    val se = xs.take(7).map(_ - l)
+    var k = 0
+    xs.drop(7).foreach { x =>
+      val sOld = se(k % 7)
+      val lNew = 0.5 * (x - sOld) + 0.5 * (l + b)
+      val bNew = 0.3 * (lNew - l) + 0.7 * b
+      se(k % 7) = 0.4 * (x - lNew) + 0.6 * sOld
+      l = lNew; b = bNew; k += 1
+    }
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val Array(row) = rows("q_holt_winters")
+    assert(row.getDouble(1) == r6(l), s"level ${row.getDouble(1)} vs ${r6(l)}")
+    assert(row.getDouble(2) == r6(b), s"trend ${row.getDouble(2)} vs ${r6(b)}")
+    assert(row.getDouble(3) == r6(l + b + se(k % 7)),
+      s"forecast ${row.getDouble(3)} vs ${r6(l + b + se(k % 7))}")
+  }
+}

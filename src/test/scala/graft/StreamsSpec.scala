@@ -527,6 +527,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch.values.map(_._1).sum > 0)
   }
 
+  test("seqMonitor's final z bit-matches q_group_seq's last look") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // stream the full events table in three arbitrary slices: integer
+    // moment state makes the terminal z independent of the batching
+    val evs = graft.engine.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+    val slices = evs.grouped(math.max(evs.length / 3, 1)).toSeq
+    val mem = MemoryStream[Ev]
+    val q = Streams.seqMonitor(mem.toDS()).toDF()
+      .writeStream.format("memory")
+      .queryName("seqmon" + System.nanoTime())
+      .outputMode("update").start()
+    slices.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    val name = q.name
+    q.stop()
+    // update mode: the LAST emitted row is the terminal cumulative state
+    val fin = spark.table(name).collect().last
+    val batch = graft.SparkEntry.queries("q_group_seq")(spark, sf)
+      .orderBy(col("wk")).collect().last
+    assert(fin.getLong(0) == batch.getLong(1), "n0")
+    assert(fin.getLong(1) == batch.getLong(2), "n1")
+    assert(fin.getDouble(2) == batch.getDouble(3),
+      s"stream z ${fin.getDouble(2)} != batch z ${batch.getDouble(3)}")
+    assert(fin.getBoolean(3) == batch.getBoolean(4))
+  }
+
   test("welfordZscore matches the batch z-score on the same prefix") {
     val warm = (1 to 40).map(i =>
       Ev(i, 1, ts(i), "m", (i % 7).toDouble))
