@@ -970,7 +970,158 @@ object NonparamOps {
     },
   )
 
+  /** CLIFF'S DELTA — the distribution-free effect size q_mannwhitney's z
+    * cannot convey (z grows with n even for trivial shifts; δ does not):
+    * δ = (#{x>y} − #{x<y}) / (n₁n₂) over the same 1-URGENT vs 5-LOW
+    * totalprice comparison, computed from the SAME collapsed
+    * per-distinct-value count table — #{x>y} = Σ c1ᵥ·cum2(<v) and
+    * #{x<y} = Σ c1ᵥ·(n₂ − cum2 − c2ᵥ) are pure int64, so δ is one IEEE
+    * division and the dominance counts are themselves auditable output.
+    * The magnitude label uses Romano's conventional cuts on the r6'd δ
+    * (|δ| < .147 negligible / .33 small / .474 medium / else large) —
+    * identical CASE in both engines. */
+  val qCliffsDelta: GQuery = GQuery(
+    "q_cliffs_delta",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select($"o_totalprice".as("v"), $"o_orderpriority".as("pri"))
+      val g = o.groupBy($"v")
+        .agg(sum(when($"pri" === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+          sum(when($"pri" === "5-LOW", 1L).otherwise(0L)).as("c2"))
+      val wBelow = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val a = g
+        .withColumn("cum2", coalesce(sum($"c2").over(wBelow), lit(0L)))
+        .withColumn("n2all", sum($"c2").over(Window.partitionBy()))
+        .agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+          sum($"c1" * $"cum2").as("gt"),
+          sum($"c1" * ($"n2all" - $"cum2" - $"c2")).as("lt"))
+      val d = (c: String) => col(c).cast("double")
+      val delta = r6((d("gt") - d("lt")) / (d("n1") * d("n2")))
+      a.select($"n1", $"n2", $"gt", $"lt", delta.as("delta"),
+        when(abs(delta) < 0.147, "negligible")
+          .when(abs(delta) < 0.33, "small")
+          .when(abs(delta) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+    },
+    Some {
+      val delta = rNSql("(cast(gt as double) - cast(lt as double)) / " +
+        "(cast(n1 as double) * cast(n2 as double))", 6)
+      s"""
+      WITH o AS (
+        SELECT o_totalprice AS v, o_orderpriority AS pri
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      g AS (
+        SELECT v,
+               cast(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END)
+                 as bigint) AS c1,
+               cast(sum(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END)
+                 as bigint) AS c2
+        FROM o GROUP BY v),
+      c AS (
+        SELECT c1, c2,
+               cast(coalesce(sum(c2) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum2,
+               cast(sum(c2) OVER () as bigint) AS n2all
+        FROM g),
+      a AS (
+        SELECT cast(sum(c1) as bigint) AS n1,
+               cast(sum(c2) as bigint) AS n2,
+               cast(sum(c1 * cum2) as bigint) AS gt,
+               cast(sum(c1 * (n2all - cum2 - c2)) as bigint) AS lt
+        FROM c)
+      SELECT n1, n2, gt, lt, $delta AS delta,
+             CASE WHEN abs($delta) < cast(0.147 as double) THEN 'negligible'
+                  WHEN abs($delta) < cast(0.33 as double) THEN 'small'
+                  WHEN abs($delta) < cast(0.474 as double) THEN 'medium'
+                  ELSE 'large' END AS magnitude
+      FROM a"""
+    },
+  )
+
+  /** TWO-SAMPLE CRAMÉR–VON MISES — q_ks_test's integral companion (the
+    * KS D is the worst single point; T integrates the whole ECDF gap):
+    * T = n·m/(n+m)² · Σₖ (nₖ+mₖ)·(Fₖ−Gₖ)² over the pooled DISTINCT
+    * value table (the same collapsed-counts scale shape — the only
+    * unpartitioned window rides |distinct values|). Determinism: cum
+    * counts are int64, each (Fₖ−Gₖ) = (m·cumxₖ − n·cumyₖ)/(nm) is one
+    * IEEE division of exact integers, each term is ≤ nₖ+mₖ (< 2³³ —
+    * the staging validity bound) and is 12-dp-quantized into the
+    * decimal-staged sum (term count is |distinct values|, so the
+    * q_cond_entropy tiny-and-numerous rule applies). */
+  val qCvm2: GQuery = GQuery(
+    "q_cvm2",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val o = Tables.orders(spark, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select($"o_totalprice".as("v"), $"o_orderpriority".as("pri"))
+      val g = o.groupBy($"v")
+        .agg(sum(when($"pri" === "1-URGENT", 1L).otherwise(0L)).as("cx"),
+          sum(when($"pri" === "5-LOW", 1L).otherwise(0L)).as("cy"))
+      val wCum = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val c = g
+        .withColumn("cumx", sum($"cx").over(wCum))
+        .withColumn("cumy", sum($"cy").over(wCum))
+        .withColumn("n", sum($"cx").over(wAll))
+        .withColumn("m", sum($"cy").over(wAll))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val fg = d($"m" * $"cumx" - $"n" * $"cumy") / d($"n" * $"m")
+      val a = c.select($"n", $"m",
+          rN(d($"cx" + $"cy") * fg * fg, 12).as("t"))
+        .groupBy($"n", $"m")
+        .agg(sum($"t".cast(dec12)).cast("double").as("s"))
+      a.select($"n", $"m",
+        r6(d($"n") * d($"m") / (d($"n" + $"m") * d($"n" + $"m")) * $"s")
+          .as("t_stat"))
+    },
+    Some {
+      val fg = "(cast(m * cumx - n * cumy as double) / " +
+        "cast(n * m as double))"
+      s"""
+      WITH o AS (
+        SELECT o_totalprice AS v, o_orderpriority AS pri
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      g AS (
+        SELECT v,
+               cast(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END)
+                 as bigint) AS cx,
+               cast(sum(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END)
+                 as bigint) AS cy
+        FROM o GROUP BY v),
+      c AS (
+        SELECT cx, cy,
+               cast(sum(cx) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cumx,
+               cast(sum(cy) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cumy,
+               cast(sum(cx) OVER () as bigint) AS n,
+               cast(sum(cy) OVER () as bigint) AS m
+        FROM g),
+      a AS (
+        SELECT n, m,
+               cast(sum(cast(${rNSql(
+                 s"cast(cx + cy as double) * $fg * $fg", 12)}
+                 as decimal(30,12))) as double) AS s
+        FROM c GROUP BY n, m)
+      SELECT n, m,
+             ${r6Sql("cast(n as double) * cast(m as double) / " +
+               "(cast(n + m as double) * cast(n + m as double)) * s")}
+               AS t_stat
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
-      qWilcoxon, qFriedman, qMcnemar, qDunnTest, qCochranQ, qPageTrend)
+      qWilcoxon, qFriedman, qMcnemar, qDunnTest, qCochranQ, qPageTrend,
+      qCliffsDelta, qCvm2)
 }

@@ -796,8 +796,94 @@ object PipelineOps {
       ORDER BY doc_id"""),
   )
 
+  /** NEYMAN ALLOCATION of a 1000-row sampling budget across the
+    * priority strata — the variance-optimal design (nₕ ∝ Nₕ·Sₕ) that
+    * q_sample_strat's proportional split is not: a noisy stratum earns
+    * more than its headcount share. Per-stratum Nₕ and sample sd come
+    * from ONE combinable integer moment pass (dollar-scaled so Σx²
+    * stays int64 at sf1 — the q_did bound); the weight Nₕ·Sₕ is
+    * rescaled to mega-units before the 5-term decimal-staged total (the
+    * 2³³ staging validity bound). Integer seats are dealt by LARGEST
+    * REMAINDER (floor every quota, then hand the leftover seats to the
+    * largest r6'd fractional parts, priority tiebreak) so the
+    * allocations are integers that sum EXACTLY to the budget —
+    * Round10Spec pins Σ = 1000. */
+  val qNeymanAlloc: GQuery = GQuery(
+    "q_neyman_alloc",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val o = Tables.orders(spark, dir).select($"o_orderpriority".as("pri"),
+        expr("floor(o_totalprice * 100.0 + 0.5) div 100").cast("long")
+          .as("x"))
+      val cells = o.groupBy($"pri")
+        .agg(count(lit(1)).as("nh"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+      val d = (c: String) => col(c).cast("double")
+      val sd = sqrt((d("nh") * d("sxx") - d("sx") * d("sx")) /
+        (d("nh") * (d("nh") - lit(1.0))))
+      val w = cells.withColumn("wm", rN(d("nh") * sd / lit(1e6), 6))
+      val tot = w.agg(sum($"wm".cast(dec6)).cast("double").as("wt"))
+      val q = w.crossJoin(broadcast(tot))
+        .withColumn("quota", lit(1000.0) * $"wm" / $"wt")
+        .withColumn("base", floor($"quota").cast("long"))
+        .withColumn("rem", rN($"quota" - $"base", 6))
+      val wAll = Window.partitionBy()
+      val wRank = Window.orderBy($"rem".desc, $"pri")
+      q.withColumn("leftover", lit(1000L) - sum($"base").over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .select($"pri", $"nh".as("n_rows"), r6(sd).as("sd_dollars"),
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+            .cast("int").as("alloc"))
+        .orderBy($"pri")
+    },
+    Some {
+      val sd = "sqrt((cast(nh as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double)) / " +
+        "(cast(nh as double) * (cast(nh as double) - cast(1.0 as double))))"
+      s"""
+      WITH o AS (
+        SELECT o_orderpriority AS pri,
+               cast(floor(o_totalprice * 100.0 + 0.5) as bigint) // 100
+                 AS x
+        FROM orders),
+      cells AS (
+        SELECT pri, cast(count(*) as bigint) AS nh,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(x*x) as bigint) AS sxx
+        FROM o GROUP BY pri),
+      w AS (
+        SELECT pri, nh, $sd AS sd,
+               ${rNSql(s"cast(nh as double) * $sd / cast(1e6 as double)",
+                 6)} AS wm
+        FROM cells),
+      tot AS (SELECT cast(sum(cast(wm as decimal(30,6))) as double) AS wt
+              FROM w),
+      q AS (
+        SELECT pri, nh, sd,
+               cast(1000.0 as double) * wm / wt AS quota
+        FROM w CROSS JOIN tot),
+      q2 AS (
+        SELECT pri, nh, sd,
+               cast(floor(quota) as bigint) AS base,
+               ${rNSql("quota - floor(quota)", 6)} AS rem
+        FROM q),
+      q3 AS (
+        SELECT pri, nh, sd, base, rem,
+               cast(1000 - sum(base) OVER () as bigint) AS leftover,
+               row_number() OVER (ORDER BY rem DESC, pri) AS rk
+        FROM q2)
+      SELECT pri, nh AS n_rows, ${r6Sql("sd")} AS sd_dollars,
+             cast(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+               as int) AS alloc
+      FROM q3
+      ORDER BY pri"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
-      qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate)
+      qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
+      qNeymanAlloc)
 }

@@ -95,7 +95,10 @@ object ExplainAll {
     // decomposition, embedding outlier gate
     "q_partial_corr", "q_oaxaca", "q_embed_outlier",
     // round 10 batch 7: Holt-Winters triple smoothing
-    "q_holt_winters")
+    "q_holt_winters",
+    // round 10 batch 8: Cliff's delta effect size, two-sample CvM,
+    // Neyman sampling allocation
+    "q_cliffs_delta", "q_cvm2", "q_neyman_alloc")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -110,7 +110,10 @@ object PlanAudit {
     // round-10 batch 6: 1-row broadcasts (centroid-norm row + corpus
     // moment row for the embedding gate; the B-group cell row for the
     // Oaxaca decomposition — the q_cuped posture)
-    "q_embed_outlier", "q_oaxaca")
+    "q_embed_outlier", "q_oaxaca",
+    // round-10 batch 8: 1-row weight-total broadcast (Neyman quota
+    // denominator — the q_mix_weights posture)
+    "q_neyman_alloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

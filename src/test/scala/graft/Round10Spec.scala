@@ -173,6 +173,39 @@ class Round10Spec extends AnyFunSuite {
     r.foreach(x => assert(x.getDouble(2) < -3.0))
   }
 
+  test("q_cliffs_delta reconciles with q_mannwhitney (delta = 2U/nm - 1)") {
+    val Array(cd) = rows("q_cliffs_delta")
+    val (n1, n2) = (cd.getLong(0), cd.getLong(1))
+    val (gt, lt) = (cd.getLong(2), cd.getLong(3))
+    assert(gt + lt <= n1 * n2, "dominance counts bounded by pair count")
+    val Array(mw) = rows("q_mannwhitney")
+    // U1 counts x>y pairs with ties at half weight: U1 = gt + ties/2
+    val u1 = mw.getDouble(2)
+    val ties = n1 * n2 - gt - lt
+    assert(math.abs(u1 - (gt + ties / 2.0)) < 1e-6,
+      s"U1 $u1 vs gt+ties/2 ${gt + ties / 2.0}")
+    val delta = cd.getDouble(4)
+    assert(math.abs(delta - (gt - lt).toDouble / (n1 * n2)) < 2e-6)
+  }
+
+  test("q_cvm2: T positive and bounded; agrees in scale with the KS gap") {
+    val Array(r) = rows("q_cvm2")
+    val t = r.getDouble(2)
+    // T in [0, (n+m)/12-ish]; for near-identical samples it sits near
+    // its null mean (1/6 + 1/(6(n+m))) — assert the loose range
+    assert(t > 0.0 && t < (r.getLong(0) + r.getLong(1)) / 4.0, s"T=$t")
+  }
+
+  test("q_neyman_alloc: integer seats sum exactly to the 1000 budget") {
+    val r = rows("q_neyman_alloc")
+    assert(r.length == 5)
+    assert(r.map(_.getInt(3).toLong).sum == 1000L)
+    r.foreach { x =>
+      assert(x.getInt(3) > 0, s"${x.getString(0)} got zero seats")
+      assert(x.getDouble(2) > 0.0)
+    }
+  }
+
   test("q_holt_winters: seasonal fold matches a reference Scala fold bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
