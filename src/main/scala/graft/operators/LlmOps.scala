@@ -790,9 +790,81 @@ object LlmOps {
       GROUP BY tau, n_docs ORDER BY tau"""),
   )
 
+  /** PER-DIMENSION EMBEDDING HEALTH — the columnwise companion to
+    * q_embed_norm's per-vector view: mean, variance, and
+    * share-of-total-variance for each of the 64 dimensions, the
+    * diagnostic that exposes dead dimensions (no variance → wasted
+    * capacity) and dominant ones (a single dimension carrying the
+    * space → degenerate embeddings). One posexplode + ONE combinable
+    * per-dim moment pass; determinism rides the decimal-staging
+    * contracts (values r6'd into dec(30,6) sums, squares 12-dp-staged,
+    * variance a fixed IEEE form; the 64-term total-variance window sum
+    * is itself 12-dp-staged). At 100 TB this is a map-side-combining
+    * aggregate with 64 output rows — embedding QC for free. */
+  val qEmbedDimstats: GQuery = GQuery(
+    "q_embed_dimstats",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val ex = Tables.embeddings(spark, dir)
+        .select(posexplode($"embedding"))
+        .select(($"pos" + 1).cast("int").as("pos"),
+          $"col".cast("double").as("x"))
+      val d = (c: String) => col(c).cast("double")
+      val cells = ex.groupBy($"pos")
+        .agg(count(lit(1)).as("n"),
+          sum(rN($"x", 6).cast(dec6)).cast("double").as("sx"),
+          sum(rN($"x" * $"x", 12).cast(dec12)).cast("double").as("sxx"))
+        .withColumn("var_raw",
+          (d("n") * $"sxx" - $"sx" * $"sx") /
+            (d("n") * (d("n") - lit(1.0))))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      cells
+        .withColumn("tot",
+          sum(rN($"var_raw", 12).cast(dec12)).over(wAll).cast("double"))
+        .select($"pos", $"n".as("n_vecs"),
+          r6($"sx" / d("n")).as("mean_val"),
+          r6($"var_raw").as("var_val"),
+          r6(rN($"var_raw", 12) / $"tot").as("var_share"))
+        .orderBy($"pos")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT cast(unnest(generate_series(1, len(embedding))) as int)
+                 AS pos,
+               unnest(list_transform(embedding, v -> cast(v as double)))
+                 AS x
+        FROM embeddings),
+      cells AS (
+        SELECT pos, cast(count(*) as bigint) AS n,
+               cast(sum(cast(${rNSql("x", 6)} as decimal(30,6)))
+                 as double) AS sx,
+               cast(sum(cast(${rNSql("x * x", 12)} as decimal(30,12)))
+                 as double) AS sxx
+        FROM ex GROUP BY pos),
+      v AS (
+        SELECT pos, n, sx,
+               (cast(n as double) * sxx - sx * sx) /
+                 (cast(n as double) * (cast(n as double) -
+                   cast(1.0 as double))) AS var_raw
+        FROM cells),
+      t AS (
+        SELECT pos, n, sx, var_raw,
+               cast(sum(cast(${rNSql("var_raw", 12)} as decimal(30,12)))
+                 OVER () as double) AS tot
+        FROM v)
+      SELECT pos, n AS n_vecs,
+             ${r6Sql("sx / cast(n as double)")} AS mean_val,
+             ${r6Sql("var_raw")} AS var_val,
+             ${r6Sql(rNSql("var_raw", 12) + " / tot")} AS var_share
+      FROM t
+      ORDER BY pos"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
-    qSplit, qSampleStrat, qDedupSweep)
+    qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats)
 }

@@ -712,6 +712,111 @@ object ScaleOps {
       ORDER BY vec_id"""),
   )
 
+  /** HARD-NEGATIVE MINING for contrastive training pairs — the
+    * training-data op sitting directly on the ANN index: for each probe,
+    * the best SAME-label candidate (the positive) and the most similar
+    * DIFFERENT-label candidate (the hard negative — the pair that
+    * actually teaches a contrastive model something). Candidates come
+    * ONLY from the q_ann_lsh band equi-join (never all-pairs); exact
+    * cosine re-ranks candidates; one row_number per (probe, same-label)
+    * cell picks the winners, pivoted by conditional agg. Labels are
+    * fixture noise w.r.t. the vectors (the q_ndcg convention) — the
+    * MINING SHAPE is the contract: at 100 TB this is the per-probe
+    * candidate fetch a contrastive pipeline runs off the standing LSH/
+    * IVF index, with the same two-winner selection. */
+  val qHardNegatives: GQuery = GQuery(
+    "q_hard_negatives",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val projected = (0 until 16).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"p$j",
+          expr(s"dot_product(emb, ${planes(j).map(w => s"${w}D")
+            .mkString("array(", ", ", ")")})"))
+      }
+      val sig = projected.select(
+        ($"vec_id" +: $"label" +: $"emb" +: $"nrm" +:
+          (0 until 4).map(b => (0 until 4).map(k =>
+            when(col(s"p${4 * b + k}") > 0, lit(1 << k)).otherwise(lit(0)))
+            .reduce(_ + _).as(s"band$b"))): _*)
+      def bandRows(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band_id"), col(s"band$b").as("val"))): _*)).as("bs"))
+          .select(col(idAs), $"bs.band_id".as("band_id"), $"bs.val".as("val"))
+      val cand = bandRows(sig.filter($"vec_id" < 5), "p_id")
+        .join(bandRows(sig, "c_id"), Seq("band_id", "val"))
+        .filter($"p_id" =!= $"c_id")
+        .select($"p_id", $"c_id").distinct()
+      val pr = sig.select($"vec_id".as("p_id"), $"label".as("p_label"),
+        $"emb".as("p_emb"), $"nrm".as("p_nrm"))
+      val cr = sig.select($"vec_id".as("c_id"), $"label".as("c_label"),
+        $"emb".as("c_emb"), $"nrm".as("c_nrm"))
+      val w = Window.partitionBy($"p_id", $"same")
+        .orderBy($"cos".desc, $"c_id")
+      cand.join(broadcast(pr), "p_id").join(cr, "c_id")
+        .withColumn("cos",
+          expr("dot_product(p_emb, c_emb)") / ($"p_nrm" * $"c_nrm"))
+        .withColumn("same", $"p_label" === $"c_label")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"p_id")
+        .agg(
+          max(when($"same", $"c_id")).as("pos_id"),
+          max(when($"same", r6($"cos"))).as("pos_cos"),
+          max(when(!$"same", $"c_id")).as("neg_id"),
+          max(when(!$"same", r6($"cos"))).as("neg_cos"))
+        .orderBy($"p_id")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, label, embedding
+        FROM embeddings WHERE vec_id < $corpusBound),
+      sig AS (
+        SELECT vec_id, label, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm,
+        ${(0 until 4).map(b => (0 until 4).map(k =>
+            s"(CASE WHEN (${planeChainSql("embedding", 4 * b + k)}) > 0 " +
+              s"THEN ${1 << k} ELSE 0 END)").mkString("(", " + ", s") AS band$b"))
+          .mkString(",\n        ")}
+        FROM emb),
+      bands AS (
+        ${(0 until 4).map(b =>
+          s"SELECT vec_id, $b AS band_id, band$b AS val FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.vec_id AS p_id, y.vec_id AS c_id
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.val = y.val
+                    AND x.vec_id <> y.vec_id
+               WHERE x.vec_id < 5),
+      scored AS (
+        SELECT cand.p_id, cand.c_id,
+               p.label = c.label AS same,
+               (${chainSql("p.embedding", "c.embedding")})
+                 / (p.nrm * c.nrm) AS cos
+        FROM cand
+        JOIN sig p ON p.vec_id = cand.p_id
+        JOIN sig c ON c.vec_id = cand.c_id),
+      ranked AS (
+        SELECT p_id, c_id, same, cos,
+               row_number() OVER (PARTITION BY p_id, same
+                 ORDER BY cos DESC, c_id) AS rn
+        FROM scored)
+      SELECT p_id,
+             max(CASE WHEN same THEN c_id END) AS pos_id,
+             max(CASE WHEN same THEN ${r6Sql("cos")} END) AS pos_cos,
+             max(CASE WHEN NOT same THEN c_id END) AS neg_id,
+             max(CASE WHEN NOT same THEN ${r6Sql("cos")} END) AS neg_cos
+      FROM ranked WHERE rn = 1
+      GROUP BY p_id
+      ORDER BY p_id"""),
+  )
+
   // ---------------------------------------------------------------------
   // Sketches: exact twins with in-plan error columns
   // ---------------------------------------------------------------------
@@ -1599,7 +1704,7 @@ object ScaleOps {
 
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
-    qEmbedOutlier, qAnnLsh, qAnnIvf,
+    qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe)
 }

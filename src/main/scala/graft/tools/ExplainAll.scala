@@ -98,7 +98,10 @@ object ExplainAll {
     "q_holt_winters",
     // round 10 batch 8: Cliff's delta effect size, two-sample CvM,
     // Neyman sampling allocation
-    "q_cliffs_delta", "q_cvm2", "q_neyman_alloc")
+    "q_cliffs_delta", "q_cvm2", "q_neyman_alloc",
+    // round 10 batch 9: hard-negative mining, embedding dim health,
+    // nearest-neighbor matching ATT
+    "q_hard_negatives", "q_embed_dimstats", "q_psm_att")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

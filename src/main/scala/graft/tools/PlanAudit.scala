@@ -113,7 +113,9 @@ object PlanAudit {
     "q_embed_outlier", "q_oaxaca",
     // round-10 batch 8: 1-row weight-total broadcast (Neyman quota
     // denominator — the q_mix_weights posture)
-    "q_neyman_alloc")
+    "q_neyman_alloc",
+    // round-10 batch 9: 1-row first-day broadcast (the q_cuped posture)
+    "q_psm_att")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -206,6 +206,39 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("q_hard_negatives: winners respect the label constraint") {
+    import org.apache.spark.sql.functions.col
+    val labels = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = rows("q_hard_negatives")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val p = labels(x.getLong(0))
+      if (!x.isNullAt(1))
+        assert(labels(x.getLong(1)) == p, s"positive label mismatch: $x")
+      if (!x.isNullAt(3))
+        assert(labels(x.getLong(3)) != p, s"negative label match: $x")
+      if (!x.isNullAt(2)) assert(math.abs(x.getDouble(2)) <= 1.0 + 1e-9)
+      if (!x.isNullAt(4)) assert(math.abs(x.getDouble(4)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_embed_dimstats: 64 dims, non-negative variance, shares sum to 1") {
+    val r = rows("q_embed_dimstats")
+    assert(r.length == 64)
+    r.foreach(x => assert(x.getDouble(3) >= 0.0))
+    val s = r.map(_.getDouble(4)).sum
+    assert(math.abs(s - 1.0) < 1e-4, s"var shares sum $s")
+  }
+
+  test("q_psm_att: every treated user matches when controls exist") {
+    val Array(r) = rows("q_psm_att")
+    val (nt, nc, nm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc > 0 && nm == nt, s"matched $nm of $nt treated")
+    assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN)
+  }
+
   test("q_holt_winters: seasonal fold matches a reference Scala fold bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
