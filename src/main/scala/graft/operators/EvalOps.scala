@@ -462,6 +462,112 @@ object EvalOps {
     },
   )
 
+  /** DELONG standard error and 95% CI for q_roc_auc's AUC — the
+    * inferential companion (is 0.74 distinguishable from 0.5?).
+    * Placement values come straight from the COLLAPSED distinct-score
+    * table: a positive at score s has V₁₀ = (#neg below + ½#neg at)/n₀
+    * and a negative V₀₁ = (#pos above + ½#pos at)/n₁ — each ONE IEEE
+    * division of exact int64 counts (doubled to keep the ½ exact), so
+    * the per-score placement is deterministic; their count-weighted
+    * first/second moments are 12-dp decimal-staged (terms ≤ 1).
+    * Var(AUC) = S₁₀/n₁ + S₀₁/n₀ with the n−1 variance denominators. */
+  val qAucDelong: GQuery = GQuery(
+    "q_auc_delong",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val g = scoredDocs(spark, dir)
+        .groupBy($"score")
+        .agg(sum($"pos").as("np"), sum(lit(1L) - $"pos").as("nn"))
+      val wBelow = Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      val c = g
+        .withColumn("cum_nn", coalesce(sum($"nn").over(wBelow), lit(0L)))
+        .withColumn("cum_np", coalesce(sum($"np").over(wBelow), lit(0L)))
+        .withColumn("n1", sum($"np").over(wAll))
+        .withColumn("n0", sum($"nn").over(wAll))
+      // doubled placements stay exact int64; one division each
+      val v10 = ((lit(2L) * $"cum_nn" + $"nn").cast("double") /
+        (lit(2L) * $"n0").cast("double"))
+      val v01 = ((lit(2L) * ($"n1" - $"cum_np" - $"np") + $"np")
+        .cast("double") / (lit(2L) * $"n1").cast("double"))
+      val a = c.agg(
+        max($"n1").as("n_pos"), max($"n0").as("n_neg"),
+        sum(rN($"np".cast("double") * v10, 12).cast(dec12))
+          .cast("double").as("s10"),
+        sum(rN($"np".cast("double") * v10 * v10, 12).cast(dec12))
+          .cast("double").as("q10"),
+        sum(rN($"nn".cast("double") * v01, 12).cast(dec12))
+          .cast("double").as("s01"),
+        sum(rN($"nn".cast("double") * v01 * v01, 12).cast(dec12))
+          .cast("double").as("q01"))
+      val n1D = $"n_pos".cast("double")
+      val n0D = $"n_neg".cast("double")
+      val auc = $"s10" / n1D
+      val var10 = ($"q10" - $"s10" * $"s10" / n1D) / (n1D - lit(1.0))
+      val var01 = ($"q01" - $"s01" * $"s01" / n0D) / (n0D - lit(1.0))
+      val se = sqrt(var10 / n1D + var01 / n0D)
+      a.select($"n_pos", $"n_neg", r6(auc).as("auc"),
+        r6(se).as("se_delong"),
+        r6(auc - lit(1.96) * se).as("ci_lo"),
+        r6(auc + lit(1.96) * se).as("ci_hi"))
+    },
+    Some {
+      val v10 = "(cast(2 * cum_nn + nn as double) / " +
+        "cast(2 * n0 as double))"
+      val v01 = "(cast(2 * (n1 - cum_np - np) + np as double) / " +
+        "cast(2 * n1 as double))"
+      s"""
+      WITH s AS ($scoredDocsSql),
+      g AS (
+        SELECT score, cast(sum(pos) as bigint) AS np,
+               cast(sum(1 - pos) as bigint) AS nn
+        FROM s GROUP BY score),
+      c AS (
+        SELECT np, nn,
+               cast(coalesce(sum(nn) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum_nn,
+               cast(coalesce(sum(np) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 as bigint) AS cum_np,
+               cast(sum(np) OVER () as bigint) AS n1,
+               cast(sum(nn) OVER () as bigint) AS n0
+        FROM g),
+      a AS (
+        SELECT max(n1) AS n_pos, max(n0) AS n_neg,
+               cast(sum(cast(${rNSql(
+                 s"cast(np as double) * $v10", 12)} as decimal(30,12)))
+                 as double) AS s10,
+               cast(sum(cast(${rNSql(
+                 s"cast(np as double) * $v10 * $v10", 12)}
+                 as decimal(30,12))) as double) AS q10,
+               cast(sum(cast(${rNSql(
+                 s"cast(nn as double) * $v01", 12)} as decimal(30,12)))
+                 as double) AS s01,
+               cast(sum(cast(${rNSql(
+                 s"cast(nn as double) * $v01 * $v01", 12)}
+                 as decimal(30,12))) as double) AS q01
+        FROM c),
+      f AS (
+        SELECT n_pos, n_neg,
+               s10 / cast(n_pos as double) AS auc,
+               sqrt((q10 - s10 * s10 / cast(n_pos as double)) /
+                 (cast(n_pos as double) - cast(1.0 as double)) /
+                 cast(n_pos as double) +
+                 (q01 - s01 * s01 / cast(n_neg as double)) /
+                 (cast(n_neg as double) - cast(1.0 as double)) /
+                 cast(n_neg as double)) AS se
+        FROM a)
+      SELECT n_pos, n_neg, ${r6Sql("auc")} AS auc,
+             ${r6Sql("se")} AS se_delong,
+             ${r6Sql("auc - cast(1.96 as double) * se")} AS ci_lo,
+             ${r6Sql("auc + cast(1.96 as double) * se")} AS ci_hi
+      FROM f"""
+    },
+  )
+
   val all: Seq[GQuery] =
-    Seq(qRocAuc, qKappa, qMcc, qEce, qGains, qBrier, qPrCurve)
+    Seq(qRocAuc, qKappa, qMcc, qEce, qGains, qBrier, qPrCurve, qAucDelong)
 }

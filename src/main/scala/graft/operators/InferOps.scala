@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{GQuery, Tables}
 import graft.engine.GQuery._
@@ -940,7 +941,388 @@ object InferOps {
     },
   )
 
+  /** JARQUE–BERA normality screen per return flag: JB = n/6·(S² +
+    * (K−3)²/4) from the four raw moments of extendedprice. The fact
+    * collapses in ONE combinable pass to (n, Σx, Σx², Σx³, Σx⁴) per
+    * group — the moments are decimal(30,6)-staged, and the unit is
+    * KILODOLLARS so the largest staged term (x⁴ ≤ 105⁴ ≈ 1.2e8) stays
+    * under the 2³³ double→decimal cast-validity bound (the q_levene /
+    * q_mahalanobis staging contract). Central moments, skewness,
+    * kurtosis, and JB are then a fixed IEEE expression tree over the
+    * staged doubles — bit-identical in both engines. */
+  val qJarqueBera: GQuery = GQuery(
+    "q_jarque_bera",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(30, 6)
+      val x = ($"l_extendedprice" / lit(1000.0)).as("x")
+      val g = Tables.lineitem(spark, dir)
+        .select($"l_returnflag", x)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x".cast(dec)).cast("double").as("s1"),
+          sum(($"x" * $"x").cast(dec)).cast("double").as("s2"),
+          sum(($"x" * $"x" * $"x").cast(dec)).cast("double").as("s3"),
+          sum(($"x" * $"x" * $"x" * $"x").cast(dec)).cast("double").as("s4"))
+      val nD = $"n".cast("double")
+      val mu = $"s1" / nD
+      val m2 = $"s2" / nD - mu * mu
+      val m3 = $"s3" / nD - lit(3.0) * mu * ($"s2" / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = $"s4" / nD - lit(4.0) * mu * ($"s3" / nD) +
+        lit(6.0) * mu * mu * ($"s2" / nD) - lit(3.0) * mu * mu * mu * mu
+      val skew = m3 / (m2 * sqrt(m2))
+      val kurt = m4 / (m2 * m2)
+      g.select($"l_returnflag", $"n",
+          r6(skew).as("skewness"), r6(kurt).as("kurtosis"),
+          r6(nD / lit(6.0) * (skew * skew +
+            (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))).as("jb"))
+        .orderBy($"l_returnflag")
+    },
+    Some {
+      val mu = "(s1 / n)"
+      val m2 = s"(s2 / n - $mu * $mu)"
+      val m3 = s"(s3 / n - cast(3.0 as double) * $mu * (s2 / n) + " +
+        s"cast(2.0 as double) * $mu * $mu * $mu)"
+      val m4 = s"(s4 / n - cast(4.0 as double) * $mu * (s3 / n) + " +
+        s"cast(6.0 as double) * $mu * $mu * (s2 / n) - " +
+        s"cast(3.0 as double) * $mu * $mu * $mu * $mu)"
+      val skew = s"($m3 / ($m2 * sqrt($m2)))"
+      val kurt = s"($m4 / ($m2 * $m2))"
+      s"""
+      WITH li AS (
+        SELECT l_returnflag,
+               l_extendedprice / cast(1000.0 as double) AS x
+        FROM lineitem),
+      g AS (
+        SELECT l_returnflag, cast(count(*) as bigint) AS cnt,
+               cast(sum(cast(x as decimal(30,6))) as double) AS s1,
+               cast(sum(cast(x * x as decimal(30,6))) as double) AS s2,
+               cast(sum(cast(x * x * x as decimal(30,6))) as double) AS s3,
+               cast(sum(cast(x * x * x * x as decimal(30,6))) as double)
+                 AS s4
+        FROM li GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, cnt, cast(cnt as double) AS n,
+               s1, s2, s3, s4
+        FROM g)
+      SELECT l_returnflag, cnt AS n,
+             ${rNSql(skew, 6)} AS skewness,
+             ${rNSql(kurt, 6)} AS kurtosis,
+             ${rNSql(s"n / cast(6.0 as double) * ($skew * $skew + " +
+               s"($kurt - cast(3.0 as double)) * " +
+               s"($kurt - cast(3.0 as double)) / cast(4.0 as double))",
+               6)} AS jb
+      FROM m ORDER BY l_returnflag"""
+    },
+  )
+
+  /** BARTLETT variance-homogeneity test across the three return-flag
+    * groups of l_quantity: T = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C,
+    * C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)). Quantities are small
+    * INTEGERS, so (nᵢ, Σq, Σq²) are exact int64 in one combinable
+    * pass; each group's variance is a fixed IEEE form over exact
+    * integers, and the three k-row reductions (ln-weighted sum, SSW
+    * sum, reciprocal sum) are order-freed by 6/12-dp staged decimal
+    * sums (terms bounded ≪ 2³³ and ≫ the truncation floor — both
+    * staging-contract bounds hold). ln is bit-stable cross-engine
+    * (proven by the hash-matched entropy/odds-ratio family). */
+  val qBartlett: GQuery = GQuery(
+    "q_bartlett",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.lineitem(spark, dir)
+        .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("ni"), sum($"q").as("si"),
+          sum($"q" * $"q").as("qi"))
+      val niD = $"ni".cast("double")
+      val vi = (($"qi".cast("double") -
+        $"si".cast("double") * $"si".cast("double") / niD) /
+        (niD - lit(1.0))).as("vi")
+      val per = g.select($"ni", vi)
+      val agg = per.agg(
+        count(lit(1)).cast("int").as("k"),
+        sum($"ni").as("n"),
+        sum(rN(($"ni".cast("double") - lit(1.0)) * $"vi", 6)
+          .cast(DecimalType(30, 6))).cast("double").as("ssw"),
+        sum(rN(($"ni".cast("double") - lit(1.0)) * log($"vi"), 6)
+          .cast(DecimalType(30, 6))).cast("double").as("slnv"),
+        sum(rN(lit(1.0) / ($"ni".cast("double") - lit(1.0)), 12)
+          .cast(DecimalType(30, 12))).cast("double").as("sinv"))
+      val nD = $"n".cast("double")
+      val kD = $"k".cast("double")
+      val nmk = nD - kD
+      val sp2 = $"ssw" / nmk
+      val c = lit(1.0) + ($"sinv" - lit(1.0) / nmk) /
+        (lit(3.0) * (kD - lit(1.0)))
+      agg.select($"k", $"n",
+        r6(sp2).as("pooled_var"),
+        r6((nmk * log(sp2) - $"slnv") / c).as("t_bartlett"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT l_returnflag, cast(count(*) as bigint) AS ni,
+               cast(sum(cast(l_quantity as bigint)) as bigint) AS si,
+               cast(sum(cast(l_quantity as bigint) *
+                 cast(l_quantity as bigint)) as bigint) AS qi
+        FROM lineitem GROUP BY l_returnflag),
+      p AS (
+        SELECT ni,
+               (cast(qi as double) - cast(si as double) *
+                 cast(si as double) / cast(ni as double)) /
+                 (cast(ni as double) - cast(1.0 as double)) AS vi
+        FROM g),
+      m AS (
+        SELECT cast(count(*) as int) AS k,
+               cast(sum(ni) as bigint) AS n,
+               cast(sum(cast(${rNSql(
+                 "(cast(ni as double) - cast(1.0 as double)) * vi", 6)}
+                 as decimal(30,6))) as double) AS ssw,
+               cast(sum(cast(${rNSql(
+                 "(cast(ni as double) - cast(1.0 as double)) * ln(vi)",
+                 6)} as decimal(30,6))) as double) AS slnv,
+               cast(sum(cast(${rNSql(
+                 "cast(1.0 as double) / " +
+                   "(cast(ni as double) - cast(1.0 as double))", 12)}
+                 as decimal(30,12))) as double) AS sinv
+        FROM p)
+      SELECT k, n,
+             ${r6Sql("ssw / (cast(n as double) - cast(k as double))")}
+               AS pooled_var,
+             ${r6Sql(
+               "((cast(n as double) - cast(k as double)) * " +
+                 "ln(ssw / (cast(n as double) - cast(k as double))) - " +
+                 "slnv) / (cast(1.0 as double) + (sinv - " +
+                 "cast(1.0 as double) / " +
+                 "(cast(n as double) - cast(k as double))) / " +
+                 "(cast(3.0 as double) * " +
+                 "(cast(k as double) - cast(1.0 as double))))")}
+               AS t_bartlett
+      FROM m"""),
+  )
+
+  /** WELCH heteroscedastic ANOVA on order totals across the five order
+    * priorities — q_anova's robust companion when group variances
+    * differ: F* = [Σwᵢ(x̄ᵢ−x̄w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    * Λ = Σ(1−wᵢ/Σw)²/(nᵢ−1), wᵢ = nᵢ/sᵢ², df₂ = (k²−1)/(3Λ). One
+    * combinable pass collapses orders to per-priority (n, Σx, Σx²) in
+    * KILODOLLARS (x² ≤ 250k < 2³³ — the staging bound); the k=5
+    * cross-group reductions are staged decimal sums over windowed
+    * weights, so the whole statistic is order-free. */
+  val qWelchAnova: GQuery = GQuery(
+    "q_welch_anova",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(30, 6)
+      val x = ($"o_totalprice" / lit(1000.0)).as("x")
+      val g = Tables.orders(spark, dir)
+        .select($"o_orderpriority", x)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("ni"),
+          sum($"x".cast(dec)).cast("double").as("si"),
+          sum(($"x" * $"x").cast(dec)).cast("double").as("qi"))
+      val niD = $"ni".cast("double")
+      val per = g.select($"ni",
+        (($"qi" - $"si" * $"si" / niD) / (niD - lit(1.0))).as("vi"),
+        ($"si" / niD).as("mi"))
+      val wAll = Window.partitionBy()
+      val w = per.withColumn("wi", $"ni".cast("double") / $"vi")
+        .withColumn("sw",
+          sum(rN($"wi", 6).cast(DecimalType(30, 6))).over(wAll)
+            .cast("double"))
+        .withColumn("swm",
+          sum(rN($"wi" * $"mi", 6).cast(DecimalType(30, 6))).over(wAll)
+            .cast("double"))
+      val xw = $"swm" / $"sw"
+      val agg = w.agg(
+        count(lit(1)).cast("int").as("k"),
+        sum($"ni").as("n"),
+        sum(rN($"wi" * ($"mi" - xw) * ($"mi" - xw), 6)
+          .cast(DecimalType(30, 6))).cast("double").as("a"),
+        sum(rN(
+          (lit(1.0) - $"wi" / $"sw") * (lit(1.0) - $"wi" / $"sw") /
+            ($"ni".cast("double") - lit(1.0)), 12)
+          .cast(DecimalType(30, 12))).cast("double").as("lam"))
+      val kD = $"k".cast("double")
+      agg.select($"k", $"n",
+        r6(($"a" / (kD - lit(1.0))) /
+          (lit(1.0) + lit(2.0) * (kD - lit(2.0)) /
+            ((kD * kD - lit(1.0))) * $"lam")).as("f_welch"),
+        r6((kD * kD - lit(1.0)) / (lit(3.0) * $"lam")).as("df2"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderpriority,
+               o_totalprice / cast(1000.0 as double) AS x
+        FROM orders),
+      g AS (
+        SELECT o_orderpriority, cast(count(*) as bigint) AS ni,
+               cast(sum(cast(x as decimal(30,6))) as double) AS si,
+               cast(sum(cast(x * x as decimal(30,6))) as double) AS qi
+        FROM o GROUP BY o_orderpriority),
+      p AS (
+        SELECT ni,
+               (qi - si * si / cast(ni as double)) /
+                 (cast(ni as double) - cast(1.0 as double)) AS vi,
+               si / cast(ni as double) AS mi
+        FROM g),
+      w AS (
+        SELECT ni, vi, mi, cast(ni as double) / vi AS wi,
+               cast(sum(cast(${rNSql(
+                 "cast(ni as double) / vi", 6)} as decimal(30,6)))
+                 OVER () as double) AS sw,
+               cast(sum(cast(${rNSql(
+                 "(cast(ni as double) / vi) * mi", 6)}
+                 as decimal(30,6))) OVER () as double) AS swm
+        FROM p),
+      m AS (
+        SELECT cast(count(*) as int) AS k,
+               cast(sum(ni) as bigint) AS n,
+               cast(sum(cast(${rNSql(
+                 "wi * (mi - swm / sw) * (mi - swm / sw)", 6)}
+                 as decimal(30,6))) as double) AS a,
+               cast(sum(cast(${rNSql(
+                 "(cast(1.0 as double) - wi / sw) * " +
+                   "(cast(1.0 as double) - wi / sw) / " +
+                   "(cast(ni as double) - cast(1.0 as double))", 12)}
+                 as decimal(30,12))) as double) AS lam
+        FROM w)
+      SELECT k, n,
+             ${r6Sql(
+               "(a / (cast(k as double) - cast(1.0 as double))) / " +
+                 "(cast(1.0 as double) + cast(2.0 as double) * " +
+                 "(cast(k as double) - cast(2.0 as double)) / " +
+                 "(cast(k as double) * cast(k as double) - " +
+                 "cast(1.0 as double)) * lam)")} AS f_welch,
+             ${r6Sql(
+               "(cast(k as double) * cast(k as double) - " +
+                 "cast(1.0 as double)) / (cast(3.0 as double) * lam)")}
+               AS df2
+      FROM m"""),
+  )
+
+  /** BENJAMINI–HOCHBERG FDR over the 25-nation family of return-rate
+    * z-tests — the multiple-testing layer every per-segment screen
+    * needs: each nation's one-sample z against the pooled rate, its
+    * two-sided p via the Zelen–Severo polynomial normal-CDF
+    * approximation (|ε| < 7.5e-8; elementary ops + exp only — erf
+    * exists in neither engine's shared surface, and exp is proven
+    * bit-stable cross-engine by the hash-matched Poisson/odds-ratio
+    * family), then the step-up rule at α=0.10 and monotone q-values
+    * via a reverse running minimum. The fact tree is the
+    * lineitem⋈orders⋈customer shuffle chain collapsed to 25 integer
+    * (nᵢ, rᵢ) cells; every window rides that 25-row table. p-ties
+    * rank with a nation-name tiebreak, so the BH ordering is total. */
+  val qBhFdr: GQuery = GQuery(
+    "q_bh_fdr",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey",
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("ret"))
+      val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      val cu = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")
+      val na = Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")
+      val g = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(cu, $"o_custkey" === $"c_custkey")
+        .join(broadcast(na), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("ni"), sum($"ret").as("ri"))
+      val wAll = Window.partitionBy()
+      val tot = g.withColumn("n", sum($"ni").over(wAll))
+        .withColumn("r", sum($"ri").over(wAll))
+      val niD = $"ni".cast("double")
+      val p0 = $"r".cast("double") / $"n".cast("double")
+      val z = ($"ri".cast("double") / niD - p0) /
+        sqrt(p0 * (lit(1.0) - p0) / niD)
+      val withZ = tot.withColumn("z", z).withColumn("az", abs($"z"))
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * $"az")
+      val pdf = exp(-($"az" * $"az") / lit(2.0)) *
+        lit(0.3989422804014327)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      val withP = withZ
+        .withColumn("p2", least(lit(2.0) * pdf * poly, lit(1.0)))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"p2", $"n_name")))
+        .withColumn("m", count(lit(1)).over(wAll))
+      val thr = lit(0.1) * $"rk".cast("double") / $"m".cast("double")
+      val dec = withP
+        .withColumn("cut", max(when($"p2" <= thr, $"rk")).over(wAll))
+        .withColumn("qraw",
+          min($"p2" * $"m".cast("double") / $"rk".cast("double"))
+            .over(Window.orderBy($"rk".desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      dec.select($"n_name", $"rk", $"ni", $"ri",
+          r6($"ri".cast("double") / niD).as("rate"),
+          r6($"z").as("z_stat"), r6($"p2").as("p_value"),
+          r6(least($"qraw", lit(1.0))).as("q_value"),
+          when($"rk" <= coalesce($"cut", lit(0)), 1).otherwise(0)
+            .as("rejected"))
+        .orderBy($"rk")
+    },
+    Some {
+      val p0 = "(cast(r as double) / cast(n as double))"
+      val zz = s"((cast(ri as double) / cast(ni as double) - $p0) / " +
+        s"sqrt($p0 * (cast(1.0 as double) - $p0) / cast(ni as double)))"
+      val tt = "(cast(1.0 as double) / (cast(1.0 as double) + " +
+        "cast(0.2316419 as double) * az))"
+      val pdf = "(exp(-(az * az) / cast(2.0 as double)) * " +
+        "cast(0.3989422804014327 as double))"
+      val poly = s"($tt * (cast(0.319381530 as double) + $tt * " +
+        s"(cast(-0.356563782 as double) + $tt * " +
+        s"(cast(1.781477937 as double) + $tt * " +
+        s"(cast(-1.821255978 as double) + $tt * " +
+        s"cast(1.330274429 as double))))))"
+      s"""
+      WITH g AS (
+        SELECT n_name, cast(count(*) as bigint) AS ni,
+               cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 as bigint) AS ri
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+      tot AS (
+        SELECT *, cast(sum(ni) OVER () as bigint) AS n,
+               cast(sum(ri) OVER () as bigint) AS r
+        FROM g),
+      wz AS (
+        SELECT *, $zz AS z, abs($zz) AS az FROM tot),
+      wp AS (
+        SELECT *, least(cast(2.0 as double) * $pdf * $poly,
+                 cast(1.0 as double)) AS p2
+        FROM wz),
+      rk AS (
+        SELECT *, cast(row_number() OVER (ORDER BY p2, n_name) as int)
+                 AS rk,
+               cast(count(*) OVER () as bigint) AS m
+        FROM wp),
+      dec AS (
+        SELECT *,
+               max(CASE WHEN p2 <= cast(0.1 as double) *
+                 cast(rk as double) / cast(m as double) THEN rk END)
+                 OVER () AS cut,
+               min(p2 * cast(m as double) / cast(rk as double))
+                 OVER (ORDER BY rk DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS qraw
+        FROM rk)
+      SELECT n_name, rk, ni, ri,
+             ${r6Sql("cast(ri as double) / cast(ni as double)")} AS rate,
+             ${r6Sql("z")} AS z_stat, ${r6Sql("p2")} AS p_value,
+             ${r6Sql("least(qraw, cast(1.0 as double))")} AS q_value,
+             CASE WHEN rk <= coalesce(cut, 0) THEN 1 ELSE 0 END
+               AS rejected
+      FROM dec ORDER BY rk"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
-    qTukeyHsd, qPartialCorr)
+    qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr)
 }

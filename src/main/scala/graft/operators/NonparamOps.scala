@@ -1120,8 +1120,195 @@ object NonparamOps {
     },
   )
 
+  /** MOOD'S MEDIAN TEST across the 25 part brands: are the brand
+    * retail-price medians homogeneous? The grand median comes from the
+    * COLLAPSED distinct-cents table (exact integer order statistics —
+    * rank (N+1)÷2 and (N+2)÷2 summed, so the even-count midpoint stays
+    * in exact half-cent units; the one-ulp interpolated-median hazard
+    * never appears), broadcast as a 1-row scalar. Each brand's
+    * above/below counts are exact int64 from the same collapsed pass;
+    * the 2×25 chi-square accumulates per-brand IEEE terms at 9 dp
+    * through a decimal-staged sum. The only unpartitioned window rides
+    * the distinct-value axis (~|distinct cents|), the RankAtScaleSpec
+    * two-pass prefix shape at 100 TB. */
+  val qMoodsMedian: GQuery = GQuery(
+    "q_moods_median",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.part(spark, dir)
+        .select($"p_brand",
+          floor($"p_retailprice" * lit(100.0) + lit(0.5))
+            .cast("long").as("cents"))
+        .groupBy($"p_brand", $"cents").agg(count(lit(1)).as("c"))
+      val cd = g.groupBy($"cents").agg(sum($"c").as("cc"))
+        .withColumn("cum", sum($"cc").over(Window.orderBy($"cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nn", sum($"cc").over(Window.partitionBy()))
+      val med = cd.agg(
+        min(when($"cum" >= expr("(nn + 1) div 2"), $"cents")).as("lo"),
+        min(when($"cum" >= expr("(nn + 2) div 2"), $"cents")).as("hi"),
+        max($"nn").as("n"))
+        .select(($"lo" + $"hi").as("med2"), $"n")
+      val ab = g.crossJoin(broadcast(med))
+        .groupBy($"p_brand", $"med2", $"n")
+        .agg(sum(when($"cents" * 2 > $"med2", $"c").otherwise(0L)).as("a"),
+          sum($"c").as("t"))
+        .withColumn("ba", sum($"a").over(Window.partitionBy()))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val ea = d($"t") * d($"ba") / d($"n")
+      val eb = d($"t") * (d($"n") - d($"ba")) / d($"n")
+      val term = (d($"a") - ea) * (d($"a") - ea) / ea +
+        (d($"t" - $"a") - eb) * (d($"t" - $"a") - eb) / eb
+      val agg = ab.groupBy($"med2", $"n")
+        .agg(count(lit(1)).cast("int").as("k"),
+          sum(rN(term, 9).cast(DecimalType(30, 9)))
+            .cast("double").as("chi2"))
+      agg.select($"k", $"n",
+        r6(d($"med2") / lit(200.0)).as("median_price"),
+        r6($"chi2").as("chi2"),
+        ($"k" - lit(1)).cast("int").as("df"))
+    },
+    Some {
+      val ea = "(cast(t as double) * cast(ba as double) / " +
+        "cast(n as double))"
+      val eb = "(cast(t as double) * (cast(n as double) - " +
+        "cast(ba as double)) / cast(n as double))"
+      val term = s"((cast(a as double) - $ea) * (cast(a as double) - " +
+        s"$ea) / $ea + (cast(t - a as double) - $eb) * " +
+        s"(cast(t - a as double) - $eb) / $eb)"
+      s"""
+      WITH g AS (
+        SELECT p_brand,
+               cast(floor(p_retailprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS cents,
+               cast(count(*) as bigint) AS c
+        FROM part GROUP BY p_brand, cents),
+      cd AS (
+        SELECT cents, cast(sum(c) as bigint) AS cc
+        FROM g GROUP BY cents),
+      cum AS (
+        SELECT cents,
+               cast(sum(cc) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum,
+               cast(sum(cc) OVER () as bigint) AS nn
+        FROM cd),
+      med AS (
+        SELECT cast(min(CASE WHEN cum >= (nn + 1) // 2 THEN cents END) +
+                 min(CASE WHEN cum >= (nn + 2) // 2 THEN cents END)
+                 as bigint) AS med2,
+               cast(max(nn) as bigint) AS n
+        FROM cum),
+      ab AS (
+        SELECT p_brand, med2, n,
+               cast(sum(CASE WHEN cents * 2 > med2 THEN c ELSE 0 END)
+                 as bigint) AS a,
+               cast(sum(c) as bigint) AS t
+        FROM g CROSS JOIN med
+        GROUP BY p_brand, med2, n),
+      w AS (
+        SELECT *, cast(sum(a) OVER () as bigint) AS ba FROM ab),
+      m AS (
+        SELECT med2, n, cast(count(*) as int) AS k,
+               cast(sum(cast(${rNSql(term, 9)} as decimal(30,9)))
+                 as double) AS chi2
+        FROM w GROUP BY med2, n)
+      SELECT k, n,
+             ${r6Sql("cast(med2 as double) / cast(200.0 as double)")}
+               AS median_price,
+             ${r6Sql("chi2")} AS chi2,
+             cast(k - 1 as int) AS df
+      FROM m"""
+    },
+  )
+
+  /** SOMERS' D (and Goodman–Kruskal γ) between order-priority rank and
+    * order width (lineitem count) — the DIRECTED ordinal association
+    * that q_kendall's symmetric τ-b cannot give: D_yx = (C−D)/(C+D+T_Y)
+    * treats priority as the predictor. The fact pair collapses to a
+    * ≤5×7-cell CONTINGENCY table (combinable groupBy); concordant /
+    * discordant / tie classes come from the C(cells,2) upper-triangle
+    * cell pairs (an explicitly tiny broadcast non-equi join — the
+    * q_kendall posture) with within-cell both-ties c(c−1)/2 from the
+    * diagonal. Every count is an exact int64 product (cell counts ≤
+    * 3e7 even at sf100 keep products < 2⁶³); the three ratios are the
+    * only doubles. */
+  val qSomersD: GQuery = GQuery(
+    "q_somers_d",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("nitems"))
+      val cells = Tables.orders(spark, dir)
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .select(substring($"o_orderpriority", 1, 1).cast("int").as("x"),
+          $"nitems".as("y"))
+        .groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+      // c(c−1) div 2 in INTEGER space (Spark Column `/` on longs is
+      // double division — the div/`//` cross-engine gotcha)
+      val diag = cells.agg(sum(expr("c * (c - 1) div 2")).as("t_xy"),
+        sum($"c").as("n"))
+      val a = cells.select($"x".as("xa"), $"y".as("ya"), $"c".as("ca"))
+      val b = cells.select($"x".as("xb"), $"y".as("yb"), $"c".as("cb"))
+      val pairs = a.join(broadcast(b),
+        $"xa" < $"xb" || ($"xa" === $"xb" && $"ya" < $"yb"))
+      val agg = pairs.agg(
+        sum(when(($"xb" - $"xa") * ($"yb" - $"ya") > 0, $"ca" * $"cb")
+          .otherwise(0L)).as("c"),
+        sum(when(($"xb" - $"xa") * ($"yb" - $"ya") < 0, $"ca" * $"cb")
+          .otherwise(0L)).as("d"),
+        sum(when($"xa" === $"xb", $"ca" * $"cb").otherwise(0L)).as("t_x"),
+        sum(when($"ya" === $"yb", $"ca" * $"cb").otherwise(0L)).as("t_y"))
+      val j = agg.crossJoin(broadcast(diag))
+      val dd = (c: String) => col(c).cast("double")
+      j.select($"n", $"c".as("concordant"), $"d".as("discordant"),
+        $"t_x", $"t_y", $"t_xy",
+        r6((dd("c") - dd("d")) / (dd("c") + dd("d"))).as("gamma"),
+        r6((dd("c") - dd("d")) / (dd("c") + dd("d") + dd("t_y")))
+          .as("d_yx"),
+        r6((dd("c") - dd("d")) / (dd("c") + dd("d") + dd("t_x")))
+          .as("d_xy"))
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_orderkey, count(*) AS nitems
+        FROM lineitem GROUP BY l_orderkey),
+      cells AS (
+        SELECT cast(substr(o_orderpriority, 1, 1) as int) AS x,
+               nitems AS y, cast(count(*) as bigint) AS c
+        FROM orders JOIN li ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      diag AS (
+        SELECT cast(sum(c * (c - 1) // 2) as bigint) AS t_xy,
+               cast(sum(c) as bigint) AS n
+        FROM cells),
+      p AS (
+        SELECT a.x AS xa, a.y AS ya, a.c AS ca,
+               b.x AS xb, b.y AS yb, b.c AS cb
+        FROM cells a JOIN cells b
+          ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+      agg AS (
+        SELECT cast(sum(CASE WHEN (xb - xa) * (yb - ya) > 0
+                 THEN ca * cb ELSE 0 END) as bigint) AS c,
+               cast(sum(CASE WHEN (xb - xa) * (yb - ya) < 0
+                 THEN ca * cb ELSE 0 END) as bigint) AS d,
+               cast(sum(CASE WHEN xa = xb THEN ca * cb ELSE 0 END)
+                 as bigint) AS t_x,
+               cast(sum(CASE WHEN ya = yb THEN ca * cb ELSE 0 END)
+                 as bigint) AS t_y
+        FROM p)
+      SELECT n, c AS concordant, d AS discordant, t_x, t_y, t_xy,
+             ${r6Sql("cast(c - d as double) / cast(c + d as double)")}
+               AS gamma,
+             ${r6Sql("cast(c - d as double) / " +
+               "cast(c + d + t_y as double)")} AS d_yx,
+             ${r6Sql("cast(c - d as double) / " +
+               "cast(c + d + t_x as double)")} AS d_xy
+      FROM agg CROSS JOIN diag"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
       qWilcoxon, qFriedman, qMcnemar, qDunnTest, qCochranQ, qPageTrend,
-      qCliffsDelta, qCvm2)
+      qCliffsDelta, qCvm2, qMoodsMedian, qSomersD)
 }

@@ -1878,10 +1878,338 @@ object SeriesOps {
       FROM fin"""),
   )
 
+  /** LO–MACKINLAY VARIANCE-RATIO test (q ∈ {2, 5}) on the cumulative
+    * event count — is the daily series a random walk (VR≈1), trending
+    * (VR>1), or mean-reverting (VR<1)? Determinism/scale trick: VR is
+    * scale-invariant, so increments are normalized IN EXACT INTEGER
+    * SPACE to mean units — δ_t = (T·d_t − Σd)/Σd and the overlapping
+    * q-sums ζ_t = (T·(x_t − x_{t−q}) − q·Σd)/Σd are each ONE IEEE
+    * division of exact int64s, bounded by ~2T regardless of SF (no
+    * staged term ever approaches the 2³³ cast bound). The series is
+    * calendar-bounded (|days| rows); z uses the homoskedastic
+    * asymptotic φ(q) = 2(2q−1)(q−1)/(3qT). */
+  val qVarianceRatio: GQuery = GQuery(
+    "q_variance_ratio",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val w = Window.orderBy($"day")
+      val inc = Seq(2, 5).foldLeft(dailyCounts(spark, dir)
+          .withColumn("x", sum($"n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("d", $"x" - lag($"x", 1).over(w))) { case (df, q) =>
+        // q-lags ride the FULL series (the x_{q+1}−x_1 boundary pair is
+        // real); only the increment filter drops the seed row
+        df.withColumn(s"z$q", $"x" - lag($"x", q).over(w))
+      }
+      val tot = inc.filter($"d".isNotNull)
+        .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("sd", sum($"d").over(Window.partitionBy()))
+      val stacked = tot.selectExpr("tt", "sd", "d",
+          "stack(2, 2, z2, 5, z5) AS (q, z)")
+      val delta = ($"tt" * $"d" - $"sd").cast("double") / $"sd".cast("double")
+      val zeta = ($"tt" * $"z" - $"q" * $"sd").cast("double") /
+        $"sd".cast("double")
+      val g = stacked.groupBy($"q")
+        .agg(max($"tt").as("t"),
+          sum(rN(delta * delta, 12).cast(dec12)).cast("double").as("s1"),
+          sum(when($"z".isNotNull, rN(zeta * zeta, 12)).cast(dec12))
+            .cast("double").as("sq"),
+          sum(when($"z".isNotNull, 1L).otherwise(0L)).as("nq"))
+      val tD = $"t".cast("double")
+      val qD = $"q".cast("double")
+      val m = qD * $"nq".cast("double") * (lit(1.0) - qD / tD)
+      val vr = ($"sq" / m) / ($"s1" / (tD - lit(1.0)))
+      val phi = lit(2.0) * (lit(2.0) * qD - lit(1.0)) * (qD - lit(1.0)) /
+        (lit(3.0) * qD * tD)
+      g.select($"q", $"t".as("n_incr"), r6(vr).as("vr"),
+          r6((vr - lit(1.0)) / sqrt(phi)).as("z_stat"))
+        .orderBy($"q")
+    },
+    Some {
+      val delta = "(cast(tt * d - sd as double) / cast(sd as double))"
+      val zeta = "(cast(tt * z - q * sd as double) / cast(sd as double))"
+      s"""
+      WITH $dailyCte,
+      cum AS (
+        SELECT day,
+               cast(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) as bigint) AS x
+        FROM daily),
+      inc AS (
+        SELECT day, x, x - lag(x, 1) OVER (ORDER BY day) AS d,
+               x - lag(x, 2) OVER (ORDER BY day) AS z2,
+               x - lag(x, 5) OVER (ORDER BY day) AS z5
+        FROM cum),
+      base AS (SELECT * FROM inc WHERE d IS NOT NULL),
+      tot AS (
+        SELECT *, cast(count(*) OVER () as bigint) AS tt,
+               cast(sum(d) OVER () as bigint) AS sd
+        FROM base),
+      st AS (
+        SELECT tt, sd, d, 2 AS q, z2 AS z FROM tot
+        UNION ALL
+        SELECT tt, sd, d, 5 AS q, z5 AS z FROM tot),
+      g AS (
+        SELECT q, cast(max(tt) as bigint) AS t,
+               cast(sum(cast(${rNSql(s"$delta * $delta", 12)}
+                 as decimal(30,12))) as double) AS s1,
+               cast(sum(CASE WHEN z IS NOT NULL THEN
+                 cast(${rNSql(s"$zeta * $zeta", 12)} as decimal(30,12))
+                 END) as double) AS sq,
+               cast(sum(CASE WHEN z IS NOT NULL THEN 1 ELSE 0 END)
+                 as bigint) AS nq
+        FROM st GROUP BY q),
+      f AS (
+        SELECT q, t, s1, sq, nq, cast(t as double) AS td,
+               cast(q as double) AS qd
+        FROM g)
+      SELECT q, t AS n_incr,
+             ${r6Sql("(sq / (qd * cast(nq as double) * " +
+               "(cast(1.0 as double) - qd / td))) / " +
+               "(s1 / (td - cast(1.0 as double)))")} AS vr,
+             ${r6Sql("((sq / (qd * cast(nq as double) * " +
+               "(cast(1.0 as double) - qd / td))) / " +
+               "(s1 / (td - cast(1.0 as double))) - " +
+               "cast(1.0 as double)) / " +
+               "sqrt(cast(2.0 as double) * (cast(2.0 as double) * qd - " +
+               "cast(1.0 as double)) * (qd - cast(1.0 as double)) / " +
+               "(cast(3.0 as double) * qd * td))")} AS z_stat
+      FROM f ORDER BY q"""
+    },
+  )
+
+  /** PETTITT change-point test on the daily event-count series — the
+    * rank-based (distribution-free) companion to q_changepoint's CUSUM:
+    * U_t = 2Σ_{i≤t}r̄_i − t(N+1) with midranks from the collapsed
+    * distinct-value table (doubled midranks keep ties EXACT in int64 —
+    * U_t is an integer identity, never a float rank). K = max|U_t| over
+    * t<N, split day = earliest maximizer (deterministic tiebreak), and
+    * the classic approximation p ≈ 2·exp(−6K²/(N³+N²)). Every window
+    * rides the |days|-row calendar series; the midrank lookup is a
+    * broadcast equi-join on the distinct-value axis. */
+  val qPettitt: GQuery = GQuery(
+    "q_pettitt",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = dailyCounts(spark, dir)
+      val vals = daily.groupBy($"n").agg(count(lit(1)).as("cnt"))
+        .withColumn("cumb", coalesce(sum($"cnt").over(Window.orderBy($"n")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"n", (lit(2) * $"cumb" + $"cnt" + lit(1)).as("mr2"))
+      val w = Window.orderBy($"day")
+      val u = daily.join(broadcast(vals), Seq("n"))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("cumr2", sum($"mr2").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter($"t" < $"nn")
+        .select($"day", $"nn", ($"cumr2" - $"t" * ($"nn" + 1)).as("u"))
+      val top = u
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs($"u").desc, $"day".asc)))
+        .filter($"rk" === 1)
+      val nD = $"nn".cast("double")
+      val kD = abs($"u").cast("double")
+      top.select($"nn".as("n_days"), abs($"u").as("k_stat"),
+        $"day".as("change_day"),
+        r6(lit(2.0) * exp(lit(-6.0) * kD * kD /
+          (nD * nD * nD + nD * nD))).as("p_approx"))
+    },
+    Some(s"""
+      WITH $dailyCte,
+      vals AS (
+        SELECT n, cast(count(*) as bigint) AS cnt
+        FROM daily GROUP BY n),
+      mr AS (
+        SELECT n,
+               cast(2 * coalesce(sum(cnt) OVER (ORDER BY n
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+                 cnt + 1 as bigint) AS mr2
+        FROM vals),
+      s AS (
+        SELECT d.day,
+               cast(row_number() OVER (ORDER BY d.day) as bigint) AS t,
+               cast(count(*) OVER () as bigint) AS nn,
+               cast(sum(mr2) OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) as bigint) AS cumr2
+        FROM daily d JOIN mr ON d.n = mr.n),
+      u AS (
+        SELECT day, nn, cumr2 - t * (nn + 1) AS u
+        FROM s WHERE t < nn),
+      top AS (
+        SELECT *, row_number() OVER (ORDER BY abs(u) DESC, day ASC) AS rk
+        FROM u)
+      SELECT nn AS n_days, cast(abs(u) as bigint) AS k_stat,
+             day AS change_day,
+             ${r6Sql("cast(2.0 as double) * exp(cast(-6.0 as double) * " +
+               "cast(abs(u) as double) * cast(abs(u) as double) / " +
+               "(cast(nn as double) * cast(nn as double) * " +
+               "cast(nn as double) + " +
+               "cast(nn as double) * cast(nn as double)))")} AS p_approx
+      FROM top WHERE rk = 1"""),
+  )
+
+  /** DICKEY–FULLER unit-root screen (constant, no augmentation) on the
+    * daily count series: Δx_t = a + ρ·x_{t−1} + ε; reports ρ̂ and its
+    * t-ratio (the DF statistic — compare to the DF, not normal, table).
+    * Sufficient statistics (Σx, Σy, Σxy, Σxx, Σyy over the |days|−1
+    * lag pairs) are EXACT int64 (documented bound: cross-products stay
+    * under 2⁶³ through sf1000 on this 30-day calendar); the closed-form
+    * OLS slope, SSR decomposition, and standard error are one fixed
+    * IEEE tree, the q_autocorr cast-after-exact-product convention. */
+  val qAdf: GQuery = GQuery(
+    "q_adf",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"day")
+      val pairs = dailyCounts(spark, dir)
+        .withColumn("xl", lag($"n", 1).over(w))
+        .filter($"xl".isNotNull)
+        .select($"xl".as("x"), ($"n" - $"xl").as("y"))
+      val s = pairs.agg(count(lit(1)).as("np"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      val nD = $"np".cast("double")
+      val den = ($"np" * $"sxx" - $"sx" * $"sx").cast("double")
+      val rho = ($"np" * $"sxy" - $"sx" * $"sy").cast("double") / den
+      val syyC = $"syy".cast("double") -
+        $"sy".cast("double") * $"sy".cast("double") / nD
+      val sxxC = $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double") / nD
+      val ssr = syyC - rho * rho * sxxC
+      val se = sqrt(ssr / (nD - lit(2.0)) / sxxC)
+      s.select($"np".as("n_pairs"), r6(rho).as("rho"),
+        r6(rho / se).as("df_stat"))
+    },
+    Some(s"""
+      WITH $dailyCte,
+      l AS (
+        SELECT lag(n, 1) OVER (ORDER BY day) AS x,
+               n - lag(n, 1) OVER (ORDER BY day) AS y
+        FROM daily),
+      p AS (SELECT x, y FROM l WHERE x IS NOT NULL),
+      s AS (
+        SELECT cast(count(*) as bigint) AS np,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x*y) as bigint) AS sxy,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(y*y) as bigint) AS syy
+        FROM p),
+      f AS (
+        SELECT np,
+               cast(np*sxy - sx*sy as double) /
+                 cast(np*sxx - sx*sx as double) AS rho,
+               cast(syy as double) - cast(sy as double) *
+                 cast(sy as double) / cast(np as double) AS syyc,
+               cast(sxx as double) - cast(sx as double) *
+                 cast(sx as double) / cast(np as double) AS sxxc
+        FROM s)
+      SELECT np AS n_pairs, ${r6Sql("rho")} AS rho,
+             ${r6Sql("rho / sqrt((syyc - rho * rho * sxxc) / " +
+               "(cast(np as double) - cast(2.0 as double)) / sxxc)")}
+               AS df_stat
+      FROM f"""),
+  )
+
+  /** KPSS level-stationarity statistic with a Bartlett long-run
+    * variance (L=4) on the daily counts — the complement of q_adf (KPSS
+    * null = stationary; DF null = unit root). Determinism/scale: all
+    * residual quantities are normalized IN INTEGER SPACE by the series
+    * total — g_t = (N·n_t − Σn)/Σn and the partial sums
+    * s_t = (N·X_t − t·Σn)/Σn are single IEEE divisions of exact int64s
+    * with SF-INDEPENDENT bounds (|g|, |s| ≤ N+… ≤ 2N), so the 12-dp
+    * staged decimal sums of g·g lag products and s² are valid at any
+    * scale; the mean factor n̄² cancels algebraically from
+    * η = Σs²/(N·(G₀+2Σwⱼ Gⱼ)). */
+  val qKpss: GQuery = GQuery(
+    "q_kpss",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val w = Window.orderBy($"day")
+      val base = dailyCounts(spark, dir)
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("sn", sum($"n").over(Window.partitionBy()))
+        .withColumn("e", $"nn" * $"n" - $"sn")
+        .withColumn("cs", sum($"e").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val lagged = (1 to 4).foldLeft(base) { case (df, j) =>
+        df.withColumn(s"el$j", lag($"e", j).over(w))
+      }
+      val g = ($"e".cast("double") / $"sn".cast("double"))
+      val sNorm = ($"cs".cast("double") / $"sn".cast("double"))
+      def gl(j: Int) = col(s"el$j").cast("double") / $"sn".cast("double")
+      val agg = lagged.agg(
+        max($"nn").as("n_days"),
+        sum(rN(sNorm * sNorm, 12).cast(dec12)).cast("double").as("s2"),
+        sum(rN(g * g, 12).cast(dec12)).cast("double").as("g0"),
+        sum(when($"el1".isNotNull, rN(g * gl(1), 12)).cast(dec12))
+          .cast("double").as("g1"),
+        sum(when($"el2".isNotNull, rN(g * gl(2), 12)).cast(dec12))
+          .cast("double").as("g2"),
+        sum(when($"el3".isNotNull, rN(g * gl(3), 12)).cast(dec12))
+          .cast("double").as("g3"),
+        sum(when($"el4".isNotNull, rN(g * gl(4), 12)).cast(dec12))
+          .cast("double").as("g4"))
+      val nD = $"n_days".cast("double")
+      val lrv = $"g0" + lit(2.0) * (lit(0.8) * $"g1" + lit(0.6) * $"g2" +
+        lit(0.4) * $"g3" + lit(0.2) * $"g4")
+      agg.select($"n_days", r6($"s2").as("s2_sum"),
+        r6(lrv).as("lrv_norm"),
+        r6($"s2" / (nD * lrv)).as("kpss_eta"))
+    },
+    Some {
+      val gg = "(cast(e as double) / cast(sn as double))"
+      val ss = "(cast(cs as double) / cast(sn as double))"
+      def glj(j: Int) = s"(cast(el$j as double) / cast(sn as double))"
+      val lagSel = (1 to 4).map(j =>
+        s"lag(e, $j) OVER (ORDER BY day) AS el$j").mkString(",\n               ")
+      val gSums = (1 to 4).map(j =>
+        s"""cast(sum(CASE WHEN el$j IS NOT NULL THEN
+                 cast(${rNSql(s"$gg * ${glj(j)}", 12)} as decimal(30,12))
+                 END) as double) AS g$j""").mkString(",\n               ")
+      s"""
+      WITH $dailyCte,
+      b AS (
+        SELECT day, n,
+               cast(count(*) OVER () as bigint) AS nn,
+               cast(sum(n) OVER () as bigint) AS sn
+        FROM daily),
+      e AS (
+        SELECT day, nn, sn, nn * n - sn AS e,
+               cast(sum(nn * n - sn) OVER (ORDER BY day ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cs
+        FROM b),
+      l AS (
+        SELECT *,
+               $lagSel
+        FROM e),
+      a AS (
+        SELECT cast(max(nn) as bigint) AS n_days,
+               cast(sum(cast(${rNSql(s"$ss * $ss", 12)}
+                 as decimal(30,12))) as double) AS s2,
+               cast(sum(cast(${rNSql(s"$gg * $gg", 12)}
+                 as decimal(30,12))) as double) AS g0,
+               $gSums
+        FROM l),
+      f AS (
+        SELECT n_days, s2,
+               g0 + cast(2.0 as double) * (cast(0.8 as double) * g1 +
+                 cast(0.6 as double) * g2 + cast(0.4 as double) * g3 +
+                 cast(0.2 as double) * g4) AS lrv
+        FROM a)
+      SELECT n_days, ${r6Sql("s2")} AS s2_sum, ${r6Sql("lrv")} AS lrv_norm,
+             ${r6Sql("s2 / (cast(n_days as double) * lrv)")} AS kpss_eta
+      FROM f"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
     qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk,
-    qHoltWinters)
+    qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss)
 }

@@ -115,7 +115,13 @@ object PlanAudit {
     // denominator — the q_mix_weights posture)
     "q_neyman_alloc",
     // round-10 batch 9: 1-row first-day broadcast (the q_cuped posture)
-    "q_psm_att")
+    "q_psm_att",
+    // round-10 batch 10: 1-row grand-median broadcast scoring the
+    // collapsed (brand, cents) table (the q_outlier posture)
+    "q_moods_median",
+    // round-10 batch 11: ≤35-cell contingency self-pairs + 1-row
+    // diagonal broadcast (the q_kendall posture)
+    "q_somers_d")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

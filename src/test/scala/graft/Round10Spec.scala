@@ -264,4 +264,118 @@ class Round10Spec extends AnyFunSuite {
     assert(row.getDouble(3) == r6(l + b + se(k % 7)),
       s"forecast ${row.getDouble(3)} vs ${r6(l + b + se(k % 7))}")
   }
+
+  test("q_jarque_bera: 3 flags, JB >= 0 and reconciles with S/K columns") {
+    val r = rows("q_jarque_bera")
+    assert(r.length == 3)
+    r.foreach { x =>
+      val (n, s, k, jb) =
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))
+      assert(jb >= 0.0 && k > 0.0, s"jb=$jb k=$k")
+      val expect = n / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0)
+      // columns are 6-dp rounded AFTER jb was computed — loose band
+      assert(math.abs(jb - expect) < 0.05 + 1e-4 * n, s"jb=$jb vs $expect")
+    }
+  }
+
+  test("q_bartlett: statistic and pooled variance are non-negative") {
+    val Array(r) = rows("q_bartlett")
+    assert(r.getInt(0) == 3)
+    assert(r.getDouble(2) > 0.0, "pooled variance")
+    // (N-k)ln(sp2) >= sum (ni-1)ln(si2) by concavity of ln
+    assert(r.getDouble(3) >= -1e-6, s"T=${r.getDouble(3)}")
+  }
+
+  test("q_welch_anova: F* >= 0 and df2 within (0, N-k]") {
+    val Array(r) = rows("q_welch_anova")
+    val (k, n) = (r.getInt(0), r.getLong(1))
+    assert(k == 5)
+    assert(r.getDouble(2) >= 0.0)
+    val df2 = r.getDouble(3)
+    assert(df2 > 0.0 && df2 <= (n - k).toDouble, s"df2=$df2")
+  }
+
+  test("q_moods_median: chi2 >= 0, df = k-1, median inside the price band") {
+    val Array(r) = rows("q_moods_median")
+    val (k, med, chi2, df) =
+      (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getInt(4))
+    assert(df == k - 1)
+    assert(chi2 >= 0.0)
+    assert(med >= 900.0 && med <= 1000.0, s"median $med")
+  }
+
+  test("q_variance_ratio: q in {2,5}, VR > 0, z sign follows VR-1") {
+    val r = rows("q_variance_ratio")
+    assert(r.map(_.getInt(0)).toSeq == Seq(2, 5))
+    r.foreach { x =>
+      val (vr, z) = (x.getDouble(2), x.getDouble(3))
+      assert(vr > 0.0)
+      assert((vr - 1.0) * z >= 0.0, s"vr=$vr z=$z")
+      assert(x.getLong(1) == 29L, "30-day calendar gives 29 increments")
+    }
+  }
+
+  test("q_pettitt: K bounded by the exact U-statistic maximum, p > 0") {
+    val Array(r) = rows("q_pettitt")
+    val (n, k) = (r.getLong(0), r.getLong(1))
+    // |U_t| = |2*sum(r_i) - t(N+1)| is maximized below t(N+1) <= N(N+1)
+    assert(k >= 0 && k <= n * (n + 1), s"K=$k")
+    assert(r.getDouble(3) > 0.0, "approximate p must be positive")
+  }
+
+  test("q_adf: 29 pairs; t-ratio carries the slope's sign") {
+    val Array(r) = rows("q_adf")
+    assert(r.getLong(0) == 29L)
+    val (rho, t) = (r.getDouble(1), r.getDouble(2))
+    assert(rho * t >= 0.0, s"rho=$rho t=$t")
+  }
+
+  test("q_somers_d: pair classes partition C(n,2) exactly") {
+    val Array(r) = rows("q_somers_d")
+    val n = r.getLong(0)
+    val total = r.getLong(1) + r.getLong(2) + r.getLong(3) +
+      r.getLong(4) + r.getLong(5)
+    assert(total == n * (n - 1) / 2, s"partition $total vs C($n,2)")
+    val (gamma, dyx, dxy) =
+      (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    // denominators only grow: |gamma| >= |D_yx|, |D_xy|; same sign
+    assert(math.abs(gamma) >= math.abs(dyx) - 1e-9)
+    assert(math.abs(gamma) >= math.abs(dxy) - 1e-9)
+    assert(gamma * dyx >= 0.0 && gamma * dxy >= 0.0)
+  }
+
+  test("q_bh_fdr: rejections form a rank prefix; q >= p and q is monotone") {
+    val r = rows("q_bh_fdr").sortBy(_.getInt(1))
+    assert(r.length == 25)
+    val rejected = r.map(_.getInt(8))
+    val firstKeep = rejected.indexOf(0)
+    if (firstKeep >= 0)
+      assert(rejected.drop(firstKeep).forall(_ == 0), "prefix property")
+    var prevQ = 0.0
+    r.foreach { x =>
+      val (p, q) = (x.getDouble(6), x.getDouble(7))
+      assert(p >= 0.0 && p <= 1.0 && q >= p - 1e-9, s"p=$p q=$q")
+      assert(q >= prevQ - 1e-9, "q-values nondecreasing in rank")
+      prevQ = q
+    }
+  }
+
+  test("q_auc_delong: AUC matches q_roc_auc; CI brackets it") {
+    val Array(dl) = rows("q_auc_delong")
+    val Array(roc) = rows("q_roc_auc")
+    assert(dl.getDouble(2) == roc.getDouble(2),
+      s"AUC ${dl.getDouble(2)} vs roc ${roc.getDouble(2)}")
+    val (auc, se, lo, hi) = (dl.getDouble(2), dl.getDouble(3),
+      dl.getDouble(4), dl.getDouble(5))
+    assert(se > 0.0 && lo < auc && auc < hi)
+  }
+
+  test("q_kpss: eta reconciles with its components; all positive") {
+    val Array(r) = rows("q_kpss")
+    val (n, s2, lrv, eta) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(s2 >= 0.0 && lrv > 0.0 && eta > 0.0)
+    assert(math.abs(eta - s2 / (n * lrv)) < 1e-4,
+      s"eta=$eta vs ${s2 / (n * lrv)}")
+  }
 }
