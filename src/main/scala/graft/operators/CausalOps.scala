@@ -989,7 +989,128 @@ object CausalOps {
       FROM a"""),
   )
 
+  /** SHARP REGRESSION DISCONTINUITY at the zero-balance cutoff: local
+    * linear fits of customer order spend on account balance on each
+    * side of 0 within a ±$1000 bandwidth; the RD effect is the
+    * difference of the two boundary intercepts (the cutoff IS x=0, so
+    * the intercept needs no recentering). ONE conditional-sum pass
+    * produces both sides' sufficient statistics: x = balance CENTS
+    * (exact int64; Σx² < 2⁶³ through ~sf100 on the bandwidth-filtered
+    * slice — documented bound), y = spend in KILODOLLARS (6-dp staged;
+    * x·y ≤ 1e8 < 2³³, the staging-contract bound). Slopes/intercepts
+    * are one fixed IEEE tree; customers without orders count as real
+    * zero spend via the left join. */
+  val qRdd: GQuery = GQuery(
+    "q_rdd",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey",
+          floor($"c_acctbal" * lit(100.0) + lit(0.5)).cast("long").as("x"))
+        .filter(abs($"x") <= 100000L)
+      val spend = Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("yc"))
+      val j = cust.join(spend, $"c_custkey" === $"o_custkey", "left_outer")
+        .select($"x",
+          (coalesce($"yc", lit(0L)).cast("double") / lit(100000.0)).as("y"),
+          ($"x" >= 0L).as("hi"))
+      val a = j.agg(
+        sum(when($"hi", 1L).otherwise(0L)).as("n_hi"),
+        sum(when(!$"hi", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"hi", $"x").otherwise(0L)).as("sx_hi"),
+        sum(when(!$"hi", $"x").otherwise(0L)).as("sx_lo"),
+        sum(when($"hi", $"x" * $"x").otherwise(0L)).as("sxx_hi"),
+        sum(when(!$"hi", $"x" * $"x").otherwise(0L)).as("sxx_lo"),
+        sum(when($"hi", $"y".cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double").as("sy_hi"),
+        sum(when(!$"hi", $"y".cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double").as("sy_lo"),
+        sum(when($"hi", rN($"x".cast("double") * $"y", 6).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("sxy_hi"),
+        sum(when(!$"hi", rN($"x".cast("double") * $"y", 6).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("sxy_lo"))
+      def fit(sfx: String) = {
+        val nD = col(s"n_$sfx").cast("double")
+        val sxD = col(s"sx_$sfx").cast("double")
+        val sxxD = col(s"sxx_$sfx").cast("double")
+        val slope = (nD * col(s"sxy_$sfx") - sxD * col(s"sy_$sfx")) /
+          (nD * sxxD - sxD * sxD)
+        val icept = (col(s"sy_$sfx") - slope * sxD) / nD
+        (slope, icept)
+      }
+      val (slHi, icHi) = fit("hi")
+      val (slLo, icLo) = fit("lo")
+      a.select($"n_lo", $"n_hi",
+        r6(icLo).as("y0_lo"), r6(icHi).as("y0_hi"),
+        r6(slLo * lit(100000.0)).as("slope_lo"),
+        r6(slHi * lit(100000.0)).as("slope_hi"),
+        r6(icHi - icLo).as("rd_effect"))
+    },
+    Some {
+      def fit(s: String) = {
+        val slope = s"((cast(n_$s as double) * sxy_$s - " +
+          s"cast(sx_$s as double) * sy_$s) / " +
+          s"(cast(n_$s as double) * cast(sxx_$s as double) - " +
+          s"cast(sx_$s as double) * cast(sx_$s as double)))"
+        val icept = s"((sy_$s - $slope * cast(sx_$s as double)) / " +
+          s"cast(n_$s as double))"
+        (slope, icept)
+      }
+      val (slHi, icHi) = fit("hi")
+      val (slLo, icLo) = fit("lo")
+      s"""
+      WITH cust AS (
+        SELECT c_custkey,
+               cast(floor(c_acctbal * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS x
+        FROM customer
+        WHERE abs(cast(floor(c_acctbal * cast(100.0 as double) +
+          cast(0.5 as double)) as bigint)) <= 100000),
+      spend AS (
+        SELECT o_custkey,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint)) as bigint) AS yc
+        FROM orders GROUP BY o_custkey),
+      j AS (
+        SELECT x,
+               cast(coalesce(yc, 0) as double) /
+                 cast(100000.0 as double) AS y,
+               x >= 0 AS hi
+        FROM cust LEFT JOIN spend ON c_custkey = o_custkey),
+      a AS (
+        SELECT
+          cast(sum(CASE WHEN hi THEN 1 ELSE 0 END) as bigint) AS n_hi,
+          cast(sum(CASE WHEN hi THEN 0 ELSE 1 END) as bigint) AS n_lo,
+          cast(sum(CASE WHEN hi THEN x ELSE 0 END) as bigint) AS sx_hi,
+          cast(sum(CASE WHEN hi THEN 0 ELSE x END) as bigint) AS sx_lo,
+          cast(sum(CASE WHEN hi THEN x * x ELSE 0 END) as bigint)
+            AS sxx_hi,
+          cast(sum(CASE WHEN hi THEN 0 ELSE x * x END) as bigint)
+            AS sxx_lo,
+          cast(sum(CASE WHEN hi THEN cast(y as decimal(30,6))
+            ELSE cast(0 as decimal(30,6)) END) as double) AS sy_hi,
+          cast(sum(CASE WHEN hi THEN cast(0 as decimal(30,6))
+            ELSE cast(y as decimal(30,6)) END) as double) AS sy_lo,
+          cast(sum(CASE WHEN hi THEN
+            cast(${rNSql("cast(x as double) * y", 6)} as decimal(30,6))
+            ELSE cast(0 as decimal(30,6)) END) as double) AS sxy_hi,
+          cast(sum(CASE WHEN hi THEN cast(0 as decimal(30,6))
+            ELSE cast(${rNSql("cast(x as double) * y", 6)}
+              as decimal(30,6)) END) as double) AS sxy_lo
+        FROM j)
+      SELECT n_lo, n_hi,
+             ${r6Sql(icLo)} AS y0_lo, ${r6Sql(icHi)} AS y0_hi,
+             ${r6Sql(s"$slLo * cast(100000.0 as double)")} AS slope_lo,
+             ${r6Sql(s"$slHi * cast(100000.0 as double)")} AS slope_hi,
+             ${r6Sql(s"$icHi - ($icLo)")} AS rd_effect
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls, qGroupSeq,
-      qOaxaca, qPsmAtt)
+      qOaxaca, qPsmAtt, qRdd)
 }

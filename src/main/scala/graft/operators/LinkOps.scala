@@ -256,5 +256,95 @@ object LinkOps {
       LIMIT 25"""),
   )
 
-  val all: Seq[GQuery] = Seq(qAdamicAdar, qDegreeDist, qIntervalUnion)
+  /** JACCARD LINK PREDICTION on the same support-≥2 co-purchase graph
+    * as q_adamic_adar — the normalized common-neighbor index
+    * J(u,w) = |N(u)∩N(w)| / |N(u)∪N(w)| that penalizes high-degree
+    * endpoints instead of down-weighting hub intermediaries. Same
+    * 100-TB posture: wedges from ONE undirected self-equi-join,
+    * degrees equi-joined per endpoint, existing edges removed by a
+    * left-anti equi-join; every count stays an exact int64 and the
+    * single division is the output. Top 15 under a (score, pair) total
+    * order. */
+  val qLinkJaccard: GQuery = GQuery(
+    "q_link_jaccard",
+    (spark, dir) => {
+      import spark.implicits._
+      val organic = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ps)-1), i -> " +
+            "transform(sequence(i+1, size(ps)), j -> " +
+            "struct(element_at(ps, i) as pa, element_at(ps, j) as pb))))"))
+          .as("pr"))
+        .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+        .agg(count(lit(1)).as("s"))
+        .filter($"s" >= 2)
+        .select($"pa", $"pb")
+      val k4 = Seq(9000001L, 9000002L, 9000003L, 9000004L)
+      val planted = k4.combinations(2).map { case Seq(x, y) => (x, y) }
+        .toSeq.toDF("pa", "pb")
+      val e = organic.unionByName(planted).localCheckpoint()
+      val und = e.select($"pa".as("src"), $"pb".as("dst"))
+        .unionByName(e.select($"pb".as("src"), $"pa".as("dst")))
+      val deg = und.groupBy($"src".as("z")).agg(count(lit(1)).as("deg"))
+      val wedges = und.as("l").join(und.as("r"),
+          col("l.dst") === col("r.src") && col("l.src") < col("r.dst"))
+        .select(col("l.src").as("u"), col("r.dst").as("w"))
+        .groupBy($"u", $"w").agg(count(lit(1)).as("n_common"))
+      val du = deg.select($"z".as("u"), $"deg".as("deg_u"))
+      val dw = deg.select($"z".as("w"), $"deg".as("deg_w"))
+      val scored = wedges.join(du, "u").join(dw, "w")
+      val jac = $"n_common".cast("double") /
+        ($"deg_u" + $"deg_w" - $"n_common").cast("double")
+      scored.join(e, scored("u") === e("pa") && scored("w") === e("pb"),
+          "left_anti")
+        .select($"u", $"w", $"n_common", $"deg_u", $"deg_w",
+          r6(jac).as("jaccard"))
+        .orderBy(r6(jac).desc, $"u", $"w")
+        .limit(15)
+    },
+    Some(s"""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      organic AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      planted AS (
+        SELECT cast(pa as bigint) AS pa, cast(pb as bigint) AS pb
+        FROM (VALUES (9000001, 9000002), (9000001, 9000003),
+                     (9000001, 9000004), (9000002, 9000003),
+                     (9000002, 9000004), (9000003, 9000004)) v(pa, pb)),
+      e AS (SELECT pa, pb FROM organic UNION ALL SELECT pa, pb FROM planted),
+      und AS (SELECT pa AS src, pb AS dst FROM e
+              UNION ALL SELECT pb AS src, pa AS dst FROM e),
+      deg AS (SELECT src AS z, count(*) AS deg FROM und GROUP BY src),
+      wedges AS (
+        SELECT l.src AS u, r.dst AS w, count(*) AS n_common
+        FROM und l JOIN und r ON l.dst = r.src AND l.src < r.dst
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT u, w, cast(n_common as bigint) AS n_common,
+               cast(du.deg as bigint) AS deg_u,
+               cast(dw.deg as bigint) AS deg_w
+        FROM wedges
+        JOIN deg du ON wedges.u = du.z
+        JOIN deg dw ON wedges.w = dw.z),
+      nonedge AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.pa = s.u AND e.pb = s.w))
+      SELECT u, w, n_common, deg_u, deg_w,
+             ${r6Sql("cast(n_common as double) / " +
+               "cast(deg_u + deg_w - n_common as double)")} AS jaccard
+      FROM nonedge
+      ORDER BY ${r6Sql("cast(n_common as double) / " +
+        "cast(deg_u + deg_w - n_common as double)")} DESC, u, w
+      LIMIT 15"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qAdamicAdar, qDegreeDist, qIntervalUnion, qLinkJaccard)
 }

@@ -1254,9 +1254,85 @@ object MetricOps {
     },
   )
 
+  /** NEWSVENDOR STOCKING LEVEL per part brand at the 0.8 critical
+    * fractile: the smallest weekly stock covering ≥80% of observed
+    * weeks — the inverse-CDF STEP function (an actual demand value, no
+    * interpolation), computed as an exact integer order statistic from
+    * the collapsed (brand, weekly-demand) count table. Weeks are
+    * epoch-day div 7 in BOTH engines (the dow/date_trunc convention
+    * trap); the rank r = ⌈0.8·n⌉ = (8n+9) div 10 is integer in both
+    * (div vs // gotcha). The only windows ride the per-brand
+    * distinct-demand axis; achieved service = cum/n is the single
+    * IEEE division. */
+  val qNewsvendor: GQuery = GQuery(
+    "q_newsvendor",
+    (spark, dir) => {
+      import spark.implicits._
+      val weekly = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand",
+          expr("datediff(l_shipdate, DATE'1970-01-01') div 7").as("wk"))
+        .agg(sum($"l_quantity".cast("long")).as("d"))
+      val cells = weekly.groupBy($"p_brand", $"d")
+        .agg(count(lit(1)).as("cnt"))
+      val wb = Window.partitionBy($"p_brand")
+      val cum = cells
+        .withColumn("cum", sum($"cnt").over(wb.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nw", sum($"cnt").over(wb))
+        .withColumn("sd", sum($"d" * $"cnt").over(wb))
+        .withColumn("r", expr("(8 * nw + 9) div 10"))
+      val agg = cum.groupBy($"p_brand")
+        .agg(max($"nw").as("n_weeks"),
+          min(when($"cum" >= $"r", $"d")).as("stock_q80"),
+          min(when($"cum" >= $"r", $"cum")).as("cum_at"),
+          max($"sd").as("sd"))
+      agg.select($"p_brand", $"n_weeks", $"stock_q80",
+          r6($"sd".cast("double") / $"n_weeks".cast("double"))
+            .as("mean_demand"),
+          r6($"cum_at".cast("double") / $"n_weeks".cast("double"))
+            .as("service_level"))
+        .orderBy($"p_brand")
+    },
+    Some(s"""
+      WITH weekly AS (
+        SELECT p_brand,
+               datediff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+               cast(sum(cast(l_quantity as bigint)) as bigint) AS d
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      cells AS (
+        SELECT p_brand, d, cast(count(*) as bigint) AS cnt
+        FROM weekly GROUP BY 1, 2),
+      cum AS (
+        SELECT p_brand, d, cnt,
+               cast(sum(cnt) OVER (PARTITION BY p_brand ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as bigint) AS cum,
+               cast(sum(cnt) OVER (PARTITION BY p_brand) as bigint) AS nw,
+               cast(sum(d * cnt) OVER (PARTITION BY p_brand) as bigint)
+                 AS sd
+        FROM cells),
+      rk AS (SELECT *, (8 * nw + 9) // 10 AS r FROM cum),
+      agg AS (
+        SELECT p_brand, cast(max(nw) as bigint) AS n_weeks,
+               cast(min(CASE WHEN cum >= r THEN d END) as bigint)
+                 AS stock_q80,
+               cast(min(CASE WHEN cum >= r THEN cum END) as bigint)
+                 AS cum_at,
+               cast(max(sd) as bigint) AS sd
+        FROM rk GROUP BY p_brand)
+      SELECT p_brand, n_weeks, stock_q80,
+             ${r6Sql("cast(sd as double) / cast(n_weeks as double)")}
+               AS mean_demand,
+             ${r6Sql("cast(cum_at as double) / cast(n_weeks as double)")}
+               AS service_level
+      FROM agg ORDER BY p_brand"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
       qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz,
       qTimeHeatmap, qPriceVolume, qXyz, qLeadTime, qAging, qReturnRate,
-      qVarBacktest)
+      qVarBacktest, qNewsvendor)
 }

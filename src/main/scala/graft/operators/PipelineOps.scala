@@ -881,9 +881,77 @@ object PipelineOps {
     },
   )
 
+  /** DSIR-STYLE IMPORTANCE WEIGHTS for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): each document scores
+    * Σ_tokens ln(p̂_target(t)/p̂_corpus(t)) under add-1-smoothed unigram
+    * LMs, target = the English slice. ONE token pass builds the shared
+    * vocabulary with conditional (corpus, target) counts; the log-ratio
+    * is a fixed IEEE form over exact int64 counts evaluated once per
+    * VOCAB row, re-joined to token instances by term equi-join; the
+    * per-document sum is 9-dp decimal-staged (|term| ≤ ~15 — ln ratio
+    * of add-1 probabilities — at any SF). Top-10 selection is a
+    * (weight, doc_id)-total-ordered limit, never a global sort. */
+  val qDsir: GQuery = GQuery(
+    "q_dsir",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+      val vocab = toks.groupBy($"term")
+        .agg(count(lit(1)).as("ca"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ce"))
+      val tot = vocab.agg(sum($"ca").as("ta"), sum($"ce").as("te"),
+        count(lit(1)).as("v"))
+      val rat = vocab.crossJoin(broadcast(tot))
+        .select($"term",
+          (log(($"ce" + 1).cast("double") / ($"te" + $"v").cast("double")) -
+            log(($"ca" + 1).cast("double") / ($"ta" + $"v").cast("double")))
+            .as("lr"))
+      val scored = toks.join(rat, "term")
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(rN($"lr", 9).cast(DecimalType(30, 9)))
+            .cast("double").as("wraw"))
+      scored.select($"doc_id", $"lang", $"n_tokens",
+          r6($"wraw").as("dsir_weight"))
+        .orderBy($"wraw".desc, $"doc_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      vocab AS (
+        SELECT term, cast(count(*) as bigint) AS ca,
+               cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 as bigint) AS ce
+        FROM toks GROUP BY term),
+      tot AS (
+        SELECT cast(sum(ca) as bigint) AS ta,
+               cast(sum(ce) as bigint) AS te,
+               cast(count(*) as bigint) AS v
+        FROM vocab),
+      rat AS (
+        SELECT term,
+               ln(cast(ce + 1 as double) / cast(te + v as double)) -
+                 ln(cast(ca + 1 as double) / cast(ta + v as double)) AS lr
+        FROM vocab CROSS JOIN tot),
+      scored AS (
+        SELECT doc_id, lang, cast(count(*) as bigint) AS n_tokens,
+               cast(sum(cast(${rNSql("lr", 9)} as decimal(30,9)))
+                 as double) AS wraw
+        FROM toks JOIN rat USING (term)
+        GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_tokens, ${r6Sql("wraw")} AS dsir_weight
+      FROM scored
+      ORDER BY wraw DESC, doc_id
+      LIMIT 10"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
-      qNeymanAlloc)
+      qNeymanAlloc, qDsir)
 }

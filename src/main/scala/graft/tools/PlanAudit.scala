@@ -121,7 +121,10 @@ object PlanAudit {
     "q_moods_median",
     // round-10 batch 11: ≤35-cell contingency self-pairs + 1-row
     // diagonal broadcast (the q_kendall posture)
-    "q_somers_d")
+    "q_somers_d",
+    // round-10 batch 12: 1-row vocabulary-totals broadcast feeding the
+    // smoothed log-ratio projection (the q_tfidf posture)
+    "q_dsir")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -370,6 +370,44 @@ class Round10Spec extends AnyFunSuite {
     assert(se > 0.0 && lo < auc && auc < hi)
   }
 
+  test("q_dsir: top-10 is weight-ordered and dominated by the target domain") {
+    val r = rows("q_dsir")
+    assert(r.length == 10)
+    val ws = r.map(_.getDouble(3))
+    assert(ws.sliding(2).forall(p => p(0) >= p(1) - 2e-6), "ordered desc")
+    val en = r.count(_.getString(1) == "en")
+    assert(en >= 5, s"expected target-domain majority, got $en/10 en")
+  }
+
+  test("q_rdd: effect is the intercept gap; both sides populated") {
+    val Array(r) = rows("q_rdd")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    val (lo, hi, eff) = (r.getDouble(2), r.getDouble(3), r.getDouble(6))
+    assert(math.abs(eff - (hi - lo)) < 3e-6, s"eff=$eff vs ${hi - lo}")
+  }
+
+  test("q_link_jaccard: score reconciles with counts and stays in (0,1]") {
+    val r = rows("q_link_jaccard")
+    assert(r.nonEmpty && r.length <= 15)
+    r.foreach { x =>
+      val (nc, du, dw, j) =
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - nc.toDouble / (du + dw - nc)) < 2e-6)
+      assert(nc <= math.min(du, dw), "common neighbors bounded by degree")
+    }
+  }
+
+  test("q_newsvendor: achieved service >= the 0.8 fractile by construction") {
+    val r = rows("q_newsvendor")
+    assert(r.length == 25)
+    r.foreach { x =>
+      val svc = x.getDouble(4)
+      assert(svc >= 0.8 - 1e-9 && svc <= 1.0 + 1e-9, s"service $svc")
+      assert(x.getLong(2) > 0, "stock level positive")
+    }
+  }
+
   test("q_kpss: eta reconciles with its components; all positive") {
     val Array(r) = rows("q_kpss")
     val (n, s2, lrv, eta) =
