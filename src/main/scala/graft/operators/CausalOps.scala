@@ -1110,7 +1110,104 @@ object CausalOps {
     },
   )
 
+  /** SOBEL MEDIATION TEST: does discount (X) move revenue (Y) through
+    * quantity (M)? Path a from the OLS of M on X; path b from the
+    * two-predictor OLS of Y on (M, X) — both closed-form from ONE
+    * combinable pass of sufficient statistics (x = discount percentage
+    * points and m = quantity are exact int64; y and its cross-moments
+    * are kilodollar 6-dp staged, every term < 2³³). The indirect
+    * effect a·b and z = a·b/√(a²s_b² + b²s_a²) finish in fixed IEEE
+    * over the centered-moment tree (the q_partial_corr shape with a
+    * residual-variance layer). */
+  val qSobel: GQuery = GQuery(
+    "q_sobel",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+      val li = Tables.lineitem(spark, dir).select(
+        floor($"l_discount" * lit(100.0) + lit(0.5)).cast("long").as("x"),
+        $"l_quantity".cast("long").as("m"),
+        ($"l_extendedprice" / lit(1000.0)).as("y"))
+      val s = li.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"m").as("sm"),
+        sum($"x" * $"x").as("sxx"), sum($"m" * $"m").as("smm"),
+        sum($"x" * $"m").as("sxm"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(rN($"x".cast("double") * $"y", 6).cast(dec))
+          .cast("double").as("sxy"),
+        sum(rN($"m".cast("double") * $"y", 6).cast(dec))
+          .cast("double").as("smy"),
+        sum(($"y" * $"y").cast(dec)).cast("double").as("syy"))
+      val nD = $"n".cast("double")
+      val d = (c: String) => col(c).cast("double")
+      val cxx = d("sxx") - d("sx") * d("sx") / nD
+      val cmm = d("smm") - d("sm") * d("sm") / nD
+      val cxm = d("sxm") - d("sx") * d("sm") / nD
+      val cxy = $"sxy" - d("sx") * $"sy" / nD
+      val cmy = $"smy" - d("sm") * $"sy" / nD
+      val cyy = $"syy" - $"sy" * $"sy" / nD
+      val aPath = cxm / cxx
+      val sa2 = ((cmm - aPath * aPath * cxx) / (nD - lit(2.0))) / cxx
+      val det = cmm * cxx - cxm * cxm
+      val bPath = (cmy * cxx - cxy * cxm) / det
+      val cPrime = (cxy * cmm - cmy * cxm) / det
+      val ssr = cyy - bPath * cmy - cPrime * cxy
+      val sb2 = (ssr / (nD - lit(3.0))) * cxx / det
+      val z = aPath * bPath /
+        sqrt(aPath * aPath * sb2 + bPath * bPath * sa2)
+      s.select($"n", r6(aPath).as("a_path"), r6(bPath).as("b_path"),
+        r6(aPath * bPath).as("indirect"), r6(cPrime).as("direct"),
+        r6(z).as("sobel_z"))
+    },
+    Some {
+      val cxx = "(cast(sxx as double) - cast(sx as double) * " +
+        "cast(sx as double) / cast(n as double))"
+      val cmm = "(cast(smm as double) - cast(sm as double) * " +
+        "cast(sm as double) / cast(n as double))"
+      val cxm = "(cast(sxm as double) - cast(sx as double) * " +
+        "cast(sm as double) / cast(n as double))"
+      val cxy = "(sxy - cast(sx as double) * sy / cast(n as double))"
+      val cmy = "(smy - cast(sm as double) * sy / cast(n as double))"
+      val cyy = "(syy - sy * sy / cast(n as double))"
+      val aP = s"($cxm / $cxx)"
+      val sa2 = s"((($cmm - $aP * $aP * $cxx) / " +
+        s"(cast(n as double) - cast(2.0 as double))) / $cxx)"
+      val det = s"($cmm * $cxx - $cxm * $cxm)"
+      val bP = s"(($cmy * $cxx - $cxy * $cxm) / $det)"
+      val cP = s"(($cxy * $cmm - $cmy * $cxm) / $det)"
+      val ssr = s"($cyy - $bP * $cmy - $cP * $cxy)"
+      val sb2 = s"(($ssr / (cast(n as double) - cast(3.0 as double))) " +
+        s"* $cxx / $det)"
+      val z = s"($aP * $bP / sqrt($aP * $aP * $sb2 + $bP * $bP * $sa2))"
+      s"""
+      WITH li AS (
+        SELECT cast(floor(l_discount * cast(100.0 as double) +
+                 cast(0.5 as double)) as bigint) AS x,
+               cast(l_quantity as bigint) AS m,
+               l_extendedprice / cast(1000.0 as double) AS y
+        FROM lineitem),
+      s AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx, cast(sum(m) as bigint) AS sm,
+               cast(sum(x*x) as bigint) AS sxx,
+               cast(sum(m*m) as bigint) AS smm,
+               cast(sum(x*m) as bigint) AS sxm,
+               cast(sum(cast(y as decimal(30,6))) as double) AS sy,
+               cast(sum(cast(${rNSql("cast(x as double) * y", 6)}
+                 as decimal(30,6))) as double) AS sxy,
+               cast(sum(cast(${rNSql("cast(m as double) * y", 6)}
+                 as decimal(30,6))) as double) AS smy,
+               cast(sum(cast(y * y as decimal(30,6))) as double) AS syy
+        FROM li)
+      SELECT n, ${r6Sql(aP)} AS a_path, ${r6Sql(bP)} AS b_path,
+             ${r6Sql(s"$aP * $bP")} AS indirect,
+             ${r6Sql(cP)} AS direct,
+             ${r6Sql(z)} AS sobel_z
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qCuped, qDid, qGranger, qSrm, qMde, qPermTest, qIv2sls, qGroupSeq,
-      qOaxaca, qPsmAtt, qRdd)
+      qOaxaca, qPsmAtt, qRdd, qSobel)
 }

@@ -1322,7 +1322,92 @@ object InferOps {
     },
   )
 
+  /** TOST EQUIVALENCE TEST (two one-sided tests) on mean order value,
+    * HIGH vs NOT-SPECIFIED priority, margin ±$500 — the test q_ttest
+    * cannot replace: failing to reject H₀ is NOT evidence of
+    * equivalence; TOST demands BOTH (diff+δ)/se > z_α and
+    * (diff−δ)/se < −z_α. One conditional-sum pass collapses orders to
+    * the two groups' kilodollar-staged moments (the q_welch_anova
+    * contract); the Welch standard error and both t-ratios are one
+    * fixed IEEE tree, α = 0.05 one-sided (z = 1.645). */
+  val qTost: GQuery = GQuery(
+    "q_tost",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(30, 6)
+      val x = ($"o_totalprice" / lit(1000.0)).as("x")
+      val o = Tables.orders(spark, dir)
+        .filter($"o_orderpriority".isin("2-HIGH", "4-NOT SPECIFIED"))
+        .select($"o_orderpriority".as("g"), x)
+      val hiFlag = $"g" === "2-HIGH"
+      val a = o.agg(
+        sum(when(hiFlag, 1L).otherwise(0L)).as("n1"),
+        sum(when(!hiFlag, 1L).otherwise(0L)).as("n2"),
+        sum(when(hiFlag, $"x".cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double").as("s1"),
+        sum(when(!hiFlag, $"x".cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double").as("s2"),
+        sum(when(hiFlag, ($"x" * $"x").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("q1"),
+        sum(when(!hiFlag, ($"x" * $"x").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("q2"))
+      val n1D = $"n1".cast("double")
+      val n2D = $"n2".cast("double")
+      val m1 = $"s1" / n1D
+      val m2 = $"s2" / n2D
+      val v1 = ($"q1" - $"s1" * $"s1" / n1D) / (n1D - lit(1.0))
+      val v2 = ($"q2" - $"s2" * $"s2" / n2D) / (n2D - lit(1.0))
+      val diff = m1 - m2
+      val se = sqrt(v1 / n1D + v2 / n2D)
+      val tLo = (diff + lit(0.5)) / se
+      val tHi = (diff - lit(0.5)) / se
+      a.select($"n1", $"n2", r6(diff).as("diff_k"), r6(se).as("se"),
+        r6(tLo).as("t_lower"), r6(tHi).as("t_upper"),
+        when(tLo > 1.645 && tHi < -1.645, 1).otherwise(0)
+          .as("equivalent"))
+    },
+    Some {
+      val m1 = "(s1 / cast(n1 as double))"
+      val m2 = "(s2 / cast(n2 as double))"
+      val v1 = "((q1 - s1 * s1 / cast(n1 as double)) / " +
+        "(cast(n1 as double) - cast(1.0 as double)))"
+      val v2 = "((q2 - s2 * s2 / cast(n2 as double)) / " +
+        "(cast(n2 as double) - cast(1.0 as double)))"
+      val diff = s"($m1 - $m2)"
+      val se = s"(sqrt($v1 / cast(n1 as double) + $v2 / " +
+        s"cast(n2 as double)))"
+      val tLo = s"(($diff + cast(0.5 as double)) / $se)"
+      val tHi = s"(($diff - cast(0.5 as double)) / $se)"
+      s"""
+      WITH o AS (
+        SELECT o_orderpriority = '2-HIGH' AS hi,
+               o_totalprice / cast(1000.0 as double) AS x
+        FROM orders
+        WHERE o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED')),
+      a AS (
+        SELECT
+          cast(sum(CASE WHEN hi THEN 1 ELSE 0 END) as bigint) AS n1,
+          cast(sum(CASE WHEN hi THEN 0 ELSE 1 END) as bigint) AS n2,
+          cast(sum(CASE WHEN hi THEN cast(x as decimal(30,6))
+            ELSE cast(0 as decimal(30,6)) END) as double) AS s1,
+          cast(sum(CASE WHEN hi THEN cast(0 as decimal(30,6))
+            ELSE cast(x as decimal(30,6)) END) as double) AS s2,
+          cast(sum(CASE WHEN hi THEN cast(x * x as decimal(30,6))
+            ELSE cast(0 as decimal(30,6)) END) as double) AS q1,
+          cast(sum(CASE WHEN hi THEN cast(0 as decimal(30,6))
+            ELSE cast(x * x as decimal(30,6)) END) as double) AS q2
+        FROM o)
+      SELECT n1, n2, ${r6Sql(diff)} AS diff_k, ${r6Sql(se)} AS se,
+             ${r6Sql(tLo)} AS t_lower, ${r6Sql(tHi)} AS t_upper,
+             CASE WHEN $tLo > cast(1.645 as double) AND
+               $tHi < cast(-1.645 as double) THEN 1 ELSE 0 END
+               AS equivalent
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
-    qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr)
+    qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr,
+    qTost)
 }

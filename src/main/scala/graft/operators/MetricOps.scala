@@ -1330,9 +1330,66 @@ object MetricOps {
       FROM agg ORDER BY p_brand"""),
   )
 
+  /** SAFETY STOCK + REORDER POINT per brand under a 2-week lead time at
+    * a 95% cycle-service z (1.645): ss = z·σ_wk·√L, ROP = L·μ_wk + ss —
+    * the variance-based companion to q_newsvendor's quantile rule (the
+    * two disagree exactly when demand is skewed, which is the point of
+    * carrying both). One combinable pass collapses lineitem to
+    * per-(brand, epoch-week) integer demand, then per-brand exact int64
+    * (n, Σd, Σd²) — Σd² < 2⁶³ through ~sf10 on this calendar
+    * (documented bound); μ, σ, and the two outputs are fixed IEEE. */
+  val qSafetyStock: GQuery = GQuery(
+    "q_safety_stock",
+    (spark, dir) => {
+      import spark.implicits._
+      val weekly = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand",
+          expr("datediff(l_shipdate, DATE'1970-01-01') div 7").as("wk"))
+        .agg(sum($"l_quantity".cast("long")).as("d"))
+      val g = weekly.groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_weeks"), sum($"d").as("sd"),
+          sum($"d" * $"d").as("sdd"))
+      val nD = $"n_weeks".cast("double")
+      val mu = $"sd".cast("double") / nD
+      val sig = sqrt(($"sdd".cast("double") -
+        $"sd".cast("double") * $"sd".cast("double") / nD) / (nD - lit(1.0)))
+      val ss = lit(1.645) * sig * sqrt(lit(2.0))
+      g.select($"p_brand", $"n_weeks",
+          r6(mu).as("mean_weekly"), r6(sig).as("sd_weekly"),
+          r6(ss).as("safety_stock"),
+          r6(lit(2.0) * mu + ss).as("reorder_point"))
+        .orderBy($"p_brand")
+    },
+    Some {
+      val mu = "(cast(sd as double) / cast(n_weeks as double))"
+      val sig = "(sqrt((cast(sdd as double) - cast(sd as double) * " +
+        "cast(sd as double) / cast(n_weeks as double)) / " +
+        "(cast(n_weeks as double) - cast(1.0 as double))))"
+      val ss = s"(cast(1.645 as double) * $sig * " +
+        "sqrt(cast(2.0 as double)))"
+      s"""
+      WITH weekly AS (
+        SELECT p_brand,
+               datediff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+               cast(sum(cast(l_quantity as bigint)) as bigint) AS d
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      g AS (
+        SELECT p_brand, cast(count(*) as bigint) AS n_weeks,
+               cast(sum(d) as bigint) AS sd,
+               cast(sum(d * d) as bigint) AS sdd
+        FROM weekly GROUP BY p_brand)
+      SELECT p_brand, n_weeks, ${r6Sql(mu)} AS mean_weekly,
+             ${r6Sql(sig)} AS sd_weekly, ${r6Sql(ss)} AS safety_stock,
+             ${r6Sql(s"cast(2.0 as double) * $mu + $ss")} AS reorder_point
+      FROM g ORDER BY p_brand"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qGini, qSurvival, qCrossCorr, qQq, qStickiness, qTheil, qAbc,
       qElasticity, qDrawdown, qWeibullFit, qPriceIndex, qLorenz,
       qTimeHeatmap, qPriceVolume, qXyz, qLeadTime, qAging, qReturnRate,
-      qVarBacktest, qNewsvendor)
+      qVarBacktest, qNewsvendor, qSafetyStock)
 }

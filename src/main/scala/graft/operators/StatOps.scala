@@ -1128,9 +1128,81 @@ object StatOps {
     },
   )
 
+  /** THEIL'S U (uncertainty coefficients) for language × source over
+    * the corpus — the NORMALIZED, DIRECTED companion to q_mutual_info:
+    * U(lang|source) = I/H(lang) says what fraction of language
+    * uncertainty the source column removes (and vice versa), the
+    * categorical feature-redundancy gauge a dedup/mixture pipeline
+    * reads before dropping a column. One combinable cell pass;
+    * marginal and joint entropies are 12-dp-staged sums of
+    * (c/n)·ln(c/n) terms over the ≤|langs|·|sources| cell table; the
+    * two ratios are fixed IEEE. */
+  val qTheilU: GQuery = GQuery(
+    "q_theil_u",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val cells = Tables.documents(spark, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy()
+      def ent(df: org.apache.spark.sql.DataFrame, cnt: String) = {
+        val t = df.withColumn("n", sum(col(cnt)).over(wAll))
+        t.agg(max($"n").as("n"),
+          (-sum(rN((col(cnt).cast("double") / $"n".cast("double")) *
+            log(col(cnt).cast("double") / $"n".cast("double")), 12)
+            .cast(dec12)).cast("double")).as("h"))
+      }
+      val hx = ent(cells.groupBy($"lang").agg(sum($"c").as("cl")), "cl")
+        .select($"h".as("h_lang"))
+      val hy = ent(cells.groupBy($"source").agg(sum($"c").as("cs")), "cs")
+        .select($"h".as("h_source"))
+      val hxy = ent(cells, "c").select($"n", $"h".as("h_joint"))
+      val j = hxy.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      val mi = $"h_lang" + $"h_source" - $"h_joint"
+      j.select($"n".as("n_docs"), r6($"h_lang").as("h_lang"),
+        r6($"h_source").as("h_source"), r6($"h_joint").as("h_joint"),
+        r6(mi).as("mi_nats"),
+        r6(mi / $"h_lang").as("u_lang_given_source"),
+        r6(mi / $"h_source").as("u_source_given_lang"))
+    },
+    Some {
+      def entSql(src: String, cnt: String) =
+        s"""SELECT max(n) AS n,
+               -cast(sum(cast(${rNSql(
+                 s"(cast($cnt as double) / cast(n as double)) * " +
+                   s"ln(cast($cnt as double) / cast(n as double))", 12)}
+                 as decimal(30,12))) as double) AS h
+            FROM (SELECT $cnt, cast(sum($cnt) OVER () as bigint) AS n
+                  FROM $src t)"""
+      s"""
+      WITH cells AS (
+        SELECT lang, source, cast(count(*) as bigint) AS c
+        FROM documents GROUP BY 1, 2),
+      mx AS (SELECT lang, cast(sum(c) as bigint) AS cl
+             FROM cells GROUP BY lang),
+      my AS (SELECT source, cast(sum(c) as bigint) AS cs
+             FROM cells GROUP BY source),
+      hx AS (${entSql("mx", "cl")}),
+      hy AS (${entSql("my", "cs")}),
+      hxy AS (${entSql("cells", "c")}),
+      j AS (
+        SELECT hxy.n AS n_docs, hx.h AS h_lang, hy.h AS h_source,
+               hxy.h AS h_joint,
+               hx.h + hy.h - hxy.h AS mi
+        FROM hxy CROSS JOIN hx CROSS JOIN hy)
+      SELECT n_docs, ${r6Sql("h_lang")} AS h_lang,
+             ${r6Sql("h_source")} AS h_source,
+             ${r6Sql("h_joint")} AS h_joint,
+             ${r6Sql("mi")} AS mi_nats,
+             ${r6Sql("mi / h_lang")} AS u_lang_given_source,
+             ${r6Sql("mi / h_source")} AS u_source_given_lang
+      FROM j"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
     qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs,
-    qMahalanobis, qCvmExp)
+    qMahalanobis, qCvmExp, qTheilU)
 }

@@ -101,7 +101,12 @@ object ExplainAll {
     "q_cliffs_delta", "q_cvm2", "q_neyman_alloc",
     // round 10 batch 9: hard-negative mining, embedding dim health,
     // nearest-neighbor matching ATT
-    "q_hard_negatives", "q_embed_dimstats", "q_psm_att")
+    "q_hard_negatives", "q_embed_dimstats", "q_psm_att",
+    // round 10 batches 10-12: classical inference, stationarity,
+    // multiple testing, selection/causal/graph/ops
+    "q_jarque_bera", "q_moods_median", "q_variance_ratio", "q_pettitt",
+    "q_kpss", "q_bh_fdr", "q_somers_d", "q_auc_delong", "q_dsir",
+    "q_rdd", "q_link_jaccard", "q_newsvendor")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -124,7 +124,10 @@ object PlanAudit {
     "q_somers_d",
     // round-10 batch 12: 1-row vocabulary-totals broadcast feeding the
     // smoothed log-ratio projection (the q_tfidf posture)
-    "q_dsir")
+    "q_dsir",
+    // round-10 batch 13: two 1-row marginal-entropy broadcasts joined
+    // to the 1-row joint-entropy row (the q_cond_entropy posture)
+    "q_theil_u")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

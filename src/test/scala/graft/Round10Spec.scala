@@ -408,6 +408,47 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("q_theil_u: entropy inequalities and normalization hold") {
+    val Array(r) = rows("q_theil_u")
+    val (hl, hs, hj, mi) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    val (uls, usl) = (r.getDouble(5), r.getDouble(6))
+    assert(mi >= -1e-9, "MI non-negative")
+    assert(hj <= hl + hs + 1e-9 && hj >= math.max(hl, hs) - 1e-9)
+    assert(uls >= 0.0 && uls <= 1.0 && usl >= 0.0 && usl <= 1.0)
+    assert(math.abs(uls - mi / hl) < 3e-6 && math.abs(usl - mi / hs) < 3e-6)
+  }
+
+  test("q_tost: one-sided pair is ordered and the verdict matches") {
+    val Array(r) = rows("q_tost")
+    val (tl, tu, eq) = (r.getDouble(4), r.getDouble(5), r.getInt(6))
+    assert(r.getDouble(3) > 0.0, "se > 0")
+    assert(tl > tu, "lower t must exceed upper t by 2*delta/se")
+    val expect = if (tl > 1.645 && tu < -1.645) 1 else 0
+    assert(eq == expect, s"verdict $eq vs $expect (tl=$tl tu=$tu)")
+  }
+
+  test("q_sobel: indirect = a*b and z carries its sign") {
+    val Array(r) = rows("q_sobel")
+    val (a, b, ind, z) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(5))
+    assert(math.abs(ind - a * b) < 3e-6)
+    assert(ind * z >= 0.0, s"sign mismatch ind=$ind z=$z")
+  }
+
+  test("q_safety_stock: ROP decomposes; brand set matches q_newsvendor") {
+    val r = rows("q_safety_stock")
+    assert(r.length == 25)
+    r.foreach { x =>
+      val (mu, sig, ss, rop) = (x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5))
+      assert(sig >= 0.0 && ss >= 0.0)
+      assert(math.abs(rop - (2.0 * mu + ss)) < 3e-6)
+    }
+    val nv = rows("q_newsvendor").map(_.getString(0)).toSet
+    assert(r.map(_.getString(0)).toSet == nv)
+  }
+
   test("q_kpss: eta reconciles with its components; all positive") {
     val Array(r) = rows("q_kpss")
     val (n, s2, lrv, eta) =
