@@ -862,9 +862,219 @@ object LlmOps {
       ORDER BY pos"""),
   )
 
+  /** EMBEDDING DISTRIBUTION DRIFT between two deterministic hash slices
+    * of the corpus (the q_split Knuth-bucket split — slice A = buckets
+    * 0-4, B = 5-9): per-dimension two-sample z on the mean gap under a
+    * pooled variance. This is the vector-space twin of q_kl_drift
+    * (token space) and the two-sample extension of q_embed_dimstats —
+    * the QC gate that catches a re-embedded or re-normalized shard
+    * before it pollutes an index. ONE posexplode pass with conditional
+    * per-slice staged moments (6/12-dp; |x| ≤ 1); the top-10 most
+    * drifted dimensions come off the 64-row dim table under a
+    * (|z|, pos) total order. */
+  val qEmbedDrift: GQuery = GQuery(
+    "q_embed_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val ex = Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding"))
+        .select((($"vec_id" * 2654435761L) % 10 < 5).as("a"),
+          ($"pos" + 1).cast("int").as("pos"),
+          $"col".cast("double").as("x"))
+      def csum(flag: Boolean, c: org.apache.spark.sql.Column,
+          dt: org.apache.spark.sql.types.DecimalType) =
+        sum(when(if (flag) $"a" else !$"a", c.cast(dt))
+          .otherwise(lit(0).cast(dt))).cast("double")
+      val cells = ex.groupBy($"pos").agg(
+        sum(when($"a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("nb"),
+        csum(true, rN($"x", 6), dec6).as("sa"),
+        csum(false, rN($"x", 6), dec6).as("sb"),
+        csum(true, rN($"x" * $"x", 12), dec12).as("qa"),
+        csum(false, rN($"x" * $"x", 12), dec12).as("qb"))
+      val naD = $"na".cast("double")
+      val nbD = $"nb".cast("double")
+      val md = $"sa" / naD - $"sb" / nbD
+      val vp = (($"qa" - $"sa" * $"sa" / naD) +
+        ($"qb" - $"sb" * $"sb" / nbD)) / (naD + nbD - lit(2.0))
+      val z = md / sqrt(vp * (lit(1.0) / naD + lit(1.0) / nbD))
+      cells.select($"pos", $"na", $"nb",
+          r6($"sa" / naD).as("mean_a"), r6($"sb" / nbD).as("mean_b"),
+          r6(z).as("z_drift"))
+        .orderBy(abs(r6(z)).desc, $"pos")
+        .limit(10)
+    },
+    Some {
+      val md = "(sa / cast(na as double) - sb / cast(nb as double))"
+      val vp = "(((qa - sa * sa / cast(na as double)) + " +
+        "(qb - sb * sb / cast(nb as double))) / " +
+        "(cast(na as double) + cast(nb as double) - " +
+        "cast(2.0 as double)))"
+      val z = s"($md / sqrt($vp * (cast(1.0 as double) / " +
+        s"cast(na as double) + cast(1.0 as double) / " +
+        s"cast(nb as double))))"
+      s"""
+      WITH ex AS (
+        SELECT (vec_id * 2654435761) % 10 < 5 AS a,
+               cast(unnest(generate_series(1, len(embedding))) as int)
+                 AS pos,
+               unnest(list_transform(embedding, v -> cast(v as double)))
+                 AS x
+        FROM embeddings),
+      cells AS (
+        SELECT pos,
+               cast(sum(CASE WHEN a THEN 1 ELSE 0 END) as bigint) AS na,
+               cast(sum(CASE WHEN a THEN 0 ELSE 1 END) as bigint) AS nb,
+               cast(sum(CASE WHEN a THEN cast(${rNSql("x", 6)}
+                 as decimal(30,6)) ELSE cast(0 as decimal(30,6)) END)
+                 as double) AS sa,
+               cast(sum(CASE WHEN a THEN cast(0 as decimal(30,6))
+                 ELSE cast(${rNSql("x", 6)} as decimal(30,6)) END)
+                 as double) AS sb,
+               cast(sum(CASE WHEN a THEN cast(${rNSql("x * x", 12)}
+                 as decimal(30,12)) ELSE cast(0 as decimal(30,12)) END)
+                 as double) AS qa,
+               cast(sum(CASE WHEN a THEN cast(0 as decimal(30,12))
+                 ELSE cast(${rNSql("x * x", 12)} as decimal(30,12)) END)
+                 as double) AS qb
+        FROM ex GROUP BY pos)
+      SELECT pos, na, nb,
+             ${r6Sql("sa / cast(na as double)")} AS mean_a,
+             ${r6Sql("sb / cast(nb as double)")} AS mean_b,
+             ${r6Sql(z)} AS z_drift
+      FROM cells
+      ORDER BY abs(${r6Sql(z)}) DESC, pos
+      LIMIT 10"""
+    },
+  )
+
+  /** TOKEN FERTILITY per language — the tokenizer-budget planner's
+    * first table: characters per whitespace token and tokens per
+    * document by lang (a CJK-like slice shows immediately as a
+    * fertility outlier). Exact int64 sums (chars from the n_chars
+    * column, tokens from ONE split pass); the two ratios are single
+    * IEEE divisions. */
+  val qTokenFertility: GQuery = GQuery(
+    "q_token_fertility",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.documents(spark, dir)
+        .select($"lang", $"n_chars".cast("long").as("nc"),
+          size(split($"text", " ")).cast("long").as("nt"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"nc").as("chars"),
+          sum($"nt").as("tokens"))
+      g.select($"lang", $"n_docs", $"chars", $"tokens",
+          r6($"chars".cast("double") / $"tokens".cast("double"))
+            .as("chars_per_token"),
+          r6($"tokens".cast("double") / $"n_docs".cast("double"))
+            .as("tokens_per_doc"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, cast(n_chars as bigint) AS nc,
+               cast(len(string_split(text, ' ')) as bigint) AS nt
+        FROM documents),
+      g AS (
+        SELECT lang, cast(count(*) as bigint) AS n_docs,
+               cast(sum(nc) as bigint) AS chars,
+               cast(sum(nt) as bigint) AS tokens
+        FROM d GROUP BY lang)
+      SELECT lang, n_docs, chars, tokens,
+             ${r6Sql("cast(chars as double) / cast(tokens as double)")}
+               AS chars_per_token,
+             ${r6Sql("cast(tokens as double) / cast(n_docs as double)")}
+               AS tokens_per_doc
+      FROM g ORDER BY lang"""),
+  )
+
+  /** BIGRAM PERPLEXITY per document under the CORPUS bigram LM with
+    * add-1 smoothing — q_lm_score's order-2 companion and the standard
+    * fluency/outlier filter: ppl = exp(−Σ ln p̂(w₂|w₁) / n_bigrams),
+    * p̂ = (c(w₁w₂)+1)/(c(w₁·)+V). Bigrams come from ONE positional
+    * token pass and a per-doc lag window (partitioned by doc — never
+    * global); the smoothed log-prob is evaluated once per BIGRAM TYPE
+    * (exact int64 counts + the 1-row vocab broadcast) and re-joined to
+    * instances by equi-join; per-doc sums are 9-dp staged. The top-10
+    * most-surprising docs come off a (ppl, doc_id) total-ordered
+    * limit. */
+  val qBigramPpl: GQuery = GQuery(
+    "q_bigram_ppl",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", posexplode(split($"text", " ")))
+        .select($"doc_id", $"lang", $"pos", $"col".as("term"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bigrams = toks
+        .withColumn("prev", lag($"term", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"doc_id", $"lang", $"prev", $"term")
+      val types = bigrams.groupBy($"prev", $"term")
+        .agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum($"c12").over(Window.partitionBy($"prev")))
+      val vocab = toks.select($"term").distinct()
+        .agg(count(lit(1)).as("v"))
+      val lp = types.crossJoin(broadcast(vocab))
+        .select($"prev", $"term",
+          log(($"c12" + 1).cast("double") / ($"c1" + $"v").cast("double"))
+            .as("lp"))
+      val scored = bigrams.join(lp, Seq("prev", "term"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(rN($"lp", 9).cast(org.apache.spark.sql.types
+            .DecimalType(30, 9))).cast("double").as("slp"))
+      val ppl = exp(-$"slp" / $"n_bigrams".cast("double"))
+      scored.select($"doc_id", $"lang", $"n_bigrams", r6(ppl).as("ppl"))
+        .orderBy(r6(ppl).desc, $"doc_id")
+        .limit(10)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               cast(unnest(generate_series(1,
+                 len(string_split(text, ' ')))) as int) AS pos,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      bigrams AS (
+        SELECT doc_id, lang, prev, term
+        FROM (SELECT doc_id, lang, term,
+                lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS prev
+              FROM toks) t
+        WHERE prev IS NOT NULL),
+      types AS (
+        SELECT prev, term, cast(count(*) as bigint) AS c12,
+               cast(sum(count(*)) OVER (PARTITION BY prev) as bigint)
+                 AS c1
+        FROM bigrams GROUP BY prev, term),
+      vocab AS (
+        SELECT cast(count(DISTINCT term) as bigint) AS v FROM toks),
+      lp AS (
+        SELECT prev, term,
+               ln(cast(c12 + 1 as double) / cast(c1 + v as double)) AS lp
+        FROM types CROSS JOIN vocab),
+      scored AS (
+        SELECT doc_id, lang, cast(count(*) as bigint) AS n_bigrams,
+               cast(sum(cast(${rNSql("lp", 9)} as decimal(30,9)))
+                 as double) AS slp
+        FROM bigrams JOIN lp USING (prev, term)
+        GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_bigrams,
+             ${r6Sql("exp(-slp / cast(n_bigrams as double))")} AS ppl
+      FROM scored
+      ORDER BY ${r6Sql("exp(-slp / cast(n_bigrams as double))")} DESC,
+        doc_id
+      LIMIT 10"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
-    qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats)
+    qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats, qEmbedDrift,
+    qTokenFertility, qBigramPpl)
 }

@@ -127,7 +127,10 @@ object PlanAudit {
     "q_dsir",
     // round-10 batch 13: two 1-row marginal-entropy broadcasts joined
     // to the 1-row joint-entropy row (the q_cond_entropy posture)
-    "q_theil_u")
+    "q_theil_u",
+    // round-10 batch 14: 1-row vocab-size broadcast feeding the
+    // smoothed bigram log-prob projection (the q_dsir posture)
+    "q_bigram_ppl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

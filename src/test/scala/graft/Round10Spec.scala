@@ -449,6 +449,38 @@ class Round10Spec extends AnyFunSuite {
     assert(r.map(_.getString(0)).toSet == nv)
   }
 
+  test("q_embed_drift: slices partition the corpus; null-split z stays small") {
+    val r = rows("q_embed_drift")
+    assert(r.length == 10)
+    val (na, nb) = (r.head.getLong(1), r.head.getLong(2))
+    assert(r.forall(x => x.getLong(1) == na && x.getLong(2) == nb),
+      "per-dim counts constant across dims")
+    // a hash split of one population: |z| ordered desc, and even the
+    // top dim should sit in a sane null band at this n
+    val zs = r.map(x => math.abs(x.getDouble(5)))
+    assert(zs.sliding(2).forall(p => p(0) >= p(1) - 2e-6))
+    assert(zs.head < 6.0, s"null split drifted |z|=${zs.head}")
+  }
+
+  test("q_token_fertility: 5 langs; ratios reconcile with the count columns") {
+    val r = rows("q_token_fertility")
+    assert(r.length == 5)
+    r.foreach { x =>
+      val (nd, ch, tk) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(math.abs(x.getDouble(4) - ch.toDouble / tk) < 2e-6)
+      assert(math.abs(x.getDouble(5) - tk.toDouble / nd) < 2e-6)
+    }
+  }
+
+  test("q_bigram_ppl: perplexities ordered, >= 1, bounded by V+max(c1)") {
+    val r = rows("q_bigram_ppl")
+    assert(r.length == 10)
+    val ps = r.map(_.getDouble(3))
+    assert(ps.sliding(2).forall(p => p(0) >= p(1) - 2e-6), "ordered desc")
+    ps.foreach(p => assert(p >= 1.0, s"ppl $p < 1"))
+    r.foreach(x => assert(x.getLong(2) > 0))
+  }
+
   test("q_kpss: eta reconciles with its components; all positive") {
     val Array(r) = rows("q_kpss")
     val (n, s2, lrv, eta) =
