@@ -79,9 +79,10 @@ object Bench {
       }
     val retimed = retimeAttempts.collect { case (n, Right(t)) => n -> t }
     val retimeErrs = retimeAttempts.collect { case (n, Left(m)) => n -> m }
-    // flagged = first pass >1.5x the retime → contention-suspect
+    // flagged = first pass >1.5x the retime → contention-suspect (t2 > 0
+    // guards a degenerate zero-duration retime from dividing to Infinity)
     val suspects = retimed.collect {
-      case (n, t2) if firstByName(n) / t2 > 1.5 => n
+      case (n, t2) if t2 > 0 && firstByName(n) / t2 > 1.5 => n
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -105,7 +106,20 @@ object Bench {
     // object well under that window: total + counts + the slowest queries'
     // timings, map truncated at a character budget.
     println(line)
-    val budget = 1200
+    // The compact line must fit the driver's ~2000-char tail window END TO
+    // END or it front-truncates and parses as null (r10 regression: the
+    // 1200-char query budget ignored the unbounded retimed/suspect maps).
+    // Contract: build every fixed field FIRST, measure it, then give the
+    // queries map exactly what remains of a conservative 1900-char window
+    // (~100-char margin for sbt's exit footer). retimed/retime_errors/
+    // contention_suspect appear only as COUNTS here — the full maps are on
+    // the detail line above and in the history file.
+    val window = 1900
+    val omittedDigits = 4 // placeholder width for queries_omitted (<= 9999)
+    val fixedHead =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"n_retimed":${retimed.size},"n_retime_errors":${retimeErrs.size},"n_contention_suspect":${suspects.size},"queries_omitted":"""
+    val fixedTail = s""","queries":{},"sf":"$sfDir"}"""
+    val budget = window - fixedHead.length - omittedDigits - fixedTail.length
     val slowestFirst = timed.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -114,8 +128,10 @@ object Bench {
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
     val omitted = timed.size - kept.size
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
+    val compact = fixedHead + omitted +
+      s""","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    assert(compact.length <= window,
+      s"compact bench line ${compact.length} chars exceeds $window-char window")
     println(compact)
     // Opt-in machine-readable history: append the same JSON line, tagged,
     // to SPARK_GRAFT_BENCH_HISTORY (round-over-round regression tracking —

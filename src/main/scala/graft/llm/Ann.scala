@@ -112,17 +112,13 @@ object Ann {
     // The quantizer is fit on a deterministic hash-SAMPLE, never the full
     // corpus: KMeans only needs enough vectors to place nCells centroids
     // (~100 per cell), and a full-corpus fit would be the bottleneck at
-    // 100 TB. The multiplicative-hash filter is reproducible across
-    // engines, partitionings and re-runs; the FULL corpus is then assigned
-    // with the fitted model in one codegen'd pass.
-    val fitTarget = math.max(100L * nCells, 10000L)
-    val n = corpus.select(col(idCol)).count()
-    val fitSet =
-      if (n <= fitTarget) c
-      else {
-        val keep = math.max(1L, (fitTarget * 1000000L) / n)
-        c.filter(pmod(xxhash64(col("c_id")), lit(1000000L)) < lit(keep))
-      }
+    // 100 TB. Sampling = the fitTarget smallest xxhash64(id) values
+    // (TakeOrderedAndProject: per-partition top-N, tiny driver merge) —
+    // uniform because hash order is independent of the data, deterministic
+    // across partitionings, and needs NO prior count() pass over the
+    // corpus (a full extra scan at 100 TB just to size the sample).
+    val fitTarget = math.max(100 * nCells, 10000)
+    val fitSet = c.orderBy(xxhash64(col("c_id"))).limit(fitTarget)
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
     val model = km.fit(fitSet)

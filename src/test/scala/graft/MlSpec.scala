@@ -880,4 +880,49 @@ class MlSpec extends AnyFunSuite {
       .agg(avg($"hit")).head.getDouble(0)
     assert(cov >= 0.85 && cov <= 1.0, s"coverage=$cov")
   }
+
+  test("Word2Vec: planted co-occurrence geometry + doc-vector pipeline") {
+    import spark.implicits._
+    import org.apache.spark.ml.feature.Word2Vec
+    // Two disjoint topic vocabularies. Each sentence mixes words from ONE
+    // topic, so skip-gram must embed same-topic words closer than
+    // cross-topic words, and the averaged doc vector must be linearly
+    // separable by topic.
+    val rng = new scala.util.Random(11)
+    val topicA = Array("ore", "magma", "basalt", "quartz", "granite")
+    val topicB = Array("kelp", "coral", "plankton", "brine", "lagoon")
+    val docs = (1 to 300).map { i =>
+      val vocab = if (i % 2 == 0) topicA else topicB
+      val words = (1 to 8).map(_ => vocab(rng.nextInt(vocab.length)))
+      (words.mkString(" "), (i % 2).toDouble)
+    }.toDF("text", "label")
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val w2v = new Word2Vec().setInputCol("words").setOutputCol("features")
+      .setVectorSize(16).setMinCount(1).setSeed(7).setMaxIter(4)
+    // (a) raw embedding geometry: same-topic cosine > cross-topic cosine
+    val w2vModel = w2v.fit(tok.transform(docs))
+    val vecs = w2vModel.getVectors.collect()
+      .map(r => r.getString(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val within = cos(vecs("ore"), vecs("basalt"))
+    val across = cos(vecs("ore"), vecs("coral"))
+    assert(within > across,
+      s"same-topic cosine $within should exceed cross-topic $across")
+    // findSynonyms of a topic-A word must surface topic-A words first
+    val syn = w2vModel.findSynonymsArray("magma", 3).map(_._1)
+    assert(syn.exists(topicA.contains),
+      s"synonyms of 'magma' contain no topic-A word: ${syn.mkString(",")}")
+    // (b) full pipeline: Tokenizer -> Word2Vec doc vectors -> LR
+    val lr = new LogisticRegression().setMaxIter(20)
+    val pipe = new Pipeline().setStages(Array(tok, w2v, lr))
+    val model = pipe.fit(docs)
+    org.apache.spark.ml.graftbridge.ModelFactory.stripTrainingSummary(model)
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(model.transform(docs))
+    assert(acc >= 0.9, s"Word2Vec pipeline accuracy $acc < 0.9")
+  }
 }
