@@ -1122,8 +1122,84 @@ object CorpusStats {
       ORDER BY d1, rnk"""),
   )
 
+  /** DUPLICATION-COVERAGE QC — the corpus-level health metric a dedup
+    * pipeline reports BEFORE deciding to run pair-level dedup at all:
+    * for each document, the fraction of its distinct 3-word shingles
+    * whose corpus document frequency is >= 2 (i.e. shared with at least
+    * one other doc), aggregated per source as mean coverage and the
+    * count of high-coverage (>= 0.5) docs. A source whose documents are
+    * mostly made of shared shingles is a boilerplate/mirror suspect —
+    * this is the per-source triage signal that says WHERE to spend the
+    * pair-generation budget. 25 planted full-copy docs (shifted ids,
+    * original source kept) force coverage 1.0 rows at every SF.
+    * Fully linear: one shingle explode, one df groupBy (map-side
+    * combinable), one posting equi-join back, two aggregations — no
+    * pairs anywhere, the 100 TB-safe prepass to the q_neardup_* family.
+    * Per-doc coverage is an exact int/int division; the per-source mean
+    * is 12-dp decimal-staged (coverage terms are O(1) and number in the
+    * thousands — both staging bounds hold). */
+  val qDupCoverage: GQuery = GQuery(
+    "q_dup_coverage",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val base = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 25)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text"))
+      val g = docs
+        .select($"doc_id", $"source", split($"text", " ").as("l"))
+        .select($"doc_id", $"source",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val df = g.groupBy($"gram").agg(count(lit(1)).as("gdf"))
+      val cov = g.join(df, "gram")
+        .groupBy($"doc_id", $"source")
+        .agg((sum(when($"gdf" >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("cov"))
+      cov.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          rN(sum(rN($"cov", 12).cast(dec12)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_cov"),
+          sum(when($"cov" >= 0.5, 1L).otherwise(0L)).as("n_high"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, text FROM documents
+        WHERE doc_id < 25),
+      lt AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM base),
+      g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      df AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+      cov AS (
+        SELECT doc_id, source,
+               cast(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) as double)
+                 / cast(count(*) as double) AS cov
+        FROM g JOIN df USING (gram)
+        GROUP BY doc_id, source)
+      SELECT source, cast(count(*) as bigint) AS n_docs,
+             ${rNSql("cast(sum(cast(" + rNSql("cov", 12) +
+               " as decimal(30,12))) as double) / cast(count(*) as double)",
+               6)} AS mean_cov,
+             cast(sum(CASE WHEN cov >= cast(0.5 as double) THEN 1 ELSE 0 END)
+               as bigint) AS n_high
+      FROM cov GROUP BY source
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
-      qJaccardPrefix, qErMatch, qCollocation, qCondEntropy, qSparseCosineTopk)
+      qJaccardPrefix, qErMatch, qCollocation, qCondEntropy, qSparseCosineTopk,
+      qDupCoverage)
 }

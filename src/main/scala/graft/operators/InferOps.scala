@@ -1406,8 +1406,80 @@ object InferOps {
     },
   )
 
+  /** G-TEST (likelihood-ratio) of independence on the lang × source
+    * contingency table — q_chi2's information-theoretic twin: G =
+    * 2·Σ O·ln(O/E) is additive in the cells (χ² is not), so partitioned
+    * sub-tables sum to the corpus statistic — the property that matters
+    * when the contingency table itself is sharded at 100 TB. Same
+    * one-pass combinable groupBy + broadcast-marginal shape as q_chi2;
+    * only OBSERVED cells contribute (O·ln(O/E) → 0 as O → 0, and absent
+    * combinations never materialize rows). Per-cell terms are IEEE
+    * (ln over exact integer-count ratios), 9-dp decimal-staged for the
+    * order-free total. Output: table dims, df, G, and G/2n (the mutual
+    * information in nats the statistic estimates — ties this to
+    * q_mutual_info). */
+  val qGTest: GQuery = GQuery(
+    "q_g_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec9 = DecimalType(30, 9)
+      val obs = Tables.documents(spark, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      val wAll = Window.partitionBy()
+      val cells = obs
+        .withColumn("r", sum($"o").over(Window.partitionBy($"lang")))
+        .withColumn("c", sum($"o").over(Window.partitionBy($"source")))
+        .withColumn("n", sum($"o").over(wAll))
+        .withColumn("nr", size(collect_set($"lang").over(wAll)))
+        .withColumn("nc", size(collect_set($"source").over(wAll)))
+      val o = $"o".cast("double")
+      val e = $"r".cast("double") * $"c".cast("double") / $"n".cast("double")
+      val g = cells
+        .select($"n", $"nr", $"nc",
+          rN(o * log(o / e), 9).as("term"))
+        .groupBy($"n".as("n_docs"), $"nr".as("n_langs"),
+          $"nc".as("n_sources"))
+        .agg((lit(2.0) * sum($"term".cast(dec9)).cast("double")).as("gd"))
+      g.select($"n_docs", $"n_langs", $"n_sources",
+        (($"n_langs" - 1) * ($"n_sources" - 1)).as("df"),
+        r6($"gd").as("g_stat"),
+        r6($"gd" / (lit(2.0) * $"n_docs".cast("double"))).as("mi_nats"))
+    },
+    Some(s"""
+      WITH obs AS (SELECT lang, source, count(*) AS o
+                   FROM documents GROUP BY lang, source),
+      dims AS (
+        SELECT cast(count(DISTINCT lang) as int) AS nr,
+               cast(count(DISTINCT source) as int) AS nc
+        FROM obs),
+      m AS (
+        SELECT cast(o as bigint) AS o,
+               cast(sum(o) OVER (PARTITION BY lang) as bigint) AS r,
+               cast(sum(o) OVER (PARTITION BY source) as bigint) AS c,
+               cast(sum(o) OVER () as bigint) AS n,
+               nr, nc
+        FROM obs CROSS JOIN dims),
+      t AS (
+        SELECT n, nr, nc,
+               ${rNSql("cast(o as double) * ln(cast(o as double) / " +
+                 "(cast(r as double) * cast(c as double) / " +
+                 "cast(n as double)))", 9)} AS term
+        FROM m),
+      s AS (
+        SELECT n AS n_docs, nr AS n_langs, nc AS n_sources,
+               cast(2.0 as double) *
+                 cast(sum(cast(term as decimal(30,9))) as double) AS gd
+        FROM t GROUP BY 1, 2, 3)
+      SELECT n_docs, n_langs, n_sources,
+             (n_langs - 1) * (n_sources - 1) AS df,
+             ${r6Sql("gd")} AS g_stat,
+             ${r6Sql("gd / (cast(2.0 as double) * cast(n_docs as double))")}
+               AS mi_nats
+      FROM s"""),
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
     qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr,
-    qTost)
+    qTost, qGTest)
 }

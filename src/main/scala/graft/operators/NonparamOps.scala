@@ -1307,8 +1307,104 @@ object NonparamOps {
       FROM agg CROSS JOIN diag"""),
   )
 
+  /** CONOVER SQUARED-RANKS test for equality of VARIANCES, click-days vs
+    * purchase-days of the daily value series — the rank-based companion
+    * to q_levene/q_bartlett that needs no normality and no interpolated
+    * medians. Scores are squared MIDRANKS of |x − group mean|; the
+    * statistic is the general two-sample linear-rank form
+    * z = (T − n₁s̄)/√(n₁n₂/(N(N−1))·Σ(s−s̄)²). Determinism: the raw pass
+    * collapses events to per-(type, day) integer cents (combinable; the
+    * only scan), so N is calendar-bounded (≤ ~60 rows) and the global
+    * rank window is over that tiny aggregate — the SeriesOps posture,
+    * not a raw-row sort. Midranks are exact halves, scores exact
+    * quarters, so every sum is order-free integer arithmetic in quarter
+    * units — no decimal staging needed (the dyadic-rational rule); the
+    * group means and the final z are fixed-shape IEEE expressions. */
+  val qSquaredRanks: GQuery = GQuery(
+    "q_squared_ranks",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum(floor($"value" * lit(100.0) + lit(0.5)).cast("long"))
+          .as("x"))
+      val wg = Window.partitionBy($"event_type")
+      val u = daily
+        .withColumn("mean_g",
+          sum($"x").over(wg).cast("double") / count(lit(1)).over(wg)
+            .cast("double"))
+        .withColumn("u", abs($"x".cast("double") - $"mean_g"))
+      val ranked = u
+        .withColumn("rk", rank().over(Window.orderBy($"u")))
+        .withColumn("ct", count(lit(1)).over(Window.partitionBy($"u")))
+        .withColumn("s", {
+          val mid = ($"rk".cast("double") * 2 + $"ct".cast("double") -
+            lit(1.0)) / lit(2.0)
+          mid * mid
+        })
+      val agg = ranked.agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when($"event_type" === "click", 0L).otherwise(1L)).as("n2"),
+        sum(when($"event_type" === "click", $"s").otherwise(lit(0.0)))
+          .as("t"),
+        sum($"s").as("ss"),
+        sum($"s" * $"s").as("sq"))
+      val d = (c: String) => col(c).cast("double")
+      val nT = d("n1") + d("n2")
+      val sbar = $"ss" / nT
+      val varT = d("n1") * d("n2") / (nT * (nT - lit(1.0))) *
+        ($"sq" - $"ss" * $"ss" / nT)
+      agg.select($"n1", $"n2", $"t".as("t_stat"),
+        r6(sbar).as("mean_score"),
+        r6(($"t" - d("n1") * sbar) / sqrt(varT)).as("z"))
+    },
+    Some {
+      val nT = "(cast(n1 as double) + cast(n2 as double))"
+      val sbar = s"(ss / $nT)"
+      val varT = s"(cast(n1 as double) * cast(n2 as double) / " +
+        s"($nT * ($nT - cast(1.0 as double))) * (sq - ss * ss / $nT))"
+      s"""
+      WITH daily AS (
+        SELECT event_type, cast(date_trunc('day', ts) as date) AS day,
+               cast(sum(cast(floor(value * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+      u AS (
+        SELECT event_type,
+               abs(cast(x as double) -
+                 cast(sum(x) OVER (PARTITION BY event_type) as double) /
+                 cast(count(*) OVER (PARTITION BY event_type) as double))
+                 AS u
+        FROM daily),
+      ranked AS (
+        SELECT event_type,
+               ((cast(rank() OVER (ORDER BY u) as double) *
+                 cast(2.0 as double) +
+                 cast(count(*) OVER (PARTITION BY u) as double) -
+                 cast(1.0 as double)) / cast(2.0 as double)) AS mid
+        FROM u),
+      a AS (
+        SELECT
+          cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            as bigint) AS n1,
+          cast(sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+            as bigint) AS n2,
+          sum(CASE WHEN event_type = 'click' THEN mid * mid
+            ELSE cast(0.0 as double) END) AS t,
+          sum(mid * mid) AS ss,
+          sum(mid * mid * mid * mid) AS sq
+        FROM ranked)
+      SELECT n1, n2, t AS t_stat, ${r6Sql(sbar)} AS mean_score,
+             ${r6Sql(s"(t - cast(n1 as double) * $sbar) / sqrt($varT)")}
+               AS z
+      FROM a"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
       qWilcoxon, qFriedman, qMcnemar, qDunnTest, qCochranQ, qPageTrend,
-      qCliffsDelta, qCvm2, qMoodsMedian, qSomersD)
+      qCliffsDelta, qCvm2, qMoodsMedian, qSomersD, qSquaredRanks)
 }

@@ -1702,9 +1702,256 @@ object ScaleOps {
       ORDER BY k.p_id, n_probe"""),
   )
 
+  /** SEMANTIC DEDUP (SemDeDup shape, Abbas et al. 2023): the dedup
+    * DECISION layer on top of q_neardup_embed's candidate generator —
+    * instead of emitting near-dup PAIRS, emit the per-cell keep/drop
+    * summary a pruning pass acts on. Every vector is assigned to its ONE
+    * nearest coarse-quantizer cell (same deterministic hash-sampled
+    * centroids as q_ann_ivf: vec_id % 61 = 3, from the unplanted slice
+    * only — the quantizer is part of the standing index, not the batch);
+    * within a cell, a vector is DROPPED iff an earlier (smaller-id)
+    * vector of the same cell has cosine >= 0.97 — keep-first semantics,
+    * the same combinable rule as q_dedup_para, so re-partitioning can
+    * never change the verdict. Candidates come ONLY from the cell
+    * equi-join (id inequality + the expensive cosine bound LAST in the
+    * join condition, per the And-short-circuit rule); 25 planted
+    * duplicate vectors (shifted ids, identical embeddings → identical
+    * cell assignment, cos = 1) keep every SF non-vacuous. At 100 TB:
+    * cell count grows with corpus size so per-cell pair work stays
+    * bounded, the assignment pass is one broadcast-centroid argmax scan,
+    * and the drop set is a semi-join — nothing quadratic in the corpus. */
+  val qSemdedup: GQuery = GQuery(
+    "q_semdedup",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val base = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id", $"embedding")
+      val corpus = base.unionByName(
+        base.filter($"vec_id" < 25)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val cents = corpus.filter($"vec_id" % 61 === 3 && $"vec_id" < corpusBound)
+        .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
+      val assignW = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell")
+      val blocked = corpus.crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cell", $"emb", $"nrm")
+      val dropped = blocked.as("d").join(blocked.as("k"),
+          col("d.cell") === col("k.cell") &&
+            col("k.vec_id") < col("d.vec_id") &&
+            expr("dot_product(d.emb, k.emb)") / (col("d.nrm") * col("k.nrm"))
+              >= lit(0.97),
+          "leftsemi")
+        .select(col("vec_id"), col("cell"))
+      blocked.groupBy($"cell").agg(count(lit(1)).as("n_docs"))
+        .join(dropped.groupBy($"cell").agg(count(lit(1)).as("nd")),
+          Seq("cell"), "left_outer")
+        .select($"cell", $"n_docs",
+          coalesce($"nd", lit(0L)).as("n_dropped"),
+          r6(coalesce($"nd", lit(0L)).cast("double") /
+            $"n_docs".cast("double")).as("drop_rate"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25),
+      corpus AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM base),
+      cents AS (
+        SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
+        FROM corpus WHERE vec_id % 61 = 3 AND vec_id < $corpusBound),
+      blocked AS (
+        SELECT vec_id, cell, embedding, nrm FROM (
+          SELECT c.vec_id, cents.cell, c.embedding, c.nrm,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (${chainSql("c.embedding", "cents.cent")})
+                     / (c.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM corpus c CROSS JOIN cents) t WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT d.vec_id, d.cell
+        FROM blocked d JOIN blocked k
+          ON d.cell = k.cell AND k.vec_id < d.vec_id
+         AND (${chainSql("d.embedding", "k.embedding")}) / (d.nrm * k.nrm)
+               >= cast(0.97 as double)),
+      per AS (SELECT cell, count(*) AS n_docs FROM blocked GROUP BY cell),
+      dr AS (SELECT cell, count(*) AS nd FROM dropped GROUP BY cell)
+      SELECT per.cell, cast(n_docs as bigint) AS n_docs,
+             cast(coalesce(nd, 0) as bigint) AS n_dropped,
+             ${r6Sql("cast(coalesce(nd, 0) as double) / " +
+               "cast(n_docs as double)")} AS drop_rate
+      FROM per LEFT JOIN dr ON per.cell = dr.cell
+      ORDER BY per.cell"""),
+  )
+
+  private val SUB = 16 // PQ subspace width (4 subspaces x 16 dims)
+
+  /** DuckDB left-assoc chain of squared differences over one PQ subspace
+    * of the 64-dim embedding (1-based dims lo .. lo+15) — bit-identical
+    * to Spark's sequential `aggregate(zip_with(...))` fold. */
+  private def sqDiffChainSql(a: String, b: String, lo: Int): String =
+    (lo until lo + SUB).map(i =>
+      s"((cast($a[$i] as double) - cast($b[$i] as double)) * " +
+        s"(cast($a[$i] as double) - cast($b[$i] as double)))")
+      .mkString(" + ")
+
+  /** Full-dimension squared-L2 chain (the exact re-rank / recall oracle). */
+  private def sqDiffFullSql(a: String, b: String): String =
+    (1 to D).map(i =>
+      s"((cast($a[$i] as double) - cast($b[$i] as double)) * " +
+        s"(cast($a[$i] as double) - cast($b[$i] as double)))")
+      .mkString(" + ")
+
+  /** PRODUCT QUANTIZATION ANN (IVFADC's compression half, Jégou et al.
+    * 2011): the 64-dim embedding splits into 4 subspaces of 16 dims; a
+    * deterministic hash-sampled codebook per subspace (subvectors of
+    * corpus rows with vec_id % 53 = 7 — the q_ann_ivf convention, so both
+    * engines hold identical codewords); every corpus vector stores only
+    * its 4 nearest-codeword ids (the PQ code — 4 small ints replacing
+    * 64 floats, the memory posture that makes billion-vector ANN fit);
+    * a probe precomputes its distance to every codeword per subspace
+    * (the ADC lookup table, |codebook|×4 rows, broadcast) and
+    * approximate distance = sum of 4 table lookups. Output: recall@10 of
+    * ADC top-10 vs exact squared-L2 top-10 per probe, on the full
+    * (p_id) key table so an empty overlap surfaces as 0 instead of
+    * vanishing. Determinism: subspace distances are left-assoc IEEE
+    * chains (bit-equal in both engines), the 4-term ADC sum is 6-dp
+    * decimal-staged (order-free), ranks tiebreak on id. At 100 TB: the
+    * code assignment is one broadcast-codebook scan, ADC candidates cost
+    * 4 int lookups per vector, and the exact re-rank runs only on the
+    * declared probe set. */
+  val qAnnPq: GQuery = GQuery(
+    "q_ann_pq",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      // (vec_id, m, sub): the 4 subvectors of every corpus vector
+      val sub = emb.select($"vec_id", explode(expr(
+          s"transform(sequence(0, 3), m -> named_struct('m', m, " +
+            s"'sv', slice(emb, m * $SUB + 1, $SUB)))")).as("s"))
+        .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+      val codebook = sub.filter($"vec_id" % 53 === 7)
+        .select($"m", $"vec_id".as("cw_id"), $"sv".as("cw"))
+      val fold = "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (s, v) -> s + v)"
+      val assignW = Window.partitionBy($"vec_id", $"m")
+        .orderBy($"d2".asc, $"cw_id")
+      val codes = sub.join(broadcast(codebook), "m")
+        .withColumn("d2", expr(fold))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"m", $"cw_id")
+      // ADC lookup table: probe x codeword distances per subspace
+      val pdist = sub.filter($"vec_id" < 5)
+        .join(broadcast(codebook), "m")
+        .select($"vec_id".as("p_id"), $"m", $"cw_id",
+          expr(fold).as("pd2"))
+      val adc = codes.join(broadcast(pdist), Seq("m", "cw_id"))
+        .groupBy($"p_id", $"c_id")
+        .agg(sum(rN($"pd2", 6).cast(dec6)).cast("double").as("adc"))
+      val wA = Window.partitionBy($"p_id").orderBy($"adc".asc, $"c_id")
+      val topA = adc.withColumn("rn", row_number().over(wA))
+        .filter($"rn" <= 10).select($"p_id", $"c_id")
+      val probes = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"))
+      val exact = emb.crossJoin(broadcast(probes))
+        .select($"p_id", $"vec_id".as("c_id"),
+          expr("aggregate(zip_with(p_emb, emb, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (s, v) -> s + v)").as("d2"))
+      val wE = Window.partitionBy($"p_id").orderBy($"d2".asc, $"c_id")
+      val topE = exact.withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10).select($"p_id", $"c_id")
+      val overlap = topA.join(topE, Seq("p_id", "c_id"))
+        .groupBy($"p_id").agg(count(lit(1)).as("n"))
+      probes.select($"p_id")
+        .join(overlap, Seq("p_id"), "left_outer")
+        .select($"p_id", coalesce($"n", lit(0L)).as("n_overlap"),
+          r6(coalesce($"n", lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy($"p_id")
+    },
+    Some {
+      // one distance leg per subspace: the chain must inline the 1-based
+      // dim range, so the 4 legs are generated and UNION ALL'd
+      val assignLegs = (0 to 3).map { m =>
+        val lo = m * SUB + 1
+        s"""
+        SELECT c.vec_id, $m AS m, cb.cw_id,
+               (${sqDiffChainSql("c.embedding", "cb.cw_emb", lo)}) AS d2
+        FROM corpus c CROSS JOIN codebook cb"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound),
+      codebook AS (
+        SELECT vec_id AS cw_id, embedding AS cw_emb
+        FROM corpus WHERE vec_id % 53 = 7),
+      dists AS ($assignLegs),
+      codes AS (
+        SELECT vec_id AS c_id, m, cw_id FROM (
+          SELECT vec_id, m, cw_id,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d2 ASC, cw_id) AS rn
+          FROM dists) t WHERE rn = 1),
+      pdist AS (
+        SELECT vec_id AS p_id, m, cw_id, d2 AS pd2
+        FROM dists WHERE vec_id < 5),
+      adc AS (
+        SELECT p.p_id, c.c_id,
+               cast(sum(cast(${rNSql("p.pd2", 6)} as decimal(30,6)))
+                 as double) AS adc
+        FROM codes c JOIN pdist p ON p.m = c.m AND p.cw_id = c.cw_id
+        GROUP BY p.p_id, c.c_id),
+      topa AS (
+        SELECT p_id, c_id FROM (
+          SELECT p_id, c_id,
+                 row_number() OVER (PARTITION BY p_id
+                   ORDER BY adc ASC, c_id) AS rn
+          FROM adc) t WHERE rn <= 10),
+      exact AS (
+        SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+               (${sqDiffFullSql("p.embedding", "c.embedding")}) AS d2
+        FROM corpus c CROSS JOIN (SELECT * FROM corpus WHERE vec_id < 5) p),
+      tope AS (
+        SELECT p_id, c_id FROM (
+          SELECT p_id, c_id,
+                 row_number() OVER (PARTITION BY p_id
+                   ORDER BY d2 ASC, c_id) AS rn
+          FROM exact) t WHERE rn <= 10),
+      ov AS (
+        SELECT topa.p_id, count(*) AS n
+        FROM topa JOIN tope ON topa.p_id = tope.p_id
+          AND topa.c_id = tope.c_id
+        GROUP BY topa.p_id)
+      SELECT p.vec_id AS p_id,
+             cast(coalesce(n, 0) as bigint) AS n_overlap,
+             ${r6Sql("cast(coalesce(n, 0) as double) / cast(10.0 as double)")}
+               AS recall_at_10
+      FROM (SELECT vec_id FROM corpus WHERE vec_id < 5) p
+      LEFT JOIN ov ON ov.p_id = p.vec_id
+      ORDER BY p_id"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
     qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
-    qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe)
+    qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
+    qSemdedup, qAnnPq)
 }

@@ -2206,10 +2206,55 @@ object SeriesOps {
     },
   )
 
+  /** POISSON DISPERSION INDEX of the daily event-count series — the
+    * one-line overdispersion screen run before any Poisson model
+    * (q_poisson_fit) is trusted: VMR = s²/x̄ and the dispersion statistic
+    * D = (n−1)·VMR (χ²_{n−1} under the Poisson null; VMR ≫ 1 means
+    * burst/clumping, q_burstiness's formal test). Everything derives
+    * from three integer sufficient statistics (n, Σx, Σx²) of the
+    * calendar-complete daily spine — exact at any SF, one combinable
+    * pass over events, closed IEEE form after. */
+  val qPoissonDisp: GQuery = GQuery(
+    "q_poisson_disp",
+    (spark, dir) => {
+      import spark.implicits._
+      val s = dailyCounts(spark, dir).agg(
+        count(lit(1)).as("n"), sum($"n").as("sx"),
+        sum($"n" * $"n").as("sxx"))
+      val d = (c: String) => col(c).cast("double")
+      val mean = $"sx".cast("double") / d("n")
+      val vr = (d("n") * $"sxx" - $"sx".cast("double") * $"sx".cast("double")) /
+        (d("n") * (d("n") - lit(1.0)))
+      val vmr = vr / mean
+      s.select($"n".as("n_days"), r6(mean).as("mean"),
+        r6(vr).as("variance"), r6(vmr).as("vmr"),
+        r6((d("n") - lit(1.0)) * vmr).as("disp_stat"))
+    },
+    Some {
+      val mean = "(cast(sx as double) / cast(n as double))"
+      val vr = "((cast(n as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double)) / " +
+        "(cast(n as double) * (cast(n as double) - cast(1.0 as double))))"
+      val vmr = s"($vr / $mean)"
+      s"""
+      WITH $dailyCte,
+      s AS (
+        SELECT cast(count(*) as bigint) AS n,
+               cast(sum(n) as bigint) AS sx,
+               cast(sum(n * n) as bigint) AS sxx
+        FROM daily)
+      SELECT n AS n_days, ${r6Sql(mean)} AS mean, ${r6Sql(vr)} AS variance,
+             ${r6Sql(vmr)} AS vmr,
+             ${r6Sql(s"(cast(n as double) - cast(1.0 as double)) * $vmr")}
+               AS disp_stat
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
     qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk,
-    qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss)
+    qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss, qPoissonDisp)
 }

@@ -130,7 +130,13 @@ object PlanAudit {
     "q_theil_u",
     // round-10 batch 14: 1-row vocab-size broadcast feeding the
     // smoothed bigram log-prob projection (the q_dsir posture)
-    "q_bigram_ppl")
+    "q_bigram_ppl",
+    // round 11: broadcast centroid cross for the cell assignment (the
+    // q_ann_ivf / q_neardup_embed posture — drop candidates come only
+    // from the cell equi-join); ≤10-row codebook broadcast crosses for
+    // the PQ code assignment + 5-probe ADC table (the q_ann_recall
+    // posture)
+    "q_semdedup", "q_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
