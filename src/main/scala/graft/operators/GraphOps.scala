@@ -969,7 +969,147 @@ object GraphOps {
       FROM rk GROUP BY prev ORDER BY state"""),
   )
 
+  /** KATZ CENTRALITY (truncated at 3 walk lengths) on the co-purchase
+    * item graph — the walk-counting complement to q_pagerank's
+    * random-surfer rank: x = Σ_k α^k (Aᵀ)^k 1 counts attenuated walks
+    * INTO a node, so a part is central when many (possibly low-degree)
+    * parts reach it — no degree normalization, which is exactly what
+    * distinguishes it from PageRank on this graph. Same scale template
+    * as q_pagerank/q_hits: edge list built once from the per-order
+    * item-pair explode (bounded per order, never all-pairs),
+    * checkpointed; each iteration is ONE equi-join + ONE combinable
+    * 12-dp-decimal-staged groupBy, linear in |E|; α = 0.05 keeps the
+    * truncated series convergent for any realistic degree. Output:
+    * top-50 by score with total-order tiebreak. */
+  val qKatz: GQuery = {
+    val iters = 3
+    GQuery(
+      "q_katz",
+      (spark, dir) => {
+        import spark.implicits._
+        val op = Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir).filter($"p_size" <= 10)
+            .select($"p_partkey"), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val pr = op
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+          .filter(size($"ps") >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ps)-1), i -> " +
+              "transform(sequence(i+1, size(ps)), j -> " +
+              "struct(element_at(ps, i) as p1, element_at(ps, j) as p2))))"))
+            .as("pr"))
+          .select($"pr.p1".as("p1"), $"pr.p2".as("p2")).distinct()
+        val e = pr.select($"p1".as("src"), $"p2".as("dst"))
+          .unionByName(pr.select($"p2".as("src"), $"p1".as("dst")))
+          .localCheckpoint()
+        val nodes = e.select($"src".as("node")).distinct()
+        var x = nodes.withColumn("x", lit(1.0))
+        for (_ <- 1 to iters) {
+          val nbr = e.join(x, $"src" === $"node")
+            .select($"dst", rN($"x", 12).as("t"))
+            .groupBy($"dst")
+            .agg(sum($"t".cast("decimal(30,12)")).cast("double").as("s"))
+          x = nodes.join(nbr, $"node" === $"dst", "left_outer")
+            .select($"node",
+              (lit(1.0) + lit(0.05) * coalesce($"s", lit(0.0))).as("x"))
+        }
+        x.select($"node".as("part"), r6($"x").as("katz"))
+          .orderBy($"katz".desc, $"part")
+          .limit(50)
+      },
+      Some {
+        val chain = (1 to iters).map { k =>
+          s"""x$k AS (
+             |  SELECT n.node,
+             |         cast(1.0 as double) + cast(0.05 as double) *
+             |           coalesce(s.s, cast(0.0 as double)) AS x
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT dst,
+             |           cast(sum(cast(${rNSql("x", 12)} as decimal(30,12)))
+             |             as double) AS s
+             |    FROM e JOIN x${k - 1} ON src = node
+             |    GROUP BY dst) s ON n.node = s.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_size <= 10),
+        pr AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        e AS MATERIALIZED (
+          SELECT p1 AS src, p2 AS dst FROM pr
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst FROM pr),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        x0 AS (SELECT node, cast(1.0 as double) AS x FROM nodes),
+        $chain
+        SELECT node AS part, ${r6Sql("x")} AS katz
+        FROM x$iters
+        ORDER BY katz DESC, part LIMIT 50"""
+      },
+    )
+  }
+
+  /** WEIGHTED RECIPROCITY of the session transition graph — how
+    * symmetric is behavior flow? r = Σ min(w_ij, w_ji) / Σ w_ij over
+    * ordered type pairs i ≠ j (Squartini–Fagiolo weighted form): 1
+    * means every i→j flow is matched by an equal j→i flow. The
+    * transition counts are q_markov's one lag-window pass collapsed to
+    * a ≤25-cell matrix; the reciprocal join is a self equi-join on the
+    * reversed key over that tiny table. Also reports the unweighted
+    * (binary) reciprocity and the pair count. */
+  val qReciprocity: GQuery = GQuery(
+    "q_reciprocity",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val m = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull && $"prev_type" =!= $"event_type")
+        .groupBy($"prev_type".as("i"), $"event_type".as("j"))
+        .agg(count(lit(1)).as("w_ij"))
+      val rev = m.select($"i".as("ri"), $"j".as("rj"), $"w_ij".as("w_ji"))
+      m.join(rev, $"i" === $"rj" && $"j" === $"ri", "left_outer")
+        .select($"w_ij", coalesce($"w_ji", lit(0L)).as("w_ji"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum($"w_ij").as("w_total"),
+          sum(least($"w_ij", $"w_ji")).as("w_recip"),
+          sum(when($"w_ji" > 0, 1L).otherwise(0L)).as("n_recip"))
+        .select($"n_edges", $"w_total", $"w_recip",
+          r6($"w_recip".cast("double") / $"w_total".cast("double"))
+            .as("reciprocity_w"),
+          r6($"n_recip".cast("double") / $"n_edges".cast("double"))
+            .as("reciprocity_bin"))
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('second', ts), event_id) AS prev_type
+        FROM events),
+      m AS (
+        SELECT prev_type AS i, event_type AS j, count(*) AS w_ij
+        FROM st WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        GROUP BY i, j),
+      p AS (
+        SELECT m.w_ij, cast(coalesce(r.w_ij, 0) as bigint) AS w_ji
+        FROM m LEFT JOIN m r ON m.i = r.j AND m.j = r.i)
+      SELECT cast(count(*) as bigint) AS n_edges,
+             cast(sum(w_ij) as bigint) AS w_total,
+             cast(sum(least(w_ij, w_ji)) as bigint) AS w_recip,
+             ${r6Sql("cast(sum(least(w_ij, w_ji)) as double) / " +
+               "cast(sum(w_ij) as double)")} AS reciprocity_w,
+             ${r6Sql("cast(sum(CASE WHEN w_ji > 0 THEN 1 ELSE 0 END) " +
+               "as double) / cast(count(*) as double)")} AS reciprocity_bin
+      FROM p"""),
+  )
+
   val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
     qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate, qCloseness,
-    qSeqPredict)
+    qSeqPredict, qKatz, qReciprocity)
 }

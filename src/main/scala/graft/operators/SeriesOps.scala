@@ -2251,10 +2251,153 @@ object SeriesOps {
     },
   )
 
+  /** PERIODOGRAM of the daily event-count series at candidate periods
+    * 2–14 days — the direct spectral reading of what q_seasonal/
+    * q_season_strength infer by decomposition: P(p) = S_c² + S_s² with
+    * S_c = Σ(x_t − x̄)·cos(2πt/p), scaled 2/n. Cross-engine float
+    * contract for the trig sums (the ONE place libm enters an oracle):
+    * cos/sin are evaluated on identical double inputs (the angle
+    * reduces t mod p FIRST, so inputs stay in [0,2π) and small), then
+    * IEEE-rounded to 6 dp and cast to decimal — the rounding absorbs
+    * any sub-ulp libm disagreement (flip probability ~1e-10/term), and
+    * ALL downstream accumulation is exact bigint×decimal arithmetic,
+    * order-free by construction; the mean-centering is algebraic
+    * (Σx·c − x̄·Σc) so no non-integer series value is ever summed. One
+    * events pass → calendar-bounded spine × 13 periods — the explode
+    * is over the tiny aggregate, never the fact. */
+  val qPeriodogram: GQuery = GQuery(
+    "q_periodogram",
+    (spark, dir) => {
+      import spark.implicits._
+      val twoPi = lit(6.283185307179586)
+      val daily = dailyCounts(spark, dir)
+      val d0 = daily.agg(min($"day").as("d0"))
+      val t = daily.crossJoin(broadcast(d0))
+        .select(datediff($"day", $"d0").as("t"), $"n")
+        .select($"t", $"n", explode(expr("sequence(2, 14)")).as("p"))
+        .withColumn("ang",
+          twoPi * pmod($"t", $"p").cast("double") / $"p".cast("double"))
+        .select($"p", $"n",
+          rN(cos($"ang"), 6).cast("decimal(10,6)").as("ct"),
+          rN(sin($"ang"), 6).cast("decimal(10,6)").as("st"))
+      val s = t.groupBy($"p").agg(
+        count(lit(1)).as("n_days"),
+        sum($"n").as("sx"),
+        sum($"n" * $"ct").as("snc"),
+        sum($"n" * $"st").as("sns"),
+        sum($"ct").as("sc"),
+        sum($"st").as("ss"))
+      val xbar = $"sx".cast("double") / $"n_days".cast("double")
+      val cc = $"snc".cast("double") - xbar * $"sc".cast("double")
+      val csn = $"sns".cast("double") - xbar * $"ss".cast("double")
+      s.select($"p".as("period"), $"n_days",
+        r6(cc).as("s_cos"), r6(csn).as("s_sin"),
+        r6(lit(2.0) * (cc * cc + csn * csn) / $"n_days".cast("double"))
+          .as("power"))
+        .orderBy($"period")
+    },
+    Some {
+      val xbar = "(cast(sx as double) / cast(n_days as double))"
+      val cc = s"(cast(snc as double) - $xbar * cast(sc as double))"
+      val cs = s"(cast(sns as double) - $xbar * cast(ss as double))"
+      s"""
+      WITH $dailyCte,
+      d0 AS (SELECT min(day) AS d0 FROM daily),
+      t AS (
+        SELECT p, n,
+               cast(${rNSql("cos(cast(6.283185307179586 as double) * " +
+                 "cast((date_diff('day', d0, day)) % p as double) / " +
+                 "cast(p as double))", 6)} as decimal(10,6)) AS ct,
+               cast(${rNSql("sin(cast(6.283185307179586 as double) * " +
+                 "cast((date_diff('day', d0, day)) % p as double) / " +
+                 "cast(p as double))", 6)} as decimal(10,6)) AS st
+        FROM daily CROSS JOIN d0
+        CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS p) ps),
+      s AS (
+        SELECT p, cast(count(*) as bigint) AS n_days,
+               cast(sum(n) as bigint) AS sx,
+               sum(n * ct) AS snc, sum(n * st) AS sns,
+               sum(ct) AS sc, sum(st) AS ss
+        FROM t GROUP BY p)
+      SELECT cast(p as int) AS period, n_days,
+             ${r6Sql(cc)} AS s_cos, ${r6Sql(cs)} AS s_sin,
+             ${r6Sql(s"cast(2.0 as double) * ($cc * $cc + $cs * $cs) / " +
+               "cast(n_days as double)")} AS power
+      FROM s ORDER BY period"""
+    },
+  )
+
+  /** SORTINO RATIO of the daily order-revenue series — the downside-
+    * only companion to a Sharpe-style mean/vol summary: mean daily
+    * return over the root-mean-square of NEGATIVE returns only
+    * (downside deviation, 0-target). Returns are computed on exact
+    * integer daily cents via one lag over the calendar-bounded daily
+    * aggregate; each return is a single IEEE division (deterministic
+    * per-row), and the two moment sums are 12-dp decimal-staged
+    * (returns are O(1) and number ~2.5k — both staging bounds hold
+    * comfortably). One orders pass, everything after is |days|-sized. */
+  val qSortino: GQuery = GQuery(
+    "q_sortino",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("x"))
+      val w = Window.orderBy($"day")
+      val r = daily
+        .withColumn("xp", lag($"x", 1).over(w))
+        .filter($"xp".isNotNull && $"xp" > 0)
+        .select((($"x" - $"xp").cast("double") / $"xp".cast("double"))
+          .as("ret"))
+      val s = r.agg(
+        count(lit(1)).as("n_days"),
+        sum(rN($"ret", 12).cast(dec12)).cast("double").as("sr"),
+        sum(when($"ret" < 0, rN($"ret" * $"ret", 12)).otherwise(lit(0.0))
+          .cast(dec12)).cast("double").as("sdd"))
+      val mean = $"sr" / $"n_days".cast("double")
+      val ddev = sqrt($"sdd" / $"n_days".cast("double"))
+      s.select($"n_days", r6(mean * lit(1000.0)).as("mean_ret_pm"),
+        r6(ddev * lit(1000.0)).as("downside_dev_pm"),
+        r6(mean / ddev).as("sortino"))
+    },
+    Some {
+      val mean = "(sr / cast(n_days as double))"
+      val ddev = "sqrt(sdd / cast(n_days as double))"
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(sum(cast(floor(o_totalprice * cast(100.0 as double)
+                 + cast(0.5 as double)) as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1),
+      l AS (
+        SELECT x, lag(x, 1) OVER (ORDER BY day) AS xp FROM daily),
+      r AS (
+        SELECT cast(x - xp as double) / cast(xp as double) AS ret
+        FROM l WHERE xp IS NOT NULL AND xp > 0),
+      s AS (
+        SELECT cast(count(*) as bigint) AS n_days,
+               cast(sum(cast(${rNSql("ret", 12)} as decimal(30,12)))
+                 as double) AS sr,
+               cast(sum(cast(CASE WHEN ret < 0
+                 THEN ${rNSql("ret * ret", 12)}
+                 ELSE cast(0.0 as double) END as decimal(30,12)))
+                 as double) AS sdd
+        FROM r)
+      SELECT n_days,
+             ${r6Sql(s"$mean * cast(1000.0 as double)")} AS mean_ret_pm,
+             ${r6Sql(s"$ddev * cast(1000.0 as double)")} AS downside_dev_pm,
+             ${r6Sql(s"$mean / $ddev")} AS sortino
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
     qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk,
-    qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss, qPoissonDisp)
+    qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss, qPoissonDisp,
+    qPeriodogram, qSortino)
 }

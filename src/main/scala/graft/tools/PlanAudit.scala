@@ -136,7 +136,10 @@ object PlanAudit {
     // from the cell equi-join); ≤10-row codebook broadcast crosses for
     // the PQ code assignment + 5-probe ADC table (the q_ann_recall
     // posture)
-    "q_semdedup", "q_ann_pq")
+    "q_semdedup", "q_ann_pq",
+    // round-11 batch 2: 1-row series-origin (min day) broadcast anchoring
+    // the angle index (the q_cuped first-day posture)
+    "q_periodogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
