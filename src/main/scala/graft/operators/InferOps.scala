@@ -1478,8 +1478,122 @@ object InferOps {
       FROM s"""),
   )
 
+  /** HOLM STEP-DOWN multiple-testing correction — q_bh_fdr's FWER
+    * sibling on a different hypothesis family (per-BRAND return-rate
+    * z-tests, lineitem⋈part only): adjusted pᵢ = max over the prefix of
+    * (m−j+1)·pⱼ capped at 1 (a running-max window over the p-sorted
+    * ≤25-row table), rejection = every rank before the first surviving
+    * adjusted p > α (uniformly more powerful than Bonferroni, whose
+    * adjusted p is also reported for contrast). Same scale shape as
+    * q_bh_fdr: ONE combinable fact pass to (ni, ri) per brand, then all
+    * windows ride the brand-count-bounded table; the normal-CDF
+    * evaluation is the same fixed Abramowitz–Stegun polynomial (pure
+    * IEEE, bit-identical cross-engine). */
+  val qHolm: GQuery = GQuery(
+    "q_holm",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("ni"),
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("ri"))
+      val wAll = Window.partitionBy()
+      val tot = g.withColumn("n", sum($"ni").over(wAll))
+        .withColumn("r", sum($"ri").over(wAll))
+      val niD = $"ni".cast("double")
+      val p0 = $"r".cast("double") / $"n".cast("double")
+      val z = ($"ri".cast("double") / niD - p0) /
+        sqrt(p0 * (lit(1.0) - p0) / niD)
+      val withZ = tot.withColumn("z", z).withColumn("az", abs($"z"))
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * $"az")
+      val pdf = exp(-($"az" * $"az") / lit(2.0)) *
+        lit(0.3989422804014327)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      val withP = withZ
+        .withColumn("p2", least(lit(2.0) * pdf * poly, lit(1.0)))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"p2", $"p_brand")))
+        .withColumn("m", count(lit(1)).over(wAll))
+      val holmRaw = ($"m".cast("double") - $"rk".cast("double") +
+        lit(1.0)) * $"p2"
+      val dec = withP
+        .withColumn("hraw", holmRaw)
+        .withColumn("p_holm", least(
+          max($"hraw").over(Window.orderBy($"rk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(1.0)))
+        .withColumn("fail",
+          min(when($"p_holm" > 0.05, $"rk")).over(wAll))
+      dec.select($"p_brand".as("brand"), $"rk", $"ni", $"ri",
+          r6($"z").as("z_stat"), r6($"p2").as("p_value"),
+          r6($"p_holm").as("p_holm"),
+          r6(least($"m".cast("double") * $"p2", lit(1.0))).as("p_bonf"),
+          when($"rk" < coalesce($"fail", $"m" + 1), 1).otherwise(0)
+            .as("rejected"))
+        .orderBy($"rk")
+    },
+    Some {
+      val p0 = "(cast(r as double) / cast(n as double))"
+      val zz = s"((cast(ri as double) / cast(ni as double) - $p0) / " +
+        s"sqrt($p0 * (cast(1.0 as double) - $p0) / cast(ni as double)))"
+      val tt = "(cast(1.0 as double) / (cast(1.0 as double) + " +
+        "cast(0.2316419 as double) * az))"
+      val pdf = "(exp(-(az * az) / cast(2.0 as double)) * " +
+        "cast(0.3989422804014327 as double))"
+      val poly = s"($tt * (cast(0.319381530 as double) + $tt * " +
+        s"(cast(-0.356563782 as double) + $tt * " +
+        s"(cast(1.781477937 as double) + $tt * " +
+        s"(cast(-1.821255978 as double) + $tt * " +
+        s"cast(1.330274429 as double))))))"
+      s"""
+      WITH g AS (
+        SELECT p_brand, cast(count(*) as bigint) AS ni,
+               cast(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 as bigint) AS ri
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand),
+      tot AS (
+        SELECT *, cast(sum(ni) OVER () as bigint) AS n,
+               cast(sum(ri) OVER () as bigint) AS r
+        FROM g),
+      wz AS (
+        SELECT *, $zz AS z, abs($zz) AS az FROM tot),
+      wp AS (
+        SELECT *, least(cast(2.0 as double) * $pdf * $poly,
+                 cast(1.0 as double)) AS p2
+        FROM wz),
+      rk AS (
+        SELECT *, cast(row_number() OVER (ORDER BY p2, p_brand) as int)
+                 AS rk,
+               cast(count(*) OVER () as bigint) AS m
+        FROM wp),
+      dec AS (
+        SELECT *,
+               least(max((cast(m as double) - cast(rk as double) +
+                   cast(1.0 as double)) * p2)
+                 OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW), cast(1.0 as double)) AS p_holm
+        FROM rk),
+      fl AS (
+        SELECT *, min(CASE WHEN p_holm > cast(0.05 as double)
+                 THEN rk END) OVER () AS fail
+        FROM dec)
+      SELECT p_brand AS brand, rk, ni, ri,
+             ${r6Sql("z")} AS z_stat, ${r6Sql("p2")} AS p_value,
+             ${r6Sql("p_holm")} AS p_holm,
+             ${r6Sql("least(cast(m as double) * p2, cast(1.0 as double))")}
+               AS p_bonf,
+             CASE WHEN rk < coalesce(fail, m + 1) THEN 1 ELSE 0 END
+               AS rejected
+      FROM fl ORDER BY rk"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
     qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr,
-    qTost, qGTest)
+    qTost, qGTest, qHolm)
 }
