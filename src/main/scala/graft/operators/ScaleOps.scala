@@ -1744,6 +1744,11 @@ object ScaleOps {
         .withColumn("rn", row_number().over(assignW))
         .filter($"rn" === 1)
         .select($"vec_id", $"cell", $"emb", $"nrm")
+        // the standing-index posture made literal: the cell assignment is
+        // materialized ONCE and all three consumers (both self-join sides
+        // + the per-cell totals) read it — without this the plan re-ran
+        // the full centroid argmax per consumer (24 corpus scans)
+        .localCheckpoint()
       val dropped = blocked.as("d").join(blocked.as("k"),
           col("d.cell") === col("k.cell") &&
             col("k.vec_id") < col("d.vec_id") &&
@@ -1840,6 +1845,9 @@ object ScaleOps {
         .filter($"vec_id" < corpusBound)
         .select($"vec_id",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        // five consumers (subvectors -> codes/pdist, probes, exact side):
+        // materialize the bounded slice once instead of 14 parquet scans
+        .localCheckpoint()
       // (vec_id, m, sub): the 4 subvectors of every corpus vector
       val sub = emb.select($"vec_id", explode(expr(
           s"transform(sequence(0, 3), m -> named_struct('m', m, " +

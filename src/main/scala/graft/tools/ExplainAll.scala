@@ -106,7 +106,16 @@ object ExplainAll {
     // multiple testing, selection/causal/graph/ops
     "q_jarque_bera", "q_moods_median", "q_variance_ratio", "q_pettitt",
     "q_kpss", "q_bh_fdr", "q_somers_d", "q_auc_delong", "q_dsir",
-    "q_rdd", "q_link_jaccard", "q_newsvendor")
+    "q_rdd", "q_link_jaccard", "q_newsvendor",
+    // round 10 batches 13-14: equivalence/mediation/redundancy/
+    // inventory + LLM-corpus QC (the PLANS gap the r10 verdict flagged)
+    "q_tost", "q_sobel", "q_theil_u", "q_safety_stock",
+    "q_embed_drift", "q_token_fertility", "q_bigram_ppl",
+    // round 11: semantic dedup + PQ ANN + corpus provenance QC,
+    // inference, spectra, graph walks
+    "q_semdedup", "q_ann_pq", "q_dup_coverage", "q_dup_matrix",
+    "q_g_test", "q_squared_ranks", "q_poisson_disp", "q_periodogram",
+    "q_sortino", "q_katz", "q_reciprocity", "q_holm")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
