@@ -1592,8 +1592,105 @@ object InferOps {
     },
   )
 
+  /** FISHER-z CONFIDENCE INTERVALS for the per-region correlation
+    * between a customer's account balance and their total order spend —
+    * the interval companion to q_corr_matrix's point estimates (a point
+    * r of 0.1 on n=300 vs n=30000 means opposite things; the z-CI says
+    * which). r from exact integer-cent moment sums per nation (ONE
+    * combinable pass over the customer⋈orders aggregate; moments are
+    * exact int64, cross-engine identical after the double cast, and the
+    * n·Σxy-style combinations happen in doubles to dodge int64
+    * overflow); z = atanh(r) written as ½·ln((1+r)/(1−r)), CI back-
+    * transformed with the explicit (e^{2u}−1)/(e^{2u}+1) — no library
+    * tanh, one fixed IEEE expression shape in both engines. */
+  val qFisherCi: GQuery = GQuery(
+    "q_fisher_ci",
+    (spark, dir) => {
+      import spark.implicits._
+      // whole-DOLLAR units: cent-squared sums would cross 2^63 at
+      // sf0.1 (y_cents^2 ~ 2.5e15 x 6e3 rows); dollar moments stay exact
+      val spend = Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" + lit(0.5)).cast("long")).as("y"))
+      val cu = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey",
+          floor($"c_acctbal" + lit(0.5)).cast("long").as("x"))
+      // REGION granularity: nations hold ~6 customers at sf0.001, where
+      // n-3 hits zero; regions hold >=25 at every SF (n >= 10 guarded)
+      val na = Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select($"n_nationkey", $"r_name")
+      val g = cu.join(spend, $"c_custkey" === $"o_custkey")
+        .join(broadcast(na), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .filter($"n" >= 10)
+      val d = (c: String) => col(c).cast("double")
+      val num = d("n") * d("sxy") - d("sx") * d("sy")
+      val den = sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+        (d("n") * d("syy") - d("sy") * d("sy")))
+      val r = num / den
+      val z = lit(0.5) * log((lit(1.0) + r) / (lit(1.0) - r))
+      val se = lit(1.0) / sqrt(d("n") - lit(3.0))
+      def tanh(u: org.apache.spark.sql.Column) =
+        (exp(lit(2.0) * u) - lit(1.0)) / (exp(lit(2.0) * u) + lit(1.0))
+      g.select($"r_name", $"n".as("n_cust"), r6(r).as("r"),
+          r6(z).as("z_fisher"),
+          r6(tanh(z - lit(1.959964) * se)).as("r_lo"),
+          r6(tanh(z + lit(1.959964) * se)).as("r_hi"))
+        .orderBy($"r_name")
+    },
+    Some {
+      val num = "(cast(n as double) * cast(sxy as double) - " +
+        "cast(sx as double) * cast(sy as double))"
+      val den = "sqrt((cast(n as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double)) * " +
+        "(cast(n as double) * cast(syy as double) - " +
+        "cast(sy as double) * cast(sy as double)))"
+      val r = s"($num / $den)"
+      val z = s"(cast(0.5 as double) * ln((cast(1.0 as double) + $r) / " +
+        s"(cast(1.0 as double) - $r)))"
+      val se = "(cast(1.0 as double) / sqrt(cast(n as double) - " +
+        "cast(3.0 as double)))"
+      def tanh(u: String) =
+        s"((exp(cast(2.0 as double) * $u) - cast(1.0 as double)) / " +
+          s"(exp(cast(2.0 as double) * $u) + cast(1.0 as double)))"
+      s"""
+      WITH spend AS (
+        SELECT o_custkey,
+               cast(sum(cast(floor(o_totalprice + cast(0.5 as double))
+                 as bigint)) as bigint) AS y
+        FROM orders GROUP BY o_custkey),
+      g AS (
+        SELECT r_name, cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+               cast(sum(x * x) as bigint) AS sxx,
+               cast(sum(y * y) as bigint) AS syy,
+               cast(sum(x * y) as bigint) AS sxy
+        FROM (SELECT c_custkey, c_nationkey,
+                cast(floor(c_acctbal + cast(0.5 as double)) as bigint)
+                  AS x
+              FROM customer) c
+        JOIN spend ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        HAVING count(*) >= 10)
+      SELECT r_name, n AS n_cust, ${r6Sql(r)} AS r,
+             ${r6Sql(z)} AS z_fisher,
+             ${r6Sql(tanh(s"($z - cast(1.959964 as double) * $se)"))}
+               AS r_lo,
+             ${r6Sql(tanh(s"($z + cast(1.959964 as double) * $se)"))}
+               AS r_hi
+      FROM g ORDER BY r_name"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
     qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr,
-    qTost, qGTest, qHolm)
+    qTost, qGTest, qHolm, qFisherCi)
 }

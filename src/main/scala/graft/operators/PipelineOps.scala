@@ -949,9 +949,109 @@ object PipelineOps {
       LIMIT 10"""),
   )
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021 §A1.1, adapted thresholds) —
+    * the INDEPENDENT-rule matrix that complements q_filter_funnel's
+    * first-match-wins verdicts: each document is scored against five
+    * rules separately (word count ∈ [30, 10k]; mean word length ∈
+    * [3, 10]; non-alphanumeric character ratio < 0.1; ≥80% of words
+    * contain a letter; ≥2 distinct stopwords present), and the
+    * per-source rollup reports each rule's pass count plus the
+    * all-rules pass rate — the diagnosis view that says WHICH rule a
+    * failing source trips, where the funnel only says that it failed.
+    * One linear pass, per-row codegen'd expressions, one combinable
+    * groupBy — nothing above |docs|. Ten planted junk docs (all-digit
+    * tokens) trip the letter + stopword rules at every SF. */
+  val qGopherRules: GQuery = GQuery(
+    "q_gopher_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val d = Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"source")
+      val junk = ("404 90210 " * 25).trim
+      val docs = d.unionByName(
+        d.filter($"doc_id" < 10)
+          .select(($"doc_id" + 3000L).as("doc_id"), lit(junk).as("text"),
+            $"source"))
+      val inList = "'the','and','of','to','in','a','is','it'"
+      val feat = docs
+        .select($"source", $"text", split($"text", " ").as("l"))
+        .select($"source",
+          size($"l").as("nw"),
+          (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size($"l").cast("double")).as("mwl"),
+          ((length($"text") -
+            length(regexp_replace($"text", "[A-Za-z0-9 ]", ""))).cast("double") /
+            length($"text")).as("sym"),
+          (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+            size($"l").cast("double")).as("alpha"),
+          expr(s"size(array_intersect(array_distinct(l), array($inList)))")
+            .as("nstop"))
+      val r1 = ($"nw" >= 30 && $"nw" <= 10000).cast("long")
+      val r2 = ($"mwl" >= 3.0 && $"mwl" <= 10.0).cast("long")
+      val r3 = ($"sym" < 0.1).cast("long")
+      val r4 = ($"alpha" >= 0.8).cast("long")
+      val r5 = ($"nstop" >= 2).cast("long")
+      feat
+        .select($"source", r1.as("r1"), r2.as("r2"), r3.as("r3"),
+          r4.as("r4"), r5.as("r5"),
+          (r1 * r2 * r3 * r4 * r5).as("all_ok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"r1").as("n_wordcount_ok"),
+          sum($"r2").as("n_wordlen_ok"),
+          sum($"r3").as("n_symbol_ok"),
+          sum($"r4").as("n_alpha_ok"),
+          sum($"r5").as("n_stopword_ok"),
+          sum($"all_ok").as("n_pass_all"))
+        .withColumn("pass_rate",
+          r6($"n_pass_all".cast("double") / $"n_docs".cast("double")))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 3000, trim(repeat('404 90210 ', 25)), source
+        FROM documents WHERE doc_id < 10),
+      feat AS (
+        SELECT source,
+          cast(len(l) as int) AS nw,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS mwl,
+          cast(length(text) - length(regexp_replace(text,
+            '[A-Za-z0-9 ]', '', 'g')) as double)
+            / cast(length(text) as double) AS sym,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS alpha,
+          cast(len(list_intersect(list_distinct(l),
+            ['the','and','of','to','in','a','is','it'])) as int) AS nstop
+        FROM (SELECT source, text, string_split(text, ' ') AS l
+              FROM docs) f0),
+      rules AS (
+        SELECT source,
+          CASE WHEN nw >= 30 AND nw <= 10000 THEN 1 ELSE 0 END AS r1,
+          CASE WHEN mwl >= cast(3.0 as double) AND
+            mwl <= cast(10.0 as double) THEN 1 ELSE 0 END AS r2,
+          CASE WHEN sym < cast(0.1 as double) THEN 1 ELSE 0 END AS r3,
+          CASE WHEN alpha >= cast(0.8 as double) THEN 1 ELSE 0 END AS r4,
+          CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r5
+        FROM feat)
+      SELECT source, cast(count(*) as bigint) AS n_docs,
+             cast(sum(r1) as bigint) AS n_wordcount_ok,
+             cast(sum(r2) as bigint) AS n_wordlen_ok,
+             cast(sum(r3) as bigint) AS n_symbol_ok,
+             cast(sum(r4) as bigint) AS n_alpha_ok,
+             cast(sum(r5) as bigint) AS n_stopword_ok,
+             cast(sum(r1 * r2 * r3 * r4 * r5) as bigint) AS n_pass_all,
+             ${r6Sql("cast(sum(r1 * r2 * r3 * r4 * r5) as double) / " +
+               "cast(count(*) as double)")} AS pass_rate
+      FROM rules GROUP BY source
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
-      qNeymanAlloc, qDsir)
+      qNeymanAlloc, qDsir, qGopherRules)
 }

@@ -2393,11 +2393,117 @@ object SeriesOps {
     },
   )
 
+  /** ENGLE–GRANGER COINTEGRATION (2-step) between the daily click and
+    * view count series — "do these two metrics share a common trend, or
+    * does their spread wander?" Step 1: OLS view_t = a + b·click_t from
+    * exact integer moments (one combinable pass to the per-(day) count
+    * pair). Step 2: Dickey–Fuller t on the residual spread e_t (no
+    * intercept, no lags — the q_adf shape on a DERIVED series):
+    * ρ̂ = Σe_{t−1}Δe/Σe²_{t−1}, s² = (ΣΔe² − (Σe_{t−1}Δe)²/Σe²_{t−1})/
+    * (n−1), t = ρ̂·√(Σe²_{t−1}/s²). A strongly negative t rejects a
+    * unit root in the spread → cointegrated. Determinism: residuals are
+    * per-row IEEE off broadcast (a, b); the three residual moments are
+    * 6-dp decimal-staged (e ~ 1e4, e² ≲ 1e8 ≪ 2³³ — both staging
+    * bounds hold); everything after the first groupBy is calendar-
+    * bounded. */
+  val qCoint: GQuery = GQuery(
+    "q_coint",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val daily = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "view"))
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("y"))
+      val m = daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"))
+      val nD = $"n".cast("double")
+      val b = (nD * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")) /
+        (nD * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double"))
+      val fit = m.select($"n".as("n_days"), b.as("b"),
+        (($"sy".cast("double") - b * $"sx".cast("double")) / nD).as("a"))
+      val w = Window.orderBy($"day")
+      val resid = daily.crossJoin(broadcast(fit))
+        .select($"day", $"n_days", $"a", $"b",
+          ($"y".cast("double") - $"a" - $"b" * $"x".cast("double"))
+            .as("e"))
+        .withColumn("el", lag($"e", 1).over(w))
+        .filter($"el".isNotNull)
+        .select($"n_days", $"a", $"b", $"el", ($"e" - $"el").as("de"))
+      val s = resid.groupBy($"n_days", $"a", $"b").agg(
+        count(lit(1)).as("nr"),
+        sum(rN($"el" * $"el", 6).cast(dec6)).cast("double").as("see"),
+        sum(rN($"el" * $"de", 6).cast(dec6)).cast("double").as("sed"),
+        sum(rN($"de" * $"de", 6).cast(dec6)).cast("double").as("sdd"))
+      val rho = $"sed" / $"see"
+      val s2 = ($"sdd" - $"sed" * $"sed" / $"see") /
+        ($"nr".cast("double") - lit(1.0))
+      s.select($"n_days", r6($"b").as("slope"), r6($"a").as("intercept"),
+        r6(rho).as("rho"),
+        r6(rho / sqrt(s2 / $"see")).as("adf_t"))
+    },
+    Some {
+      val b = "((cast(n as double) * cast(sxy as double) - " +
+        "cast(sx as double) * cast(sy as double)) / " +
+        "(cast(n as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double)))"
+      val rho = "(sed / see)"
+      val s2 = "((sdd - sed * sed / see) / (cast(nr as double) - " +
+        "cast(1.0 as double)))"
+      s"""
+      WITH daily AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day,
+               cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 as bigint) AS x,
+               cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 as bigint) AS y
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1),
+      m AS (
+        SELECT cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS sx,
+               cast(sum(y) as bigint) AS sy,
+               cast(sum(x * x) as bigint) AS sxx,
+               cast(sum(x * y) as bigint) AS sxy
+        FROM daily),
+      fit AS (
+        SELECT n AS n_days, $b AS b,
+               (cast(sy as double) - $b * cast(sx as double)) /
+                 cast(n as double) AS a
+        FROM m),
+      resid AS (
+        SELECT n_days, a, b,
+               cast(y as double) - a - b * cast(x as double) AS e,
+               lag(cast(y as double) - a - b * cast(x as double), 1)
+                 OVER (ORDER BY day) AS el
+        FROM daily CROSS JOIN fit),
+      d AS (
+        SELECT n_days, a, b, el, e - el AS de
+        FROM resid WHERE el IS NOT NULL),
+      s AS (
+        SELECT n_days, a, b, cast(count(*) as bigint) AS nr,
+               cast(sum(cast(${rNSql("el * el", 6)} as decimal(30,6)))
+                 as double) AS see,
+               cast(sum(cast(${rNSql("el * de", 6)} as decimal(30,6)))
+                 as double) AS sed,
+               cast(sum(cast(${rNSql("de * de", 6)} as decimal(30,6)))
+                 as double) AS sdd
+        FROM d GROUP BY 1, 2, 3)
+      SELECT n_days, ${r6Sql("b")} AS slope, ${r6Sql("a")} AS intercept,
+             ${r6Sql(rho)} AS rho,
+             ${r6Sql(s"$rho / sqrt($s2 / see)")} AS adf_t
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
     qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk,
     qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss, qPoissonDisp,
-    qPeriodogram, qSortino)
+    qPeriodogram, qSortino, qCoint)
 }

@@ -139,7 +139,10 @@ object PlanAudit {
     "q_semdedup", "q_ann_pq",
     // round-11 batch 2: 1-row series-origin (min day) broadcast anchoring
     // the angle index (the q_cuped first-day posture)
-    "q_periodogram")
+    "q_periodogram",
+    // round-11 batch 3: 1-row OLS-fit (a, b) broadcast scoring the
+    // residual spread (the q_var_backtest fitted-threshold posture)
+    "q_coint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

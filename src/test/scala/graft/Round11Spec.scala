@@ -145,6 +145,47 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(rw - wr.toDouble / wt) < 2e-6)
   }
 
+  test("q_gopher_rules: planted junk trips letter+stopword rules only") {
+    val r = rows("q_gopher_rules")
+    r.foreach { x =>
+      val n = x.getLong(1)
+      val counts = (2 to 7).map(x.getLong)
+      counts.foreach(c => assert(c >= 0 && c <= n))
+      // all-rules passes cannot exceed any single rule's passes
+      assert(counts.last <= counts.init.min)
+      val rate = x.getDouble(8)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - counts.last.toDouble / n) < 2e-6)
+    }
+    // the 10 planted all-digit docs must fail somewhere: total passes <
+    // total docs
+    val nDocs = r.map(_.getLong(1)).sum
+    val nPass = r.map(_.getLong(7)).sum
+    assert(nPass < nDocs, "planted junk passed every rule")
+  }
+
+  test("q_coint: ADF-t sign matches rho, residual moments consistent") {
+    val x = rows("q_coint").head
+    val n = x.getLong(0)
+    assert(n > 10)
+    val (rho, t) = (x.getDouble(3), x.getDouble(4))
+    assert(rho * t >= 0.0, s"adf_t $t must carry rho's sign $rho")
+    assert(math.abs(rho) < 2.0, s"explosive rho $rho")
+  }
+
+  test("q_fisher_ci: interval brackets r, bounds inside [-1,1]") {
+    val r = rows("q_fisher_ci")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, rr, lo, hi) =
+        (x.getLong(1), x.getDouble(2), x.getDouble(4), x.getDouble(5))
+      assert(n >= 10)
+      assert(rr >= -1.0 && rr <= 1.0)
+      assert(lo <= rr + 1e-9 && rr <= hi + 1e-9, s"CI [$lo,$hi] vs r $rr")
+      assert(lo >= -1.0 && hi <= 1.0)
+    }
+  }
+
   test("q_holm: step-down dominates BH-style rejection monotonically") {
     val r = rows("q_holm")
     // p_holm is a running max: must be monotone nondecreasing in rank
