@@ -1956,10 +1956,141 @@ object ScaleOps {
     },
   )
 
+  /** K-MINIMUM-VALUES sketch SET OPERATIONS — the sketch family's set
+    * algebra: where q_approx_distinct bounds ONE cardinality, KMV
+    * sketches COMPOSE — the union sketch is the k smallest hashes of
+    * the merged streams (mergeable without raw data, the property that
+    * matters when each 100 TB shard ships back 256 values), and the
+    * intersection estimate falls out of the union sketch by membership
+    * counting (|A∩B| ≈ ρ·|A∪B|̂, ρ = fraction of union-sketch members
+    * in both sets). Hash = first 8 md5 hex chars as a 32-bit integer
+    * (the CLAUDE.md portable idiom — identical in both engines), so the
+    * sketch contents are deterministic, not just the estimates.
+    * Cardinality estimator: (k−1)·2³²/h_(k) (the classic KMV unbiased
+    * form). Exact distinct counts ride the same pass; the oracle pins
+    * |est − exact|/exact ≤ 0.25 (k = 256 → σ ≈ 1/√k ≈ 6%) as error
+    * BOOLEANS the hash-match verifies — the q_approx_distinct
+    * contract. Sets: click users vs purchase users. */
+  val qKmvSetops: GQuery = GQuery(
+    "q_kmv_setops",
+    (spark, dir) => {
+      import spark.implicits._
+      val k = 256
+      val two32 = 4294967296.0
+      val users = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type".as("t"), $"user_id").distinct()
+        .withColumn("h",
+          conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .localCheckpoint()
+      val a = users.filter($"t" === "click").select($"user_id", $"h")
+      val b = users.filter($"t" === "purchase").select($"user_id", $"h")
+      val u = users.select($"user_id", $"h").distinct()
+      // total order (h, user_id): a first-8-hex md5 collision at the
+      // k-boundary must not let the engines keep different rows
+      def kth(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.select($"h", $"user_id").orderBy($"h".asc, $"user_id".asc)
+          .limit(k)
+          .agg(max($"h").cast("double").as(name), count(lit(1)).as(s"n_$name"))
+      val est = (c: String, nc: String) =>
+        (col(nc).cast("double") - lit(1.0)) * lit(two32) / col(c)
+      // union-sketch membership counting for the intersection
+      val uTop = u.orderBy($"h".asc, $"user_id".asc).limit(k)
+      val inBoth = uTop
+        .join(a.select($"user_id").withColumn("ina", lit(1)),
+          Seq("user_id"), "left_outer")
+        .join(b.select($"user_id").withColumn("inb", lit(1)),
+          Seq("user_id"), "left_outer")
+        .agg(count(lit(1)).as("ku"),
+          sum(when($"ina" === 1 && $"inb" === 1, 1L).otherwise(0L))
+            .as("kboth"))
+      val exact = users.agg(
+        countDistinct(when($"t" === "click", $"user_id")).as("ex_a"),
+        countDistinct(when($"t" === "purchase", $"user_id")).as("ex_b"),
+        countDistinct($"user_id").as("ex_u"))
+      val r = kth(a, "ha").crossJoin(kth(b, "hb")).crossJoin(kth(u, "hu"))
+        .crossJoin(broadcast(inBoth)).crossJoin(broadcast(exact))
+        .select($"ex_a", $"ex_b", $"ex_u",
+          ($"ex_a" + $"ex_b" - $"ex_u").as("ex_inter"),
+          r2(est("ha", "n_ha")).as("est_a"),
+          r2(est("hb", "n_hb")).as("est_b"),
+          r2(est("hu", "n_hu")).as("est_u"),
+          r2($"kboth".cast("double") / $"ku".cast("double") *
+            est("hu", "n_hu")).as("est_inter"))
+      r.select($"ex_a", $"ex_b", $"ex_u", $"ex_inter",
+        $"est_a", $"est_b", $"est_u", $"est_inter",
+        (abs($"est_a" - $"ex_a".cast("double")) <=
+          lit(0.25) * $"ex_a".cast("double")).as("a_ok"),
+        (abs($"est_b" - $"ex_b".cast("double")) <=
+          lit(0.25) * $"ex_b".cast("double")).as("b_ok"),
+        (abs($"est_u" - $"ex_u".cast("double")) <=
+          lit(0.25) * $"ex_u".cast("double")).as("u_ok"))
+    },
+    Some {
+      val k = 256
+      def est(c: String, nc: String) =
+        s"((cast($nc as double) - cast(1.0 as double)) * " +
+          s"cast(4294967296.0 as double) / $c)"
+      s"""
+      WITH users AS MATERIALIZED (
+        SELECT t, user_id,
+               cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+                 as bigint) AS h
+        FROM (SELECT DISTINCT event_type AS t, user_id
+              FROM events WHERE event_type IN ('click', 'purchase')) d),
+      a AS (SELECT user_id, h FROM users WHERE t = 'click'),
+      b AS (SELECT user_id, h FROM users WHERE t = 'purchase'),
+      u AS (SELECT DISTINCT user_id, h FROM users),
+      ka AS (SELECT cast(max(h) as double) AS ha,
+                    cast(count(*) as bigint) AS n_ha
+             FROM (SELECT h FROM a ORDER BY h ASC, user_id ASC LIMIT $k) t0),
+      kb AS (SELECT cast(max(h) as double) AS hb,
+                    cast(count(*) as bigint) AS n_hb
+             FROM (SELECT h FROM b ORDER BY h ASC, user_id ASC LIMIT $k) t0),
+      ku AS (SELECT cast(max(h) as double) AS hu,
+                    cast(count(*) as bigint) AS n_hu
+             FROM (SELECT h FROM u ORDER BY h ASC, user_id ASC LIMIT $k) t0),
+      utop AS (SELECT user_id, h FROM u ORDER BY h ASC, user_id ASC
+               LIMIT $k),
+      inboth AS (
+        SELECT cast(count(*) as bigint) AS kub,
+               cast(sum(CASE WHEN ia.user_id IS NOT NULL AND
+                 ib.user_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+                 AS kboth
+        FROM utop
+        LEFT JOIN (SELECT DISTINCT user_id FROM a) ia
+          ON utop.user_id = ia.user_id
+        LEFT JOIN (SELECT DISTINCT user_id FROM b) ib
+          ON utop.user_id = ib.user_id),
+      exact AS (
+        SELECT cast(count(DISTINCT CASE WHEN t = 'click' THEN user_id END)
+                 as bigint) AS ex_a,
+               cast(count(DISTINCT CASE WHEN t = 'purchase' THEN user_id
+                 END) as bigint) AS ex_b,
+               cast(count(DISTINCT user_id) as bigint) AS ex_u
+        FROM users)
+      SELECT ex_a, ex_b, ex_u, ex_a + ex_b - ex_u AS ex_inter,
+             ${r2Sql(est("ha", "n_ha"))} AS est_a,
+             ${r2Sql(est("hb", "n_hb"))} AS est_b,
+             ${r2Sql(est("hu", "n_hu"))} AS est_u,
+             ${r2Sql("cast(kboth as double) / cast(kub as double) * " +
+               est("hu", "n_hu"))} AS est_inter,
+             abs(${r2Sql(est("ha", "n_ha"))} - cast(ex_a as double)) <=
+               cast(0.25 as double) * cast(ex_a as double) AS a_ok,
+             abs(${r2Sql(est("hb", "n_hb"))} - cast(ex_b as double)) <=
+               cast(0.25 as double) * cast(ex_b as double) AS b_ok,
+             abs(${r2Sql(est("hu", "n_hu"))} - cast(ex_u as double)) <=
+               cast(0.25 as double) * cast(ex_u as double) AS u_ok
+      FROM ka CROSS JOIN kb CROSS JOIN ku
+      CROSS JOIN inboth CROSS JOIN exact"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
     qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
-    qSemdedup, qAnnPq)
+    qSemdedup, qAnnPq, qKmvSetops)
 }

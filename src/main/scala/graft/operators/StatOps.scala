@@ -1200,9 +1200,145 @@ object StatOps {
     },
   )
 
+  /** TWO-COMPONENT POISSON MIXTURE via EM (4 fixed iterations) on the
+    * per-customer order-count distribution — the model-based customer
+    * segmentation (casual vs frequent buyers) that q_poisson_fit's
+    * single-λ χ² rejects: fit w·Pois(λ₁) + (1−w)·Pois(λ₂). The engine
+    * template is q_markov/q_hits for a PARAMETER VECTOR: the E/M steps
+    * are one crossJoin of the count HISTOGRAM (≤ ~50 rows — the raw
+    * pass collapses orders to per-customer k, then k to (k, obs)) with
+    * a broadcast 1-row parameter frame per iteration, each M-step sum
+    * 9-dp decimal-staged. Responsibilities need NO factorial (k! cancels
+    * in the ratio); the final log-likelihood does, so ln k! comes from a
+    * sequence spine with 12-dp-staged ln terms summed in decimal by a
+    * running window (order-free by exactness) — Spark's factorial()
+    * nulls past k = 20 and DuckDB's goes hugeint, so neither is usable
+    * cross-engine. Fixed iteration count + fixed expression shapes =
+    * the q_holt determinism contract. */
+  val qEmPoisson2: GQuery = GQuery(
+    "q_em_poisson2",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec9 = org.apache.spark.sql.types.DecimalType(30, 9)
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val perCust = Tables.orders(spark, dir)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("k"))
+      val hist = perCust.groupBy($"k").agg(count(lit(1)).as("obs"))
+        .localCheckpoint()
+      val m0 = hist.agg(sum($"obs").as("n"), sum($"k" * $"obs").as("sk"),
+        max($"k").as("kmax"))
+      val lbar = $"sk".cast("double") / $"n".cast("double")
+      var p = m0.select($"n", $"kmax", lit(0.5).as("w1"),
+        (lbar / lit(2.0)).as("l1"), (lbar * lit(2.0)).as("l2"))
+      for (_ <- 1 to 4) {
+        val kD = $"k".cast("double")
+        val a1 = $"w1" * exp(kD * log($"l1") - $"l1")
+        val a2 = (lit(1.0) - $"w1") * exp(kD * log($"l2") - $"l2")
+        val r1 = a1 / (a1 + a2)
+        val s = hist.crossJoin(broadcast(p))
+          .select($"n", $"kmax", $"obs", $"k", r1.as("r1"))
+          .groupBy($"n", $"kmax")
+          .agg(
+            sum(rN($"obs".cast("double") * $"r1", 9).cast(dec9))
+              .cast("double").as("s1"),
+            sum(rN($"obs".cast("double") * $"r1" * $"k".cast("double"), 9)
+              .cast(dec9)).cast("double").as("sk1"),
+            sum($"k" * $"obs").as("skAll"))
+        p = s.select($"n", $"kmax",
+          ($"s1" / $"n".cast("double")).as("w1"),
+          ($"sk1" / $"s1").as("l1"),
+          (($"skAll".cast("double") - $"sk1") /
+            ($"n".cast("double") - $"s1")).as("l2"))
+      }
+      // ln k! spine for the log-likelihood (12dp-staged decimal prefix)
+      val lnf = p.select($"kmax")
+        .select(explode(expr("sequence(1, int(kmax))")).as("i"))
+        .withColumn("t", rN(log($"i".cast("double")), 12).cast(dec12))
+        .withColumn("lnf",
+          sum($"t").over(Window.orderBy($"i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select($"i".as("k"), $"lnf")
+      val kD = $"k".cast("double")
+      val a1 = $"w1" * exp(kD * log($"l1") - $"l1")
+      val a2 = (lit(1.0) - $"w1") * exp(kD * log($"l2") - $"l2")
+      val ll = hist.join(lnf, "k").crossJoin(broadcast(p))
+        .select($"n", $"w1", $"l1", $"l2",
+          rN($"obs".cast("double") * (log(a1 + a2) - $"lnf"), 9).as("t"))
+        .groupBy($"n", $"w1", $"l1", $"l2")
+        .agg(sum($"t".cast(dec9)).cast("double").as("loglik"))
+      ll.select($"n".as("n_customers"), r6($"w1").as("w1"),
+        r6($"l1").as("lambda1"), r6($"l2").as("lambda2"),
+        r6($"loglik").as("loglik"))
+    },
+    Some {
+      def step(i: Int): String = {
+        val a1 = s"(w1 * exp(cast(k as double) * ln(l1) - l1))"
+        val a2 = s"((cast(1.0 as double) - w1) * " +
+          s"exp(cast(k as double) * ln(l2) - l2))"
+        val r1 = s"($a1 / ($a1 + $a2))"
+        s"""s$i AS (
+           |  SELECT n, kmax,
+           |    cast(sum(cast(${rNSql(s"cast(obs as double) * $r1", 9)}
+           |      as decimal(30,9))) as double) AS s1,
+           |    cast(sum(cast(${rNSql(
+                  s"cast(obs as double) * $r1 * cast(k as double)", 9)}
+           |      as decimal(30,9))) as double) AS sk1,
+           |    cast(sum(k * obs) as bigint) AS skall
+           |  FROM hist CROSS JOIN p${i - 1} GROUP BY n, kmax),
+           |p$i AS (
+           |  SELECT n, kmax, s1 / cast(n as double) AS w1,
+           |         sk1 / s1 AS l1,
+           |         (cast(skall as double) - sk1) /
+           |           (cast(n as double) - s1) AS l2
+           |  FROM s$i)""".stripMargin
+      }
+      val a1 = s"(w1 * exp(cast(k as double) * ln(l1) - l1))"
+      val a2 = s"((cast(1.0 as double) - w1) * " +
+        s"exp(cast(k as double) * ln(l2) - l2))"
+      s"""
+      WITH per_cust AS (
+        SELECT o_custkey, count(*) AS k FROM orders GROUP BY o_custkey),
+      hist AS MATERIALIZED (
+        SELECT k, cast(count(*) as bigint) AS obs FROM per_cust GROUP BY k),
+      m0 AS (
+        SELECT cast(sum(obs) as bigint) AS n,
+               cast(sum(k * obs) as bigint) AS sk,
+               cast(max(k) as bigint) AS kmax
+        FROM hist),
+      p0 AS (
+        SELECT n, kmax, cast(0.5 as double) AS w1,
+               cast(sk as double) / cast(n as double) /
+                 cast(2.0 as double) AS l1,
+               cast(sk as double) / cast(n as double) *
+                 cast(2.0 as double) AS l2
+        FROM m0),
+      ${(1 to 4).map(step).mkString(",\n      ")},
+      lnf AS (
+        SELECT i AS k,
+               cast(sum(cast(${rNSql("ln(cast(i as double))", 12)}
+                   as decimal(30,12)))
+                 OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) as double) AS lnf
+        FROM (SELECT unnest(generate_series(1, (SELECT cast(kmax as int)
+                FROM m0))) AS i) sp),
+      ll AS (
+        SELECT n, w1, l1, l2,
+               cast(sum(cast(${rNSql(
+                 s"cast(obs as double) * (ln($a1 + $a2) - lnf)", 9)}
+                 as decimal(30,9))) as double) AS loglik
+        FROM hist JOIN lnf USING (k) CROSS JOIN p4
+        GROUP BY n, w1, l1, l2)
+      SELECT n AS n_customers, ${r6Sql("w1")} AS w1,
+             ${r6Sql("l1")} AS lambda1, ${r6Sql("l2")} AS lambda2,
+             ${r6Sql("loglik")} AS loglik
+      FROM ll"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
     qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs,
-    qMahalanobis, qCvmExp, qTheilU)
+    qMahalanobis, qCvmExp, qTheilU, qEmPoisson2)
 }

@@ -142,7 +142,12 @@ object PlanAudit {
     "q_periodogram",
     // round-11 batch 3: 1-row OLS-fit (a, b) broadcast scoring the
     // residual spread (the q_var_backtest fitted-threshold posture)
-    "q_coint")
+    "q_coint",
+    // round-11 batch 4: 1-row parameter-vector broadcast per EM
+    // iteration (the q_markov template on a parameter row); 1-row
+    // sketch-summary crosses (four k-th-order-statistic rows + exact
+    // row — the q_approx_distinct posture)
+    "q_em_poisson2", "q_kmv_setops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -186,6 +186,31 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_em_poisson2: mixture weight in (0,1), lambdas ordered, ll finite") {
+    val x = rows("q_em_poisson2").head
+    val (n, w1) = (x.getLong(0), x.getDouble(1))
+    val (l1, l2, ll) = (x.getDouble(2), x.getDouble(3), x.getDouble(4))
+    assert(n > 0)
+    assert(w1 > 0.0 && w1 < 1.0, s"degenerate weight $w1")
+    assert(l1 > 0.0 && l2 > 0.0)
+    assert(l1 < l2, s"init ordering must persist: $l1 vs $l2")
+    assert(!ll.isNaN && ll < 0.0, s"log-likelihood $ll")
+  }
+
+  test("q_kmv_setops: estimates within bound, inclusion-exclusion exact") {
+    val x = rows("q_kmv_setops").head
+    val (exA, exB, exU, exI) =
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))
+    assert(exI == exA + exB - exU)
+    assert(exI >= 0 && exI <= math.min(exA, exB))
+    assert(x.getBoolean(8) && x.getBoolean(9) && x.getBoolean(10),
+      "a KMV estimate left its declared error bound")
+    // the intersection estimate is unpinned (higher variance) but must
+    // at least be nonnegative and below the union estimate
+    val (estU, estI) = (x.getDouble(6), x.getDouble(7))
+    assert(estI >= 0.0 && estI <= estU)
+  }
+
   test("q_holm: step-down dominates BH-style rejection monotonically") {
     val r = rows("q_holm")
     // p_holm is a running max: must be monotone nondecreasing in rank
