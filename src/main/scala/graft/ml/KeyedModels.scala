@@ -508,49 +508,132 @@ object KeyedModels {
     GApply.gapplyRows(proj, keyCols, outSchema) { (key, rows) =>
       val pts = rows.map(r => Array.tabulate(d)(i => r.getDouble(nKeys + i)))
         .toArray
-      val kk = math.min(k, pts.length)
-      implicit val ord: Ordering[Array[Double]] =
-        Ordering.by((a: Array[Double]) => a.toSeq)(
-          Ordering.Implicits.seqOrdering[Seq, Double])
-      val sorted = pts.sorted
-      var centroids = Array.tabulate(kk) { i =>
-        sorted(((i.toLong * (pts.length - 1)) / math.max(kk - 1, 1)).toInt).clone()
-      }
-      var assign = new Array[Int](pts.length)
-      for (_ <- 1 to iters) {
-        var p = 0
-        while (p < pts.length) {
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < kk) {
-            var s = 0.0; var i = 0
-            while (i < d) {
-              val diff = pts(p)(i) - centroids(c)(i); s += diff * diff; i += 1
-            }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          assign(p) = best
-          p += 1
-        }
-        val sums = Array.fill(kk)(new Array[Double](d))
-        val counts = new Array[Long](kk)
-        p = 0
-        while (p < pts.length) {
-          val c = assign(p); counts(c) += 1
-          var i = 0
-          while (i < d) { sums(c)(i) += pts(p)(i); i += 1 }
-          p += 1
-        }
-        centroids = Array.tabulate(kk) { c =>
-          if (counts(c) == 0) centroids(c)
-          else Array.tabulate(d)(i => sums(c)(i) / counts(c))
-        }
-      }
+      val (_, centroids, assign) = lloyd(pts, math.min(k, pts.length), iters)
+      val kk = centroids.length
       val counts = new Array[Long](kk)
       assign.foreach(c => counts(c) += 1)
       (0 until kk).map { c =>
         Row.fromSeq(key.toSeq ++ Seq(c, centroids(c).toSeq, counts(c)))
+      }
+    }
+  }
+
+  /** Deterministic Lloyd: init = evenly spaced points of the
+    * lexicographically sorted group, fixed iteration count, and ALL
+    * accumulation (centroid sums, and hence every downstream score) runs
+    * over the SORTED points — float addition order is then a function of
+    * the group's values, never of partition arrival order, so results are
+    * bit-identical under repartitioning. Shared by [[fitKMeans]] and
+    * [[sweepKMeans]] so the sweep's chosen k reproduces exactly under a
+    * refit. Returns (sortedPoints, centroids, assignment-over-sorted). */
+  private def lloyd(
+      ptsIn: Array[Array[Double]],
+      kk: Int,
+      iters: Int): (Array[Array[Double]], Array[Array[Double]], Array[Int]) = {
+    val d = if (ptsIn.isEmpty) 0 else ptsIn(0).length
+    implicit val ord: Ordering[Array[Double]] =
+      Ordering.by((a: Array[Double]) => a.toSeq)(
+        Ordering.Implicits.seqOrdering[Seq, Double])
+    val pts = ptsIn.sorted
+    var centroids = Array.tabulate(kk) { i =>
+      pts(((i.toLong * (pts.length - 1)) / math.max(kk - 1, 1)).toInt).clone()
+    }
+    val assign = new Array[Int](pts.length)
+    for (_ <- 1 to iters) {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var s = 0.0; var i = 0
+          while (i < d) {
+            val diff = pts(p)(i) - centroids(c)(i); s += diff * diff; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Long](kk)
+      p = 0
+      while (p < pts.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += pts(p)(i); i += 1 }
+        p += 1
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(d)(i => sums(c)(i) / counts(c))
+      }
+    }
+    (pts, centroids, assign)
+  }
+
+  /** Per-key k-selection for [[fitKMeans]] — the clusterer analog of the
+    * ridge-CV sweep: one pass over each group runs deterministic Lloyd at
+    * every candidate k and scores it with (a) WSS (the elbow curve) and
+    * (b) the SIMPLIFIED silhouette (Hruschka et al.: a = distance to own
+    * centroid, b = nearest other centroid; s = (b-a)/max(a,b)), which is
+    * O(n·k) per group instead of the O(n²) pairwise silhouette — the only
+    * form that survives groups of 10⁶ rows. `best` marks the per-key
+    * silhouette argmax (ties → smaller k, fewer clusters on equal
+    * evidence). The group is materialized ONCE for the whole sweep (same
+    * full-group posture as fitKMeans: many SMALL groups; one huge
+    * keyspace belongs to MLlib). Partitioning-invariant: Lloyd init is a
+    * sorted-order function of the group's values, never arrival order. */
+  def sweepKMeans(
+      df: DataFrame,
+      keyCols: Seq[String],
+      featureCols: Seq[String],
+      ks: Seq[Int],
+      iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(ks.nonEmpty && ks.forall(_ >= 2), "candidate ks must be >= 2")
+    val proj = df.select(
+      (keyCols.map(col) ++ featureCols.map(c => col(c).cast("double"))): _*)
+    val outSchema = StructType(
+      keyCols.map(c => proj.schema(c)) ++ Seq(
+        StructField("k", IntegerType, nullable = false),
+        StructField("wss", DoubleType, nullable = false),
+        StructField("silhouette", DoubleType, nullable = false),
+        StructField("best", BooleanType, nullable = false)))
+    val d = featureCols.size
+    val nKeys = keyCols.size
+    val kCands = ks.distinct.sorted
+    GApply.gapplyRows(proj, keyCols, outSchema) { (key, rows) =>
+      val pts = rows.map(r => Array.tabulate(d)(i => r.getDouble(nKeys + i)))
+        .toArray
+      val scored = kCands.filter(_ <= pts.length).map { kk =>
+        val (sp, centroids, assign) = lloyd(pts, kk, iters)
+        def dist(p: Array[Double], c: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < d) { val t = p(i) - c(i); s += t * t; i += 1 }
+          math.sqrt(s)
+        }
+        var wss = 0.0; var silSum = 0.0
+        var p = 0
+        while (p < sp.length) {
+          val own = dist(sp(p), centroids(assign(p)))
+          wss += own * own
+          var b = Double.MaxValue; var c = 0
+          while (c < kk) {
+            if (c != assign(p)) b = math.min(b, dist(sp(p), centroids(c)))
+            c += 1
+          }
+          val m = math.max(own, b)
+          silSum += (if (m > 0) (b - own) / m else 0.0)
+          p += 1
+        }
+        (kk, wss, silSum / math.max(sp.length, 1))
+      }
+      val bestK =
+        if (scored.isEmpty) -1 else scored.maxBy(s => (s._3, -s._1))._1
+      scored.map { case (kk, wss, sil) =>
+        Row.fromSeq(key.toSeq ++ Seq(kk, wss, sil, kk == bestK))
       }
     }
   }

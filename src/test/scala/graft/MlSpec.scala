@@ -774,6 +774,46 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("sweepKMeans recovers planted k per key, partitioning-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // g2: two blobs at ±6; g3: three blobs at -8/0/8 — well separated so
+    // the simplified silhouette peaks at the true k, not a split/merge.
+    val rows =
+      (for (c <- Seq(-6.0, 6.0); _ <- 1 to 80)
+        yield ("g2", c + rng.nextGaussian() * 0.4, c + rng.nextGaussian() * 0.4)) ++
+      (for (c <- Seq(-8.0, 0.0, 8.0); _ <- 1 to 80)
+        yield ("g3", c + rng.nextGaussian() * 0.4, c + rng.nextGaussian() * 0.4))
+    val df = rows.toDF("key", "x", "y")
+    val sweep = KeyedModels.sweepKMeans(
+      df.repartition(7), Seq("key"), Seq("x", "y"), ks = 2 to 5)
+    val got = sweep.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.length == 8, s"2 keys x 4 candidate ks: ${got.length}")
+    val bestByKey = got.filter(_._5).map(t => t._1 -> t._2).toMap
+    assert(bestByKey == Map("g2" -> 2, "g3" -> 3), s"planted k: $bestByKey")
+    // elbow curve sanity: WSS nonincreasing in k for each key
+    got.groupBy(_._1).foreach { case (k, rs) =>
+      val wss = rs.sortBy(_._2).map(_._3)
+      assert(wss.zip(wss.tail).forall { case (a, b) => b <= a + 1e-9 },
+        s"$k WSS not monotone: ${wss.toSeq}")
+    }
+    // partitioning invariance: Lloyd init sorts the group, so a different
+    // physical layout must reproduce bit-identical scores
+    val again = KeyedModels.sweepKMeans(
+      df.repartition(1), Seq("key"), Seq("x", "y"), ks = 2 to 5)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+      again.sortBy(t => (t._1, t._2)).toSeq)
+    // the chosen k refits to the same centroids fitKMeans would produce
+    val refit = KeyedModels.fitKMeans(
+      df.filter($"key" === "g3"), Seq("key"), Seq("x", "y"), k = 3)
+    assert(refit.count() == 3)
+  }
+
   test("ModelExport exposes coefficients as joinable tables (A5)") {
     import spark.implicits._
     val lr = new LogisticRegression().setMaxIter(5)
