@@ -1689,8 +1689,241 @@ object InferOps {
     },
   )
 
+  /** MANTEL–HAENSZEL POOLED ODDS RATIO — "does discounting associate
+    * with returns, CONTROLLING for ship mode?" (the stratified companion
+    * to q_oddsratio's single 2×2 and q_simpson's confounding demo).
+    * Exposure = l_discount ≥ 0.05, outcome = l_returnflag = 'R', strata
+    * = the 7 ship YEARS (period is the classic confounder: return
+    * policy and discount prevalence both drift). Per stratum the 2×2
+    * cells (n11 n10 n01 n00) are
+    * exact integer counts from ONE combinable lineitem pass; the MH
+    * pooled estimate Σ(n11·n00/n) / Σ(n10·n01/n) and the crude
+    * (collapsed-table) OR both come from UNORDERED window sums over the
+    * 7-row stratum table — each a·d/n term is 6-dp decimal-staged
+    * (ad/n ≲ 2e4 at sf0.1, far under the 2³³ cast bound), so the
+    * cross-stratum sums are exact and order-free. Contingency tables are
+    * additive in cells → the whole statistic shards over any partition
+    * of the fact table. */
+  val qMhOr: GQuery = GQuery(
+    "q_mh_or",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val cells = Tables.lineitem(spark, dir)
+        .select(year($"l_shipdate").as("ship_year"),
+          ($"l_discount" >= lit(0.05).cast("double")).as("e"),
+          ($"l_returnflag" === "R").as("o"))
+        .groupBy($"ship_year")
+        .agg(
+          sum(when($"e" && $"o", 1L).otherwise(0L)).as("n11"),
+          sum(when($"e" && !$"o", 1L).otherwise(0L)).as("n10"),
+          sum(when(!$"e" && $"o", 1L).otherwise(0L)).as("n01"),
+          sum(when(!$"e" && !$"o", 1L).otherwise(0L)).as("n00"))
+      val d = (c: String) => col(c).cast("double")
+      val n = d("n11") + d("n10") + d("n01") + d("n00")
+      val w = Window.partitionBy()
+      val withTerms = cells
+        .withColumn("t_num", rN(d("n11") * d("n00") / n, 6).cast(dec6))
+        .withColumn("t_den", rN(d("n10") * d("n01") / n, 6).cast(dec6))
+      withTerms
+        .withColumn("s_num", sum($"t_num").over(w).cast("double"))
+        .withColumn("s_den", sum($"t_den").over(w).cast("double"))
+        .withColumn("c11", sum($"n11").over(w)).withColumn("c10", sum($"n10").over(w))
+        .withColumn("c01", sum($"n01").over(w)).withColumn("c00", sum($"n00").over(w))
+        .select($"ship_year", $"n11", $"n10", $"n01", $"n00",
+          r6((d("n11") * d("n00")) / (d("n10") * d("n01"))).as("or_stratum"),
+          r6($"s_num" / $"s_den").as("or_mh"),
+          r6((d("c11") * d("c00")) / (d("c10") * d("c01"))).as("or_crude"))
+        .orderBy($"ship_year")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT cast(year(l_shipdate) as int) AS ship_year,
+               cast(sum(CASE WHEN l_discount >= cast(0.05 as double)
+                 AND l_returnflag = 'R' THEN 1 ELSE 0 END) as bigint) AS n11,
+               cast(sum(CASE WHEN l_discount >= cast(0.05 as double)
+                 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) as bigint) AS n10,
+               cast(sum(CASE WHEN l_discount < cast(0.05 as double)
+                 AND l_returnflag = 'R' THEN 1 ELSE 0 END) as bigint) AS n01,
+               cast(sum(CASE WHEN l_discount < cast(0.05 as double)
+                 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) as bigint) AS n00
+        FROM lineitem GROUP BY 1),
+      t AS (
+        SELECT *,
+               cast(n11 + n10 + n01 + n00 as double) AS n,
+               cast(${rNSql("cast(n11 as double) * cast(n00 as double) / " +
+                 "cast(n11 + n10 + n01 + n00 as double)", 6)}
+                 as decimal(30,6)) AS t_num,
+               cast(${rNSql("cast(n10 as double) * cast(n01 as double) / " +
+                 "cast(n11 + n10 + n01 + n00 as double)", 6)}
+                 as decimal(30,6)) AS t_den
+        FROM cells),
+      ww AS (
+        SELECT *, cast(sum(t_num) OVER () as double) AS s_num,
+               cast(sum(t_den) OVER () as double) AS s_den,
+               cast(sum(n11) OVER () as bigint) AS c11,
+               cast(sum(n10) OVER () as bigint) AS c10,
+               cast(sum(n01) OVER () as bigint) AS c01,
+               cast(sum(n00) OVER () as bigint) AS c00
+        FROM t)
+      SELECT ship_year, n11, n10, n01, n00,
+             ${r6Sql("(cast(n11 as double) * cast(n00 as double)) / " +
+               "(cast(n10 as double) * cast(n01 as double))")} AS or_stratum,
+             ${r6Sql("s_num / s_den")} AS or_mh,
+             ${r6Sql("(cast(c11 as double) * cast(c00 as double)) / " +
+               "(cast(c10 as double) * cast(c01 as double))")} AS or_crude
+      FROM ww ORDER BY ship_year"""),
+  )
+
+  /** ONE-WAY RANDOM-EFFECTS ICC(1,1) of part retail price within brand
+    * — "how much of price variance is BETWEEN brands?" (the reliability
+    * companion to q_anova's F: same decomposition, reported as a
+    * variance-ratio in [−1/(k̄−1), 1]). Whole-DOLLAR units keep every
+    * staged per-group term far under the 2³³ double→decimal cast bound
+    * at the tested SFs (within-brand SS ≲ 1e8, Sx²/n ≲ 2e9 at sf0.1 —
+    * the q_levene rescale lesson). MSW/MSB from per-brand integer
+    * moments (one combinable pass, 25-row group table); the two
+    * cross-group sums (Σ SSW_g, Σ Sx_g²/n_g) are 6-dp decimal-staged →
+    * exact and order-free; k0 = (N − Σn_g²/N)/(a−1) handles unequal
+    * group sizes. Output is one summary row. */
+  val qIcc: GQuery = GQuery(
+    "q_icc",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val g = Tables.part(spark, dir)
+        .select($"p_brand",
+          floor($"p_retailprice" + lit(0.5)).cast("long").as("x"))
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("ng"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+      val d = (c: String) => col(c).cast("double")
+      val s = g.select(
+          $"ng", $"sx", $"sxx",
+          rN(d("sxx") - d("sx") * d("sx") / d("ng"), 6).cast(dec6)
+            .as("ssw_g"),
+          rN(d("sx") * d("sx") / d("ng"), 6).cast(dec6).as("sb_g"))
+        .agg(count(lit(1)).as("a"), sum($"ng").as("nn"),
+          sum($"ng" * $"ng").as("sn2"),
+          sum($"sx").as("tsx"),
+          sum($"ssw_g").cast("double").as("ssw"),
+          sum($"sb_g").cast("double").as("sbg"))
+      val nD = $"nn".cast("double")
+      val aD = $"a".cast("double")
+      val ssb = $"sbg" - $"tsx".cast("double") * $"tsx".cast("double") / nD
+      val msw = $"ssw" / (nD - aD)
+      val msb = ssb / (aD - lit(1.0))
+      val k0 = (nD - $"sn2".cast("double") / nD) / (aD - lit(1.0))
+      s.select($"a".cast("int").as("n_groups"), $"nn".as("n_parts"),
+        r6(k0).as("k0"), r6(msb).as("msb"), r6(msw).as("msw"),
+        r6((msb - msw) / (msb + (k0 - lit(1.0)) * msw)).as("icc"))
+    },
+    Some {
+      val ssb = "(sbg - cast(tsx as double) * cast(tsx as double) / " +
+        "cast(nn as double))"
+      val msw = "(ssw / (cast(nn as double) - cast(a as double)))"
+      val msb = s"($ssb / (cast(a as double) - cast(1.0 as double)))"
+      val k0 = "((cast(nn as double) - cast(sn2 as double) / " +
+        "cast(nn as double)) / (cast(a as double) - cast(1.0 as double)))"
+      s"""
+      WITH g AS (
+        SELECT p_brand, cast(count(*) as bigint) AS ng,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(x * x) as bigint) AS sxx
+        FROM (SELECT p_brand,
+                cast(floor(p_retailprice + cast(0.5 as double)) as bigint)
+                  AS x FROM part) p
+        GROUP BY p_brand),
+      s AS (
+        SELECT cast(count(*) as bigint) AS a, cast(sum(ng) as bigint) AS nn,
+               cast(sum(ng * ng) as bigint) AS sn2,
+               cast(sum(sx) as bigint) AS tsx,
+               cast(sum(cast(${rNSql("cast(sxx as double) - " +
+                 "cast(sx as double) * cast(sx as double) / " +
+                 "cast(ng as double)", 6)} as decimal(30,6)))
+                 as double) AS ssw,
+               cast(sum(cast(${rNSql("cast(sx as double) * " +
+                 "cast(sx as double) / cast(ng as double)", 6)}
+                 as decimal(30,6))) as double) AS sbg
+        FROM g)
+      SELECT cast(a as int) AS n_groups, nn AS n_parts,
+             ${r6Sql(k0)} AS k0, ${r6Sql(msb)} AS msb, ${r6Sql(msw)} AS msw,
+             ${r6Sql(s"($msb - $msw) / ($msb + ($k0 - cast(1.0 as double))" +
+               s" * $msw)")} AS icc
+      FROM s"""
+    },
+  )
+
+  /** CRONBACH'S ALPHA treating the five event types as items and days
+    * as subjects — "do the daily activity metrics move together enough
+    * to be one reliability scale?" (the internal-consistency companion
+    * to q_icc: same variance decomposition instinct, item-wise).
+    * α = k/(k−1)·(1 − ΣSS_i/SS_total), computed ENTIRELY in exact int64:
+    * daily per-type counts from one combinable pass, each sum-of-squares
+    * as n·Σx² − (Σx)² on integers (≲2.4e11 at sf0.1 — far inside
+    * int64), the item SS summed over a FIXED five-term chain. The only
+    * double is the final ratio. */
+  val qCronbach: GQuery = GQuery(
+    "q_cronbach",
+    (spark, dir) => {
+      import spark.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cnt = (t: String) =>
+        sum(when($"event_type" === t, 1L).otherwise(0L))
+      val daily = Tables.events(spark, dir)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(cnt(types.head).as("x1"), cnt(types(1)).as("x2"),
+          cnt(types(2)).as("x3"), cnt(types(3)).as("x4"),
+          cnt(types(4)).as("x5"))
+      val tot = $"x1" + $"x2" + $"x3" + $"x4" + $"x5"
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum($"x1").as("s1"), sum($"x1" * $"x1").as("q1"),
+        sum($"x2").as("s2"), sum($"x2" * $"x2").as("q2"),
+        sum($"x3").as("s3"), sum($"x3" * $"x3").as("q3"),
+        sum($"x4").as("s4"), sum($"x4" * $"x4").as("q4"),
+        sum($"x5").as("s5"), sum($"x5" * $"x5").as("q5"),
+        sum(tot).as("st"), sum(tot * tot).as("qt"))
+      def ss(s: String, q: String) = $"n" * col(q) - col(s) * col(s)
+      val ssItems = ss("s1", "q1") + ss("s2", "q2") + ss("s3", "q3") +
+        ss("s4", "q4") + ss("s5", "q5")
+      val ssTotal = $"n" * $"qt" - $"st" * $"st"
+      m.select($"n".as("n_days"), lit(5).as("k"),
+        ssItems.as("ss_items"), ssTotal.as("ss_total"),
+        r6(lit(1.25) * (lit(1.0) -
+          ssItems.cast("double") / ssTotal.cast("double"))).as("alpha"))
+    },
+    Some {
+      val items = Seq("click" -> 1, "error" -> 2, "purchase" -> 3,
+        "signup" -> 4, "view" -> 5)
+      val cols = items.map { case (t, i) =>
+        s"cast(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) " +
+          s"as bigint) AS x$i"
+      }.mkString(", ")
+      val ssI = (1 to 5).map(i => s"(n * q$i - s$i * s$i)").mkString(" + ")
+      s"""
+      WITH daily AS (
+        SELECT cast(date_trunc('day', ts) as date) AS day, $cols
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT cast(count(*) as bigint) AS n,
+               ${(1 to 5).map(i => s"cast(sum(x$i) as bigint) AS s$i, " +
+                 s"cast(sum(x$i * x$i) as bigint) AS q$i").mkString(", ")},
+               cast(sum(x1 + x2 + x3 + x4 + x5) as bigint) AS st,
+               cast(sum((x1 + x2 + x3 + x4 + x5) *
+                 (x1 + x2 + x3 + x4 + x5)) as bigint) AS qt
+        FROM daily)
+      SELECT n AS n_days, 5 AS k,
+             cast($ssI as bigint) AS ss_items,
+             cast(n * qt - st * st as bigint) AS ss_total,
+             ${r6Sql("cast(1.25 as double) * (cast(1.0 as double) - " +
+               s"cast($ssI as double) / " +
+               "cast(n * qt - st * st as double))")} AS alpha
+      FROM m"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(qTtest, qAnova, qCramersV, qSpearman,
     qJackknife, qCorrMatrix, qBootstrap, qVif, qSimpson, qEffectSize,
     qTukeyHsd, qPartialCorr, qJarqueBera, qBartlett, qWelchAnova, qBhFdr,
-    qTost, qGTest, qHolm, qFisherCi)
+    qTost, qGTest, qHolm, qFisherCi, qMhOr, qIcc, qCronbach)
 }

@@ -1403,8 +1403,96 @@ object NonparamOps {
     },
   )
 
+  /** KENDALL'S W (coefficient of concordance) — do the ship YEARS agree
+    * on the revenue RANKING of the 25 part brands? (the m-judges
+    * generalization of q_kendall's two-variable τ; the q_friedman
+    * statistic's effect-size twin: χ² = m(n−1)W). Judges = complete
+    * ship years (years missing any brand are excluded via the modal
+    * cell-count window — rankings must be complete for W), objects =
+    * brands, score = exact integer revenue cents (no float product:
+    * extendedprice cents only, so ranks can never flip on a ulp).
+    * Ranks are row_number with brand tiebreak; R_j sums, the deviation
+    * sum S = Σ(R_j − m(n+1)/2)², and everything up to the final ratio
+    * are exact int64 over the ≤|years|·|brands| cell table. One fact
+    * pass; the join to part carries only (partkey → brand). */
+  val qKendallW: GQuery = GQuery(
+    "q_kendall_w",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir)
+          .select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy(year($"l_shipdate").as("yr"), $"p_brand")
+        .agg(sum(floor($"l_extendedprice" * lit(100.0) + lit(0.5))
+          .cast("long")).as("cents"))
+      val wAll = Window.partitionBy()
+      val wYr = Window.partitionBy($"yr")
+      val complete = cells
+        .withColumn("n_year", count(lit(1)).over(wYr))
+        .withColumn("nb", max($"n_year").over(wAll))
+        .filter($"n_year" === $"nb")
+      val ranked = complete
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"yr").orderBy($"cents".desc, $"p_brand"))
+          .cast("long"))
+      val rj = ranked.groupBy($"nb", $"p_brand")
+        .agg(sum($"rk").as("rsum"), count(lit(1)).as("m"))
+      // 2*R_j - m*(n+1) is integer even when m*(n+1) is odd; S4 = 4*S
+      val dev = $"rsum" * 2L - $"m" * ($"nb".cast("long") + 1L)
+      val s = rj.agg(max($"m").as("m"), max($"nb").cast("long").as("n"),
+        sum(dev * dev).as("s4"))
+      val mD = $"m".cast("double")
+      val nD = $"n".cast("double")
+      val w = lit(3.0) * $"s4".cast("double") /
+        (mD * mD * (nD * nD * nD - nD))
+      s.select($"m".as("n_years"), $"n".cast("int").as("n_brands"),
+        $"s4".as("s4"), r6(w).as("kendall_w"),
+        r6(mD * (nD - lit(1.0)) * w).as("chi2"))
+    },
+    Some {
+      val w = "(cast(3.0 as double) * cast(s4 as double) / " +
+        "(cast(m as double) * cast(m as double) * " +
+        "(cast(n as double) * cast(n as double) * cast(n as double) - " +
+        "cast(n as double))))"
+      s"""
+      WITH cells AS (
+        SELECT cast(year(l_shipdate) as int) AS yr, p_brand,
+               cast(sum(cast(floor(l_extendedprice *
+                 cast(100.0 as double) + cast(0.5 as double)) as bigint))
+                 as bigint) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      cyr AS (
+        SELECT *, count(*) OVER (PARTITION BY yr) AS n_year FROM cells),
+      complete AS (
+        SELECT * FROM (
+          SELECT *, max(n_year) OVER () AS nb FROM cyr) c
+        WHERE n_year = nb),
+      ranked AS (
+        SELECT *, cast(row_number() OVER (PARTITION BY yr
+                 ORDER BY cents DESC, p_brand) as bigint) AS rk
+        FROM complete),
+      rj AS (
+        SELECT nb, p_brand, cast(sum(rk) as bigint) AS rsum,
+               cast(count(*) as bigint) AS m
+        FROM ranked GROUP BY nb, p_brand),
+      s AS (
+        SELECT cast(max(m) as bigint) AS m, cast(max(nb) as bigint) AS n,
+               cast(sum((rsum * 2 - m * (nb + 1)) *
+                 (rsum * 2 - m * (nb + 1))) as bigint) AS s4
+        FROM rj)
+      SELECT m AS n_years, cast(n as int) AS n_brands, s4,
+             ${r6Sql(w)} AS kendall_w,
+             ${r6Sql(s"cast(m as double) * (cast(n as double) - " +
+               s"cast(1.0 as double)) * $w")} AS chi2
+      FROM s"""
+    },
+  )
+
   val all: Seq[GQuery] =
     Seq(qMannWhitney, qLevene, qKendall, qOddsRatio, qKruskal, qArmitage,
       qWilcoxon, qFriedman, qMcnemar, qDunnTest, qCochranQ, qPageTrend,
-      qCliffsDelta, qCvm2, qMoodsMedian, qSomersD, qSquaredRanks)
+      qCliffsDelta, qCvm2, qMoodsMedian, qSomersD, qSquaredRanks,
+      qKendallW)
 }

@@ -1049,9 +1049,271 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** RefinedWeb-style SLIDING-window substring dedup — the alignment-proof
+    * complement to [[qDedupPara]]'s fixed 20-word chunks: every 20-token
+    * window at stride 1 is digested, so a clone that PREPENDS tokens
+    * (which shifts every chunk boundary and evades aligned-chunk dedup
+    * entirely) still shares every window of the copied body. Planted
+    * shifted clones (3 junk tokens + the text of docs with >= 30 tokens,
+    * doc_id < 40, shifted +500000) guarantee the >= 0.5-coverage band is
+    * never vacuously empty. Per doc: window count, cross-doc-duplicated
+    * window count (digest seen in >= 2 DISTINCT docs — self-repetition
+    * inside one doc does not count), coverage fraction, and the longest
+    * consecutive duplicated run (the "how long is the copied span"
+    * signal RefinedWeb cuts on). Scale shape: stride-1 windows are
+    * |tokens| rows per doc — the SAME linear cost as a token explode,
+    * just one digest per position; the dup decision is a combinable
+    * digest groupBy + one LEFT SEMI back on the digest; the run-length
+    * window partitions by doc_id (bounded by doc length), so nothing is
+    * quadratic and no global sort exists. */
+  val qDedupShift: GQuery = GQuery(
+    "q_dedup_shift",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = 20
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 40 && size(split($"text", " ")) >= 30)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat(lit("qz qx qv "), $"text").as("text")))
+      val toks = docs.select($"doc_id", split($"text", " ").as("l"))
+        .filter(size($"l") >= w)
+      val wins = toks.select($"doc_id",
+          posexplode(expr(
+            s"transform(sequence(0, size(l) - $w), " +
+              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+        .toDF("doc_id", "pos", "wh")
+      val dup = wins.groupBy($"wh")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"wh")
+      val runs = wins.join(dup, Seq("wh"), "left_semi")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .withColumn("grp", $"pos" - $"rn")
+        .groupBy($"doc_id", $"grp")
+        .agg(count(lit(1)).as("runlen"))
+        .groupBy($"doc_id")
+        .agg(max($"runlen").cast("int").as("max_run"),
+          sum($"runlen").cast("int").as("n_dup"))
+      toks
+        .select($"doc_id", (size($"l") - lit(w - 1)).cast("int").as("n_win"))
+        .join(runs, Seq("doc_id"))
+        .filter($"n_dup".cast("double") / $"n_win".cast("double") >=
+          lit(0.5).cast("double"))
+        .select($"doc_id", $"n_win", $"n_dup",
+          r6($"n_dup".cast("double") / $"n_win".cast("double"))
+            .as("dup_frac"),
+          $"max_run")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, 'qz qx qv ' || text FROM documents
+        WHERE doc_id < 40 AND len(string_split(text, ' ')) >= 30),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs
+             WHERE len(string_split(text, ' ')) >= 20),
+      wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(l[(i + 1):(i + 20)], ' ')) AS wh
+        FROM lt, unnest(generate_series(0, cast(len(l) as int) - 20)) AS t(i)),
+      dup AS (SELECT wh FROM wins
+              GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      rl AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp,
+               pos
+        FROM wins WHERE wh IN (SELECT wh FROM dup)),
+      runs AS (SELECT doc_id, grp, count(*) AS runlen
+               FROM rl GROUP BY doc_id, grp),
+      agg AS (SELECT doc_id, cast(max(runlen) as int) AS max_run,
+                     cast(sum(runlen) as int) AS n_dup
+              FROM runs GROUP BY doc_id)
+      SELECT lt.doc_id, cast(len(l) - 19 as int) AS n_win, n_dup,
+             ${r6Sql("cast(n_dup as double) / cast(len(l) - 19 as double)")}
+               AS dup_frac,
+             max_run
+      FROM lt JOIN agg ON lt.doc_id = agg.doc_id
+      WHERE cast(n_dup as double) / cast(len(l) - 19 as double)
+              >= cast(0.5 as double)
+      ORDER BY lt.doc_id"""),
+  )
+
+  /** Per-source curation dashboard — the mix report a corpus build
+    * publishes before training: for every source, its size (docs,
+    * tokens), its α=0.5 mixture weight (IDENTICAL numerics to
+    * [[qMixWeights]]), its natural share, the implied up/downsampling
+    * boost (weight/share), and two dedup-rate columns — exact-copy rate
+    * (1 − distinct text digests / docs) and cross-doc duplicated
+    * aligned-chunk rate (the [[qDedupPara]] digest, aggregated per
+    * source). Planted same-source clones (doc_id < 15, +600000) keep
+    * both rates non-vacuous at every SF. Scale shape: everything is one
+    * linear pass + combinable groupBys collapsing to a |sources|-row
+    * table; the chunk explode is recomputed per consumer in-pipeline
+    * (the q_neardup_banded lesson: caching a cheap explode breaks
+    * codegen fusion); the scalar totals cross-join is an explicit
+    * broadcast. */
+  val qMixReport: GQuery = GQuery(
+    "q_mix_report",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 15)
+          .select($"source", ($"doc_id" + 600000L).as("doc_id"), $"text"))
+      val lt = docs.select($"source", $"doc_id", md5($"text").as("th"),
+        split($"text", " ").as("l"))
+      val ps = lt.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size($"l").cast("long")).as("n_tokens"),
+          countDistinct($"th").as("n_uniq"))
+        .withColumn("w_term", rN(sqrt($"n_docs"), 6).cast(DecimalType(30, 6)))
+      val tot = ps.agg(sum($"w_term").as("t"), sum($"n_docs").as("nn"))
+      val chunkExpr = expr(
+        "transform(sequence(0, cast(ceil(size(l) / 20.0) as int) - 1), " +
+          "i -> md5(concat_ws(' ', slice(l, i * 20 + 1, 20))))")
+      val chunks = lt.select($"source", $"doc_id", explode(chunkExpr).as("ch"))
+      val dup = chunks.groupBy($"ch")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"ch")
+      val ct = chunks.groupBy($"source").agg(count(lit(1)).as("n_chunks"))
+      val ca = chunks.join(dup, Seq("ch"), "left_semi")
+        .groupBy($"source").agg(count(lit(1)).as("n_dup_chunks"))
+      ps.crossJoin(broadcast(tot))
+        .join(ct, Seq("source"))
+        .join(ca, Seq("source"), "left_outer")
+        .select($"source", $"n_docs", $"n_tokens",
+          r6($"w_term".cast("double") / $"t".cast("double")).as("weight"),
+          r6($"n_docs".cast("double") / $"nn".cast("double")).as("share"),
+          r6(($"w_term".cast("double") * $"nn".cast("double")) /
+            ($"t".cast("double") * $"n_docs".cast("double"))).as("boost"),
+          r6(($"n_docs" - $"n_uniq").cast("double") /
+            $"n_docs".cast("double")).as("exact_dup_rate"),
+          r6(coalesce($"n_dup_chunks", lit(0L)).cast("double") /
+            $"n_chunks".cast("double")).as("chunk_dup_rate"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT source, doc_id + 600000, text FROM documents
+        WHERE doc_id < 15),
+      lt AS (SELECT source, doc_id, md5(text) AS th,
+                    string_split(text, ' ') AS l FROM docs),
+      ps AS (SELECT source, count(*) AS n_docs,
+                    cast(sum(len(l)) as bigint) AS n_tokens,
+                    count(DISTINCT th) AS n_uniq,
+                    cast(${rNSql("sqrt(count(*))", 6)} as decimal(30,6))
+                      AS w_term
+             FROM lt GROUP BY source),
+      tot AS (SELECT sum(w_term) AS t, sum(n_docs) AS nn FROM ps),
+      chunks AS (
+        SELECT source, doc_id,
+               md5(array_to_string(l[(i * 20 + 1):(i * 20 + 20)], ' '))
+                 AS ch
+        FROM lt, unnest(generate_series(0,
+               cast(ceil(len(l) / 20.0) as int) - 1)) AS u(i)),
+      dup AS (SELECT ch FROM chunks
+              GROUP BY ch HAVING count(DISTINCT doc_id) >= 2),
+      ct AS (SELECT source, count(*) AS n_chunks
+             FROM chunks GROUP BY source),
+      ca AS (SELECT source, count(*) AS n_dup_chunks
+             FROM chunks WHERE ch IN (SELECT ch FROM dup) GROUP BY source)
+      SELECT ps.source, n_docs, n_tokens,
+             ${r6Sql("cast(w_term as double) / cast(t as double)")} AS weight,
+             ${r6Sql("cast(n_docs as double) / cast(nn as double)")} AS share,
+             ${r6Sql("(cast(w_term as double) * cast(nn as double)) / " +
+               "(cast(t as double) * cast(n_docs as double))")} AS boost,
+             ${r6Sql("cast(n_docs - n_uniq as double) / " +
+               "cast(n_docs as double)")} AS exact_dup_rate,
+             ${r6Sql("cast(coalesce(n_dup_chunks, 0) as double) / " +
+               "cast(n_chunks as double)")} AS chunk_dup_rate
+      FROM ps CROSS JOIN tot
+      JOIN ct ON ps.source = ct.source
+      LEFT JOIN ca ON ps.source = ca.source
+      ORDER BY ps.source"""),
+  )
+
+  /** CONTAMINATION SPAN LOCALIZATION — not just WHICH training docs
+    * overlap the benchmark ([[qDecontam]]'s doc-level flag) but WHERE:
+    * per contaminated doc, the number of overlapping 5-gram windows,
+    * how many contiguous SPANS they form, the longest span, and its
+    * first token position — the report that lets a pipeline CUT the
+    * contaminated span instead of dropping the whole document. Candidate
+    * generation is the same digest equi-join as q_decontam (32-byte
+    * keys, linear at 100 TB) but POSITIONAL (stride-1 windows, one
+    * digest per token position — same linear explode as q_dedup_shift);
+    * the span assembly is the pos − row_number run-length trick,
+    * partitioned by doc_id (bounded by doc length). Planted shifted-id
+    * copies of the benchmark docs guarantee full-coverage hits at every
+    * SF. */
+  val qDecontamSpan: GQuery = GQuery(
+    "q_decontam_span",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = 5
+      val toks = tokens(Tables.documents(spark, dir))
+        .filter(size($"l") >= w)
+      val wins = toks.select($"doc_id",
+          posexplode(expr(
+            s"transform(sequence(0, size(l) - $w), " +
+              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+        .toDF("doc_id", "pos", "g")
+      val bench = wins.filter($"doc_id" < 20).select($"g").distinct()
+      val cand = wins.filter($"doc_id" >= 20)
+        .unionByName(wins.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"pos", $"g"))
+      val runs = cand.join(bench, Seq("g"), "left_semi")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .withColumn("grp", $"pos" - $"rn")
+        .groupBy($"doc_id", $"grp")
+        .agg(count(lit(1)).as("runlen"), min($"pos").as("p0"))
+      runs.groupBy($"doc_id")
+        .agg(sum($"runlen").cast("int").as("n_contam"),
+          count(lit(1)).cast("int").as("n_spans"),
+          max($"runlen").cast("int").as("max_run"),
+          min($"p0").cast("int").as("first_pos"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH lt AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(l[(i + 1):(i + 5)], ' ')) AS g
+        FROM lt, unnest(generate_series(0, cast(len(l) as int) - 5))
+          AS t(i)),
+      bench AS (SELECT DISTINCT g FROM wins WHERE doc_id < 20),
+      cand AS (
+        SELECT doc_id, pos, g FROM wins WHERE doc_id >= 20
+        UNION ALL
+        SELECT doc_id + 1000000, pos, g FROM wins WHERE doc_id < 20),
+      hits AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM cand WHERE g IN (SELECT g FROM bench)),
+      runs AS (
+        SELECT doc_id, grp, count(*) AS runlen, min(pos) AS p0
+        FROM hits GROUP BY doc_id, grp)
+      SELECT doc_id, cast(sum(runlen) as int) AS n_contam,
+             cast(count(*) as int) AS n_spans,
+             cast(max(runlen) as int) AS max_run,
+             cast(min(p0) as int) AS first_pos
+      FROM runs GROUP BY doc_id
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
-      qNeymanAlloc, qDsir, qGopherRules)
+      qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
+      qDecontamSpan)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
@@ -2499,11 +2500,613 @@ object SeriesOps {
     },
   )
 
+  /** DURBIN–WATSON statistic on the residuals of the daily-revenue
+    * trend OLS — the canonical "are my regression errors serially
+    * correlated?" screen (DW ≈ 2(1−ρ̂); < 2 flags positive
+    * autocorrelation, which invalidates the OLS standard errors every
+    * trend query reports). One orders pass → exact integer daily
+    * dollars; the fit (a, b) comes from integer moments and rides a
+    * 1-row broadcast (the q_coint posture); residuals are per-row IEEE;
+    * the numerator Σ(eₜ−eₜ₋₁)² and denominator Σeₜ² are 6-dp
+    * decimal-staged in KILO-dollar units (e ≲ 1e3 → e² ≲ 1e6, far
+    * under the 2³³ cast bound that raw dollar² would cross — the
+    * q_levene rescale lesson); DW is a ratio, so the unit cancels. */
+  val qDw: GQuery = GQuery(
+    "q_dw",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" + lit(0.5)).cast("long")).as("x"))
+      val mom = daily.agg(count(lit(1)).as("n"), min($"day").as("d0"))
+      val tx = daily.crossJoin(broadcast(mom))
+        .select($"n", datediff($"day", $"d0").cast("long").as("t"), $"x",
+          $"day")
+      val m = tx.groupBy($"n").agg(
+        sum($"t").as("st"), sum($"x").as("sx"),
+        sum($"t" * $"t").as("stt"), sum($"t" * $"x").as("stx"))
+      val nD = $"n".cast("double")
+      val b = (nD * $"stx".cast("double") -
+        $"st".cast("double") * $"sx".cast("double")) /
+        (nD * $"stt".cast("double") -
+          $"st".cast("double") * $"st".cast("double"))
+      val fit = m.select($"n".as("n_days"), b.as("b"),
+        (($"sx".cast("double") - b * $"st".cast("double")) / nD).as("a"))
+      val w = Window.orderBy($"day")
+      val resid = tx.select($"day", $"t", $"x")
+        .crossJoin(broadcast(fit))
+        .select($"day", $"n_days",
+          (($"x".cast("double") - $"a" - $"b" * $"t".cast("double")) /
+            lit(1000.0)).as("e"))
+        .withColumn("el", lag($"e", 1).over(w))
+      val s = resid.groupBy($"n_days").agg(
+        sum(rN($"e" * $"e", 6).cast(dec6)).cast("double").as("see"),
+        sum(when($"el".isNotNull,
+          rN(($"e" - $"el") * ($"e" - $"el"), 6)).otherwise(lit(0.0))
+          .cast(dec6)).cast("double").as("sdd"))
+      s.select($"n_days", r6($"sdd" / $"see").as("dw"),
+        r6(lit(1.0) - $"sdd" / (lit(2.0) * $"see")).as("rho_approx"))
+    },
+    Some {
+      val b = "((cast(n as double) * cast(stx as double) - " +
+        "cast(st as double) * cast(sx as double)) / " +
+        "(cast(n as double) * cast(stt as double) - " +
+        "cast(st as double) * cast(st as double)))"
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(sum(cast(floor(o_totalprice + cast(0.5 as double))
+                 as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1),
+      mom AS (SELECT cast(count(*) as bigint) AS n, min(day) AS d0
+              FROM daily),
+      tx AS (
+        SELECT n, cast(date_diff('day', d0, day) as bigint) AS t, x, day
+        FROM daily CROSS JOIN mom),
+      m AS (
+        SELECT n, cast(sum(t) as bigint) AS st,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(t * t) as bigint) AS stt,
+               cast(sum(t * x) as bigint) AS stx
+        FROM tx GROUP BY n),
+      fit AS (
+        SELECT n AS n_days, $b AS b,
+               (cast(sx as double) - $b * cast(st as double)) /
+                 cast(n as double) AS a
+        FROM m),
+      resid AS (
+        SELECT n_days,
+               (cast(x as double) - a - b * cast(t as double)) /
+                 cast(1000.0 as double) AS e,
+               lag((cast(x as double) - a - b * cast(t as double)) /
+                 cast(1000.0 as double), 1) OVER (ORDER BY day) AS el
+        FROM tx CROSS JOIN fit),
+      s AS (
+        SELECT n_days,
+               cast(sum(cast(${rNSql("e * e", 6)} as decimal(30,6)))
+                 as double) AS see,
+               cast(sum(cast(CASE WHEN el IS NOT NULL
+                 THEN ${rNSql("(e - el) * (e - el)", 6)}
+                 ELSE cast(0.0 as double) END as decimal(30,6)))
+                 as double) AS sdd
+        FROM resid GROUP BY n_days)
+      SELECT n_days, ${r6Sql("sdd / see")} AS dw,
+             ${r6Sql("cast(1.0 as double) - sdd / " +
+               "(cast(2.0 as double) * see)")} AS rho_approx
+      FROM s"""
+    },
+  )
+
+  /** CHOW STRUCTURAL-BREAK TEST at the calendar midpoint of the daily
+    * revenue~time OLS — "did the trend CHANGE halfway through the
+    * history?" F = ((SSRp − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)).
+    * Everything reduces to SIX integer moments per segment (one
+    * combinable pass over the |days|-row aggregate; segment = epoch-day
+    * ≤ midpoint, midpoint from the same 1-row bounds broadcast via
+    * integer `div` — the cross-engine-safe quotient); each SSR is the
+    * closed form Syy − Sxy²/Sxx on exact int64 moments, so no residual
+    * pass and no staging is needed. Daily revenue is in integer
+    * KILO-dollars (x² ≲ 1e8 per day — int64-exact at any SF the moment
+    * sums can reach; raw dollar² would cross 2⁶³ near sf1). */
+  val qChow: GQuery = GQuery(
+    "q_chow",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" + lit(0.5)).cast("long")).as("xd"))
+        .select($"day", expr("xd div 1000").cast("long").as("x"))
+      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val seg = daily.crossJoin(broadcast(bounds))
+        .select(datediff($"day", $"d0").cast("long").as("t"), $"x",
+          (datediff($"day", $"d0").cast("long") <=
+            expr("datediff(d1, d0) div 2").cast("long")).as("s1"))
+      val g = seg.groupBy($"s1").agg(
+        count(lit(1)).as("n"), sum($"t").as("st"), sum($"x").as("sx"),
+        sum($"t" * $"t").as("stt"), sum($"t" * $"x").as("stx"),
+        sum($"x" * $"x").as("sxx"))
+      def ssr(n: Column, st: Column, sx: Column, stt: Column,
+          stx: Column, sxx: Column): Column = {
+        val nD = n.cast("double")
+        val cxx = nD * stt.cast("double") -
+          st.cast("double") * st.cast("double")
+        val cxy = nD * stx.cast("double") -
+          st.cast("double") * sx.cast("double")
+        val cyy = nD * sxx.cast("double") -
+          sx.cast("double") * sx.cast("double")
+        (cyy - cxy * cxy / cxx) / nD
+      }
+      def seg1(c: String) = sum(when($"s1", col(c)).otherwise(lit(0L)))
+      def seg2(c: String) = sum(when(!$"s1", col(c)).otherwise(lit(0L)))
+      val flat = g.agg(
+        seg1("n").as("n1"), seg1("st").as("st1"), seg1("sx").as("sx1"),
+        seg1("stt").as("stt1"), seg1("stx").as("stx1"),
+        seg1("sxx").as("sxx1"),
+        seg2("n").as("n2"), seg2("st").as("st2"), seg2("sx").as("sx2"),
+        seg2("stt").as("stt2"), seg2("stx").as("stx2"),
+        seg2("sxx").as("sxx2"))
+      val s1r = ssr($"n1", $"st1", $"sx1", $"stt1", $"stx1", $"sxx1")
+      val s2r = ssr($"n2", $"st2", $"sx2", $"stt2", $"stx2", $"sxx2")
+      val spr = ssr($"n1" + $"n2", $"st1" + $"st2", $"sx1" + $"sx2",
+        $"stt1" + $"stt2", $"stx1" + $"stx2", $"sxx1" + $"sxx2")
+      val nT = ($"n1" + $"n2").cast("double")
+      flat.select(($"n1" + $"n2").as("n_days"), $"n1", $"n2",
+        r6(spr).as("ssr_pooled"), r6(s1r).as("ssr1"), r6(s2r).as("ssr2"),
+        r6(((spr - s1r - s2r) / lit(2.0)) /
+          ((s1r + s2r) / (nT - lit(4.0)))).as("chow_f"))
+    },
+    Some {
+      def ssr(n: String, st: String, sx: String, stt: String,
+          stx: String, sxx: String): String = {
+        val nD = s"cast($n as double)"
+        val cxx = s"($nD * cast($stt as double) - " +
+          s"cast($st as double) * cast($st as double))"
+        val cxy = s"($nD * cast($stx as double) - " +
+          s"cast($st as double) * cast($sx as double))"
+        val cyy = s"($nD * cast($sxx as double) - " +
+          s"cast($sx as double) * cast($sx as double))"
+        s"(($cyy - $cxy * $cxy / $cxx) / $nD)"
+      }
+      val s1r = ssr("n1", "st1", "sx1", "stt1", "stx1", "sxx1")
+      val s2r = ssr("n2", "st2", "sx2", "stt2", "stx2", "sxx2")
+      val spr = ssr("(n1 + n2)", "(st1 + st2)", "(sx1 + sx2)",
+        "(stt1 + stt2)", "(stx1 + stx2)", "(sxx1 + sxx2)")
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(cast(sum(cast(floor(o_totalprice +
+                 cast(0.5 as double)) as bigint)) as bigint) // 1000
+                 as bigint) AS x
+        FROM orders GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      seg AS (
+        SELECT cast(date_diff('day', d0, day) as bigint) AS t, x,
+               cast(date_diff('day', d0, day) as bigint) <=
+                 cast(date_diff('day', d0, d1) as bigint) // 2 AS s1
+        FROM daily CROSS JOIN bounds),
+      g AS (
+        SELECT s1, cast(count(*) as bigint) AS n,
+               cast(sum(t) as bigint) AS st, cast(sum(x) as bigint) AS sx,
+               cast(sum(t * t) as bigint) AS stt,
+               cast(sum(t * x) as bigint) AS stx,
+               cast(sum(x * x) as bigint) AS sxx
+        FROM seg GROUP BY s1),
+      flat AS (
+        SELECT
+          cast(sum(CASE WHEN s1 THEN n ELSE 0 END) as bigint) AS n1,
+          cast(sum(CASE WHEN s1 THEN st ELSE 0 END) as bigint) AS st1,
+          cast(sum(CASE WHEN s1 THEN sx ELSE 0 END) as bigint) AS sx1,
+          cast(sum(CASE WHEN s1 THEN stt ELSE 0 END) as bigint) AS stt1,
+          cast(sum(CASE WHEN s1 THEN stx ELSE 0 END) as bigint) AS stx1,
+          cast(sum(CASE WHEN s1 THEN sxx ELSE 0 END) as bigint) AS sxx1,
+          cast(sum(CASE WHEN NOT s1 THEN n ELSE 0 END) as bigint) AS n2,
+          cast(sum(CASE WHEN NOT s1 THEN st ELSE 0 END) as bigint) AS st2,
+          cast(sum(CASE WHEN NOT s1 THEN sx ELSE 0 END) as bigint) AS sx2,
+          cast(sum(CASE WHEN NOT s1 THEN stt ELSE 0 END) as bigint) AS stt2,
+          cast(sum(CASE WHEN NOT s1 THEN stx ELSE 0 END) as bigint) AS stx2,
+          cast(sum(CASE WHEN NOT s1 THEN sxx ELSE 0 END) as bigint) AS sxx2
+        FROM g)
+      SELECT (n1 + n2) AS n_days, n1, n2,
+             ${r6Sql(spr)} AS ssr_pooled, ${r6Sql(s1r)} AS ssr1,
+             ${r6Sql(s2r)} AS ssr2,
+             ${r6Sql(s"((($spr - $s1r - $s2r) / cast(2.0 as double)) / " +
+               s"(($s1r + $s2r) / (cast(n1 + n2 as double) - " +
+               "cast(4.0 as double))))")} AS chow_f
+      FROM flat"""
+    },
+  )
+
+  /** ARCH-LM TEST (1 lag) on the daily revenue CHANGES — "is volatility
+    * clustered?" (today's squared shock predicting tomorrow's is the
+    * defining ARCH effect; its presence invalidates constant-variance
+    * assumptions in every interval the series queries report). The
+    * shock proxy is the first difference of integer KILO-dollar daily
+    * revenue — integer, so its square sₜ = dₜ² is EXACT int64 (≲1e6 per
+    * day) and all six regression moments of sₜ on sₜ₋₁ are exact int64
+    * sums (≲3e15 at sf0.1): the whole statistic is closed-form on
+    * integers, no staging anywhere. LM = n·R²; 3.841 is the 5% χ²(1)
+    * bar. One orders pass; the lag runs over the |days|-row aggregate. */
+  val qArchLm: GQuery = GQuery(
+    "q_arch_lm",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" + lit(0.5)).cast("long")).as("xd"))
+        .select($"day", expr("xd div 1000").cast("long").as("x"))
+      val w = Window.orderBy($"day")
+      val sq = daily
+        .withColumn("xl", lag($"x", 1).over(w))
+        .filter($"xl".isNotNull)
+        .select((($"x" - $"xl") * ($"x" - $"xl")).as("s"), $"day")
+        .withColumn("sl", lag($"s", 1).over(w))
+        .filter($"sl".isNotNull)
+      val m = sq.agg(count(lit(1)).as("n"), sum($"s").as("sy"),
+        sum($"sl").as("sx"), sum($"s" * $"sl").as("sxy"),
+        sum($"sl" * $"sl").as("sxx"), sum($"s" * $"s").as("syy"))
+      val nD = $"n".cast("double")
+      val cxy = nD * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")
+      val cxx = nD * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double")
+      val cyy = nD * $"syy".cast("double") -
+        $"sy".cast("double") * $"sy".cast("double")
+      val r2 = cxy * cxy / (cxx * cyy)
+      m.select($"n".as("n_days"), r6(cxy / cxx).as("slope"),
+        r6(r2).as("r2"), r6(nD * r2).as("lm_stat"),
+        (nD * r2 > lit(3.841)).cast("int").as("arch_flag"))
+    },
+    Some {
+      val cxy = "(cast(n as double) * cast(sxy as double) - " +
+        "cast(sx as double) * cast(sy as double))"
+      val cxx = "(cast(n as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double))"
+      val cyy = "(cast(n as double) * cast(syy as double) - " +
+        "cast(sy as double) * cast(sy as double))"
+      val r2 = s"($cxy * $cxy / ($cxx * $cyy))"
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(cast(sum(cast(floor(o_totalprice +
+                 cast(0.5 as double)) as bigint)) as bigint) // 1000
+                 as bigint) AS x
+        FROM orders GROUP BY 1),
+      dd AS (
+        SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS xl FROM daily),
+      sq0 AS (
+        SELECT day, (x - xl) * (x - xl) AS s FROM dd WHERE xl IS NOT NULL),
+      sq AS (
+        SELECT s, lag(s, 1) OVER (ORDER BY day) AS sl FROM sq0),
+      m AS (
+        SELECT cast(count(*) as bigint) AS n, cast(sum(s) as bigint) AS sy,
+               cast(sum(sl) as bigint) AS sx,
+               cast(sum(s * sl) as bigint) AS sxy,
+               cast(sum(sl * sl) as bigint) AS sxx,
+               cast(sum(s * s) as bigint) AS syy
+        FROM sq WHERE sl IS NOT NULL)
+      SELECT n AS n_days, ${r6Sql(s"$cxy / $cxx")} AS slope,
+             ${r6Sql(r2)} AS r2,
+             ${r6Sql(s"cast(n as double) * $r2")} AS lm_stat,
+             cast(cast(n as double) * $r2 > cast(3.841 as double) as int)
+               AS arch_flag
+      FROM m"""
+    },
+  )
+
+  /** SPECTRAL ENTROPY of the daily event-count series — the
+    * forecastability index over q_periodogram's period-2..14 power
+    * spectrum: H = −Σ p̂ ln p̂ / ln 13 (1 = white noise, → 0 = one
+    * dominant cycle). The 13 powers use the periodogram's exact
+    * numerics (6-dp-rounded trig factors → exact bigint×decimal
+    * accumulation); each power is then 6-dp rounded and decimal-cast so
+    * the total-power sum is exact and order-free, and the 13 −q·ln(q)
+    * terms are 12-dp decimal-staged (terms are O(1) and few — the
+    * q_cond_entropy small-term bound). ln enters each oracle engine on
+    * IDENTICAL doubles (q_fisher_ci precedent). Also reports the
+    * dominant period (min period at the rounded-power argmax —
+    * deterministic tiebreak). */
+  val qSpectralEntropy: GQuery = GQuery(
+    "q_spectral_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+      val twoPi = lit(6.283185307179586)
+      val daily = dailyCounts(spark, dir)
+      val d0 = daily.agg(min($"day").as("d0"))
+      val t = daily.crossJoin(broadcast(d0))
+        .select(datediff($"day", $"d0").as("t"), $"n")
+        .select($"t", $"n", explode(expr("sequence(2, 14)")).as("p"))
+        .withColumn("ang",
+          twoPi * pmod($"t", $"p").cast("double") / $"p".cast("double"))
+        .select($"p", $"n",
+          rN(cos($"ang"), 6).cast("decimal(10,6)").as("ct"),
+          rN(sin($"ang"), 6).cast("decimal(10,6)").as("st"))
+      val s = t.groupBy($"p").agg(
+        count(lit(1)).as("n_days"), sum($"n").as("sx"),
+        sum($"n" * $"ct").as("snc"), sum($"n" * $"st").as("sns"),
+        sum($"ct").as("sc"), sum($"st").as("ss"))
+      val xbar = $"sx".cast("double") / $"n_days".cast("double")
+      val cc = $"snc".cast("double") - xbar * $"sc".cast("double")
+      val csn = $"sns".cast("double") - xbar * $"ss".cast("double")
+      val pw = s.select($"p",
+        rN(lit(2.0) * (cc * cc + csn * csn) / $"n_days".cast("double"), 6)
+          .cast(dec6).as("pw"))
+      val w = Window.partitionBy()
+      val q = pw
+        .withColumn("tot", sum($"pw").over(w))
+        .withColumn("mx", max($"pw").over(w))
+        .withColumn("q", $"pw".cast("double") / $"tot".cast("double"))
+      q.agg(
+          count(lit(1)).cast("int").as("n_periods"),
+          r6(max($"tot").cast("double")).as("total_power"),
+          min(when($"pw" === $"mx", $"p")).cast("int").as("peak_period"),
+          r6(sum(when($"q" > 0, rN(-$"q" * log($"q"), 12))
+            .otherwise(lit(0.0)).cast(dec12)).cast("double") /
+            log(lit(13.0))).as("spec_entropy"))
+    },
+    Some {
+      val pwExpr = {
+        val xbar = "(cast(sx as double) / cast(n_days as double))"
+        val cc = s"(cast(snc as double) - $xbar * cast(sc as double))"
+        val cs = s"(cast(sns as double) - $xbar * cast(ss as double))"
+        s"cast(2.0 as double) * ($cc * $cc + $cs * $cs) / " +
+          "cast(n_days as double)"
+      }
+      s"""
+      WITH $dailyCte,
+      d0 AS (SELECT min(day) AS d0 FROM daily),
+      t AS (
+        SELECT p, n,
+               cast(${rNSql("cos(cast(6.283185307179586 as double) * " +
+                 "cast((date_diff('day', d0, day)) % p as double) / " +
+                 "cast(p as double))", 6)} as decimal(10,6)) AS ct,
+               cast(${rNSql("sin(cast(6.283185307179586 as double) * " +
+                 "cast((date_diff('day', d0, day)) % p as double) / " +
+                 "cast(p as double))", 6)} as decimal(10,6)) AS st
+        FROM daily CROSS JOIN d0
+        CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS p) ps),
+      s AS (
+        SELECT p, cast(count(*) as bigint) AS n_days,
+               cast(sum(n) as bigint) AS sx,
+               sum(n * ct) AS snc, sum(n * st) AS sns,
+               sum(ct) AS sc, sum(st) AS ss
+        FROM t GROUP BY p),
+      pw AS (
+        SELECT p, cast(${rNSql(pwExpr, 6)} as decimal(30,6)) AS pw
+        FROM s),
+      qq AS (
+        SELECT p, pw, sum(pw) OVER () AS tot, max(pw) OVER () AS mx,
+               cast(pw as double) / cast(sum(pw) OVER () as double) AS q
+        FROM pw)
+      SELECT cast(count(*) as int) AS n_periods,
+             ${r6Sql("cast(max(tot) as double)")} AS total_power,
+             cast(min(CASE WHEN pw = mx THEN p END) as int)
+               AS peak_period,
+             ${r6Sql("cast(sum(cast(CASE WHEN q > 0 THEN " +
+               rNSql("-q * ln(q)", 12) +
+               " ELSE cast(0.0 as double) END as decimal(30,12))) " +
+               "as double) / ln(cast(13.0 as double))")} AS spec_entropy
+      FROM qq"""
+    },
+  )
+
+  /** BREUSCH–PAGAN TEST for heteroscedastic trend residuals — does the
+    * VARIANCE of the daily-revenue shocks grow with time? (the
+    * level-vs-time companion to q_arch_lm's shock-vs-lagged-shock
+    * clustering; both invalidate homoscedastic OLS inference). Auxiliary
+    * regression of the squared residual on t, LM = n·R². Numerics: e in
+    * MEGA-dollars keeps v = e² at O(1); v is rounded ONCE per row at 9 dp
+    * and decimal-cast, after which every moment (Σv, Σtv, Σv²) is EXACT
+    * decimal×integer accumulation — order-free with no double-sum staging
+    * at all (the q_periodogram pattern applied to residuals). Fit rides
+    * the same 1-row broadcast as q_dw. */
+  val qBreuschPagan: GQuery = GQuery(
+    "q_breusch_pagan",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec9 = org.apache.spark.sql.types.DecimalType(12, 9)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" + lit(0.5)).cast("long")).as("x"))
+      val mom = daily.agg(count(lit(1)).as("n"), min($"day").as("d0"))
+      val tx = daily.crossJoin(broadcast(mom))
+        .select($"n", datediff($"day", $"d0").cast("long").as("t"), $"x")
+      val m = tx.groupBy($"n").agg(
+        sum($"t").as("st"), sum($"x").as("sx"),
+        sum($"t" * $"t").as("stt"), sum($"t" * $"x").as("stx"))
+      val nD = $"n".cast("double")
+      val b = (nD * $"stx".cast("double") -
+        $"st".cast("double") * $"sx".cast("double")) /
+        (nD * $"stt".cast("double") -
+          $"st".cast("double") * $"st".cast("double"))
+      val fit = m.select($"n".as("nn"), b.as("b"),
+        (($"sx".cast("double") - b * $"st".cast("double")) / nD).as("a"))
+      val e6 = ($"x".cast("double") - $"a" - $"b" * $"t".cast("double")) /
+        lit(1.0e6)
+      val v = tx.crossJoin(broadcast(fit))
+        .select($"t", rN(e6 * e6, 9).cast(dec9).as("v"))
+      val s = v.agg(count(lit(1)).as("n"), sum($"t").as("st"),
+        sum($"t" * $"t").as("stt"), sum($"v").as("sv"),
+        sum($"v" * $"t").as("stv"), sum($"v" * $"v").as("svv"))
+      val n2 = $"n".cast("double")
+      val cxy = n2 * $"stv".cast("double") -
+        $"st".cast("double") * $"sv".cast("double")
+      val cxx = n2 * $"stt".cast("double") -
+        $"st".cast("double") * $"st".cast("double")
+      val cyy = n2 * $"svv".cast("double") -
+        $"sv".cast("double") * $"sv".cast("double")
+      val r2 = cxy * cxy / (cxx * cyy)
+      s.select($"n".as("n_days"), r6(cxy / cxx).as("slope"),
+        r6(r2).as("r2"), r6(n2 * r2).as("lm_stat"),
+        (n2 * r2 > lit(3.841)).cast("int").as("het_flag"))
+    },
+    Some {
+      val b = "((cast(n as double) * cast(stx as double) - " +
+        "cast(st as double) * cast(sx as double)) / " +
+        "(cast(n as double) * cast(stt as double) - " +
+        "cast(st as double) * cast(st as double)))"
+      val cxy = "(cast(n as double) * cast(stv as double) - " +
+        "cast(st as double) * cast(sv as double))"
+      val cxx = "(cast(n as double) * cast(stt as double) - " +
+        "cast(st as double) * cast(st as double))"
+      val cyy = "(cast(n as double) * cast(svv as double) - " +
+        "cast(sv as double) * cast(sv as double))"
+      val r2 = s"($cxy * $cxy / ($cxx * $cyy))"
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(sum(cast(floor(o_totalprice + cast(0.5 as double))
+                 as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1),
+      mom AS (SELECT cast(count(*) as bigint) AS n, min(day) AS d0
+              FROM daily),
+      tx AS (
+        SELECT n, cast(date_diff('day', d0, day) as bigint) AS t, x
+        FROM daily CROSS JOIN mom),
+      m AS (
+        SELECT n, cast(sum(t) as bigint) AS st,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(t * t) as bigint) AS stt,
+               cast(sum(t * x) as bigint) AS stx
+        FROM tx GROUP BY n),
+      fit AS (
+        SELECT n AS nn, $b AS b,
+               (cast(sx as double) - $b * cast(st as double)) /
+                 cast(n as double) AS a
+        FROM m),
+      v AS (
+        SELECT t,
+               cast(${rNSql("((cast(x as double) - a - b * " +
+                 "cast(t as double)) / cast(1.0e6 as double)) * " +
+                 "((cast(x as double) - a - b * cast(t as double)) / " +
+                 "cast(1.0e6 as double))", 9)} as decimal(12,9)) AS v
+        FROM tx CROSS JOIN fit),
+      s AS (
+        SELECT cast(count(*) as bigint) AS n, cast(sum(t) as bigint) AS st,
+               cast(sum(t * t) as bigint) AS stt, sum(v) AS sv,
+               sum(v * t) AS stv, sum(v * v) AS svv
+        FROM v)
+      SELECT n AS n_days, ${r6Sql(s"$cxy / $cxx")} AS slope,
+             ${r6Sql(r2)} AS r2,
+             ${r6Sql(s"cast(n as double) * $r2")} AS lm_stat,
+             cast(cast(n as double) * $r2 > cast(3.841 as double) as int)
+               AS het_flag
+      FROM s"""
+    },
+  )
+
+  /** COOK'S DISTANCE TOP-10 — which individual days most INFLUENCE the
+    * fitted revenue trend? (the per-observation companion to the global
+    * diagnostics above: a holiday spike that bends the whole slope shows
+    * up here first). D_t = e_t²·h_t / (2·s²·(1−h_t)²) with leverage
+    * h_t = 1/n + (t−t̄)²/Sxx — entirely CLOSED-FORM per row off one
+    * broadcast moment row (fit + Sxx + s², all from exact int64 moments;
+    * dollar x² sums stay under 2⁶³ at the tested SFs): no sums of
+    * doubles anywhere, so nothing needs staging. The top-10 boundary is
+    * pinned by ordering on the 6-dp ROUNDED statistic with the day as
+    * tiebreak (the LIMIT-boundary contract). */
+  val qCooksTop: GQuery = GQuery(
+    "q_cooks_top",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" + lit(0.5)).cast("long")).as("x"))
+      val mom = daily.agg(count(lit(1)).as("n"), min($"day").as("d0"))
+      val tx = daily.crossJoin(broadcast(mom))
+        .select($"n", datediff($"day", $"d0").cast("long").as("t"), $"x",
+          $"day")
+      val m = tx.groupBy($"n").agg(
+        sum($"t").as("st"), sum($"x").as("sx"),
+        sum($"t" * $"t").as("stt"), sum($"t" * $"x").as("stx"),
+        sum($"x" * $"x").as("sxx"))
+      val nD = $"n".cast("double")
+      val cxx = nD * $"stt".cast("double") -
+        $"st".cast("double") * $"st".cast("double")
+      val cxy = nD * $"stx".cast("double") -
+        $"st".cast("double") * $"sx".cast("double")
+      val cyy = nD * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double")
+      val bb = cxy / cxx
+      val fit = m.select($"n".as("nn"), bb.as("b"),
+        (($"sx".cast("double") - bb * $"st".cast("double")) / nD).as("a"),
+        ($"st".cast("double") / nD).as("tbar"),
+        (cxx / nD).as("sxx_c"),
+        (((cyy - cxy * cxy / cxx) / nD) /
+          (nD - lit(2.0))).as("s2"))
+      val e = $"x".cast("double") - $"a" - $"b" * $"t".cast("double")
+      val h = lit(1.0) / $"nn".cast("double") +
+        ($"t".cast("double") - $"tbar") * ($"t".cast("double") - $"tbar") /
+          $"sxx_c"
+      val dcol = e * e * h /
+        (lit(2.0) * $"s2" * (lit(1.0) - h) * (lit(1.0) - h))
+      tx.crossJoin(broadcast(fit))
+        .select($"day", $"t".cast("int").as("t"), r6(e).as("resid"),
+          r6(h).as("leverage"), r6(dcol).as("cooks_d"))
+        .orderBy($"cooks_d".desc, $"day")
+        .limit(10)
+    },
+    Some {
+      val cxx = "(cast(n as double) * cast(stt as double) - " +
+        "cast(st as double) * cast(st as double))"
+      val cxy = "(cast(n as double) * cast(stx as double) - " +
+        "cast(st as double) * cast(sx as double))"
+      val cyy = "(cast(n as double) * cast(sxx as double) - " +
+        "cast(sx as double) * cast(sx as double))"
+      val b = s"($cxy / $cxx)"
+      s"""
+      WITH daily AS (
+        SELECT cast(o_orderdate as date) AS day,
+               cast(sum(cast(floor(o_totalprice + cast(0.5 as double))
+                 as bigint)) as bigint) AS x
+        FROM orders GROUP BY 1),
+      mom AS (SELECT cast(count(*) as bigint) AS n, min(day) AS d0
+              FROM daily),
+      tx AS (
+        SELECT n, cast(date_diff('day', d0, day) as bigint) AS t, x, day
+        FROM daily CROSS JOIN mom),
+      m AS (
+        SELECT n, cast(sum(t) as bigint) AS st,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(t * t) as bigint) AS stt,
+               cast(sum(t * x) as bigint) AS stx,
+               cast(sum(x * x) as bigint) AS sxx
+        FROM tx GROUP BY n),
+      fit AS (
+        SELECT n AS nn, $b AS b,
+               (cast(sx as double) - $b * cast(st as double)) /
+                 cast(n as double) AS a,
+               cast(st as double) / cast(n as double) AS tbar,
+               $cxx / cast(n as double) AS sxx_c,
+               ((($cyy - $cxy * $cxy / $cxx) / cast(n as double)) /
+                 (cast(n as double) - cast(2.0 as double))) AS s2
+        FROM m),
+      d AS (
+        SELECT day, cast(t as int) AS t,
+               (cast(x as double) - a - b * cast(t as double)) AS e,
+               (cast(1.0 as double) / cast(nn as double) +
+                 (cast(t as double) - tbar) * (cast(t as double) - tbar) /
+                 sxx_c) AS h,
+               s2
+        FROM tx CROSS JOIN fit)
+      SELECT day, t, ${r6Sql("e")} AS resid, ${r6Sql("h")} AS leverage,
+             ${r6Sql("e * e * h / (cast(2.0 as double) * s2 * " +
+               "(cast(1.0 as double) - h) * (cast(1.0 as double) - h))")}
+               AS cooks_d
+      FROM d
+      ORDER BY cooks_d DESC, day
+      LIMIT 10"""
+    },
+  )
+
   val all: Seq[GQuery] = Seq(
     qAutocorr, qRollingCorr, qChangepoint, qConvertTime, qChurn,
     qTrend, qSax, qBacktestSnaive, qWowGrowth, qHolt, qPacf,
     qChangepointKeyed, qPeaks, qHurst, qRsi, qMkTrend, qLjungBox,
     qCroston, qGapAnalysis, qTheilSen, qGumbel, qYuleWalker, qSeasonalMk,
     qHoltWinters, qVarianceRatio, qPettitt, qAdf, qKpss, qPoissonDisp,
-    qPeriodogram, qSortino, qCoint)
+    qPeriodogram, qSortino, qCoint, qDw, qChow, qArchLm, qSpectralEntropy,
+    qBreuschPagan, qCooksTop)
 }

@@ -147,7 +147,18 @@ object PlanAudit {
     // iteration (the q_markov template on a parameter row); 1-row
     // sketch-summary crosses (four k-th-order-statistic rows + exact
     // row — the q_approx_distinct posture)
-    "q_em_poisson2", "q_kmv_setops")
+    "q_em_poisson2", "q_kmv_setops",
+    // round-11 batch 5: 1-row mixture-weight/doc-grand-total broadcast
+    // scoring the |sources|-row report (the q_neyman_alloc /
+    // q_mix_weights posture)
+    "q_mix_report",
+    // round-11 batch 6: 1-row OLS-fit / calendar-bounds / series-origin
+    // broadcasts over the |days|-row daily aggregate (the q_coint /
+    // q_cuped / q_periodogram postures)
+    "q_dw", "q_chow", "q_spectral_entropy",
+    // round-11 batch 7: the same 1-row fit/moment-row broadcasts for the
+    // auxiliary-regression and per-observation-influence diagnostics
+    "q_breusch_pagan", "q_cooks_top")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

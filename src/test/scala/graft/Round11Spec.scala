@@ -228,4 +228,174 @@ class Round11Spec extends AnyFunSuite {
     assert(rej.zip(rej.tail).forall { case (a, b) => a >= b },
       "rejections not a rank prefix")
   }
+
+  test("q_dedup_shift: planted shifted clones caught despite misalignment") {
+    val r = rows("q_dedup_shift")
+    // the 3-token prefix shifts every aligned chunk boundary, so ONLY a
+    // stride-1 scheme can see these; each planted clone (and its source)
+    // must clear the 0.5-coverage band
+    val planted = r.filter(_.getLong(0) >= 500000L)
+    assert(planted.nonEmpty, "no planted clone surfaced")
+    r.foreach { x =>
+      val (nw, nd, frac, run) =
+        (x.getInt(1), x.getInt(2), x.getDouble(3), x.getInt(4))
+      assert(nd >= 1 && nd <= nw, s"doc ${x.getLong(0)}: $nd of $nw")
+      assert(run >= 1 && run <= nd)
+      assert(math.abs(frac - nd.toDouble / nw) < 2e-6)
+      assert(frac >= 0.5 - 1e-9)
+    }
+    // every planted clone's SOURCE doc is also fully covered
+    val ids = r.map(_.getLong(0)).toSet
+    planted.foreach { x =>
+      assert(ids.contains(x.getLong(0) - 500000L),
+        s"clone ${x.getLong(0)} surfaced without its source")
+    }
+  }
+
+  test("q_mix_report: shares/weights sum to 1, planted dups visible") {
+    val r = rows("q_mix_report")
+    assert(r.length >= 2, "need multiple sources")
+    val wSum = r.map(_.getDouble(3)).sum
+    val sSum = r.map(_.getDouble(4)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum $wSum")
+    assert(math.abs(sSum - 1.0) < 1e-4, s"shares sum $sSum")
+    r.foreach { x =>
+      val (w, s, boost) = (x.getDouble(3), x.getDouble(4), x.getDouble(5))
+      assert(math.abs(boost - w / s) < 1e-3 * boost.abs.max(1.0))
+      val (edr, cdr) = (x.getDouble(6), x.getDouble(7))
+      assert(edr >= 0.0 && edr < 1.0)
+      assert(cdr >= 0.0 && cdr <= 1.0)
+    }
+    // planted exact copies (doc_id < 15) make SOME source's rates > 0
+    assert(r.exists(_.getDouble(6) > 0.0), "no exact-dup rate > 0")
+    assert(r.exists(_.getDouble(7) > 0.0), "no chunk-dup rate > 0")
+  }
+
+  test("q_mh_or: MH estimate inside the stratum-OR envelope") {
+    val r = rows("q_mh_or")
+    assert(r.length >= 2, "need multiple ship-year strata")
+    val ors = r.map(_.getDouble(5))
+    val mh = r.map(_.getDouble(6)).distinct
+    val crude = r.map(_.getDouble(7)).distinct
+    assert(mh.length == 1 && crude.length == 1,
+      "pooled columns must repeat identically")
+    // MH is a convex combination of the stratum ORs
+    assert(mh.head >= ors.min - 1e-6 && mh.head <= ors.max + 1e-6,
+      s"MH ${mh.head} outside [${ors.min}, ${ors.max}]")
+    r.foreach { x =>
+      (1 to 4).foreach(i => assert(x.getLong(i) > 0, "empty 2x2 cell"))
+    }
+  }
+
+  test("q_icc: variance decomposition in range, 25 brands") {
+    val r = rows("q_icc").head
+    assert(r.getInt(0) == 25, s"brands: ${r.getInt(0)}")
+    val (k0, msb, msw, icc) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(k0 > 1.0 && msb > 0.0 && msw > 0.0)
+    assert(icc > -1.0 / (k0 - 1.0) - 1e-6 && icc <= 1.0 + 1e-9,
+      s"icc $icc out of range for k0 $k0")
+    // brand is noise w.r.t. price in TPC-H-ish data: ICC must be small
+    assert(icc.abs < 0.5, s"implausible brand ICC $icc")
+  }
+
+  test("q_dw and q_arch_lm: statistic identities and ranges") {
+    val dw = rows("q_dw").head
+    assert(dw.getDouble(1) >= 0.0 && dw.getDouble(1) <= 4.0)
+    assert(math.abs(dw.getDouble(2) - (1.0 - dw.getDouble(1) / 2.0)) < 1e-5)
+    val al = rows("q_arch_lm").head
+    val (n, r2, lm, flag) =
+      (al.getLong(0), al.getDouble(2), al.getDouble(3), al.getInt(4))
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(math.abs(lm - n * r2) < 1e-3)
+    assert(flag == (if (lm > 3.841) 1 else 0))
+  }
+
+  test("q_chow: pooled SSR dominates, segments partition the days") {
+    val r = rows("q_chow").head
+    val (n, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == n1 + n2 && n1 > 0 && n2 > 0)
+    val (sp, s1, s2, f) = (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getDouble(6))
+    assert(sp >= s1 + s2 - 1e-6, "pooled SSR smaller than split SSRs")
+    assert(f >= 0.0)
+    assert(math.abs(f - ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (n - 4.0)))
+      < 1e-3 * f.max(1.0))
+  }
+
+  test("q_cronbach: alpha identity and exact-SS consistency") {
+    val r = rows("q_cronbach").head
+    assert(r.getInt(1) == 5)
+    val (ssI, ssT, a) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(ssI > 0 && ssT > 0)
+    assert(a <= 1.0 + 1e-9, s"alpha $a > 1")
+    assert(math.abs(a - 1.25 * (1.0 - ssI.toDouble / ssT)) < 2e-6)
+  }
+
+  test("q_kendall_w: W in [0,1], chi2 identity, full brand set") {
+    val r = rows("q_kendall_w").head
+    val (m, n, s4) = (r.getLong(0), r.getInt(1), r.getLong(2))
+    assert(n == 25, s"brands $n")
+    assert(m >= 2, s"years $m")
+    val (w, chi2) = (r.getDouble(3), r.getDouble(4))
+    assert(w >= 0.0 && w <= 1.0 + 1e-9, s"W $w")
+    assert(math.abs(w - 3.0 * s4 / (m.toDouble * m *
+      (n.toDouble * n * n - n))) < 2e-6)
+    assert(math.abs(chi2 - m * (n - 1.0) * w) < 1e-3)
+  }
+
+  test("q_breusch_pagan: LM identity and range") {
+    val r = rows("q_breusch_pagan").head
+    val (n, r2, lm, flag) =
+      (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getInt(4))
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(math.abs(lm - n * r2) < 1e-3)
+    assert(flag == (if (lm > 3.841) 1 else 0))
+  }
+
+  test("q_cooks_top: 10 rows, ordered, leverage in (0,1)") {
+    val r = rows("q_cooks_top")
+    assert(r.length == 10)
+    val ds = r.map(_.getDouble(4))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "not ordered by Cook's D")
+    r.foreach { x =>
+      assert(x.getDouble(4) >= 0.0)
+      val h = x.getDouble(3)
+      assert(h > 0.0 && h < 1.0, s"leverage $h")
+    }
+  }
+
+  test("q_decontam_span: planted clones are single full spans") {
+    val r = rows("q_decontam_span")
+    val planted = r.filter(_.getLong(0) >= 1000000L)
+    assert(planted.size >= 10, s"planted hits: ${planted.size}")
+    planted.foreach { x =>
+      // a verbatim copy of a benchmark doc: every window hits, one span
+      assert(x.getInt(2) == 1, s"clone ${x.getLong(0)} spans ${x.getInt(2)}")
+      assert(x.getInt(4) == 0, "clone's first hit not at position 0")
+      assert(x.getInt(3) == x.getInt(1), "clone run shorter than coverage")
+    }
+    r.foreach { x =>
+      val (nc, ns, mr, fp) =
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4))
+      assert(nc >= 1 && ns >= 1 && mr >= 1 && fp >= 0)
+      assert(mr <= nc && ns <= nc)
+    }
+  }
+
+  test("q_spectral_entropy consistent with q_periodogram") {
+    val se = rows("q_spectral_entropy").head
+    assert(se.getInt(0) == 13)
+    val h = se.getDouble(3)
+    assert(h >= 0.0 && h <= 1.0 + 1e-9, s"entropy $h")
+    val pg = rows("q_periodogram")
+    val powers = pg.map(x => (x.getInt(0), x.getDouble(4)))
+    // same trig numerics → total power and argmax period must agree
+    assert(math.abs(se.getDouble(1) - powers.map(_._2).sum) <
+      1e-3 * se.getDouble(1).max(1.0))
+    val peak = powers.filter(p =>
+      math.abs(p._2 - powers.map(_._2).max) < 1e-9).map(_._1).min
+    assert(se.getInt(2) == peak, s"peak ${se.getInt(2)} vs periodogram $peak")
+  }
 }
