@@ -1315,9 +1315,128 @@ object CorpusStats {
       ORDER BY source_a, source_b"""),
   )
 
+  /** CROSS-SOURCE VOCABULARY OVERLAP — Jaccard similarity of the top-50
+    * term vocabularies between every source pair: the corpus-diff signal
+    * that groups near-mirror sources before spending near-dup budget on
+    * them (and flags a source whose vocabulary matches nothing — likely
+    * mis-tagged or non-text). Ranking is count-desc with a term tiebreak
+    * (exact integers + ASCII string order, total in both engines). Scale
+    * shape: one explode → combinable (source, term) count → per-source
+    * top-50 window over a |sources|·|vocab|-bounded aggregate — the pair
+    * table then comes from a TERM equi-join on the 50·|sources|-row top
+    * list with src_a < src_b as an early conjunct: no source×source
+    * cartesian anywhere, and the quadratic object is |sources|², which
+    * is the report's own output size. */
+  val qVocabOverlap: GQuery = GQuery(
+    "q_vocab_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(spark, dir)
+        .select($"source", explode(split($"text", " ")).as("term"))
+        .groupBy($"source", $"term")
+        .agg(count(lit(1)).as("c"))
+      val top = cnt
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"source").orderBy($"c".desc, $"term")))
+        .filter($"r" <= 50)
+        .select($"source", $"term")
+      val a = top.select($"source".as("src_a"), $"term")
+      val b = top.select($"source".as("src_b"), $"term")
+      a.join(b, a("term") === b("term") && $"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("jaccard",
+          r6($"n_common".cast("double") /
+            (lit(100.0) - $"n_common".cast("double"))))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      cnt AS (SELECT source, term, count(*) AS c
+              FROM tok GROUP BY source, term),
+      rk AS (SELECT source, term,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY c DESC, term) AS r
+             FROM cnt),
+      top AS (SELECT source, term FROM rk WHERE r <= 50)
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_common,
+             ${r6Sql("cast(count(*) as double) / " +
+               "(cast(100.0 as double) - cast(count(*) as double))")}
+               AS jaccard
+      FROM top a JOIN top b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+      ORDER BY src_a, src_b"""),
+  )
+
+  /** TEMPLATE MINING — find templated document families: groups sharing
+    * BOTH the same first-5-token and last-5-token digests with ≥ 3
+    * members (web boilerplate, form letters, generated pages — the
+    * near-dup family aligned-chunk and minhash passes under-catch
+    * because the variable middle dilutes the signature). Per template:
+    * member count, distinct sources, exemplar doc_id. Both keys are
+    * per-row 32-byte digests (prefix/suffix slices of the one token
+    * split), the group is ONE combinable groupBy — exact-dedup cost,
+    * no candidate pairs at all. Planted: 12 synthetic docs (fixed
+    * header + unique md5 middle + fixed footer) that only this
+    * prefix+suffix key catches. */
+  val qTemplateDocs: GQuery = GQuery(
+    "q_template_docs",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 12)
+          .select($"source", ($"doc_id" + 730000L).as("doc_id"),
+            concat(lit("hdr h1 h2 h3 h4 "),
+              md5($"doc_id".cast("string").cast("binary")),
+              lit(" ftr f1 f2 f3 f4")).as("text")))
+      val keyed = docs
+        .select($"source", $"doc_id", split($"text", " ").as("l"))
+        .filter(size($"l") >= 10)
+        .select($"source", $"doc_id",
+          md5(concat_ws(" ", slice($"l", 1, 5)).cast("binary")).as("pre"),
+          md5(concat_ws(" ", expr("slice(l, size(l) - 4, 5)"))
+            .cast("binary")).as("suf"))
+      keyed.groupBy($"pre", $"suf")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          min($"doc_id").as("exemplar"))
+        .filter($"n_docs" >= 3)
+        .orderBy($"n_docs".desc, $"exemplar")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT source, doc_id + 730000,
+               'hdr h1 h2 h3 h4 ' || md5(cast(doc_id as varchar))
+                 || ' ftr f1 f2 f3 f4'
+        FROM documents WHERE doc_id < 12),
+      lt AS (SELECT source, doc_id, string_split(text, ' ') AS l
+             FROM docs),
+      keyed AS (
+        SELECT source, doc_id,
+               md5(array_to_string(l[1:5], ' ')) AS pre,
+               md5(array_to_string(l[(len(l) - 4):len(l)], ' ')) AS suf
+        FROM lt WHERE len(l) >= 10)
+      SELECT pre, suf, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             min(doc_id) AS exemplar
+      FROM keyed
+      GROUP BY pre, suf
+      HAVING count(*) >= 3
+      ORDER BY n_docs DESC, exemplar"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
       qJaccardPrefix, qErMatch, qCollocation, qCondEntropy, qSparseCosineTopk,
-      qDupCoverage, qDupMatrix)
+      qDupCoverage, qDupMatrix, qVocabOverlap, qTemplateDocs)
 }

@@ -1310,10 +1310,296 @@ object PipelineOps {
       ORDER BY doc_id"""),
   )
 
+  /** DEDUP CASCADE FUNNEL — the stage-by-stage accounting report of a
+    * multi-pass dedup pipeline: exact (md5 of raw text) → canonical
+    * (lowercase + whitespace-collapse + trim, [[qDedupNorm]]'s key) →
+    * 20-token-prefix near-dup (the cheap "same opening" heuristic), each
+    * stage running only on the previous stage's survivors. Output is one
+    * row per stage with n_in / n_out / n_removed — the funnel a curation
+    * dashboard publishes. Plants one clone family per stage (verbatim
+    * copy, leading-space copy, same-prefix-different-tail copy) so every
+    * stage removes rows at every SF. Scale shape: ONE pass derives all
+    * three 32-byte digests per row; the three survivor flags are windows
+    * over digest partitions (shuffles carry digests + id, never text);
+    * the later-stage flags reuse the earlier ones via
+    * `min(CASE WHEN k THEN doc_id END) OVER (PARTITION BY next_key)` —
+    * no sequential anti-joins, no per-stage re-scan; the funnel rows come
+    * from exploding a 3-struct array off the single agg row (the
+    * documents table is scanned exactly once). */
+  val qDedupCascade: GQuery = GQuery(
+    "q_dedup_cascade",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base
+        .unionByName(base.filter($"doc_id" < 25)
+          .select(($"doc_id" + 700000L).as("doc_id"), $"text"))
+        .unionByName(base.filter($"doc_id" < 20)
+          .select(($"doc_id" + 710000L).as("doc_id"),
+            concat(lit(" "), $"text").as("text")))
+        .unionByName(base
+          .filter($"doc_id" < 15 && size(split($"text", " ")) >= 20)
+          .select(($"doc_id" + 720000L).as("doc_id"),
+            concat(concat_ws(" ", slice(split($"text", " "), 1, 20)),
+              lit(" zzq tail "), $"doc_id".cast("string")).as("text")))
+      val keyed = docs.select($"doc_id",
+        md5($"text".cast("binary")).as("th"),
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))
+          .cast("binary")).as("ch"),
+        md5(concat_ws(" ", slice(split($"text", " "), 1, 20))
+          .cast("binary")).as("ph"))
+      val flagged = keyed
+        .withColumn("k1",
+          $"doc_id" === min($"doc_id").over(Window.partitionBy($"th")))
+        .withColumn("k2", $"k1" && $"doc_id" ===
+          min(when($"k1", $"doc_id")).over(Window.partitionBy($"ch")))
+        .withColumn("k3", $"k2" && $"doc_id" ===
+          min(when($"k2", $"doc_id")).over(Window.partitionBy($"ph")))
+      flagged.agg(
+          count(lit(1)).as("n0"),
+          count(when($"k1", lit(1))).as("n1"),
+          count(when($"k2", lit(1))).as("n2"),
+          count(when($"k3", lit(1))).as("n3"))
+        .select(explode(array(
+          struct(lit(1).as("stage"), lit("exact").as("rule"),
+            $"n0".as("n_in"), $"n1".as("n_out")),
+          struct(lit(2).as("stage"), lit("canonical").as("rule"),
+            $"n1".as("n_in"), $"n2".as("n_out")),
+          struct(lit(3).as("stage"), lit("prefix20").as("rule"),
+            $"n2".as("n_in"), $"n3".as("n_out")))).as("s"))
+        .select($"s.stage".as("stage"), $"s.rule".as("rule"),
+          $"s.n_in".as("n_in"), $"s.n_out".as("n_out"),
+          ($"s.n_in" - $"s.n_out").as("n_removed"))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 700000, text FROM documents WHERE doc_id < 25
+        UNION ALL
+        SELECT doc_id + 710000, ' ' || text FROM documents
+        WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 720000,
+               array_to_string((string_split(text, ' '))[1:20], ' ')
+                 || ' zzq tail ' || doc_id
+        FROM documents
+        WHERE doc_id < 15 AND len(string_split(text, ' ')) >= 20),
+      keyed AS (
+        SELECT doc_id, md5(text) AS th,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS ch,
+               md5(array_to_string((string_split(text, ' '))[1:20], ' '))
+                 AS ph
+        FROM docs),
+      f1 AS (SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY th)) AS k1
+             FROM keyed),
+      f2 AS (SELECT *, (k1 AND doc_id =
+               min(CASE WHEN k1 THEN doc_id END) OVER (PARTITION BY ch))
+               AS k2 FROM f1),
+      f3 AS (SELECT *, (k2 AND doc_id =
+               min(CASE WHEN k2 THEN doc_id END) OVER (PARTITION BY ph))
+               AS k3 FROM f2),
+      agg AS (SELECT count(*) AS n0,
+                     count(CASE WHEN k1 THEN 1 END) AS n1,
+                     count(CASE WHEN k2 THEN 1 END) AS n2,
+                     count(CASE WHEN k3 THEN 1 END) AS n3
+              FROM f3)
+      SELECT 1 AS stage, 'exact' AS rule, n0 AS n_in, n1 AS n_out,
+             n0 - n1 AS n_removed FROM agg
+      UNION ALL
+      SELECT 2, 'canonical', n1, n2, n1 - n2 FROM agg
+      UNION ALL
+      SELECT 3, 'prefix20', n2, n3, n2 - n3 FROM agg
+      ORDER BY stage"""),
+  )
+
+  /** CCNET-STYLE QUALITY TERCILES — bin documents into head / middle /
+    * tail WITHIN each language by a deterministic quality proxy (scaled
+    * chars-per-token, integer `div` so the ordering key is exact in both
+    * engines), then report per-(lang, bin) document counts, token mass,
+    * and mean score — the language-stratified quality binning CCNet runs
+    * before choosing which bins to train on. NTILE(3) follows the SQL
+    * standard in both engines (earlier buckets take the remainder rows)
+    * and the ORDER BY carries a doc_id tiebreak, so bucket assignment is
+    * total-order deterministic. Scale shape: one linear pass for the
+    * score, one shuffle partitioned BY LANGUAGE for the ntile sort
+    * (parallelism = |langs|; at 100 TB swap ntile for percentile-based
+    * cutpoints if one language dominates), one combinable groupBy. */
+  val qCcnetBins: GQuery = GQuery(
+    "q_ccnet_bins",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = Tables.documents(spark, dir)
+        .select($"lang", $"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          expr("(n_chars * 1000) div " +
+            "cast(size(split(text, ' ')) as bigint)").as("score"))
+      scored
+        .withColumn("bin", ntile(3).over(
+          Window.partitionBy($"lang").orderBy($"score", $"doc_id")))
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("sum_tokens"),
+          davg($"score".cast("double")).as("avg_score"))
+        .orderBy($"lang", $"bin")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT lang, doc_id,
+               cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+               (n_chars * 1000)
+                 // cast(len(string_split(text, ' ')) as bigint) AS score
+        FROM documents),
+      binned AS (
+        SELECT lang, n_tokens, score,
+               cast(ntile(3) OVER (PARTITION BY lang
+                 ORDER BY score, doc_id) as int) AS bin
+        FROM scored)
+      SELECT lang, bin, count(*) AS n_docs,
+             cast(sum(n_tokens) as bigint) AS sum_tokens,
+             ${davgSql("cast(score as double)")} AS avg_score
+      FROM binned
+      GROUP BY lang, bin
+      ORDER BY lang, bin"""),
+  )
+
+  /** TOKEN-BUDGET EPOCH PLAN — the data-constrained mixing recipe: given
+    * the α=0.5 mixture weights ([[qMixWeights]]'s exact numerics) and a
+    * training budget of 4× the corpus token mass, each source's target
+    * token allocation implies a repetition factor (epochs = target /
+    * available); sources whose target exceeds the 4-epoch repetition cap
+    * are clipped and the report carries their unmet deficit — exactly the
+    * per-source plan a data-constrained training run publishes. All
+    * arithmetic flows from two deterministic staged inputs (the r6'd
+    * weight and the exact long token totals, both < 2^53 so their double
+    * images are exact), so every derived column is one fixed IEEE
+    * expression — bit-identical cross-engine with no sum-order exposure.
+    * Scale shape: one combinable groupBy to a |sources|-row table, one
+    * broadcast scalar agg; the plan itself costs one linear pass. */
+  val qEpochPlan: GQuery = GQuery(
+    "q_epoch_plan",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.documents(spark, dir)
+        .select($"source", size(split($"text", " ")).cast("long").as("tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+        .withColumn("w_term", rN(sqrt($"n_docs"), 6).cast(DecimalType(30, 6)))
+      val tot = c.agg(sum($"w_term").as("t"), sum($"n_tokens").as("tt"))
+      c.crossJoin(broadcast(tot))
+        .withColumn("weight", r6($"w_term".cast("double") / $"t".cast("double")))
+        .withColumn("target_tokens",
+          rN($"weight" * ($"tt".cast("double") * lit(4.0)), 2))
+        .withColumn("epochs_raw",
+          r6($"target_tokens" / $"n_tokens".cast("double")))
+        .withColumn("epochs", least($"epochs_raw", lit(4.0)))
+        .select($"source", $"n_tokens", $"weight", $"target_tokens",
+          $"epochs_raw", $"epochs",
+          rN($"epochs" * $"n_tokens".cast("double"), 2).as("planned_tokens"),
+          rN($"target_tokens" -
+            rN($"epochs" * $"n_tokens".cast("double"), 2), 2).as("deficit"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source, count(*) AS n_docs,
+               cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens,
+               cast(${rNSql("sqrt(count(*))", 6)} as decimal(30,6)) AS w_term
+        FROM documents GROUP BY source),
+      t AS (SELECT sum(w_term) AS t, sum(n_tokens) AS tt FROM c),
+      w AS (
+        SELECT source, n_tokens,
+               ${r6Sql("cast(w_term as double) / cast(t as double)")}
+                 AS weight,
+               cast(tt as double) AS ttd
+        FROM c CROSS JOIN t),
+      p AS (
+        SELECT source, n_tokens, weight,
+               ${rNSql("weight * (ttd * cast(4.0 as double))", 2)}
+                 AS target_tokens
+        FROM w),
+      e AS (
+        SELECT source, n_tokens, weight, target_tokens,
+               ${r6Sql("target_tokens / cast(n_tokens as double)")}
+                 AS epochs_raw
+        FROM p),
+      f AS (
+        SELECT *, least(epochs_raw, cast(4.0 as double)) AS epochs FROM e)
+      SELECT source, n_tokens, weight, target_tokens, epochs_raw, epochs,
+             ${rNSql("epochs * cast(n_tokens as double)", 2)}
+               AS planned_tokens,
+             ${rNSql(
+               s"target_tokens - (${rNSql("epochs * cast(n_tokens as double)", 2)})",
+               2)} AS deficit
+      FROM f
+      ORDER BY source"""),
+  )
+
+  /** RAG CHUNK PLAN — overlapping-window chunking accounting (size 100
+    * tokens, stride 80, i.e. 20-token overlap): per source, how many
+    * chunks an ingest pass will emit, the total chunked token mass, and
+    * the expansion ratio the overlap costs. Chunk emission follows the
+    * standard rule (emit [s, s+99]; stop once the chunk reaches the end),
+    * so a document never emits a chunk fully contained in the previous
+    * one: n_chunks = 1 for n ≤ 100, else (n−21) div 80 + 1, and the
+    * chunked mass is n + 20·(n_chunks−1) — ALL closed-form integer
+    * arithmetic per row (integer `div`/`//`, the round-9 quotient
+    * contract): no explode, no window, zero pre-agg shuffles. The
+    * per-source rollup is one combinable groupBy — at 100 TB this is a
+    * metadata-only planning pass over the corpus, which is the point:
+    * you cost the chunk step before running it. */
+  val qChunkPlan: GQuery = GQuery(
+    "q_chunk_plan",
+    (spark, dir) => {
+      import spark.implicits._
+      val perDoc = Tables.documents(spark, dir)
+        .select($"source",
+          size(split($"text", " ")).cast("long").as("n"))
+        .withColumn("n_chunks",
+          when($"n" <= 100L, lit(1L))
+            .otherwise(expr("(n - 21) div 80") + lit(1L)))
+        .withColumn("chunk_tokens", $"n" + lit(20L) * ($"n_chunks" - 1L))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").as("n_tokens"),
+          sum($"n_chunks").as("n_chunks"),
+          sum($"chunk_tokens").as("chunk_tokens"),
+          max($"n_chunks").cast("long").as("max_chunks"))
+        .withColumn("expansion",
+          r6($"chunk_tokens".cast("double") / $"n_tokens".cast("double")))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH perdoc AS (
+        SELECT source,
+               cast(len(string_split(text, ' ')) as bigint) AS n
+        FROM documents),
+      ch AS (
+        SELECT source, n,
+               CASE WHEN n <= 100 THEN 1
+                    ELSE (n - 21) // 80 + 1 END AS n_chunks
+        FROM perdoc),
+      m AS (SELECT source, n, n_chunks,
+                   n + 20 * (n_chunks - 1) AS chunk_tokens
+            FROM ch)
+      SELECT source, count(*) AS n_docs,
+             cast(sum(n) as bigint) AS n_tokens,
+             cast(sum(n_chunks) as bigint) AS n_chunks,
+             cast(sum(chunk_tokens) as bigint) AS chunk_tokens,
+             cast(max(n_chunks) as bigint) AS max_chunks,
+             ${r6Sql("cast(sum(chunk_tokens) as double) / " +
+               "cast(sum(n) as double)")} AS expansion
+      FROM m
+      GROUP BY source
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
-      qDecontamSpan)
+      qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan)
 }

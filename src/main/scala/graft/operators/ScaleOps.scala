@@ -2087,10 +2087,66 @@ object ScaleOps {
     },
   )
 
+  /** EMBEDDING-COSINE PAIR HISTOGRAM — the representation-collapse QC a
+    * pipeline runs over a fresh embedding table: the distribution of
+    * cosine similarity between ADJACENT-ID vector pairs (an unbiased
+    * "random pair" proxy under hash/arrival ids), binned at 0.1 width.
+    * A healthy embedding space piles mass near 0; collapse shows up as
+    * mass at 0.9+. Pairing is a self-equi-join on vec_id + 1 — linear,
+    * shuffle-partitioned by id, NO global-order window (a lag() over a
+    * table-wide ORDER BY would serialize to one partition at 100 TB).
+    * Cosine is the codegen'd sequential-fold dot_product over
+    * double-cast elements (bit-matches the oracle's left-assoc chain,
+    * CLAUDE.md round-6 contract); bin = floor(cos*10) clamped to
+    * [-10, 9] — one IEEE multiply + floor on a bit-equal double, so the
+    * bin edges cannot flake cross-engine. */
+  val qCosineHist: GQuery = GQuery(
+    "q_cosine_hist",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val a = emb.select($"vec_id", $"emb".as("ea"), $"nrm".as("na"))
+      val b = emb.select(($"vec_id" - 1L).as("vec_id"),
+        $"emb".as("eb"), $"nrm".as("nb"))
+      a.join(b, "vec_id")
+        .withColumn("cos",
+          expr("dot_product(ea, eb)") / ($"na" * $"nb"))
+        .withColumn("bin",
+          least(greatest(floor($"cos" * lit(10.0)), lit(-10.0)), lit(9.0))
+            .cast("int"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          davg($"cos").as("avg_cos"))
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      pairs AS (
+        SELECT (${chainSql("a.embedding", "b.embedding")})
+                 / (a.nrm * b.nrm) AS cos
+        FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1),
+      binned AS (
+        SELECT cos,
+               cast(least(greatest(floor(cos * 10.0), -10.0), 9.0) as int)
+                 AS bin
+        FROM pairs)
+      SELECT bin, count(*) AS n_pairs, ${davgSql("cos")} AS avg_cos
+      FROM binned
+      GROUP BY bin
+      ORDER BY bin"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
     qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
-    qSemdedup, qAnnPq, qKmvSetops)
+    qSemdedup, qAnnPq, qKmvSetops, qCosineHist)
 }

@@ -152,6 +152,9 @@ object PlanAudit {
     // scoring the |sources|-row report (the q_neyman_alloc /
     // q_mix_weights posture)
     "q_mix_report",
+    // round-11 batch 8: the same 1-row weight-total/token-total broadcast
+    // scoring the |sources|-row epoch plan (q_mix_weights posture)
+    "q_epoch_plan",
     // round-11 batch 6: 1-row OLS-fit / calendar-bounds / series-origin
     // broadcasts over the |days|-row daily aggregate (the q_coint /
     // q_cuped / q_periodogram postures)

@@ -384,6 +384,116 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_cascade: funnel chains, every stage removes its plants") {
+    val r = rows("q_dedup_cascade")
+    assert(r.length == 3, "one row per stage")
+    val byStage = r.map(x => x.getInt(0) ->
+      (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // funnel chaining: stage N's n_in is stage N-1's n_out
+    assert(byStage(2)._1 == byStage(1)._2, "stage2 in != stage1 out")
+    assert(byStage(3)._1 == byStage(2)._2, "stage3 in != stage2 out")
+    r.foreach { x =>
+      assert(x.getLong(2) - x.getLong(3) == x.getLong(4), "removed identity")
+      assert(x.getLong(4) >= 0 && x.getLong(3) > 0)
+    }
+    // planted clones: 25 exact, 20 leading-space (canonical), 15
+    // same-20-token-prefix — each stage must remove at least its plants
+    assert(byStage(1)._3 >= 25, s"exact removed ${byStage(1)._3} < 25")
+    assert(byStage(2)._3 >= 20, s"canonical removed ${byStage(2)._3} < 20")
+    assert(byStage(3)._3 >= 15, s"prefix removed ${byStage(3)._3} < 15")
+  }
+
+  test("q_ccnet_bins: 5 langs x 3 bins, score monotone across bins") {
+    val r = rows("q_ccnet_bins")
+    assert(r.length == 15, s"expected 5 langs x 3 bins, got ${r.length}")
+    assert(r.map(_.getLong(2)).sum == 500L, "bins must partition the corpus")
+    r.groupBy(_.getString(0)).foreach { case (lang, g) =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 3)))
+      val byBin = g.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(byBin(0) <= byBin(1) && byBin(1) <= byBin(2),
+        s"$lang: tercile means not monotone: ${byBin.mkString(",")}")
+      // NTILE: earlier buckets take the remainder, sizes differ by <= 1
+      val sizes = g.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(sizes(0) >= sizes(1) && sizes(1) >= sizes(2) &&
+        sizes(0) - sizes(2) <= 1, s"$lang: ${sizes.mkString(",")}")
+    }
+  }
+
+  test("q_cosine_hist: pairs account for n-1, means inside bin edges") {
+    val r = rows("q_cosine_hist")
+    assert(r.map(_.getLong(1)).sum == 499L, "500 vectors -> 499 pairs")
+    r.foreach { x =>
+      val (bin, avg) = (x.getInt(0), x.getDouble(2))
+      assert(bin >= -10 && bin <= 9)
+      assert(avg >= bin / 10.0 - 2e-6 && avg <= (bin + 1) / 10.0 + 2e-6,
+        s"bin $bin mean $avg outside its edges")
+    }
+    // random 64-dim embeddings: mass concentrates near 0, no collapse —
+    // the modal bin must sit inside [-0.3, 0.3)
+    val modal = r.maxBy(_.getLong(1)).getInt(0)
+    assert(modal >= -3 && modal <= 2, s"modal bin $modal suggests collapse")
+  }
+
+  test("q_epoch_plan: weights sum to 1, cap binds iff raw epochs > 4") {
+    val r = rows("q_epoch_plan")
+    assert(r.length == 20, "one row per source")
+    val wsum = r.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum $wsum")
+    r.foreach { x =>
+      val (tok, tgt, raw, ep, planned, deficit) =
+        (x.getLong(1), x.getDouble(3), x.getDouble(4), x.getDouble(5),
+          x.getDouble(6), x.getDouble(7))
+      assert(math.abs(ep - math.min(raw, 4.0)) < 1e-9, "cap identity")
+      assert(math.abs(planned - ep * tok) < 0.011, "planned identity")
+      assert(math.abs(deficit - (tgt - planned)) < 0.011, "deficit identity")
+      if (raw <= 4.0) assert(math.abs(deficit) < 0.011,
+        s"uncapped source carries deficit $deficit")
+      else assert(deficit > 0, "capped source must carry a deficit")
+    }
+    // sf0.001 has sources on both sides of the cap (n_tokens 1212..1657
+    // vs uniform target ~5588) — both branches must be exercised
+    assert(r.exists(_.getDouble(4) > 4.0) && r.exists(_.getDouble(4) <= 4.0))
+  }
+
+  test("q_chunk_plan: closed-form chunk accounting identities hold") {
+    val r = rows("q_chunk_plan")
+    assert(r.length == 20, "one row per source")
+    r.foreach { x =>
+      val (nd, nt, nc, ct, mx, exp) = (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getDouble(6))
+      // sum over docs of n + 20*(chunks-1) telescopes to this identity
+      assert(ct == nt + 20 * (nc - nd), s"${x.getString(0)}: mass identity")
+      assert(nc >= nd, "every doc emits at least one chunk")
+      assert(mx >= 1 && exp >= 1.0 - 1e-9)
+      assert(math.abs(exp - ct.toDouble / nt) < 2e-6)
+    }
+  }
+
+  test("q_vocab_overlap: jaccard identity, bounded pairs, ordered keys") {
+    val r = rows("q_vocab_overlap")
+    assert(r.nonEmpty && r.length <= 190, s"${r.length} pairs of 20 sources")
+    r.foreach { x =>
+      val (a, b, n, j) = (x.getString(0), x.getString(1),
+        x.getLong(2), x.getDouble(3))
+      assert(a < b, "pair keys must be ordered")
+      assert(n >= 1 && n <= 50)
+      assert(math.abs(j - n.toDouble / (100.0 - n)) < 2e-6)
+    }
+  }
+
+  test("q_template_docs: planted header/footer family recovered intact") {
+    val r = rows("q_template_docs")
+    // the 12 planted docs share prefix+suffix digests and nothing else
+    // does (md5 middles are unique), so exactly one group holds them all
+    val planted = r.filter(_.getLong(4) >= 730000L)
+    assert(planted.length == 1, s"expected 1 planted group, ${planted.length}")
+    assert(planted.head.getLong(2) == 12, "all 12 plants in one template")
+    r.foreach { x =>
+      assert(x.getLong(2) >= 3 && x.getLong(3) >= 1)
+      assert(x.getLong(3) <= x.getLong(2), "sources bounded by members")
+    }
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
