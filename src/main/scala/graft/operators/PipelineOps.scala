@@ -1596,10 +1596,213 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** TRAIN/VAL SPLIT LEAKAGE QC — after a deterministic 80/10/10 hash
+    * split, count the val documents that share at least one aligned
+    * 20-token chunk digest with ANY train document — the
+    * dedup-across-splits check an eval pipeline must run before trusting
+    * its val loss. The split bucket is the portable md5 hash
+    * (conv-substr idiom), NOT [[qSplit]]'s multiplicative hash: the
+    * fixture assigns doc_id ≡ source (mod 20), and a multiplier ending
+    * in 1 makes `(id·2654435761) % 10 ≡ id % 10` — whole sources would
+    * land in one split (a real production trap: a Fibonacci-ish
+    * multiplier is only a mixer if the modulus shares no factor with
+    * it). Planted leaks: every train doc with doc_id < 15 gets a
+    * verbatim clone injected into val (curated-val-set shape), so the
+    * leak count is non-vacuous at every SF. Scale shape: chunk digests
+    * are one linear explode; the leak decision is a digest EQUI-join
+    * (distinct train digest set → left-semi from the val side, 32-byte
+    * shuffle keys); counts are combinable groupBys to a |sources|-row
+    * report covering every source (test-only rows keep zeros). */
+  val qSplitLeakage: GQuery = GQuery(
+    "q_split_leakage",
+    (spark, dir) => {
+      import spark.implicits._
+      val bucket =
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 10
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+        .withColumn("part",
+          when(bucket < 8, "train").when(bucket < 9, "val")
+            .otherwise("test"))
+      val planted = base.filter($"doc_id" < 15 && $"part" === "train")
+        .select($"source", ($"doc_id" + 740000L).as("doc_id"), $"text",
+          lit("val").as("part"))
+      val docs = base.unionByName(planted)
+      val lt = docs.filter($"part" =!= "test")
+        .select($"part", $"source", $"doc_id", split($"text", " ").as("l"))
+      val chunkExpr = expr(
+        "transform(sequence(0, cast(ceil(size(l) / 20.0) as int) - 1), " +
+          "i -> md5(concat_ws(' ', slice(l, i * 20 + 1, 20))))")
+      val chunks = lt.select($"part", $"source", $"doc_id",
+        explode(chunkExpr).as("ch"))
+      val trainCh = chunks.filter($"part" === "train")
+        .select($"ch").distinct()
+      val leaky = chunks.filter($"part" === "val")
+        .join(trainCh, Seq("ch"), "left_semi")
+        .select($"source", $"doc_id").distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_leaky"))
+      val counts = docs.groupBy($"source").agg(
+        count(when($"part" === "train", lit(1))).as("n_train"),
+        count(when($"part" === "val", lit(1))).as("n_val"))
+      counts.join(leaky, Seq("source"), "left_outer")
+        .select($"source", $"n_train", $"n_val",
+          coalesce($"n_leaky", lit(0L)).as("n_leaky"),
+          // a source can have zero val docs (the hash split is not
+          // stratified) — ANSI division would throw, so gate the rate
+          when($"n_val" > 0,
+            r6(coalesce($"n_leaky", lit(0L)).cast("double") /
+              $"n_val".cast("double")))
+            .otherwise(lit(0.0)).as("leak_rate"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, doc_id, text,
+               CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                           ::BIGINT % 10 < 8 THEN 'train'
+                    WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                           ::BIGINT % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS part
+        FROM documents),
+      docs AS (
+        SELECT source, doc_id, text, part FROM base
+        UNION ALL
+        SELECT source, doc_id + 740000, text, 'val' FROM base
+        WHERE doc_id < 15 AND part = 'train'),
+      lt AS (SELECT part, source, doc_id, string_split(text, ' ') AS l
+             FROM docs WHERE part <> 'test'),
+      chunks AS (
+        SELECT part, source, doc_id,
+               md5(array_to_string(l[(i * 20 + 1):(i * 20 + 20)], ' '))
+                 AS ch
+        FROM lt, unnest(generate_series(0,
+               cast(ceil(len(l) / 20.0) as int) - 1)) AS u(i)),
+      trainch AS (SELECT DISTINCT ch FROM chunks WHERE part = 'train'),
+      leaky AS (
+        SELECT source, count(*) AS n_leaky FROM (
+          SELECT DISTINCT source, doc_id FROM chunks
+          WHERE part = 'val' AND ch IN (SELECT ch FROM trainch)) lk
+        GROUP BY source),
+      counts AS (
+        SELECT source,
+               count(CASE WHEN part = 'train' THEN 1 END) AS n_train,
+               count(CASE WHEN part = 'val' THEN 1 END) AS n_val
+        FROM docs GROUP BY source)
+      SELECT c.source, n_train, n_val,
+             coalesce(n_leaky, 0) AS n_leaky,
+             CASE WHEN n_val > 0 THEN
+               floor((cast(coalesce(n_leaky, 0) as double) /
+                 cast(n_val as double)) * 1e6 + 0.5) / 1e6
+             ELSE cast(0.0 as double) END AS leak_rate
+      FROM counts c LEFT JOIN leaky l ON c.source = l.source
+      ORDER BY c.source"""),
+  )
+
+  /** KEYWORD-BUCKET TOPIC TAGGING — assign every document the topic
+    * whose keyword list it hits most (tie → fixed CASE order), then
+    * report the per-(source, topic) composition: the cheap taxonomy
+    * tagging pass a mixing pipeline runs to steer domain weights. All
+    * scoring is a per-row higher-order filter over the one token split
+    * (integer hit counts, no shuffle before the final combinable
+    * groupBy); both engines evaluate the same lambda + CASE. */
+  val qTopicTag: GQuery = GQuery(
+    "q_topic_tag",
+    (spark, dir) => {
+      import spark.implicits._
+      val lt = Tables.documents(spark, dir)
+        .select($"source", split($"text", " ").as("l"))
+        .withColumn("c_join",
+          expr("size(filter(l, x -> x IN ('join','merge','hash','key')))"))
+        .withColumn("c_stream",
+          expr("size(filter(l, x -> x IN ('stream','window','batch','spark')))"))
+        .withColumn("c_scan",
+          expr("size(filter(l, x -> x IN ('scan','filter','sort','table')))"))
+      val best = greatest($"c_join", $"c_stream", $"c_scan")
+      lt.withColumn("topic",
+          when($"c_join" === best, "joins")
+            .when($"c_stream" === best, "streaming")
+            .otherwise("scans"))
+        .groupBy($"source", $"topic")
+        .agg(count(lit(1)).as("n_docs"),
+          davg(best.cast("double")).as("avg_hits"))
+        .orderBy($"source", $"topic")
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT source,
+               len(list_filter(l, x -> x IN ('join','merge','hash','key')))
+                 AS c_join,
+               len(list_filter(l, x ->
+                 x IN ('stream','window','batch','spark'))) AS c_stream,
+               len(list_filter(l, x ->
+                 x IN ('scan','filter','sort','table'))) AS c_scan
+        FROM (SELECT source, string_split(text, ' ') AS l
+              FROM documents) lt),
+      tagged AS (
+        SELECT source,
+               greatest(c_join, c_stream, c_scan) AS best,
+               CASE WHEN c_join = greatest(c_join, c_stream, c_scan)
+                      THEN 'joins'
+                    WHEN c_stream = greatest(c_join, c_stream, c_scan)
+                      THEN 'streaming'
+                    ELSE 'scans' END AS topic
+        FROM sc)
+      SELECT source, topic, count(*) AS n_docs,
+             ${davgSql("cast(best as double)")} AS avg_hits
+      FROM tagged
+      GROUP BY source, topic
+      ORDER BY source, topic"""),
+  )
+
+  /** PADDING-WASTE PLAN — the pack-vs-pad tradeoff dashboard: in the
+    * one-document-per-sequence regime (no cross-doc packing), each doc
+    * occupies ceil(n/2048) context windows and the tail of its last
+    * window is padding. Per source: windows, padded token slots, and
+    * utilization — read AGAINST [[qPack]] (cross-doc packing, zero pad)
+    * to cost the packing decision. Closed-form integer arithmetic per
+    * row (`div`/`//`), one combinable groupBy; like [[qChunkPlan]] this
+    * prices the batch-construction step without running it. */
+  val qPadWaste: GQuery = GQuery(
+    "q_pad_waste",
+    (spark, dir) => {
+      import spark.implicits._
+      val perDoc = Tables.documents(spark, dir)
+        .select($"source",
+          size(split($"text", " ")).cast("long").as("n"))
+        .withColumn("n_win", expr("(n - 1) div 2048") + lit(1L))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").as("n_tokens"),
+          sum($"n_win").as("n_windows"),
+          sum($"n_win" * lit(2048L) - $"n").as("pad_slots"))
+        .withColumn("utilization",
+          r6($"n_tokens".cast("double") /
+            ($"n_windows" * lit(2048L)).cast("double")))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH perdoc AS (
+        SELECT source,
+               cast(len(string_split(text, ' ')) as bigint) AS n
+        FROM documents),
+      w AS (SELECT source, n, (n - 1) // 2048 + 1 AS n_win FROM perdoc)
+      SELECT source, count(*) AS n_docs,
+             cast(sum(n) as bigint) AS n_tokens,
+             cast(sum(n_win) as bigint) AS n_windows,
+             cast(sum(n_win * 2048 - n) as bigint) AS pad_slots,
+             ${r6Sql("cast(sum(n) as double) / " +
+               "cast(sum(n_win) * 2048 as double)")} AS utilization
+      FROM w
+      GROUP BY source
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
-      qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan)
+      qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
+      qSplitLeakage, qTopicTag, qPadWaste)
 }

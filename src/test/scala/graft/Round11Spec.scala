@@ -494,6 +494,53 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_split_leakage: planted val clones all leak, identities hold") {
+    val r = rows("q_split_leakage")
+    assert(r.length == 20, "one row per source, test-only sources included")
+    // same md5 bucket the query uses: a doc plants iff it lands in train
+    def bucket(i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 10
+    }
+    val planted = (0 until 15).count(bucket(_) < 8)
+    assert(planted >= 8, s"fixture drift: only $planted plantable clones")
+    assert(r.map(_.getLong(3)).sum >= planted,
+      s"planted $planted verbatim val clones must all leak")
+    r.foreach { x =>
+      val (nv, nl, rate) = (x.getLong(2), x.getLong(3), x.getDouble(4))
+      assert(nl <= nv, "leaky bounded by val size")
+      if (nv > 0) assert(math.abs(rate - nl.toDouble / nv) < 2e-6)
+      else assert(nl == 0 && rate == 0.0)
+    }
+  }
+
+  test("q_topic_tag: topics partition the corpus") {
+    val r = rows("q_topic_tag")
+    assert(r.map(_.getLong(2)).sum == 500L)
+    val topics = Set("joins", "streaming", "scans")
+    r.foreach { x =>
+      assert(topics.contains(x.getString(1)))
+      assert(x.getLong(2) >= 1 && x.getDouble(3) >= 0.0)
+    }
+    // the DB-word vocabulary guarantees hits: corpus-wide mean > 1
+    val w = r.map(x => x.getDouble(3) * x.getLong(2)).sum / 500.0
+    assert(w > 1.0, s"mean best-topic hits $w suspiciously low")
+  }
+
+  test("q_pad_waste: window accounting identities") {
+    val r = rows("q_pad_waste")
+    assert(r.length == 20)
+    r.foreach { x =>
+      val (nd, nt, nw, pad, u) = (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5))
+      assert(nw >= nd, "every doc takes at least one window")
+      assert(pad == 2048 * nw - nt, "pad identity")
+      assert(u > 0.0 && u <= 1.0)
+      assert(math.abs(u - nt.toDouble / (2048.0 * nw)) < 2e-6)
+    }
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
