@@ -2143,10 +2143,234 @@ object ScaleOps {
       ORDER BY bin"""),
   )
 
+  /** IVF CELL-BALANCE QC — the quantizer health report an ANN index
+    * build publishes before serving: per-cell population min/max/mean,
+    * the imbalance factor (max/mean — tail latency is the biggest
+    * cell), and the expected candidate fraction a data-distributed
+    * query scans at nProbe=1 (Σ szᵢ²/n² — the HHI of the cell
+    * assignment; 1/n_cells when perfectly balanced). Reuses
+    * [[qAnnIvf]]'s deterministic quantizer (vec_id % 61 == 3 seeds,
+    * argmax-cosine assignment with a cell tiebreak). All sufficient
+    * statistics are exact integers; the two output ratios are single
+    * IEEE divisions. Scale: assignment is the same bounded-centroid
+    * broadcast as the index build itself — the QC is free when the
+    * index materializes. */
+  val qCellBalance: GQuery = GQuery(
+    "q_cell_balance",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val cents = emb.filter($"vec_id" % 61 === 3)
+        .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
+      val assignW = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell")
+      val cells = emb.crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("sz"))
+      cells.agg(
+          count(lit(1)).as("n_cells"),
+          sum($"sz").as("n_vecs"),
+          min($"sz").as("min_sz"),
+          max($"sz").as("max_sz"),
+          sum($"sz" * $"sz").as("ss"))
+        .select($"n_cells", $"n_vecs", $"min_sz", $"max_sz",
+          r6($"n_vecs".cast("double") / $"n_cells".cast("double"))
+            .as("avg_sz"),
+          r6(($"max_sz" * $"n_cells").cast("double") /
+            $"n_vecs".cast("double")).as("imbalance"),
+          r6($"ss".cast("double") /
+            ($"n_vecs" * $"n_vecs").cast("double")).as("exp_scan_frac"))
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM embeddings WHERE vec_id < $corpusBound),
+      cents AS (
+        SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
+        FROM emb WHERE vec_id % 61 = 3),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${chainSql("e.embedding", "cents.cent")})
+                     / (e.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM emb e CROSS JOIN cents) t WHERE rn = 1),
+      cells AS (SELECT cell, count(*) AS sz FROM assigned GROUP BY cell)
+      SELECT count(*) AS n_cells,
+             cast(sum(sz) as bigint) AS n_vecs,
+             cast(min(sz) as bigint) AS min_sz,
+             cast(max(sz) as bigint) AS max_sz,
+             ${r6Sql("cast(sum(sz) as double) / cast(count(*) as double)")}
+               AS avg_sz,
+             ${r6Sql("cast(max(sz) * count(*) as double) / " +
+               "cast(sum(sz) as double)")} AS imbalance,
+             ${r6Sql("cast(sum(sz * sz) as double) / " +
+               "cast(sum(sz) * sum(sz) as double)")} AS exp_scan_frac
+      FROM cells"""),
+  )
+
+  /** LSH BAND-CONFIGURATION SWEEP — the b×r tuning report for the
+    * 16-minhash signature family ([[qNeardupMinhash]]'s exact hashes):
+    * candidate-pair count and high-similarity precision (est_jaccard ≥
+    * 13/16) at b=2×r=8, b=4×r=4, and b=8×r=2. Key trick: band
+    * candidacy NESTS — a pair matching an r=8 band matches both its
+    * r=4 halves and all four r=2 quarters — so candidates(b=2) ⊆
+    * candidates(b=4) ⊆ candidates(b=8) and ONE blocking equi-join at
+    * the finest config (b=8) generates every config's candidates; the
+    * coarser configs' membership is then a per-pair boolean fold over
+    * the 16 h-equality bits, and the whole sweep is one conditional
+    * aggregation — no per-config re-join, no re-blocking. Planted
+    * shifted-id clones guarantee high-sim pairs at every SF. */
+  val qBandSweep: GQuery = GQuery(
+    "q_band_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 50)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val g = docs
+        .select($"doc_id", split($"text", " ").as("l"))
+        .select($"doc_id",
+          explode(array_distinct(
+            when(size($"l") < 3, array().cast("array<string>"))
+              .otherwise(expr(
+                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
+                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
+            .as("gram"))
+      val minhashes = (0 until 16).map { s =>
+        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
+        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
+      }
+      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      // finest blocking: 8 bands of 2 minhashes each
+      val bandStructs = (0 until 8).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+            .as("sig")))
+      val bands = sigs
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+        .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.sig".as("sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val sigsA = sigs.select(
+        ($"doc_id".as("id_a") +: (0 until 16).map(i => col(s"h$i").as(s"a$i"))): _*)
+      val sigsB = sigs.select(
+        ($"doc_id".as("id_b") +: (0 until 16).map(i => col(s"h$i").as(s"b$i"))): _*)
+      def eq(i: Int): Column = col(s"a$i") === col(s"b$i")
+      def m8(j: Int): Column = eq(2 * j) && eq(2 * j + 1)
+      def m4(j: Int): Column = m8(2 * j) && m8(2 * j + 1)
+      def m2(j: Int): Column = m4(2 * j) && m4(2 * j + 1)
+      val nMatch = (0 until 16)
+        .map(i => when(eq(i), 1).otherwise(0)).reduce(_ + _)
+      val scored = broadcast(cand)
+        .join(sigsA, "id_a").join(sigsB, "id_b")
+        .select(
+          (0 until 4).map(m4).reduce(_ || _).as("c4"),
+          (0 until 2).map(m2).reduce(_ || _).as("c2"),
+          (nMatch >= 13).as("hi"))
+      scored.agg(
+          count(lit(1)).as("n8"),
+          count(when($"c4", lit(1))).as("n4"),
+          count(when($"c2", lit(1))).as("n2"),
+          count(when($"hi", lit(1))).as("h8"),
+          count(when($"c4" && $"hi", lit(1))).as("h4"),
+          count(when($"c2" && $"hi", lit(1))).as("h2"))
+        .select(explode(array(
+          struct(lit(2).as("n_bands"), lit(8).as("rows_per_band"),
+            $"n2".as("n_cand"), $"h2".as("n_high")),
+          struct(lit(4).as("n_bands"), lit(4).as("rows_per_band"),
+            $"n4".as("n_cand"), $"h4".as("n_high")),
+          struct(lit(8).as("n_bands"), lit(2).as("rows_per_band"),
+            $"n8".as("n_cand"), $"h8".as("n_high")))).as("s"))
+        .select($"s.n_bands".as("n_bands"),
+          $"s.rows_per_band".as("rows_per_band"),
+          $"s.n_cand".as("n_cand"), $"s.n_high".as("n_high"),
+          when($"s.n_cand" > 0,
+            r6($"s.n_high".cast("double") / $"s.n_cand".cast("double")))
+            .otherwise(lit(0.0)).as("hi_rate"))
+        .orderBy($"n_bands")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(l) - 2),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+            FROM lt),
+      sig AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM g GROUP BY doc_id),
+      bands AS (
+        ${(0 until 8).map(b =>
+          s"SELECT doc_id, $b AS band_id, " +
+            s"md5(concat_ws('|', h${2 * b}, h${2 * b + 1})) AS sig FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.sig = y.sig
+                    AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT
+          (${(0 until 4).map(j =>
+            s"(${(4 * j to 4 * j + 3).map(i => s"a.h$i = b.h$i")
+              .mkString(" AND ")})").mkString(" OR ")}) AS c4,
+          (${(0 until 2).map(j =>
+            s"(${(8 * j to 8 * j + 7).map(i => s"a.h$i = b.h$i")
+              .mkString(" AND ")})").mkString(" OR ")}) AS c2,
+          ((${(0 until 16).map(i =>
+            s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+            .mkString(" + ")}) >= 13) AS hi
+        FROM cand
+        JOIN sig a ON a.doc_id = cand.id_a
+        JOIN sig b ON b.doc_id = cand.id_b),
+      agg AS (
+        SELECT count(*) AS n8,
+               count(CASE WHEN c4 THEN 1 END) AS n4,
+               count(CASE WHEN c2 THEN 1 END) AS n2,
+               count(CASE WHEN hi THEN 1 END) AS h8,
+               count(CASE WHEN c4 AND hi THEN 1 END) AS h4,
+               count(CASE WHEN c2 AND hi THEN 1 END) AS h2
+        FROM scored)
+      SELECT n_bands, rows_per_band, n_cand, n_high,
+             CASE WHEN n_cand > 0 THEN
+               floor((cast(n_high as double) / cast(n_cand as double))
+                 * 1e6 + 0.5) / 1e6
+             ELSE cast(0.0 as double) END AS hi_rate
+      FROM (
+        SELECT 2 AS n_bands, 8 AS rows_per_band, n2 AS n_cand, h2 AS n_high
+        FROM agg
+        UNION ALL
+        SELECT 4, 4, n4, h4 FROM agg
+        UNION ALL
+        SELECT 8, 2, n8, h8 FROM agg) u
+      ORDER BY n_bands"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
     qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
-    qSemdedup, qAnnPq, qKmvSetops, qCosineHist)
+    qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep)
 }

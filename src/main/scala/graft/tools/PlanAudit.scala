@@ -155,6 +155,9 @@ object PlanAudit {
     // round-11 batch 8: the same 1-row weight-total/token-total broadcast
     // scoring the |sources|-row epoch plan (q_mix_weights posture)
     "q_epoch_plan",
+    // round-11 batch 11: bounded centroid-set broadcast for the IVF
+    // assignment (the q_ann_ivf posture — the QC shares the index build)
+    "q_cell_balance",
     // round-11 batch 6: 1-row OLS-fit / calendar-bounds / series-origin
     // broadcasts over the |days|-row daily aggregate (the q_coint /
     // q_cuped / q_periodogram postures)

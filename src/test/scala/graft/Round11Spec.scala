@@ -541,6 +541,44 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_cell_balance: 9 cells partition 500 vectors, HHI bounds hold") {
+    val r = rows("q_cell_balance")
+    assert(r.length == 1)
+    val x = r.head
+    val (k, n, mn, mx) =
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))
+    assert(k == 9, "vec_id % 61 == 3 seeds 9 centroids in 0..499")
+    assert(n == 500, "assignment must partition the corpus slice")
+    val (avg, imb, esf) = (x.getDouble(4), x.getDouble(5), x.getDouble(6))
+    assert(mn >= 1 && mn <= mx)
+    assert(math.abs(avg - n.toDouble / k) < 2e-6)
+    assert(math.abs(imb - mx.toDouble * k / n) < 2e-6)
+    assert(imb >= 1.0 - 1e-9, "max cell cannot be below the mean")
+    // Cauchy-Schwarz: expected scan fraction >= 1/k, <= max share
+    assert(esf >= 1.0 / k - 2e-6 && esf <= mx.toDouble / n + 2e-6)
+  }
+
+  test("q_band_sweep: candidacy nests with band width, plants all high") {
+    val r = rows("q_band_sweep").sortBy(_.getInt(0))
+    assert(r.length == 3)
+    assert(r.map(_.getInt(0)).sameElements(Array(2, 4, 8)))
+    val cand = r.map(_.getLong(2))
+    val high = r.map(_.getLong(3))
+    // a pair matching a wide band matches all its sub-bands: b=2 ⊆ b=4 ⊆ b=8
+    assert(cand(0) <= cand(1) && cand(1) <= cand(2), "nesting violated")
+    assert(high(0) <= high(1) && high(1) <= high(2))
+    // 50 planted identical clones: n_match = 16 -> candidate + high in
+    // EVERY config
+    assert(high(0) >= 50, s"plants must survive the coarsest config: ${high(0)}")
+    r.foreach { x =>
+      assert(x.getLong(3) <= x.getLong(2))
+      val rate = x.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (x.getLong(2) > 0)
+        assert(math.abs(rate - x.getLong(3).toDouble / x.getLong(2)) < 2e-6)
+    }
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
