@@ -115,7 +115,17 @@ object ExplainAll {
     // inference, spectra, graph walks
     "q_semdedup", "q_ann_pq", "q_dup_coverage", "q_dup_matrix",
     "q_g_test", "q_squared_ranks", "q_poisson_disp", "q_periodogram",
-    "q_sortino", "q_katz", "q_reciprocity", "q_holm")
+    "q_sortino", "q_katz", "q_reciprocity", "q_holm",
+    // round 11 batches 6-7: sliding-window dedup, curation dashboard,
+    // span decontam, MH pooled OR, structural break
+    "q_dedup_shift", "q_mix_report", "q_decontam_span", "q_mh_or",
+    "q_chow",
+    // round 11 batches 8-11: dedup funnel, quality terciles, budget
+    // plans, split leakage, template mining, vocab overlap, collapse
+    // QC, quantizer balance, LSH tuning sweep
+    "q_dedup_cascade", "q_ccnet_bins", "q_epoch_plan", "q_chunk_plan",
+    "q_split_leakage", "q_topic_tag", "q_pad_waste", "q_vocab_overlap",
+    "q_template_docs", "q_cosine_hist", "q_cell_balance", "q_band_sweep")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
