@@ -1798,11 +1798,60 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** EVAL-SHARD × SOURCE CONTAMINATION MATRIX — not just WHICH training
+    * docs overlap the benchmark ([[qDecontam]]) or WHERE ([[qDecontamSpan]])
+    * but FROM WHERE: the benchmark is split into 4 shards (doc_id % 4)
+    * and every (shard, source) cell reports how many training documents
+    * of that source hit that shard and with how many shared 5-grams —
+    * the report that tells a curation team which SOURCE leaked which
+    * EVAL SET (one mirrored source usually explains one contaminated
+    * shard). Same linear digest equi-join as q_decontam (32-byte keys),
+    * just with shard and source carried through; the matrix is
+    * |shards|·|sources| rows. Shifted-id copies of the bench docs keep
+    * every shard's column non-vacuous. */
+  val qContamMatrix: GQuery = GQuery(
+    "q_contam_matrix",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.NgramDigests.register(spark)
+      val g = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", split($"text", " ").as("l"))
+        .select($"source", $"doc_id",
+          explode(expr("ngram_digests(l, 5)")).as("g"))
+      val bench = g.filter($"doc_id" < 20)
+        .select(($"doc_id" % 4).cast("int").as("shard"), $"g").distinct()
+      val cand = g.filter($"doc_id" >= 20)
+        .unionByName(g.filter($"doc_id" < 20)
+          .select($"source", ($"doc_id" + 1000000L).as("doc_id"), $"g"))
+      cand.join(bench, "g")
+        .groupBy($"shard", $"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_grams"))
+        .orderBy($"shard", $"source")
+    },
+    Some(s"""
+      WITH grams AS (
+        -- DISTINCT matches the fused ngram_digests kernel's per-row dedup
+        SELECT DISTINCT d.source, g.doc_id, md5(g.g) AS g
+        FROM (${gramsSql(5)}) g JOIN documents d ON g.doc_id = d.doc_id),
+      bench AS (SELECT DISTINCT cast(doc_id % 4 as int) AS shard, g
+                FROM grams WHERE doc_id < 20),
+      cand AS (
+        SELECT source, doc_id, g FROM grams WHERE doc_id >= 20
+        UNION ALL
+        SELECT source, doc_id + 1000000, g FROM grams WHERE doc_id < 20)
+      SELECT shard, source, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_grams
+      FROM cand JOIN bench USING (g)
+      GROUP BY shard, source
+      ORDER BY shard, source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
-      qSplitLeakage, qTopicTag, qPadWaste)
+      qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix)
 }

@@ -444,7 +444,47 @@ object QualityOps {
       FROM g ORDER BY source"""),
   )
 
+  /** PER-SOURCE LANGUAGE MIS-TAG TRIAGE — the curation screen that ranks
+    * sources by how often the n-gram language identifier
+    * ([[LlmOps.qLangId]]'s exact scorer) disagrees with the shipped
+    * `lang` tag: a source with a high mismatch rate has a broken
+    * upstream tagger (or isn't text at all) and gets audited before the
+    * per-language mixture weights trust its labels. Unknowns (no marker
+    * hits) are reported separately — short docs are not evidence of
+    * mis-tagging. One doc_id equi-join to recover the source, then a
+    * combinable groupBy to the |sources|-row report. */
+  val qLangMismatch: GQuery = GQuery(
+    "q_lang_mismatch",
+    (spark, dir) => {
+      import spark.implicits._
+      val pred = LlmOps.qLangId.run(spark, dir)
+        .select($"doc_id", $"lang", $"lang_pred")
+      val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+      pred.join(src, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"lang_pred" === "unknown", lit(1))).as("n_unknown"),
+          count(when($"lang_pred" =!= "unknown" &&
+            $"lang_pred" =!= $"lang", lit(1))).as("n_mismatch"))
+        .withColumn("mismatch_rate",
+          r6($"n_mismatch".cast("double") / $"n_docs".cast("double")))
+        .orderBy($"source")
+    },
+    LlmOps.qLangId.oracle.map(inner => s"""
+      SELECT d.source, count(*) AS n_docs,
+             count(CASE WHEN lang_pred = 'unknown' THEN 1 END) AS n_unknown,
+             count(CASE WHEN lang_pred <> 'unknown'
+                         AND lang_pred <> p.lang THEN 1 END) AS n_mismatch,
+             ${r6Sql("cast(count(CASE WHEN lang_pred <> 'unknown' " +
+               "AND lang_pred <> p.lang THEN 1 END) as double) / " +
+               "cast(count(*) as double)")} AS mismatch_rate
+      FROM ($inner) p
+      JOIN documents d ON p.doc_id = d.doc_id
+      GROUP BY d.source
+      ORDER BY d.source"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qNgramNovelty, qReadability, qTailIndex, qLangConfusion, qHhi,
-    qQuantileMap, qHeaps, qPrf, qHapax)
+    qQuantileMap, qHeaps, qPrf, qHapax, qLangMismatch)
 }

@@ -125,7 +125,10 @@ object ExplainAll {
     // QC, quantizer balance, LSH tuning sweep
     "q_dedup_cascade", "q_ccnet_bins", "q_epoch_plan", "q_chunk_plan",
     "q_split_leakage", "q_topic_tag", "q_pad_waste", "q_vocab_overlap",
-    "q_template_docs", "q_cosine_hist", "q_cell_balance", "q_band_sweep")
+    "q_template_docs", "q_cosine_hist", "q_cell_balance", "q_band_sweep",
+    // round 11 batch 12: language mis-tag triage, eval-shard x source
+    // contamination matrix
+    "q_lang_mismatch", "q_contam_matrix")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

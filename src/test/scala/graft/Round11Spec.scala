@@ -579,6 +579,32 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_lang_mismatch: counts bounded, rates exact, corpus covered") {
+    val r = rows("q_lang_mismatch")
+    assert(r.length == 20, "one row per source")
+    assert(r.map(_.getLong(1)).sum == 500L)
+    r.foreach { x =>
+      val (n, unk, mis, rate) =
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))
+      assert(unk + mis <= n, "unknown and mismatch are disjoint")
+      assert(math.abs(rate - mis.toDouble / n) < 2e-6)
+    }
+  }
+
+  test("q_contam_matrix: all 4 shards hit, gram counts dominate docs") {
+    val r = rows("q_contam_matrix")
+    assert(r.map(_.getInt(0)).distinct.sorted.sameElements(Array(0, 1, 2, 3)),
+      "planted bench copies must light up every shard")
+    // each of the 20 planted full copies contaminates at least its own
+    // shard, so the matrix covers >= 20 doc hits in total
+    assert(r.map(_.getLong(2)).sum >= 20)
+    r.foreach { x =>
+      assert(x.getLong(2) >= 1)
+      assert(x.getLong(3) >= x.getLong(2),
+        "every contaminated doc shares at least one gram")
+    }
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)

@@ -584,4 +584,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(math.abs(an.head.zscore - want) < 1e-9,
       s"stream z=${an.head.zscore} batch z=$want")
   }
+
+  test("streamed exact-dedup gate reproduces the batch keep-first set") {
+    // q_dedup_cascade's stage-1 twin: dropDuplicates on the text digest
+    // across micro-batches. With arrival in doc_id order, streaming
+    // first-seen == batch min(doc_id)-per-digest, so the kept sets must
+    // match EXACTLY — the ingest-time dedup contract a corpus build
+    // relies on when it dedups on arrival instead of in a batch pass.
+    implicit val sq = spark.sqlContext
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val clones = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val keyed = docs.unionByName(clones)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batchKeep = keyed.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDF().toDF("doc_id", "th").dropDuplicates("th")
+    val q = deduped.writeStream.format("memory")
+      .queryName("exactgate" + System.nanoTime()).outputMode("append").start()
+    keyed.grouped(20).foreach { batch =>
+      mem.addData(batch.toSeq)
+      q.processAllAvailable() // force the micro-batch boundary
+    }
+    val name = q.name
+    q.stop()
+    val streamKeep = spark.table(name).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(streamKeep == batchKeep,
+      s"stream kept ${streamKeep.size}, batch kept ${batchKeep.size}; " +
+        s"diff=${(streamKeep diff batchKeep) ++ (batchKeep diff streamKeep)}")
+    // the 15 planted clones must all have been dropped by the gate
+    assert(streamKeep.forall(_ < 5000L), "a clone slipped through the gate")
+  }
 }
