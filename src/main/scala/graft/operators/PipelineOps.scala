@@ -1847,11 +1847,71 @@ object PipelineOps {
       ORDER BY shard, source"""),
   )
 
+  /** QUOTA SAMPLING (language rebalance to TARGETS) — unlike
+    * [[graft.operators.LlmOps.qSampleStrat]]'s fixed keep rates, the
+    * rates here are COMPUTED from a target mix: every language is
+    * budgeted 15% of the corpus (targets: uniform-ish rebalance of a
+    * skewed-lang corpus), the keep rate is the integer percentage
+    * least(100, 100·target div n_lang), and the kept set is the
+    * deterministic md5 bucket — so the plan is reproducible and
+    * partitioning-independent end to end. Reports target, rate, and the
+    * ACHIEVED count per language (the verify column a rebalance run
+    * publishes — bucket granularity means achieved ≈ target, not =).
+    * Scale: one combinable lang count, a broadcast 1-row total and a
+    * broadcast |langs|-row rate table; the keep decision is a per-row
+    * expression. */
+  val qSampleTopup: GQuery = GQuery(
+    "q_sample_topup",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang")
+      val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum($"n_docs").as("n"))
+      val rates = byLang.crossJoin(broadcast(tot))
+        .withColumn("target_n", expr("(n * 15) div 100"))
+        .withColumn("rate_pct",
+          least(lit(100L), expr("(target_n * 100) div n_docs")))
+        .select($"lang", $"n_docs", $"target_n", $"rate_pct")
+      val bucket =
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100
+      val kept = docs.join(broadcast(rates), Seq("lang"))
+        .filter(bucket < $"rate_pct")
+        .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left_outer")
+        .select($"lang", $"n_docs", $"target_n", $"rate_pct",
+          coalesce($"n_kept", lit(0L)).as("n_kept"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH bylang AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      tot AS (SELECT sum(n_docs) AS n FROM bylang),
+      rates AS (
+        SELECT lang, n_docs,
+               (n * 15) // 100 AS target_n,
+               least(100, (((n * 15) // 100) * 100) // n_docs) AS rate_pct
+        FROM bylang CROSS JOIN tot),
+      kept AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))
+                ::BIGINT % 100 < r.rate_pct
+        GROUP BY d.lang)
+      SELECT r.lang, cast(n_docs as bigint) AS n_docs,
+             cast(target_n as bigint) AS target_n,
+             cast(rate_pct as bigint) AS rate_pct,
+             cast(coalesce(n_kept, 0) as bigint) AS n_kept
+      FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+      ORDER BY r.lang"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
-      qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix)
+      qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup)
 }

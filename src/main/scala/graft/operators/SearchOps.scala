@@ -244,5 +244,92 @@ object SearchOps {
       FROM ap2 ORDER BY q_tok"""),
   )
 
-  val all: Seq[GQuery] = Seq(qPhraseSearch, qKlDrift, qMapAtK)
+  /** CRAWL-OVER-CRAWL JS DIVERGENCE — symmetric unigram-distribution
+    * drift between two corpus snapshots (halves by doc_id parity as the
+    * old/new proxy): JS = ½KL(p‖m) + ½KL(q‖m) with m = (p+q)/2, the
+    * drift score a recurring ingest publishes to decide whether mixture
+    * weights need refitting. Unlike [[qKlDrift]] (one-sided, subset
+    * vocabulary), JS needs NO smoothing: m > 0 wherever either side has
+    * mass, and one-sided tokens contribute exactly p·ln2. Both sides'
+    * counts come from ONE tokenize+groupBy pass pivoted by half; the
+    * two 1-row totals broadcast; every p·ln(p/m) term is IEEE-rounded
+    * at 6 dp before the exact decimal sum (the q_entropy ln contract).
+    * Scale: one combinable (half, token) count, one token-keyed
+    * aggregate — linear, and the vocab table is the shuffle, not the
+    * corpus. */
+  val qJsDrift: GQuery = GQuery(
+    "q_js_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select(($"doc_id" % 2).cast("int").as("half"),
+          explode(split($"text", " ")).as("tok"))
+      val cnt = tok.groupBy($"tok").agg(
+        count(when($"half" === 0, lit(1))).as("ca"),
+        count(when($"half" === 1, lit(1))).as("cb"))
+      val tot = cnt.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val terms = cnt.crossJoin(broadcast(tot))
+        .withColumn("p", $"ca".cast("double") / $"na".cast("double"))
+        .withColumn("q", $"cb".cast("double") / $"nb".cast("double"))
+        .withColumn("m", ($"p" + $"q") / lit(2.0))
+        .select(
+          when($"ca" > 0, rN($"p" * log($"p" / $"m"), 6))
+            .otherwise(lit(0.0)).as("ta"),
+          when($"cb" > 0, rN($"q" * log($"q" / $"m"), 6))
+            .otherwise(lit(0.0)).as("tb"),
+          $"ca", $"cb")
+      terms.agg(
+          sum(when($"ca" > 0, 1L).otherwise(0L)).as("vocab_a"),
+          sum(when($"cb" > 0, 1L).otherwise(0L)).as("vocab_b"),
+          sum(when($"ca" > 0 && $"cb" > 0, 1L).otherwise(0L))
+            .as("vocab_shared"),
+          dsum($"ta", 6).as("kl_a"),
+          dsum($"tb", 6).as("kl_b"))
+        .select($"vocab_a", $"vocab_b", $"vocab_shared",
+          rN(($"kl_a" + $"kl_b") / lit(2.0), 6).as("js_nats"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT cast(doc_id % 2 as int) AS half,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      cnt AS (
+        SELECT tok,
+               count(CASE WHEN half = 0 THEN 1 END) AS ca,
+               count(CASE WHEN half = 1 THEN 1 END) AS cb
+        FROM tok GROUP BY tok),
+      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt),
+      terms AS (
+        SELECT ca, cb,
+               CASE WHEN ca > 0 THEN ${rNSql(
+                 "(cast(ca as double) / cast(na as double)) * " +
+                 "ln((cast(ca as double) / cast(na as double)) / " +
+                 "(((cast(ca as double) / cast(na as double)) + " +
+                 "(cast(cb as double) / cast(nb as double))) / " +
+                 "cast(2.0 as double)))", 6)}
+                    ELSE cast(0.0 as double) END AS ta,
+               CASE WHEN cb > 0 THEN ${rNSql(
+                 "(cast(cb as double) / cast(nb as double)) * " +
+                 "ln((cast(cb as double) / cast(nb as double)) / " +
+                 "(((cast(ca as double) / cast(na as double)) + " +
+                 "(cast(cb as double) / cast(nb as double))) / " +
+                 "cast(2.0 as double)))", 6)}
+                    ELSE cast(0.0 as double) END AS tb
+        FROM cnt CROSS JOIN tot),
+      agg AS (
+        SELECT cast(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) as bigint)
+                 AS vocab_a,
+               cast(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) as bigint)
+                 AS vocab_b,
+               cast(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                 as bigint) AS vocab_shared,
+               ${dsumSql("ta", 6)} AS kl_a,
+               ${dsumSql("tb", 6)} AS kl_b
+        FROM terms)
+      SELECT vocab_a, vocab_b, vocab_shared,
+             ${rNSql("(kl_a + kl_b) / cast(2.0 as double)", 6)} AS js_nats
+      FROM agg"""),
+  )
+
+  val all: Seq[GQuery] = Seq(qPhraseSearch, qKlDrift, qMapAtK, qJsDrift)
 }

@@ -128,7 +128,9 @@ object ExplainAll {
     "q_template_docs", "q_cosine_hist", "q_cell_balance", "q_band_sweep",
     // round 11 batch 12: language mis-tag triage, eval-shard x source
     // contamination matrix
-    "q_lang_mismatch", "q_contam_matrix")
+    "q_lang_mismatch", "q_contam_matrix",
+    // round 11 batch 13: crawl-over-crawl JS drift, quota sampling
+    "q_js_drift", "q_sample_topup")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

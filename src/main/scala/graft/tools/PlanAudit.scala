@@ -158,6 +158,10 @@ object PlanAudit {
     // round-11 batch 11: bounded centroid-set broadcast for the IVF
     // assignment (the q_ann_ivf posture — the QC shares the index build)
     "q_cell_balance",
+    // round-11 batch 13: 1-row token-total / doc-total broadcasts scoring
+    // the vocab table (JS drift) and the |langs|-row rate table (quota
+    // sampling) — the q_mix_weights posture
+    "q_js_drift", "q_sample_topup",
     // round-11 batch 6: 1-row OLS-fit / calendar-bounds / series-origin
     // broadcasts over the |days|-row daily aggregate (the q_coint /
     // q_cuped / q_periodogram postures)

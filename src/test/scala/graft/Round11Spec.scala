@@ -605,6 +605,39 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q_js_drift: JS bounded by ln 2, vocab accounting consistent") {
+    val r = rows("q_js_drift")
+    assert(r.length == 1)
+    val x = r.head
+    val (va, vb, vs, js) =
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))
+    assert(va > 0 && vb > 0)
+    assert(vs <= math.min(va, vb), "shared vocab bounded by either side")
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-6,
+      s"JS divergence $js outside [0, ln 2]")
+    // same-generator halves cannot be maximally divergent
+    assert(js < 0.5, s"JS $js suspiciously high for homogeneous halves")
+  }
+
+  test("q_sample_topup: rate identities, capped langs keep everything") {
+    val r = rows("q_sample_topup")
+    assert(r.length == 5, "one row per language")
+    val total = r.map(_.getLong(1)).sum
+    assert(total == 500L)
+    r.foreach { x =>
+      val (n, tgt, rate, kept) =
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(tgt == total * 15 / 100, "uniform 15% target")
+      assert(rate == math.min(100L, tgt * 100 / n), "rate identity")
+      assert(kept <= n)
+      if (rate == 100L) assert(kept == n, "uncapped lang must keep all")
+      else assert(kept < n, "downsampled lang cannot keep everything")
+    }
+    // the dominant language must actually be downsampled at sf0.001
+    val en = r.find(_.getString(0) == "en").get
+    assert(en.getLong(3) < 100L, "en (193 of 500) must get a sub-100 rate")
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
