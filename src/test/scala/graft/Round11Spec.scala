@@ -638,6 +638,20 @@ class Round11Spec extends AnyFunSuite {
     assert(en.getLong(3) < 100L, "en (193 of 500) must get a sub-100 rate")
   }
 
+  test("chunk/pad/epoch plans agree on per-source token mass and weights") {
+    // three independent plan queries derive n_tokens from the same one
+    // tokenize pass — any drift means a tokenization contract broke
+    val chunk = rows("q_chunk_plan").map(x => x.getString(0) -> x.getLong(2)).toMap
+    val pad = rows("q_pad_waste").map(x => x.getString(0) -> x.getLong(2)).toMap
+    val epoch = rows("q_epoch_plan").map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(chunk == pad, "chunk vs pad token mass drift")
+    assert(chunk == epoch, "chunk vs epoch token mass drift")
+    // epoch plan's mixture weights must equal q_mix_weights' exactly
+    val w1 = rows("q_epoch_plan").map(x => x.getString(0) -> x.getDouble(2)).toMap
+    val w2 = rows("q_mix_weights").map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(w1 == w2, "epoch plan weights diverged from q_mix_weights")
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
