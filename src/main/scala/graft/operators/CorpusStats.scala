@@ -1434,9 +1434,146 @@ object CorpusStats {
       ORDER BY n_docs DESC, exemplar"""),
   )
 
+  /** HAPAX-CARRIER TRIAGE — per source, the documents carrying
+    * corpus-hapax tokens (df = 1): the OOV-risk screen that finds the
+    * feeds injecting one-off garbage tokens (mangled encodings, serial
+    * numbers, OCR junk) that bloat a tokenizer's byte-fallback rate.
+    * Complements [[graft.operators.QualityOps]]'s q_hapax (corpus-level
+    * hapax share) with the DOC-level accounting a cleanup pass acts on.
+    * Fully linear: one distinct-token-per-doc explode → df groupBy →
+    * df=1 posting join back to (source, doc) — no pairs anywhere. The
+    * synthetic corpus's closed vocabulary has NO organic hapaxes, so 10
+    * serial-number-style docs are planted (doc_id+750000, one unique
+    * zqx_N token appended) — the gate can never pass vacuously. */
+  val qRareTokenDocs: GQuery = GQuery(
+    "q_rare_token_docs",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val docs = base.unionByName(base.filter($"doc_id" < 10)
+        .select($"source", ($"doc_id" + 750000L).as("doc_id"),
+          concat($"text", lit(" zqx_"), $"doc_id".cast("string"))
+            .as("text")))
+      val tok = docs
+        .select($"source", $"doc_id",
+          explode(array_distinct(split($"text", " "))).as("tok"))
+      val hapax = tok.groupBy($"tok")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df" === 1)
+        .select($"tok")
+      val carriers = tok.join(hapax, Seq("tok"), "left_semi")
+        .groupBy($"source", $"doc_id")
+        .agg(count(lit(1)).as("n_hapax"))
+      val counts = docs
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      counts.join(
+          carriers.groupBy($"source")
+            .agg(count(lit(1)).as("n_carriers"),
+              sum($"n_hapax").as("n_hapax_tokens")),
+          Seq("source"), "left_outer")
+        .select($"source", $"n_docs",
+          coalesce($"n_carriers", lit(0L)).as("n_carriers"),
+          coalesce($"n_hapax_tokens", lit(0L)).as("n_hapax_tokens"),
+          r6(coalesce($"n_carriers", lit(0L)).cast("double") /
+            $"n_docs".cast("double")).as("carrier_rate"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT source, doc_id + 750000, text || ' zqx_' || doc_id
+        FROM documents WHERE doc_id < 10),
+      tok AS (
+        SELECT source, doc_id, unnest(list_distinct(string_split(text, ' ')))
+          AS tok
+        FROM docs),
+      hapax AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) = 1),
+      carriers AS (
+        SELECT source, doc_id, count(*) AS n_hapax
+        FROM tok WHERE tok IN (SELECT tok FROM hapax)
+        GROUP BY source, doc_id),
+      bysrc AS (
+        SELECT source, count(*) AS n_carriers,
+               sum(n_hapax) AS n_hapax_tokens
+        FROM carriers GROUP BY source),
+      counts AS (SELECT source, count(*) AS n_docs
+                 FROM docs GROUP BY source)
+      SELECT c.source, n_docs,
+             cast(coalesce(n_carriers, 0) as bigint) AS n_carriers,
+             cast(coalesce(n_hapax_tokens, 0) as bigint) AS n_hapax_tokens,
+             ${r6Sql("cast(coalesce(n_carriers, 0) as double) / " +
+               "cast(n_docs as double)")} AS carrier_rate
+      FROM counts c LEFT JOIN bysrc b ON c.source = b.source
+      ORDER BY c.source"""),
+  )
+
+  /** LENGTH-DISTRIBUTION PSI between two corpus snapshots (doc_id-parity
+    * halves): the STRUCTURAL drift companion to q_js_drift's lexical
+    * drift — a crawl whose documents suddenly shorten drifts here first.
+    * Lengths go into fixed-width integer buckets (50-token wide, capped
+    * at bucket 9 — exact `div`, no data-dependent decile edges to
+    * disagree on), Laplace-smoothed shares (c+1)/(n+10) keep every
+    * log defined, and each (pA−pB)·ln(pA/pB) term is 6dp-rounded then
+    * decimal-summed. One linear pass → 10-row bucket table. */
+  val qLenDrift: GQuery = GQuery(
+    "q_len_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = Tables.documents(spark, dir)
+        .select(($"doc_id" % 2).cast("int").as("half"),
+          least(lit(9L), expr(
+            "cast(size(split(text, ' ')) as bigint) div 50")).as("bucket"))
+      val cnt = b.groupBy($"bucket").agg(
+        count(when($"half" === 0, lit(1))).as("ca"),
+        count(when($"half" === 1, lit(1))).as("cb"))
+      val tot = cnt.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val terms = cnt.crossJoin(broadcast(tot))
+        .withColumn("pa",
+          ($"ca" + lit(1L)).cast("double") / ($"na" + lit(10L)).cast("double"))
+        .withColumn("pb",
+          ($"cb" + lit(1L)).cast("double") / ($"nb" + lit(10L)).cast("double"))
+        .select($"bucket", $"ca", $"cb",
+          rN(($"pa" - $"pb") * log($"pa" / $"pb"), 6).as("term"))
+      terms.agg(
+          count(lit(1)).as("n_buckets"),
+          sum($"ca").as("n_a"),
+          sum($"cb").as("n_b"),
+          dsum($"term", 6).as("psi"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT cast(doc_id % 2 as int) AS half,
+               least(9, cast(len(string_split(text, ' ')) as bigint) // 50)
+                 AS bucket
+        FROM documents),
+      cnt AS (
+        SELECT bucket,
+               count(CASE WHEN half = 0 THEN 1 END) AS ca,
+               count(CASE WHEN half = 1 THEN 1 END) AS cb
+        FROM b GROUP BY bucket),
+      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt),
+      terms AS (
+        SELECT bucket, ca, cb,
+               ${rNSql(
+                 "((cast(ca + 1 as double) / cast(na + 10 as double)) - " +
+                 "(cast(cb + 1 as double) / cast(nb + 10 as double))) * " +
+                 "ln((cast(ca + 1 as double) / cast(na + 10 as double)) / " +
+                 "(cast(cb + 1 as double) / cast(nb + 10 as double)))", 6)}
+                 AS term
+        FROM cnt CROSS JOIN tot)
+      SELECT count(*) AS n_buckets,
+             cast(sum(ca) as bigint) AS n_a,
+             cast(sum(cb) as bigint) AS n_b,
+             ${dsumSql("term", 6)} AS psi
+      FROM terms"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qEntropy, qPmi, qEmbedCentroid, qDedupCluster, qChi2, qNeardupBanded,
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
       qJaccardPrefix, qErMatch, qCollocation, qCondEntropy, qSparseCosineTopk,
-      qDupCoverage, qDupMatrix, qVocabOverlap, qTemplateDocs)
+      qDupCoverage, qDupMatrix, qVocabOverlap, qTemplateDocs, qRareTokenDocs,
+      qLenDrift)
 }

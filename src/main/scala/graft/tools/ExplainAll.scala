@@ -130,7 +130,9 @@ object ExplainAll {
     // contamination matrix
     "q_lang_mismatch", "q_contam_matrix",
     // round 11 batch 13: crawl-over-crawl JS drift, quota sampling
-    "q_js_drift", "q_sample_topup")
+    "q_js_drift", "q_sample_topup",
+    // round 11 batch 14: hapax-carrier triage, length-distribution PSI
+    "q_rare_token_docs", "q_len_drift")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

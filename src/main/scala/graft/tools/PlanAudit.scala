@@ -162,6 +162,9 @@ object PlanAudit {
     // the vocab table (JS drift) and the |langs|-row rate table (quota
     // sampling) — the q_mix_weights posture
     "q_js_drift", "q_sample_topup",
+    // round-11 batch 14: the same 1-row bucket-total broadcast over the
+    // 10-row length-bucket table
+    "q_len_drift",
     // round-11 batch 6: 1-row OLS-fit / calendar-bounds / series-origin
     // broadcasts over the |days|-row daily aggregate (the q_coint /
     // q_cuped / q_periodogram postures)

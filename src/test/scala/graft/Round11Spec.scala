@@ -652,6 +652,35 @@ class Round11Spec extends AnyFunSuite {
     assert(w1 == w2, "epoch plan weights diverged from q_mix_weights")
   }
 
+  test("q_rare_token_docs: 10 planted hapax carriers, identities hold") {
+    val r = rows("q_rare_token_docs")
+    assert(r.length == 20, "one row per source")
+    assert(r.map(_.getLong(1)).sum == 510L, "500 docs + 10 plants")
+    // the closed synthetic vocabulary has no organic hapaxes, so the
+    // carriers are EXACTLY the 10 planted zqx_N docs, one hapax each
+    assert(r.map(_.getLong(2)).sum == 10L, "planted carriers only")
+    assert(r.map(_.getLong(3)).sum == 10L, "one hapax per plant")
+    r.foreach { x =>
+      val (n, c, h, rate) =
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))
+      assert(c <= n && h >= c)
+      assert(math.abs(rate - c.toDouble / n) < 2e-6)
+    }
+  }
+
+  test("q_len_drift: PSI nonnegative and small for homogeneous halves") {
+    val r = rows("q_len_drift")
+    assert(r.length == 1)
+    val x = r.head
+    val (nb, na2, nb2, psi) =
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))
+    assert(nb >= 1 && nb <= 10, "at most 10 fixed-width buckets")
+    assert(na2 + nb2 == 500L, "halves partition the corpus")
+    // every (p-q)*ln(p/q) term is nonnegative
+    assert(psi >= -1e-9, s"PSI $psi negative")
+    assert(psi < 0.25, s"PSI $psi too large for same-generator halves")
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
