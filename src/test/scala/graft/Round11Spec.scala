@@ -681,6 +681,19 @@ class Round11Spec extends AnyFunSuite {
     assert(psi < 0.25, s"PSI $psi too large for same-generator halves")
   }
 
+  test("q_contam_matrix sandwiched by q_decontam's doc count") {
+    // every doc q_decontam flags hits at least one of the 4 shards, and
+    // can hit at most all 4 — so the matrix's doc-count mass is bounded
+    // both ways by the flat decontam row count (both use the same 5-gram
+    // digests and the same planted copies)
+    val decontam = rows("q_decontam").length.toLong
+    val matrixMass = rows("q_contam_matrix").map(_.getLong(2)).sum
+    assert(matrixMass >= decontam,
+      s"matrix mass $matrixMass below decontam count $decontam")
+    assert(matrixMass <= 4 * decontam,
+      s"matrix mass $matrixMass exceeds 4x decontam count $decontam")
+  }
+
   test("q_spectral_entropy consistent with q_periodogram") {
     val se = rows("q_spectral_entropy").head
     assert(se.getInt(0) == 13)
