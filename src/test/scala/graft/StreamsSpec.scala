@@ -618,4 +618,44 @@ class StreamsSpec extends AnyFunSuite {
     // the 15 planted clones must all have been dropped by the gate
     assert(streamKeep.forall(_ < 5000L), "a clone slipped through the gate")
   }
+
+  test("streamed quota-sampling gate reproduces the batch kept counts") {
+    // q_sample_topup's ingest twin: the batch-derived (lang, rate_pct)
+    // table is the stream's static dim; each arriving doc keeps iff its
+    // md5 bucket clears the rate — STATELESS, so the streamed kept set
+    // is batch-identical no matter how the arrivals are micro-batched.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_sample_topup")(spark, dir)
+      .select(col("lang"), col("rate_pct"), col("n_kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rates = batch.toSeq.map { case (l, (r, _)) => (l, r) }
+      .toDF("lang", "rate_pct")
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val kept = mem.toDF().toDF("doc_id", "lang")
+      .join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("rate_pct"))
+    val q = kept.writeStream.format("memory")
+      .queryName("quotagate" + System.nanoTime()).outputMode("append").start()
+    docs.grouped(200).foreach { b =>
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    val name = q.name
+    q.stop()
+    val got = spark.table(name).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    batch.foreach { case (lang, (_, nKept)) =>
+      assert(got.getOrElse(lang, 0L) == nKept,
+        s"$lang: stream kept ${got.getOrElse(lang, 0L)}, batch kept $nKept")
+    }
+  }
 }
