@@ -118,7 +118,9 @@ object Ann {
     // across partitionings, and needs NO prior count() pass over the
     // corpus (a full extra scan at 100 TB just to size the sample).
     val fitTarget = math.max(100 * nCells, 10000)
-    val fitSet = c.orderBy(xxhash64(col("c_id"))).limit(fitTarget)
+    // c_id tiebreak makes the limit boundary total-ordered even if two
+    // ids collide on xxhash64 — determinism must not depend on layout.
+    val fitSet = c.orderBy(xxhash64(col("c_id")), col("c_id")).limit(fitTarget)
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
     val model = km.fit(fitSet)

@@ -1315,18 +1315,23 @@ object CorpusStats {
       ORDER BY source_a, source_b"""),
   )
 
-  /** CROSS-SOURCE VOCABULARY OVERLAP — Jaccard similarity of the top-50
-    * term vocabularies between every source pair: the corpus-diff signal
-    * that groups near-mirror sources before spending near-dup budget on
-    * them (and flags a source whose vocabulary matches nothing — likely
-    * mis-tagged or non-text). Ranking is count-desc with a term tiebreak
-    * (exact integers + ASCII string order, total in both engines). Scale
-    * shape: one explode → combinable (source, term) count → per-source
-    * top-50 window over a |sources|·|vocab|-bounded aggregate — the pair
-    * table then comes from a TERM equi-join on the 50·|sources|-row top
-    * list with src_a < src_b as an early conjunct: no source×source
-    * cartesian anywhere, and the quadratic object is |sources|², which
-    * is the report's own output size. */
+  /** CROSS-SOURCE VOCABULARY OVERLAP — TRUE Jaccard similarity of the
+    * top-50 term vocabularies between every source pair: the corpus-diff
+    * signal that groups near-mirror sources before spending near-dup
+    * budget on them (and flags a source whose vocabulary matches nothing
+    * — likely mis-tagged or non-text). Ranking is count-desc with a term
+    * tiebreak (exact integers + ASCII string order, total in both
+    * engines). Each source's ACTUAL top-list size rides along (a source
+    * with < 50 distinct terms — common under a closed vocabulary — has a
+    * smaller union), so jaccard = n_common / (sz_a + sz_b - n_common) is
+    * the real set Jaccard, not a fixed-denominator score. Scale shape:
+    * one explode → combinable (source, term) count → per-source top-50
+    * window over a |sources|·|vocab|-bounded aggregate — the pair table
+    * then comes from a TERM equi-join on the ≤50·|sources|-row top list
+    * with src_a < src_b as an early conjunct, and the per-source sizes
+    * are a |sources|-row broadcast: no source×source cartesian anywhere,
+    * and the quadratic object is |sources|², which is the report's own
+    * output size. */
   val qVocabOverlap: GQuery = GQuery(
     "q_vocab_overlap",
     (spark, dir) => {
@@ -1341,14 +1346,19 @@ object CorpusStats {
           Window.partitionBy($"source").orderBy($"c".desc, $"term")))
         .filter($"r" <= 50)
         .select($"source", $"term")
+      val sz = top.groupBy($"source").agg(count(lit(1)).as("sz"))
       val a = top.select($"source".as("src_a"), $"term")
-      val b = top.select($"source".as("src_b"), $"term")
-      a.join(b, a("term") === b("term") && $"src_a" < $"src_b")
+      val b = top.select($"source".as("src_b"), $"term".as("term_b"))
+      a.join(b, $"term" === $"term_b" && $"src_a" < $"src_b")
         .groupBy($"src_a", $"src_b")
         .agg(count(lit(1)).as("n_common"))
-        .withColumn("jaccard",
+        .join(broadcast(sz.select($"source".as("src_a"), $"sz".as("sz_a"))),
+          "src_a")
+        .join(broadcast(sz.select($"source".as("src_b"), $"sz".as("sz_b"))),
+          "src_b")
+        .select($"src_a", $"src_b", $"n_common", $"sz_a", $"sz_b",
           r6($"n_common".cast("double") /
-            (lit(100.0) - $"n_common".cast("double"))))
+            ($"sz_a" + $"sz_b" - $"n_common").cast("double")).as("jaccard"))
         .orderBy($"src_a", $"src_b")
     },
     Some(s"""
@@ -1361,15 +1371,22 @@ object CorpusStats {
                     row_number() OVER (PARTITION BY source
                       ORDER BY c DESC, term) AS r
              FROM cnt),
-      top AS (SELECT source, term FROM rk WHERE r <= 50)
-      SELECT a.source AS src_a, b.source AS src_b,
-             count(*) AS n_common,
-             ${r6Sql("cast(count(*) as double) / " +
-               "(cast(100.0 as double) - cast(count(*) as double))")}
-               AS jaccard
-      FROM top a JOIN top b
-        ON a.term = b.term AND a.source < b.source
-      GROUP BY a.source, b.source
+      top AS (SELECT source, term FROM rk WHERE r <= 50),
+      sz AS (SELECT source, cast(count(*) as bigint) AS sz
+             FROM top GROUP BY source),
+      common AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               cast(count(*) as bigint) AS n_common
+        FROM top a JOIN top b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT c.src_a, c.src_b, c.n_common,
+             za.sz AS sz_a, zb.sz AS sz_b,
+             ${r6Sql("cast(c.n_common as double) / " +
+               "cast(za.sz + zb.sz - c.n_common as double)")} AS jaccard
+      FROM common c
+      JOIN sz za ON za.source = c.src_a
+      JOIN sz zb ON zb.source = c.src_b
       ORDER BY src_a, src_b"""),
   )
 

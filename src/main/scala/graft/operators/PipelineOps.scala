@@ -979,8 +979,7 @@ object PipelineOps {
           size($"l").as("nw"),
           (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
             .cast("double") / size($"l").cast("double")).as("mwl"),
-          ((length($"text") -
-            length(regexp_replace($"text", "[A-Za-z0-9 ]", ""))).cast("double") /
+          (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") /
             length($"text")).as("sym"),
           (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
             size($"l").cast("double")).as("alpha"),
@@ -1018,7 +1017,7 @@ object PipelineOps {
           cast(len(l) as int) AS nw,
           cast(list_sum(list_transform(l, t -> length(t))) as double)
             / cast(len(l) as double) AS mwl,
-          cast(length(text) - length(regexp_replace(text,
+          cast(length(regexp_replace(text,
             '[A-Za-z0-9 ]', '', 'g')) as double)
             / cast(length(text) as double) AS sym,
           cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))

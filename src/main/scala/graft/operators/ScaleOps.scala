@@ -44,6 +44,29 @@ object ScaleOps {
 
   private val D = 64 // embeddings dimension (TESTDATA.md)
 
+  /** Fixed-COUNT coarse-quantizer sample size. The centroid set is the
+    * nCentroids corpus rows with the smallest (md5-id-hash, id) — a
+    * bottom-K by a data-independent hash (TakeOrderedAndProject:
+    * per-partition top-K, tiny driver merge), so the broadcast stays
+    * CONSTANT-size no matter the corpus size and the "centroids
+    * broadcast, one codegen'd assignment pass at 100 TB" posture is
+    * true in-plan. A fixed-RATE mod-sample (the pre-round-12 form)
+    * would grow the broadcast ~n/61 and the argmax work ~n²/61 on an
+    * unbounded corpus. 9 keeps the historical cell count. */
+  private val nCentroids = 9
+
+  /** Fixed-count PQ codebook size per subspace (same bottom-K idiom). */
+  private val nCodewords = 10
+
+  /** Portable 32-bit id hash (CLAUDE.md idiom: first 8 md5 hex chars as
+    * a bigint — identical in both engines); the sampling key for the
+    * fixed-count quantizer/codebook draws. */
+  private def idHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  private def idHashSql(c: String): String =
+    s"cast(('0x' || substr(md5(cast($c as varchar)), 1, 8)) as bigint)"
+
   /** DuckDB left-associative dot-product chain over two list columns —
     * bit-identical to graft.functions.DotProduct's sequential fold. */
   private def chainSql(a: String, b: String): String =
@@ -346,8 +369,9 @@ object ScaleOps {
   )
 
   /** IVF approximate nearest neighbor, fully oracle-checked: the coarse
-    * quantizer is a DETERMINISTIC hash-sample of the corpus itself
-    * (vec_id % 61 = 3 → ~1 centroid per 61 vectors) instead of KMeans —
+    * quantizer is a DETERMINISTIC fixed-COUNT hash-sample of the corpus
+    * itself (the [[nCentroids]] rows with the smallest (md5-id-hash, id)
+    * — bottom-K, constant-size at any corpus scale) instead of KMeans —
     * the IVF plan shape with a hash family both engines can replicate.
     * Every corpus vector is assigned to its nearest centroid by cosine
     * (argmax via row_number over a broadcast centroid cross join — at
@@ -366,7 +390,7 @@ object ScaleOps {
         .select($"vec_id",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
         .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
-      val cents = emb.filter($"vec_id" % 61 === 3)
+      val cents = emb.orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
         .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
       val assignW = Window.partitionBy($"vec_id").orderBy($"cell_cos".desc, $"cell")
       val assigned = emb.crossJoin(broadcast(cents))
@@ -398,7 +422,8 @@ object ScaleOps {
         FROM embeddings WHERE vec_id < $corpusBound),
       cents AS (
         SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
-        FROM emb WHERE vec_id % 61 = 3),
+        FROM emb
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
       assigned AS (
         SELECT c_id, c_emb, c_nrm, cell FROM (
           SELECT e.vec_id AS c_id, e.embedding AS c_emb, e.nrm AS c_nrm,
@@ -521,7 +546,7 @@ object ScaleOps {
     * vector-space dedup gate that REUSES the ANN index as its candidate
     * generator: where q_neardup_cosine blocks on LSH sign bands, this
     * blocks on the same deterministic coarse quantizer as q_ann_ivf
-    * (hash-sampled centroids, vec_id % 61 = 3), assigning every vector
+    * (fixed-count bottom-K hash-sampled centroids), assigning every vector
     * to its TOP-2 nearest cells (nProbe=2 blocking, so near-dups that
     * straddle one cell boundary still collide in the other cell);
     * candidate pairs come ONLY from the cell equi-join; exact cosine
@@ -548,7 +573,8 @@ object ScaleOps {
         .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
       // centroids from the UNplanted corpus only: the quantizer is part
       // of the standing index, not of the batch being checked
-      val cents = corpus.filter($"vec_id" % 61 === 3 && $"vec_id" < corpusBound)
+      val cents = corpus.filter($"vec_id" < corpusBound)
+        .orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
         .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
       val assignW = Window.partitionBy($"vec_id")
         .orderBy($"cell_cos".desc, $"cell")
@@ -585,7 +611,8 @@ object ScaleOps {
         FROM base),
       cents AS (
         SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
-        FROM corpus WHERE vec_id % 61 = 3 AND vec_id < $corpusBound),
+        FROM corpus WHERE vec_id < $corpusBound
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
       blocked AS (
         SELECT vec_id, cell FROM (
           SELECT c.vec_id, cents.cell,
@@ -1593,7 +1620,7 @@ object ScaleOps {
         .select($"vec_id",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
         .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
-      val cents = emb.filter($"vec_id" % 61 === 3)
+      val cents = emb.orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
         .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
       val assignW = Window.partitionBy($"vec_id")
         .orderBy($"cell_cos".desc, $"cell")
@@ -1651,7 +1678,8 @@ object ScaleOps {
         FROM embeddings WHERE vec_id < $corpusBound),
       cents AS (
         SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
-        FROM emb WHERE vec_id % 61 = 3),
+        FROM emb
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
       assigned AS (
         SELECT c_id, cell FROM (
           SELECT e.vec_id AS c_id, cents.cell,
@@ -1707,7 +1735,8 @@ object ScaleOps {
     * instead of emitting near-dup PAIRS, emit the per-cell keep/drop
     * summary a pruning pass acts on. Every vector is assigned to its ONE
     * nearest coarse-quantizer cell (same deterministic hash-sampled
-    * centroids as q_ann_ivf: vec_id % 61 = 3, from the unplanted slice
+    * centroids as q_ann_ivf: bottom-[[nCentroids]] by (md5-id-hash, id),
+    * from the unplanted slice
     * only — the quantizer is part of the standing index, not the batch);
     * within a cell, a vector is DROPPED iff an earlier (smaller-id)
     * vector of the same cell has cosine >= 0.97 — keep-first semantics,
@@ -1734,7 +1763,8 @@ object ScaleOps {
         .select($"vec_id",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
         .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
-      val cents = corpus.filter($"vec_id" % 61 === 3 && $"vec_id" < corpusBound)
+      val cents = corpus.filter($"vec_id" < corpusBound)
+        .orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
         .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
       val assignW = Window.partitionBy($"vec_id")
         .orderBy($"cell_cos".desc, $"cell")
@@ -1776,7 +1806,8 @@ object ScaleOps {
         FROM base),
       cents AS (
         SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
-        FROM corpus WHERE vec_id % 61 = 3 AND vec_id < $corpusBound),
+        FROM corpus WHERE vec_id < $corpusBound
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
       blocked AS (
         SELECT vec_id, cell, embedding, nrm FROM (
           SELECT c.vec_id, cents.cell, c.embedding, c.nrm,
@@ -1821,8 +1852,10 @@ object ScaleOps {
   /** PRODUCT QUANTIZATION ANN (IVFADC's compression half, Jégou et al.
     * 2011): the 64-dim embedding splits into 4 subspaces of 16 dims; a
     * deterministic hash-sampled codebook per subspace (subvectors of
-    * corpus rows with vec_id % 53 = 7 — the q_ann_ivf convention, so both
-    * engines hold identical codewords); every corpus vector stores only
+    * subvectors of the bottom-[[nCodewords]] corpus rows by
+    * (md5-id-hash, id) — the q_ann_ivf fixed-count convention, so both
+    * engines hold identical codewords and the codebook broadcast stays
+    * constant-size at any corpus scale); every corpus vector stores only
     * its 4 nearest-codeword ids (the PQ code — 4 small ints replacing
     * 64 floats, the memory posture that makes billion-vector ANN fit);
     * a probe precomputes its distance to every codeword per subspace
@@ -1853,8 +1886,11 @@ object ScaleOps {
           s"transform(sequence(0, 3), m -> named_struct('m', m, " +
             s"'sv', slice(emb, m * $SUB + 1, $SUB)))")).as("s"))
         .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
-      val codebook = sub.filter($"vec_id" % 53 === 7)
-        .select($"m", $"vec_id".as("cw_id"), $"sv".as("cw"))
+      val cwIds = emb.select($"vec_id")
+        .orderBy(idHash($"vec_id"), $"vec_id").limit(nCodewords)
+        .select($"vec_id".as("cw_id"))
+      val codebook = sub.join(broadcast(cwIds), $"vec_id" === $"cw_id")
+        .select($"m", $"cw_id", $"sv".as("cw"))
       val fold = "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), " +
         "0D, (s, v) -> s + v)"
       val assignW = Window.partitionBy($"vec_id", $"m")
@@ -1908,7 +1944,8 @@ object ScaleOps {
         SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound),
       codebook AS (
         SELECT vec_id AS cw_id, embedding AS cw_emb
-        FROM corpus WHERE vec_id % 53 = 7),
+        FROM corpus
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCodewords),
       dists AS ($assignLegs),
       codes AS (
         SELECT vec_id AS c_id, m, cw_id FROM (
@@ -2149,7 +2186,8 @@ object ScaleOps {
     * cell), and the expected candidate fraction a data-distributed
     * query scans at nProbe=1 (Σ szᵢ²/n² — the HHI of the cell
     * assignment; 1/n_cells when perfectly balanced). Reuses
-    * [[qAnnIvf]]'s deterministic quantizer (vec_id % 61 == 3 seeds,
+    * [[qAnnIvf]]'s deterministic quantizer (bottom-[[nCentroids]]
+    * seeds by (md5-id-hash, id),
     * argmax-cosine assignment with a cell tiebreak). All sufficient
     * statistics are exact integers; the two output ratios are single
     * IEEE divisions. Scale: assignment is the same bounded-centroid
@@ -2165,7 +2203,7 @@ object ScaleOps {
         .select($"vec_id",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
         .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
-      val cents = emb.filter($"vec_id" % 61 === 3)
+      val cents = emb.orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
         .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
       val assignW = Window.partitionBy($"vec_id")
         .orderBy($"cell_cos".desc, $"cell")
@@ -2197,7 +2235,8 @@ object ScaleOps {
         FROM embeddings WHERE vec_id < $corpusBound),
       cents AS (
         SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
-        FROM emb WHERE vec_id % 61 = 3),
+        FROM emb
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
       assigned AS (
         SELECT vec_id, cell FROM (
           SELECT e.vec_id, cents.cell,

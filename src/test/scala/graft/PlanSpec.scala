@@ -273,6 +273,21 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(ivf).size <= 2, ivf)
   }
 
+  test("vector-query quantizers are fixed-COUNT bottom-K samples in-plan") {
+    // the centroid/codebook subtree must be a TakeOrderedAndProject
+    // (bottom-K by hash: per-partition top-K, constant-size broadcast)
+    // — a fixed-RATE filter sample would grow the broadcast with the
+    // corpus and void the 100 TB "centroids broadcast" posture
+    // (q_semdedup shares the idiom but localCheckpoints the assignment,
+    // so its centroid subtree is not visible in the final plan)
+    for (q <- Seq("q_ann_ivf", "q_ann_ivf_probe", "q_neardup_embed",
+        "q_ann_pq", "q_cell_balance")) {
+      val plan = physicalPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: no bottom-K quantizer sample in plan\n$plan")
+    }
+  }
+
   test("q_seq_match bounds per-user state in a single window pass") {
     val plan = physicalPlan("q_seq_match")
     // full-history count + trailing-256 rank share one (partition, order)

@@ -162,6 +162,15 @@ class Round11Spec extends AnyFunSuite {
     val nDocs = r.map(_.getLong(1)).sum
     val nPass = r.map(_.getLong(7)).sum
     assert(nPass < nDocs, "planted junk passed every rule")
+    // r3 measures the NON-alphanumeric ratio: the fixture corpus (and the
+    // digit-only junk) is symbol-free, so every doc must pass r3 — this
+    // pins the formula direction the shared-formula oracle cannot see
+    // (an inverted ratio fails ALL docs and zeroes n_pass_all).
+    val nSym = r.map(_.getLong(4)).sum
+    assert(nSym == nDocs, s"symbol-free docs must all pass r3: $nSym/$nDocs")
+    // and with r3 no longer vacuously zero, ordinary docs must pass ALL
+    // rules somewhere
+    assert(nPass > 0, "no doc passed all rules on the clean fixture")
   }
 
   test("q_coint: ADF-t sign matches rho, residual moments consistent") {
@@ -469,15 +478,21 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
-  test("q_vocab_overlap: jaccard identity, bounded pairs, ordered keys") {
+  test("q_vocab_overlap: true-jaccard identity, bounded pairs, ordered keys") {
     val r = rows("q_vocab_overlap")
     assert(r.nonEmpty && r.length <= 190, s"${r.length} pairs of 20 sources")
     r.foreach { x =>
-      val (a, b, n, j) = (x.getString(0), x.getString(1),
-        x.getLong(2), x.getDouble(3))
+      val (a, b, n, sa, sb, j) = (x.getString(0), x.getString(1),
+        x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))
       assert(a < b, "pair keys must be ordered")
-      assert(n >= 1 && n <= 50)
-      assert(math.abs(j - n.toDouble / (100.0 - n)) < 2e-6)
+      assert(sa >= 1 && sa <= 50 && sb >= 1 && sb <= 50,
+        "top-list sizes bounded by the 50 cutoff")
+      assert(n >= 1 && n <= math.min(sa, sb),
+        "intersection bounded by the smaller list")
+      // true set Jaccard over the ACTUAL list sizes (the closed fixture
+      // vocabulary gives sources ~30 distinct terms, not 50)
+      assert(math.abs(j - n.toDouble / (sa + sb - n)) < 2e-6)
+      assert(j > 0.0 && j <= 1.0)
     }
   }
 
@@ -547,7 +562,7 @@ class Round11Spec extends AnyFunSuite {
     val x = r.head
     val (k, n, mn, mx) =
       (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))
-    assert(k == 9, "vec_id % 61 == 3 seeds 9 centroids in 0..499")
+    assert(k == 9, "the fixed-count bottom-9-by-hash sample seeds 9 cells")
     assert(n == 500, "assignment must partition the corpus slice")
     val (avg, imb, esf) = (x.getDouble(4), x.getDouble(5), x.getDouble(6))
     assert(mn >= 1 && mn <= mx)
