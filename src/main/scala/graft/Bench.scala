@@ -97,8 +97,17 @@ object Bench {
       .mkString("{", ",", "}")
     val sus = suspects.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
+    // Contention-corrected headline: the first-pass total with every
+    // retimed query's time replaced by its end-of-run retime. On a quiet
+    // box the two totals agree within noise; on a contended one this is
+    // the number that reflects the plans rather than the machine (r11:
+    // first-pass 431.7 s embedded ~150 s of contention the retimes had
+    // already disproven, but only the counts survived into the artifact).
+    val retimedByName = retimed.toMap
+    val valueRetimed = timed.map { case (n, t) =>
+      retimedByName.getOrElse(n, t) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_retimed":$valueRetimed,"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
     // Full detail first (humans + history file), compact line LAST: the
     // driver records only the final ~2000 chars of output, so a ~5000-char
     // 196-query line is always front-truncated and has parsed as null in
@@ -117,7 +126,7 @@ object Bench {
     val window = 1900
     val omittedDigits = 4 // placeholder width for queries_omitted (<= 9999)
     val fixedHead =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"n_retimed":${retimed.size},"n_retime_errors":${retimeErrs.size},"n_contention_suspect":${suspects.size},"queries_omitted":"""
+      s"""{"metric":"total","value":$total,"value_retimed":${f"$valueRetimed%.3f"},"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"n_retimed":${retimed.size},"n_retime_errors":${retimeErrs.size},"n_contention_suspect":${suspects.size},"queries_omitted":"""
     val fixedTail = s""","queries":{},"sf":"$sfDir"}"""
     val budget = window - fixedHead.length - omittedDigits - fixedTail.length
     val slowestFirst = timed.sortBy(-_._2)

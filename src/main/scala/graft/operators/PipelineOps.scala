@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1906,11 +1906,251 @@ object PipelineOps {
       ORDER BY r.lang"""),
   )
 
+  // -------------------------------------------------------------------
+  // Model-scored quality gate (round-12: the fastText-classifier pipeline
+  // shape with a declared, hash-matched instance)
+  // -------------------------------------------------------------------
+
+  /** Planted quality-classifier coefficients for [[qModelGate]] — PUBLIC
+    * so MlSpec can rebuild the identical binary LogisticRegressionModel
+    * via ModelExport.importLogistic and tie the relational margins to
+    * model.transform bit-for-bit (f2jBLAS dot is a sequential fold, so
+    * the SQL chain w0·f0 + w1·f1 + w2·f2 + w3·f3, THEN + intercept,
+    * reproduces its exact IEEE op order). Feature space: f0 = tokens/100,
+    * f1 = mean word length, f2 = stopword-token fraction, f3 =
+    * letter-word fraction — every feature is an integer-derived single
+    * IEEE division, bit-identical cross-engine. Intercept -5.6 puts the
+    * organic corpus on both sides of the boundary (~94% keep). */
+  val gateWeights: Array[Double] = Array(0.02, 0.8, 3.0, 2.0)
+  val gateIntercept: Double = -5.6
+
+  /** Per-doc gate features over a (source, doc_id, text) frame. */
+  def gateFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"), col("text"),
+        split(col("text"), " ").as("l"))
+      .select(col("source"), col("doc_id"),
+        (size(col("l")).cast("double") / lit(100.0)).as("f0"),
+        (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+          .cast("double") / size(col("l")).cast("double")).as("f1"),
+        (expr("size(filter(l, t -> array_contains(array('the','and','of'," +
+          "'to','in','a','is','it'), t)))").cast("double") /
+          size(col("l")).cast("double")).as("f2"),
+        (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+          size(col("l")).cast("double")).as("f3"))
+
+  /** The model's raw margin (decision value) over [[gateFeatures]]
+    * columns, in f2jBLAS dot order: ((w0f0 + w1f1) + w2f2) + w3f3, then
+    * + intercept. keep ⇔ margin > 0 ⇔ P(keep) > 0.5. */
+  def gateMargin: Column =
+    (lit(gateWeights(0)) * col("f0") + lit(gateWeights(1)) * col("f1") +
+      lit(gateWeights(2)) * col("f2") + lit(gateWeights(3)) * col("f3")) +
+      lit(gateIntercept)
+
+  /** MODEL-SCORED QUALITY GATE — the fastText/classifier curation stage
+    * (CCNet, Llama-style quality filters) run RELATIONALLY: a trained
+    * binary logistic model's coefficients are a tiny constant table (here
+    * planted literals; in production [[graft.ml.ModelExport]] exports
+    * them from any fitted model), the margin is a fixed-order codegen'd
+    * expression chain over per-doc features, and the gate is margin > 0
+    * (= probability 0.5). No MLlib transform in the hot path — scoring a
+    * 100 TB corpus is ONE linear scan with the coefficients folded into
+    * the expression, and the oracle can hash-match it because every
+    * feature is an integer-derived IEEE division and the dot product is
+    * a literal left-assoc chain (the round-6 contract). Per-source
+    * rollup: docs, keeps, keep rate, decimal-staged mean margin. MlSpec
+    * ties the margins to ModelExport.importLogistic(...).transform
+    * bit-for-bit — the declared plan IS the model. */
+  val qModelGate: GQuery = GQuery(
+    "q_model_gate",
+    (spark, dir) => {
+      import spark.implicits._
+      val feat = gateFeatures(
+        Tables.documents(spark, dir).select($"source", $"doc_id", $"text"))
+      feat.select($"source", gateMargin.as("m"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"m" > 0.0, 1L).otherwise(0L)).as("n_keep"),
+          davg(rN($"m", 6)).as("avg_margin"))
+        .select($"source", $"n_docs", $"n_keep",
+          r6($"n_keep".cast("double") / $"n_docs".cast("double"))
+            .as("keep_rate"),
+          $"avg_margin")
+        .orderBy($"source")
+    },
+    Some {
+      val m = "((((cast(0.02 as double) * f0) + (cast(0.8 as double) * f1))" +
+        " + (cast(3.0 as double) * f2)) + (cast(2.0 as double) * f3))" +
+        " + cast(-5.6 as double)"
+      s"""
+      WITH lt AS (
+        SELECT source, doc_id, string_split(text, ' ') AS l
+        FROM documents),
+      feat AS (
+        SELECT source,
+          cast(len(l) as double) / cast(100.0 as double) AS f0,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS f1,
+          cast(len(list_filter(l, t -> list_contains(
+            ['the','and','of','to','in','a','is','it'], t))) as double)
+            / cast(len(l) as double) AS f2,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS f3
+        FROM lt),
+      scored AS (SELECT source, ($m) AS m FROM feat)
+      SELECT source, cast(count(*) as bigint) AS n_docs,
+             cast(sum(CASE WHEN m > cast(0.0 as double) THEN 1 ELSE 0 END)
+               as bigint) AS n_keep,
+             ${r6Sql("cast(sum(CASE WHEN m > cast(0.0 as double) THEN 1 " +
+               "ELSE 0 END) as double) / cast(count(*) as double)")}
+               AS keep_rate,
+             ${davgSql(rNSql("m", 6))} AS avg_margin
+      FROM scored GROUP BY source
+      ORDER BY source"""
+    },
+  )
+
+  /** PER-SOURCE CURATION BUDGET — the JOINED keep-rate decision a
+    * curation run actually executes (round-11 verdict item 5): the
+    * [[qGopherRules]] quality verdict and global exact-dedup keep-first
+    * survivorship are evaluated PER DOC in one pass, rolled up per
+    * source, and joined with the α=0.5 mixture weight ([[qMixReport]]'s
+    * numerics, computed over the POST-curation doc counts — budget is
+    * allocated to what survives, not to what arrived). Output per
+    * source: docs, quality passes, dedup survivors, joint keeps, keep
+    * rate, mix weight, the allocated document budget out of a 100k-doc
+    * target, and the implied sampling boost (budget / survivors).
+    * Planted rows keep both gates non-vacuous at every SF: 15 same-text
+    * clones (+600000) are dropped by dedup keep-first; 10 all-digit junk
+    * docs (+3000) fail the letter/stopword rules. Scale shape: one scan
+    * computes digest + all five rule features; the survivor set is a
+    * combinable min-per-digest groupBy + an equi-join back; everything
+    * collapses to a |sources|-row table and the totals row is an
+    * explicit 1-row broadcast — nothing above |docs|, no windows. */
+  val qCurationBudget: GQuery = GQuery(
+    "q_curation_budget",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val junk = ("404 90210 " * 25).trim
+      val docs = base
+        .unionByName(base.filter($"doc_id" < 15)
+          .select($"source", ($"doc_id" + 600000L).as("doc_id"), $"text"))
+        .unionByName(base.filter($"doc_id" < 10)
+          .select($"source", ($"doc_id" + 3000L).as("doc_id"),
+            lit(junk).as("text")))
+      val inList = "'the','and','of','to','in','a','is','it'"
+      val feat = docs
+        .select($"source", $"doc_id", $"text", md5($"text").as("th"),
+          split($"text", " ").as("l"))
+        .select($"source", $"doc_id", $"th",
+          size($"l").as("nw"),
+          (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size($"l").cast("double")).as("mwl"),
+          (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") /
+            length($"text")).as("sym"),
+          (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+            size($"l").cast("double")).as("alpha"),
+          expr(s"size(array_intersect(array_distinct(l), array($inList)))")
+            .as("nstop"))
+      val qual = ($"nw" >= 30 && $"nw" <= 10000 &&
+        $"mwl" >= 3.0 && $"mwl" <= 10.0 && $"sym" < 0.1 &&
+        $"alpha" >= 0.8 && $"nstop" >= 2).cast("long")
+      val scored = feat.select($"source", $"doc_id", $"th", qual.as("q"))
+      val keepers = scored.groupBy($"th").agg(min($"doc_id").as("keeper"))
+      val flagged = scored.join(keepers, "th")
+        .select($"source", $"q",
+          ($"doc_id" === $"keeper").cast("long").as("sv"))
+      val ps = flagged.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"q").as("n_quality_ok"),
+          sum($"sv").as("n_dedup_keep"),
+          sum($"q" * $"sv").as("n_keep"))
+        .withColumn("w_term", rN(sqrt($"n_keep"), 6).cast(DecimalType(30, 6)))
+      val tot = ps.agg(sum($"w_term").as("t"))
+      ps.crossJoin(broadcast(tot))
+        .withColumn("budget_docs",
+          floor(($"w_term".cast("double") / $"t".cast("double")) *
+            lit(100000.0) + lit(0.5)).cast("long"))
+        .select($"source", $"n_docs", $"n_quality_ok", $"n_dedup_keep",
+          $"n_keep",
+          r6($"n_keep".cast("double") / $"n_docs".cast("double"))
+            .as("keep_rate"),
+          r6($"w_term".cast("double") / $"t".cast("double")).as("weight"),
+          $"budget_docs",
+          when($"n_keep" > 0,
+            r6($"budget_docs".cast("double") / $"n_keep".cast("double")))
+            .otherwise(lit(0.0)).as("boost"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH base AS (SELECT source, doc_id, text FROM documents),
+      docs AS (
+        SELECT source, doc_id, text FROM base
+        UNION ALL
+        SELECT source, doc_id + 600000, text FROM base WHERE doc_id < 15
+        UNION ALL
+        SELECT source, doc_id + 3000, trim(repeat('404 90210 ', 25))
+        FROM base WHERE doc_id < 10),
+      feat AS (
+        SELECT source, doc_id, md5(text) AS th,
+          cast(len(l) as int) AS nw,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS mwl,
+          cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+            as double) / cast(length(text) as double) AS sym,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS alpha,
+          cast(len(list_intersect(list_distinct(l),
+            ['the','and','of','to','in','a','is','it'])) as int) AS nstop
+        FROM (SELECT source, doc_id, text, string_split(text, ' ') AS l
+              FROM docs) f0),
+      scored AS (
+        SELECT source, doc_id, th,
+          CASE WHEN nw >= 30 AND nw <= 10000
+            AND mwl >= cast(3.0 as double) AND mwl <= cast(10.0 as double)
+            AND sym < cast(0.1 as double)
+            AND alpha >= cast(0.8 as double) AND nstop >= 2
+          THEN 1 ELSE 0 END AS q
+        FROM feat),
+      keepers AS (SELECT th, min(doc_id) AS keeper FROM scored GROUP BY th),
+      flagged AS (
+        SELECT s.source, s.q,
+               CASE WHEN s.doc_id = k.keeper THEN 1 ELSE 0 END AS sv
+        FROM scored s JOIN keepers k ON s.th = k.th),
+      ps AS (
+        SELECT source, cast(count(*) as bigint) AS n_docs,
+               cast(sum(q) as bigint) AS n_quality_ok,
+               cast(sum(sv) as bigint) AS n_dedup_keep,
+               cast(sum(q * sv) as bigint) AS n_keep,
+               cast(${rNSql("sqrt(sum(q * sv))", 6)} as decimal(30,6))
+                 AS w_term
+        FROM flagged GROUP BY source),
+      tot AS (SELECT sum(w_term) AS t FROM ps),
+      ps2 AS (
+        SELECT source, n_docs, n_quality_ok, n_dedup_keep, n_keep, w_term, t,
+               cast(floor((cast(w_term as double) / cast(t as double))
+                 * cast(100000.0 as double) + cast(0.5 as double)) as bigint)
+                 AS budget_docs
+        FROM ps CROSS JOIN tot)
+      SELECT source, n_docs, n_quality_ok, n_dedup_keep, n_keep,
+             ${r6Sql("cast(n_keep as double) / cast(n_docs as double)")}
+               AS keep_rate,
+             ${r6Sql("cast(w_term as double) / cast(t as double)")} AS weight,
+             budget_docs,
+             CASE WHEN n_keep > 0 THEN
+               ${r6Sql("cast(budget_docs as double) / cast(n_keep as double)")}
+             ELSE cast(0.0 as double) END AS boost
+      FROM ps2
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
-      qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup)
+      qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
+      qModelGate, qCurationBudget)
 }

@@ -42,6 +42,18 @@ object ScaleOps {
     * (equi-join candidates, no all-pairs) are what scale. */
   private val corpusBound = 500L
 
+  /** Full-corpus bound for the `_xl` bench twins (round-11 verdict item 2:
+    * "the LLM-pipeline bench never exercises the full documents table").
+    * 1e6 covers every real doc/vector id at any SF (raw ids < 1e4) while
+    * still EXCLUDING the +1000000-shifted planted clones from "unplanted
+    * slice" filters. The 500-row declared variants stay the cheap
+    * correctness probes; the _xl twins run the SAME plans over the whole
+    * corpus (5,000 docs / 2,000 vectors at sf0.1), so the dedup/ANN
+    * scaling story is measured by Bench, not argued from plan shape.
+    * (At sf0.001/0.01 the corpus is 500 rows, so _xl there equals the
+    * bounded variant — the oracle gate stays cheap.) */
+  private val corpusBoundXl = 1000000L
+
   private val D = 64 // embeddings dimension (TESTDATA.md)
 
   /** Fixed-COUNT coarse-quantizer sample size. The centroid set is the
@@ -109,8 +121,12 @@ object ScaleOps {
     * signatures are already materialized, so verification is a constant-
     * width column compare — no second shingle join. est_jaccard values are
     * dyadic rationals (k/16), exact in both engines' doubles. */
-  val qNeardupMinhash: GQuery = GQuery(
-    "q_neardup_minhash",
+  // The maker's `corpusBound` parameter SHADOWS the object-level bound on
+  // purpose: the declared query and its full-corpus _xl bench twin are the
+  // same code, differing only in the corpus slice (and the oracle SQL
+  // interpolates whichever bound is in scope).
+  private def mkNeardupMinhash(name: String, corpusBound: Long): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
       val base = Tables.documents(spark, dir)
@@ -197,6 +213,13 @@ object ScaleOps {
       WHERE cast(n_match as double) / cast(16.0 as double) >= cast(0.5 as double)
       ORDER BY id_a, id_b"""),
   )
+
+  val qNeardupMinhash: GQuery =
+    mkNeardupMinhash("q_neardup_minhash", corpusBound)
+
+  /** Full-corpus bench twin: same plan, whole documents table. */
+  val qNeardupMinhashXl: GQuery =
+    mkNeardupMinhash("q_neardup_minhash_xl", corpusBoundXl)
 
   /** SimHash near-dup, fully oracle-checked: per-doc 32-bit fingerprint
     * (majority vote over md5-hashed distinct tokens, bit i weight ±1) →
@@ -380,8 +403,8 @@ object ScaleOps {
     * probed cells, equi-join on cell) get an exact cosine re-rank, top-5
     * per probe. The KMeans-quantizer path stays in graft.llm.Ann.ivfTopK
     * (SkewAnnSpec recall vs brute force). */
-  val qAnnIvf: GQuery = GQuery(
-    "q_ann_ivf",
+  private def mkAnnIvf(name: String, corpusBound: Long): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
       graft.functions.DotProduct.register(spark)
@@ -453,6 +476,11 @@ object ScaleOps {
       FROM ranked WHERE rnk <= 5
       ORDER BY p_id, rnk"""),
   )
+
+  val qAnnIvf: GQuery = mkAnnIvf("q_ann_ivf", corpusBound)
+
+  /** Full-corpus bench twin: same plan, whole embeddings table. */
+  val qAnnIvfXl: GQuery = mkAnnIvf("q_ann_ivf_xl", corpusBoundXl)
 
   /** Embedding-cosine near-duplicate pairs, fully oracle-checked — the
     * vector-space analog of MinHash near-dup (the brief's dedup family's
@@ -1746,11 +1774,14 @@ object ScaleOps {
     * join condition, per the And-short-circuit rule); 25 planted
     * duplicate vectors (shifted ids, identical embeddings → identical
     * cell assignment, cos = 1) keep every SF non-vacuous. At 100 TB:
-    * cell count grows with corpus size so per-cell pair work stays
-    * bounded, the assignment pass is one broadcast-centroid argmax scan,
-    * and the drop set is a semi-join — nothing quadratic in the corpus. */
-  val qSemdedup: GQuery = GQuery(
-    "q_semdedup",
+    * [[nCentroids]] is a TUNING constant — a deployment sizes it to the
+    * corpus (n / target cell occupancy, the graft.llm.Ann.ivfTopK
+    * nCells knob) so per-cell pair work stays bounded; the declared
+    * query pins the plan SHAPE (constant-size centroid broadcast, one
+    * argmax assignment scan, drop set as a semi-join) — nothing
+    * corpus-quadratic once the knob tracks the corpus. */
+  private def mkSemdedup(name: String, corpusBound: Long): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
       graft.functions.DotProduct.register(spark)
@@ -1830,6 +1861,11 @@ object ScaleOps {
       FROM per LEFT JOIN dr ON per.cell = dr.cell
       ORDER BY per.cell"""),
   )
+
+  val qSemdedup: GQuery = mkSemdedup("q_semdedup", corpusBound)
+
+  /** Full-corpus bench twin: same plan, whole embeddings table. */
+  val qSemdedupXl: GQuery = mkSemdedup("q_semdedup_xl", corpusBoundXl)
 
   private val SUB = 16 // PQ subspace width (4 subspaces x 16 dims)
 
@@ -2270,8 +2306,8 @@ object ScaleOps {
     * the 16 h-equality bits, and the whole sweep is one conditional
     * aggregation — no per-config re-join, no re-blocking. Planted
     * shifted-id clones guarantee high-sim pairs at every SF. */
-  val qBandSweep: GQuery = GQuery(
-    "q_band_sweep",
+  private def mkBandSweep(name: String, corpusBound: Long): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
       val base = Tables.documents(spark, dir)
@@ -2406,10 +2442,16 @@ object ScaleOps {
       ORDER BY n_bands"""),
   )
 
+  val qBandSweep: GQuery = mkBandSweep("q_band_sweep", corpusBound)
+
+  /** Full-corpus bench twin: same plan, whole documents table. */
+  val qBandSweepXl: GQuery = mkBandSweep("q_band_sweep_xl", corpusBoundXl)
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
     qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
-    qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep)
+    qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
+    qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl)
 }

@@ -15,15 +15,23 @@ import graft.engine.Tables
   * write disappears — data already lands partitioned — and only the pruned
   * reads remain.
   *
-  * The path is FIXED (not per-SF) because the DuckDB oracle SQL must embed
-  * a literal `read_parquet` path: whichever SF ran Verify last owns the
-  * lake, and the driver runs Verify and the oracle back-to-back on the
-  * same SF, so the contract holds. Run oracle_check right after Verify for
-  * the same SF when checking locally.
+  * The path is fixed WITHIN a JVM (not per-SF) because the DuckDB oracle
+  * SQL must embed a literal `read_parquet` path: whichever SF ran Verify
+  * last owns the lake, and the driver runs Verify and the oracle
+  * back-to-back on the same SF, so the contract holds. Run oracle_check
+  * right after Verify for the same SF when checking locally.
+  *
+  * The root is PER-PROCESS (pid suffix, `GRAFT_LAKE_ROOT` overrides):
+  * round 11 observed a live race where `sbt test` and a concurrently
+  * running PlanAudit JVM rewrote `bucketed_li` under each other's feet
+  * (UNABLE_TO_INFER_SCHEMA / FILE_NOT_EXIST mid-rewrite). Each JVM now
+  * owns its fixture tree; the oracle strings are built in the same JVM
+  * that wrote the files, so the embedded literal paths stay consistent.
   */
 object Lake {
 
-  val root = "/tmp/graft_lake/current"
+  val root: String = sys.env.getOrElse("GRAFT_LAKE_ROOT",
+    s"/tmp/graft_lake/jvm-${ProcessHandle.current().pid()}")
 
   val ordersByMonthPath: String = s"$root/orders_by_month"
 

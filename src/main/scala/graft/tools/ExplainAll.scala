@@ -132,7 +132,12 @@ object ExplainAll {
     // round 11 batch 13: crawl-over-crawl JS drift, quota sampling
     "q_js_drift", "q_sample_topup",
     // round 11 batch 14: hapax-carrier triage, length-distribution PSI
-    "q_rare_token_docs", "q_len_drift")
+    "q_rare_token_docs", "q_len_drift",
+    // round 12: model-scored quality gate, joined curation budget, and
+    // the full-corpus bench twins of the dedup/ANN scale family
+    "q_model_gate", "q_curation_budget",
+    "q_neardup_minhash_xl", "q_ann_ivf_xl", "q_semdedup_xl",
+    "q_band_sweep_xl")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -158,6 +158,13 @@ object PlanAudit {
     // round-11 batch 11: bounded centroid-set broadcast for the IVF
     // assignment (the q_ann_ivf posture — the QC shares the index build)
     "q_cell_balance",
+    // round 12: the full-corpus bench twin inherits q_ann_ivf's bounded
+    // (9-centroid) broadcast cross exactly — the corpus side grew, the
+    // broadcast did not
+    "q_ann_ivf_xl",
+    // round 12: 1-row mixture-weight-total broadcast scoring the
+    // |sources|-row budget plan (the q_mix_report posture)
+    "q_curation_budget",
     // round-11 batch 13: 1-row token-total / doc-total broadcasts scoring
     // the vocab table (JS drift) and the |langs|-row rate table (quota
     // sampling) — the q_mix_weights posture

@@ -877,6 +877,41 @@ class MlSpec extends AnyFunSuite {
     assert(orig.toSeq == got.toSeq)
   }
 
+  test("q_model_gate margins tie to importLogistic model.transform bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    // rebuild the declared query's planted classifier as a REAL MLlib model
+    val w = PipelineOps.gateWeights
+    val coef = (w.zipWithIndex.map { case (wt, i) => (0, i, wt) }.toSeq :+
+      ((0, -1, PipelineOps.gateIntercept)))
+      .toDF("class_index", "feature_index", "weight")
+    val model = ModelExport.importLogistic(coef)
+    assert(model.numClasses == 2)
+    val feat = PipelineOps.gateFeatures(
+      graft.engine.Tables.documents(spark, sf)
+        .select($"source", $"doc_id", $"text"))
+      .withColumn("m", PipelineOps.gateMargin)
+      .select($"m", array_to_vector(array($"f0", $"f1", $"f2", $"f3"))
+        .as("features"))
+    val rows = model.transform(feat)
+      .select($"m", $"rawPrediction", $"prediction").collect()
+    assert(rows.length >= 500)
+    rows.foreach { r =>
+      val m = r.getDouble(0)
+      val raw = r.getAs[org.apache.spark.ml.linalg.Vector](1)
+      // binary LR rawPrediction = [-margin, margin]; the relational chain
+      // must reproduce the f2jBLAS sequential dot EXACTLY (same IEEE ops,
+      // same order) — not approximately
+      assert(raw(1) == m, s"margin mismatch: model ${raw(1)} vs query $m")
+      assert((r.getDouble(2) == 1.0) == (m > 0.0),
+        "prediction and margin>0 gate disagree")
+    }
+    // the declared threshold must split the organic corpus — a gate that
+    // keeps (or drops) everything proves nothing
+    assert(rows.exists(_.getDouble(0) > 0.0), "no doc kept")
+    assert(rows.exists(_.getDouble(0) <= 0.0), "no doc dropped")
+  }
+
   test("TrainValidationSearch returns a fitted best model") {
     val lr = new LogisticRegression().setMaxIter(10)
     val grid = new ParamGridBuilder()

@@ -619,6 +619,85 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamKeep.forall(_ < 5000L), "a clone slipped through the gate")
   }
 
+  test("streamed cascade stages 2+3 reproduce the batch funnel exactly") {
+    // q_dedup_cascade's full ingest twin (round-11 verdict item 7): the
+    // canonical (stage 2) and prefix-20 (stage 3) digests ride the SAME
+    // dropDuplicates gate shape as the stage-1 golden — three sequential
+    // streamed gates, each replaying the previous stage's keeper set in
+    // doc_id order. Micro-batch boundaries split the plant families so a
+    // same-canonical pair never shares a batch (within-batch dedup keeps
+    // an arbitrary row; across batches state keeps the first = smallest
+    // id = the batch min-per-key semantics). Parity asserted two ways:
+    // keeper-set IDENTITY vs a local keep-first recomputation, and
+    // funnel COUNTS vs the declared q_dedup_cascade rows.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.engine.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 710000L).as("doc_id"),
+          concat(lit(" "), col("text")).as("text")))
+      .unionByName(base
+        .filter(col("doc_id") < 15 && size(split(col("text"), " ")) >= 20)
+        .select((col("doc_id") + 720000L).as("doc_id"),
+          concat(concat_ws(" ", slice(split(col("text"), " "), 1, 20)),
+            lit(" zzq tail "), col("doc_id").cast("string")).as("text")))
+    val keyed = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("th"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("ch"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 20))
+          .cast("binary")).as("ph"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+
+    // local batch truth: keep-first (min doc_id) per digest, per stage
+    def keepFirst(in: Seq[(Long, String, String, String)],
+        key: ((Long, String, String, String)) => String) =
+      in.groupBy(key).map(_._2.minBy(_._1)).toSeq.sortBy(_._1)
+    val k1 = keepFirst(keyed.toSeq, _._2)
+    val k2 = keepFirst(k1, _._3)
+    val k3 = keepFirst(k2, _._4)
+
+    // plant-family-aligned micro-batches: originals in two batches, each
+    // shifted-id plant family alone in its own batch
+    def slices(in: Seq[(Long, String, String, String)]) =
+      Seq(in.filter(_._1 < 250), in.filter(x => x._1 >= 250 && x._1 < 500000),
+        in.filter(x => x._1 >= 500000 && x._1 < 705000),
+        in.filter(x => x._1 >= 705000 && x._1 < 715000),
+        in.filter(_._1 >= 715000)).filter(_.nonEmpty)
+    def gate(in: Seq[(Long, String, String, String)], key: String) = {
+      val mem = MemoryStream[(Long, String, String, String)]
+      val out = mem.toDF().toDF("doc_id", "th", "ch", "ph")
+        .dropDuplicates(key)
+      val q = out.writeStream.format("memory")
+        .queryName("cascade" + System.nanoTime()).outputMode("append").start()
+      slices(in).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val name = q.name
+      q.stop()
+      spark.table(name).select(col("doc_id"), col("th"), col("ch"), col("ph"))
+        .as[(Long, String, String, String)].collect().toSeq.sortBy(_._1)
+    }
+    val s1 = gate(keyed.toSeq, "th")
+    val s2 = gate(s1, "ch")
+    val s3 = gate(s2, "ph")
+    assert(s1.map(_._1) == k1.map(_._1), "stage-1 keeper set diverged")
+    assert(s2.map(_._1) == k2.map(_._1), "stage-2 keeper set diverged")
+    assert(s3.map(_._1) == k3.map(_._1), "stage-3 keeper set diverged")
+
+    // and the declared batch query reports the same funnel
+    val funnel = SparkEntry.queries("q_dedup_cascade")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(funnel(1) == ((keyed.length.toLong, s1.length.toLong)))
+    assert(funnel(2) == ((s1.length.toLong, s2.length.toLong)))
+    assert(funnel(3) == ((s2.length.toLong, s3.length.toLong)))
+    // every same-text and same-canonical plant fell at its stage
+    assert(s2.forall(x => x._1 < 700000L || x._1 >= 715000L),
+      "an exact/canonical clone survived stage 2")
+  }
+
   test("streamed quota-sampling gate reproduces the batch kept counts") {
     // q_sample_topup's ingest twin: the batch-derived (lang, rate_pct)
     // table is the stream's static dim; each arriving doc keeps iff its
