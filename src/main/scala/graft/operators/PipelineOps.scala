@@ -2022,10 +2022,12 @@ object PipelineOps {
     * Planted rows keep both gates non-vacuous at every SF: 15 same-text
     * clones (+600000) are dropped by dedup keep-first; 10 all-digit junk
     * docs (+3000) fail the letter/stopword rules. Scale shape: one scan
-    * computes digest + all five rule features; the survivor set is a
-    * combinable min-per-digest groupBy + an equi-join back; everything
-    * collapses to a |sources|-row table and the totals row is an
-    * explicit 1-row broadcast — nothing above |docs|, no windows. */
+    * computes digest + all five rule features; survivorship is a
+    * min-over-window partitioned by the digest (bounded state per
+    * digest group — the q_dedup_cascade idiom; the groupBy+join form
+    * re-scanned the union per consumer, ReuseAudit-measured);
+    * everything collapses to a |sources|-row table (materialized once)
+    * and the totals row is an explicit 1-row broadcast. */
   val qCurationBudget: GQuery = GQuery(
     "q_curation_budget",
     (spark, dir) => {
@@ -2057,16 +2059,23 @@ object PipelineOps {
         $"mwl" >= 3.0 && $"mwl" <= 10.0 && $"sym" < 0.1 &&
         $"alpha" >= 0.8 && $"nstop" >= 2).cast("long")
       val scored = feat.select($"source", $"doc_id", $"th", qual.as("q"))
-      val keepers = scored.groupBy($"th").agg(min($"doc_id").as("keeper"))
-      val flagged = scored.join(keepers, "th")
-        .select($"source", $"q",
-          ($"doc_id" === $"keeper").cast("long").as("sv"))
+      // survivor flag via min-over-window on the digest (the
+      // q_dedup_cascade idiom): one pass, no groupBy+self-join — the
+      // join form re-scanned the 3-way union per consumer (ReuseAudit
+      // measured documents x9 in the final plan)
+      val flagged = scored
+        .withColumn("sv",
+          ($"doc_id" === min($"doc_id").over(Window.partitionBy($"th")))
+            .cast("long"))
       val ps = flagged.groupBy($"source").agg(
           count(lit(1)).as("n_docs"),
           sum($"q").as("n_quality_ok"),
           sum($"sv").as("n_dedup_keep"),
           sum($"q" * $"sv").as("n_keep"))
         .withColumn("w_term", rN(sqrt($"n_keep"), 6).cast(DecimalType(30, 6)))
+        // |sources|-row table consumed twice (totals row + final report):
+        // materialize once so neither consumer re-runs the corpus scan
+        .localCheckpoint()
       val tot = ps.agg(sum($"w_term").as("t"))
       ps.crossJoin(broadcast(tot))
         .withColumn("budget_docs",
@@ -2113,11 +2122,11 @@ object PipelineOps {
             AND alpha >= cast(0.8 as double) AND nstop >= 2
           THEN 1 ELSE 0 END AS q
         FROM feat),
-      keepers AS (SELECT th, min(doc_id) AS keeper FROM scored GROUP BY th),
       flagged AS (
-        SELECT s.source, s.q,
-               CASE WHEN s.doc_id = k.keeper THEN 1 ELSE 0 END AS sv
-        FROM scored s JOIN keepers k ON s.th = k.th),
+        SELECT source, q,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY th)
+               THEN 1 ELSE 0 END AS sv
+        FROM scored),
       ps AS (
         SELECT source, cast(count(*) as bigint) AS n_docs,
                cast(sum(q) as bigint) AS n_quality_ok,
