@@ -2029,6 +2029,233 @@ object ScaleOps {
     },
   )
 
+  /** DuckDB left-assoc chain of squared RESIDUAL differences over one PQ
+    * subspace: Σᵢ ((a[i]−ac[i]) − (b[i]−bc[i]))² for 1-based dims
+    * lo..lo+15, where ac/bc are each side's coarse centroid. The inner
+    * subtractions are recomputed per use — IEEE subtraction is
+    * deterministic, so the values (and the fold) bit-match Spark's
+    * zip_with residual arrays. */
+  private def residDiffChainSql(a: String, ac: String, b: String,
+      bc: String, lo: Int): String =
+    (lo until lo + SUB).map { i =>
+      val t = s"((cast($a[$i] as double) - cast($ac[$i] as double)) - " +
+        s"(cast($b[$i] as double) - cast($bc[$i] as double)))"
+      s"($t * $t)"
+    }.mkString(" + ")
+
+  /** IVFADC — the COMPLETE billion-scale ANN structure (Jégou et al.
+    * 2011): where [[qAnnIvf]] re-ranks candidates with exact vectors and
+    * [[qAnnPq]] quantizes raw vectors corpus-wide, IVFADC composes both
+    * halves the way a production index does — a coarse quantizer
+    * partitions the corpus into cells (bottom-[[nCentroids]] hash-sample,
+    * squared-L2 assignment), product quantization encodes each vector's
+    * RESIDUAL (x − centroid, the distribution PQ actually models well),
+    * and a query scans ONLY its nProbe=2 nearest cells, scoring
+    * candidates with an asymmetric-distance lookup table built per
+    * probed cell (probe residual × codeword distances, |cells probed| ×
+    * 4 × [[nCodewords]] rows, broadcast). Memory posture: 4 small ints
+    * per corpus vector; compute posture: candidates cost 4 table
+    * lookups each and the corpus outside probed cells is never touched
+    * — both 100 TB properties hold in-plan (constant-size centroid +
+    * codebook broadcasts, cell equi-join candidates, one codegen'd
+    * assignment pass). Output: per-probe candidate count and recall@10
+    * of ADC ranking vs exact squared-L2, on the full probe key table.
+    * Determinism: every distance is a left-assoc IEEE chain (residual
+    * subtractions recomputed identically in both engines), ADC sums are
+    * 6dp-decimal-staged 4-term adds, ranks tiebreak on id. */
+  private def mkIvfadc(name: String, corpusBound: Long): GQuery = GQuery(
+    name,
+    (spark, dir) => {
+      import spark.implicits._
+      val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        // consumed by centroids, assignment, codebook, probes, exact side
+        .localCheckpoint()
+      val cents = emb.orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
+        .select($"vec_id".as("cell"), $"emb".as("cent"))
+      val l2 = "aggregate(zip_with(emb, cent, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (s, v) -> s + v)"
+      val assignW = Window.partitionBy($"vec_id").orderBy($"d2c".asc, $"cell")
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("d2c", expr(l2))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"emb", $"cell",
+          expr("zip_with(emb, cent, (x, y) -> x - y)").as("rv"))
+      // (vec_id, cell, m, rsv): residual subvectors
+      val sub = assigned.select($"vec_id", $"cell", explode(expr(
+          s"transform(sequence(0, 3), m -> named_struct('m', m, " +
+            s"'sv', slice(rv, m * $SUB + 1, $SUB)))")).as("s"))
+        .select($"vec_id", $"cell", $"s.m".as("m"), $"s.sv".as("rsv"))
+      // residual codebook: subvectors of the bottom-K hash sample
+      val cwIds = emb.select($"vec_id")
+        .orderBy(idHash($"vec_id"), $"vec_id").limit(nCodewords)
+        .select($"vec_id".as("cw_id"))
+      val codebook = sub.join(broadcast(cwIds), $"vec_id" === $"cw_id")
+        .select($"m", $"cw_id", $"rsv".as("cw"))
+      val fold = "aggregate(zip_with(rsv, cw, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (s, v) -> s + v)"
+      val codeW = Window.partitionBy($"vec_id", $"m")
+        .orderBy($"d2".asc, $"cw_id")
+      val codes = sub.join(broadcast(codebook), "m")
+        .withColumn("d2", expr(fold))
+        .withColumn("rn", row_number().over(codeW))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("c_id"), $"cell", $"m", $"cw_id")
+      // probes: nProbe=2 nearest cells by coarse L2, residual PER CELL
+      val probeW = Window.partitionBy($"vec_id").orderBy($"d2c".asc, $"cell")
+      val probeCells = emb.filter($"vec_id" < 5).crossJoin(broadcast(cents))
+        .withColumn("d2c", expr(l2))
+        .withColumn("rn", row_number().over(probeW))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("p_id"), $"cell",
+          expr("zip_with(emb, cent, (x, y) -> x - y)").as("rv"))
+      val pres = probeCells.select($"p_id", $"cell", explode(expr(
+          s"transform(sequence(0, 3), m -> named_struct('m', m, " +
+            s"'sv', slice(rv, m * $SUB + 1, $SUB)))")).as("s"))
+        .select($"p_id", $"cell", $"s.m".as("m"), $"s.sv".as("rsv"))
+      val pdist = pres.join(broadcast(codebook), "m")
+        .select($"p_id", $"cell", $"m", $"cw_id", expr(fold).as("pd2"))
+      // candidates = corpus codes in probed cells (cell equi-join);
+      // approx distance = 4 staged table lookups
+      val adc = codes.join(broadcast(pdist), Seq("cell", "m", "cw_id"))
+        .groupBy($"p_id", $"c_id")
+        .agg(sum(rN($"pd2", 6).cast(dec6)).cast("double").as("adc"))
+      val wA = Window.partitionBy($"p_id").orderBy($"adc".asc, $"c_id")
+      val topA = adc.withColumn("rn", row_number().over(wA))
+        .filter($"rn" <= 10).select($"p_id", $"c_id")
+      val nCand = adc.groupBy($"p_id").agg(count(lit(1)).as("n_cand"))
+      val probes = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"))
+      val exact = emb.crossJoin(broadcast(probes))
+        .select($"p_id", $"vec_id".as("c_id"),
+          expr("aggregate(zip_with(p_emb, emb, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (s, v) -> s + v)").as("d2"))
+      val wE = Window.partitionBy($"p_id").orderBy($"d2".asc, $"c_id")
+      val topE = exact.withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10).select($"p_id", $"c_id")
+      val overlap = topA.join(topE, Seq("p_id", "c_id"))
+        .groupBy($"p_id").agg(count(lit(1)).as("n"))
+      probes.select($"p_id")
+        .join(nCand, Seq("p_id"), "left_outer")
+        .join(overlap, Seq("p_id"), "left_outer")
+        .select($"p_id", coalesce($"n_cand", lit(0L)).as("n_cand"),
+          coalesce($"n", lit(0L)).as("n_overlap"),
+          r6(coalesce($"n", lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy($"p_id")
+    },
+    Some {
+      // coarse squared-L2 legs and residual-PQ legs are generated per
+      // subspace so the 1-based dim ranges inline
+      val codeLegs = (0 to 3).map { m =>
+        val lo = m * SUB + 1
+        s"""
+        SELECT x.vec_id, x.cell, $m AS m, cb.cw_id,
+               (${residDiffChainSql("x.emb", "x.cent", "cb.cw_emb",
+                 "cb.cw_cent", lo)}) AS d2
+        FROM xc x CROSS JOIN cb"""
+      }.mkString(" UNION ALL ")
+      val pdistLegs = (0 to 3).map { m =>
+        val lo = m * SUB + 1
+        s"""
+        SELECT p.p_id, p.cell, $m AS m, cb.cw_id,
+               (${residDiffChainSql("p.emb", "p.cent", "cb.cw_emb",
+                 "cb.cw_cent", lo)}) AS pd2
+        FROM pc p CROSS JOIN cb"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding AS emb FROM embeddings
+        WHERE vec_id < $corpusBound),
+      cents AS (
+        SELECT vec_id AS cell, emb AS cent FROM corpus
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT c.vec_id, cents.cell,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (${sqDiffFullSql("c.emb", "cents.cent")}) ASC,
+                   cents.cell) AS rn
+          FROM corpus c CROSS JOIN cents) t WHERE rn = 1),
+      xc AS MATERIALIZED (
+        SELECT c.vec_id, a.cell, c.emb, ct.cent
+        FROM corpus c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN cents ct ON ct.cell = a.cell),
+      cwids AS (
+        SELECT vec_id AS cw_id FROM corpus
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCodewords),
+      cb AS MATERIALIZED (
+        SELECT w.cw_id, x.emb AS cw_emb, x.cent AS cw_cent
+        FROM cwids w JOIN xc x ON x.vec_id = w.cw_id),
+      cdists AS MATERIALIZED ($codeLegs),
+      codes AS MATERIALIZED (
+        SELECT vec_id AS c_id, cell, m, cw_id FROM (
+          SELECT vec_id, cell, m, cw_id,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d2 ASC, cw_id) AS rn
+          FROM cdists) t WHERE rn = 1),
+      pc AS MATERIALIZED (
+        SELECT p_id, cell, emb, cent FROM (
+          SELECT c.vec_id AS p_id, cents.cell, c.emb, cents.cent,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (${sqDiffFullSql("c.emb", "cents.cent")}) ASC,
+                   cents.cell) AS rn
+          FROM corpus c CROSS JOIN cents WHERE c.vec_id < 5) t
+        WHERE rn <= 2),
+      pdist AS MATERIALIZED ($pdistLegs),
+      adc AS MATERIALIZED (
+        SELECT p.p_id, c.c_id,
+               cast(sum(cast(${rNSql("p.pd2", 6)} as decimal(30,6)))
+                 as double) AS adc
+        FROM codes c
+        JOIN pdist p ON p.cell = c.cell AND p.m = c.m
+          AND p.cw_id = c.cw_id
+        GROUP BY p.p_id, c.c_id),
+      topa AS (
+        SELECT p_id, c_id FROM (
+          SELECT p_id, c_id,
+                 row_number() OVER (PARTITION BY p_id
+                   ORDER BY adc ASC, c_id) AS rn
+          FROM adc) t WHERE rn <= 10),
+      ncand AS (SELECT p_id, count(*) AS n_cand FROM adc GROUP BY p_id),
+      exact AS (
+        SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+               (${sqDiffFullSql("p.emb", "c.emb")}) AS d2
+        FROM corpus c CROSS JOIN
+          (SELECT * FROM corpus WHERE vec_id < 5) p),
+      tope AS (
+        SELECT p_id, c_id FROM (
+          SELECT p_id, c_id,
+                 row_number() OVER (PARTITION BY p_id
+                   ORDER BY d2 ASC, c_id) AS rn
+          FROM exact) t WHERE rn <= 10),
+      ov AS (
+        SELECT topa.p_id, count(*) AS n
+        FROM topa JOIN tope ON topa.p_id = tope.p_id
+          AND topa.c_id = tope.c_id
+        GROUP BY topa.p_id)
+      SELECT p.vec_id AS p_id,
+             cast(coalesce(n_cand, 0) as bigint) AS n_cand,
+             cast(coalesce(n, 0) as bigint) AS n_overlap,
+             ${r6Sql("cast(coalesce(n, 0) as double) / cast(10.0 as double)")}
+               AS recall_at_10
+      FROM (SELECT vec_id FROM corpus WHERE vec_id < 5) p
+      LEFT JOIN ncand ON ncand.p_id = p.vec_id
+      LEFT JOIN ov ON ov.p_id = p.vec_id
+      ORDER BY p_id"""
+    },
+  )
+
+  val qIvfadc: GQuery = mkIvfadc("q_ivfadc", corpusBound)
+
+  /** Full-corpus bench twin: same plan, whole embeddings table. */
+  val qIvfadcXl: GQuery = mkIvfadc("q_ivfadc_xl", corpusBoundXl)
+
   /** K-MINIMUM-VALUES sketch SET OPERATIONS — the sketch family's set
     * algebra: where q_approx_distinct bounds ONE cardinality, KMV
     * sketches COMPOSE — the union sketch is the k smallest hashes of
@@ -2453,5 +2680,6 @@ object ScaleOps {
     qApproxDistinct, qApproxPctl, qAqpSample, qMinhashAcc, qKnnClassify,
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
     qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
-    qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl)
+    qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
+    qIvfadcXl)
 }

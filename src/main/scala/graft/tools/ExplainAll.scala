@@ -137,7 +137,9 @@ object ExplainAll {
     // the full-corpus bench twins of the dedup/ANN scale family
     "q_model_gate", "q_curation_budget",
     "q_neardup_minhash_xl", "q_ann_ivf_xl", "q_semdedup_xl",
-    "q_band_sweep_xl")
+    "q_band_sweep_xl",
+    // round 12: the complete IVF + PQ-on-residuals ANN structure
+    "q_ivfadc")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

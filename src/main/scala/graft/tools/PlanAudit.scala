@@ -165,6 +165,12 @@ object PlanAudit {
     // round 12: 1-row mixture-weight-total broadcast scoring the
     // |sources|-row budget plan (the q_mix_report posture)
     "q_curation_budget",
+    // round 12: IVFADC — bounded centroid broadcast for the coarse
+    // assignment (q_ann_ivf posture) + bounded residual-codebook/5-probe
+    // ADC-table broadcasts (q_ann_pq posture); candidates only from the
+    // cell equi-join; the _xl twin inherits the identical bounded
+    // broadcasts over the full corpus
+    "q_ivfadc", "q_ivfadc_xl",
     // round-11 batch 13: 1-row token-total / doc-total broadcasts scoring
     // the vocab table (JS drift) and the |langs|-row rate table (quota
     // sampling) — the q_mix_weights posture

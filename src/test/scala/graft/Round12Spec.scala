@@ -95,4 +95,21 @@ class Round12Spec extends AnyFunSuite {
       assert(x.getDouble(3) == 1.0)
     }
   }
+
+  test("q_ivfadc: candidates bounded by probed cells, recall identity") {
+    val r = rows("q_ivfadc")
+    assert(r.length == 5, "one row per probe")
+    r.foreach { x =>
+      val (nc, ov, rec) = (x.getLong(1), x.getLong(2), x.getDouble(3))
+      // nProbe=2 of 9 cells: candidates are a strict corpus subset and
+      // never empty (the probe's own cell is always probed)
+      assert(nc > 0 && nc < 500, s"n_cand $nc outside (0, 500)")
+      assert(ov >= 0 && ov <= 10)
+      assert(math.abs(rec - ov / 10.0) < 2e-6)
+    }
+    // the ADC ranking must beat a dead index: some probe recovers some
+    // exact neighbor (10-codeword residual PQ on unstructured vectors is
+    // coarse — per-probe floors would overfit the fixture)
+    assert(r.map(_.getLong(2)).sum >= 1, "ADC recovered nothing")
+  }
 }

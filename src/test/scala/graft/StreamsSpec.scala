@@ -619,6 +619,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamKeep.forall(_ < 5000L), "a clone slipped through the gate")
   }
 
+  test("streamed model-gate keeps exactly the batch keep set") {
+    // q_model_gate's ingest twin: the classifier margin is a STATELESS
+    // per-row expression (coefficients are constants), so gating at
+    // ingest keeps bit-identical decisions no matter the micro-batching
+    // — the property that lets a pipeline score-and-drop on arrival
+    // instead of re-scanning the landed corpus.
+    import graft.operators.PipelineOps
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.engine.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    val batchKeep = PipelineOps.gateFeatures(src)
+      .withColumn("m", PipelineOps.gateMargin)
+      .filter(col("m") > 0.0).select(col("doc_id"))
+      .as[Long].collect().toSet
+    val docs = src.as[(String, Long, String)].collect().sortBy(_._2)
+    val mem = MemoryStream[(String, Long, String)]
+    val gated = PipelineOps.gateFeatures(
+        mem.toDF().toDF("source", "doc_id", "text"))
+      .withColumn("m", PipelineOps.gateMargin)
+      .filter(col("m") > 0.0)
+    val q = gated.writeStream.format("memory")
+      .queryName("mgate" + System.nanoTime()).outputMode("append").start()
+    docs.grouped(120).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    val name = q.name
+    q.stop()
+    val streamKeep = spark.table(name).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(streamKeep == batchKeep,
+      s"stream kept ${streamKeep.size}, batch kept ${batchKeep.size}")
+    // and the declared per-source rollup agrees on the total
+    val declared = SparkEntry.queries("q_model_gate")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(declared == batchKeep.size.toLong)
+  }
+
   test("streamed cascade stages 2+3 reproduce the batch funnel exactly") {
     // q_dedup_cascade's full ingest twin (round-11 verdict item 7): the
     // canonical (stage 2) and prefix-20 (stage 3) digests ride the SAME
