@@ -2009,6 +2009,203 @@ object PipelineOps {
     },
   )
 
+  /** GATE CALIBRATION — the "QC of the QC" a pipeline publishes before
+    * trusting a learned quality classifier: bucket documents by the
+    * [[qModelGate]] margin (fixed 0.1-width bins — data-independent
+    * edges, so the binning is total-order deterministic and shardable,
+    * unlike quantile bins) and report each bin's [[qGopherRules]]
+    * all-rules pass rate. A healthy classifier's curve RISES with the
+    * margin — rule-based and model-based quality must agree in
+    * direction, and the bin table is what a threshold review actually
+    * reads. One scan computes BOTH feature sets (the margin features
+    * and the five rule features share the token split), one combinable
+    * groupBy — |bins| ≤ 20 output rows, nothing above |docs|. */
+  val qGateCalibration: GQuery = GQuery(
+    "q_gate_calibration",
+    (spark, dir) => {
+      import spark.implicits._
+      val inList = "'the','and','of','to','in','a','is','it'"
+      val feat = Tables.documents(spark, dir)
+        .select($"doc_id", $"text", split($"text", " ").as("l"))
+        .select(
+          size($"l").as("nw"),
+          (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size($"l").cast("double")).as("f1"),
+          (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") /
+            length($"text")).as("sym"),
+          (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+            size($"l").cast("double")).as("f3"),
+          expr(s"size(array_intersect(array_distinct(l), array($inList)))")
+            .as("nstop"),
+          (expr("size(filter(l, t -> array_contains(array('the','and','of'," +
+            "'to','in','a','is','it'), t)))").cast("double") /
+            size($"l").cast("double")).as("f2"))
+        .withColumn("f0", $"nw".cast("double") / lit(100.0))
+        .withColumn("m", gateMargin)
+      val gok = ($"nw" >= 30 && $"nw" <= 10000 &&
+        $"f1" >= 3.0 && $"f1" <= 10.0 && $"sym" < 0.1 &&
+        $"f3" >= 0.8 && $"nstop" >= 2).cast("long")
+      feat.select(
+          least(greatest(floor($"m" * lit(10.0)), lit(-10.0)), lit(9.0))
+            .cast("int").as("bin"),
+          $"m", gok.as("gok"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"m" > 0.0, 1L).otherwise(0L)).as("n_keep"),
+          sum($"gok").as("n_gopher_ok"),
+          davg(rN($"m", 6)).as("avg_margin"))
+        .withColumn("gopher_rate",
+          r6($"n_gopher_ok".cast("double") / $"n_docs".cast("double")))
+        .orderBy($"bin")
+    },
+    Some {
+      val m = "((((cast(0.02 as double) * f0) + (cast(0.8 as double) * f1))" +
+        " + (cast(3.0 as double) * f2)) + (cast(2.0 as double) * f3))" +
+        " + cast(-5.6 as double)"
+      s"""
+      WITH lt AS (
+        SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+      feat AS (
+        SELECT cast(len(l) as int) AS nw,
+          cast(len(l) as double) / cast(100.0 as double) AS f0,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS f1,
+          cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+            as double) / cast(length(text) as double) AS sym,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS f3,
+          cast(len(list_intersect(list_distinct(l),
+            ['the','and','of','to','in','a','is','it'])) as int) AS nstop,
+          cast(len(list_filter(l, t -> list_contains(
+            ['the','and','of','to','in','a','is','it'], t))) as double)
+            / cast(len(l) as double) AS f2
+        FROM lt),
+      scored AS (
+        SELECT cast(least(greatest(floor(($m) * cast(10.0 as double)),
+                 cast(-10.0 as double)), cast(9.0 as double)) as int) AS bin,
+               ($m) AS m,
+               CASE WHEN nw >= 30 AND nw <= 10000
+                 AND f1 >= cast(3.0 as double) AND f1 <= cast(10.0 as double)
+                 AND sym < cast(0.1 as double)
+                 AND f3 >= cast(0.8 as double) AND nstop >= 2
+               THEN 1 ELSE 0 END AS gok
+        FROM feat)
+      SELECT bin, cast(count(*) as bigint) AS n_docs,
+             cast(sum(CASE WHEN m > cast(0.0 as double) THEN 1 ELSE 0 END)
+               as bigint) AS n_keep,
+             cast(sum(gok) as bigint) AS n_gopher_ok,
+             ${davgSql(rNSql("m", 6))} AS avg_margin,
+             ${r6Sql("cast(sum(gok) as double) / cast(count(*) as double)")}
+               AS gopher_rate
+      FROM scored GROUP BY bin
+      ORDER BY bin"""
+    },
+  )
+
+  /** QUALITY-AWARE CLUSTER KEEPER SELECTION — the dedup refinement that
+    * keeps the BEST copy instead of the first: within each 20-token-
+    * prefix duplicate family ([[qDedupCascade]]'s stage-3 key, where
+    * members genuinely differ in quality — exact-dup clusters cannot,
+    * their text is identical), the keeper is the member with the highest
+    * gopher rule-pass count (0–5, [[qGopherRules]]' five rules), doc_id
+    * ascending as the tiebreak. Reported against the naive min-id keeper
+    * with an `upgraded` flag — the audit of what quality-aware keeping
+    * actually changes. Planted: 12 low-quality clones at NEGATIVE ids
+    * (prefix + all-digit tail, so they fail the letter-fraction rule the
+    * originals always pass AND win the min-id race) force `upgraded`
+    * clusters at every SF — a keeper rule that silently degenerates to
+    * min-id fails the spec. One scan computes digest + score; keeper,
+    * size, and naive keeper are three functions over ONE ph-partitioned
+    * window — no self-join, nothing above |docs|. */
+  val qClusterKeeper: GQuery = GQuery(
+    "q_cluster_keeper",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 12 && size(split($"text", " ")) >= 25)
+          .select(($"doc_id" - 1000000L).as("doc_id"),
+            concat(concat_ws(" ", slice(split($"text", " "), 1, 20)),
+              lit(" 9 9 9 9 9 9 9 9 9 9")).as("text")))
+      val inList = "'the','and','of','to','in','a','is','it'"
+      val feat = docs
+        .select($"doc_id", $"text", split($"text", " ").as("l"))
+        .select($"doc_id",
+          md5(concat_ws(" ", slice($"l", 1, 20)).cast("binary")).as("ph"),
+          size($"l").as("nw"),
+          (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size($"l").cast("double")).as("mwl"),
+          (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") /
+            length($"text")).as("sym"),
+          (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+            size($"l").cast("double")).as("alpha"),
+          expr(s"size(array_intersect(array_distinct(l), array($inList)))")
+            .as("nstop"))
+      val score =
+        ($"nw" >= 30 && $"nw" <= 10000).cast("long") +
+          ($"mwl" >= 3.0 && $"mwl" <= 10.0).cast("long") +
+          ($"sym" < 0.1).cast("long") +
+          ($"alpha" >= 0.8).cast("long") +
+          ($"nstop" >= 2).cast("long")
+      val byPh = Window.partitionBy($"ph")
+      val w = byPh.orderBy($"score".desc, $"doc_id".asc)
+      feat.select($"doc_id", $"ph", score.as("score"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(byPh))
+        .withColumn("naive_id", min($"doc_id").over(byPh))
+        .filter($"rn" === 1 && $"n_members" >= 2)
+        .select($"ph".as("cluster"), $"n_members",
+          $"doc_id".as("keeper_id"), $"score".as("keeper_score"),
+          $"naive_id", ($"doc_id" =!= $"naive_id").as("upgraded"))
+        .orderBy($"cluster")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id - 1000000,
+               array_to_string((string_split(text, ' '))[1:20], ' ')
+                 || ' 9 9 9 9 9 9 9 9 9 9'
+        FROM base
+        WHERE doc_id < 12 AND len(string_split(text, ' ')) >= 25),
+      feat AS (
+        SELECT doc_id,
+          md5(array_to_string((string_split(text, ' '))[1:20], ' ')) AS ph,
+          cast(len(l) as int) AS nw,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS mwl,
+          cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+            as double) / cast(length(text) as double) AS sym,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS alpha,
+          cast(len(list_intersect(list_distinct(l),
+            ['the','and','of','to','in','a','is','it'])) as int) AS nstop
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS l
+              FROM docs) f0),
+      scored AS (
+        SELECT doc_id, ph,
+          cast((CASE WHEN nw >= 30 AND nw <= 10000 THEN 1 ELSE 0 END) +
+          (CASE WHEN mwl >= cast(3.0 as double) AND
+             mwl <= cast(10.0 as double) THEN 1 ELSE 0 END) +
+          (CASE WHEN sym < cast(0.1 as double) THEN 1 ELSE 0 END) +
+          (CASE WHEN alpha >= cast(0.8 as double) THEN 1 ELSE 0 END) +
+          (CASE WHEN nstop >= 2 THEN 1 ELSE 0 END) as bigint) AS score
+        FROM feat),
+      win AS (
+        SELECT doc_id, ph, score,
+               row_number() OVER (PARTITION BY ph
+                 ORDER BY score DESC, doc_id ASC) AS rn,
+               cast(count(*) OVER (PARTITION BY ph) as bigint) AS n_members,
+               min(doc_id) OVER (PARTITION BY ph) AS naive_id
+        FROM scored)
+      SELECT ph AS cluster, n_members, doc_id AS keeper_id,
+             score AS keeper_score, naive_id,
+             (doc_id <> naive_id) AS upgraded
+      FROM win WHERE rn = 1 AND n_members >= 2
+      ORDER BY cluster"""),
+  )
+
   /** PER-SOURCE CURATION BUDGET — the JOINED keep-rate decision a
     * curation run actually executes (round-11 verdict item 5): the
     * [[qGopherRules]] quality verdict and global exact-dedup keep-first
@@ -2161,5 +2358,5 @@ object PipelineOps {
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
-      qModelGate, qCurationBudget)
+      qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper)
 }

@@ -2251,6 +2251,86 @@ object ScaleOps {
     },
   )
 
+  /** INCREMENTAL ANN-INDEX MAINTENANCE — the q_dedup_incr posture for
+    * the vector index: a NEW BATCH (100 shifted-id vectors) is assigned
+    * to the STANDING quantizer (the same bottom-[[nCentroids]] centroids
+    * the index was built with — never refit on arrival), and the report
+    * is the per-cell growth audit an index operator reads to decide when
+    * to re-train: standing size, arrivals, growth ratio, and a rebalance
+    * flag at 1.25×. The batch rides the same broadcast-argmax scan as
+    * the original build — ONE pass over standing ∪ batch with an is_new
+    * flag, so incremental maintenance costs exactly one assignment scan
+    * of the arrivals at 100 TB (the standing corpus is only re-read here
+    * because the fixture has no materialized assignment to reuse; a
+    * deployment reads its stored cell column). Planted batch = copies of
+    * the first 100 vectors → each lands in its source's cell, so growth
+    * is deterministic and never vacuous. */
+  val qAnnIncr: GQuery = GQuery(
+    "q_ann_incr",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val base = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      val corpus = base.withColumn("is_new", lit(0L))
+        .unionByName(base.filter($"vec_id" < 100)
+          .select(($"vec_id" + 2000000L).as("vec_id"), $"emb", $"nrm")
+          .withColumn("is_new", lit(1L)))
+      val cents = base.orderBy(idHash($"vec_id"), $"vec_id").limit(nCentroids)
+        .select($"vec_id".as("cell"), $"emb".as("cent"), $"nrm".as("cent_nrm"))
+      val assignW = Window.partitionBy($"vec_id")
+        .orderBy($"cell_cos".desc, $"cell")
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("cell_cos",
+          expr("dot_product(emb, cent)") / ($"nrm" * $"cent_nrm"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter($"rn" === 1)
+        .groupBy($"cell")
+        .agg(sum(lit(1L) - $"is_new").as("n_standing"),
+          sum($"is_new").as("n_new"))
+        .select($"cell", $"n_standing", $"n_new",
+          r6(($"n_standing" + $"n_new").cast("double") /
+            $"n_standing".cast("double")).as("growth_ratio"),
+          (($"n_standing" + $"n_new").cast("double") /
+            $"n_standing".cast("double") > lit(1.25)).as("rebalance"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding,
+               sqrt(${chainSql("embedding", "embedding")}) AS nrm
+        FROM embeddings WHERE vec_id < $corpusBound),
+      corpus AS (
+        SELECT vec_id, embedding, nrm, 0 AS is_new FROM base
+        UNION ALL
+        SELECT vec_id + 2000000, embedding, nrm, 1 AS is_new
+        FROM base WHERE vec_id < 100),
+      cents AS (
+        SELECT vec_id AS cell, embedding AS cent, nrm AS cent_nrm
+        FROM base
+        ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
+      assigned AS (
+        SELECT vec_id, cell, is_new FROM (
+          SELECT c.vec_id, cents.cell, c.is_new,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (${chainSql("c.embedding", "cents.cent")})
+                     / (c.nrm * cents.cent_nrm) DESC, cents.cell) AS rn
+          FROM corpus c CROSS JOIN cents) t WHERE rn = 1)
+      SELECT cell,
+             cast(sum(1 - is_new) as bigint) AS n_standing,
+             cast(sum(is_new) as bigint) AS n_new,
+             ${r6Sql("cast(sum(1 - is_new) + sum(is_new) as double) / " +
+               "cast(sum(1 - is_new) as double)")} AS growth_ratio,
+             (cast(sum(1 - is_new) + sum(is_new) as double) /
+               cast(sum(1 - is_new) as double)) > cast(1.25 as double)
+               AS rebalance
+      FROM assigned GROUP BY cell
+      ORDER BY cell"""),
+  )
+
   val qIvfadc: GQuery = mkIvfadc("q_ivfadc", corpusBound)
 
   /** Full-corpus bench twin: same plan, whole embeddings table. */
@@ -2681,5 +2761,5 @@ object ScaleOps {
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
     qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
-    qIvfadcXl)
+    qIvfadcXl, qAnnIncr)
 }

@@ -138,8 +138,9 @@ object ExplainAll {
     "q_model_gate", "q_curation_budget",
     "q_neardup_minhash_xl", "q_ann_ivf_xl", "q_semdedup_xl",
     "q_band_sweep_xl",
-    // round 12: the complete IVF + PQ-on-residuals ANN structure
-    "q_ivfadc")
+    // round 12: the complete IVF + PQ-on-residuals ANN structure,
+    // classifier-vs-rules calibration, incremental index maintenance
+    "q_ivfadc", "q_gate_calibration", "q_ann_incr", "q_cluster_keeper")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -171,6 +171,9 @@ object PlanAudit {
     // cell equi-join; the _xl twin inherits the identical bounded
     // broadcasts over the full corpus
     "q_ivfadc", "q_ivfadc_xl",
+    // round 12: the same bounded centroid broadcast driving the
+    // standing-index assignment of the arriving batch (q_ann_ivf posture)
+    "q_ann_incr",
     // round-11 batch 13: 1-row token-total / doc-total broadcasts scoring
     // the vocab table (JS drift) and the |langs|-row rate table (quota
     // sampling) — the q_mix_weights posture

@@ -112,4 +112,67 @@ class Round12Spec extends AnyFunSuite {
     // coarse — per-probe floors would overfit the fixture)
     assert(r.map(_.getLong(2)).sum >= 1, "ADC recovered nothing")
   }
+
+  test("q_gate_calibration: model margins and gopher rules agree in direction") {
+    val r = rows("q_gate_calibration")
+    assert(r.nonEmpty)
+    var negN = 0L; var negOk = 0L; var posN = 0L; var posOk = 0L
+    r.foreach { x =>
+      val (bin, n, nk, ok) =
+        (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(bin >= -10 && bin <= 9)
+      assert(nk <= n && ok <= n)
+      // the keep decision is determined by the bin sign away from 0:
+      // every doc in a positive bin has margin > 0, none in a negative
+      if (bin >= 1) assert(nk == n, s"bin $bin: positive margin not kept")
+      if (bin <= -1) assert(nk == 0, s"bin $bin: negative margin kept")
+      assert(math.abs(x.getDouble(5) - ok.toDouble / n) < 2e-6)
+      if (bin <= -1) { negN += n; negOk += ok }
+      if (bin >= 1) { posN += n; posOk += ok }
+    }
+    assert(negN > 0 && posN > 0, "margin distribution collapsed to one side")
+    // calibration direction: rule-pass rate above the gate must beat the
+    // rate below it (measured 0.62 vs 0.20 on the fixture — wide margin)
+    assert(posOk.toDouble / posN > negOk.toDouble / negN + 0.1,
+      s"no direction: pos ${posOk.toDouble / posN} vs neg ${negOk.toDouble / negN}")
+  }
+
+  test("q_cluster_keeper: quality keeper beats the planted min-id junk") {
+    val r = rows("q_cluster_keeper")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (nm, keeper, score, naive, up) = (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getBoolean(5))
+      assert(nm >= 2, "singleton clusters must not report")
+      assert(score >= 0 && score <= 5)
+      assert(up == (keeper != naive), "upgraded flag inconsistent")
+      assert(keeper >= naive, "keeper below the min id is impossible")
+      // an upgrade on this fixture only happens when a planted junk
+      // clone (negative id) won the min-id race and lost on quality
+      if (up) {
+        assert(naive < 0L, s"organic upgrade? naive=$naive")
+        assert(keeper >= 0L, "keeper must be the organic original")
+      }
+    }
+    // the planted low-quality clones force upgrades at every SF —
+    // a keeper rule that degenerates to min-id keeps the junk instead
+    assert(r.count(_.getBoolean(5)) >= 5,
+      s"expected >= 5 upgraded clusters, got ${r.count(_.getBoolean(5))}")
+  }
+
+  test("q_ann_incr: planted batch growth is exact, flags consistent") {
+    val r = rows("q_ann_incr")
+    assert(r.length == 9, "all 9 standing cells must report")
+    var newTotal = 0L
+    r.foreach { x =>
+      val (st, nw, gr) = (x.getLong(1), x.getLong(2), x.getDouble(3))
+      assert(st >= 1, "standing cell cannot be empty (centroid self-assigns)")
+      assert(nw >= 0)
+      assert(math.abs(gr - (st + nw).toDouble / st) < 2e-6)
+      assert(x.getBoolean(4) == ((st + nw).toDouble / st > 1.25))
+      newTotal += nw
+    }
+    // the 100 planted copies all land in their source's cell
+    assert(newTotal == 100, s"expected 100 arrivals assigned, got $newTotal")
+  }
 }
