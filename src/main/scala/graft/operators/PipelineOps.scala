@@ -2102,6 +2102,79 @@ object PipelineOps {
     },
   )
 
+  /** MIXTURE-TEMPERATURE SWEEP — the α-tuning curve a corpus build reads
+    * before fixing its sampling temperature: per source and per
+    * α ∈ {0.25, 0.5, 0.75, 1.0}, the nᵅ/Σnᵅ mixture weight, the natural
+    * share, and the implied boost — showing how lowering α flattens the
+    * mix toward uniform and raising it toward natural sampling
+    * ([[qMixWeights]] is the α = 0.5 point of this curve). The exponent
+    * grid is DELIBERATELY dyadic: n^0.25 = sqrt(sqrt(n)), n^0.75 =
+    * sqrt(n)·sqrt(sqrt(n)) — every power is a composition of
+    * correctly-rounded IEEE sqrts (bit-identical in both engines),
+    * where a pow()/exp/ln form would be a libm coin flip. One combinable
+    * groupBy → |sources| rows → a 4-way per-row explode and a 4-row
+    * totals broadcast; nothing above |docs|. */
+  val qMixAlphaSweep: GQuery = GQuery(
+    "q_mix_alpha_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val ps = Tables.documents(spark, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val n = $"n_docs".cast("double")
+      val lv = ps.select($"source", $"n_docs", explode(array(
+          struct(lit(0.25).as("alpha"), sqrt(sqrt(n)).as("w")),
+          struct(lit(0.5).as("alpha"), sqrt(n).as("w")),
+          struct(lit(0.75).as("alpha"), (sqrt(n) * sqrt(sqrt(n))).as("w")),
+          struct(lit(1.0).as("alpha"), n.as("w")))).as("s"))
+        .select($"source", $"n_docs", $"s.alpha".as("alpha"),
+          rN($"s.w", 6).cast(DecimalType(30, 6)).as("w_term"))
+      val tot = lv.groupBy($"alpha")
+        .agg(sum($"w_term").as("t"), sum($"n_docs").as("nn"))
+      lv.join(broadcast(tot), "alpha")
+        .select($"alpha", $"source", $"n_docs",
+          r6($"w_term".cast("double") / $"t".cast("double")).as("weight"),
+          r6($"n_docs".cast("double") / $"nn".cast("double")).as("share"),
+          r6(($"w_term".cast("double") * $"nn".cast("double")) /
+            ($"t".cast("double") * $"n_docs".cast("double"))).as("boost"))
+        .orderBy($"alpha", $"source")
+    },
+    Some(s"""
+      WITH ps AS (
+        SELECT source, cast(count(*) as bigint) AS n_docs
+        FROM documents GROUP BY source),
+      lv AS (
+        SELECT source, n_docs, cast(0.25 as double) AS alpha,
+               cast(${rNSql("sqrt(sqrt(cast(n_docs as double)))", 6)}
+                 as decimal(30,6)) AS w_term
+        FROM ps
+        UNION ALL
+        SELECT source, n_docs, cast(0.5 as double),
+               cast(${rNSql("sqrt(cast(n_docs as double))", 6)}
+                 as decimal(30,6))
+        FROM ps
+        UNION ALL
+        SELECT source, n_docs, cast(0.75 as double),
+               cast(${rNSql("sqrt(cast(n_docs as double)) * " +
+                 "sqrt(sqrt(cast(n_docs as double)))", 6)}
+                 as decimal(30,6))
+        FROM ps
+        UNION ALL
+        SELECT source, n_docs, cast(1.0 as double),
+               cast(${rNSql("cast(n_docs as double)", 6)} as decimal(30,6))
+        FROM ps),
+      tot AS (SELECT alpha, sum(w_term) AS t, sum(n_docs) AS nn
+              FROM lv GROUP BY alpha)
+      SELECT lv.alpha, source, n_docs,
+             ${r6Sql("cast(w_term as double) / cast(t as double)")}
+               AS weight,
+             ${r6Sql("cast(n_docs as double) / cast(nn as double)")}
+               AS share,
+             ${r6Sql("(cast(w_term as double) * cast(nn as double)) / " +
+               "(cast(t as double) * cast(n_docs as double))")} AS boost
+      FROM lv JOIN tot ON lv.alpha = tot.alpha
+      ORDER BY lv.alpha, source"""),
+  )
+
   /** QUALITY-AWARE CLUSTER KEEPER SELECTION — the dedup refinement that
     * keeps the BEST copy instead of the first: within each 20-token-
     * prefix duplicate family ([[qDedupCascade]]'s stage-3 key, where
@@ -2358,5 +2431,6 @@ object PipelineOps {
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
-      qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper)
+      qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
+      qMixAlphaSweep)
 }

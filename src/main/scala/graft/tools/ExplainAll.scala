@@ -140,7 +140,8 @@ object ExplainAll {
     "q_band_sweep_xl",
     // round 12: the complete IVF + PQ-on-residuals ANN structure,
     // classifier-vs-rules calibration, incremental index maintenance
-    "q_ivfadc", "q_gate_calibration", "q_ann_incr", "q_cluster_keeper")
+    "q_ivfadc", "q_gate_calibration", "q_ann_incr", "q_cluster_keeper",
+    "q_mix_alpha_sweep")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

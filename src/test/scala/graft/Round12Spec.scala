@@ -160,6 +160,39 @@ class Round12Spec extends AnyFunSuite {
       s"expected >= 5 upgraded clusters, got ${r.count(_.getBoolean(5))}")
   }
 
+  test("q_mix_alpha_sweep: weights normalize, temperature orders the extremes") {
+    val r = rows("q_mix_alpha_sweep")
+    val byAlpha = r.groupBy(_.getDouble(0))
+    assert(byAlpha.keySet == Set(0.25, 0.5, 0.75, 1.0))
+    byAlpha.foreach { case (a, rows) =>
+      val wSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(wSum - 1.0) < 2e-5, s"alpha $a weights sum $wSum")
+      rows.foreach { x =>
+        // boost identity: weight / share
+        val (w, sh, b) = (x.getDouble(3), x.getDouble(4), x.getDouble(5))
+        assert(math.abs(b - w / sh) < 2e-4, s"boost $b vs ${w / sh}")
+      }
+      // alpha = 1.0 is natural sampling: weight == share
+      if (a == 1.0) rows.foreach(x =>
+        assert(math.abs(x.getDouble(3) - x.getDouble(4)) < 2e-6))
+    }
+    // power-mean flattening: the LARGEST source's weight is non-decreasing
+    // in alpha, the smallest's non-increasing
+    def weightsAt(a: Double) =
+      byAlpha(a).map(x => x.getString(1) -> x.getDouble(3)).toMap
+    val n = r.groupBy(_.getString(1)).map { case (s, xs) =>
+      s -> xs.head.getLong(2) }
+    val big = n.maxBy(x => (x._2, x._1))._1
+    val small = n.minBy(x => (x._2, x._1))._1
+    val alphas = Seq(0.25, 0.5, 0.75, 1.0)
+    alphas.sliding(2).foreach { case Seq(a1, a2) =>
+      assert(weightsAt(a1)(big) <= weightsAt(a2)(big) + 2e-6,
+        s"big-source weight fell from alpha $a1 to $a2")
+      assert(weightsAt(a1)(small) >= weightsAt(a2)(small) - 2e-6,
+        s"small-source weight rose from alpha $a1 to $a2")
+    }
+  }
+
   test("q_ann_incr: planted batch growth is exact, flags consistent") {
     val r = rows("q_ann_incr")
     assert(r.length == 9, "all 9 standing cells must report")
