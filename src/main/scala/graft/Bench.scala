@@ -107,7 +107,7 @@ object Bench {
     val valueRetimed = timed.map { case (n, t) =>
       retimedByName.getOrElse(n, t) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"value_retimed":$valueRetimed,"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_retimed":${f"$valueRetimed%.3f"},"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
     // Full detail first (humans + history file), compact line LAST: the
     // driver records only the final ~2000 chars of output, so a ~5000-char
     // 196-query line is always front-truncated and has parsed as null in
@@ -129,7 +129,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"value_retimed":${f"$valueRetimed%.3f"},"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"n_retimed":${retimed.size},"n_retime_errors":${retimeErrs.size},"n_contention_suspect":${suspects.size},"queries_omitted":"""
     val fixedTail = s""","queries":{},"sf":"$sfDir"}"""
     val budget = window - fixedHead.length - omittedDigits - fixedTail.length
-    val slowestFirst = timed.sortBy(-_._2)
+    // The compact map carries the ADJUDICATED time per query — the retime
+    // where one was taken, the first-pass figure otherwise. A driver that
+    // reads only this line then sees the number the retime machinery has
+    // already vetted (r12 verdict item: the first-pass map showed
+    // q_dedup_shift at 11.0 s when its retime was ~3 s). The detail line
+    // above still carries both maps for contention forensics.
+    val adjudicated = timed.map { case (n, t) =>
+      n -> retimedByName.getOrElse(n, t) }
+    val slowestFirst = adjudicated.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowestFirst.foreach { case (k, v) =>

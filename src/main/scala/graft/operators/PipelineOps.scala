@@ -2118,8 +2118,14 @@ object PipelineOps {
     "q_mix_alpha_sweep",
     (spark, dir) => {
       import spark.implicits._
+      // |sources|-row aggregate consumed by BOTH the per-alpha totals and
+      // the final join (via lv): materialize once — ReuseExchange dedup of
+      // the corpus scan is not guaranteed across the two branches (the
+      // q_curation_budget precedent; everything downstream recomputes only
+      // the tiny explode over |sources| rows)
       val ps = Tables.documents(spark, dir)
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
       val n = $"n_docs".cast("double")
       val lv = ps.select($"source", $"n_docs", explode(array(
           struct(lit(0.25).as("alpha"), sqrt(sqrt(n)).as("w")),
@@ -2291,7 +2297,9 @@ object PipelineOps {
     * target, and the implied sampling boost (budget / survivors).
     * Planted rows keep both gates non-vacuous at every SF: 15 same-text
     * clones (+600000) are dropped by dedup keep-first; 10 all-digit junk
-    * docs (+3000) fail the letter/stopword rules. Scale shape: one scan
+    * docs (+300000 — OUTSIDE the organic id range at every SF, per the
+    * shifted-id plant convention; the original +3000 landed inside sf0.1's
+    * id space) fail the letter/stopword rules. Scale shape: one scan
     * computes digest + all five rule features; survivorship is a
     * min-over-window partitioned by the digest (bounded state per
     * digest group — the q_dedup_cascade idiom; the groupBy+join form
@@ -2309,7 +2317,7 @@ object PipelineOps {
         .unionByName(base.filter($"doc_id" < 15)
           .select($"source", ($"doc_id" + 600000L).as("doc_id"), $"text"))
         .unionByName(base.filter($"doc_id" < 10)
-          .select($"source", ($"doc_id" + 3000L).as("doc_id"),
+          .select($"source", ($"doc_id" + 300000L).as("doc_id"),
             lit(junk).as("text")))
       val inList = "'the','and','of','to','in','a','is','it'"
       val feat = docs
@@ -2369,7 +2377,7 @@ object PipelineOps {
         UNION ALL
         SELECT source, doc_id + 600000, text FROM base WHERE doc_id < 15
         UNION ALL
-        SELECT source, doc_id + 3000, trim(repeat('404 90210 ', 25))
+        SELECT source, doc_id + 300000, trim(repeat('404 90210 ', 25))
         FROM base WHERE doc_id < 10),
       feat AS (
         SELECT source, doc_id, md5(text) AS th,

@@ -697,13 +697,30 @@ class StreamsSpec extends AnyFunSuite {
     val k2 = keepFirst(k1, _._3)
     val k3 = keepFirst(k2, _._4)
 
-    // plant-family-aligned micro-batches: originals in two batches, each
-    // shifted-id plant family alone in its own batch
-    def slices(in: Seq[(Long, String, String, String)]) =
-      Seq(in.filter(_._1 < 250), in.filter(x => x._1 >= 250 && x._1 < 500000),
-        in.filter(x => x._1 >= 500000 && x._1 < 705000),
-        in.filter(x => x._1 >= 705000 && x._1 < 715000),
-        in.filter(_._1 >= 715000)).filter(_.nonEmpty)
+    // per-key greedy micro-batch assignment (round-12 advice: the fixed
+    // plant-family slices left ORGANIC same-key pairs inside one batch,
+    // where within-batch dropDuplicates keeps an ARBITRARY row — a latent
+    // partitioning-dependent flake). Processing in id order, each doc goes
+    // to the first batch AFTER every batch already holding one of its
+    // th/ch/ph keys: no batch ever holds two docs sharing any stage key,
+    // and same-key docs arrive in id order, so cross-batch state keeps
+    // exactly the min-id member — the keep-first truth, for plants AND
+    // organics. Batch count is bounded by the largest key family (~25).
+    def slices(in: Seq[(Long, String, String, String)]) = {
+      val last = scala.collection.mutable.Map.empty[String, Int]
+      val buckets = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, String, String, String)]]
+      in.sortBy(_._1).foreach { d =>
+        val ks = Seq("t" + d._2, "c" + d._3, "p" + d._4)
+        val b = ks.flatMap(last.get)
+          .reduceOption(_ max _).map(_ + 1).getOrElse(0)
+        while (buckets.size <= b)
+          buckets += scala.collection.mutable.ArrayBuffer.empty
+        buckets(b) += d
+        ks.foreach(k => last(k) = b)
+      }
+      buckets.map(_.toSeq).toSeq.filter(_.nonEmpty)
+    }
     def gate(in: Seq[(Long, String, String, String)], key: String) = {
       val mem = MemoryStream[(Long, String, String, String)]
       val out = mem.toDF().toDF("doc_id", "th", "ch", "ph")
