@@ -2432,6 +2432,323 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** Shared unit-explosion SQL for [[qRepetitionRules]]: per doc, ONE
+    * combined array of repetition units — lines (kind 1), paragraphs
+    * (kind 2), word 2/3/4-grams (kinds 3-5, with their character length)
+    * and stride-1 10-token windows (kind 6, with their 0-based start
+    * position) — exploded in a single pass. Units travel as md5 digests,
+    * so the shuffle carries 32-byte keys, never text. The slice-guard
+    * idiom (`slice(sequence(1, greatest(K,1)), 1, greatest(K,0))`) keeps
+    * every branch empty-safe without CASE-typed empty arrays (Spark's
+    * `sequence(1, k<1)` counts DOWN — the round-1 gotcha). */
+  private def repUnitsExpr: Column = {
+    def gbranch(kindId: Int, n: Int): String = {
+      val g = s"concat_ws(' ', slice(l, i, $n))"
+      s"transform(slice(sequence(1, greatest(size(l) - ${n - 1}, 1)), " +
+        s"1, greatest(size(l) - ${n - 1}, 0)), " +
+        s"i -> named_struct('kind', $kindId, 'unit', md5($g), " +
+        s"'glen', length($g)))"
+    }
+    expr(s"""concat(
+      transform(lines, x -> named_struct('kind', 1, 'unit', md5(x),
+        'glen', 0)),
+      transform(paras, x -> named_struct('kind', 2, 'unit', md5(x),
+        'glen', 0)),
+      ${gbranch(3, 2)},
+      ${gbranch(4, 3)},
+      ${gbranch(5, 4)})""")
+  }
+
+  /** Per-document GOPHER REPETITION rule flags (Rae et al. 2021 §A1.1,
+    * the repetition half that complements [[qGopherRules]]' quality
+    * half): duplicate-line fraction ≤ 0.30, duplicate-paragraph fraction
+    * ≤ 0.30, top-2/3/4-gram character mass ≤ 0.20/0.18/0.16 of the
+    * document (the top gram is the most frequent among grams occurring
+    * ≥ 2× — a singleton gram is not repetition, and at fixture-length
+    * docs the longest singleton 4-gram alone can cross 16%), and
+    * characters inside duplicated 10-token windows ≤ 0.10
+    * (coverage-union semantics — overlapping duplicated windows are
+    * merged into maximal islands before counting, so a character is never
+    * counted twice). ALL thresholds are evaluated as integer
+    * cross-products (e.g. `10*dup ≤ 3*total`), so the verdicts are exact
+    * in both engines — no float staging anywhere.
+    *
+    * Scale shape: one combined explode (~3 unit rows per token) feeding a
+    * COMBINABLE (doc, kind, unit)-count groupBy — repeated units collapse
+    * map-side, no sort-based window touches the bulk rows — plus a
+    * separate stride-1 window pass for the 10-gram coverage using the
+    * q_dedup_shift groupBy + left-semi idiom (only the per-occurrence
+    * POSITIONS of duplicated windows ride the second shuffle). Every
+    * shuffle key includes the doc id, state per key is bounded by
+    * document length, nothing is quadratic. The top-gram winner is the
+    * max of `cnt*100000 + glen` (count first, char length as the
+    * deterministic tiebreak), decoded back by div/mod —
+    * total-order deterministic without max_by. */
+  def repetitionRuleFlags(docs: DataFrame): DataFrame = {
+    val lt = docs.select(col("source"), col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("tl"),
+      split(col("text"), "\n").as("lines"),
+      split(col("text"), "\n\n").as("paras"),
+      split(col("text"), " ").as("l"))
+    val g5 = lt.select(col("source"), col("doc_id"), col("tl"),
+        explode(repUnitsExpr).as("u"))
+      .select(col("source"), col("doc_id"), col("tl"),
+        col("u.kind").as("kind"), col("u.unit").as("unit"),
+        col("u.glen").cast("long").as("glen"))
+      .groupBy(col("source"), col("doc_id"), col("tl"), col("kind"),
+        col("unit"))
+      .agg(count(lit(1)).as("cnt"), max(col("glen")).as("glen"))
+    // only grams that actually REPEAT compete for the top slot: a
+    // singleton n-gram is not repetition, and at fixture-length documents
+    // the longest singleton 4-gram alone can exceed 16% of the characters
+    // (measured: 25% of organic sf0.001 docs failed) — a false-positive
+    // mode the web-length Gopher corpus never exposes
+    def topKey(k: Int): Column =
+      coalesce(max(when(col("kind") === k && col("cnt") >= 2,
+        col("cnt") * lit(100000L) + col("glen"))), lit(0L))
+    def dupCount(k: Int): Column =
+      sum(when(col("kind") === k && col("cnt") >= 2, col("cnt"))
+        .otherwise(0L))
+    def totCount(k: Int): Column =
+      sum(when(col("kind") === k, col("cnt")).otherwise(0L))
+    val agg1 = g5
+      .groupBy(col("source"), col("doc_id"), col("tl"))
+      .agg(totCount(1).as("n_lines"), dupCount(1).as("n_dup_lines"),
+        totCount(2).as("n_paras"), dupCount(2).as("n_dup_paras"),
+        topKey(3).as("k2"), topKey(4).as("k3"), topKey(5).as("k4"))
+    // duplicated-10-gram coverage: dup window starts -> gaps-and-islands
+    // (a break when starts are > 10 apart), island [s, m] covers tokens
+    // s+1 .. m+10, whose characters are the length of that token slice
+    // re-joined (exact for the single-space tokenization both engines use)
+    val wins = lt
+      .filter(size(col("l")) >= 10)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(l) - 10), " +
+            "i -> md5(concat_ws(' ', slice(l, i + 1, 10))))")))
+      .toDF("doc_id", "pos", "wh")
+    val dup = wins.groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("nw"))
+      .filter(col("nw") >= 2)
+      .select(col("doc_id"), col("wh"))
+    val wByDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = wins.join(dup, Seq("doc_id", "wh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wByDoc) > 10, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wByDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("m"))
+    val d10 = spans
+      .join(lt.select(col("doc_id"), col("l")), Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(concat_ws(" ",
+          slice(col("l"), col("s") + 1, col("m") - col("s") + lit(10))))
+          .cast("long"))
+        .as("dup10_chars"))
+    def mass(k: String): Column =
+      expr(s"($k div 100000) * ($k % 100000)")
+    agg1.join(d10, Seq("doc_id"), "left_outer")
+      .select(col("source"), col("doc_id"), col("tl"),
+        col("n_lines"), col("n_dup_lines"), col("n_paras"),
+        col("n_dup_paras"),
+        mass("k2").as("top2_chars"), mass("k3").as("top3_chars"),
+        mass("k4").as("top4_chars"),
+        coalesce(col("dup10_chars"), lit(0L)).as("dup10_chars"))
+      .select(col("source"), col("doc_id"),
+        (col("n_dup_lines") * 10L <= col("n_lines") * 3L).cast("long")
+          .as("r_line"),
+        (col("n_dup_paras") * 10L <= col("n_paras") * 3L).cast("long")
+          .as("r_para"),
+        (col("top2_chars") * 5L <= col("tl")).cast("long").as("r_top2"),
+        (col("top3_chars") * 50L <= col("tl") * 9L).cast("long")
+          .as("r_top3"),
+        (col("top4_chars") * 25L <= col("tl") * 4L).cast("long")
+          .as("r_top4"),
+        (col("dup10_chars") * 10L <= col("tl")).cast("long").as("r_dup10"))
+  }
+
+  /** THE GOPHER REPETITION-RULE FAMILY as a declared per-source rollup
+    * (round-12 verdict item 1 — "the most commonly executed half of the
+    * Gopher filter suite"): each document is scored against the six
+    * repetition rules in [[repetitionRuleFlags]] and each source reports
+    * its per-rule pass counts plus the all-rules pass rate — the
+    * diagnosis table a FineWeb/Gopher-style curation run reads before
+    * the quality rules. Three plant families (ids +800000/+810000/
+    * +820000, outside the organic range at every SF) keep each rule
+    * non-vacuous: 5×-repeated-line docs trip the line rule, 3×-repeated-
+    * paragraph docs the paragraph rule, and a 2-token loop doc the
+    * top-gram + duplicated-window rules (the fixture corpus is
+    * single-line, so the multi-line shapes MUST be planted — organic
+    * docs have one line and one paragraph and pass those rules by
+    * construction). */
+  val qRepetitionRules: GQuery = GQuery(
+    "q_repetition_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val rich = base.filter($"doc_id" < 8 &&
+        size(split($"text", " ")) >= 12)
+      val line6 = concat_ws(" ", slice(split($"text", " "), 1, 6))
+      val para10 = concat_ws(" ", slice(split($"text", " "), 1, 10))
+      val loop = ("lp qy " * 40).trim
+      val docs = base
+        .unionByName(rich.select($"source",
+          ($"doc_id" + 800000L).as("doc_id"),
+          concat_ws("\n", line6, line6, line6, line6, line6).as("text")))
+        .unionByName(rich.select($"source",
+          ($"doc_id" + 810000L).as("doc_id"),
+          concat_ws("\n\n", para10, para10, para10).as("text")))
+        .unionByName(rich.select($"source",
+          ($"doc_id" + 820000L).as("doc_id"), lit(loop).as("text")))
+      repetitionRuleFlags(docs)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"r_line").as("n_line_ok"),
+          sum($"r_para").as("n_para_ok"),
+          sum($"r_top2").as("n_top2_ok"),
+          sum($"r_top3").as("n_top3_ok"),
+          sum($"r_top4").as("n_top4_ok"),
+          sum($"r_dup10").as("n_dup10_ok"),
+          sum($"r_line" * $"r_para" * $"r_top2" * $"r_top3" * $"r_top4" *
+            $"r_dup10").as("n_pass_all"))
+        .withColumn("pass_rate",
+          r6($"n_pass_all".cast("double") / $"n_docs".cast("double")))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH base AS (SELECT source, doc_id, text FROM documents),
+      rich AS (SELECT source, doc_id, text,
+                      string_split(text, ' ') AS w FROM base
+               WHERE doc_id < 8 AND len(string_split(text, ' ')) >= 12),
+      docs AS (
+        SELECT source, doc_id, text FROM base
+        UNION ALL
+        SELECT source, doc_id + 800000,
+               concat_ws(chr(10),
+                 array_to_string(w[1:6], ' '), array_to_string(w[1:6], ' '),
+                 array_to_string(w[1:6], ' '), array_to_string(w[1:6], ' '),
+                 array_to_string(w[1:6], ' '))
+        FROM rich
+        UNION ALL
+        SELECT source, doc_id + 810000,
+               concat_ws(chr(10) || chr(10),
+                 array_to_string(w[1:10], ' '),
+                 array_to_string(w[1:10], ' '),
+                 array_to_string(w[1:10], ' '))
+        FROM rich
+        UNION ALL
+        SELECT source, doc_id + 820000, trim(repeat('lp qy ', 40))
+        FROM rich),
+      lt AS (SELECT source, doc_id,
+                    cast(length(text) as bigint) AS tl,
+                    string_split(text, chr(10)) AS lines,
+                    string_split(text, chr(10) || chr(10)) AS paras,
+                    string_split(text, ' ') AS l
+             FROM docs),
+      units AS MATERIALIZED (
+        SELECT source, doc_id, tl, 1 AS kind, md5(x) AS unit,
+               0 AS pos, cast(0 as bigint) AS glen
+        FROM (SELECT source, doc_id, tl, unnest(lines) AS x FROM lt) u1
+        UNION ALL
+        SELECT source, doc_id, tl, 2, md5(x), 0, 0
+        FROM (SELECT source, doc_id, tl, unnest(paras) AS x FROM lt) u2
+        UNION ALL
+        SELECT source, doc_id, tl, 3, md5(g), 0,
+               cast(length(g) as bigint)
+        FROM (SELECT source, doc_id, tl,
+                     array_to_string(l[i:(i + 1)], ' ') AS g
+              FROM lt, unnest(generate_series(1,
+                cast(len(l) as int) - 1)) AS t(i)) u3
+        UNION ALL
+        SELECT source, doc_id, tl, 4, md5(g), 0,
+               cast(length(g) as bigint)
+        FROM (SELECT source, doc_id, tl,
+                     array_to_string(l[i:(i + 2)], ' ') AS g
+              FROM lt, unnest(generate_series(1,
+                cast(len(l) as int) - 2)) AS t(i)) u4
+        UNION ALL
+        SELECT source, doc_id, tl, 5, md5(g), 0,
+               cast(length(g) as bigint)
+        FROM (SELECT source, doc_id, tl,
+                     array_to_string(l[i:(i + 3)], ' ') AS g
+              FROM lt, unnest(generate_series(1,
+                cast(len(l) as int) - 3)) AS t(i)) u5
+        UNION ALL
+        SELECT source, doc_id, tl, 6,
+               md5(array_to_string(l[(i + 1):(i + 10)], ' ')), i, 0
+        FROM lt, unnest(generate_series(0,
+          cast(len(l) as int) - 10)) AS t(i)),
+      uc AS MATERIALIZED (
+        SELECT *, count(*) OVER (PARTITION BY doc_id, kind, unit) AS cnt
+        FROM units),
+      agg1 AS (
+        SELECT source, doc_id, tl,
+          sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS n_lines,
+          sum(CASE WHEN kind = 1 AND cnt >= 2 THEN 1 ELSE 0 END)
+            AS n_dup_lines,
+          sum(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS n_paras,
+          sum(CASE WHEN kind = 2 AND cnt >= 2 THEN 1 ELSE 0 END)
+            AS n_dup_paras,
+          coalesce(max(CASE WHEN kind = 3 AND cnt >= 2
+            THEN cnt * 100000 + glen END), 0) AS k2,
+          coalesce(max(CASE WHEN kind = 4 AND cnt >= 2
+            THEN cnt * 100000 + glen END), 0) AS k3,
+          coalesce(max(CASE WHEN kind = 5 AND cnt >= 2
+            THEN cnt * 100000 + glen END), 0) AS k4
+        FROM uc WHERE kind <= 5
+        GROUP BY source, doc_id, tl),
+      wdup AS (SELECT doc_id, pos FROM uc WHERE kind = 6 AND cnt >= 2),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                 ORDER BY pos) > 10 THEN 1 ELSE 0 END AS b
+        FROM wdup),
+      isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM brk),
+      spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) AS m
+                FROM isl GROUP BY doc_id, g),
+      d10 AS (
+        SELECT spans.doc_id,
+               sum(cast(length(array_to_string(
+                 l[(s + 1):(m + 10)], ' ')) as bigint)) AS dup10_chars
+        FROM spans JOIN lt ON lt.doc_id = spans.doc_id
+        GROUP BY spans.doc_id),
+      flags AS (
+        SELECT source, agg1.doc_id,
+          CASE WHEN n_dup_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END
+            AS r_line,
+          CASE WHEN n_dup_paras * 10 <= n_paras * 3 THEN 1 ELSE 0 END
+            AS r_para,
+          CASE WHEN (k2 // 100000) * (k2 % 100000) * 5 <= tl
+            THEN 1 ELSE 0 END AS r_top2,
+          CASE WHEN (k3 // 100000) * (k3 % 100000) * 50 <= tl * 9
+            THEN 1 ELSE 0 END AS r_top3,
+          CASE WHEN (k4 // 100000) * (k4 % 100000) * 25 <= tl * 4
+            THEN 1 ELSE 0 END AS r_top4,
+          CASE WHEN coalesce(dup10_chars, 0) * 10 <= tl
+            THEN 1 ELSE 0 END AS r_dup10
+        FROM agg1 LEFT JOIN d10 ON agg1.doc_id = d10.doc_id)
+      SELECT source, cast(count(*) as bigint) AS n_docs,
+             cast(sum(r_line) as bigint) AS n_line_ok,
+             cast(sum(r_para) as bigint) AS n_para_ok,
+             cast(sum(r_top2) as bigint) AS n_top2_ok,
+             cast(sum(r_top3) as bigint) AS n_top3_ok,
+             cast(sum(r_top4) as bigint) AS n_top4_ok,
+             cast(sum(r_dup10) as bigint) AS n_dup10_ok,
+             cast(sum(r_line * r_para * r_top2 * r_top3 * r_top4 * r_dup10)
+               as bigint) AS n_pass_all,
+             ${r6Sql("cast(sum(r_line * r_para * r_top2 * r_top3 * " +
+               "r_top4 * r_dup10) as double) / cast(count(*) as double)")}
+               AS pass_rate
+      FROM flags GROUP BY source
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
@@ -2440,5 +2757,5 @@ object PipelineOps {
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
-      qMixAlphaSweep)
+      qMixAlphaSweep, qRepetitionRules)
 }

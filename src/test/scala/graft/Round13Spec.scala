@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PipelineOps
+
+/** Invariant pins for the round-13 declared queries — properties the
+  * shared-formula DuckDB oracle cannot see (it would reproduce a wrong
+  * rule direction bit-for-bit, the round-11 gopher-r3 lesson): per-rule
+  * verdicts on crafted documents, planted-family drop accounting, and
+  * span-merge exactness.
+  */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def rows(q: String): Array[Row] =
+    SparkEntry.queries(q)(spark, sf).collect()
+
+  test("repetitionRuleFlags: each rule fires on its crafted doc only") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over a lazy dog today\n" +
+      "meanwhile seventeen curious students walked toward the harbor\n" +
+      "finally everyone agreed that dinner should include fresh bread"
+    val dupLine = Seq.fill(5)("alpha beta gamma delta").mkString("\n")
+    val dupPara = Seq.fill(3)(
+      "one two three four five six seven eight nine ten").mkString("\n\n")
+    val loop = ("lp qy " * 40).trim
+    val docs = Seq(
+      ("s", 1L, clean), ("s", 2L, dupLine), ("s", 3L, dupPara),
+      ("s", 4L, loop)).toDF("source", "doc_id", "text")
+    val f = PipelineOps.repetitionRuleFlags(docs)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // clean multi-line doc passes every rule (distinct lines, one of each
+    // paragraph, no repeated grams beyond stopwords)
+    assert(f(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)), s"clean: ${f(1L)}")
+    // 5 identical lines -> duplicate-line fraction 1.0 > 0.3
+    assert(f(2L)._1 == 0L, s"dupLine should fail r_line: ${f(2L)}")
+    // 3 identical blank-line-separated paragraphs -> dup-para frac 1.0
+    assert(f(3L)._2 == 0L, s"dupPara should fail r_para: ${f(3L)}")
+    // the paragraph clone also duplicates its lines
+    assert(f(3L)._1 == 0L, s"dupPara also fails r_line: ${f(3L)}")
+    // 2-token loop: top 2-gram owns ~the whole doc; every 10-token
+    // window recurs, islands cover everything
+    assert(f(4L)._3 == 0L, s"loop should fail r_top2: ${f(4L)}")
+    assert(f(4L)._6 == 0L, s"loop should fail r_dup10: ${f(4L)}")
+    // single-line docs can never fail the line/para rules
+    assert(f(4L)._1 == 1L && f(4L)._2 == 1L)
+  }
+
+  test("q_repetition_rules: plant-family accounting is exact") {
+    import spark.implicits._
+    val rich = graft.engine.Tables.documents(spark, sf)
+      .filter($"doc_id" < 8 &&
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")) >= 12)
+      .count()
+    assert(rich > 0, "fixture has no rich docs < 8 — plants vacuous")
+    val r = rows("q_repetition_rules")
+    val nDocs = r.map(_.getLong(1)).sum
+    val organic = graft.engine.Tables.documents(spark, sf).count()
+    assert(nDocs == organic + 3 * rich, s"$nDocs vs $organic + 3*$rich")
+    // organic docs are single-line/single-paragraph: ONLY the dup-line
+    // family (+800000) and the dup-para family (+810000, whose lines are
+    // also clones) can fail the line rule; only the dup-para family can
+    // fail the paragraph rule — exact counts, not bounds
+    val lineFails = r.map(x => x.getLong(1) - x.getLong(2)).sum
+    assert(lineFails == 2 * rich, s"line fails $lineFails != 2*$rich")
+    val paraFails = r.map(x => x.getLong(1) - x.getLong(3)).sum
+    assert(paraFails == rich, s"para fails $paraFails != $rich")
+    // every loop plant (+820000) fails top-2-gram mass and 10-gram
+    // coverage (organic docs may add, so lower bounds)
+    val top2Fails = r.map(x => x.getLong(1) - x.getLong(4)).sum
+    assert(top2Fails >= rich, s"top2 fails $top2Fails < $rich")
+    val dup10Fails = r.map(x => x.getLong(1) - x.getLong(7)).sum
+    assert(dup10Fails >= rich, s"dup10 fails $dup10Fails < $rich")
+    r.foreach { x =>
+      val (n, all) = (x.getLong(1), x.getLong(8))
+      assert(all <= n)
+      assert(math.abs(x.getDouble(9) - all.toDouble / n) < 2e-6)
+    }
+    // the corpus is not degenerate: most docs pass all rules
+    val passAll = r.map(_.getLong(8)).sum
+    assert(passAll * 10 >= nDocs * 8, s"only $passAll of $nDocs pass")
+  }
+}
