@@ -1141,6 +1141,106 @@ object PipelineOps {
       ORDER BY lt.doc_id"""),
   )
 
+  /** MAXIMAL SHARED-SPAN REPORTING (round-12 verdict item 5, the
+    * Lee-et-al-style output an excision pass consumes): where
+    * [[qDedupShift]] reports per-DOC duplicated-window coverage, this
+    * reports per doc-PAIR the maximal contiguous shared spans — stride-1
+    * 20-token window hits merged along their alignment DIAGONAL
+    * (pa − pb) by gaps-and-islands (the q_decontam_span idiom): hits of
+    * one contiguous copied region sit on a single diagonal at consecutive
+    * positions, so a planted 3-token-offset clone collapses to ONE row
+    * (start_a=0, start_b=3, span = |tokens|) instead of |tokens| window
+    * rows. Windows shared by > 50 distinct docs are excluded as
+    * boilerplate BEFORE pairing — the df-cap that keeps the pair join
+    * linear in genuine clone mass at 100 TB (a stop-window shared by 10⁶
+    * docs would otherwise emit 10¹² pairs; a production run tunes the
+    * cap, the plan shape is the point). Candidates come ONLY from the
+    * window-digest equi-join; spans are per (pair, diagonal) islands —
+    * bounded by doc length, nothing quadratic in corpus size. */
+  val qDedupSpan: GQuery = GQuery(
+    "q_dedup_span",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = 20
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 30 && size(split($"text", " ")) >= 30)
+          .select(($"doc_id" + 870000L).as("doc_id"),
+            concat(lit("qz qx qv "), $"text").as("text")))
+      val toks = docs.select($"doc_id", split($"text", " ").as("l"))
+        .filter(size($"l") >= w)
+      val wins = toks.select($"doc_id",
+          posexplode(expr(
+            s"transform(sequence(0, size(l) - $w), " +
+              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+        .toDF("doc_id", "pos", "wh")
+      val shared = wins.groupBy($"wh")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2 && $"nd" <= 50)
+        .select($"wh")
+      val dw = wins.join(shared, Seq("wh"), "left_semi")
+      val pairs = dw.as("a").join(dw.as("b"),
+          col("a.wh") === col("b.wh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val byDiag = Window.partitionBy($"id_a", $"id_b", $"diag")
+        .orderBy($"pa")
+      pairs
+        .withColumn("brk",
+          when($"pa" - lag($"pa", 1).over(byDiag) > 1, 1L).otherwise(0L))
+        .withColumn("isl", sum($"brk").over(byDiag))
+        .groupBy($"id_a", $"id_b", $"diag", $"isl")
+        .agg(min($"pa").as("sa"), max($"pa").as("ma"))
+        .select($"id_a", $"id_b",
+          $"sa".cast("long").as("start_a"),
+          ($"sa" - $"diag").cast("long").as("start_b"),
+          ($"ma" - $"sa" + lit(w)).cast("long").as("span_tokens"))
+        .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 870000, 'qz qx qv ' || text FROM documents
+        WHERE doc_id < 30 AND len(string_split(text, ' ')) >= 30),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs
+             WHERE len(string_split(text, ' ')) >= 20),
+      wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(l[(i + 1):(i + 20)], ' ')) AS wh
+        FROM lt, unnest(generate_series(0, cast(len(l) as int) - 20))
+          AS t(i)),
+      shared AS (SELECT wh FROM wins GROUP BY wh
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      dw AS MATERIALIZED (
+        SELECT doc_id, pos, wh FROM wins
+        WHERE wh IN (SELECT wh FROM shared)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM dw a JOIN dw b
+          ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      brk AS (
+        SELECT id_a, id_b, pa, diag,
+               CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag
+                 ORDER BY pa) > 1 THEN 1 ELSE 0 END AS b
+        FROM pairs),
+      isl AS (
+        SELECT id_a, id_b, pa, diag,
+               sum(b) OVER (PARTITION BY id_a, id_b, diag
+                 ORDER BY pa) AS g
+        FROM brk)
+      SELECT id_a, id_b,
+             cast(min(pa) as bigint) AS start_a,
+             cast(min(pa) - diag as bigint) AS start_b,
+             cast(max(pa) - min(pa) + 20 as bigint) AS span_tokens
+      FROM isl
+      GROUP BY id_a, id_b, diag, g
+      ORDER BY id_a, id_b, start_a, start_b"""),
+  )
+
   /** Per-source curation dashboard — the mix report a corpus build
     * publishes before training: for every source, its size (docs,
     * tokens), its α=0.5 mixture weight (IDENTICAL numerics to
@@ -2757,5 +2857,5 @@ object PipelineOps {
       qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
-      qMixAlphaSweep, qRepetitionRules)
+      qMixAlphaSweep, qRepetitionRules, qDedupSpan)
 }

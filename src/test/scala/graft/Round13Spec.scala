@@ -85,4 +85,31 @@ class Round13Spec extends AnyFunSuite {
     val passAll = r.map(_.getLong(8)).sum
     assert(passAll * 10 >= nDocs * 8, s"only $passAll of $nDocs pass")
   }
+
+  test("q_dedup_span: a 3-token-offset clone is ONE maximal span") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val expect = graft.engine.Tables.documents(spark, sf)
+      .filter($"doc_id" < 30 && size(split($"text", " ")) >= 30)
+      .select($"doc_id", size(split($"text", " ")).as("nt"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(expect.nonEmpty, "no plantable docs — span test vacuous")
+    val spans = rows("q_dedup_span")
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    expect.foreach { case (d, nt) =>
+      // the (orig, orig+870000) pair merges its ~nt shared windows into
+      // EXACTLY one diagonal-aligned island covering the whole original
+      val hits = spans.filter(s => s._1 == d && s._2 == d + 870000L &&
+        s._4 - s._3 == 3L)
+      assert(hits.length == 1,
+        s"pair ($d, ${d + 870000L}): ${hits.length} diag-3 spans, want 1")
+      assert(hits.head == ((d, d + 870000L, 0L, 3L, nt.toLong)),
+        s"pair ($d): got ${hits.head}, want full span of $nt tokens")
+    }
+    // every reported span is at least one window long and starts in-doc
+    spans.foreach { s =>
+      assert(s._5 >= 20L && s._3 >= 0L && s._4 >= 0L, s"bad span $s")
+    }
+  }
 }
