@@ -221,6 +221,98 @@ object ScaleOps {
   val qNeardupMinhashXl: GQuery =
     mkNeardupMinhash("q_neardup_minhash_xl", corpusBoundXl)
 
+  /** INCREMENTAL batch×corpus NEAR-DUP (round-12 verdict item 4 — the
+    * daily-crawl arrival path, promoted from library+spec into the
+    * CORRECTNESS gate): a day-N ingest batch is matched against the
+    * STANDING corpus through [[graft.llm.NearDup.incrementalNearDups]] —
+    * batch signatures band-equi-join the corpus signature table
+    * (recomputed here because the fixture has no materialized lake table;
+    * a deployment passes its stored `corpusSigs`), candidates are
+    * verified by exact distinct-3-gram Jaccard, and the corpus is NEVER
+    * paired with itself — day-N cost is linear in the batch, not the
+    * corpus. Planted batch: 40 exact copies (+850000, share all 16
+    * minhashes → always caught, jaccard = 1) and 20 one-token-prefix
+    * near-copies (+860000, jaccard = n/(n+1)). Jaccard is an
+    * integer-count ratio — one IEEE division, bit-identical cross-engine;
+    * r6 only at the output. */
+  val qNeardupIncr: GQuery = GQuery(
+    "q_neardup_incr",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val batch = base.filter($"doc_id" < 40)
+        .select(($"doc_id" + 850000L).as("doc_id"), $"text")
+        .unionByName(base.filter($"doc_id" >= 40 && $"doc_id" < 60)
+          .select(($"doc_id" + 860000L).as("doc_id"),
+            concat(lit("qq "), $"text").as("text")))
+      graft.llm.NearDup
+        .incrementalNearDups(batch, base, minJaccard = 0.5)
+        .select($"new_id", $"corpus_id", r6($"jaccard").as("jaccard"))
+        .orderBy($"new_id", $"corpus_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound),
+      batch AS (
+        SELECT doc_id + 850000 AS doc_id, text FROM base WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 860000, 'qq ' || text FROM base
+        WHERE doc_id >= 40 AND doc_id < 60),
+      gb AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(l) - 2),
+          i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM batch) b0),
+      gc AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, len(l) - 2),
+          i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM base) c0),
+      sigb AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM gb GROUP BY doc_id),
+      sigc AS (SELECT doc_id,
+        ${(0 until 16).map(s =>
+          s"min(substr(md5('${s / 4}' || '|' || gram), ${8 * (s % 4) + 1}, 8)) AS h$s")
+          .mkString(",\n        ")}
+        FROM gc GROUP BY doc_id),
+      bandsb AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sigb")
+          .mkString("\n        UNION ALL ")}),
+      bandsc AS (
+        ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', h${4 * b}, " +
+            s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3})) AS sig FROM sigc")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+               FROM bandsb b JOIN bandsc c
+                 ON b.band_id = c.band_id AND b.sig = c.sig),
+      nsz AS (SELECT doc_id, count(*) AS n_new FROM gb GROUP BY doc_id),
+      csz AS (SELECT doc_id, count(*) AS n_corpus FROM gc GROUP BY doc_id),
+      inter AS (
+        SELECT cand.new_id, cand.corpus_id, count(*) AS n_common
+        FROM cand
+        JOIN gb ON gb.doc_id = cand.new_id
+        JOIN gc ON gc.doc_id = cand.corpus_id AND gc.gram = gb.gram
+        GROUP BY cand.new_id, cand.corpus_id),
+      scored AS (
+        SELECT new_id, corpus_id,
+               cast(n_common as double) /
+                 cast(n_new + n_corpus - n_common as double) AS j
+        FROM inter
+        JOIN nsz ON nsz.doc_id = inter.new_id
+        JOIN csz ON csz.doc_id = inter.corpus_id)
+      SELECT new_id, corpus_id, ${r6Sql("j")} AS jaccard
+      FROM scored
+      WHERE j >= cast(0.5 as double)
+      ORDER BY new_id, corpus_id"""),
+  )
+
   /** SimHash near-dup, fully oracle-checked: per-doc 32-bit fingerprint
     * (majority vote over md5-hashed distinct tokens, bit i weight ±1) →
     * 4 bands of 8 bits → band equi-join candidates → integer-popcount
@@ -2761,5 +2853,5 @@ object ScaleOps {
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
     qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
-    qIvfadcXl, qAnnIncr)
+    qIvfadcXl, qAnnIncr, qNeardupIncr)
 }

@@ -112,4 +112,28 @@ class Round13Spec extends AnyFunSuite {
       assert(s._5 >= 20L && s._3 >= 0L && s._4 >= 0L, s"bad span $s")
     }
   }
+
+  test("q_neardup_incr: exact batch copies always caught, prefix copies near-1") {
+    val r = rows("q_neardup_incr")
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // 40 exact copies (+850000) share all 16 minhashes -> every one MUST
+    // pair with its source at jaccard exactly 1.0
+    val exact = r.filter(x => x._1 >= 850000L && x._1 < 860000L &&
+      x._2 == x._1 - 850000L)
+    assert(exact.length == 40, s"${exact.length} of 40 exact copies caught")
+    exact.foreach(x => assert(x._3 == 1.0, s"exact copy $x not jaccard 1"))
+    // one-token-prefix copies (+860000): jaccard = n/(n+1) -> high but
+    // < 1; banding is deterministic yet not guaranteed per doc, so a
+    // coverage bound, not identity
+    val near = r.filter(x => x._1 >= 860000L && x._2 == x._1 - 860000L)
+    assert(near.length >= 18, s"only ${near.length} of 20 near copies caught")
+    near.foreach(x => assert(x._3 >= 0.8 && x._3 < 1.0,
+      s"near copy $x outside (0.8, 1)"))
+    // the batch never pairs with itself and the corpus never re-pairs:
+    // every row is batch-id x corpus-id
+    r.foreach { x =>
+      assert(x._1 >= 850000L, s"non-batch left id in $x")
+      assert(x._2 < 850000L, s"non-corpus right id in $x")
+    }
+  }
 }
