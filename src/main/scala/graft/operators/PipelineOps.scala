@@ -1425,11 +1425,12 @@ object PipelineOps {
     * no sequential anti-joins, no per-stage re-scan; the funnel rows come
     * from exploding a 3-struct array off the single agg row (the
     * documents table is scanned exactly once). */
-  val qDedupCascade: GQuery = GQuery(
-    "q_dedup_cascade",
+  private def mkDedupCascade(name: String, expand: Int = 1): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
-      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val base = ScaleOps.xdocs(
+        Tables.documents(spark, dir).select($"doc_id", $"text"), expand)
       val docs = base
         .unionByName(base.filter($"doc_id" < 25)
           .select(($"doc_id" + 700000L).as("doc_id"), $"text"))
@@ -1471,23 +1472,24 @@ object PipelineOps {
           ($"s.n_in" - $"s.n_out").as("n_removed"))
         .orderBy($"stage")
     },
-    Some("""
-      WITH docs AS (
-        SELECT doc_id, text FROM documents
+    Some(s"""
+      WITH xb AS (${ScaleOps.xdocsSql(1000000L, expand)}),
+      docs AS (
+        SELECT doc_id, text FROM xb
         UNION ALL
-        SELECT doc_id + 700000, text FROM documents WHERE doc_id < 25
+        SELECT doc_id + 700000, text FROM xb WHERE doc_id < 25
         UNION ALL
-        SELECT doc_id + 710000, ' ' || text FROM documents
+        SELECT doc_id + 710000, ' ' || text FROM xb
         WHERE doc_id < 20
         UNION ALL
         SELECT doc_id + 720000,
                array_to_string((string_split(text, ' '))[1:20], ' ')
                  || ' zzq tail ' || doc_id
-        FROM documents
+        FROM xb
         WHERE doc_id < 15 AND len(string_split(text, ' ')) >= 20),
       keyed AS (
         SELECT doc_id, md5(text) AS th,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                  AS ch,
                md5(array_to_string((string_split(text, ' '))[1:20], ' '))
                  AS ph
@@ -1513,6 +1515,12 @@ object PipelineOps {
       SELECT 3, 'prefix20', n2, n3, n2 - n3 FROM agg
       ORDER BY stage"""),
   )
+
+  val qDedupCascade: GQuery = mkDedupCascade("q_dedup_cascade")
+
+  /** x10-generated-corpus scaling twin (round-12 verdict item 2): same
+    * funnel over ~50,000 docs at sf0.1 — the third scaling point. */
+  val qDedupCascadeXxl: GQuery = mkDedupCascade("q_dedup_cascade_xxl", 10)
 
   /** CCNET-STYLE QUALITY TERCILES — bin documents into head / middle /
     * tail WITHIN each language by a deterministic quality proxy (scaled
@@ -2854,7 +2862,7 @@ object PipelineOps {
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
-      qDecontamSpan, qDedupCascade, qCcnetBins, qEpochPlan, qChunkPlan,
+      qDecontamSpan, qDedupCascade, qDedupCascadeXxl, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
       qMixAlphaSweep, qRepetitionRules, qDedupSpan)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{GQuery, Tables}
@@ -55,6 +55,64 @@ object ScaleOps {
   private val corpusBoundXl = 1000000L
 
   private val D = 64 // embeddings dimension (TESTDATA.md)
+
+  /** ×N in-plan corpus generator for the `_xxl` scaling twins (round-12
+    * verdict item 2: "two points don't make a curve" — the _xl twins top
+    * out at the 5,000-doc testdata ceiling, so the third point is
+    * SYNTHESIZED: each document is replicated N times with every token
+    * suffixed by the replica index k and id shifted k·100000). The
+    * suffix makes replicas share NO word 3-grams across k (so near-dup
+    * structure is the organic structure ×N, not an artificial N-way
+    * clone family), while k=0 keeps the original ids — plant filters and
+    * probe sets (`doc_id < 50`, `vec_id < 5`) select the same logical
+    * rows as the _xl twin, so the two configs differ ONLY in corpus
+    * mass. Generator is SF-relative: the sf0.01 oracle sees 5,000 rows
+    * (cheap), the sf0.1 bench sees ~50,000. */
+  private[operators] def xdocs(base: DataFrame, n: Int): DataFrame =
+    if (n <= 1) base
+    else base.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${n - 1})")).as("k"))
+      .select((col("doc_id") + col("k").cast("long") * lit(100000L))
+          .as("doc_id"),
+        expr("array_join(transform(split(text, ' '), " +
+          "t -> concat(t, cast(k as string))), ' ')").as("text"))
+
+  /** DuckDB twin of [[xdocs]] over a bounded documents slice. */
+  private[operators] def xdocsSql(corpusBound: Long, n: Int): String =
+    if (n <= 1)
+      s"SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound"
+    else
+      s"""SELECT doc_id + k * 100000 AS doc_id,
+             array_to_string(list_transform(string_split(text, ' '),
+               t -> t || cast(k as varchar)), ' ') AS text
+           FROM (SELECT doc_id, text FROM documents
+                 WHERE doc_id < $corpusBound) xb0,
+                unnest(generate_series(0, ${n - 1})) AS xk(k)"""
+
+  /** ×N vector generator: replica k adds k·0.001 to every coordinate (one
+    * IEEE add per element, bit-identical cross-engine; k=0 is the original
+    * vector), id shifted k·100000 — distinct probes, same logical probe
+    * set at k=0. Output coordinates are DOUBLE (the makers' cast-to-double
+    * becomes a no-op). */
+  private def xvecs(base: DataFrame, n: Int): DataFrame =
+    if (n <= 1) base
+    else base.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${n - 1})")).as("k"))
+      .select((col("vec_id") + col("k").cast("long") * lit(100000L))
+          .as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) + " +
+          "cast(k as double) * cast(0.001 as double))").as("embedding"))
+
+  private def xvecsSql(corpusBound: Long, n: Int): String =
+    if (n <= 1)
+      s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound"
+    else
+      s"""SELECT vec_id + k * 100000 AS vec_id,
+             list_transform(embedding, x -> cast(x as double) +
+               cast(k as double) * cast(0.001 as double)) AS embedding
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id < $corpusBound) xb0,
+                unnest(generate_series(0, ${n - 1})) AS xk(k)"""
 
   /** Fixed-COUNT coarse-quantizer sample size. The centroid set is the
     * nCentroids corpus rows with the smallest (md5-id-hash, id) — a
@@ -125,12 +183,13 @@ object ScaleOps {
   // purpose: the declared query and its full-corpus _xl bench twin are the
   // same code, differing only in the corpus slice (and the oracle SQL
   // interpolates whichever bound is in scope).
-  private def mkNeardupMinhash(name: String, corpusBound: Long): GQuery = GQuery(
+  private def mkNeardupMinhash(name: String, corpusBound: Long,
+      expand: Int = 1): GQuery = GQuery(
     name,
     (spark, dir) => {
       import spark.implicits._
-      val base = Tables.documents(spark, dir)
-        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val base = xdocs(Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text"), expand)
       val docs = base.unionByName(
         base.filter($"doc_id" < 50)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
@@ -176,10 +235,11 @@ object ScaleOps {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""
-      WITH docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+      WITH xb AS (${xdocsSql(corpusBound, expand)}),
+      docs AS (
+        SELECT doc_id, text FROM xb
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        SELECT doc_id + 1000000, text FROM xb WHERE doc_id < 50),
       lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
               generate_series(1, len(l) - 2),
@@ -2155,13 +2215,15 @@ object ScaleOps {
     * Determinism: every distance is a left-assoc IEEE chain (residual
     * subtractions recomputed identically in both engines), ADC sums are
     * 6dp-decimal-staged 4-term adds, ranks tiebreak on id. */
-  private def mkIvfadc(name: String, corpusBound: Long): GQuery = GQuery(
+  private def mkIvfadc(name: String, corpusBound: Long,
+      expand: Int = 1): GQuery = GQuery(
     name,
     (spark, dir) => {
       import spark.implicits._
       val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
-      val emb = Tables.embeddings(spark, dir)
-        .filter($"vec_id" < corpusBound)
+      val emb = xvecs(Tables.embeddings(spark, dir)
+          .filter($"vec_id" < corpusBound)
+          .select($"vec_id", $"embedding"), expand)
         .select($"vec_id",
           expr("transform(embedding, x -> cast(x as double))").as("emb"))
         // consumed by centroids, assignment, codebook, probes, exact side
@@ -2261,8 +2323,8 @@ object ScaleOps {
       }.mkString(" UNION ALL ")
       s"""
       WITH corpus AS (
-        SELECT vec_id, embedding AS emb FROM embeddings
-        WHERE vec_id < $corpusBound),
+        SELECT vec_id, embedding AS emb
+        FROM (${xvecsSql(corpusBound, expand)}) xv0),
       cents AS (
         SELECT vec_id AS cell, emb AS cent FROM corpus
         ORDER BY ${idHashSql("vec_id")}, vec_id LIMIT $nCentroids),
@@ -2705,12 +2767,13 @@ object ScaleOps {
     * the 16 h-equality bits, and the whole sweep is one conditional
     * aggregation — no per-config re-join, no re-blocking. Planted
     * shifted-id clones guarantee high-sim pairs at every SF. */
-  private def mkBandSweep(name: String, corpusBound: Long): GQuery = GQuery(
+  private def mkBandSweep(name: String, corpusBound: Long,
+      expand: Int = 1): GQuery = GQuery(
     name,
     (spark, dir) => {
       import spark.implicits._
-      val base = Tables.documents(spark, dir)
-        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val base = xdocs(Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text"), expand)
       val docs = base.unionByName(
         base.filter($"doc_id" < 50)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
@@ -2781,10 +2844,11 @@ object ScaleOps {
         .orderBy($"n_bands")
     },
     Some(s"""
-      WITH docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+      WITH xb AS (${xdocsSql(corpusBound, expand)}),
+      docs AS (
+        SELECT doc_id, text FROM xb
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        SELECT doc_id + 1000000, text FROM xb WHERE doc_id < 50),
       lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
               generate_series(1, len(l) - 2),
@@ -2846,6 +2910,17 @@ object ScaleOps {
   /** Full-corpus bench twin: same plan, whole documents table. */
   val qBandSweepXl: GQuery = mkBandSweep("q_band_sweep_xl", corpusBoundXl)
 
+  // ---------------------------------------------------------------------
+  // _xxl scaling twins: the same maker code over the x10 generated corpus
+  // (~50,000 docs / ~20,000 vectors at sf0.1) — the third point of the
+  // scaling curve the _xl twins started (round-12 verdict item 2)
+  // ---------------------------------------------------------------------
+  val qNeardupMinhashXxl: GQuery =
+    mkNeardupMinhash("q_neardup_minhash_xxl", corpusBoundXl, 10)
+  val qBandSweepXxl: GQuery =
+    mkBandSweep("q_band_sweep_xxl", corpusBoundXl, 10)
+  val qIvfadcXxl: GQuery = mkIvfadc("q_ivfadc_xxl", corpusBoundXl, 10)
+
   val all: Seq[GQuery] = Seq(
     qNeardupMinhash, qNeardupSimhash, qNeardupCosine, qNeardupEmbed,
     qEmbedOutlier, qHardNegatives, qAnnLsh, qAnnIvf,
@@ -2853,5 +2928,6 @@ object ScaleOps {
     qDedupIncr, qVecQuant, qEnergyDist, qAnnRecall, qAnnIvfProbe,
     qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
-    qIvfadcXl, qAnnIncr, qNeardupIncr)
+    qIvfadcXl, qAnnIncr, qNeardupIncr,
+    qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl)
 }

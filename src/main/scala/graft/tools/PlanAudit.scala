@@ -168,9 +168,9 @@ object PlanAudit {
     // round 12: IVFADC — bounded centroid broadcast for the coarse
     // assignment (q_ann_ivf posture) + bounded residual-codebook/5-probe
     // ADC-table broadcasts (q_ann_pq posture); candidates only from the
-    // cell equi-join; the _xl twin inherits the identical bounded
-    // broadcasts over the full corpus
-    "q_ivfadc", "q_ivfadc_xl",
+    // cell equi-join; the _xl/_xxl twins inherit the identical bounded
+    // broadcasts over the full / x10-generated corpus
+    "q_ivfadc", "q_ivfadc_xl", "q_ivfadc_xxl",
     // round 12: the same bounded centroid broadcast driving the
     // standing-index assignment of the arriving batch (q_ann_ivf posture)
     "q_ann_incr",
