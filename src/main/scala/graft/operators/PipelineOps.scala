@@ -1409,6 +1409,123 @@ object PipelineOps {
       ORDER BY doc_id"""),
   )
 
+  /** CONTAMINATION EXCISION APPLIED — the last step of the decontam
+    * story ([[qDecontam]] flags, [[qDecontamSpan]] localizes, this CUTS):
+    * per contaminated document, every token covered by a benchmark-
+    * overlapping 5-gram window is removed and the surviving tokens are
+    * re-assembled into `clean_text` — the output a cut-don't-drop
+    * curation pass actually writes. Span token-coverage may overlap
+    * between adjacent runs; the kept set is computed per TOKEN (anti-join
+    * against exploded covered positions), so no token is double-counted
+    * and n_removed + n_kept = n_tokens exactly. Re-assembly is
+    * deterministic in both engines: Spark sorts the collected
+    * (pos, token) structs (array_sort — collect_list order is NOT
+    * deterministic), DuckDB uses string_agg(... ORDER BY pos). Planted
+    * full copies of benchmark docs (+1000000) excise to the empty string
+    * (n_kept = 0) at every SF — the degenerate all-contaminated path is
+    * always exercised. Scale shape: same linear digest equi-join as
+    * q_decontam_span; covered-position explode is bounded by contaminated
+    * token mass; one groupBy per doc. */
+  val qDecontamExcise: GQuery = GQuery(
+    "q_decontam_excise",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = 5
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val candDocs = base.filter($"doc_id" >= 20)
+        .unionByName(base.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      def winsOf(d: DataFrame) = d
+        .select($"doc_id", split($"text", " ").as("l"))
+        .filter(size($"l") >= w)
+        .select($"doc_id",
+          posexplode(expr(
+            s"transform(sequence(0, size(l) - $w), " +
+              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+        .toDF("doc_id", "pos", "g")
+      val bench = winsOf(base.filter($"doc_id" < 20)).select($"g").distinct()
+      val runs = winsOf(candDocs).join(bench, Seq("g"), "left_semi")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .withColumn("grp", $"pos" - $"rn")
+        .groupBy($"doc_id", $"grp")
+        .agg(count(lit(1)).as("runlen"), min($"pos").as("p0"))
+      val covered = runs.select($"doc_id",
+        explode(sequence($"p0".cast("int"),
+          ($"p0" + $"runlen" + lit(3)).cast("int"))).as("pos"))
+      val toksE = candDocs
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "pos", "tok")
+      val kept = toksE.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("clean_text"))
+      val sizes = candDocs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      runs.select($"doc_id").distinct()
+        .join(sizes, Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"clean_text", lit("")).as("clean_text"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      cand AS (
+        SELECT doc_id, text FROM base WHERE doc_id >= 20
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM base WHERE doc_id < 20),
+      blt AS (SELECT doc_id, string_split(text, ' ') AS l FROM base
+              WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 5),
+      bench AS (
+        SELECT DISTINCT md5(array_to_string(l[(i + 1):(i + 5)], ' ')) AS g
+        FROM blt, unnest(generate_series(0, cast(len(l) as int) - 5))
+          AS t(i)),
+      clt AS (SELECT doc_id, string_split(text, ' ') AS l FROM cand),
+      wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(l[(i + 1):(i + 5)], ' ')) AS g
+        FROM clt, unnest(generate_series(0, cast(len(l) as int) - 5))
+          AS t(i)
+        WHERE len(l) >= 5),
+      hits AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM wins WHERE g IN (SELECT g FROM bench)),
+      runs AS (
+        SELECT doc_id, grp, count(*) AS runlen, min(pos) AS p0
+        FROM hits GROUP BY doc_id, grp),
+      covered AS (
+        SELECT DISTINCT doc_id, cast(p0 + u as int) AS pos
+        FROM runs, unnest(generate_series(0,
+          cast(runlen + 3 as int))) AS g(u)),
+      toks AS (
+        SELECT doc_id, cast(i - 1 as int) AS pos, l[i] AS tok
+        FROM clt, unnest(generate_series(1, cast(len(l) as int))) AS t(i)),
+      kept AS (
+        SELECT t.doc_id, cast(count(*) as bigint) AS n_kept,
+               string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+        FROM toks t LEFT JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.doc_id IS NULL
+        GROUP BY t.doc_id),
+      sizes AS (SELECT doc_id, cast(len(l) as bigint) AS n_tokens FROM clt),
+      contam AS (SELECT DISTINCT doc_id FROM runs)
+      SELECT contam.doc_id, n_tokens,
+             n_tokens - coalesce(n_kept, 0) AS n_removed,
+             coalesce(n_kept, 0) AS n_kept,
+             coalesce(clean_text, '') AS clean_text
+      FROM contam
+      JOIN sizes ON sizes.doc_id = contam.doc_id
+      LEFT JOIN kept ON kept.doc_id = contam.doc_id
+      ORDER BY contam.doc_id"""),
+  )
+
   /** DEDUP CASCADE FUNNEL — the stage-by-stage accounting report of a
     * multi-pass dedup pipeline: exact (md5 of raw text) → canonical
     * (lowercase + whitespace-collapse + trim, [[qDedupNorm]]'s key) →
@@ -2862,7 +2979,7 @@ object PipelineOps {
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
       qCurriculum, qFoldBalance, qRejectionSample, qBoilerplate,
       qNeymanAlloc, qDsir, qGopherRules, qDedupShift, qMixReport,
-      qDecontamSpan, qDedupCascade, qDedupCascadeXxl, qCcnetBins, qEpochPlan, qChunkPlan,
+      qDecontamSpan, qDecontamExcise, qDedupCascade, qDedupCascadeXxl, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
       qMixAlphaSweep, qRepetitionRules, qDedupSpan)

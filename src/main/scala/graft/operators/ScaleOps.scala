@@ -143,6 +143,93 @@ object ScaleOps {
     (1 to D).map(i => s"(cast($a[$i] as double)*cast($b[$i] as double))")
       .mkString(" + ")
 
+  /** DuckDB left-assoc dot chain over the FIRST n dims only (the
+    * Matryoshka-truncation prefix). */
+  private def chainSqlN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"(cast($a[$i] as double)*cast($b[$i] as double))")
+      .mkString(" + ")
+
+  /** MATRYOSHKA-TRUNCATION RETRIEVAL EVAL — the dimension-budget curve an
+    * embedding-index operator reads before truncating vectors (MRL-style
+    * prefixes, Kusupati et al. 2022): per probe and per prefix length
+    * d ∈ {16, 32, 64}, the recall@10 of cosine ranking using only the
+    * first d coordinates against the full-64-dim exact ranking (d = 64 is
+    * the identity row — a built-in sanity check that must read 1.0). One
+    * bounded 5-probe broadcast cross computes all three prefix cosines
+    * per candidate in a single pass; rankings are per-(probe, d) windows
+    * with id tiebreaks. Determinism: every cosine is a sequential-fold
+    * dot (bit-matched by the oracle's left-assoc chain) and ONE IEEE
+    * division — identical ranking keys in both engines. */
+  val qMrlRecall: GQuery = GQuery(
+    "q_mrl_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.DotProduct.register(spark)
+      val dims = Seq(16, 32, 64)
+      val emb = Tables.embeddings(spark, dir)
+        .filter($"vec_id" < corpusBound)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      val probes = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"emb".as("p_emb"))
+      def cosD(d: Int): Column =
+        (expr(s"dot_product(slice(emb, 1, $d), slice(p_emb, 1, $d))") /
+          (sqrt(expr(s"dot_product(slice(emb, 1, $d), slice(emb, 1, $d))")) *
+            sqrt(expr(
+              s"dot_product(slice(p_emb, 1, $d), slice(p_emb, 1, $d))"))))
+          .as(s"c$d")
+      val scored = emb.crossJoin(broadcast(probes))
+        .select(($"p_id" +: $"vec_id".as("c_id") +: dims.map(cosD)): _*)
+        .select($"p_id", $"c_id", explode(array(dims.map(d =>
+          struct(lit(d).as("dim"), col(s"c$d").as("cos"))): _*)).as("s"))
+        .select($"p_id", $"c_id", $"s.dim".as("dim"), $"s.cos".as("cos"))
+      val wR = Window.partitionBy($"p_id", $"dim")
+        .orderBy($"cos".desc, $"c_id")
+      val ranked = scored.withColumn("rn", row_number().over(wR))
+        .filter($"rn" <= 10)
+        .select($"p_id", $"dim", $"c_id")
+      val exact = ranked.filter($"dim" === 64)
+        .select($"p_id", $"c_id")
+      ranked.join(exact, Seq("p_id", "c_id"))
+        .groupBy($"p_id", $"dim")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select($"p_id", $"dim", $"n_overlap",
+          r6($"n_overlap".cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy($"p_id", $"dim")
+    },
+    Some {
+      val dims = Seq(16, 32, 64)
+      val legs = dims.map { d =>
+        s"""
+        SELECT p.vec_id AS p_id, c.vec_id AS c_id, $d AS dim,
+               (${chainSqlN("c.embedding", "p.embedding", d)}) /
+                 (sqrt(${chainSqlN("c.embedding", "c.embedding", d)}) *
+                  sqrt(${chainSqlN("p.embedding", "p.embedding", d)}))
+                 AS cos
+        FROM corpus c CROSS JOIN probes p"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound),
+      probes AS (SELECT vec_id, embedding FROM corpus WHERE vec_id < 5),
+      scored AS MATERIALIZED ($legs),
+      ranked AS (
+        SELECT p_id, dim, c_id FROM (
+          SELECT p_id, dim, c_id,
+                 row_number() OVER (PARTITION BY p_id, dim
+                   ORDER BY cos DESC, c_id) AS rn
+          FROM scored) t WHERE rn <= 10),
+      exact AS (SELECT p_id, c_id FROM ranked WHERE dim = 64)
+      SELECT r.p_id, r.dim, cast(count(*) as bigint) AS n_overlap,
+             ${r6Sql("cast(count(*) as double) / cast(10.0 as double)")}
+               AS recall_at_10
+      FROM ranked r JOIN exact e
+        ON e.p_id = r.p_id AND e.c_id = r.c_id
+      GROUP BY r.p_id, r.dim
+      ORDER BY r.p_id, r.dim"""
+    },
+  )
+
   /** 16 deterministic ±1 hyperplanes for sign-random-projection LSH,
     * derived from md5 so they are reproducible constants (embedded as
     * literals in BOTH the Spark plan and the oracle SQL — no cross-engine
@@ -2929,5 +3016,5 @@ object ScaleOps {
     qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
     qIvfadcXl, qAnnIncr, qNeardupIncr,
-    qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl)
+    qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl, qMrlRecall)
 }

@@ -64,6 +64,9 @@ object PlanAudit {
     // 1-row corpus-count broadcast (sweep denominator); 5-row probe
     // broadcast for the exact-top-10 side of the recall comparison
     "q_dedup_sweep", "q_ann_recall",
+    // 5-probe bounded broadcast cross for the MRL truncation sweep (the
+    // q_ann_recall posture)
+    "q_mrl_recall",
     // 1-row broadcasts: bigram grand total (entropy denominators) and
     // pooled-moment row (Simpson pooled slope)
     "q_cond_entropy", "q_simpson",

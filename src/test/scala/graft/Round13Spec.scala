@@ -136,4 +136,40 @@ class Round13Spec extends AnyFunSuite {
       assert(x._2 < 850000L, s"non-corpus right id in $x")
     }
   }
+
+  test("q_decontam_excise: token accounting exact, full copies excise to empty") {
+    val r = rows("q_decontam_excise").map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x._3 + x._4 == x._2, s"accounting broken: $x")
+      val keptToks = if (x._5.isEmpty) 0 else x._5.split(" ").length
+      assert(keptToks == x._4,
+        s"doc ${x._1}: clean_text has $keptToks tokens, n_kept ${x._4}")
+    }
+    // planted verbatim benchmark copies (+1000000) are FULLY contaminated:
+    // everything excised, clean_text empty
+    val plants = r.filter(_._1 >= 1000000L)
+    assert(plants.nonEmpty, "no planted copies in output")
+    plants.foreach { x =>
+      assert(x._4 == 0L && x._5.isEmpty, s"plant ${x._1} not fully excised")
+    }
+    // at least one organic doc is PARTIALLY contaminated (cut, not drop)
+    assert(r.exists(x => x._1 < 1000000L && x._4 > 0L && x._3 > 0L),
+      "no partial excision exercised")
+  }
+
+  test("q_mrl_recall: d=64 identity row reads exactly 1.0, grid complete") {
+    val r = rows("q_mrl_recall").map(x =>
+      (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.length == 15, s"${r.length} rows, want 5 probes x 3 dims")
+    r.filter(_._2 == 64).foreach { x =>
+      assert(x._3 == 10L && x._4 == 1.0, s"d=64 identity broken: $x")
+    }
+    r.foreach { x =>
+      assert(x._3 >= 0L && x._3 <= 10L)
+      assert(math.abs(x._4 - x._3.toDouble / 10.0) < 1e-9)
+    }
+  }
 }
