@@ -1157,47 +1157,58 @@ object PipelineOps {
     * cap, the plan shape is the point). Candidates come ONLY from the
     * window-digest equi-join; spans are per (pair, diagonal) islands —
     * bounded by doc length, nothing quadratic in corpus size. */
+  /** Shared pipeline of [[qDedupSpan]] / [[qDedupExcise]]: the planted
+    * docs frame and the per-pair maximal diagonal-aligned shared spans
+    * (id_a < id_b, start_a/start_b 0-based token offsets, span length in
+    * tokens). */
+  private def dedupSpanInputs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val w = 20
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val docs = base.unionByName(
+      base.filter($"doc_id" < 30 && size(split($"text", " ")) >= 30)
+        .select(($"doc_id" + 870000L).as("doc_id"),
+          concat(lit("qz qx qv "), $"text").as("text")))
+    val toks = docs.select($"doc_id", split($"text", " ").as("l"))
+      .filter(size($"l") >= w)
+    val wins = toks.select($"doc_id",
+        posexplode(expr(
+          s"transform(sequence(0, size(l) - $w), " +
+            s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+      .toDF("doc_id", "pos", "wh")
+    val shared = wins.groupBy($"wh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= 50)
+      .select($"wh")
+    val dw = wins.join(shared, Seq("wh"), "left_semi")
+    val pairs = dw.as("a").join(dw.as("b"),
+        col("a.wh") === col("b.wh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val byDiag = Window.partitionBy($"id_a", $"id_b", $"diag")
+      .orderBy($"pa")
+    val spans = pairs
+      .withColumn("brk",
+        when($"pa" - lag($"pa", 1).over(byDiag) > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk").over(byDiag))
+      .groupBy($"id_a", $"id_b", $"diag", $"isl")
+      .agg(min($"pa").as("sa"), max($"pa").as("ma"))
+      .select($"id_a", $"id_b",
+        $"sa".cast("long").as("start_a"),
+        ($"sa" - $"diag").cast("long").as("start_b"),
+        ($"ma" - $"sa" + lit(w)).cast("long").as("span_tokens"))
+    (docs, spans)
+  }
+
   val qDedupSpan: GQuery = GQuery(
     "q_dedup_span",
     (spark, dir) => {
       import spark.implicits._
-      val w = 20
-      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
-      val docs = base.unionByName(
-        base.filter($"doc_id" < 30 && size(split($"text", " ")) >= 30)
-          .select(($"doc_id" + 870000L).as("doc_id"),
-            concat(lit("qz qx qv "), $"text").as("text")))
-      val toks = docs.select($"doc_id", split($"text", " ").as("l"))
-        .filter(size($"l") >= w)
-      val wins = toks.select($"doc_id",
-          posexplode(expr(
-            s"transform(sequence(0, size(l) - $w), " +
-              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
-        .toDF("doc_id", "pos", "wh")
-      val shared = wins.groupBy($"wh")
-        .agg(countDistinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2 && $"nd" <= 50)
-        .select($"wh")
-      val dw = wins.join(shared, Seq("wh"), "left_semi")
-      val pairs = dw.as("a").join(dw.as("b"),
-          col("a.wh") === col("b.wh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.pos").as("pa"), col("b.pos").as("pb"))
-        .withColumn("diag", col("pa") - col("pb"))
-      val byDiag = Window.partitionBy($"id_a", $"id_b", $"diag")
-        .orderBy($"pa")
-      pairs
-        .withColumn("brk",
-          when($"pa" - lag($"pa", 1).over(byDiag) > 1, 1L).otherwise(0L))
-        .withColumn("isl", sum($"brk").over(byDiag))
-        .groupBy($"id_a", $"id_b", $"diag", $"isl")
-        .agg(min($"pa").as("sa"), max($"pa").as("ma"))
-        .select($"id_a", $"id_b",
-          $"sa".cast("long").as("start_a"),
-          ($"sa" - $"diag").cast("long").as("start_b"),
-          ($"ma" - $"sa" + lit(w)).cast("long").as("span_tokens"))
-        .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
+      val (_, spans) = dedupSpanInputs(spark, dir)
+      spans.orderBy($"id_a", $"id_b", $"start_a", $"start_b")
     },
     Some(s"""
       WITH docs AS (
@@ -1239,6 +1250,121 @@ object PipelineOps {
       FROM isl
       GROUP BY id_a, id_b, diag, g
       ORDER BY id_a, id_b, start_a, start_b"""),
+  )
+
+  /** DUPLICATED-SPAN EXCISION (keep-first at SPAN level — the
+    * RefinedWeb/Lee-et-al "remove duplicated text, keep one copy" pass):
+    * every maximal shared span from [[qDedupSpan]] is cut from the
+    * HIGHER-id document of its pair (the lower id keeps its text), the
+    * per-doc covered positions are unioned (a doc duplicating several
+    * earlier docs loses each region once), and survivors re-assemble
+    * into `clean_text` via the [[qDecontamExcise]] deterministic-order
+    * idiom. The planted 3-token-offset clones (+870000) lose their
+    * entire copied body and keep exactly the 3-token junk prefix — the
+    * excision-correct outcome an aligned-chunk dedup could never
+    * produce. Scale shape: spans are pair-island-bounded, the coverage
+    * explode is bounded by duplicated token mass, assembly is one
+    * groupBy per affected doc. */
+  val qDedupExcise: GQuery = GQuery(
+    "q_dedup_excise",
+    (spark, dir) => {
+      import spark.implicits._
+      val (docs, spans0) = dedupSpanInputs(spark, dir)
+      // the span table is pair-island-bounded (small) but its subtree is
+      // the whole window self-join — materialize once; `covered` feeds
+      // BOTH the affected-doc semi-join and the token anti-join
+      val spans = spans0.localCheckpoint()
+      val covered = spans.select($"id_b".as("doc_id"),
+        explode(sequence($"start_b".cast("int"),
+          ($"start_b" + $"span_tokens" - 1).cast("int"))).as("pos"))
+      val affected = covered.select($"doc_id").distinct()
+      val toksE = docs.join(affected, Seq("doc_id"), "left_semi")
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "pos", "tok")
+      val kept = toksE.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("clean_text"))
+      val sizes = docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      affected
+        .join(sizes, Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"clean_text", lit("")).as("clean_text"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 870000, 'qz qx qv ' || text FROM documents
+        WHERE doc_id < 30 AND len(string_split(text, ' ')) >= 30),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs
+             WHERE len(string_split(text, ' ')) >= 20),
+      wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(l[(i + 1):(i + 20)], ' ')) AS wh
+        FROM lt, unnest(generate_series(0, cast(len(l) as int) - 20))
+          AS t(i)),
+      shared AS (SELECT wh FROM wins GROUP BY wh
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      dw AS MATERIALIZED (
+        SELECT doc_id, pos, wh FROM wins
+        WHERE wh IN (SELECT wh FROM shared)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM dw a JOIN dw b
+          ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      brk AS (
+        SELECT id_a, id_b, pa, diag,
+               CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag
+                 ORDER BY pa) > 1 THEN 1 ELSE 0 END AS b
+        FROM pairs),
+      isl AS (
+        SELECT id_a, id_b, pa, diag,
+               sum(b) OVER (PARTITION BY id_a, id_b, diag
+                 ORDER BY pa) AS g
+        FROM brk),
+      spans AS (
+        SELECT id_b AS doc_id,
+               cast(min(pa) - diag as int) AS sb,
+               cast(max(pa) - min(pa) + 20 as int) AS spl
+        FROM isl
+        GROUP BY id_a, id_b, diag, g),
+      covered AS (
+        SELECT DISTINCT doc_id, cast(sb + u as int) AS pos
+        FROM spans, unnest(generate_series(0, spl - 1)) AS gg(u)),
+      affected AS (SELECT DISTINCT doc_id FROM covered),
+      dtoks AS (
+        SELECT d.doc_id, cast(i - 1 as int) AS pos, l[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM docs) d
+        JOIN affected af ON af.doc_id = d.doc_id,
+        unnest(generate_series(1, cast(len(l) as int))) AS t(i)),
+      kept AS (
+        SELECT t.doc_id, cast(count(*) as bigint) AS n_kept,
+               string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+        FROM dtoks t LEFT JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.doc_id IS NULL
+        GROUP BY t.doc_id),
+      sizes AS (
+        SELECT doc_id, cast(len(string_split(text, ' ')) as bigint)
+          AS n_tokens
+        FROM docs)
+      SELECT affected.doc_id, n_tokens,
+             n_tokens - coalesce(n_kept, 0) AS n_removed,
+             coalesce(n_kept, 0) AS n_kept,
+             coalesce(clean_text, '') AS clean_text
+      FROM affected
+      JOIN sizes ON sizes.doc_id = affected.doc_id
+      LEFT JOIN kept ON kept.doc_id = affected.doc_id
+      ORDER BY affected.doc_id"""),
   )
 
   /** Per-source curation dashboard — the mix report a corpus build
@@ -2982,5 +3108,5 @@ object PipelineOps {
       qDecontamSpan, qDecontamExcise, qDedupCascade, qDedupCascadeXxl, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
-      qMixAlphaSweep, qRepetitionRules, qDedupSpan)
+      qMixAlphaSweep, qRepetitionRules, qDedupSpan, qDedupExcise)
 }

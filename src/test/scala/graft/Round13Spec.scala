@@ -160,6 +160,39 @@ class Round13Spec extends AnyFunSuite {
       "no partial excision exercised")
   }
 
+  test("q_dedup_excise: planted clones keep exactly their 3-token junk prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = graft.engine.Tables.documents(spark, sf)
+      .filter($"doc_id" < 30 && size(split($"text", " ")) >= 30)
+      .select($"doc_id", size(split($"text", " ")).as("nt"))
+      .collect().map(x => (x.getLong(0) + 870000L) -> x.getInt(1)).toMap
+    assert(planted.nonEmpty)
+    val r = rows("q_dedup_excise").map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4))).toSeq
+    r.foreach(x => assert(x._3 + x._4 == x._2, s"accounting broken: $x"))
+    val byId = r.map(x => x._1 -> x).toMap
+    var prefixSurvivors = 0
+    planted.foreach { case (cloneId, nt) =>
+      val row = byId.get(cloneId)
+      assert(row.isDefined, s"clone $cloneId not excised at all")
+      val x = row.get
+      // the clone's whole copied body (nt tokens) is always cut; the
+      // junk prefix survives UNLESS the clone's source is itself an
+      // organic duplicate (then a clone-vs-clone pair covers the prefix
+      // too) — so the survivor is exactly the prefix or nothing
+      assert(x._2 == nt + 3L && x._3 >= nt.toLong,
+        s"clone $cloneId: got $x, want >= $nt of ${nt + 3} removed")
+      assert((x._4 == 3L && x._5 == "qz qx qv") ||
+        (x._4 == 0L && x._5.isEmpty),
+        s"clone $cloneId survivor must be the prefix or empty: $x")
+      if (x._4 == 3L) prefixSurvivors += 1
+    }
+    assert(prefixSurvivors > 0, "no clone kept its prefix — excision " +
+      "should cut the body only for unique-source clones")
+  }
+
   test("q_mrl_recall: d=64 identity row reads exactly 1.0, grid complete") {
     val r = rows("q_mrl_recall").map(x =>
       (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))

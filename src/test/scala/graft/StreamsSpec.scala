@@ -751,6 +751,43 @@ class StreamsSpec extends AnyFunSuite {
       "an exact/canonical clone survived stage 2")
   }
 
+  test("streamed repetition gate reproduces batch rule verdicts exactly") {
+    // q_repetition_rules' ingest twin: the six Gopher repetition rules
+    // are PER-DOCUMENT (every shuffle key includes doc_id, no cross-doc
+    // state), so a foreachBatch gate scoring each micro-batch with the
+    // same repetitionRuleFlags is batch-invariant — verdicts must be
+    // IDENTICAL to one batch pass no matter how arrivals are sliced.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(1)
+    def flags(r: org.apache.spark.sql.Row) =
+      (2 to 7).map(r.getLong).toList
+    val batch = graft.operators.PipelineOps
+      .repetitionRuleFlags(docs.toSeq.toDF("source", "doc_id", "text"))
+      .collect().map(r => key(r) -> flags(r)).toMap
+    val got = scala.collection.mutable.Map.empty[Long, List[Long]]
+    val mem = MemoryStream[(String, Long, String)]
+    val q = mem.toDF().toDF("source", "doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.PipelineOps.repetitionRuleFlags(b)
+          .collect().foreach(r => got.synchronized {
+            got += key(r) -> flags(r)
+          })
+      }
+      .start()
+    docs.grouped(137).foreach { s => mem.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(got.size == batch.size,
+      s"stream scored ${got.size} docs, batch ${batch.size}")
+    batch.foreach { case (id, f) =>
+      assert(got(id) == f, s"doc $id: stream ${got.get(id)}, batch $f")
+    }
+  }
+
   test("streamed quota-sampling gate reproduces the batch kept counts") {
     // q_sample_topup's ingest twin: the batch-derived (lang, rate_pct)
     // table is the stream's static dim; each arriving doc keeps iff its
