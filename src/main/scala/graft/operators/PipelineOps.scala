@@ -3100,6 +3100,148 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** TWO-PHASE ANNEAL MIX PLANNER — the mid-training curriculum split a
+    * modern pretraining run schedules (a long main phase over the full
+    * mix, then a short anneal phase restricted to high-quality sources):
+    * per source, token mass, the five-rule quality pass rate
+    * ([[qGopherRules]]' conjunction), and the α=0.5 token-weighted
+    * mixture weight; the 1M-token budget splits 90/10 — phase 1
+    * allocated ∝ √tokens over ALL sources, phase 2 ∝ √tokens over
+    * sources whose quality rate clears 0.7 (an INTEGER cross-product
+    * test, `10·n_ok ≥ 7·n_docs`). A planted all-junk source
+    * ('junkweb', 40 docs at +890000) fails the bar at every SF, so the
+    * anneal-exclusion path is never vacuous. Output: per-source budgets,
+    * total, and the anneal boost (phase-2 share / phase-1 share — > 1
+    * exactly for the sources the anneal upweights). Numerics: decimal-
+    * staged √ weights (the [[qMixWeights]] contract), floor+0.5 integer
+    * budgets, one IEEE division per reported ratio. One linear pass +
+    * |sources|-row table; the two totals are 1-row broadcasts. */
+  val qAnnealPlan: GQuery = GQuery(
+    "q_anneal_plan",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val junk = ("404 90210 " * 25).trim
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 40)
+          .select(lit("junkweb").as("source"),
+            ($"doc_id" + 890000L).as("doc_id"), lit(junk).as("text")))
+      val inList = "'the','and','of','to','in','a','is','it'"
+      val feat = docs
+        .select($"source", $"text", split($"text", " ").as("l"))
+        .select($"source", size($"l").cast("long").as("tok"),
+          size($"l").as("nw"),
+          (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size($"l").cast("double")).as("mwl"),
+          (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") /
+            length($"text")).as("sym"),
+          (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+            size($"l").cast("double")).as("alpha"),
+          expr(s"size(array_intersect(array_distinct(l), array($inList)))")
+            .as("nstop"))
+      val qual = ($"nw" >= 30 && $"nw" <= 10000 &&
+        $"mwl" >= 3.0 && $"mwl" <= 10.0 && $"sym" < 0.1 &&
+        $"alpha" >= 0.8 && $"nstop" >= 2).cast("long")
+      val ps = feat.select($"source", $"tok", qual.as("q"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+          sum($"q").as("n_quality_ok"))
+        .withColumn("w_term",
+          rN(sqrt($"n_tokens"), 6).cast(DecimalType(30, 6)))
+        .withColumn("hi",
+          ($"n_quality_ok" * 10L >= $"n_docs" * 7L).cast("long"))
+        .localCheckpoint()
+      val tot = ps.agg(sum($"w_term").as("t1"),
+        sum(when($"hi" === 1L, $"w_term").otherwise(lit(0).cast(
+          DecimalType(30, 6)))).as("t2"))
+      ps.crossJoin(broadcast(tot))
+        .withColumn("p1_tokens",
+          floor(($"w_term".cast("double") / $"t1".cast("double")) *
+            lit(900000.0) + lit(0.5)).cast("long"))
+        .withColumn("p2_tokens",
+          when($"hi" === 1L,
+            floor(($"w_term".cast("double") / $"t2".cast("double")) *
+              lit(100000.0) + lit(0.5)).cast("long")).otherwise(0L))
+        .select($"source", $"n_docs", $"n_tokens",
+          r6($"n_quality_ok".cast("double") / $"n_docs".cast("double"))
+            .as("qual_rate"),
+          $"hi".as("anneal_eligible"),
+          $"p1_tokens", $"p2_tokens",
+          ($"p1_tokens" + $"p2_tokens").as("total_tokens"),
+          when($"p1_tokens" > 0,
+            r6(($"p2_tokens" * 9L).cast("double") /
+              $"p1_tokens".cast("double"))).otherwise(lit(0.0))
+            .as("anneal_boost"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH base AS (SELECT source, doc_id, text FROM documents),
+      docs AS (
+        SELECT source, doc_id, text FROM base
+        UNION ALL
+        SELECT 'junkweb', doc_id + 890000, trim(repeat('404 90210 ', 25))
+        FROM base WHERE doc_id < 40),
+      feat AS (
+        SELECT source, cast(len(l) as bigint) AS tok,
+          cast(len(l) as int) AS nw,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS mwl,
+          cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+            as double) / cast(length(text) as double) AS sym,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS alpha,
+          cast(len(list_intersect(list_distinct(l),
+            ['the','and','of','to','in','a','is','it'])) as int) AS nstop
+        FROM (SELECT source, text, string_split(text, ' ') AS l
+              FROM docs) f0),
+      scored AS (
+        SELECT source, tok,
+          CASE WHEN nw >= 30 AND nw <= 10000
+            AND mwl >= cast(3.0 as double) AND mwl <= cast(10.0 as double)
+            AND sym < cast(0.1 as double)
+            AND alpha >= cast(0.8 as double) AND nstop >= 2
+          THEN 1 ELSE 0 END AS q
+        FROM feat),
+      ps AS (
+        SELECT source, cast(count(*) as bigint) AS n_docs,
+               cast(sum(tok) as bigint) AS n_tokens,
+               cast(sum(q) as bigint) AS n_quality_ok,
+               cast(${rNSql("sqrt(sum(tok))", 6)} as decimal(30,6))
+                 AS w_term,
+               CASE WHEN sum(q) * 10 >= count(*) * 7 THEN 1 ELSE 0 END
+                 AS hi
+        FROM scored GROUP BY source),
+      tot AS (
+        SELECT sum(w_term) AS t1,
+               sum(CASE WHEN hi = 1 THEN w_term
+                   ELSE cast(0 as decimal(30,6)) END) AS t2
+        FROM ps),
+      alloc AS (
+        SELECT source, n_docs, n_tokens, n_quality_ok, hi,
+               cast(floor((cast(w_term as double) / cast(t1 as double))
+                 * cast(900000.0 as double) + cast(0.5 as double))
+                 as bigint) AS p1_tokens,
+               CASE WHEN hi = 1 THEN
+                 cast(floor((cast(w_term as double) / cast(t2 as double))
+                   * cast(100000.0 as double) + cast(0.5 as double))
+                   as bigint)
+               ELSE 0 END AS p2_tokens
+        FROM ps CROSS JOIN tot)
+      SELECT source, n_docs, n_tokens,
+             ${r6Sql("cast(n_quality_ok as double) / cast(n_docs as double)")}
+               AS qual_rate,
+             cast(hi as bigint) AS anneal_eligible,
+             p1_tokens, p2_tokens,
+             p1_tokens + p2_tokens AS total_tokens,
+             CASE WHEN p1_tokens > 0 THEN
+               ${r6Sql("cast(p2_tokens * 9 as double) / " +
+                 "cast(p1_tokens as double)")}
+             ELSE cast(0.0 as double) END AS anneal_boost
+      FROM alloc
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
@@ -3108,5 +3250,6 @@ object PipelineOps {
       qDecontamSpan, qDecontamExcise, qDedupCascade, qDedupCascadeXxl, qCcnetBins, qEpochPlan, qChunkPlan,
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
-      qMixAlphaSweep, qRepetitionRules, qDedupSpan, qDedupExcise)
+      qMixAlphaSweep, qRepetitionRules, qDedupSpan, qDedupExcise,
+      qAnnealPlan)
 }

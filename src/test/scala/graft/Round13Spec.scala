@@ -193,6 +193,31 @@ class Round13Spec extends AnyFunSuite {
       "should cut the body only for unique-source clones")
   }
 
+  test("q_anneal_plan: junk source excluded from anneal, budgets conserved") {
+    val r = rows("q_anneal_plan").map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7),
+        x.getDouble(8)))
+    val junk = r.filter(_._1 == "junkweb")
+    assert(junk.length == 1, "planted junkweb source missing")
+    // all-junk docs fail the letter/stopword rules -> rate 0, no anneal
+    assert(junk.head._4 == 0.0 && junk.head._5 == 0L &&
+      junk.head._7 == 0L, s"junkweb not excluded: ${junk.head}")
+    // at least one organic source clears the 0.7 bar and gets phase-2
+    val eligible = r.filter(_._5 == 1L)
+    assert(eligible.nonEmpty, "no anneal-eligible source — bar vacuous")
+    eligible.foreach(x => assert(x._7 > 0L, s"eligible with no p2: $x"))
+    // budget conservation up to half-ulp per source
+    val p1 = r.map(_._6).sum; val p2 = r.map(_._7).sum
+    assert(math.abs(p1 - 900000L) <= r.length, s"phase-1 budget $p1")
+    assert(math.abs(p2 - 100000L) <= eligible.length, s"phase-2 budget $p2")
+    // the anneal upweights exactly the eligible sources
+    r.foreach { x =>
+      if (x._5 == 1L) assert(x._9 > 1.0, s"eligible not boosted: $x")
+      else assert(x._9 == 0.0, s"ineligible boosted: $x")
+    }
+  }
+
   test("q_mrl_recall: d=64 identity row reads exactly 1.0, grid complete") {
     val r = rows("q_mrl_recall").map(x =>
       (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
