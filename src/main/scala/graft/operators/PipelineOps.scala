@@ -3100,6 +3100,127 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** QUALITY-RULE ABLATION — which Gopher rule does the work: per rule,
+    * how many documents fail it AT ALL and how many fail ONLY it (the
+    * docs a curation run would win back by dropping that one rule — the
+    * marginal-impact number a threshold review actually argues about).
+    * Two plant families keep the distinction non-vacuous at every SF:
+    * all-digit junk (+840000) fails several rules at once (contributes
+    * to n_fail, never n_fail_only), and long-word docs (+845000: two
+    * stopwords + 30 34-char words → mean word length ≈ 32) fail EXACTLY
+    * the word-length rule. One linear pass, one agg row, 5-struct
+    * explode — nothing above |docs|. */
+  val qQualityAblate: GQuery = GQuery(
+    "q_quality_ablate",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"source", $"doc_id", $"text")
+      val junk = ("404 90210 " * 25).trim
+      val longw = "the and " + Seq.fill(30)(
+        "supercalifragilisticexpialidocious").mkString(" ")
+      val docs = base
+        .unionByName(base.filter($"doc_id" < 10)
+          .select($"source", ($"doc_id" + 840000L).as("doc_id"),
+            lit(junk).as("text")))
+        .unionByName(base.filter($"doc_id" < 10)
+          .select($"source", ($"doc_id" + 845000L).as("doc_id"),
+            lit(longw).as("text")))
+      val inList = "'the','and','of','to','in','a','is','it'"
+      val feat = docs
+        .select($"text", split($"text", " ").as("l"))
+        .select(size($"l").as("nw"),
+          (expr("aggregate(transform(l, t -> length(t)), 0L, (s, x) -> s + x)")
+            .cast("double") / size($"l").cast("double")).as("mwl"),
+          (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")).cast("double") /
+            length($"text")).as("sym"),
+          (expr("size(filter(l, t -> t rlike '[A-Za-z]'))").cast("double") /
+            size($"l").cast("double")).as("alpha"),
+          expr(s"size(array_intersect(array_distinct(l), array($inList)))")
+            .as("nstop"))
+      val f = Seq(
+        ("wordcount", ($"nw" < 30 || $"nw" > 10000).cast("long")),
+        ("wordlen", ($"mwl" < 3.0 || $"mwl" > 10.0).cast("long")),
+        ("symbol", ($"sym" >= 0.1).cast("long")),
+        ("alpha", ($"alpha" < 0.8).cast("long")),
+        ("stopword", ($"nstop" < 2).cast("long")))
+      val flagged = feat.select(f.map { case (n, c) => c.as(s"f_$n") }: _*)
+        .withColumn("n_fails",
+          f.map { case (n, _) => col(s"f_$n") }.reduce(_ + _))
+      val aggCols = count(lit(1)).as("n_docs") +:
+        f.flatMap { case (n, _) =>
+          Seq(sum(col(s"f_$n")).as(s"t_$n"),
+            sum(when(col(s"f_$n") === 1L && $"n_fails" === 1L, 1L)
+              .otherwise(0L)).as(s"o_$n"))
+        }
+      val agg = flagged.agg(aggCols.head, aggCols.tail: _*)
+      agg.select(explode(array(f.map { case (n, _) =>
+          struct(lit(n).as("rule"), $"n_docs",
+            col(s"t_$n").as("n_fail"), col(s"o_$n").as("n_fail_only"))
+        }: _*)).as("s"))
+        .select($"s.rule".as("rule"), $"s.n_docs".as("n_docs"),
+          $"s.n_fail".as("n_fail"), $"s.n_fail_only".as("n_fail_only"),
+          r6($"s.n_fail".cast("double") / $"s.n_docs".cast("double"))
+            .as("fail_rate"),
+          r6($"s.n_fail_only".cast("double") / $"s.n_docs".cast("double"))
+            .as("only_rate"))
+        .orderBy($"rule")
+    },
+    Some(s"""
+      WITH base AS (SELECT source, doc_id, text FROM documents),
+      docs AS (
+        SELECT text FROM base
+        UNION ALL
+        SELECT trim(repeat('404 90210 ', 25)) FROM base WHERE doc_id < 10
+        UNION ALL
+        SELECT 'the and ' || trim(repeat(
+          'supercalifragilisticexpialidocious ', 30))
+        FROM base WHERE doc_id < 10),
+      feat AS (
+        SELECT cast(len(l) as int) AS nw,
+          cast(list_sum(list_transform(l, t -> length(t))) as double)
+            / cast(len(l) as double) AS mwl,
+          cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+            as double) / cast(length(text) as double) AS sym,
+          cast(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+            as double) / cast(len(l) as double) AS alpha,
+          cast(len(list_intersect(list_distinct(l),
+            ['the','and','of','to','in','a','is','it'])) as int) AS nstop
+        FROM (SELECT text, string_split(text, ' ') AS l FROM docs) f0),
+      flagged AS (
+        SELECT
+          CASE WHEN nw < 30 OR nw > 10000 THEN 1 ELSE 0 END AS f_wordcount,
+          CASE WHEN mwl < cast(3.0 as double) OR
+            mwl > cast(10.0 as double) THEN 1 ELSE 0 END AS f_wordlen,
+          CASE WHEN sym >= cast(0.1 as double) THEN 1 ELSE 0 END
+            AS f_symbol,
+          CASE WHEN alpha < cast(0.8 as double) THEN 1 ELSE 0 END
+            AS f_alpha,
+          CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stopword
+        FROM feat),
+      wf AS (
+        SELECT *, f_wordcount + f_wordlen + f_symbol + f_alpha + f_stopword
+          AS n_fails
+        FROM flagged),
+      agg AS (
+        SELECT cast(count(*) as bigint) AS n_docs,
+          ${Seq("wordcount", "wordlen", "symbol", "alpha", "stopword")
+            .map(n => s"cast(sum(f_$n) as bigint) AS t_$n, " +
+              s"cast(sum(CASE WHEN f_$n = 1 AND n_fails = 1 THEN 1 " +
+              s"ELSE 0 END) as bigint) AS o_$n").mkString(",\n          ")}
+        FROM wf)
+      SELECT rule, n_docs, n_fail, n_fail_only,
+             ${r6Sql("cast(n_fail as double) / cast(n_docs as double)")}
+               AS fail_rate,
+             ${r6Sql("cast(n_fail_only as double) / cast(n_docs as double)")}
+               AS only_rate
+      FROM (
+        ${Seq("wordcount", "wordlen", "symbol", "alpha", "stopword")
+          .map(n => s"SELECT '$n' AS rule, n_docs, t_$n AS n_fail, " +
+            s"o_$n AS n_fail_only FROM agg").mkString("\n        UNION ALL ")}) u
+      ORDER BY rule"""),
+  )
+
   /** TWO-PHASE ANNEAL MIX PLANNER — the mid-training curriculum split a
     * modern pretraining run schedules (a long main phase over the full
     * mix, then a short anneal phase restricted to high-quality sources):
@@ -3251,5 +3372,5 @@ object PipelineOps {
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
       qMixAlphaSweep, qRepetitionRules, qDedupSpan, qDedupExcise,
-      qAnnealPlan)
+      qAnnealPlan, qQualityAblate)
 }

@@ -460,6 +460,93 @@ object ScaleOps {
       ORDER BY new_id, corpus_id"""),
   )
 
+  /** WINNOWING FINGERPRINTS (Schleimer et al. 2003, the MOSS scheme,
+    * adapted to word 3-grams): every 3-gram position gets a 32-bit
+    * md5-derived hash; each sliding window of w = 4 consecutive hashes
+    * SELECTS its minimum (leftmost on ties — the tie is folded into one
+    * integer key `h·2²⁰ + pos`, so selection is a single integer MIN,
+    * identical in both engines); the per-doc DISTINCT selected hashes are
+    * the fingerprint set. Winnowing's guarantee: any shared run of
+    * ≥ w + k − 1 = 6 tokens shares at least one selected hash VALUE, and
+    * the fingerprint density is ~2/(w+1) of positions — a fixed-rate
+    * sketch with a locality guarantee minhash doesn't give. Pairs
+    * sharing ≥ 3 fingerprints are reported (candidates ONLY from the
+    * fingerprint equi-join; hashes in > 50 docs dropped as boilerplate —
+    * the q_dedup_span df-cap posture). Planted 2-token-prefix clones
+    * (+880000) share their whole body and are always caught. */
+  val qWinnowing: GQuery = GQuery(
+    "q_winnowing",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 25 && size(split($"text", " ")) >= 30)
+          .select(($"doc_id" + 880000L).as("doc_id"),
+            concat(lit("qw qe "), $"text").as("text")))
+      val wins = docs.select($"doc_id", split($"text", " ").as("l"))
+        .filter(size($"l") >= 3)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(l) - 3), " +
+            "i -> substring(md5(concat_ws(' ', slice(l, i + 1, 3))), 1, 8))")))
+        .toDF("doc_id", "pos", "h8")
+        .select($"doc_id", $"pos",
+          (conv($"h8", 16, 10).cast("long") * lit(1048576L) +
+            $"pos".cast("long")).as("key"))
+      val wSel = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(-3, 0)
+      val fp = wins
+        .withColumn("selkey", min($"key").over(wSel))
+        .filter($"pos" >= 3)
+        .select($"doc_id", expr("selkey div 1048576").as("h"))
+        .distinct()
+      val hdf = fp.groupBy($"h").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2 && $"nd" <= 50).select($"h")
+      val fpb = fp.join(hdf, Seq("h"), "left_semi")
+      fpb.as("a").join(fpb.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 880000, 'qw qe ' || text FROM base
+        WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 30),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs
+             WHERE len(string_split(text, ' ')) >= 3),
+      wins AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(array_to_string(l[(i + 1):(i + 3)], ' ')),
+                 1, 8))::BIGINT * 1048576 + i AS key
+        FROM lt, unnest(generate_series(0, cast(len(l) as int) - 3))
+          AS t(i)),
+      sel AS (
+        SELECT doc_id, pos,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+        FROM wins),
+      fp AS (SELECT DISTINCT doc_id, selkey // 1048576 AS h
+             FROM sel WHERE pos >= 3),
+      hdf AS (SELECT h FROM fp GROUP BY h
+              HAVING count(*) BETWEEN 2 AND 50),
+      fpb AS MATERIALIZED (
+        SELECT doc_id, h FROM fp WHERE h IN (SELECT h FROM hdf))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             cast(count(*) as bigint) AS n_shared
+      FROM fpb a JOIN fpb b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3
+      ORDER BY id_a, id_b"""),
+  )
+
   /** SimHash near-dup, fully oracle-checked: per-doc 32-bit fingerprint
     * (majority vote over md5-hashed distinct tokens, bit i weight ±1) →
     * 4 bands of 8 bits → band equi-join candidates → integer-popcount
@@ -3016,5 +3103,6 @@ object ScaleOps {
     qSemdedup, qAnnPq, qKmvSetops, qCosineHist, qCellBalance, qBandSweep,
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
     qIvfadcXl, qAnnIncr, qNeardupIncr,
-    qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl, qMrlRecall)
+    qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl, qMrlRecall,
+    qWinnowing)
 }

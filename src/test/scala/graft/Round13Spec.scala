@@ -218,6 +218,42 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q_winnowing: planted prefix clones always share fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = graft.engine.Tables.documents(spark, sf)
+      .filter($"doc_id" < 25 && size(split($"text", " ")) >= 30)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(planted.nonEmpty)
+    val r = rows("q_winnowing")
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // winnowing guarantee: a >= 6-token shared run shares a selected
+    // hash; the clones share their ENTIRE >= 30-token body, so every
+    // (orig, orig+880000) pair clears the 3-fingerprint bar
+    planted.foreach { d =>
+      val hit = r.find(x => x._1 == d && x._2 == d + 880000L)
+      assert(hit.isDefined, s"clone pair ($d, ${d + 880000L}) missed")
+      assert(hit.get._3 >= 3L, s"pair $d shares only ${hit.get._3}")
+    }
+  }
+
+  test("q_quality_ablate: long-word plants are wordlen-ONLY failures") {
+    val r = rows("q_quality_ablate").map(x =>
+      x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set("alpha", "stopword", "symbol", "wordcount",
+      "wordlen"))
+    // the 10 planted 34-char-word docs fail wordlen and nothing else
+    val (_, wlFail, wlOnly) = r("wordlen")
+    assert(wlFail >= 10 && wlOnly >= 10,
+      s"wordlen fail=$wlFail only=$wlOnly, want >= 10 from plants")
+    // the all-digit junk plants fail alpha AND stopword -> they appear
+    // in both totals but in NEITHER only-count
+    assert(r("alpha")._2 >= 10 && r("stopword")._2 >= 10)
+    r.foreach { case (n, (nd, f, o)) =>
+      assert(o <= f && f <= nd, s"$n accounting broken: $f/$o/$nd")
+    }
+  }
+
   test("q_mrl_recall: d=64 identity row reads exactly 1.0, grid complete") {
     val r = rows("q_mrl_recall").map(x =>
       (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
