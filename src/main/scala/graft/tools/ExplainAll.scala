@@ -141,7 +141,15 @@ object ExplainAll {
     // round 12: the complete IVF + PQ-on-residuals ANN structure,
     // classifier-vs-rules calibration, incremental index maintenance
     "q_ivfadc", "q_gate_calibration", "q_ann_incr", "q_cluster_keeper",
-    "q_mix_alpha_sweep")
+    "q_mix_alpha_sweep",
+    // round 13: Gopher repetition rules, span merge + excision (dedup and
+    // decontam), incremental near-dup, winnowing fingerprints, anneal
+    // planner, rule ablation, MRL truncation eval, and one x10-generated
+    // scaling twin (the other _xxl plans match their _xl siblings)
+    "q_repetition_rules", "q_dedup_span", "q_dedup_excise",
+    "q_neardup_incr", "q_decontam_excise", "q_winnowing",
+    "q_anneal_plan", "q_quality_ablate", "q_mrl_recall",
+    "q_neardup_minhash_xxl")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

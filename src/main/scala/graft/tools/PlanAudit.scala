@@ -67,6 +67,8 @@ object PlanAudit {
     // 5-probe bounded broadcast cross for the MRL truncation sweep (the
     // q_ann_recall posture)
     "q_mrl_recall",
+    // 1-row phase-budget totals broadcast (the q_mix_weights posture)
+    "q_anneal_plan",
     // 1-row broadcasts: bigram grand total (entropy denominators) and
     // pooled-moment row (Simpson pooled slope)
     "q_cond_entropy", "q_simpson",
