@@ -2834,8 +2834,15 @@ object PipelineOps {
     * document length, nothing is quadratic. The top-gram winner is the
     * max of `cnt*100000 + glen` (count first, char length as the
     * deterministic tiebreak), decoded back by div/mod —
-    * total-order deterministic without max_by. */
-  def repetitionRuleFlags(docs: DataFrame): DataFrame = {
+    * total-order deterministic without max_by.
+    *
+    * This RELATIONAL form exists to mirror the oracle's SQL and as the
+    * reference implementation RepetitionStatsSpec proves the fused
+    * kernel against — the declared query routes through
+    * [[repetitionRuleFlags]], whose per-doc stats come from ONE
+    * codegen'd [[graft.functions.RepetitionStats]] call per row
+    * (no explode, no doc-keyed shuffle at all). */
+  private[graft] def repetitionRuleFlagsRelational(docs: DataFrame): DataFrame = {
     val lt = docs.select(col("source"), col("doc_id"), col("text"),
       length(col("text")).cast("long").as("tl"),
       split(col("text"), "\n").as("lines"),
@@ -2918,6 +2925,29 @@ object PipelineOps {
         (col("top4_chars") * 25L <= col("tl") * 4L).cast("long")
           .as("r_top4"),
         (col("dup10_chars") * 10L <= col("tl")).cast("long").as("r_dup10"))
+  }
+
+  /** Per-document repetition rule flags through the FUSED
+    * [[graft.functions.RepetitionStats]] Catalyst kernel: one codegen'd
+    * call per row computes all nine stats (every repetition signal is
+    * within-document — the relational explode shuffled ~3 unit rows per
+    * token, twice, for state that never crossed a doc), then the six
+    * verdicts are per-row integer cross-products. The ONLY shuffle left
+    * in the declared query is the |sources|-row rollup — the true
+    * 100 TB shape. Row-for-row equal to
+    * [[repetitionRuleFlagsRelational]] (RepetitionStatsSpec). */
+  def repetitionRuleFlags(docs: DataFrame): DataFrame = {
+    graft.functions.RepetitionStats.register(docs.sparkSession)
+    docs
+      .select(col("source"), col("doc_id"),
+        expr("repetition_stats(text)").as("st"))
+      .select(col("source"), col("doc_id"),
+        (col("st")(2) * 10L <= col("st")(1) * 3L).cast("long").as("r_line"),
+        (col("st")(4) * 10L <= col("st")(3) * 3L).cast("long").as("r_para"),
+        (col("st")(5) * 5L <= col("st")(0)).cast("long").as("r_top2"),
+        (col("st")(6) * 50L <= col("st")(0) * 9L).cast("long").as("r_top3"),
+        (col("st")(7) * 25L <= col("st")(0) * 4L).cast("long").as("r_top4"),
+        (col("st")(8) * 10L <= col("st")(0)).cast("long").as("r_dup10"))
   }
 
   /** THE GOPHER REPETITION-RULE FAMILY as a declared per-source rollup
