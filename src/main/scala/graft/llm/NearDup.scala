@@ -176,23 +176,23 @@ object NearDup {
     * aggregation state, usable on an unbounded stream — and it keeps
     * batch signature building inside one whole-stage-codegen pass. Docs
     * with < 3 tokens yield no signature rows (they cannot near-dup by
-    * 3-gram shingles). */
+    * 3-gram shingles).
+    *
+    * r13: the per-row stage is the fused [[graft.functions.MinHashSig]]
+    * kernel (4 md5s per distinct gram instead of 16, no intermediate gram
+    * array) — byte-identical to the higher-order-function form it
+    * replaces (MinHashSigSpec), same stateless/streamable contract. */
   def bandedSignaturesPerRow(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("l"))
-      .filter(size(col("l")) >= 3)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-          "element_at(l, i), element_at(l, i+1), element_at(l, i+2))))"))
-    val hs = (0 until 16).map { s =>
-      expr(s"array_min(transform(grams, g -> " +
-        s"substring(md5(concat_ws('|', '${s / 4}', g)), ${8 * (s % 4) + 1}, 8)))")
-        .as(s"h$s")
-    }
-    val sigs = base.select((col("id") +: hs): _*)
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        expr(s"minhash_sig(split($textCol, ' '))").as("mh"))
+      .filter(size(col("mh")) === 16)
+      .select(col("id") +: (0 until 16).map(i =>
+        element_at(col("mh"), i + 1).as(s"h$i")): _*)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),

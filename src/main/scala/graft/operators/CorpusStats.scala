@@ -297,15 +297,11 @@ object CorpusStats {
                 "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
                   "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
             .as("gram"))
-      // ONE md5 per (seed-group, gram): hash s reads hex chars
-      // [8*(s%4)+1, 8*(s%4)+8] of digest s/4 — 16 independent 32-bit
-      // minhashes for 4 hash passes (lexicographic min of fixed-width hex
-      // is numeric min, as before).
-      val minhashes = (0 until 16).map { s =>
-        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
-        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
-      }
-      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      // fused-kernel signature stage (byte-identical to the relational
+      // oracle stage below — 4 md5s per distinct gram in one map-only
+      // pass; see ScaleOps.kernelSigs / MinHashSigSpec); the gram table
+      // g stays — the exact-Jaccard verify pass needs it
+      val sigs = ScaleOps.kernelSigs(docs)
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
@@ -1223,24 +1219,10 @@ object CorpusStats {
               ((substring($"source", 4, 3).cast("int") + 1) % 20)
                 .cast("string")).as("source"),
             $"text"))
-      val g = docs
-        .select($"doc_id", $"source", split($"text", " ").as("l"))
-        .select($"doc_id", $"source",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
-      val minhashes = (0 until 16).map { s =>
-        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
-        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
-      }
-      val sigs = g.groupBy($"doc_id", $"source")
-        .agg(minhashes.head, minhashes.tail: _*)
-        // three consumers (bands + both verify sides): checkpoint
-        // measured 2.18s vs 2.75s recompute at sf0.1 (PerfProbe r11)
-        .localCheckpoint()
+      // fused-kernel signature stage carrying source through (byte-
+      // identical to the relational oracle stage below; localCheckpoint
+      // inside kernelSigs keeps the r11-measured three-consumer win)
+      val sigs = ScaleOps.kernelSigs(docs, "source")
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),

@@ -89,6 +89,29 @@ object ScaleOps {
                  WHERE doc_id < $corpusBound) xb0,
                 unnest(generate_series(0, ${n - 1})) AS xk(k)"""
 
+  /** The shared 16-minhash signature table (doc_id, h0..h15) built by the
+    * fused [[graft.functions.MinHashSig]] kernel — byte-identical to the
+    * relational `explode(grams) → groupBy(doc_id).agg(16 × min(md5 hex
+    * substring))` stage every near-dup oracle mirrors (MinHashSigSpec),
+    * but map-only: 4 md5s per distinct gram instead of 16 per gram row,
+    * no explode, no doc-keyed shuffle. Docs with < 3 tokens yield no row
+    * (empty kernel array), exactly like explode-of-empty-array.
+    * localCheckpoint because every consumer fans the tiny (|docs| × 16
+    * hex8) table into 3–4 branches (bands self-join + both verify sides)
+    * — the q_dup_matrix precedent (checkpoint measured faster than
+    * recompute for multi-consumer signature tables, r11 PerfProbe). */
+  private[operators] def kernelSigs(docs: DataFrame,
+      extraCols: String*): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    val keep = "doc_id" +: extraCols
+    docs
+      .select(keep.map(col) :+ expr("minhash_sig(split(text, ' '))").as("mh"): _*)
+      .filter(size(col("mh")) === 16)
+      .select(keep.map(col) ++ (0 until 16).map(i =>
+        element_at(col("mh"), i + 1).as(s"h$i")): _*)
+      .localCheckpoint()
+  }
+
   /** ×N vector generator: replica k adds k·0.001 to every coordinate (one
     * IEEE add per element, bit-identical cross-engine; k=0 is the original
     * vector), id shifted k·100000 — distinct probes, same logical probe
@@ -280,20 +303,9 @@ object ScaleOps {
       val docs = base.unionByName(
         base.filter($"doc_id" < 50)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
-      val g = docs
-        .select($"doc_id", split($"text", " ").as("l"))
-        .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
-      val minhashes = (0 until 16).map { s =>
-        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
-        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
-      }
-      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      // fused-kernel signature stage (byte-identical to the relational
+      // oracle stage below; see kernelSigs / MinHashSigSpec)
+      val sigs = kernelSigs(docs)
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
@@ -1373,11 +1385,10 @@ object ScaleOps {
                 "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
                   "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
             .as("gram"))
-      val minhashes = (0 until 16).map { s =>
-        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
-        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
-      }
-      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      // fused-kernel signature stage (byte-identical to the relational
+      // oracle stage below; see kernelSigs / MinHashSigSpec); the gram
+      // table g stays — the exact-Jaccard verify pass needs it
+      val sigs = kernelSigs(docs)
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws("|", col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
@@ -1582,13 +1593,6 @@ object ScaleOps {
                 "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
                   "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
             .as("gram"))
-      def sigs(g: org.apache.spark.sql.DataFrame) = {
-        val minhashes = (0 until 16).map { s =>
-          val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
-          min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
-        }
-        g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
-      }
       def bands(s: org.apache.spark.sql.DataFrame) = {
         val bandStructs = (0 until 4).map(b =>
           struct(lit(b).as("band_id"),
@@ -1598,7 +1602,11 @@ object ScaleOps {
           .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.sig".as("sig"))
       }
       val gb = grams(batch); val gc = grams(corpus)
-      val cand = bands(sigs(gb)).as("x").join(bands(sigs(gc)).as("y"),
+      // fused-kernel signature stages (byte-identical to the relational
+      // oracle stages below; see kernelSigs / MinHashSigSpec); the gram
+      // tables gb/gc stay — the exact-Jaccard verify pass needs them
+      val cand = bands(kernelSigs(batch)).as("x")
+        .join(bands(kernelSigs(corpus)).as("y"),
           col("x.band_id") === col("y.band_id") &&
             col("x.sig") === col("y.sig"))
         .select(col("x.doc_id").as("batch_id"),
@@ -2951,20 +2959,9 @@ object ScaleOps {
       val docs = base.unionByName(
         base.filter($"doc_id" < 50)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
-      val g = docs
-        .select($"doc_id", split($"text", " ").as("l"))
-        .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
-      val minhashes = (0 until 16).map { s =>
-        val digest = md5(concat_ws("|", lit((s / 4).toString), $"gram"))
-        min(substring(digest, 8 * (s % 4) + 1, 8)).as(s"h$s")
-      }
-      val sigs = g.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+      // fused-kernel signature stage (byte-identical to the relational
+      // oracle stage below; see kernelSigs / MinHashSigSpec)
+      val sigs = kernelSigs(docs)
       // finest blocking: 8 bands of 2 minhashes each
       val bandStructs = (0 until 8).map(b =>
         struct(lit(b).as("band_id"),
