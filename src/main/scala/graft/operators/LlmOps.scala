@@ -1071,10 +1071,117 @@ object LlmOps {
       LIMIT 10"""),
   )
 
+  /** ONE ROUND OF WORD-LEVEL BPE: learn the top-4 most frequent adjacent
+    * token pairs from the corpus (exact integer counts, ties broken
+    * lexicographically), then apply the ranked merge list SEQUENTIALLY to
+    * every document — each merge rewrites ` w1 w2 ` to ` w1_w2 ` via
+    * plain (non-regex) all-occurrence left-to-right string replacement on
+    * the space-padded text, exactly the same deterministic procedure in
+    * both engines. This is the tokenizer-training inner loop made
+    * relational: pair counting is one lag window per doc (combinable
+    * groupBy), merge selection is a distributed top-k
+    * (TakeOrderedAndProject — never a global sort), and application is a
+    * 1-row broadcast of the merge table into a per-row codegen'd replace
+    * chain. Output: the learned merges + per-source token counts
+    * before/after and the merge rate — the "how much would this vocab
+    * compress each source" table a tokenizer build reads. Non-vacuous by
+    * construction: the top pair occurs ≥ its learned count, so
+    * merged_occ > 0 globally (Round13Spec pins it, plus the overlap
+    * semantics on a crafted run-doc). */
+  val qBpeMerge: GQuery = GQuery(
+    "q_bpe_merge",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"text")
+      val toks = docs.select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", $"pos", $"col".as("term"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val cnts = toks.withColumn("prev", lag($"term", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select(concat($"prev", lit(" "), $"term").as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      // distributed top-k, THEN rank the 4 survivors (the window sees
+      // 4 rows, not |vocab²|)
+      val top = cnts.orderBy($"cnt".desc, $"pair").limit(4)
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"cnt".desc, $"pair")))
+      val merges = top.groupBy().agg(
+        max(when($"rn" === 1, $"pair")).as("m1"),
+        max(when($"rn" === 2, $"pair")).as("m2"),
+        max(when($"rn" === 3, $"pair")).as("m3"),
+        max(when($"rn" === 4, $"pair")).as("m4"))
+      // sequential ranked application; a missing merge slot (tiny corpus)
+      // coalesces to a pattern that cannot match
+      def mexpr(inner: String, i: Int): String =
+        s"replace($inner, concat(' ', coalesce(m$i, '~~none~~'), ' '), " +
+          s"concat(' ', replace(coalesce(m$i, '~~none~~'), ' ', '_'), ' '))"
+      val chain = (1 to 4).foldLeft("concat(' ', text, ' ')")(mexpr)
+      val applied = docs.crossJoin(broadcast(merges))
+        .select($"source", $"m1", $"m2", $"m3", $"m4",
+          size(split($"text", " ")).cast("long").as("tb"),
+          size(split(trim(expr(chain)), " ")).cast("long").as("ta"))
+      applied
+        .groupBy($"source", $"m1", $"m2", $"m3", $"m4")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tb").as("tok_before"), sum($"ta").as("tok_after"))
+        .select($"source", $"m1", $"m2", $"m3", $"m4",
+          $"n_docs", $"tok_before", $"tok_after",
+          ($"tok_before" - $"tok_after").as("merged_occ"),
+          r6(($"tok_before" - $"tok_after").cast("double") /
+            $"tok_before".cast("double")).as("merge_rate"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               cast(unnest(generate_series(1,
+                 len(string_split(text, ' ')))) as int) AS pos,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      cnts AS (
+        SELECT prev || ' ' || term AS pair, count(*) AS cnt
+        FROM (SELECT term,
+                lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS prev
+              FROM toks) t
+        WHERE prev IS NOT NULL
+        GROUP BY 1),
+      top AS (SELECT pair, cnt FROM cnts ORDER BY cnt DESC, pair LIMIT 4),
+      ranked AS (
+        SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+        FROM top),
+      m AS (
+        SELECT max(CASE WHEN rn = 1 THEN pair END) AS m1,
+               max(CASE WHEN rn = 2 THEN pair END) AS m2,
+               max(CASE WHEN rn = 3 THEN pair END) AS m3,
+               max(CASE WHEN rn = 4 THEN pair END) AS m4
+        FROM ranked),
+      applied AS (
+        SELECT source, m1, m2, m3, m4,
+               cast(len(string_split(text, ' ')) as bigint) AS tb,
+               cast(len(string_split(trim(
+                 ${(1 to 4).foldLeft("' ' || text || ' '")((inner, i) =>
+                   s"replace($inner, ' ' || coalesce(m$i, '~~none~~') || ' ', " +
+                     s"' ' || replace(coalesce(m$i, '~~none~~'), ' ', '_') || ' ')")}
+               ), ' ')) as bigint) AS ta
+        FROM documents CROSS JOIN m)
+      SELECT source, m1, m2, m3, m4,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(tb) as bigint) AS tok_before,
+             cast(sum(ta) as bigint) AS tok_after,
+             cast(sum(tb) - sum(ta) as bigint) AS merged_occ,
+             ${r6Sql("cast(sum(tb) - sum(ta) as double) / " +
+               "cast(sum(tb) as double)")} AS merge_rate
+      FROM applied
+      GROUP BY source, m1, m2, m3, m4
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
     qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats, qEmbedDrift,
-    qTokenFertility, qBigramPpl)
+    qTokenFertility, qBigramPpl, qBpeMerge)
 }

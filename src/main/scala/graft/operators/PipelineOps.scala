@@ -3393,6 +3393,97 @@ object PipelineOps {
       ORDER BY source"""),
   )
 
+  /** CONTENT-DEFINED-CHUNKING DEDUP (the storage/Rabin-fingerprint
+    * technique applied to text): a token ENDS a chunk when its 32-bit
+    * md5 hash ≡ 0 (mod 8) — boundaries are a pure local function of
+    * content, so an insertion or deletion perturbs only the chunk it
+    * lands in and the stream RE-SYNCHRONIZES at the next boundary,
+    * where fixed 20-token windows (q_dedup_para) would misalign every
+    * downstream chunk. Chunks re-assemble deterministically (the
+    * q_decontam_excise order idiom), collapse to per-doc DISTINCT
+    * digests, and pairs come ONLY from the digest equi-join. Guards
+    * that make the join safe at 100 TB: chunks shorter than 5 tokens
+    * never pair (a single common word that hashes to a boundary on
+    * both sides would otherwise pair half the corpus), and a
+    * document-frequency cap of 50 per digest (the q_dedup_span
+    * boilerplate cap) bounds any digest's pair fan-out. Planted
+    * prefix-edited clones ('zq zr ' + text, ids +430000) re-sync
+    * after the first boundary and MUST surface — the property that
+    * defines CDC (Round13Spec also pins that aligned 20-token
+    * chunking shares zero chunks on exactly those plants). Scale
+    * shape: one token explode (linear), one per-doc window, one
+    * digest equi-join; no all-pairs anywhere. */
+  val qDedupCdc: GQuery = GQuery(
+    "q_dedup_cdc",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val docs = base.unionByName(
+        base.filter($"doc_id" < 25)
+          .select(($"doc_id" + 430000L).as("doc_id"),
+            concat(lit("zq zr "), $"text").as("text")))
+      val toks = docs.select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      val flagged = toks.withColumn("b",
+        when(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 8
+          === 0, 1).otherwise(0))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val withChunk = flagged
+        .withColumn("chunk_id", sum($"b").over(w) - $"b")
+      val chunks = withChunk.groupBy($"doc_id", $"chunk_id").agg(
+        count(lit(1)).as("n_tok"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), " +
+            "x -> x.tok)")).as("chunk"))
+      val chs = chunks.filter($"n_tok" >= 5)
+        .groupBy($"doc_id", md5($"chunk").as("ch"))
+        .agg(max($"n_tok").as("tok"))
+      val dfc = chs.groupBy($"ch").agg(count(lit(1)).as("dfc"))
+      val eligible = chs.join(dfc.filter($"dfc" <= 50), "ch")
+      eligible.as("x").join(eligible.as("y"),
+          col("x.ch") === col("y.ch") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("x.tok")).as("shared_tok"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 430000, 'zq zr ' || text FROM documents
+        WHERE doc_id < 25),
+      lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      t AS (SELECT doc_id, i - 1 AS pos, l[i] AS tok,
+                   CASE WHEN ('0x' || substr(md5(l[i]), 1, 8))::BIGINT
+                        % 8 = 0 THEN 1 ELSE 0 END AS b
+            FROM lt, unnest(generate_series(1, cast(len(l) as int)))
+              AS u(i)),
+      wc AS (SELECT doc_id, pos, tok,
+                    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b
+                      AS chunk_id
+             FROM t),
+      chunks AS (SELECT doc_id, chunk_id, count(*) AS n_tok,
+                        string_agg(tok, ' ' ORDER BY pos) AS chunk
+                 FROM wc GROUP BY doc_id, chunk_id),
+      chs AS (SELECT doc_id, md5(chunk) AS ch, max(n_tok) AS tok
+              FROM chunks WHERE n_tok >= 5 GROUP BY doc_id, md5(chunk)),
+      eligible AS (
+        SELECT chs.doc_id, chs.ch, chs.tok FROM chs
+        JOIN (SELECT ch FROM chs GROUP BY ch HAVING count(*) <= 50) d
+          USING (ch))
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             count(*) AS n_shared,
+             cast(sum(x.tok) as bigint) AS shared_tok
+      FROM eligible x JOIN eligible y
+        ON x.ch = y.ch AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+      ORDER BY id_a, id_b"""),
+  )
+
   val all: Seq[GQuery] =
     Seq(qDecontam, qDecontamBloom, qRepetition, qPack, qMixWeights,
       qSelectBudget, qFilterFunnel, qLmScore, qDedupPara, qTargetEncode,
@@ -3402,5 +3493,5 @@ object PipelineOps {
       qSplitLeakage, qTopicTag, qPadWaste, qContamMatrix, qSampleTopup,
       qModelGate, qCurationBudget, qGateCalibration, qClusterKeeper,
       qMixAlphaSweep, qRepetitionRules, qDedupSpan, qDedupExcise,
-      qAnnealPlan, qQualityAblate)
+      qAnnealPlan, qQualityAblate, qDedupCdc)
 }

@@ -192,7 +192,11 @@ object PlanAudit {
     "q_dw", "q_chow", "q_spectral_entropy",
     // round-11 batch 7: the same 1-row fit/moment-row broadcasts for the
     // auxiliary-regression and per-observation-influence diagnostics
-    "q_breusch_pagan", "q_cooks_top")
+    "q_breusch_pagan", "q_cooks_top",
+    // round-13 late: 1-row learned-merge-table broadcast into the per-doc
+    // replace chain (the q_mix_weights 1-row-totals posture; the merge
+    // list is top-4 by construction, constant-size at any corpus)
+    "q_bpe_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -266,4 +266,76 @@ class Round13Spec extends AnyFunSuite {
       assert(math.abs(x._4 - x._3.toDouble / 10.0) < 1e-9)
     }
   }
+
+  test("q_dedup_cdc: prefix-edited clones re-sync; aligned chunking cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Every planted prefix-edited clone (id+430000, 'zq zr ' + text) must
+    // pair with its original: CDC boundaries re-synchronize right after
+    // the 2-token insertion. Restrict to originals long enough to have
+    // >= 2 eligible (>= 5-token) chunks — the declared filter.
+    val pairs = rows("q_dedup_cdc")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = pairs.filter { case (a, b) => b == a + 430000L }
+    assert(planted.size >= 10,
+      s"only ${planted.size} planted CDC pairs surfaced: ${pairs.take(5)}")
+    // The defining CDC property: on the SAME prefix-edited plants,
+    // ALIGNED 20-token chunking shares ZERO chunk digests (every chunk
+    // shifts by 2 tokens), while CDC shares >= 2 (it paired above).
+    val base = graft.engine.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val docs = base.unionByName(
+      base.filter($"doc_id" < 25)
+        .select(($"doc_id" + 430000L).as("doc_id"),
+          concat(lit("zq zr "), $"text").as("text")))
+    val aligned = docs
+      .select($"doc_id", split($"text", " ").as("l"))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(l) / 20.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(l, i * 20 + 1, 20)))")))
+      .toDF("doc_id", "pos", "chunk")
+      .select($"doc_id", md5($"chunk").as("ch"))
+    val alignedPairs = aligned.as("x").join(aligned.as("y"),
+        col("x.ch") === col("y.ch") &&
+          col("y.doc_id") === col("x.doc_id") + 430000L)
+      .select(col("x.doc_id")).distinct().count()
+    assert(alignedPairs == 0L,
+      s"aligned chunking unexpectedly matched $alignedPairs plant docs")
+  }
+
+  test("q_bpe_merge: merges learned, applied, and accounting is exact") {
+    val r = rows("q_bpe_merge")
+    assert(r.length >= 10, s"only ${r.length} sources")
+    val merges = r.map(x =>
+      (x.getString(1), x.getString(2), x.getString(3), x.getString(4)))
+      .distinct
+    assert(merges.length == 1, "merge list must be corpus-global")
+    val (m1, m2, m3, m4) = merges.head
+    assert(Seq(m1, m2, m3, m4).forall(m => m != null && m.contains(" ")),
+      s"bad merge list: $m1 | $m2 | $m3 | $m4")
+    assert(Seq(m1, m2, m3, m4).distinct.length == 4)
+    var occ = 0L
+    r.foreach { x =>
+      val (tb, ta, mo) = (x.getLong(6), x.getLong(7), x.getLong(8))
+      assert(mo == tb - ta && mo >= 0L && ta >= 1L)
+      occ += mo
+    }
+    assert(occ > 0L, "no merge ever fired — vacuous")
+  }
+
+  test("bpe replace chain: left-to-right non-overlap on a run doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the exact expression shape the query uses: ' a a a a a ' under
+    // merge 'a a' -> left-to-right non-overlapping scan; the first match
+    // consumes the separating space, so the next hit is the SPACE-led
+    // occurrence one token later: 'a_a a a_a' (5 tokens -> 3). DuckDB's
+    // replace was probed to return exactly this string — the contract
+    // both oracles rely on.
+    val out = Seq("a a a a a").toDF("text")
+      .select(expr(
+        "trim(replace(concat(' ', text, ' '), ' a a ', ' a_a '))"))
+      .collect()(0).getString(0)
+    assert(out == "a_a a a_a", s"got '$out'")
+  }
 }
