@@ -3399,9 +3399,11 @@ object PipelineOps {
     * content, so an insertion or deletion perturbs only the chunk it
     * lands in and the stream RE-SYNCHRONIZES at the next boundary,
     * where fixed 20-token windows (q_dedup_para) would misalign every
-    * downstream chunk. Chunks re-assemble deterministically (the
-    * q_decontam_excise order idiom), collapse to per-doc DISTINCT
-    * digests, and pairs come ONLY from the digest equi-join. Guards
+    * downstream chunk. Chunk digesting runs the fused map-only
+    * [[graft.functions.CdcChunks]] kernel (byte-identical to the
+    * relational explode + window-cumsum stage the oracle states —
+    * CdcChunksSpec); per-doc DISTINCT digests, and pairs come ONLY from
+    * the digest equi-join. Guards
     * that make the join safe at 100 TB: chunks shorter than 5 tokens
     * never pair (a single common word that hashes to a boundary on
     * both sides would otherwise pair half the corpus), and a
@@ -3413,6 +3415,45 @@ object PipelineOps {
     * chunking shares zero chunks on exactly those plants). Scale
     * shape: one token explode (linear), one per-doc window, one
     * digest equi-join; no all-pairs anywhere. */
+  /** The relational reference for the CDC chunk-digest stage (the exact
+    * shape the DuckDB oracle states) — retained for CdcChunksSpec's
+    * kernel-equality proof; the declared query runs the fused
+    * [[graft.functions.CdcChunks]] kernel instead. */
+  private[graft] def cdcChunkDigestsRelational(
+      docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id",
+      posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    val flagged = toks.withColumn("b",
+      when(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 8
+        === 0, 1).otherwise(0))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val withChunk = flagged
+      .withColumn("chunk_id", sum($"b").over(w) - $"b")
+    val chunks = withChunk.groupBy($"doc_id", $"chunk_id").agg(
+      count(lit(1)).as("n_tok"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), " +
+          "x -> x.tok)")).as("chunk"))
+    chunks.filter($"n_tok" >= 5)
+      .groupBy($"doc_id", md5($"chunk").as("ch"))
+      .agg(max($"n_tok").as("tok"))
+  }
+
+  /** Kernel form: one map-only codegen'd pass (1 md5 per token + 1 per
+    * eligible chunk), no explode, no doc-keyed shuffles; byte-identical
+    * to [[cdcChunkDigestsRelational]] (CdcChunksSpec). localCheckpoint
+    * because the pairing consumes it three ways (df table + both join
+    * sides) and the table is tiny (≤ |tokens|/8 rows per doc). */
+  private[graft] def cdcChunkDigests(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.functions.CdcChunks.register(docs.sparkSession)
+    docs.select($"doc_id",
+        explode(expr("cdc_chunks(split(text, ' '))")).as("c"))
+      .select($"doc_id", $"c.ch".as("ch"), $"c.tok".as("tok"))
+      .localCheckpoint()
+  }
+
   val qDedupCdc: GQuery = GQuery(
     "q_dedup_cdc",
     (spark, dir) => {
@@ -3422,22 +3463,7 @@ object PipelineOps {
         base.filter($"doc_id" < 25)
           .select(($"doc_id" + 430000L).as("doc_id"),
             concat(lit("zq zr "), $"text").as("text")))
-      val toks = docs.select($"doc_id",
-        posexplode(split($"text", " ")).as(Seq("pos", "tok")))
-      val flagged = toks.withColumn("b",
-        when(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 8
-          === 0, 1).otherwise(0))
-      val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      val withChunk = flagged
-        .withColumn("chunk_id", sum($"b").over(w) - $"b")
-      val chunks = withChunk.groupBy($"doc_id", $"chunk_id").agg(
-        count(lit(1)).as("n_tok"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(pos, tok))), " +
-            "x -> x.tok)")).as("chunk"))
-      val chs = chunks.filter($"n_tok" >= 5)
-        .groupBy($"doc_id", md5($"chunk").as("ch"))
-        .agg(max($"n_tok").as("tok"))
+      val chs = cdcChunkDigests(docs)
       val dfc = chs.groupBy($"ch").agg(count(lit(1)).as("dfc"))
       val eligible = chs.join(dfc.filter($"dfc" <= 50), "ch")
       eligible.as("x").join(eligible.as("y"),
