@@ -1075,12 +1075,11 @@ object PipelineOps {
         base.filter($"doc_id" < 40 && size(split($"text", " ")) >= 30)
           .select(($"doc_id" + 500000L).as("doc_id"),
             concat(lit("qz qx qv "), $"text").as("text")))
+      graft.functions.WindowDigests.register(spark)
       val toks = docs.select($"doc_id", split($"text", " ").as("l"))
         .filter(size($"l") >= w)
       val wins = toks.select($"doc_id",
-          posexplode(expr(
-            s"transform(sequence(0, size(l) - $w), " +
-              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+          posexplode(expr(s"window_digests(l, $w)")))
         .toDF("doc_id", "pos", "wh")
       val dup = wins.groupBy($"wh")
         .agg(countDistinct($"doc_id").as("nd"))
@@ -1170,12 +1169,11 @@ object PipelineOps {
       base.filter($"doc_id" < 30 && size(split($"text", " ")) >= 30)
         .select(($"doc_id" + 870000L).as("doc_id"),
           concat(lit("qz qx qv "), $"text").as("text")))
+    graft.functions.WindowDigests.register(spark)
     val toks = docs.select($"doc_id", split($"text", " ").as("l"))
       .filter(size($"l") >= w)
     val wins = toks.select($"doc_id",
-        posexplode(expr(
-          s"transform(sequence(0, size(l) - $w), " +
-            s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+        posexplode(expr(s"window_digests(l, $w)")))
       .toDF("doc_id", "pos", "wh")
     val shared = wins.groupBy($"wh")
       .agg(countDistinct($"doc_id").as("nd"))
@@ -1482,12 +1480,11 @@ object PipelineOps {
     (spark, dir) => {
       import spark.implicits._
       val w = 5
+      graft.functions.WindowDigests.register(spark)
       val toks = tokens(Tables.documents(spark, dir))
         .filter(size($"l") >= w)
       val wins = toks.select($"doc_id",
-          posexplode(expr(
-            s"transform(sequence(0, size(l) - $w), " +
-              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+          posexplode(expr(s"window_digests(l, $w)")))
         .toDF("doc_id", "pos", "g")
       val bench = wins.filter($"doc_id" < 20).select($"g").distinct()
       val cand = wins.filter($"doc_id" >= 20)
@@ -1561,13 +1558,12 @@ object PipelineOps {
       val candDocs = base.filter($"doc_id" >= 20)
         .unionByName(base.filter($"doc_id" < 20)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      graft.functions.WindowDigests.register(spark)
       def winsOf(d: DataFrame) = d
         .select($"doc_id", split($"text", " ").as("l"))
         .filter(size($"l") >= w)
         .select($"doc_id",
-          posexplode(expr(
-            s"transform(sequence(0, size(l) - $w), " +
-              s"i -> md5(concat_ws(' ', slice(l, i + 1, $w))))")))
+          posexplode(expr(s"window_digests(l, $w)")))
         .toDF("doc_id", "pos", "g")
       val bench = winsOf(base.filter($"doc_id" < 20)).select($"g").distinct()
       val runs = winsOf(candDocs).join(bench, Seq("g"), "left_semi")
