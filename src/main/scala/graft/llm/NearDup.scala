@@ -276,4 +276,33 @@ object NearDup {
       .groupBy(col("ph"))
       .agg(min(struct(col("id"), col("pos"))).as("w"))
       .select(col("ph"), col("w.id").as("doc_id"), col("w.pos").as("pos"))
+
+  /** Per-row CONTENT-DEFINED-CHUNK digests — q_dedup_cdc's chunking as a
+    * pure projection over the fused [[graft.functions.CdcChunks]] kernel
+    * (stateless, usable on an unbounded stream, the
+    * [[bandedSignaturesPerRow]] contract). Unlike fixed-width paragraph
+    * chunking, CDC boundaries re-synchronize after an insertion, so a
+    * prefix-edited near-clone still shares most chunks with its source.
+    * Output: (id, ch, tok) — distinct eligible (≥ 5-token) chunk digests
+    * with their token counts. */
+  def cdcChunkDigestsPerRow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.CdcChunks.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        explode(expr(s"cdc_chunks(split($textCol, ' '))")).as("c"))
+      .select(col("id"), col("c.ch").as("ch"), col("c.tok").as("tok"))
+  }
+
+  /** The standing corpus's CDC chunk table with keep-first owners —
+    * MATERIALIZE ONCE as a lake table keyed by ch; ingest batches probe
+    * it (stream-static join) without re-scanning the corpus. */
+  def cdcChunkTable(
+      corpusDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    cdcChunkDigestsPerRow(corpusDocs, idCol, textCol)
+      .groupBy(col("ch"))
+      .agg(min(col("id")).as("corpus_id"), max(col("tok")).as("tok"))
 }

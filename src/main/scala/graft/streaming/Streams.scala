@@ -221,6 +221,23 @@ object Streams {
       .select(col("id").as("doc_id"), col("pos"),
         col("corpus_id"), col("corpus_pos"))
 
+  /** Streaming CONTENT-DEFINED-CHUNK dedup gate — q_dedup_cdc's ingest
+    * twin, the same stateless shape as [[paragraphDupCandidates]]: each
+    * incoming doc is chunked per-row by the fused CdcChunks kernel (pure
+    * projection, NO STREAMING STATE) and probed against the standing
+    * corpus chunk table ([[graft.llm.NearDup.cdcChunkTable]]). Because
+    * CDC boundaries re-synchronize after edits, a prefix-edited
+    * near-clone still hits its source's chunks — the case the
+    * fixed-width paragraph gate structurally misses. Emits one
+    * (doc_id, ch, tok, corpus_id) row per shared chunk; a novel doc
+    * emits nothing. */
+  def cdcDupCandidates(streamDocs: DataFrame,
+      corpusChunks: DataFrame): DataFrame =
+    graft.llm.NearDup.cdcChunkDigestsPerRow(streamDocs)
+      .join(corpusChunks.select(col("ch"), col("corpus_id")), Seq("ch"))
+      .select(col("id").as("doc_id"), col("ch"), col("tok"),
+        col("corpus_id"))
+
   /** Streaming TIME-DECAY ATTRIBUTION gate — q_attribution_decay's
     * ingest twin, the same stateless shape as [[corpusDupCandidates]]:
     * each arriving view/click touch stream-static-joins the standing

@@ -314,6 +314,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 910100L), s"novel doc flagged: ${out.toSeq}")
   }
 
+  test("streaming CDC gate flags a prefix-edited clone the paragraph gate misses") {
+    implicit val sq = spark.sqlContext
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val chunkTable = graft.llm.NearDup.cdcChunkTable(corpus).localCheckpoint()
+    // pick a corpus doc that actually owns >= 2 eligible CDC chunks, so
+    // the clone's expected hits are guaranteed, and whose chunks it owns
+    // (keep-first corpus_id == the doc itself)
+    val owner = chunkTable.groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .orderBy(col("corpus_id")).limit(1)
+      .collect().head.getLong(0)
+    val srcText = corpus.filter(col("doc_id") === owner)
+      .select("text").collect().head.getString(0)
+    val mem = MemoryStream[(Long, String)]
+    val flagged = Streams.cdcDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), chunkTable)
+    val q = flagged.writeStream.format("memory")
+      .queryName("cdcgate" + System.nanoTime()).outputMode("append").start()
+    mem.addData(Seq(
+      (920001L, "zq zr " + srcText),                          // prefix-edited clone
+      (920100L, (0 until 40).map(j => s"cdcnovel_$j").mkString(" "))))
+    q.processAllAvailable()
+    val name = q.name
+    q.stop()
+    val out = spark.table(name)
+      .select(col("doc_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSeq
+    // the clone re-syncs after the 2-token prefix: every chunk fully
+    // inside the copied body is shared, so its source must surface
+    assert(out.contains((920001L, owner)),
+      s"prefix-edited clone not flagged against doc $owner: $out")
+    assert(!out.exists(_._1 == 920100L), s"novel doc flagged: $out")
+    // the same clone produces ZERO aligned-paragraph hits against its
+    // source (every 20-word chunk shifted by 2 tokens) — the structural
+    // gap CDC closes; assert directly on the batch paragraph tables
+    val paraHits = graft.llm.NearDup
+      .paragraphDigestsPerRow(Seq((920001L, "zq zr " + srcText))
+        .toDF("doc_id", "text"))
+      .join(graft.llm.NearDup.paragraphDigestTable(corpus)
+        .filter(col("doc_id") === owner).select(col("ph")), Seq("ph"))
+      .count()
+    assert(paraHits == 0L,
+      s"aligned paragraph gate unexpectedly matched the shifted clone")
+  }
+
   test("observed gate metrics surface per micro-batch in streaming") {
     // the Gates claim, golden-tested: the SAME observe instrumentation
     // that rides a batch action reports per micro-batch through
