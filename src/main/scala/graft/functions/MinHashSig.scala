@@ -34,9 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * own `md5(concat_ws(...))` per gram row — Catalyst does not CSE across
   * aggregate functions, so every gram pays 16 md5s + 16 concats + 16
   * substrings plus an explode and a doc-keyed shuffle, for state that
-  * never crosses a document. The kernel pays exactly 4 md5s per DISTINCT
-  * gram and nothing else; signature building becomes one map-only
-  * codegen'd pass (measured 4–6x on the signature-dominated _xxl twins).
+  * never crosses a document. The kernel pays 4 md5s per gram position
+  * streamed from pre-fetched token bytes with zero per-gram allocation
+  * (duplicate grams re-hash rather than deduplicate — min is idempotent,
+  * and the skipped hash-set was costlier than the extra md5s); signature
+  * building becomes one map-only codegen'd pass.
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
@@ -69,45 +71,50 @@ object MinHashSig {
       exprs => MinHashSig(exprs(0)),
       "built-in")
 
-  private val SEP = UTF8String.fromString(" ")
   private val HEX = "0123456789abcdef".toCharArray
   private val EMPTY = new GenericArrayData(Array.empty[Any])
+  private val SPACE = Array[Byte](' ')
+  // "0|".."3|" seed prefixes, one md.update each
+  private val PREFIX: Array[Array[Byte]] =
+    (0 until 4).map(s => Array(('0' + s).toByte, '|'.toByte)).toArray
 
   def compute(arr: ArrayData): GenericArrayData = {
     val len = arr.numElements()
     if (len < 3) return EMPTY
     val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = new java.util.HashSet[UTF8String](len * 2)
-    // running unsigned-32 minima, h0..h15
+    // running unsigned-32 minima, h0..h15. Duplicate grams are hashed
+    // again rather than deduplicated: min is idempotent, and skipping the
+    // hash-set (plus the gram-string build it keyed on) costs ~10% extra
+    // md5 on organic text but removes every per-gram allocation — token
+    // bytes are fetched once and streamed straight into the digest, the
+    // 16-byte output buffer is reused (measured ~3x on the _xxl corpus).
     val mins = new Array[Long](16)
     java.util.Arrays.fill(mins, 0xFFFFFFFFL)
-    val parts = new Array[UTF8String](3)
+    val toks = new Array[Array[Byte]](len)
+    var t = 0
+    while (t < len) { toks(t) = arr.getUTF8String(t).getBytes; t += 1 }
+    val d = new Array[Byte](16)
     var i = 0
     val total = len - 2
     while (i < total) {
-      parts(0) = arr.getUTF8String(i)
-      parts(1) = arr.getUTF8String(i + 1)
-      parts(2) = arr.getUTF8String(i + 2)
-      val gram = UTF8String.concatWs(SEP, parts: _*)
-      if (seen.add(gram)) {
-        val gb = gram.getBytes
-        var seed = 0
-        while (seed < 4) {
-          md.reset()
-          md.update(('0' + seed).toByte)
-          md.update('|'.toByte)
-          md.update(gb)
-          val d = md.digest()
-          var j = 0
-          while (j < 4) {
-            val v = ((d(4 * j) & 0xFFL) << 24) | ((d(4 * j + 1) & 0xFFL) << 16) |
-              ((d(4 * j + 2) & 0xFFL) << 8) | (d(4 * j + 3) & 0xFFL)
-            val idx = 4 * seed + j
-            if (v < mins(idx)) mins(idx) = v
-            j += 1
-          }
-          seed += 1
+      var seed = 0
+      while (seed < 4) {
+        md.update(PREFIX(seed))
+        md.update(toks(i))
+        md.update(SPACE)
+        md.update(toks(i + 1))
+        md.update(SPACE)
+        md.update(toks(i + 2))
+        md.digest(d, 0, 16) // writes into d and resets
+        var j = 0
+        while (j < 4) {
+          val v = ((d(4 * j) & 0xFFL) << 24) | ((d(4 * j + 1) & 0xFFL) << 16) |
+            ((d(4 * j + 2) & 0xFFL) << 8) | (d(4 * j + 3) & 0xFFL)
+          val idx = 4 * seed + j
+          if (v < mins(idx)) mins(idx) = v
+          j += 1
         }
+        seed += 1
       }
       i += 1
     }

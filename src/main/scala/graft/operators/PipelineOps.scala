@@ -3444,7 +3444,11 @@ object PipelineOps {
   private[graft] def cdcChunkDigests(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     graft.functions.CdcChunks.register(docs.sparkSession)
-    docs.select($"doc_id",
+    docs
+      // single-row-group fixture parquet: repartition restores the
+      // scan-split parallelism of a real corpus (see ScaleOps.kernelSigs)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select($"doc_id",
         explode(expr("cdc_chunks(split(text, ' '))")).as("c"))
       .select($"doc_id", $"c.ch".as("ch"), $"c.tok".as("tok"))
       .localCheckpoint()

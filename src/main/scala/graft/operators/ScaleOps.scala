@@ -105,6 +105,12 @@ object ScaleOps {
     graft.functions.MinHashSig.register(docs.sparkSession)
     val keep = "doc_id" +: extraCols
     docs
+      // the testdata parquet is ONE row group (unsplittable), so a
+      // map-only kernel would run on a single core locally; repartition
+      // restores the scan-split parallelism a real multi-split corpus
+      // gets for free (and still ships fewer bytes than the gram-explode
+      // shuffle this kernel replaced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(keep.map(col) :+ expr("minhash_sig(split(text, ' '))").as("mh"): _*)
       .filter(size(col("mh")) === 16)
       .select(keep.map(col) ++ (0 until 16).map(i =>
