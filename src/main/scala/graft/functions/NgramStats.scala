@@ -93,6 +93,48 @@ object NgramDigests {
       "built-in")
 }
 
+/** One-pass DISTINCT word n-grams over a token array, as the gram
+  * STRINGS themselves (first-occurrence order): the kernel twin of the
+  * composable `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice/element_at ...)))` chain, which runs interpreted and
+  * materializes a sequence element, sliced parts, and the distinct pass
+  * per row. Byte-identical output set (NgramStatsSpec/WordGramsSpec);
+  * used where downstream needs the gram text (df-ordered prefix
+  * selection, gram equi-joins), where [[NgramDigests]]'s fixed-width
+  * digests can't serve. */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_grams expects (array<string>, n >= 1), got " +
+        s"(${child.dataType.sql}, $n)")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NgramStats.grams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.NgramStats.grams($a, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  /** Register `word_grams(tokens, n)` (n a literal). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_grams",
+      exprs => WordGrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+}
+
 object NgramStats {
 
   private val SEP = UTF8String.fromString(" ")
@@ -133,6 +175,25 @@ object NgramStats {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Kernel for [[WordGrams]]: distinct gram strings in first-occurrence
+    * order. */
+  def grams(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    val total = len - n + 1
+    while (i < total) {
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      set.add(UTF8String.concatWs(SEP, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]]
+      .asInstanceOf[Array[Any]])
   }
 
   /** Shared kernel for the interpreted and codegen paths (codegen emits a

@@ -288,15 +288,10 @@ object CorpusStats {
       val docs = base.unionByName(
         base.filter($"doc_id" < 50)
           .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      graft.functions.WordGrams.register(spark)
       val g = docs
-        .select($"doc_id", split($"text", " ").as("l"))
         .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
+          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
       // fused-kernel signature stage (byte-identical to the relational
       // oracle stage below — 4 md5s per distinct gram in one map-only
       // pass; see ScaleOps.kernelSigs / MinHashSigSpec); the gram table
@@ -631,15 +626,10 @@ object CorpusStats {
               slice(split($"text", " "), lit(1),
                 floor(size(split($"text", " ")) / 2).cast("int")))
               .as("text")))
+      graft.functions.WordGrams.register(spark)
       val g = docs
-        .select($"doc_id", split($"text", " ").as("l"))
         .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
+          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
       val rare = g.groupBy($"gram").agg(count(lit(1)).as("df"))
         .filter($"df" <= 8).select($"gram")
       val posting = g.join(rare, "gram")
@@ -743,15 +733,18 @@ object CorpusStats {
       base.filter($"doc_id" < 35)
         .select(($"doc_id" + 500000L).as("doc_id"),
           concat($"text", lit(" zzextra")).as("text")))
+    // fused kernel gram explode (WordGramsSpec proves set equality with
+    // the array_distinct(transform(...)) chain the oracle mirrors);
+    // repartition first: single-row-group fixture parquet (CLAUDE.md
+    // r13). The tok table feeds FOUR consumers (df counts, ranking join,
+    // both verify sides) — checkpoint once, measured faster than 4
+    // kernel re-runs
+    graft.functions.WordGrams.register(spark)
     val tok = docs
-      .select($"doc_id", split($"text", " ").as("l"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select($"doc_id",
-        explode(array_distinct(
-          when(size($"l") < 3, array().cast("array<string>"))
-            .otherwise(expr(
-              "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-          .as("token"))
+        explode(expr("word_grams(split(text, ' '), 3)")).as("token"))
+      .localCheckpoint()
     val df = tok.groupBy($"token").agg(count(lit(1)).as("df"))
     val ranked = tok.join(df, "token")
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -1144,15 +1137,10 @@ object CorpusStats {
       val docs = base.unionByName(
         base.filter($"doc_id" < 25)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text"))
+      graft.functions.WordGrams.register(spark)
       val g = docs
-        .select($"doc_id", $"source", split($"text", " ").as("l"))
         .select($"doc_id", $"source",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
+          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
       val df = g.groupBy($"gram").agg(count(lit(1)).as("gdf"))
       val cov = g.join(df, "gram")
         .groupBy($"doc_id", $"source")

@@ -1382,15 +1382,10 @@ object ScaleOps {
       val docs = base.unionByName(
         base.filter($"doc_id" < 50)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      graft.functions.WordGrams.register(spark)
       val g = docs
-        .select($"doc_id", split($"text", " ").as("l"))
         .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
+          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
       // fused-kernel signature stage (byte-identical to the relational
       // oracle stage below; see kernelSigs / MinHashSigSpec); the gram
       // table g stays — the exact-Jaccard verify pass needs it
@@ -1590,15 +1585,10 @@ object ScaleOps {
       val batch = base.filter($"doc_id" >= 400)
         .unionByName(base.filter($"doc_id" < 40)
           .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      graft.functions.WordGrams.register(spark)
       def grams(docs: org.apache.spark.sql.DataFrame) = docs
-        .select($"doc_id", split($"text", " ").as("l"))
         .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
+          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
       def bands(s: org.apache.spark.sql.DataFrame) = {
         val bandStructs = (0 until 4).map(b =>
           struct(lit(b).as("band_id"),
