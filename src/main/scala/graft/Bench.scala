@@ -14,17 +14,31 @@ object Bench {
     // classloading + codegen compilation that say nothing about plan
     // quality. Run every query once un-timed, then time the real pass.
     val benched = graft.engine.Registry.all.filter(_.bench)
+    // A finished query's localCheckpoint blocks stay in the BlockManager
+    // until the ContextCleaner notices the RDD is unreachable — which, in
+    // a 466-query single-JVM pass, it does far slower than the checkpoint-
+    // heavy queries (×10 twins park 100s of MB per run) produce them. The
+    // accumulation degrades the run TAIL (r14a: retimes of the xxl twins
+    // came back 5-10× their isolated PerfProbe figures, value_retimed >
+    // first-pass). Nothing re-reads a completed query's checkpoints, so
+    // drop them eagerly after every timed count.
+    def dropStaleCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     benched.foreach { q =>
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
+      dropStaleCheckpoints()
     }
     // A throwing query must surface as an error, never as a (fake) timing —
     // a broken plan that "benches fast" would mask a regression.
     val results: Seq[(String, Either[String, Double])] = benched.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count(); q.name -> Right((System.nanoTime() - t0) / 1e9) }
+      val r = try { q.run(spark, sfDir).count(); q.name -> Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         q.name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
       }
+      dropStaleCheckpoints() // outside the timed window
+      r
     }
     val timed = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
@@ -48,25 +62,34 @@ object Bench {
         if (!java.nio.file.Files.exists(f)) Map.empty
         else {
           import scala.jdk.CollectionConverters._
-          val last = java.nio.file.Files.readAllLines(f).asScala
-            .filter(_.trim.nonEmpty).lastOption.getOrElse("")
-          // minimal extraction of the "queries":{...} object — no JSON lib
-          // on the classpath; names are [A-Za-z0-9_] so a regex is exact.
-          val qobj = """"queries":\{([^}]*)\}""".r
-            .findFirstMatchIn(last).map(_.group(1)).getOrElse("")
+          // last line CARRYING a queries map — adjudication note rows
+          // ({"tag":"...-note","note":...}) interleave with bench rows
+          // and must not blank the prior
+          val qobjRe = """"queries":\{([^}]*)\}""".r
+          val qobj = java.nio.file.Files.readAllLines(f).asScala
+            .reverseIterator
+            .flatMap(l => qobjRe.findFirstMatchIn(l).map(_.group(1)))
+            .find(_.nonEmpty).getOrElse("")
           """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qobj)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
     }
     val movers = timed.collect {
-      case (n, t) if priorTimes.get(n).exists(p => p > 0 && t / p > 2.0) =>
+      case (n, t) if priorTimes.get(n).exists(p => p > 0 && t / p > 1.5) =>
         n -> (t / priorTimes(n))
     }.sortBy(-_._2).map(_._1)
-    // cap keeps the compact JSON line inside the driver's ~2000-char
-    // record window even on a heavily contended run; worst ratios first
+    // Retime EVERY query whose first pass exceeds 1.5x its history prior —
+    // a fixed top-20 cap under-corrected exactly when correction mattered
+    // most (r13: a contended box inflated well past 20 queries, so
+    // value_retimed still carried ~100 s of contention). The retime pass
+    // is bounded by the quiet surface cost (~0.6 s/query), so even a
+    // fully-flagged run adds at most one quiet pass. The compact line is
+    // unaffected (it carries retime COUNTS, not the map). With no history
+    // prior on disk, fall back to the 20 slowest.
     val retimeSet =
-      (timed.sortBy(-_._2).take(5).map(_._1) ++ movers).distinct.take(20)
+      if (priorTimes.isEmpty) timed.sortBy(-_._2).take(20).map(_._1)
+      else (timed.sortBy(-_._2).take(5).map(_._1) ++ movers).distinct
     val byName = benched.map(q => q.name -> q).toMap
     // A retime that FAILS must never pass its time-to-failure off as a
     // quiet figure (it would falsely flag a real regression as
@@ -74,8 +97,10 @@ object Bench {
     val retimeAttempts: Seq[(String, Either[String, Double])] =
       retimeSet.map { n =>
         val t0 = System.nanoTime()
-        try { byName(n).run(spark, sfDir).count(); n -> Right((System.nanoTime() - t0) / 1e9) }
+        val r = try { byName(n).run(spark, sfDir).count(); n -> Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => n -> Left(e.getClass.getSimpleName) }
+        dropStaleCheckpoints()
+        r
       }
     val retimed = retimeAttempts.collect { case (n, Right(t)) => n -> t }
     val retimeErrs = retimeAttempts.collect { case (n, Left(m)) => n -> m }

@@ -89,7 +89,7 @@ object NgramDigests {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_digests",
       exprs => NgramDigests(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        literalIntArg(exprs(1), "ngram_digests", "n")),
       "built-in")
 }
 
@@ -131,7 +131,7 @@ object WordGrams {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        literalIntArg(exprs(1), "word_grams", "n")),
       "built-in")
 }
 
@@ -226,6 +226,6 @@ object NgramStats {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_stats",
       exprs => NgramStats(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        literalIntArg(exprs(1), "ngram_stats", "n")),
       "built-in")
 }

@@ -57,7 +57,7 @@ object WindowDigests {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "window_digests",
       exprs => WindowDigests(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        literalIntArg(exprs(1), "window_digests", "width")),
       "built-in")
 
   private val HEX = "0123456789abcdef".toCharArray

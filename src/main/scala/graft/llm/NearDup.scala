@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** Backtick-quote a column name before splicing it into an `expr` SQL
+    * string, so names with spaces/hyphens/reserved words parse and resolve
+    * exactly like the `col(...)`-built parameters do (embedded backticks
+    * escaped by doubling, the SQL identifier convention). */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Character n-gram shingles as the token set for near-dup hashing
     * (robust to word-order edits, the standard choice for web dedup). */
-  def shingles(textCol: String, n: Int = 5): Column =
+  def shingles(textCol: String, n: Int = 5): Column = {
+    val t = q(textCol)
     array_distinct(expr(
-      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
-        s"i -> substring($textCol, i, $n))"))
+      s"transform(sequence(1, greatest(length($t) - ${n - 1}, 1)), " +
+        s"i -> substring($t, i, $n))"))
+  }
 
   /** MinHash + LSH banding via Spark ML: shingle → binary HashingTF vector
     * → MinHashLSH signatures → approxSimilarityJoin on banded buckets.
@@ -110,10 +118,11 @@ object NearDup {
       textCol: String = "text",
       n: Int = 3,
       minJaccard: Double = 0.0): DataFrame = {
+    val tq = q(textCol)
     val grams = docs.select(col(idCol).as("id"),
       array_distinct(expr(
-        s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
-          s"i -> array_join(slice(split($textCol, ' '), i, $n), ' '))"))
+        s"transform(sequence(1, greatest(size(split($tq, ' ')) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(split($tq, ' '), i, $n), ' '))"))
         .as("grams"))
     val t = grams.select(col("id"), explode(col("grams")).as("g"))
     val sizes = grams.select(col("id"), size(col("grams")).as("n_grams"))
@@ -189,7 +198,7 @@ object NearDup {
     graft.functions.MinHashSig.register(docs.sparkSession)
     val sigs = docs
       .select(col(idCol).as("id"),
-        expr(s"minhash_sig(split($textCol, ' '))").as("mh"))
+        expr(s"minhash_sig(split(${q(textCol)}, ' '))").as("mh"))
       .filter(size(col("mh")) === 16)
       .select(col("id") +: (0 until 16).map(i =>
         element_at(col("mh"), i + 1).as(s"h$i")): _*)
@@ -291,7 +300,7 @@ object NearDup {
       textCol: String = "text"): DataFrame = {
     graft.functions.CdcChunks.register(docs.sparkSession)
     docs.select(col(idCol).as("id"),
-        explode(expr(s"cdc_chunks(split($textCol, ' '))")).as("c"))
+        explode(expr(s"cdc_chunks(split(${q(textCol)}, ' '))")).as("c"))
       .select(col("id"), col("c.ch").as("ch"), col("c.tok").as("tok"))
   }
 

@@ -144,7 +144,8 @@ object CorpusStats {
     * Jaccard ≥ 0.9 pair graph, by bounded min-label propagation (depth 3)
     * expressed as a recursive CTE — doc A dups B dups C puts all three in
     * ONE cluster, which pairwise dedup alone cannot conclude. Bounded doc
-    * set with planted full-copy duplicates (id+1000) so clusters exist by
+    * set with planted full-copy duplicates (id+815000, the out-of-range
+    * shifted-id convention) so clusters exist by
     * construction; both engines run the SAME bounded recursion, so the
     * result is deterministic whether or not it reached a fixpoint. At
     * scale the identical loop runs over the LSH candidate pairs
@@ -156,7 +157,7 @@ object CorpusStats {
       val base = Tables.documents(spark, dir).filter($"doc_id" < 40)
         .select($"doc_id", $"text")
       val docs = base.unionByName(
-        base.select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+        base.select(($"doc_id" + 815000L).as("doc_id"), $"text"))
       val t = docs.select($"doc_id",
         explode(array_distinct(split($"text", " "))).as("term"))
       val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
@@ -198,7 +199,7 @@ object CorpusStats {
       WITH RECURSIVE base AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 40),
       docs AS (SELECT doc_id, text FROM base
-               UNION ALL SELECT doc_id + 1000, text FROM base),
+               UNION ALL SELECT doc_id + 815000, text FROM base),
       t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
             FROM docs),
       sizes AS (SELECT doc_id, count(*) AS n_terms FROM t GROUP BY doc_id),
@@ -614,14 +615,15 @@ object CorpusStats {
     * Verification counts shared grams on candidates only (broadcast pair
     * list, same shape as q_neardup_banded). Planted first-half fragments
     * of 30 docs guarantee containment-1.0 pairs at every SF. */
-  val qContainment: GQuery = GQuery(
-    "q_containment",
+  private def mkContainment(name: String, expand: Int): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
-      val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val base = ScaleOps.xdocs(Tables.documents(spark, dir)
+        .filter($"doc_id" < 1000000L).select($"doc_id", $"text"), expand)
       val docs = base.unionByName(
         base.filter($"doc_id" < 30)
-          .select(($"doc_id" + 300000L).as("doc_id"),
+          .select(($"doc_id" + 1000000L).as("doc_id"),
             concat_ws(" ",
               slice(split($"text", " "), lit(1),
                 floor(size(split($"text", " ")) / 2).cast("int")))
@@ -662,12 +664,13 @@ object CorpusStats {
         .orderBy($"d1", $"d2")
     },
     Some(s"""
-      WITH docs AS (
-        SELECT doc_id, text FROM documents
+      WITH xb AS (${ScaleOps.xdocsSql(1000000L, expand)}),
+      docs AS (
+        SELECT doc_id, text FROM xb
         UNION ALL
-        SELECT doc_id + 300000,
+        SELECT doc_id + 1000000,
                array_to_string(l[1:cast(floor(len(l) / 2) as int)], ' ')
-        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM xb)
         WHERE doc_id < 30),
       lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -697,6 +700,14 @@ object CorpusStats {
       ORDER BY d1, d2"""),
   )
 
+  val qContainment: GQuery = mkContainment("q_containment", 1)
+
+  /** ×10 scaling twin: the df ≤ 8 posting cap is the quantity under
+    * test — replica grams are k-suffixed so per-k posting lists keep the
+    * organic df distribution, and candidate mass should grow ~linearly
+    * with the corpus, not quadratically. */
+  val qContainmentXxl: GQuery = mkContainment("q_containment_xxl", 10)
+
   /** EXACT-threshold set-similarity self-join via PREFIX FILTERING — the
     * PPJoin candidate bound, completing the dedup ladder: q_neardup_*
     * are probabilistic (bands can miss), q_containment caps posting
@@ -724,14 +735,22 @@ object CorpusStats {
   /** Shared exact-pair pipeline for q_jaccard_prefix / q_er_match: all
     * (d1 < d2) pairs with shingle-set Jaccard >= 0.8, found via the
     * prefix filter, with exact counts. Returns columns
-    * (d1, d2, n1, n2, n_inter, jaccard). */
+    * (d1, d2, n1, n2, n_inter, jaccard).
+    * `expand` is the ×N in-plan corpus generator (ScaleOps.xdocs) behind
+    * the `_xxl` scaling twins — round-13 verdict item 3: the exact-verify
+    * family's candidate density is the one super-linear hazard with no
+    * measured scaling point. Replica tokens are suffixed by k, so the
+    * ×N corpus has the organic near-dup structure ×N, never an N-way
+    * clone family; plants shift +1000000, out of the xdocs id space
+    * (doc_id + k·100000 < 10^6). */
   private def jaccardPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String) = {
+      dir: String, expand: Int = 1) = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val base = ScaleOps.xdocs(Tables.documents(spark, dir)
+      .filter($"doc_id" < 1000000L).select($"doc_id", $"text"), expand)
     val docs = base.unionByName(
       base.filter($"doc_id" < 35)
-        .select(($"doc_id" + 500000L).as("doc_id"),
+        .select(($"doc_id" + 1000000L).as("doc_id"),
           concat($"text", lit(" zzextra")).as("text")))
     // fused kernel gram explode (WordGramsSpec proves set equality with
     // the array_distinct(transform(...)) chain the oracle mirrors);
@@ -778,10 +797,12 @@ object CorpusStats {
 
   /** SQL twin of [[jaccardPairs]]: CTE block ending in a relation
     * `pairs(d1, d2, n1, n2, n_inter, jaccard)`. */
-  private val jaccardPairsCte: String = s"""docs AS (
-        SELECT doc_id, text FROM documents
+  private def jaccardPairsCte(expand: Int = 1): String = s"""xb AS (
+        ${ScaleOps.xdocsSql(1000000L, expand)}),
+      docs AS (
+        SELECT doc_id, text FROM xb
         UNION ALL
-        SELECT doc_id + 500000, text || ' zzextra' FROM documents
+        SELECT doc_id + 1000000, text || ' zzextra' FROM xb
         WHERE doc_id < 35),
       lt AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
       tok AS (
@@ -820,17 +841,25 @@ object CorpusStats {
           FROM inter) j
         WHERE jaccard >= cast(0.8 as double))"""
 
-  val qJaccardPrefix: GQuery = GQuery(
-    "q_jaccard_prefix",
+  private def mkJaccardPrefix(name: String, expand: Int): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
-      jaccardPairs(spark, dir).orderBy($"d1", $"d2")
+      jaccardPairs(spark, dir, expand).orderBy($"d1", $"d2")
     },
     Some(s"""
-      WITH $jaccardPairsCte
+      WITH ${jaccardPairsCte(expand)}
       SELECT d1, d2, n1, n2, n_inter, jaccard FROM pairs
       ORDER BY d1, d2"""),
   )
+
+  val qJaccardPrefix: GQuery = mkJaccardPrefix("q_jaccard_prefix", 1)
+
+  /** ×10 scaling twin — measures PPJoin prefix-filter selectivity and
+    * exact-verify cost at ~50k docs (sf0.1 bench), the number a 100 TB
+    * near-dup plan actually needs. */
+  val qJaccardPrefixXxl: GQuery =
+    mkJaccardPrefix("q_jaccard_prefix_xxl", 10)
 
   /** Entity resolution, the matching step: collapse the >= 0.8 similarity
     * pairs to MUTUAL-BEST 1:1 matches — each record pairs with its
@@ -842,14 +871,14 @@ object CorpusStats {
     * candidate filtering — with the r6'd score and doc-id tiebreaks
     * making both engines pick identical winners. Planted one-word-off
     * clones resolve 1:1 to their originals at every SF. */
-  val qErMatch: GQuery = GQuery(
-    "q_er_match",
+  private def mkErMatch(name: String, expand: Int): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
       // the pair table is tiny (|near-dup pairs|); checkpointing it lets
       // the two window passes and the final sort run over a materialized
       // few-hundred-row input instead of re-entering the full pipeline
-      val pairs = jaccardPairs(spark, dir).localCheckpoint()
+      val pairs = jaccardPairs(spark, dir, expand).localCheckpoint()
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy($"d1").orderBy($"jaccard".desc, $"d2")
       val w2 = org.apache.spark.sql.expressions.Window
@@ -862,7 +891,7 @@ object CorpusStats {
         .orderBy($"canonical")
     },
     Some(s"""
-      WITH $jaccardPairsCte,
+      WITH ${jaccardPairsCte(expand)},
       rk AS (
         SELECT d1, d2, jaccard,
                row_number() OVER (PARTITION BY d1
@@ -874,6 +903,14 @@ object CorpusStats {
       FROM rk WHERE r1 = 1 AND r2 = 1
       ORDER BY canonical"""),
   )
+
+  val qErMatch: GQuery = mkErMatch("q_er_match", 1)
+
+  /** ×10 scaling twin of the mutual-best ER matcher (shares
+    * [[jaccardPairs]] with q_jaccard_prefix_xxl — the windowed 1:1
+    * resolution runs over the pair table, so its extra cost at 10× docs
+    * is the pair count, not the corpus). */
+  val qErMatchXxl: GQuery = mkErMatch("q_er_match_xxl", 10)
 
   /** DUNNING G² (log-likelihood ratio) collocation score for bigrams —
     * the significance-based companion to q_pmi (PMI over-ranks rare
@@ -1562,5 +1599,5 @@ object CorpusStats {
       qSketchCm, qClassScatter, qCentroidSim, qDedupEdit, qContainment,
       qJaccardPrefix, qErMatch, qCollocation, qCondEntropy, qSparseCosineTopk,
       qDupCoverage, qDupMatrix, qVocabOverlap, qTemplateDocs, qRareTokenDocs,
-      qLenDrift)
+      qLenDrift, qJaccardPrefixXxl, qErMatchXxl, qContainmentXxl)
 }

@@ -716,7 +716,7 @@ object LlmOps {
       val base = Tables.documents(spark, dir).filter($"doc_id" < 60)
         .select($"doc_id", $"text")
       val docs = base.unionByName(
-        base.select(($"doc_id" + 2000L).as("doc_id"), $"text"))
+        base.select(($"doc_id" + 825000L).as("doc_id"), $"text"))
       val t = docs.select($"doc_id", explode(array_distinct(toks)).as("term"))
       val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
       val inter = t.as("a").join(t.as("b"),
@@ -753,7 +753,7 @@ object LlmOps {
         SELECT doc_id, text FROM documents WHERE doc_id < 60),
       docs AS (
         SELECT doc_id, text FROM base
-        UNION ALL SELECT doc_id + 2000, text FROM base),
+        UNION ALL SELECT doc_id + 825000, text FROM base),
       t AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
           AS term
@@ -1178,10 +1178,123 @@ object LlmOps {
       ORDER BY source"""),
   )
 
+  /** MULTI-ROUND BPE learn→apply loop (round-13 verdict item 2): classic
+    * BPE semantics — each round learns the SINGLE most frequent adjacent
+    * pair of the CURRENT (already-merged) corpus, applies it, and
+    * re-counts, so round N's winning pair can be a token that only exists
+    * after round N-1's merge (Round14Spec pins exactly that on a crafted
+    * corpus). Output: (doc_id, source, text, tb, m1..mR) — the rewritten
+    * corpus with the ordered merge list as constant columns.
+    *
+    * Shapes, per round: pair counting is a PER-ROW adjacency transform
+    * (map-side explode, no doc-keyed window shuffle — cheaper than
+    * [[qBpeMerge]]'s lag form and identical counts), the winner is a
+    * distributed top-1 (TakeOrderedAndProject) folded to one row by an
+    * always-one-row aggregate (an empty corpus yields a null merge, which
+    * coalesces to a pattern that cannot match), and application is a
+    * 1-row broadcast into a codegen'd replace. localCheckpoint between
+    * rounds is the q_lpa bounded-iteration idiom: round N's plan would
+    * otherwise nest N replace chains × N crossJoins and re-run every
+    * earlier round's count per consumer. */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    var cur = docs
+      .withColumn("tb", size(split(col("text"), " ")).cast("long"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val pairs = cur
+        .select(split(col("text"), " ").as("l"))
+        .select(explode(when(size(col("l")) < 2,
+            array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      val top1 = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .groupBy().agg(max(col("pair")).as(s"m$r"))
+      val rewritten = expr(
+        s"trim(replace(concat(' ', text, ' '), " +
+          s"concat(' ', coalesce(m$r, '~~none~~'), ' '), " +
+          s"concat(' ', replace(coalesce(m$r, '~~none~~'), ' ', '_'), ' ')))")
+      cur = cur.crossJoin(broadcast(top1))
+        .withColumn("text_next", rewritten)
+        .drop("text").withColumnRenamed("text_next", "text")
+        .localCheckpoint()
+    }
+    cur
+  }
+
+  /** SQL twin of one [[bpeTrain]] round for the DuckDB oracle: from the
+    * previous round's MATERIALIZED corpus CTE `rPrev` (columns
+    * doc_id, source, tb, text, m1..m(r-1)), learn pN and emit rN. CTEs are
+    * MATERIALIZED because each round is consumed by the next round's
+    * tokenizer AND the learner (the round-12 CTE-inlining OOM gotcha). */
+  private def bpeRoundSql(r: Int, prev: String): String = {
+    val carried = (1 until r).map(i => s"m$i, ").mkString
+    s"""p$r AS MATERIALIZED (
+        SELECT max(pair) AS m$r FROM (
+          SELECT l[i] || ' ' || l[i + 1] AS pair, count(*) AS cnt
+          FROM (SELECT string_split(text, ' ') AS l FROM $prev) t$r,
+               unnest(generate_series(1, cast(len(l) as int) - 1)) AS u(i)
+          GROUP BY 1
+          ORDER BY cnt DESC, pair LIMIT 1)),
+      r$r AS MATERIALIZED (
+        SELECT doc_id, source, tb, $carried m$r,
+               trim(replace(' ' || text || ' ',
+                 ' ' || coalesce(m$r, '~~none~~') || ' ',
+                 ' ' || replace(coalesce(m$r, '~~none~~'), ' ', '_')
+                   || ' ')) AS text
+        FROM $prev CROSS JOIN p$r)"""
+  }
+
+  /** Declared multi-round BPE trainer: 4 learn→apply rounds of
+    * [[bpeTrain]] over the full corpus, rolled up per source exactly like
+    * [[qBpeMerge]] — but here the merge list is a usable ORDERED
+    * vocabulary (each entry learned from the corpus as rewritten by the
+    * previous entries), not 4 independent round-0 winners. Non-vacuous by
+    * construction: round 1's top pair occurs ≥ its learned count, so
+    * merged_occ > 0 globally. */
+  val qBpeTrain: GQuery = GQuery(
+    "q_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"text")
+      val trained = bpeTrain(docs, 4)
+      trained
+        .groupBy($"source", $"m1", $"m2", $"m3", $"m4")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tb").as("tok_before"),
+          sum(size(split($"text", " ")).cast("long")).as("tok_after"))
+        .select($"source", $"m1", $"m2", $"m3", $"m4",
+          $"n_docs", $"tok_before", $"tok_after",
+          ($"tok_before" - $"tok_after").as("merged_occ"),
+          r6(($"tok_before" - $"tok_after").cast("double") /
+            $"tok_before".cast("double")).as("merge_rate"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH r0 AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               cast(len(string_split(text, ' ')) as bigint) AS tb
+        FROM documents),
+      ${(1 to 4).map(r => bpeRoundSql(r, s"r${r - 1}")).mkString(",\n      ")}
+      SELECT source, m1, m2, m3, m4,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(tb) as bigint) AS tok_before,
+             cast(sum(len(string_split(text, ' '))) as bigint) AS tok_after,
+             cast(sum(tb) - sum(len(string_split(text, ' '))) as bigint)
+               AS merged_occ,
+             ${r6Sql("cast(sum(tb) - sum(len(string_split(text, ' '))) " +
+               "as double) / cast(sum(tb) as double)")} AS merge_rate
+      FROM r4
+      GROUP BY source, m1, m2, m3, m4
+      ORDER BY source"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
     qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats, qEmbedDrift,
-    qTokenFertility, qBigramPpl, qBpeMerge)
+    qTokenFertility, qBigramPpl, qBpeMerge, qBpeTrain)
 }

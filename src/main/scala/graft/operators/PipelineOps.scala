@@ -245,7 +245,8 @@ object PipelineOps {
     * for the repetition signal, exact integer-derived ratios so the
     * threshold comparisons are bit-identical cross-engine) + one
     * combinable groupBy. Degenerate repeated-token docs are planted
-    * (doc_id+2000) so the 'repetitive' bucket is non-vacuous at every SF. */
+    * (doc_id+835000 — an out-of-range id block, the shifted-id
+    * convention) so the 'repetitive' bucket is non-vacuous at every SF. */
   val qFilterFunnel: GQuery = GQuery(
     "q_filter_funnel",
     (spark, dir) => {
@@ -255,7 +256,7 @@ object PipelineOps {
       val spam = ("spam " * 49) + "spam"
       val docs = d
         .unionByName(d.filter($"doc_id" < 10)
-          .select(($"doc_id" + 2000L).as("doc_id"), lit(spam).as("text"),
+          .select(($"doc_id" + 835000L).as("doc_id"), lit(spam).as("text"),
             $"source"))
       val inList = "'the','and','of','to','in','a','is','it'"
       docs
@@ -283,7 +284,7 @@ object PipelineOps {
       WITH docs AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
-        SELECT doc_id + 2000, repeat('spam ', 49) || 'spam', source
+        SELECT doc_id + 835000, repeat('spam ', 49) || 'spam', source
         FROM documents WHERE doc_id < 10),
       feat AS (
         SELECT source,
@@ -970,7 +971,7 @@ object PipelineOps {
       val junk = ("404 90210 " * 25).trim
       val docs = d.unionByName(
         d.filter($"doc_id" < 10)
-          .select(($"doc_id" + 3000L).as("doc_id"), lit(junk).as("text"),
+          .select(($"doc_id" + 830000L).as("doc_id"), lit(junk).as("text"),
             $"source"))
       val inList = "'the','and','of','to','in','a','is','it'"
       val feat = docs
@@ -1010,7 +1011,7 @@ object PipelineOps {
       WITH docs AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
-        SELECT doc_id + 3000, trim(repeat('404 90210 ', 25)), source
+        SELECT doc_id + 830000, trim(repeat('404 90210 ', 25)), source
         FROM documents WHERE doc_id < 10),
       feat AS (
         SELECT source,
@@ -3494,7 +3495,8 @@ object PipelineOps {
       chunks AS (SELECT doc_id, chunk_id, count(*) AS n_tok,
                         string_agg(tok, ' ' ORDER BY pos) AS chunk
                  FROM wc GROUP BY doc_id, chunk_id),
-      chs AS (SELECT doc_id, md5(chunk) AS ch, max(n_tok) AS tok
+      chs AS MATERIALIZED (
+              SELECT doc_id, md5(chunk) AS ch, max(n_tok) AS tok
               FROM chunks WHERE n_tok >= 5 GROUP BY doc_id, md5(chunk)),
       eligible AS (
         SELECT chs.doc_id, chs.ch, chs.tok FROM chs

@@ -491,9 +491,13 @@ object ScaleOps {
     * sharing ≥ 3 fingerprints are reported (candidates ONLY from the
     * fingerprint equi-join; hashes in > 50 docs dropped as boilerplate —
     * the q_dedup_span df-cap posture). Planted 2-token-prefix clones
-    * (+880000) share their whole body and are always caught. */
-  val qWinnowing: GQuery = GQuery(
-    "q_winnowing",
+    * (+880000) share their whole body and are always caught.
+    * Maker parameter = the corpusBound-shadowing twin mechanism: the
+    * declared 500-doc probe and the full-corpus `_xl` scaling point
+    * (round-13 verdict item 3 — the exact-verify family had no measured
+    * scaling point) are the same code. */
+  private def mkWinnowing(name: String, corpusBound: Long): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
       val base = Tables.documents(spark, dir)
@@ -564,6 +568,11 @@ object ScaleOps {
       HAVING count(*) >= 3
       ORDER BY id_a, id_b"""),
   )
+
+  val qWinnowing: GQuery = mkWinnowing("q_winnowing", corpusBound)
+
+  /** Full-corpus bench twin: same plan, whole documents table. */
+  val qWinnowingXl: GQuery = mkWinnowing("q_winnowing_xl", corpusBoundXl)
 
   /** SimHash near-dup, fully oracle-checked: per-doc 32-bit fingerprint
     * (majority vote over md5-hashed distinct tokens, bit i weight ±1) →
@@ -646,6 +655,145 @@ object ScaleOps {
       WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
       ORDER BY id_a, id_b"""),
   )
+
+  /** SCALE-SAFE SimHash (round-13 verdict item 1): the web-scale 64-bit /
+    * 4×16-bit-band configuration that the measured collapse of the 32-bit
+    * operator names as its fix. [[qNeardupSimhash]]'s full-corpus twin was
+    * measured and WITHDRAWN in round 13 because 8-bit bands of
+    * majority-vote bits are nearly deterministic on a homogeneous corpus
+    * (3,087 of 5,050 sf0.1 docs landed in ONE band value → ~5M candidate
+    * pairs). Doubling the fingerprint (two 32-bit md5 words per token)
+    * and doubling the band width drives the per-band collision rate from
+    * p^8 to p^16 — the standard production config (Manku et al.'s
+    * 64-bit/4-band split).
+    *
+    * Construction, identical in both engines and all-integer: per distinct
+    * token two 32-bit hashes (md5 hex words 1-8 and 9-16), 64 per-bit ±1
+    * majority votes (one combinable groupBy, 64 algebraic sums), the two
+    * 32-bit halves packed separately (`fp_lo`/`fp_hi`, each < 2^32 so no
+    * bigint sign/overflow edge anywhere), four 16-bit band keys by
+    * shift/mask, candidates ONLY from the band equi-join, and exact
+    * Hamming (`bit_count(lo⊕lo) + bit_count(hi⊕hi)`) ≤ 3 on candidates
+    * only. Pigeonhole is exact: ≤ 3 differing bits cannot touch all 4
+    * bands, so no true pair is lost. Scale posture: the band join
+    * shuffles on short integer keys; the fingerprint table (3 longs/doc)
+    * is BROADCAST to the candidate stream — candidates themselves are
+    * never broadcast (the exact mistake the withdrawn 32-bit twin made).
+    * Plants: exact copies of docs < 50 shifted +1000000 → Hamming 0, so
+    * rows > 0 can never pass vacuously. */
+  private def mkNeardupSimhash64(name: String, corpusBound: Long): GQuery = {
+    val sumsSqlCols = ((0 until 32).map(i =>
+      s"sum(((h1 >> $i) & 1) * 2 - 1) AS a$i") ++
+      (0 until 32).map(i =>
+        s"sum(((h2 >> $i) & 1) * 2 - 1) AS b$i")).mkString(",\n        ")
+    def packSql(pfx: String): String =
+      (0 until 32).map(i =>
+        s"(CASE WHEN $pfx$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    GQuery(
+      name,
+      (spark, dir) => {
+        import spark.implicits._
+        val base = Tables.documents(spark, dir)
+          .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+        val docs = base.unionByName(
+          base.filter($"doc_id" < 50)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        val toks = docs.select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("tok"))
+        val th = toks.select($"doc_id",
+          conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long").as("h2"))
+        val sumCols = (0 until 32).map(i =>
+          sum(expr(s"(shiftright(h1, $i) & 1) * 2 - 1")).as(s"a$i")) ++
+          (0 until 32).map(i =>
+            sum(expr(s"(shiftright(h2, $i) & 1) * 2 - 1")).as(s"b$i"))
+        val sums = th.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
+        val fp = sums.select($"doc_id",
+          (0 until 32).map(i =>
+            when(col(s"a$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("fp_lo"),
+          (0 until 32).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("fp_hi"))
+        // the (|docs| × 3 longs) fingerprint table feeds three consumers
+        // (band explode + both hamming sides) — truncate the 64-agg
+        // lineage once instead of re-running it per branch
+        val fpc = fp.localCheckpoint()
+        val bands = fpc.select($"doc_id",
+          explode(array(
+            struct(lit(0).as("band_id"), expr("fp_lo & 65535").as("val")),
+            struct(lit(1).as("band_id"),
+              expr("shiftright(fp_lo, 16) & 65535").as("val")),
+            struct(lit(2).as("band_id"), expr("fp_hi & 65535").as("val")),
+            struct(lit(3).as("band_id"),
+              expr("shiftright(fp_hi, 16) & 65535").as("val")))).as("bs"))
+          .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.val".as("val"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.val") === col("y.val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val fa = fpc.select($"doc_id".as("id_a"),
+          $"fp_lo".as("lo_a"), $"fp_hi".as("hi_a"))
+        val fb = fpc.select($"doc_id".as("id_b"),
+          $"fp_lo".as("lo_b"), $"fp_hi".as("hi_b"))
+        cand.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
+          .select($"id_a", $"id_b",
+            (expr("bit_count(lo_a ^ lo_b)") +
+              expr("bit_count(hi_a ^ hi_b)")).cast("int").as("hamming"))
+          .filter($"hamming" <= 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                 AS tok FROM docs),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+             FROM toks),
+      sums AS (SELECT doc_id,
+        $sumsSqlCols
+        FROM th GROUP BY doc_id),
+      fp AS MATERIALIZED (SELECT doc_id,
+        cast(${packSql("a")} as bigint) AS fp_lo,
+        cast(${packSql("b")} as bigint) AS fp_hi
+        FROM sums),
+      bands AS (
+        SELECT doc_id, 0 AS band_id, fp_lo & 65535 AS val FROM fp
+        UNION ALL SELECT doc_id, 1, (fp_lo >> 16) & 65535 FROM fp
+        UNION ALL SELECT doc_id, 2, fp_hi & 65535 FROM fp
+        UNION ALL SELECT doc_id, 3, (fp_hi >> 16) & 65535 FROM fp),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+               FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.val = y.val
+                    AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b,
+             cast(cast(bit_count(xor(fa.fp_lo, fb.fp_lo)) as int) +
+                  cast(bit_count(xor(fa.fp_hi, fb.fp_hi)) as int) as int)
+               AS hamming
+      FROM cand
+      JOIN fp fa ON fa.doc_id = cand.id_a
+      JOIN fp fb ON fb.doc_id = cand.id_b
+      WHERE cast(bit_count(xor(fa.fp_lo, fb.fp_lo)) as int) +
+            cast(bit_count(xor(fa.fp_hi, fb.fp_hi)) as int) <= 3
+      ORDER BY id_a, id_b"""),
+    )
+  }
+
+  /** 500-doc declared probe of the 64-bit SimHash config. */
+  val qNeardupSimhash64: GQuery =
+    mkNeardupSimhash64("q_neardup_simhash64", corpusBound)
+
+  /** Full-corpus twin — the scaling point the 32-bit operator could not
+    * field (round-13 negative result). Band-collision mass measured
+    * before declaration (SimHash64Probe): the largest 16-bit band group
+    * on the organic sf0.1 corpus stays in the tens, not thousands. */
+  val qNeardupSimhash64Xl: GQuery =
+    mkNeardupSimhash64("q_neardup_simhash64_xl", corpusBoundXl)
 
   // ---------------------------------------------------------------------
   // Approximate nearest neighbor
@@ -3097,5 +3245,5 @@ object ScaleOps {
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
     qIvfadcXl, qAnnIncr, qNeardupIncr,
     qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl, qMrlRecall,
-    qWinnowing)
+    qWinnowing, qWinnowingXl, qNeardupSimhash64, qNeardupSimhash64Xl)
 }

@@ -149,7 +149,13 @@ object ExplainAll {
     "q_repetition_rules", "q_dedup_span", "q_dedup_excise",
     "q_neardup_incr", "q_decontam_excise", "q_winnowing",
     "q_anneal_plan", "q_quality_ablate", "q_mrl_recall",
-    "q_neardup_minhash_xxl")
+    "q_neardup_minhash_xxl",
+    // round 14: the scale-safe 64-bit SimHash (band join + broadcast-
+    // fingerprint hamming verify — candidates never broadcast), the
+    // multi-round BPE trainer, and one exact-verify x10 twin (the
+    // er_match/containment _xxl plans match their declared siblings)
+    "q_neardup_simhash64", "q_neardup_simhash64_xl", "q_bpe_train",
+    "q_jaccard_prefix_xxl")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -39,4 +39,29 @@ class ContractSpec extends AnyFunSuite {
       s"latest bench_history row times $nq queries, Registry has $n — " +
         "record a fresh quiet row (SPARK_GRAFT_BENCH_HISTORY/TAG)")
   }
+
+  // Round-13 verdict item 4: q_gopher_rules planted junk at doc_id+3000 —
+  // INSIDE the organic id range at sf0.1 — the same defect the round-12
+  // ADVICE caught on q_curation_budget. The shifted-id plant convention
+  // (every planted row's id lands in a +N block disjoint from organic ids,
+  // which run 0..~10^4 per TESTDATA.md) is what the corpusBound=1e6
+  // "unplanted slice" reasoning relies on, so pin it: every plant leg in
+  // every declared oracle (`SELECT doc_id + N ...` / `SELECT vec_id + N`,
+  // the UNION-ALL plant idiom) must shift by at least 100000. Join-key
+  // arithmetic (`ON b.vec_id = a.vec_id + 1`) does not match the idiom and
+  // the xdocs expansion shifts by `k * 100000`, a non-literal.
+  test("contract guard: plant id offsets are out of the organic id range") {
+    val plantLeg = """SELECT\s+(doc_id|vec_id)\s*\+\s*(\d+)""".r
+    val bad = graft.engine.Registry.all.flatMap { gq =>
+      gq.oracle.toSeq.flatMap { sql =>
+        plantLeg.findAllMatchIn(sql).collect {
+          case m if m.group(2).toLong < 100000L =>
+            s"${gq.name}: ${m.matched}"
+        }
+      }
+    }
+    assert(bad.isEmpty,
+      s"plant offsets inside the organic id range (must be >= 100000):\n" +
+        bad.mkString("\n"))
+  }
 }
