@@ -34,7 +34,8 @@ package object functions {
     * library user can call them from `expr`/`spark.sql` directly:
     * `dot_product`, `cosine_sim`, `ngram_stats`, `ngram_digests`,
     * `word_grams`, `repetition_stats`, `minhash_sig`, `cdc_chunks`,
-    * `window_digests`. Idempotent; temp functions, session-scoped. */
+    * `window_digests`, `simhash64`. Idempotent; temp functions,
+    * session-scoped. */
   def registerAllFunctions(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     CosineSim.register(spark)
@@ -45,5 +46,6 @@ package object functions {
     MinHashSig.register(spark)
     CdcChunks.register(spark)
     WindowDigests.register(spark)
+    SimHash64.register(spark)
   }
 }

@@ -759,11 +759,19 @@ object CorpusStats {
     // both verify sides) — checkpoint once, measured faster than 4
     // kernel re-runs
     graft.functions.WordGrams.register(spark)
-    val tok = docs
+    val tok0 = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select($"doc_id",
         explode(expr("word_grams(split(text, ' '), 3)")).as("token"))
-      .localCheckpoint()
+    // r14 empirical split (PerfProbe A/B, the r8 adjudication discipline):
+    // at declared scale the r13 call stands — checkpointing the ~500k-row
+    // tok table once beats 4 kernel re-runs. At ×10 the checkpoint is a
+    // 5M-row block-manager resident that is both slightly SLOWER isolated
+    // (12.5 vs 14.7 s recomputed-vs-checkpointed on q_jaccard_prefix_xxl)
+    // and the churn class that degraded whole-bench neighborhoods (r14a);
+    // the codegen'd map-only kernel explode is cheap to re-run per
+    // consumer, so the big corpus recomputes it in-pipeline.
+    val tok = if (expand > 1) tok0 else tok0.localCheckpoint()
     val df = tok.groupBy($"token").agg(count(lit(1)).as("df"))
     val ranked = tok.join(df, "token")
     val wDoc = org.apache.spark.sql.expressions.Window

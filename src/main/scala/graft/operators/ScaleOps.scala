@@ -669,10 +669,15 @@ object ScaleOps {
     *
     * Construction, identical in both engines and all-integer: per distinct
     * token two 32-bit hashes (md5 hex words 1-8 and 9-16), 64 per-bit ±1
-    * majority votes (one combinable groupBy, 64 algebraic sums), the two
-    * 32-bit halves packed separately (`fp_lo`/`fp_hi`, each < 2^32 so no
-    * bigint sign/overflow edge anywhere), four 16-bit band keys by
-    * shift/mask, candidates ONLY from the band equi-join, and exact
+    * majority votes, the two 32-bit halves packed separately
+    * (`fp_lo`/`fp_hi`, each < 2^32 so no bigint sign/overflow edge
+    * anywhere), four 16-bit band keys by shift/mask, candidates ONLY from
+    * the band equi-join, and exact
+    * — Spark side the voting stage is the fused map-only
+    * [[graft.functions.SimHash64]] kernel (one md5 per distinct token, no
+    * explode, no doc-keyed shuffle; byte-identical to the relational
+    * 64-agg form the oracle mirrors, Round14Spec), the oracle the
+    * relational SQL —
     * Hamming (`bit_count(lo⊕lo) + bit_count(hi⊕hi)`) ≤ 3 on candidates
     * only. Pigeonhole is exact: ≤ 3 differing bits cannot touch all 4
     * bands, so no true pair is lost. Scale posture: the band join
@@ -698,25 +703,18 @@ object ScaleOps {
         val docs = base.unionByName(
           base.filter($"doc_id" < 50)
             .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
-        val toks = docs.select($"doc_id",
-          explode(array_distinct(split($"text", " "))).as("tok"))
-        val th = toks.select($"doc_id",
-          conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long").as("h2"))
-        val sumCols = (0 until 32).map(i =>
-          sum(expr(s"(shiftright(h1, $i) & 1) * 2 - 1")).as(s"a$i")) ++
-          (0 until 32).map(i =>
-            sum(expr(s"(shiftright(h2, $i) & 1) * 2 - 1")).as(s"b$i"))
-        val sums = th.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
-        val fp = sums.select($"doc_id",
-          (0 until 32).map(i =>
-            when(col(s"a$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("fp_lo"),
-          (0 until 32).map(i =>
-            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("fp_hi"))
+        // fused-kernel fingerprint stage (byte-identical to the relational
+        // explode(array_distinct) → 64-agg form the oracle mirrors;
+        // Round14Spec proves it row-for-row) — map-only, one md5 per
+        // distinct token, no doc-keyed shuffle. Repartition first:
+        // single-row-group fixture parquet (CLAUDE.md r13).
+        graft.functions.SimHash64.register(spark)
+        val fp = docs
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select($"doc_id", expr("simhash64(split(text, ' '))").as("f"))
+          .select($"doc_id", $"f.lo".as("fp_lo"), $"f.hi".as("fp_hi"))
         // the (|docs| × 3 longs) fingerprint table feeds three consumers
-        // (band explode + both hamming sides) — truncate the 64-agg
+        // (band explode + both hamming sides) — truncate the kernel
         // lineage once instead of re-running it per branch
         val fpc = fp.localCheckpoint()
         val bands = fpc.select($"doc_id",

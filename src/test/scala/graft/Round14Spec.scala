@@ -78,6 +78,41 @@ class Round14Spec extends AnyFunSuite {
     assert(out.forall(_._3 <= 3))
   }
 
+  test("SimHash64 kernel is byte-identical to the relational 64-agg form") {
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    // fixture corpus + crafted edges: single token, duplicate tokens
+    // (array_distinct semantics — votes once), empty text (split -> [""],
+    // one empty-string token), and a token repeated across positions
+    val extra = Seq((900001L, "a"), (900002L, "a a a"),
+      (900003L, "x y z x y"), (900004L, ""))
+      .toDF("doc_id", "text")
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").unionByName(extra)
+    val kern = docs
+      .select($"doc_id", expr("simhash64(split(text, ' '))").as("f"))
+      .select($"doc_id", $"f.lo".as("lo"), $"f.hi".as("hi"))
+    val toks = docs.select($"doc_id",
+      explode(array_distinct(split($"text", " "))).as("tok"))
+    val th = toks.select($"doc_id",
+      conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long").as("h2"))
+    val sumCols = (0 until 32).map(i =>
+      sum(expr(s"(shiftright(h1, $i) & 1) * 2 - 1")).as(s"a$i")) ++
+      (0 until 32).map(i =>
+        sum(expr(s"(shiftright(h2, $i) & 1) * 2 - 1")).as(s"b$i"))
+    val sums = th.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val rel = sums.select($"doc_id",
+      (0 until 32).map(i =>
+        when(col(s"a$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("lo"),
+      (0 until 32).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("hi"))
+    assert(kern.count() == rel.count())
+    assert(kern.except(rel).count() == 0 && rel.except(kern).count() == 0)
+  }
+
   test("kernel registration: a non-literal width is a clean AnalysisException") {
     import spark.implicits._
     graft.functions.registerAllFunctions(spark)
