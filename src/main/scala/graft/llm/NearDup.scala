@@ -109,6 +109,50 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-row 64-BIT SIMHASH fingerprint via the fused
+    * [[graft.functions.SimHash64]] kernel — q_neardup_simhash64's voting
+    * stage as a PURE PROJECTION (one md5 per distinct token, no explode,
+    * no aggregation state), so it is usable on an unbounded stream (the
+    * [[bandedSignaturesPerRow]] statelessness contract). Output:
+    * (id, fp_lo, fp_hi), each half < 2³². */
+  def simHash64PerRow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        expr(s"simhash64(split(${q(textCol)}, ' '))").as("f"))
+      .select(col("id"), col("f.lo").as("fp_lo"), col("f.hi").as("fp_hi"))
+  }
+
+  /** The four 16-bit band keys of a (fp_lo, fp_hi) fingerprint — the
+    * q_neardup_simhash64 banding as a reusable projection. */
+  private[graft] def simHash64Bands(fp: DataFrame): DataFrame =
+    fp.select(col("id"), col("fp_lo"), col("fp_hi"),
+      explode(array(
+        struct(lit(0).as("band_id"), expr("fp_lo & 65535").as("val")),
+        struct(lit(1).as("band_id"),
+          expr("shiftright(fp_lo, 16) & 65535").as("val")),
+        struct(lit(2).as("band_id"), expr("fp_hi & 65535").as("val")),
+        struct(lit(3).as("band_id"),
+          expr("shiftright(fp_hi, 16) & 65535").as("val")))).as("bs"))
+      .select(col("id"), col("fp_lo"), col("fp_hi"),
+        col("bs.band_id").as("band_id"), col("bs.val").as("val"))
+
+  /** The standing corpus's SimHash band table
+    * (band_id, val, corpus_id, c_lo, c_hi) — 4 short rows per document.
+    * MATERIALIZE ONCE as a lake table keyed by (band_id, val); ingest
+    * batches probe it (stream-static join) without re-scanning the
+    * corpus. By pigeonhole, any new doc within Hamming 3 of a corpus doc
+    * shares at least one band with it. */
+  def simHash64BandTable(
+      corpusDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simHash64Bands(simHash64PerRow(corpusDocs, idCol, textCol))
+      .select(col("band_id"), col("val"), col("id").as("corpus_id"),
+        col("fp_lo").as("c_lo"), col("fp_hi").as("c_hi"))
+
   /** Exact word n-gram Jaccard similarity for candidate pairs — the
     * verification step after LSH candidate generation, or a standalone
     * exact join for bounded sets. */

@@ -238,6 +238,27 @@ object Streams {
       .select(col("id").as("doc_id"), col("ch"), col("tok"),
         col("corpus_id"))
 
+  /** Streaming 64-BIT SIMHASH near-dup gate — q_neardup_simhash64's
+    * ingest twin, the same stateless shape as [[cdcDupCandidates]]: each
+    * incoming doc is fingerprinted per-row by the fused SimHash64 kernel
+    * (pure projection, NO STREAMING STATE), its four 16-bit band keys
+    * probe the standing corpus band table
+    * ([[graft.llm.NearDup.simHash64BandTable]]), and exact Hamming ≤
+    * `maxHamming` is verified inline on the joined fingerprints (all
+    * integer popcounts). By pigeonhole the band probe loses nothing at
+    * Hamming ≤ 3. Emits one (doc_id, corpus_id, hamming) row PER SHARED
+    * BAND — up to 4 per pair; the downstream batch pass dedups, keeping
+    * the gate state-free. A novel doc emits nothing. */
+  def simhashDupCandidates(streamDocs: DataFrame,
+      corpusBands: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.llm.NearDup
+      .simHash64Bands(graft.llm.NearDup.simHash64PerRow(streamDocs))
+      .join(corpusBands, Seq("band_id", "val"))
+      .select(col("id").as("doc_id"), col("corpus_id"),
+        (expr("bit_count(fp_lo ^ c_lo)") + expr("bit_count(fp_hi ^ c_hi)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
   /** Streaming TIME-DECAY ATTRIBUTION gate — q_attribution_decay's
     * ingest twin, the same stateless shape as [[corpusDupCandidates]]:
     * each arriving view/click touch stream-static-joins the standing

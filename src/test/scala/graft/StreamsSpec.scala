@@ -314,6 +314,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 910100L), s"novel doc flagged: ${out.toSeq}")
   }
 
+  test("streaming SimHash64 gate flags an exact clone at hamming 0, novel docs pass") {
+    implicit val sq = spark.sqlContext
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val bandTable = graft.llm.NearDup.simHash64BandTable(corpus)
+      .localCheckpoint()
+    val (srcId, srcText) = {
+      val r = corpus.orderBy(col("doc_id")).limit(1).collect().head
+      (r.getLong(0), r.getString(1))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val flagged = Streams.simhashDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), bandTable)
+    val q = flagged.writeStream.format("memory")
+      .queryName("shgate" + System.nanoTime()).outputMode("append").start()
+    mem.addData(Seq(
+      (930001L, srcText), // exact clone -> hamming 0 against its source
+      (930100L, (0 until 60).map(j => s"shnovel_$j qq_$j").mkString(" "))))
+    q.processAllAvailable()
+    val name = q.name
+    q.stop()
+    val out = spark.table(name)
+      .select(col("doc_id"), col("corpus_id"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((930001L, srcId, 0)),
+      s"exact clone not flagged at hamming 0 against doc $srcId: $out")
+    assert(out.forall(_._3 <= 3))
+    assert(!out.exists(_._1 == 930100L), s"novel doc flagged: $out")
+  }
+
   test("streaming CDC gate flags a prefix-edited clone the paragraph gate misses") {
     implicit val sq = spark.sqlContext
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
