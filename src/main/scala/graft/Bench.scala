@@ -62,16 +62,23 @@ object Bench {
         if (!java.nio.file.Files.exists(f)) Map.empty
         else {
           import scala.jdk.CollectionConverters._
-          // last line CARRYING a queries map — adjudication note rows
-          // ({"tag":"...-note","note":...}) interleave with bench rows
-          // and must not blank the prior
+          // prior = per-query MINIMUM over the last 5 bench rows (note
+          // rows without a queries map are skipped). Anchoring on the
+          // single last row ratchets: one contended row inflates every
+          // prior, so the NEXT run's >1.5x retime trigger never fires
+          // exactly when it should (r14d: 6 suspects on a row whose
+          // common-query sum ran 1.26x the quiet figure, because r14c's
+          // inflated numbers were the anchor). The min over a short
+          // window is the best quiet estimate on record.
           val qobjRe = """"queries":\{([^}]*)\}""".r
-          val qobj = java.nio.file.Files.readAllLines(f).asScala
+          val entryRe = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+          val recent = java.nio.file.Files.readAllLines(f).asScala
             .reverseIterator
             .flatMap(l => qobjRe.findFirstMatchIn(l).map(_.group(1)))
-            .find(_.nonEmpty).getOrElse("")
-          """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(qobj)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            .filter(_.nonEmpty).take(5).toSeq
+          recent.flatMap(qobj => entryRe.findAllMatchIn(qobj)
+              .map(m => m.group(1) -> m.group(2).toDouble))
+            .groupMapReduce(_._1)(_._2)(math.min)
         }
       } catch { case _: Throwable => Map.empty }
     }

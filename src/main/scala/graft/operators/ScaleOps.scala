@@ -686,7 +686,8 @@ object ScaleOps {
     * never broadcast (the exact mistake the withdrawn 32-bit twin made).
     * Plants: exact copies of docs < 50 shifted +1000000 → Hamming 0, so
     * rows > 0 can never pass vacuously. */
-  private def mkNeardupSimhash64(name: String, corpusBound: Long): GQuery = {
+  private def mkNeardupSimhash64(name: String, corpusBound: Long,
+      expand: Int = 1): GQuery = {
     val sumsSqlCols = ((0 until 32).map(i =>
       s"sum(((h1 >> $i) & 1) * 2 - 1) AS a$i") ++
       (0 until 32).map(i =>
@@ -698,8 +699,8 @@ object ScaleOps {
       name,
       (spark, dir) => {
         import spark.implicits._
-        val base = Tables.documents(spark, dir)
-          .filter($"doc_id" < corpusBound).select($"doc_id", $"text")
+        val base = xdocs(Tables.documents(spark, dir)
+          .filter($"doc_id" < corpusBound).select($"doc_id", $"text"), expand)
         val docs = base.unionByName(
           base.filter($"doc_id" < 50)
             .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
@@ -744,10 +745,11 @@ object ScaleOps {
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""
-      WITH docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id < $corpusBound
+      WITH xb AS (${xdocsSql(corpusBound, expand)}),
+      docs AS (
+        SELECT doc_id, text FROM xb
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        SELECT doc_id + 1000000, text FROM xb WHERE doc_id < 50),
       toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
                  AS tok FROM docs),
       th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
@@ -792,6 +794,13 @@ object ScaleOps {
     * on the organic sf0.1 corpus stays in the tens, not thousands. */
   val qNeardupSimhash64Xl: GQuery =
     mkNeardupSimhash64("q_neardup_simhash64_xl", corpusBoundXl)
+
+  /** ×10 scaling twin — the third point. Replica tokens are k-suffixed
+    * (xdocs), so replicas carry DIFFERENT fingerprints and the band-group
+    * concentration is the organic distribution per k-slice, not one
+    * 10×-deep group; candidate mass should grow ~linearly. */
+  val qNeardupSimhash64Xxl: GQuery =
+    mkNeardupSimhash64("q_neardup_simhash64_xxl", corpusBoundXl, 10)
 
   // ---------------------------------------------------------------------
   // Approximate nearest neighbor
@@ -3243,5 +3252,6 @@ object ScaleOps {
     qNeardupMinhashXl, qAnnIvfXl, qSemdedupXl, qBandSweepXl, qIvfadc,
     qIvfadcXl, qAnnIncr, qNeardupIncr,
     qNeardupMinhashXxl, qBandSweepXxl, qIvfadcXxl, qMrlRecall,
-    qWinnowing, qWinnowingXl, qNeardupSimhash64, qNeardupSimhash64Xl)
+    qWinnowing, qWinnowingXl, qNeardupSimhash64, qNeardupSimhash64Xl,
+    qNeardupSimhash64Xxl)
 }

@@ -24,14 +24,19 @@ class ContractSpec extends AnyFunSuite {
     assert(m.get.group(1).toInt == n,
       s"PLANS.md says ${m.get.group(1)}, Registry has $n — regenerate " +
         "PLANS.md (graft.tools.ExplainAll)")
+    // last line CARRYING a queries map — adjudication note rows
+    // ({"tag":"...-note","note":...}) interleave with bench rows by
+    // convention and are not the record under contract
     val lastBench = {
       val src = scala.io.Source.fromFile("bench_history.jsonl")
-      try src.getLines().toSeq.last finally src.close()
+      try src.getLines().toSeq.reverseIterator
+        .find(_.contains("\"queries\":{")).getOrElse("")
+      finally src.close()
     }
     // count keys ONLY inside the flat "queries" object (retimed /
     // contention_suspect also carry query-name keys)
     val qStart = lastBench.indexOf("\"queries\":{")
-    assert(qStart >= 0, "bench row has no queries map")
+    assert(qStart >= 0, "bench_history has no bench row with a queries map")
     val qBody = lastBench.substring(qStart + 11,
       lastBench.indexOf("}", qStart))
     val nq = "\"q_[a-z0-9_]+\":".r.findAllIn(qBody).size
