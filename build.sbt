@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full-surface run JIT-compiles ~1000 whole-stage-codegen classes
+  // (467 queries x warmup + timed + retime passes); the JVM's default
+  // 240 MB code cache fills mid-run, the JIT disables, and the run TAIL
+  // drops to interpreted execution — observed as heavy queries retiming
+  // 5-15x their isolated figures at the end of Bench while a fresh JVM
+  // reruns them fine (r14a/r14e). Size the code cache for the surface.
+  "-XX:ReservedCodeCacheSize=1g",
 )
