@@ -49,11 +49,12 @@ object Bench {
     // quiet figure. The artifact then carries BOTH numbers, so a reader
     // can separate contention from regression without a second full run
     // (this ambiguity consumed three verdict rounds).
-    // Retime set = the 5 slowest UNION every query >2x its previous
-    // recorded time (prior per-query map = last line of
-    // bench_history.jsonl, overridable via SPARK_GRAFT_BENCH_PRIOR) —
-    // round 9 had 9 contention-inflated movers outside the top 5 that the
-    // judge had to probe by hand.
+    // Retime set = the 5 slowest UNION every query >1.5x its history
+    // prior, where prior = per-query MIN over the last 5 same-SF rows of
+    // bench_history.jsonl (overridable via SPARK_GRAFT_BENCH_PRIOR), with
+    // NO cap on the retime set — round 9 had 9 contention-inflated movers
+    // outside the top 5, and r13's contended box inflated well past a
+    // fixed top-20.
     val firstByName = timed.toMap
     val priorTimes: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_history.jsonl")
@@ -72,8 +73,14 @@ object Bench {
           // window is the best quiet estimate on record.
           val qobjRe = """"queries":\{([^}]*)\}""".r
           val entryRe = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+          // Window rows must match THIS run's scale factor: a fast
+          // sf0.01 row in the window would poison every per-query min
+          // and flag nearly the whole surface as >1.5x movers (r14
+          // advice). The detail line always carries "sf":"<dir>".
+          val sfTag = s""""sf":"$sfDir""""
           val recent = java.nio.file.Files.readAllLines(f).asScala
             .reverseIterator
+            .filter(_.contains(sfTag))
             .flatMap(l => qobjRe.findFirstMatchIn(l).map(_.group(1)))
             .filter(_.nonEmpty).take(5).toSeq
           recent.flatMap(qobj => entryRe.findAllMatchIn(qobj)

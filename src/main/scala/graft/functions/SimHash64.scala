@@ -74,8 +74,12 @@ object SimHash64 {
     val d = new Array[Byte](16)
     var i = 0
     while (i < n) {
-      val tok = arr.getUTF8String(i)
-      if (seen.add(tok)) {
+      // Skip null elements, matching the relational form it claims
+      // byte-identity with (explode → md5 → sum silently drops null
+      // tokens); unreachable via split() but legal for a library caller
+      // passing array<string> with containsNull=true.
+      val tok = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (tok != null && seen.add(tok)) {
         md.update(tok.getBytes)
         md.digest(d, 0, 16) // writes into d and resets
         val h1 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |

@@ -704,38 +704,31 @@ object ScaleOps {
         val docs = base.unionByName(
           base.filter($"doc_id" < 50)
             .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
-        // fused-kernel fingerprint stage (byte-identical to the relational
-        // explode(array_distinct) → 64-agg form the oracle mirrors;
-        // Round14Spec proves it row-for-row) — map-only, one md5 per
-        // distinct token, no doc-keyed shuffle. Repartition first:
-        // single-row-group fixture parquet (CLAUDE.md r13).
-        graft.functions.SimHash64.register(spark)
-        val fp = docs
-          .repartition(spark.sparkContext.defaultParallelism)
-          .select($"doc_id", expr("simhash64(split(text, ' '))").as("f"))
-          .select($"doc_id", $"f.lo".as("fp_lo"), $"f.hi".as("fp_hi"))
+        // fused-kernel fingerprint + banding via the NearDup helpers —
+        // ONE band-layout definition shared with the streaming ingest
+        // gate (r14 verdict: the inline band structs duplicated
+        // NearDup.simHash64Bands and could silently diverge). The kernel
+        // is byte-identical to the relational explode(array_distinct) →
+        // 64-agg form the oracle mirrors (Round14Spec, row-for-row);
+        // map-only, one md5 per distinct token, no doc-keyed shuffle.
+        // Repartition first: single-row-group fixture parquet (r13).
+        val fp = graft.llm.NearDup.simHash64PerRow(
+          docs.repartition(spark.sparkContext.defaultParallelism))
         // the (|docs| × 3 longs) fingerprint table feeds three consumers
         // (band explode + both hamming sides) — truncate the kernel
         // lineage once instead of re-running it per branch
         val fpc = fp.localCheckpoint()
-        val bands = fpc.select($"doc_id",
-          explode(array(
-            struct(lit(0).as("band_id"), expr("fp_lo & 65535").as("val")),
-            struct(lit(1).as("band_id"),
-              expr("shiftright(fp_lo, 16) & 65535").as("val")),
-            struct(lit(2).as("band_id"), expr("fp_hi & 65535").as("val")),
-            struct(lit(3).as("band_id"),
-              expr("shiftright(fp_hi, 16) & 65535").as("val")))).as("bs"))
-          .select($"doc_id", $"bs.band_id".as("band_id"), $"bs.val".as("val"))
+        val bands = graft.llm.NearDup.simHash64Bands(fpc)
+          .select($"id", $"band_id", $"val")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band_id") === col("y.band_id") &&
               col("x.val") === col("y.val") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
           .distinct()
-        val fa = fpc.select($"doc_id".as("id_a"),
+        val fa = fpc.select($"id".as("id_a"),
           $"fp_lo".as("lo_a"), $"fp_hi".as("hi_a"))
-        val fb = fpc.select($"doc_id".as("id_b"),
+        val fb = fpc.select($"id".as("id_b"),
           $"fp_lo".as("lo_b"), $"fp_hi".as("hi_b"))
         cand.join(broadcast(fa), "id_a").join(broadcast(fb), "id_b")
           .select($"id_a", $"id_b",

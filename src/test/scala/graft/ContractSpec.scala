@@ -56,7 +56,12 @@ class ContractSpec extends AnyFunSuite {
   // arithmetic (`ON b.vec_id = a.vec_id + 1`) does not match the idiom and
   // the xdocs expansion shifts by `k * 100000`, a non-literal.
   test("contract guard: plant id offsets are out of the organic id range") {
-    val plantLeg = """SELECT\s+(doc_id|vec_id)\s*\+\s*(\d+)""".r
+    // Matches the plant column anywhere in a select list (leading or
+    // after a comma), with an optional table qualifier — 'SELECT
+    // d.doc_id + 2000' and 'SELECT text, doc_id + 2000' no longer escape
+    // the pin (r14 advice).
+    val plantLeg =
+      """(?i)(?:SELECT|,)\s*(?:\w+\.)?(doc_id|vec_id)\s*\+\s*(\d+)""".r
     val bad = graft.engine.Registry.all.flatMap { gq =>
       gq.oracle.toSeq.flatMap { sql =>
         plantLeg.findAllMatchIn(sql).collect {

@@ -130,14 +130,18 @@ class Round14Spec extends AnyFunSuite {
 
   test("NearDup expr splices survive column names needing quoting") {
     import spark.implicits._
-    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+    // 'c' and 'h' are CDC boundaries for this token set (md5 word % 8),
+    // so each doc yields exactly ONE chunk ("d e f g h"; the head "a b c"
+    // and tail "i j" runs are under the 5-token floor) — a concrete count
+    // instead of the vacuous >= 0 the r14 advice flagged.
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
       .toDF("doc id", "the text")
     val sigs = graft.llm.NearDup
       .bandedSignaturesPerRow(docs, "doc id", "the text")
     assert(sigs.count() == 8) // 4 bands per doc
     val cdc = graft.llm.NearDup
       .cdcChunkDigestsPerRow(docs, "doc id", "the text")
-    assert(cdc.count() >= 0) // parses + resolves; chunking may drop shorts
+    assert(cdc.count() == 2) // one 5-token chunk per doc
     val sh = docs.select(graft.llm.NearDup.shingles("the text").as("s"))
     assert(sh.count() == 2)
   }
