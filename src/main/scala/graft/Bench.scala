@@ -137,14 +137,21 @@ object Bench {
     val sus = suspects.map(jstr).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
     // Contention-corrected headline: the first-pass total with every
-    // retimed query's time replaced by its end-of-run retime. On a quiet
-    // box the two totals agree within noise; on a contended one this is
-    // the number that reflects the plans rather than the machine (r11:
+    // retimed query's time replaced by the MINIMUM of its first pass and
+    // its end-of-run retime. Min, not the retime alone: the retime pass
+    // has its own contention modes (r15a/b: q_pagerank_xxl's first pass
+    // matched its isolated PerfProbe both runs at ~8 s, while its retime
+    // — 5th in the retime sequence, right after the four heavy _xxl
+    // twins — came back 39.7 s then 21.2 s; taking the retime verbatim
+    // would have injected end-of-run noise into the headline the
+    // machinery exists to remove). A genuine plan regression repeats in
+    // BOTH passes, so the min preserves it; contention in either pass is
+    // filtered. Both raw maps stay in the artifact for forensics (r11:
     // first-pass 431.7 s embedded ~150 s of contention the retimes had
     // already disproven, but only the counts survived into the artifact).
     val retimedByName = retimed.toMap
     val valueRetimed = timed.map { case (n, t) =>
-      retimedByName.getOrElse(n, t) }.sum
+      math.min(retimedByName.getOrElse(n, t), t) }.sum
     val line =
       s"""{"metric":"total","value":$total,"value_retimed":${f"$valueRetimed%.3f"},"unit":"sec","queries":$qs,"errors":$es,"retimed":$rt,"retime_errors":$rte,"contention_suspect":$sus,"sf":"$sfDir"}"""
     // Full detail first (humans + history file), compact line LAST: the
@@ -168,14 +175,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"value_retimed":${f"$valueRetimed%.3f"},"unit":"sec","n_queries":${timed.size},"n_errors":${errs.size},"n_retimed":${retimed.size},"n_retime_errors":${retimeErrs.size},"n_contention_suspect":${suspects.size},"queries_omitted":"""
     val fixedTail = s""","queries":{},"sf":"$sfDir"}"""
     val budget = window - fixedHead.length - omittedDigits - fixedTail.length
-    // The compact map carries the ADJUDICATED time per query — the retime
-    // where one was taken, the first-pass figure otherwise. A driver that
-    // reads only this line then sees the number the retime machinery has
-    // already vetted (r12 verdict item: the first-pass map showed
-    // q_dedup_shift at 11.0 s when its retime was ~3 s). The detail line
-    // above still carries both maps for contention forensics.
+    // The compact map carries the ADJUDICATED time per query — the min of
+    // first pass and retime where a retime was taken (see valueRetimed),
+    // the first-pass figure otherwise. A driver that reads only this line
+    // then sees the number the retime machinery has already vetted (r12
+    // verdict item: the first-pass map showed q_dedup_shift at 11.0 s
+    // when its retime was ~3 s). The detail line above still carries both
+    // raw maps for contention forensics.
     val adjudicated = timed.map { case (n, t) =>
-      n -> retimedByName.getOrElse(n, t) }
+      n -> math.min(retimedByName.getOrElse(n, t), t) }
     val slowestFirst = adjudicated.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

@@ -565,11 +565,22 @@ object Analytics {
     * vs 2.64s quiet best-of-3), consistent with the round-8
     * checkpoint-adjudications-are-empirical gotcha, so the two-stage
     * form stays. Bench now re-times the 5 slowest queries at the end of
-    * each run ("retimed" map) so this ambiguity is self-adjudicating. */
-  val qPagerank: GQuery = {
+    * each run ("retimed" map) so this ambiguity is self-adjudicating.
+    *
+    * The maker takes an `expand` replica count (the xdocs idiom — an
+    * explode of sequence(0, n-1), never a cross join) for the ×10
+    * scaling twin: each edge replica shifts BOTH endpoints by
+    * k·10,000,000, so the twin is 10 disjoint copies of the graph and
+    * every per-iteration join/agg moves 10× the rows — the iterative-
+    * shuffle-loop hazard measured instead of argued (r14 verdict item
+    * 2: the graph family had zero scale points). Disjoint copies leave
+    * per-copy ranks bit-identical (the iteration is linear and both
+    * 1/nv terms rescale), so the twin's top-50 is the declared top-5
+    * ×10 replicas — ties across replicas break by node id. */
+  private def mkPagerank(name: String, expand: Int): GQuery = {
     val iters = 5
     GQuery(
-      "q_pagerank",
+      name,
       (spark, dir) => {
         import spark.implicits._
         val op = Tables.lineitem(spark, dir)
@@ -586,8 +597,14 @@ object Analytics {
               "struct(element_at(ps, i) as p1, element_at(ps, j) as p2))))"))
             .as("pr"))
           .select($"pr.p1".as("p1"), $"pr.p2".as("p2")).distinct()
-        val eRaw = pr.select($"p1".as("src"), $"p2".as("dst"))
-          .unionByName(pr.select($"p2".as("src"), $"p1".as("dst")))
+        val prX =
+          if (expand <= 1) pr
+          else pr.select($"p1", $"p2",
+              explode(expr(s"sequence(0, ${expand - 1})")).as("k"))
+            .select(($"p1" + $"k".cast("long") * lit(10000000L)).as("p1"),
+              ($"p2" + $"k".cast("long") * lit(10000000L)).as("p2"))
+        val eRaw = prX.select($"p1".as("src"), $"p2".as("dst"))
+          .unionByName(prX.select($"p2".as("src"), $"p1".as("dst")))
           .localCheckpoint()
         val deg = eRaw.groupBy($"src").agg(count(lit(1)).as("deg"))
         // degree rides the edge list: one join before the loop instead
@@ -632,9 +649,16 @@ object Analytics {
           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
           FROM op a JOIN op b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        e AS (SELECT p1 AS src, p2 AS dst FROM pr
-              UNION ALL SELECT p2, p1 FROM pr),
-        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        prx AS (${
+          if (expand <= 1) "SELECT p1, p2 FROM pr"
+          else
+            s"""SELECT p1 + k * 10000000 AS p1, p2 + k * 10000000 AS p2
+          FROM pr, unnest(generate_series(0, ${expand - 1})) AS xk(k)"""
+        }),
+        e AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM prx
+              UNION ALL SELECT p2, p1 FROM prx),
+        deg AS MATERIALIZED (
+          SELECT src, count(*) AS deg FROM e GROUP BY src),
         nv AS (SELECT cast(count(*) as double) AS nv FROM deg),
         r0 AS (SELECT src AS node, cast(1.0 as double) / (SELECT nv FROM nv)
                  AS r FROM deg),
@@ -647,6 +671,14 @@ object Analytics {
       },
     )
   }
+
+  val qPagerank: GQuery = mkPagerank("q_pagerank", 1)
+
+  /** ×10 scaling twin: 10 disjoint id-shifted copies of the bounded
+    * co-purchase graph, so every one of the 5 rank iterations joins and
+    * aggregates 10× the edges — the first measured scale point for the
+    * iterative join+agg loop family (r14 verdict item 2). */
+  val qPagerankXxl: GQuery = mkPagerank("q_pagerank_xxl", 10)
 
   /** PERSONALIZED PAGERANK — q_pagerank's seeded sibling, the
     * "related-items for THIS catalog slice" primitive: the teleport
@@ -931,5 +963,5 @@ object Analytics {
   def all: Seq[GQuery] =
     Seq(qFkAudit, qRfm, qWinCumDistinct, qKeywords, qSkewProfile,
       qAggIncremental, qAbtest, qSkyline, qCopurchase, qPagerank,
-      qConcentration, qPagerankPers, qRfmMigration)
+      qConcentration, qPagerankPers, qRfmMigration, qPagerankXxl)
 }

@@ -319,17 +319,17 @@ object GraphOps {
     * label table is localCheckpoint'd (the recursive-CTE lineage
     * lesson). Output: community histogram — label, member count, and
     * the spread of community sizes is the useful audit signal. */
-  val qLpa: GQuery = {
+  private def mkLpa(name: String, expand: Int): GQuery = {
     val rounds = 3
     GQuery(
-      "q_lpa",
+      name,
       (spark, dir) => {
         import spark.implicits._
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir),
             $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
           .select($"l_orderkey", $"l_partkey").distinct()
-        val und = op.groupBy($"l_orderkey")
+        val und0 = op.groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .filter(size($"ps") >= 2)
           .select(explode(expr(
@@ -339,6 +339,15 @@ object GraphOps {
             .as("pr"))
           .select($"pr.pa".as("pa"), $"pr.pb".as("pb"))
           .distinct()
+        // ×expand replication (xdocs explode-of-sequence idiom): k
+        // disjoint copies, both endpoints shifted k·10,000,000, so each
+        // LPA round's join + count + argmax window moves 10× the rows.
+        val und =
+          if (expand <= 1) und0
+          else und0.select($"pa", $"pb",
+              explode(expr(s"sequence(0, ${expand - 1})")).as("k"))
+            .select(($"pa" + $"k".cast("long") * lit(10000000L)).as("pa"),
+              ($"pb" + $"k".cast("long") * lit(10000000L)).as("pb"))
         val verts = und.select($"pa".as("v"))
           .unionByName(und.select($"pb".as("v"))).distinct()
         val e = und.select($"pa".as("src"), $"pb".as("dst"))
@@ -382,10 +391,16 @@ object GraphOps {
           SELECT DISTINCT l_orderkey, l_partkey
           FROM lineitem JOIN part
             ON l_partkey = p_partkey AND p_size <= 10),
-        pairs AS (
+        pairs0 AS (
           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
           FROM op a JOIN op b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        pairs AS (${
+          if (expand <= 1) "SELECT pa, pb FROM pairs0"
+          else
+            s"""SELECT pa + k * 10000000 AS pa, pb + k * 10000000 AS pb
+          FROM pairs0, unnest(generate_series(0, ${expand - 1})) AS xk(k)"""
+        }),
         verts AS (
           SELECT pa AS v FROM pairs UNION SELECT pb FROM pairs),
         e AS MATERIALIZED (
@@ -400,6 +415,14 @@ object GraphOps {
       },
     )
   }
+
+  val qLpa: GQuery = mkLpa("q_lpa", 1)
+
+  /** ×10 scaling twin: 10 disjoint id-shifted copies of the co-purchase
+    * graph, so each LPA round's edge join, label count, and per-node
+    * argmax window run over 10× the rows — a measured scale point for
+    * the iterative graph family (r14 verdict item 2). */
+  val qLpaXxl: GQuery = mkLpa("q_lpa_xxl", 10)
 
   /** HITS (hubs & authorities) on the DIRECTED supplier→brand bipartite
     * graph: two full hub/authority rounds with L1 normalization per
@@ -1111,5 +1134,5 @@ object GraphOps {
 
   val all: Seq[GQuery] = Seq(qBipartiteProj, qKcore, qMarkov, qBfs, qLpa,
     qHits, qAssortativity, qModularity, qTwoHop, qEntropyRate, qCloseness,
-    qSeqPredict, qKatz, qReciprocity)
+    qSeqPredict, qKatz, qReciprocity, qLpaXxl)
 }

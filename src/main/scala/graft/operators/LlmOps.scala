@@ -1291,10 +1291,155 @@ object LlmOps {
       ORDER BY source"""),
   )
 
+  /** TOP-K-PER-ROUND BPE trainer (round-14 verdict item 3: "a usable
+    * tokenizer-training surface needs top-K merges per round") — each
+    * round counts adjacent pairs ONCE, takes the top K by (count desc,
+    * pair asc), and applies all K merges IN RANK ORDER inside a single
+    * projection before the next recount. This is the standard batched
+    * approximation of classic BPE (ranks 2..K apply to text already
+    * rewritten by ranks 1..j−1 of the same round but were learned from
+    * the round-start counts — a lower-ranked pair whose tokens were
+    * consumed by a higher rank simply no-ops), and it is deterministic
+    * and engine-identical: the space-padded replace chain preserves
+    * conjunct order in both engines and the r14 run-merge semantics pin
+    * applies per replace. R×K merges for R recount passes — the
+    * vocabulary-scale path (R·K = 16 here vs bpeTrain's 4) without R×
+    * more corpus passes.
+    *
+    * Shapes per round: one map-side adjacency explode + combinable
+    * count, ONE distributed top-K (TakeOrderedAndProject of K rows — the
+    * K-row window ranking runs on a single K-row partition), a 1-row
+    * broadcast apply, localCheckpoint to bound plan depth (the q_lpa
+    * iterative idiom). Output keeps every m{r}_{j} as a constant column;
+    * an empty/exhausted pair table yields null merges that coalesce to
+    * an unmatchable sentinel (the bpeTrain contract). */
+  private[graft] def bpeTrainTopK(docs: DataFrame, rounds: Int,
+      k: Int): DataFrame = {
+    var cur = docs
+      .withColumn("tb", size(split(col("text"), " ")).cast("long"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val pairs = cur
+        .select(split(col("text"), " ").as("l"))
+        .select(explode(when(size(col("l")) < 2,
+            array().cast("array<string>"))
+          .otherwise(expr("transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      val aggs = (1 to k).map(j =>
+        max(when(col("rk") === j, col("pair"))).as(s"m${r}_$j"))
+      val topk = pairs.orderBy(col("cnt").desc, col("pair")).limit(k)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))))
+        .groupBy().agg(aggs.head, aggs.tail: _*)
+      val rewritten = (1 to k).foldLeft("concat(' ', text, ' ')") {
+        (acc, j) =>
+          s"replace($acc, concat(' ', coalesce(m${r}_$j, '~~none~~'), ' '), " +
+            s"concat(' ', replace(coalesce(m${r}_$j, '~~none~~'), ' ', '_'), ' '))"
+      }
+      cur = cur.crossJoin(broadcast(topk))
+        .withColumn("text_next", expr(s"trim($rewritten)"))
+        .drop("text").withColumnRenamed("text_next", "text")
+        .localCheckpoint()
+    }
+    cur
+  }
+
+  /** SQL twin of one [[bpeTrainTopK]] round: learn the top-K ranked
+    * pairs of `prev` as one MATERIALIZED 1-row CTE, apply them in rank
+    * order via a nested replace chain. */
+  private def bpeTopkRoundSql(r: Int, prev: String, k: Int,
+      priorRounds: Int): String = {
+    val mcols = (1 to k).map(j =>
+      s"max(CASE WHEN rk = $j THEN pair END) AS m${r}_$j").mkString(",\n          ")
+    val carried = (1 to priorRounds)
+      .flatMap(i => (1 to k).map(j => s"m${i}_$j, ")).mkString
+    val rewritten = (1 to k).foldLeft("' ' || text || ' '") { (acc, j) =>
+      s"replace($acc, ' ' || coalesce(m${r}_$j, '~~none~~') || ' ', " +
+        s"' ' || replace(coalesce(m${r}_$j, '~~none~~'), ' ', '_') || ' ')"
+    }
+    s"""p$r AS MATERIALIZED (
+        SELECT $mcols
+        FROM (
+          SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+          FROM (
+            SELECT l[i] || ' ' || l[i + 1] AS pair, count(*) AS cnt
+            FROM (SELECT string_split(text, ' ') AS l FROM $prev) t$r,
+                 unnest(generate_series(1, cast(len(l) as int) - 1)) AS u(i)
+            GROUP BY 1) c$r) rt$r
+        WHERE rk <= $k),
+      r$r AS MATERIALIZED (
+        SELECT doc_id, source, tb, $carried ${(1 to k).map(j => s"m${r}_$j").mkString(", ")},
+               trim($rewritten) AS text
+        FROM $prev CROSS JOIN p$r)"""
+  }
+
+  /** Declared top-K BPE trainer: 4 rounds × top-4 merges = a 16-entry
+    * ordered vocabulary from 4 recount passes, rolled up per source like
+    * [[qBpeTrain]], with each round's merge list concatenated
+    * ('|'-joined in rank order; nulls drop out of concat_ws identically
+    * in both engines). Non-vacuous by construction — round 1 rank 1
+    * occurs ≥ its learned count, so merged_occ > 0. */
+  val qBpeTrainTopk: GQuery = {
+    val rounds = 4
+    val k = 4
+    GQuery(
+      "q_bpe_train_topk",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables.documents(spark, dir)
+          .select($"doc_id", $"source", $"text")
+        val trained = bpeTrainTopK(docs, rounds, k)
+        val vcols = (1 to rounds).map(r => concat_ws("|",
+          (1 to k).map(j => col(s"m${r}_$j")): _*).as(s"v$r"))
+        trained
+          .select(Seq(col("source"), col("tb"), col("text")) ++ vcols: _*)
+          .groupBy($"source", $"v1", $"v2", $"v3", $"v4")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"tb").as("tok_before"),
+            sum(size(split($"text", " ")).cast("long")).as("tok_after"))
+          .select($"source", $"v1", $"v2", $"v3", $"v4",
+            $"n_docs", $"tok_before", $"tok_after",
+            ($"tok_before" - $"tok_after").as("merged_occ"),
+            r6(($"tok_before" - $"tok_after").cast("double") /
+              $"tok_before".cast("double")).as("merge_rate"))
+          .orderBy($"source")
+      },
+      Some {
+        val vdefs = (1 to rounds).map(r => "concat_ws('|', " +
+          (1 to k).map(j => s"m${r}_$j").mkString(", ") + s") AS v$r")
+          .mkString(",\n             ")
+        s"""
+      WITH r0 AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               cast(len(string_split(text, ' ')) as bigint) AS tb
+        FROM documents),
+      ${(1 to rounds).map(r =>
+          bpeTopkRoundSql(r, s"r${r - 1}", k, r - 1)).mkString(",\n      ")}
+      , vz AS (
+        SELECT source, tb, text,
+             $vdefs
+        FROM r$rounds)
+      SELECT source, v1, v2, v3, v4,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(tb) as bigint) AS tok_before,
+             cast(sum(len(string_split(text, ' '))) as bigint) AS tok_after,
+             cast(sum(tb) - sum(len(string_split(text, ' '))) as bigint)
+               AS merged_occ,
+             ${r6Sql("cast(sum(tb) - sum(len(string_split(text, ' '))) " +
+                 "as double) / cast(sum(tb) as double)")} AS merge_rate
+      FROM vz
+      GROUP BY source, v1, v2, v3, v4
+      ORDER BY source"""
+      },
+    )
+  }
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
     qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats, qEmbedDrift,
-    qTokenFertility, qBigramPpl, qBpeMerge, qBpeTrain)
+    qTokenFertility, qBigramPpl, qBpeMerge, qBpeTrain, qBpeTrainTopk)
 }

@@ -331,5 +331,99 @@ object SearchOps {
       FROM agg"""),
   )
 
-  val all: Seq[GQuery] = Seq(qPhraseSearch, qKlDrift, qMapAtK, qJsDrift)
+  /** BUCKETED-index phrase search over the ×10 corpus — the measured
+    * form of [[qPhraseSearch]]'s 100 TB claim ("the same index is a
+    * bucketed table keyed by token and the phrase join is posting-list
+    * fetches"; r14 verdict item 4 flagged the claim as untested). The
+    * (doc_id, pos, tok) index is materialized ONCE per corpus as a
+    * 16-bucket lake table on doc_id (Lake.ensurePositionalIndex — the
+    * write is the one-time layout decision; every probe after it reads
+    * the layout for free), and everything downstream exploits the
+    * bucketing: the searched phrase is derived from the index itself
+    * (per-doc lead window — no second corpus scan, partition key =
+    * bucket key so no Exchange), each phrase word's POSTING LIST is cut
+    * out first (broadcast 1-row phrase onto the index — broadcast joins
+    * preserve the streamed side's bucket partitioning), and the
+    * adjacency joins then key on doc_id ALONE — exactly the bucket
+    * column, so co-partitioning holds under Spark's default
+    * requireAllClusterKeysForCoPartition and neither side exchanges.
+    * The position adjacency rides the join condition as a both-sides
+    * conjunct (pos2 − pos = 1), which Catalyst cannot lift into the
+    * join keys — lifting it was what forced a full-triple repartition
+    * of every leg in the first cut of this query. The final per-doc
+    * occurrence count groups on the bucket key (again exchange-free).
+    * The ONLY shuffle left moves post-aggregation gram counts — at
+    * 100 TB that is the |vocabulary| table, not the corpus. A
+    * (doc, pos) pair matches at most one (doc, pos+1) row — positions
+    * are unique per doc — so join multiplicities equal the original
+    * three-way tok-keyed form's. PlanSpec pins the no-Exchange shape;
+    * the phrase itself lands on the k = 0 xdocs slice (replica-suffixed
+    * tokens tie on count, '…0' wins lexicographically), so the probe
+    * touches 1/10th of the index — the sub-linear access pattern a
+    * posting-list layout exists for. */
+  val qPhraseSearchXl: GQuery = GQuery(
+    "q_phrase_search_xl",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.sources.Lake.ensurePositionalIndex(spark, dir,
+        ScaleOps.xdocs(Tables.documents(spark, dir)
+            .select($"doc_id", $"text"), 10)
+          .select($"doc_id",
+            posexplode(split($"text", " ")).as(Seq("pos", "tok"))))
+      val idx = spark.table("graft_idx_bucketed")
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      // concat (not concat_ws) so a past-the-end lead nulls the gram out
+      // in BOTH engines (DuckDB || is null-propagating too)
+      val phrase = idx
+        .select(concat($"tok", lit(" "), lead($"tok", 1).over(wd),
+          lit(" "), lead($"tok", 2).over(wd)).as("gram"))
+        .filter($"gram".isNotNull)
+        .groupBy($"gram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"gram").limit(1)
+        .select(element_at(split($"gram", " "), 1).as("w1"),
+          element_at(split($"gram", " "), 2).as("w2"),
+          element_at(split($"gram", " "), 3).as("w3"))
+      val t1 = idx.join(broadcast(phrase.select($"w1")), $"tok" === $"w1")
+        .select($"doc_id", $"pos")
+      val t2 = idx.join(broadcast(phrase.select($"w2")), $"tok" === $"w2")
+        .select($"doc_id".as("doc_id2"), $"pos".as("pos2"))
+      val t3 = idx.join(broadcast(phrase.select($"w3")), $"tok" === $"w3")
+        .select($"doc_id".as("doc_id3"), $"pos".as("pos3"))
+      t1
+        .join(t2, $"doc_id2" === $"doc_id" && $"pos2" - $"pos" === 1)
+        .join(t3, $"doc_id3" === $"doc_id" && $"pos3" - $"pos" === 2)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_occurrences"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH idx AS (
+        SELECT doc_id, pos, tok FROM ${graft.sources.Lake.posIdxOracle}),
+      grams AS (
+        SELECT gram FROM (
+          SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                 lead(tok, 2) OVER w AS gram
+          FROM idx WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) g
+        WHERE gram IS NOT NULL),
+      top_gram AS (
+        SELECT gram, count(*) AS n FROM grams GROUP BY gram
+        ORDER BY n DESC, gram LIMIT 1),
+      phrase AS (
+        SELECT string_split(gram, ' ')[1] AS w1,
+               string_split(gram, ' ')[2] AS w2,
+               string_split(gram, ' ')[3] AS w3
+        FROM top_gram)
+      SELECT t1.doc_id AS doc_id,
+             cast(count(*) as int) AS n_occurrences
+      FROM idx t1
+      JOIN phrase ON t1.tok = w1
+      JOIN idx t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                 AND t2.tok = w2
+      JOIN idx t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+                 AND t3.tok = w3
+      GROUP BY t1.doc_id ORDER BY doc_id"""),
+  )
+
+  val all: Seq[GQuery] =
+    Seq(qPhraseSearch, qKlDrift, qMapAtK, qJsDrift, qPhraseSearchXl)
 }

@@ -306,10 +306,10 @@ object StatOps {
     * count is computed identically by both engines either way, so the
     * oracle match does not depend on convergence. Output: one row per
     * component (min vertex id as the label) with its size. */
-  val qConncomp: GQuery = {
+  private def mkConncomp(name: String, expand: Int): GQuery = {
     val iters = 8
     GQuery(
-      "q_conncomp",
+      name,
       (spark, dir) => {
         import spark.implicits._
         val lp = Tables.lineitem(spark, dir)
@@ -324,12 +324,23 @@ object StatOps {
         val k4 = Seq(9000001L, 9000002L, 9000003L, 9000004L)
         val planted = k4.combinations(2).map { case Seq(x, y) => (x, y) }
           .toSeq.toDF("pa", "pb")
+        // ×expand replication (the xdocs explode-of-sequence idiom, no
+        // cross join): k disjoint copies with both endpoints shifted by
+        // k·10,000,000 — clear of the 9,000,00x planted clique — so each
+        // of the 8 label-propagation iterations joins 10× the edges.
+        val und0 = organic.unionByName(planted)
+        val undX =
+          if (expand <= 1) und0
+          else und0.select($"pa", $"pb",
+              explode(expr(s"sequence(0, ${expand - 1})")).as("k"))
+            .select(($"pa" + $"k".cast("long") * lit(10000000L)).as("pa"),
+              ($"pb" + $"k".cast("long") * lit(10000000L)).as("pb"))
         // Checkpoint the UNDIRECTED edge list itself, not a derivative:
         // both the expanded edge list AND l0's vertex set hang off `und`,
         // so checkpointing only `e` left l0 re-evaluating the lineitem
         // self-join a second time inside the final 8-join query
         // (measured ~1s of the 4s warm runtime at sf0.1).
-        val und = organic.unionByName(planted).localCheckpoint()
+        val und = undX.localCheckpoint()
         val vs = und.select($"pa".as("v"))
           .unionByName(und.select($"pb".as("v"))).distinct()
         // undirected edges + self-loops: min over in-neighbors ∪ self
@@ -370,8 +381,14 @@ object StatOps {
           FROM (VALUES (9000001, 9000002), (9000001, 9000003),
                        (9000001, 9000004), (9000002, 9000003),
                        (9000002, 9000004), (9000003, 9000004)) v(pa, pb)),
-        und AS (SELECT pa, pb FROM organic
+        und0 AS (SELECT pa, pb FROM organic
                 UNION ALL SELECT pa, pb FROM planted),
+        und AS (${
+          if (expand <= 1) "SELECT pa, pb FROM und0"
+          else
+            s"""SELECT pa + k * 10000000 AS pa, pb + k * 10000000 AS pb
+          FROM und0, unnest(generate_series(0, ${expand - 1})) AS xk(k)"""
+        }),
         vs AS (SELECT DISTINCT v FROM (
                  SELECT pa AS v FROM und UNION ALL SELECT pb FROM und) u),
         e AS MATERIALIZED (
@@ -386,6 +403,14 @@ object StatOps {
       },
     )
   }
+
+  val qConncomp: GQuery = mkConncomp("q_conncomp", 1)
+
+  /** ×10 scaling twin: 10 disjoint id-shifted copies of the edge list,
+    * so each of the 8 min-label-propagation iterations joins and
+    * re-aggregates 10× the edges — a measured scale point for the
+    * iterative graph family (r14 verdict item 2). */
+  val qConncompXxl: GQuery = mkConncomp("q_conncomp_xxl", 10)
 
   /** Mutual information between event type and weekday — the dependence
     * detector between two categoricals (0 nats = independent). The
@@ -1340,5 +1365,5 @@ object StatOps {
     qKsTest, qWinsorize, qDiversity, qZipf, qTriangles,
     qConncomp, qMutualInfo, qBenford, qRunsTest, qUserOverlap, qPsi,
     qClusteringCoef, qPoissonFit, qCaptureRecapture, qGrubbs,
-    qMahalanobis, qCvmExp, qTheilU, qEmPoisson2)
+    qMahalanobis, qCvmExp, qTheilU, qEmPoisson2, qConncompXxl)
 }

@@ -159,13 +159,29 @@ object Windows {
 
   /** Batch twin of session windows: gaps-and-islands sessionization
     * (lag → gap flag → cumulative session id → per-session agg).
-    * 30-minute inactivity gap. */
-  val qSessionize: GQuery = GQuery(
-    "q_sessionize",
+    * 30-minute inactivity gap.
+    *
+    * The maker takes an `expand` replica count (the xdocs
+    * explode-of-sequence idiom) for the ×10 events scaling twin (r14
+    * verdict item 6: the windows/sessionization family had no scale
+    * point): each replica shifts user_id by k·10,000,000, so replicas
+    * are disjoint window partitions and the lag + cumulative-sum +
+    * per-session aggregate chain moves 10× the rows through the ONE
+    * user-keyed shuffle the plan has. */
+  private def mkSessionize(name: String, expand: Int): GQuery = GQuery(
+    name,
     (spark, dir) => {
       import spark.implicits._
+      val ev0 = Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"ts")
+      val ev =
+        if (expand <= 1) ev0
+        else ev0.select($"user_id", $"event_id", $"ts",
+            explode(expr(s"sequence(0, ${expand - 1})")).as("k"))
+          .select(($"user_id" + $"k".cast("long") * lit(10000000L))
+            .as("user_id"), $"event_id", $"ts")
       val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      Tables.events(spark, dir)
+      ev
         .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
         .withColumn("new_session",
           when($"prev_ts".isNull ||
@@ -181,7 +197,13 @@ object Windows {
           max($"ts").as("session_end"))
         .orderBy($"user_id", $"session_id")
     },
-    Some("""
+    Some(s"""
+      WITH ev AS (${
+        if (expand <= 1) "SELECT user_id, event_id, ts FROM events"
+        else
+          s"""SELECT user_id + k * 10000000 AS user_id, event_id, ts
+        FROM events, unnest(generate_series(0, ${expand - 1})) AS xk(k)"""
+      })
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end
       FROM (
@@ -199,10 +221,18 @@ object Windows {
               lag(date_trunc('second', ts), 1) OVER (
                 PARTITION BY user_id
                 ORDER BY date_trunc('second', ts), event_id) AS prev_ts
-            FROM events) a) b) c
+            FROM ev) a) b) c
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""),
   )
+
+  val qSessionize: GQuery = mkSessionize("q_sessionize", 1)
+
+  /** ×10 scaling twin: 10 disjoint user-shifted replicas of the events
+    * table, so the sessionization window chain and per-session rollup
+    * process 10× the rows — the events-family scale point (r14 verdict
+    * item 6). */
+  val qSessionizeXxl: GQuery = mkSessionize("q_sessionize_xxl", 10)
 
   /** Relational instance of gapply (B.9): per-user demeaning as a window
     * expression — the SQL-expressible twin of groupByKey.flatMapGroups. */
@@ -1040,5 +1070,6 @@ object Windows {
     qWinRank, qWinAnalytic, qWinFrame, qWinRange, qTopkGroup,
     qWinTumble, qSessionize, qGapplyAgg, qDedupLatest, qWinSession,
     qWinSlide, qGapfill, qZscore, qEwma, qWinPctRank, qLocf, qFillLinear,
-    qSeasonal, qAnomaly, qWinNtile, qSeasonStrength, qOhlc, qRollingPctl)
+    qSeasonal, qAnomaly, qWinNtile, qSeasonStrength, qOhlc, qRollingPctl,
+    qSessionizeXxl)
 }

@@ -182,6 +182,32 @@ object Lake {
     }
   }
 
+  val posIdxPath: String = s"$root/pos_index"
+  val posIdxOracle: String = s"read_parquet('$posIdxPath/*.parquet')"
+
+  /** Bucketed positional inverted index (doc_id, pos, tok): 16 buckets
+    * on doc_id, sorted (doc_id, pos) — the lake layout under which the
+    * phrase-search self-joins (keys include doc_id), the per-doc gram
+    * window, and the final per-doc count all plan WITHOUT an Exchange
+    * over index rows, turning SearchOps' "at 100 TB the index is a
+    * bucketed table" doc-comment claim into a measured property
+    * (q_phrase_search_xl; r14 verdict item 4). The index DataFrame is
+    * passed in by-name because the ×10 corpus expansion lives in the
+    * operators package; same catalog-staleness and CTAS-clearing rules
+    * as [[ensureBucketedFacts]]. */
+  def ensurePositionalIndex(spark: SparkSession, dir: String,
+      df: => org.apache.spark.sql.DataFrame): Unit = {
+    val stale = !spark.catalog.tableExists("graft_idx_bucketed")
+    if (stale) written.retain(p => !p.endsWith(s"-> $posIdxPath"))
+    ensure(dir, posIdxPath) {
+      spark.sql("DROP TABLE IF EXISTS graft_idx_bucketed")
+      clearDir(spark, posIdxPath)
+      df.write.bucketBy(16, "doc_id").sortBy("doc_id", "pos")
+        .option("path", posIdxPath)
+        .saveAsTable("graft_idx_bucketed")
+    }
+  }
+
   val mediaPath: String = s"$root/media"
   val mediaOracle: String = s"read_parquet('$mediaPath/*.parquet')"
 

@@ -155,7 +155,12 @@ object ExplainAll {
     // multi-round BPE trainer, and one exact-verify x10 twin (the
     // er_match/containment _xxl plans match their declared siblings)
     "q_neardup_simhash64", "q_neardup_simhash64_xl", "q_bpe_train",
-    "q_jaccard_prefix_xxl")
+    "q_jaccard_prefix_xxl",
+    // round 15: bucketed positional-index phrase search (exchange-free
+    // over index rows), top-K-per-round BPE, and the iterative-graph /
+    // events x10 scaling twins (pagerank shown; conncomp/lpa/sessionize
+    // twins match their declared siblings' shapes over 10x edges)
+    "q_phrase_search_xl", "q_bpe_train_topk", "q_pagerank_xxl")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")

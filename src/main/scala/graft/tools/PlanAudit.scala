@@ -20,7 +20,7 @@ object PlanAudit {
     "q_chi2", "q_null_profile", "q_lm_score", "q_sample", "q_outlier",
     "q_tfidf", "q_bm25", "q_keywords", "q_multimodal", "q_fk_audit",
     "q_skew_profile", "q_copurchase", "q_join_q22", "q_join_q11",
-    "q_pagerank",
+    "q_pagerank", "q_pagerank_xxl", // same 1-row |V| broadcast as parent
     // scalar/uncorrelated subquery rewrites (1-row broadcast by definition)
     "q_subquery", "q_corr_scalar",
     // bounded generated spines (per-user day ranges, constant width)

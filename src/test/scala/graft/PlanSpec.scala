@@ -153,6 +153,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
   }
 
+  test("q_phrase_search_xl never exchanges index rows (bucketed layout)") {
+    // every index consumer keys on the bucket column doc_id: the gram
+    // window, both adjacency self-joins, and the final per-doc count
+    // must all read the bucket layout — no hash repartition on doc_id
+    // anywhere in the plan. The only Exchange allowed moves gram counts
+    // (post-aggregation vocabulary rows, not corpus rows). At sf0.001
+    // the self-joins auto-broadcast (tiny index), so ALSO pin the
+    // at-scale shape with broadcast off: bucketed SortMergeJoin, still
+    // with zero doc_id exchanges.
+    val plan = physicalPlan("q_phrase_search_xl")
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"), plan)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = physicalPlan("q_phrase_search_xl")
+      assert(p2.contains("SortMergeJoin"), p2)
+      assert(!p2.contains("Exchange hashpartitioning(doc_id"), p2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_outlier broadcasts the per-group fence table onto the fact") {
     val plan = physicalPlan("q_outlier")
     assert(plan.contains("BroadcastHashJoin"), plan)
