@@ -1436,10 +1436,614 @@ object LlmOps {
     )
   }
 
+  /** PCA TOP COMPONENT of the embedding table by POWER ITERATION — the
+    * dimensionality screen (which direction carries the corpus's
+    * variance, and how much) expressed as pure relational algebra, fully
+    * oracle-checked. Three stages, each the scale-honest shape:
+    *
+    * 1. COVARIANCE as outer-product aggregation: explode embeddings to
+    *    (vec_id, i, x) rows, self-equi-join on vec_id, ONE combinable
+    *    groupBy over (i, j) — 64×64 = 4,096 cells no matter how many
+    *    vectors; the shuffle carries dim²-keyed partial sums, never a
+    *    gram matrix per executor. Centering happens in the moment
+    *    formula ((P − SᵢSⱼ/n)/n), so rows are never re-read or
+    *    re-centered. This is the covariance pass a 100 TB embedding
+    *    store runs (at that scale the explode feeds from the columnar
+    *    vector file directly).
+    * 2. POWER ITERATION (8 fixed rounds, the q_markov template): each
+    *    round is one equi-join of the 4,096-cell matrix with the 64-row
+    *    vector + one groupBy, then an unpartitioned-window L2 normalize
+    *    over 64 rows — constant-size per round; the matrix is
+    *    localCheckpoint'd once for its 8 consumers. A fixed round count
+    *    is computed identically by both engines (the q_conncomp rule).
+    * 3. Eigenvalue = the last pre-normalization norm ‖Cv‖ (v is unit).
+    *
+    * Cross-engine float determinism: every staged term (x products,
+    * c·v products, w²) is IEEE double of magnitude ≪ 4.5e3, so the
+    * decimal(30,12) casts round identically in both engines (the r8
+    * staging-magnitude bound); all sums accumulate in exact decimal
+    * (shuffle-order-free); v₀ = 0.125 exactly (dyadic); per-round v is
+    * rN(·,12)-clipped so drift cannot build across 8 rounds. The
+    * component's SIGN is a pure function of v₀ and the data — both
+    * engines compute the identical sequence.
+    *
+    * PLANT (the embeddings-are-noise house rule): the organic vectors'
+    * spectrum is flat (top two eigenvalues 0.0209/0.0206 at sf0.1 —
+    * measured; no iteration count converges that), so 200 ±d vectors
+    * along the fixed dyadic direction dᵢ = (i mod 4) − 1.5 are unioned
+    * in at vec_id ≥ 10⁶. Signs alternate, so the planted mass is
+    * mean-zero and contributes variance ~7.3 along d — a dominant,
+    * well-separated component the 8 rounds provably recover
+    * (Round15Spec pins |cos(v, d)| > 0.999 and the eigenvalue scale);
+    * every value is an exact dyadic, identical in both engines. */
+  private def mkPcaPower(name: String, expand: Int, plantN: Int): GQuery = {
+    val iters = 8
+    val dim = 64
+    GQuery(
+      name,
+      (spark, dir) => {
+        import spark.implicits._
+        val planted = spark.range(plantN.toLong)
+          .select(($"id" + 1000000L).as("vec_id"),
+            expr("transform(sequence(1, 64), i -> " +
+              "(case when id % 2 = 0 then 1.0d else -1.0d end) * " +
+              "(cast(i % 4 as double) - 1.5d))").as("embedding"))
+        // ×N twin mechanism: the ScaleOps.xvecs replica generator (id
+        // shifted k·100000 < the 10⁶ plant floor; +k·0.001 per coordinate
+        // so replicas aren't exact duplicates), and the plant count
+        // scales WITH the corpus so the planted eigenvalue stays at the
+        // same magnitude (λ ≈ plantN/n · 80) across twins.
+        val emb = ScaleOps.xvecs(
+            Tables.embeddings(spark, dir).select($"vec_id", $"embedding"),
+            expand)
+          .unionByName(planted)
+        // Repartition ON vec_id before the explode + checkpoint: (a) the
+        // single-row-group fixture parquet would otherwise run the whole
+        // explode on one core (r13 gotcha), and (b) the checkpointed
+        // LogicalRDD keeps HashPartitioning(vec_id), so BOTH sides of
+        // the covariance self-join read co-partitioned data — the 9M-row
+        // pair expansion happens with no exchange under it (measured
+        // 11.0 → ~3 s at sf0.1).
+        val x = emb
+          .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+          .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
+            $"xf".cast("double").as("x"))
+          .localCheckpoint() // consumed 3x: first moments + both join sides
+        val nRow = emb.agg(count(lit(1)).cast("double").as("nn"))
+        val s = x.groupBy($"i")
+          .agg(sum($"x".cast("decimal(30,12)")).cast("double").as("s"))
+        val p = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
+          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+          .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,12)"))
+            .cast("double").as("p"))
+        val c = p
+          .join(s.select($"i", $"s".as("si")), "i")
+          .join(s.select($"i".as("j"), $"s".as("sj")), "j")
+          .crossJoin(broadcast(nRow))
+          .select($"i", $"j",
+            rN(($"p" - $"si" * $"sj" / $"nn") / $"nn", 12).as("c"))
+          .localCheckpoint() // 4,096 cells, 8 iteration consumers
+        var v = spark.range(dim)
+          .select(($"id" + 1).cast("int").as("j"), lit(0.125).as("v"))
+        val wAll = Window.partitionBy()
+        for (_ <- 1 to iters) {
+          val w = c.join(v.select($"j", $"v"), "j")
+            .groupBy($"i")
+            .agg(sum(rN($"c" * $"v", 12).cast("decimal(30,12)"))
+              .cast("double").as("w"))
+          v = w
+            .select($"i", $"w",
+              sqrt(sum(rN($"w" * $"w", 12).cast("decimal(30,12)"))
+                .over(wAll).cast("double")).as("nrm"))
+            .select($"i".as("j"), rN($"w" / $"nrm", 12).as("v"), $"nrm")
+        }
+        v.select($"j".cast("int").as("dim"), r6($"v").as("loading"),
+            r6($"nrm").as("eigenvalue"))
+          .orderBy($"dim")
+      },
+      Some {
+        val steps = (1 to iters).map { k =>
+          s"""w$k AS MATERIALIZED (
+             |  SELECT c.i AS i,
+             |         cast(sum(cast(${rNSql("c.c * v.v", 12)}
+             |           as decimal(30,12))) as double) AS w
+             |  FROM c JOIN v${k - 1} v ON c.j = v.j
+             |  GROUP BY c.i),
+             |v$k AS MATERIALIZED (
+             |  SELECT i AS j, ${rNSql("w / nrm", 12)} AS v, nrm
+             |  FROM (SELECT i, w,
+             |          sqrt(cast(sum(cast(${rNSql("w * w", 12)}
+             |            as decimal(30,12))) OVER () as double)) AS nrm
+             |        FROM w$k) t$k)""".stripMargin
+        }.mkString(",\n      ")
+        s"""
+      WITH planted AS (
+        SELECT 1000000 + k AS vec_id,
+               list_transform(generate_series(1, 64), i ->
+                 (CASE WHEN k % 2 = 0 THEN cast(1.0 as double)
+                       ELSE cast(-1.0 as double) END) *
+                 (cast(i % 4 as double) - cast(1.5 as double)))
+                 AS embedding
+        FROM unnest(generate_series(0, ${plantN - 1})) AS xk(k)),
+      emb AS (
+        SELECT vec_id, list_transform(embedding, e -> cast(e as double))
+                 AS embedding FROM (${ScaleOps.xvecsSql(1000000L, expand)}) xbase
+        UNION ALL SELECT vec_id, embedding FROM planted),
+      x AS MATERIALIZED (
+        SELECT vec_id,
+               cast(unnest(generate_series(1, len(embedding))) as int) AS i,
+               unnest(embedding) AS x
+        FROM emb),
+      nn AS (SELECT cast(count(*) as double) AS nn FROM emb),
+      s AS MATERIALIZED (
+        SELECT i, cast(sum(cast(x as decimal(30,12))) as double) AS s
+        FROM x GROUP BY i),
+      p AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               cast(sum(cast(a.x * b.x as decimal(30,12))) as double) AS p
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+      c AS MATERIALIZED (
+        SELECT p.i, p.j,
+               ${rNSql("(p - si.s * sj.s / (SELECT nn FROM nn)) / " +
+                 "(SELECT nn FROM nn)", 12)} AS c
+        FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j),
+      v0 AS (SELECT cast(unnest(generate_series(1, $dim)) as int) AS j,
+                    cast(0.125 as double) AS v),
+      $steps
+      SELECT cast(j as int) AS dim, ${r6Sql("v")} AS loading,
+             ${r6Sql("nrm")} AS eigenvalue
+      FROM v$iters ORDER BY dim"""
+      },
+    )
+  }
+
+  val qPcaPower: GQuery = mkPcaPower("q_pca_power", 1, 200)
+
+  /** ×4 scale twin: the covariance pass is the only corpus-proportional
+    * stage (pair rows = n·dim², 36M at sf0.1×4 vs 9M declared); the
+    * iteration cost is dim-bound and identical. plantN scales with the
+    * corpus so the recovered eigenvalue stays ~22.9 — same signal, 4×
+    * the data. */
+  val qPcaPowerXl: GQuery = mkPcaPower("q_pca_power_xl", 4, 800)
+
+  /** TOP-2 PRINCIPAL COMPONENTS: power iteration + Hotelling DEFLATION,
+    * fully oracle-checked — the multi-component extension of
+    * [[mkPcaPower]]. Same covariance pass (4,096 cells regardless of
+    * corpus size), then 8 power rounds → (v₁, λ₁), then one relational
+    * deflation C₂ = C − λ₁·v₁v₁ᵀ (two 64-row broadcast joins onto the
+    * 4,096-cell matrix — constant-size, corpus-independent), then 8 more
+    * rounds on C₂ → (v₂, λ₂). Every deflation term |λ₁·v₁ᵢ·v₁ⱼ| ≤ λ₁ ≪
+    * 2³³ keeps the rN(·,12) staging contract; v₁ is localCheckpoint'd
+    * (3 consumers: both deflation sides + output).
+    *
+    * PLANT: two orthogonal dyadic families (the flat organic spectrum
+    * cannot converge either component): 200 ±d₁ (d₁ᵢ = (i mod 4) − 1.5,
+    * the [[qPcaPower]] direction) at vec_id ≥ 10⁶ and 100 ±d₂ (d₂ = 1⃗,
+    * ‖d₂‖² = 64; d₁·d₂ = 0 per 4-cycle) at vec_id ≥ 2·10⁶ — spectrum
+    * λ₁ ≈ 20 vs λ₂ ≈ 8 at sf0.001, a 2.5× gap so 8 rounds converge both
+    * (Round15Spec pins |cos| to each direction and both eigenvalue
+    * scales). */
+  val qPcaTop2: GQuery = {
+    val iters = 8
+    val dim = 64
+    GQuery(
+      "q_pca_top2",
+      (spark, dir) => {
+        import spark.implicits._
+        val planted1 = spark.range(200)
+          .select(($"id" + 1000000L).as("vec_id"),
+            expr("transform(sequence(1, 64), i -> " +
+              "(case when id % 2 = 0 then 1.0d else -1.0d end) * " +
+              "(cast(i % 4 as double) - 1.5d))").as("embedding"))
+        val planted2 = spark.range(100)
+          .select(($"id" + 2000000L).as("vec_id"),
+            expr("transform(sequence(1, 64), i -> " +
+              "(case when id % 2 = 0 then 1.0d else -1.0d end))")
+              .as("embedding"))
+        val emb = Tables.embeddings(spark, dir)
+          .select($"vec_id", $"embedding")
+          .unionByName(planted1).unionByName(planted2)
+        val x = emb
+          .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+          .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
+            $"xf".cast("double").as("x"))
+          .localCheckpoint()
+        val nRow = emb.agg(count(lit(1)).cast("double").as("nn"))
+        val s = x.groupBy($"i")
+          .agg(sum($"x".cast("decimal(30,12)")).cast("double").as("s"))
+        val p = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
+          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+          .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,12)"))
+            .cast("double").as("p"))
+        val c = p
+          .join(s.select($"i", $"s".as("si")), "i")
+          .join(s.select($"i".as("j"), $"s".as("sj")), "j")
+          .crossJoin(broadcast(nRow))
+          .select($"i", $"j",
+            rN(($"p" - $"si" * $"sj" / $"nn") / $"nn", 12).as("c"))
+          .localCheckpoint() // 4,096 cells; 8 consumers + deflation
+        val wAll = Window.partitionBy()
+        def powerIter(cm: DataFrame): DataFrame = {
+          // v₀ must overlap BOTH planted directions: the uniform 0.125
+          // start is exactly d₂ and exactly ⊥ d₁ (Σd₁ᵢ = 0), which
+          // would stall component 1 on the organic leak alone (measured
+          // cos(v₁,d₁) = 0.06 after 8 rounds). The parity-staggered
+          // dyadic (0.0625/0.125 alternating) has overlap −1.0 with d₁
+          // and 6.0 with d₂ — the λ₁/λ₂ = 2.5 per-round ratio then
+          // converges v₁ → d₁ in 8 rounds (Round15Spec pins it).
+          var v = spark.range(dim)
+            .select(($"id" + 1).cast("int").as("j"),
+              expr("cast(0.0625 as double) * " +
+                "cast(1 + (id + 1) % 2 as double)").as("v"))
+          for (_ <- 1 to iters) {
+            val w = cm.join(v.select($"j", $"v"), "j")
+              .groupBy($"i")
+              .agg(sum(rN($"c" * $"v", 12).cast("decimal(30,12)"))
+                .cast("double").as("w"))
+            v = w
+              .select($"i", $"w",
+                sqrt(sum(rN($"w" * $"w", 12).cast("decimal(30,12)"))
+                  .over(wAll).cast("double")).as("nrm"))
+              .select($"i".as("j"), rN($"w" / $"nrm", 12).as("v"), $"nrm")
+          }
+          v
+        }
+        val v1 = powerIter(c).localCheckpoint() // 64 rows, 3 consumers
+        val c2 = c
+          .join(broadcast(v1.select($"j".as("i"), $"v".as("vi"),
+            $"nrm".as("l1"))), "i")
+          .join(broadcast(v1.select($"j", $"v".as("vj"))), "j")
+          .select($"i", $"j", rN($"c" - $"l1" * $"vi" * $"vj", 12).as("c"))
+          .localCheckpoint() // deflated matrix; 8 consumers
+        val v2 = powerIter(c2)
+        def shape(v: DataFrame, comp: Int): DataFrame =
+          v.select(lit(comp).as("component"), $"j".cast("int").as("dim"),
+            r6($"v").as("loading"), r6($"nrm").as("eigenvalue"))
+        shape(v1, 1).unionByName(shape(v2, 2))
+          .orderBy($"component", $"dim")
+      },
+      Some {
+        def steps(mat: String, sfx: String): String =
+          (1 to iters).map { k =>
+            s"""w$k$sfx AS MATERIALIZED (
+               |  SELECT c.i AS i,
+               |         cast(sum(cast(${rNSql("c.c * v.v", 12)}
+               |           as decimal(30,12))) as double) AS w
+               |  FROM $mat c JOIN v${k - 1}$sfx v ON c.j = v.j
+               |  GROUP BY c.i),
+               |v$k$sfx AS MATERIALIZED (
+               |  SELECT i AS j, ${rNSql("w / nrm", 12)} AS v, nrm
+               |  FROM (SELECT i, w,
+               |          sqrt(cast(sum(cast(${rNSql("w * w", 12)}
+               |            as decimal(30,12))) OVER () as double)) AS nrm
+               |        FROM w$k$sfx) t$k$sfx)""".stripMargin
+          }.mkString(",\n      ")
+        val v0 = s"""SELECT j, cast(0.0625 as double) *
+                       cast(1 + j % 2 as double) AS v
+                     FROM (SELECT cast(unnest(generate_series(1, $dim))
+                       as int) AS j) vj"""
+        s"""
+      WITH planted1 AS (
+        SELECT 1000000 + k AS vec_id,
+               list_transform(generate_series(1, 64), i ->
+                 (CASE WHEN k % 2 = 0 THEN cast(1.0 as double)
+                       ELSE cast(-1.0 as double) END) *
+                 (cast(i % 4 as double) - cast(1.5 as double)))
+                 AS embedding
+        FROM unnest(generate_series(0, 199)) AS xk(k)),
+      planted2 AS (
+        SELECT 2000000 + k AS vec_id,
+               list_transform(generate_series(1, 64), i ->
+                 CASE WHEN k % 2 = 0 THEN cast(1.0 as double)
+                      ELSE cast(-1.0 as double) END) AS embedding
+        FROM unnest(generate_series(0, 99)) AS xk(k)),
+      emb AS (
+        SELECT vec_id, list_transform(embedding, e -> cast(e as double))
+                 AS embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM planted1
+        UNION ALL SELECT vec_id, embedding FROM planted2),
+      x AS MATERIALIZED (
+        SELECT vec_id,
+               cast(unnest(generate_series(1, len(embedding))) as int) AS i,
+               unnest(embedding) AS x
+        FROM emb),
+      nn AS (SELECT cast(count(*) as double) AS nn FROM emb),
+      s AS MATERIALIZED (
+        SELECT i, cast(sum(cast(x as decimal(30,12))) as double) AS s
+        FROM x GROUP BY i),
+      p AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               cast(sum(cast(a.x * b.x as decimal(30,12))) as double) AS p
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+      c AS MATERIALIZED (
+        SELECT p.i, p.j,
+               ${rNSql("(p - si.s * sj.s / (SELECT nn FROM nn)) / " +
+                 "(SELECT nn FROM nn)", 12)} AS c
+        FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j),
+      v0_1 AS ($v0),
+      ${steps("c", "_1")},
+      defl AS MATERIALIZED (
+        SELECT c.i, c.j,
+               ${rNSql("c.c - vi.nrm * vi.v * vj.v", 12)} AS c
+        FROM c JOIN v${iters}_1 vi ON vi.j = c.i
+               JOIN v${iters}_1 vj ON vj.j = c.j),
+      v0_2 AS ($v0),
+      ${steps("defl", "_2")}
+      SELECT 1 AS component, cast(j as int) AS dim, ${r6Sql("v")}
+               AS loading, ${r6Sql("nrm")} AS eigenvalue
+      FROM v${iters}_1
+      UNION ALL
+      SELECT 2 AS component, cast(j as int) AS dim, ${r6Sql("v")}
+               AS loading, ${r6Sql("nrm")} AS eigenvalue
+      FROM v${iters}_2
+      ORDER BY component, dim"""
+      },
+    )
+  }
+
+  // ---------------------------------------------------------------------
+  // K-MEANS (Lloyd's algorithm) — the other half of the classical
+  // unsupervised pair next to qPcaPower, as pure relational algebra.
+
+  private val kmK = 4
+  private val kmRounds = 5
+  private val kmDim = 64
+
+  /** Shared Lloyd's-iteration core for q_kmeans_lloyd / q_silhouette —
+    * one definition so the two declared queries (and their oracles, built
+    * from [[kmeansOracleCtes]]) can never diverge on the iteration.
+    * Returns (exploded rows, final centroids, final assignment).
+    *
+    * Scale-honest shapes, per stage:
+    *  - ASSIGNMENT: one broadcast equi-join of the exploded (vec_id, i, x)
+    *    rows with the k·dim = 256-cell centroid table + one combinable
+    *    groupBy over (vec_id, g) — the shuffle carries k rows per vector,
+    *    never a pairwise matrix. Argmin is the keep-first survivorship
+    *    idiom (window min + equality filter + min(g) tiebreak), NOT a
+    *    struct min (cross-engine struct-comparison gotcha, r13).
+    *  - UPDATE: one combinable groupBy over (g, i) — 256 cells out no
+    *    matter the corpus size. This is the Lloyd pass a 100 TB embedding
+    *    store runs: centroids broadcast out, partial sums combine
+    *    map-side, nothing corpus-sized ever crosses the wire twice.
+    *  - Fixed round count (the q_conncomp rule: both engines compute the
+    *    identical sequence); the 256-row centroid table is
+    *    localCheckpoint'd per round (the q_lpa cadence) so plan depth
+    *    stays bounded; the exploded rows are checkpointed ONCE and
+    *    repartitioned on vec_id first (single-row-group fixture gotcha +
+    *    co-partitioned reuse across all 2·R consumers).
+    *
+    * Cross-engine float determinism (the qPcaPower contract): every
+    * staged term ((x−c)², x) is an IEEE double of magnitude < 25 ≪ 2³³ so
+    * decimal(30,12) casts round identically; sums accumulate in exact
+    * decimal (shuffle-order-free); centroid means are rN(·,12)-clipped per
+    * round so drift cannot build; the argmin equality filter compares
+    * doubles both engines computed identically, with min(g) breaking exact
+    * ties. Init centroids are exact dyadics (unit spikes on each residue
+    * class), so round 1 is deterministic too.
+    *
+    * PLANT (embeddings-are-noise house rule): 60 vectors per cluster
+    * g ∈ 0..3 at vec_id ≥ 10⁶, centered at 2·[(i−1) mod 4 = g] with a
+    * ±0.25 alternating-parity perturbation — inter-center distance²
+    * = 128 ≫ perturbation norm² = 4, so Lloyd provably separates them;
+    * every coordinate is an exact dyadic. Organic vectors join whichever
+    * centroid is nearest — deterministically, the same in both engines.
+    * Round15Spec pins centroid recovery and plant purity. */
+  private def kmeansCore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expand: Int): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    // plant count scales WITH the ×N corpus (the mkPcaPower rule) so the
+    // planted-cluster signal survives the organic dilution at every twin.
+    val planted = spark.range(60L * kmK * expand)
+      .select(($"id" + 1000000L).as("vec_id"),
+        // perturbation parity uses id div kmK, NOT id: cluster g's member
+        // ids are all ≡ g (mod kmK) hence share id-parity — an (id + i)
+        // parity term would give every member of a cluster the IDENTICAL
+        // vector (a degenerate single-point cluster; silhouette a = 0).
+        // div-kmK parity alternates within each cluster: 30 members at
+        // center + 0.25·t, 30 at center − 0.25·t, mean exactly center.
+        expr(s"transform(sequence(1, $kmDim), i -> " +
+          s"(case when (i - 1) % $kmK = id % $kmK then 2.0d else 0.0d end) + " +
+          s"0.25d * (case when ((id div $kmK) + i) % 2 = 0 " +
+          "then 1.0d else -1.0d end))")
+          .as("embedding"))
+    val emb = ScaleOps.xvecs(
+        Tables.embeddings(spark, dir).select($"vec_id", $"embedding"),
+        expand)
+      .unionByName(planted)
+    val x = emb
+      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
+      .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
+        $"xf".cast("double").as("x"))
+      .localCheckpoint() // consumed by every round's assignment + update
+    var cent = spark.range(kmK.toLong * kmDim).select(
+      expr(s"cast(id div $kmDim as int)").as("g"),
+      expr(s"cast(id % $kmDim + 1 as int)").as("i"),
+      expr(s"case when (id % $kmDim) % $kmK = id div $kmDim " +
+        "then 1.0d else 0.0d end").as("c"))
+    var asg: DataFrame = null
+    for (_ <- 1 to kmRounds) {
+      val d = x.join(broadcast(cent), "i")
+        .groupBy($"vec_id", $"g")
+        .agg(sum(rN(($"x" - $"c") * ($"x" - $"c"), 12)
+          .cast("decimal(30,12)")).cast("double").as("d"))
+      // argmin fused to ONE aggregation: min(struct(d, g)) orders by the
+      // exact-staged distance then by g — semantically identical to the
+      // oracle's window-min + equality filter + min(g) tiebreak (the
+      // lexicographic struct min IS "min d, ties by min g"), one shuffle
+      // and no window sort. Spark-internal only: the struct comparison
+      // never crosses engines (r13 gotcha), the oracle keeps the
+      // relational form. NOT min_by: its tie-break is arbitrary, and the
+      // symmetric plant geometry can produce exact distance ties.
+      asg = d.groupBy($"vec_id")
+        .agg(min(struct($"d", $"g")).getField("g").as("g"))
+      cent = x.join(asg, "vec_id")
+        .groupBy($"g", $"i")
+        .agg(rN(sum(rN($"x", 12).cast("decimal(30,12)")).cast("double")
+          / count(lit(1)), 12).as("c"))
+        // PerfProbe-adjudicated (r8 rule): despite cent being
+        // single-consumer per round, the checkpoint-free chain measured
+        // SLOWER (6.8/9.8/8.6 s vs 5.0/5.9/4.0 s for lloyd/xl/silhouette
+        // at sf0.1) — 5 rounds of broadcast-subtree nesting beat any
+        // per-round job overhead the checkpoint adds.
+        .localCheckpoint() // 256 rows; bounds per-round plan depth
+    }
+    (x, cent, asg)
+  }
+
+  /** DuckDB twin of [[kmeansCore]]: the shared WITH-clause body (planted ∪
+    * organic → exploded x → cent0 → R alternating assign/update CTEs, all
+    * MATERIALIZED — DuckDB inlines CTEs by default and each is consumed
+    * 2–3×, the r12 pyramid gotcha). Final names: cent$kmRounds, a$kmRounds. */
+  private def kmeansOracleCtes(expand: Int): String = {
+    val rounds = (1 to kmRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT x.vec_id, ct.g,
+         |         cast(sum(cast(${rNSql("(x.x - ct.c) * (x.x - ct.c)", 12)}
+         |           as decimal(30,12))) as double) AS d
+         |  FROM x JOIN cent${r - 1} ct ON ct.i = x.i
+         |  GROUP BY 1, 2),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, min(g) AS g FROM (
+         |    SELECT vec_id, g, d, min(d) OVER (PARTITION BY vec_id) AS dm
+         |    FROM d$r) t WHERE d = dm GROUP BY vec_id),
+         |cent$r AS MATERIALIZED (
+         |  SELECT a.g AS g, x.i AS i,
+         |         ${rNSql("cast(sum(cast(" + rNSql("x.x", 12) +
+                   " as decimal(30,12))) as double) / count(*)", 12)} AS c
+         |  FROM x JOIN a$r a ON a.vec_id = x.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n      ")
+    s"""planted AS (
+       |  SELECT 1000000 + k AS vec_id,
+       |         list_transform(generate_series(1, $kmDim), i ->
+       |           (CASE WHEN (i - 1) % $kmK = k % $kmK
+       |                 THEN cast(2.0 as double)
+       |                 ELSE cast(0.0 as double) END) +
+       |           cast(0.25 as double) *
+       |           (CASE WHEN ((k // $kmK) + i) % 2 = 0
+       |                 THEN cast(1.0 as double)
+       |                 ELSE cast(-1.0 as double) END)) AS embedding
+       |  FROM unnest(generate_series(0, ${60 * kmK * expand - 1})) AS xk(k)),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, e -> cast(e as double))
+       |    AS embedding FROM (${ScaleOps.xvecsSql(1000000L, expand)}) xbase
+       |  UNION ALL SELECT vec_id, embedding FROM planted),
+       |x AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         cast(unnest(generate_series(1, len(embedding))) as int) AS i,
+       |         unnest(embedding) AS x
+       |  FROM emb),
+       |cent0 AS (
+       |  SELECT cast(s // $kmDim as int) AS g,
+       |         cast(s % $kmDim + 1 as int) AS i,
+       |         CASE WHEN (s % $kmDim) % $kmK = s // $kmDim
+       |              THEN cast(1.0 as double)
+       |              ELSE cast(0.0 as double) END AS c
+       |  FROM unnest(generate_series(0, ${kmK * kmDim - 1})) AS xs(s)),
+       |$rounds""".stripMargin
+  }
+
+  /** Lloyd's k-means, declared surface: final centroids + cluster sizes.
+    * See [[kmeansCore]] for the full algorithm/determinism/plant notes. */
+  private def mkKmeansLloyd(name: String, expand: Int): GQuery = GQuery(
+    name,
+    (spark, dir) => {
+      import spark.implicits._
+      val (_, cent, asg) = kmeansCore(spark, dir, expand)
+      val sizes = asg.groupBy($"g")
+        .agg(count(lit(1)).cast("int").as("csize"))
+      cent.join(broadcast(sizes), "g")
+        .select($"g".cast("int").as("cluster"), $"i".cast("int").as("dim"),
+          r6($"c").as("centroid"), $"csize")
+        .orderBy($"cluster", $"dim")
+    },
+    Some(s"""
+      WITH ${kmeansOracleCtes(expand)}
+      SELECT cast(ct.g as int) AS cluster, cast(ct.i as int) AS dim,
+             ${r6Sql("ct.c")} AS centroid, sz.csize
+      FROM cent$kmRounds ct
+      JOIN (SELECT g, cast(count(*) as int) AS csize
+            FROM a$kmRounds GROUP BY g) sz USING (g)
+      ORDER BY cluster, dim"""),
+  )
+
+  val qKmeansLloyd: GQuery = mkKmeansLloyd("q_kmeans_lloyd", 1)
+
+  /** ×4 scale twin: both Lloyd passes are corpus-linear (assignment ships
+    * k rows per vector, update 256 cells out), so the twin measures the
+    * constant-factor growth of the per-round shuffle at 4× vectors with
+    * the plant scaled to keep the cluster signal. */
+  val qKmeansLloydXl: GQuery = mkKmeansLloyd("q_kmeans_lloyd_xl", 4)
+
+  /** Simplified (centroid-based) silhouette over the [[kmeansCore]]
+    * clustering: one FINAL assignment pass against the round-R centroids,
+    * then per vector a = dist to own centroid, b = min dist to any other,
+    * s = (b−a)/max(a,b) — the medoid-free silhouette that needs k
+    * distances per vector, not the O(n²) pairwise matrix (the form that
+    * exists at 100 TB). Distances are IEEE sqrt of the exact-staged
+    * squared distances (identical doubles both engines); per-cluster mean
+    * is the dsum idiom at 12-dp staging. */
+  val qSilhouette: GQuery = GQuery(
+    "q_silhouette",
+    (spark, dir) => {
+      import spark.implicits._
+      val (x, cent, _) = kmeansCore(spark, dir, 1)
+      val dFin = x.join(broadcast(cent), "i")
+        .groupBy($"vec_id", $"g")
+        .agg(sum(rN(($"x" - $"c") * ($"x" - $"c"), 12)
+          .cast("decimal(30,12)")).cast("double").as("d2"))
+      // same fused argmin as kmeansCore (struct min = min d2, ties min g)
+      val af = dFin.groupBy($"vec_id")
+        .agg(min(struct($"d2", $"g")).getField("g").as("og"))
+      val sil = dFin.join(af, "vec_id")
+        .groupBy($"vec_id", $"og")
+        .agg(sqrt(min(when($"g" === $"og", $"d2"))).as("a"),
+          sqrt(min(when($"g" =!= $"og", $"d2"))).as("b"))
+        .select($"vec_id", $"og",
+          rN(($"b" - $"a") / greatest($"a", $"b"), 12).as("s"))
+      sil.groupBy($"og".cast("int").as("cluster"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          rN(sum(rN($"s", 12).cast("decimal(30,12)")).cast("double")
+            / count(lit(1)), 6).as("mean_sil"))
+        .orderBy($"cluster")
+    },
+    Some(s"""
+      WITH ${kmeansOracleCtes(1)},
+      dfin AS MATERIALIZED (
+        SELECT x.vec_id, ct.g,
+               cast(sum(cast(${rNSql("(x.x - ct.c) * (x.x - ct.c)", 12)}
+                 as decimal(30,12))) as double) AS d2
+        FROM x JOIN cent$kmRounds ct ON ct.i = x.i
+        GROUP BY 1, 2),
+      afin AS MATERIALIZED (
+        SELECT vec_id, min(g) AS og FROM (
+          SELECT vec_id, g, d2, min(d2) OVER (PARTITION BY vec_id) AS dm
+          FROM dfin) t WHERE d2 = dm GROUP BY vec_id),
+      sil AS MATERIALIZED (
+        SELECT d.vec_id, a.og,
+               ${rNSql("(sqrt(min(CASE WHEN d.g <> a.og THEN d.d2 END)) - " +
+                 "sqrt(min(CASE WHEN d.g = a.og THEN d.d2 END))) / " +
+                 "greatest(sqrt(min(CASE WHEN d.g = a.og THEN d.d2 END)), " +
+                 "sqrt(min(CASE WHEN d.g <> a.og THEN d.d2 END)))", 12)} AS s
+        FROM dfin d JOIN afin a ON a.vec_id = d.vec_id
+        GROUP BY 1, 2)
+      SELECT cast(og as int) AS cluster, cast(count(*) as int) AS n,
+             ${rNSql("cast(sum(cast(" + rNSql("s", 12) +
+               " as decimal(30,12))) as double) / count(*)", 6)} AS mean_sil
+      FROM sil GROUP BY og ORDER BY cluster"""),
+  )
+
   val all: Seq[GQuery] = Seq(
     qDedupExact, qDocProfile, qTokenCount, qLangId, qTextQuality,
     qFingerprint, qTfidf, qJaccardPairs, qSimTopk, qMultimodal,
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
     qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats, qEmbedDrift,
-    qTokenFertility, qBigramPpl, qBpeMerge, qBpeTrain, qBpeTrainTopk)
+    qTokenFertility, qBigramPpl, qBpeMerge, qBpeTrain, qBpeTrainTopk,
+    qPcaPower, qPcaPowerXl, qPcaTop2, qKmeansLloyd, qKmeansLloydXl,
+    qSilhouette)
 }

@@ -123,7 +123,7 @@ object ScaleOps {
     * vector), id shifted k·100000 — distinct probes, same logical probe
     * set at k=0. Output coordinates are DOUBLE (the makers' cast-to-double
     * becomes a no-op). */
-  private def xvecs(base: DataFrame, n: Int): DataFrame =
+  private[operators] def xvecs(base: DataFrame, n: Int): DataFrame =
     if (n <= 1) base
     else base.select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(0, ${n - 1})")).as("k"))
@@ -132,7 +132,7 @@ object ScaleOps {
         expr("transform(embedding, x -> cast(x as double) + " +
           "cast(k as double) * cast(0.001 as double))").as("embedding"))
 
-  private def xvecsSql(corpusBound: Long, n: Int): String =
+  private[operators] def xvecsSql(corpusBound: Long, n: Int): String =
     if (n <= 1)
       s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < $corpusBound"
     else

@@ -160,7 +160,8 @@ object ExplainAll {
     // over index rows), top-K-per-round BPE, and the iterative-graph /
     // events x10 scaling twins (pagerank shown; conncomp/lpa/sessionize
     // twins match their declared siblings' shapes over 10x edges)
-    "q_phrase_search_xl", "q_bpe_train_topk", "q_pagerank_xxl")
+    "q_phrase_search_xl", "q_bpe_train_topk", "q_pagerank_xxl",
+    "q_pca_power", "q_kmeans_lloyd")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
