@@ -1625,27 +1625,45 @@ object LlmOps {
     * λ₁ ≈ 20 vs λ₂ ≈ 8 at sf0.001, a 2.5× gap so 8 rounds converge both
     * (Round15Spec pins |cos| to each direction and both eigenvalue
     * scales). */
-  val qPcaTop2: GQuery = {
-    val iters = 8
-    val dim = 64
-    GQuery(
-      "q_pca_top2",
-      (spark, dir) => {
-        import spark.implicits._
-        val planted1 = spark.range(200)
-          .select(($"id" + 1000000L).as("vec_id"),
-            expr("transform(sequence(1, 64), i -> " +
-              "(case when id % 2 = 0 then 1.0d else -1.0d end) * " +
-              "(cast(i % 4 as double) - 1.5d))").as("embedding"))
-        val planted2 = spark.range(100)
-          .select(($"id" + 2000000L).as("vec_id"),
-            expr("transform(sequence(1, 64), i -> " +
-              "(case when id % 2 = 0 then 1.0d else -1.0d end))")
-              .as("embedding"))
-        val emb = Tables.embeddings(spark, dir)
-          .select($"vec_id", $"embedding")
-          .unionByName(planted1).unionByName(planted2)
-        val x = emb
+  private val pcaIters = 8
+  private val pcaDim = 64
+
+  /** Shared top-2 pipeline for q_pca_top2 / q_pca_outliers — one
+    * definition of the covariance + both power chains so the component
+    * query and the residual scorer can never diverge. Returns
+    * (x exploded rows, nRow, per-dim sums s, v₁ with λ₁, v₂ with λ₂).
+    * `outliers = true` additionally plants 5 large vectors along the
+    * dyadic 4-cycle p = (1,1,−1,−1) — orthogonal to BOTH d₁ and d₂ (so
+    * they inflate neither component; their p-variance ≈ 3.8 stays below
+    * λ₂ ≈ 8) — at vec_id ≥ 3·10⁶, magnitudes (2 + k/2)·p, the planted
+    * ground truth for the residual top-k. */
+  private def pcaTop2Core(spark: org.apache.spark.sql.SparkSession,
+      dir: String, outliers: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val iters = pcaIters
+    val dim = pcaDim
+    val planted1 = spark.range(200)
+      .select(($"id" + 1000000L).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "(case when id % 2 = 0 then 1.0d else -1.0d end) * " +
+          "(cast(i % 4 as double) - 1.5d))").as("embedding"))
+    val planted2 = spark.range(100)
+      .select(($"id" + 2000000L).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "(case when id % 2 = 0 then 1.0d else -1.0d end))")
+          .as("embedding"))
+    val emb0 = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+      .unionByName(planted1).unionByName(planted2)
+    val emb = if (!outliers) emb0 else emb0.unionByName(
+      spark.range(5)
+        .select(($"id" + 3000000L).as("vec_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "(2.0d + cast(id as double) * 0.5d) * " +
+            "(case when i % 4 = 1 or i % 4 = 2 then 1.0d " +
+            "else -1.0d end))").as("embedding")))
+    val x = emb
           .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
           .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
           .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
@@ -1699,13 +1717,14 @@ object LlmOps {
           .select($"i", $"j", rN($"c" - $"l1" * $"vi" * $"vj", 12).as("c"))
           .localCheckpoint() // deflated matrix; 8 consumers
         val v2 = powerIter(c2)
-        def shape(v: DataFrame, comp: Int): DataFrame =
-          v.select(lit(comp).as("component"), $"j".cast("int").as("dim"),
-            r6($"v").as("loading"), r6($"nrm").as("eigenvalue"))
-        shape(v1, 1).unionByName(shape(v2, 2))
-          .orderBy($"component", $"dim")
-      },
-      Some {
+    (x, nRow, s, v1, v2)
+  }
+
+  /** DuckDB twin of [[pcaTop2Core]]: the shared WITH-clause body through
+    * both converged components v${pcaIters}_1 / v${pcaIters}_2. */
+  private def pcaTop2Ctes(outliers: Boolean): String = {
+    val iters = pcaIters
+    val dim = pcaDim
         def steps(mat: String, sfx: String): String =
           (1 to iters).map { k =>
             s"""w$k$sfx AS MATERIALIZED (
@@ -1725,8 +1744,19 @@ object LlmOps {
                        cast(1 + j % 2 as double) AS v
                      FROM (SELECT cast(unnest(generate_series(1, $dim))
                        as int) AS j) vj"""
-        s"""
-      WITH planted1 AS (
+        val outlierLeg = if (!outliers) "" else """
+        UNION ALL SELECT vec_id, embedding FROM planted3"""
+        val outlierCte = if (!outliers) "" else """
+      planted3 AS (
+        SELECT 3000000 + k AS vec_id,
+               list_transform(generate_series(1, 64), i ->
+                 (cast(2.0 as double) + cast(k as double) *
+                  cast(0.5 as double)) *
+                 (CASE WHEN i % 4 = 1 OR i % 4 = 2
+                       THEN cast(1.0 as double)
+                       ELSE cast(-1.0 as double) END)) AS embedding
+        FROM unnest(generate_series(0, 4)) AS xk(k)),"""
+        s"""planted1 AS (
         SELECT 1000000 + k AS vec_id,
                list_transform(generate_series(1, 64), i ->
                  (CASE WHEN k % 2 = 0 THEN cast(1.0 as double)
@@ -1739,12 +1769,12 @@ object LlmOps {
                list_transform(generate_series(1, 64), i ->
                  CASE WHEN k % 2 = 0 THEN cast(1.0 as double)
                       ELSE cast(-1.0 as double) END) AS embedding
-        FROM unnest(generate_series(0, 99)) AS xk(k)),
+        FROM unnest(generate_series(0, 99)) AS xk(k)),$outlierCte
       emb AS (
         SELECT vec_id, list_transform(embedding, e -> cast(e as double))
                  AS embedding FROM embeddings
         UNION ALL SELECT vec_id, embedding FROM planted1
-        UNION ALL SELECT vec_id, embedding FROM planted2),
+        UNION ALL SELECT vec_id, embedding FROM planted2$outlierLeg),
       x AS MATERIALIZED (
         SELECT vec_id,
                cast(unnest(generate_series(1, len(embedding))) as int) AS i,
@@ -1772,18 +1802,88 @@ object LlmOps {
         FROM c JOIN v${iters}_1 vi ON vi.j = c.i
                JOIN v${iters}_1 vj ON vj.j = c.j),
       v0_2 AS ($v0),
-      ${steps("defl", "_2")}
+      ${steps("defl", "_2")}"""
+  }
+
+  /** See [[pcaTop2Core]] for the algorithm/determinism/plant notes. */
+  val qPcaTop2: GQuery = GQuery(
+    "q_pca_top2",
+    (spark, dir) => {
+      import spark.implicits._
+      val (_, _, _, v1, v2) = pcaTop2Core(spark, dir, outliers = false)
+      def shape(v: DataFrame, comp: Int): DataFrame =
+        v.select(lit(comp).as("component"), $"j".cast("int").as("dim"),
+          r6($"v").as("loading"), r6($"nrm").as("eigenvalue"))
+      shape(v1, 1).unionByName(shape(v2, 2))
+        .orderBy($"component", $"dim")
+    },
+    Some(s"""
+      WITH ${pcaTop2Ctes(outliers = false)}
       SELECT 1 AS component, cast(j as int) AS dim, ${r6Sql("v")}
                AS loading, ${r6Sql("nrm")} AS eigenvalue
-      FROM v${iters}_1
+      FROM v${pcaIters}_1
       UNION ALL
       SELECT 2 AS component, cast(j as int) AS dim, ${r6Sql("v")}
                AS loading, ${r6Sql("nrm")} AS eigenvalue
-      FROM v${iters}_2
-      ORDER BY component, dim"""
-      },
-    )
-  }
+      FROM v${pcaIters}_2
+      ORDER BY component, dim"""),
+  )
+
+  /** PCA-RESIDUAL OUTLIERS — embedding hygiene by reconstruction error:
+    * residual² = ‖x−μ‖² − ((x−μ)·v₁)² − ((x−μ)·v₂)², top 20 by residual
+    * (vec_id tiebreak). The scale shape: μ, v₁, v₂ are three 64-row
+    * broadcasts onto the exploded rows and ONE combinable groupBy per
+    * vector — scoring is a single corpus-linear pass, the form that
+    * screens a 100 TB embedding store after the constant-size spectral
+    * phase. Every staged term ((x−μ)², (x−μ)v) is < 300 ≪ 2³³ (r8
+    * bound). Ground truth: the 5 planted p-direction vectors
+    * ([[pcaTop2Core]], vec_id ≥ 3·10⁶) are ⊥ both components, so their
+    * residuals ≈ ‖x‖² ∈ [256, 1024] dominate the ~1.0 organic floor —
+    * Round15Spec pins the top-5 exactly. */
+  val qPcaOutliers: GQuery = GQuery(
+    "q_pca_outliers",
+    (spark, dir) => {
+      import spark.implicits._
+      val (x, nRow, s, v1, v2) = pcaTop2Core(spark, dir, outliers = true)
+      val mu = s.crossJoin(broadcast(nRow))
+        .select($"i", rN($"s" / $"nn", 12).as("mu"))
+      x.join(broadcast(mu), "i")
+        .join(broadcast(v1.select($"j".as("i"), $"v".as("l1"))), "i")
+        .join(broadcast(v2.select($"j".as("i"), $"v".as("l2"))), "i")
+        .groupBy($"vec_id")
+        .agg(
+          sum(rN(($"x" - $"mu") * ($"x" - $"mu"), 12)
+            .cast("decimal(30,12)")).cast("double").as("n2"),
+          sum(rN(($"x" - $"mu") * $"l1", 12)
+            .cast("decimal(30,12)")).cast("double").as("t1"),
+          sum(rN(($"x" - $"mu") * $"l2", 12)
+            .cast("decimal(30,12)")).cast("double").as("t2"))
+        .select($"vec_id",
+          r6($"n2" - $"t1" * $"t1" - $"t2" * $"t2").as("resid"))
+        .orderBy($"resid".desc, $"vec_id").limit(20)
+    },
+    Some(s"""
+      WITH ${pcaTop2Ctes(outliers = true)},
+      mu AS MATERIALIZED (
+        SELECT s.i, ${rNSql("s.s / (SELECT nn FROM nn)", 12)} AS mu
+        FROM s),
+      scored AS MATERIALIZED (
+        SELECT x.vec_id,
+               cast(sum(cast(${rNSql("(x.x - mu.mu) * (x.x - mu.mu)", 12)}
+                 as decimal(30,12))) as double) AS n2,
+               cast(sum(cast(${rNSql("(x.x - mu.mu) * v1.v", 12)}
+                 as decimal(30,12))) as double) AS t1,
+               cast(sum(cast(${rNSql("(x.x - mu.mu) * v2.v", 12)}
+                 as decimal(30,12))) as double) AS t2
+        FROM x
+        JOIN mu ON mu.i = x.i
+        JOIN v${pcaIters}_1 v1 ON v1.j = x.i
+        JOIN v${pcaIters}_2 v2 ON v2.j = x.i
+        GROUP BY x.vec_id)
+      SELECT vec_id, ${r6Sql("n2 - t1 * t1 - t2 * t2")} AS resid
+      FROM scored
+      ORDER BY resid DESC, vec_id LIMIT 20"""),
+  )
 
   // ---------------------------------------------------------------------
   // K-MEANS (Lloyd's algorithm) — the other half of the classical
@@ -2044,6 +2144,6 @@ object LlmOps {
     qChunk, qInterleave, qPiiRedact, qDedupNorm, qBm25, qEmbedNorm, qNgram,
     qSplit, qSampleStrat, qDedupSweep, qEmbedDimstats, qEmbedDrift,
     qTokenFertility, qBigramPpl, qBpeMerge, qBpeTrain, qBpeTrainTopk,
-    qPcaPower, qPcaPowerXl, qPcaTop2, qKmeansLloyd, qKmeansLloydXl,
-    qSilhouette)
+    qPcaPower, qPcaPowerXl, qPcaTop2, qPcaOutliers, qKmeansLloyd,
+    qKmeansLloydXl, qSilhouette)
 }

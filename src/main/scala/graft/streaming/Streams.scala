@@ -259,6 +259,49 @@ object Streams {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
+  /** 1-row centroid pack for [[centroidAssign]]: (k = 1, cents = sorted
+    * array of (g, cent[dim]) structs) built from a relational (g, i, c)
+    * centroid table — e.g. the batch Lloyd output (q_kmeans_lloyd).
+    * collect_list order is nondeterministic, so BOTH nesting levels are
+    * array_sort'ed (the r13 deterministic re-assembly rule). */
+  def centroidsOneRow(cent: DataFrame): DataFrame =
+    cent.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+      .select(col("g"), expr("transform(ic, s -> s.c)").as("cent"))
+      .groupBy(lit(1).as("k"))
+      .agg(array_sort(collect_list(struct(col("g"), col("cent"))))
+        .as("cents"))
+
+  /** Streaming CENTROID-ASSIGNMENT gate — q_kmeans_lloyd's scoring twin,
+    * the stateless shape of [[simhashDupCandidates]]: each arriving
+    * embedding stream-static-joins the broadcast 1-row centroid pack
+    * (re-planned per micro-batch like any dimension) and is assigned
+    * per-row — NO streaming state, no shuffle; a pure projection the
+    * cluster scales by adding executors.
+    *
+    * EXACT batch parity by integer staging: each squared-difference term
+    * is floor(t·1e12 + 0.5) — t < 2250 keeps the 12-dp round-trip exact
+    * (ulp(t) < 0.5e-12), so the term is an exact integer < 2⁵³ held in a
+    * LONG — and the per-centroid fold sums longs, so the distance equals
+    * the batch Lloyd pass's decimal(30,12)-staged sum × 1e12 BIT-EXACTLY
+    * in any fold or arrival order; argmin is the lexicographic struct
+    * min (min distance, ties by min g) — the batch argmin's exact
+    * tiebreak. Emits (vec_id, cluster, dist_e12). */
+  def centroidAssign(streamVecs: DataFrame,
+      centroids1Row: DataFrame): DataFrame =
+    streamVecs
+      .withColumn("k", lit(1))
+      .join(broadcast(centroids1Row), Seq("k"))
+      .select(col("vec_id"),
+        expr("""array_min(transform(cents, s -> struct(
+                 aggregate(zip_with(embedding, s.cent,
+                   (x, c) -> cast(floor((cast(x as double) - c) *
+                     (cast(x as double) - c) * 1e12 + 0.5) as bigint)),
+                   0L, (acc, v) -> acc + v) AS d,
+                 s.g AS g)))""").as("best"))
+      .select(col("vec_id"), col("best.g").as("cluster"),
+        col("best.d").as("dist_e12"))
+
   /** Streaming TIME-DECAY ATTRIBUTION gate — q_attribution_decay's
     * ingest twin, the same stateless shape as [[corpusDupCandidates]]:
     * each arriving view/click touch stream-static-joins the standing

@@ -75,7 +75,7 @@ object PlanAudit {
     // 1-row covariance-stats broadcast scoring the fact scan
     "q_mahalanobis",
     // 1-row vector-count broadcast (covariance centering denominator)
-    "q_pca_power", "q_pca_power_xl", "q_pca_top2",
+    "q_pca_power", "q_pca_power_xl", "q_pca_top2", "q_pca_outliers",
     // 1-row broadcasts: global week count (XYZ CV denominator) and the
     // aging observation horizon
     "q_xyz", "q_aging",

@@ -138,6 +138,25 @@ class Round15Spec extends AnyFunSuite {
       "component 2 must be deflated away from d1")
   }
 
+  test("q_pca_outliers ranks the planted off-plane vectors first") {
+    // The residual screen works end-to-end: the 5 planted vectors along
+    // p = (1,1,−1,−1) (⊥ both principal components, magnitudes
+    // (2 + k/2)·p) must occupy the top 5 in descending-magnitude order,
+    // with residual ≈ ‖x‖² (the projections remove almost nothing), and
+    // the organic floor must sit orders of magnitude below (unit-norm
+    // vectors, residual ≈ 1).
+    val rows = graft.engine.Registry.byName("q_pca_outliers")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val top5 = rows.take(5).map(_.getLong(0))
+    assert(top5.sameElements(Array(3000004L, 3000003L, 3000002L,
+      3000001L, 3000000L)), s"top5 = ${top5.mkString(",")}")
+    val r0 = rows.head.getDouble(1)
+    assert(r0 > 950 && r0 < 1024, s"largest residual $r0 vs theory 1024")
+    assert(rows(5).getDouble(1) < 2.0,
+      s"organic floor ${rows(5).getDouble(1)} must be ~1")
+  }
+
   test("q_kmeans_lloyd separates the planted clusters") {
     // The property the hash-match oracle cannot see: 5 Lloyd rounds
     // actually RECOVER the planted structure. Cluster g's planted members

@@ -344,6 +344,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 930100L), s"novel doc flagged: $out")
   }
 
+  test("streaming centroid gate: stateless argmin with exact staged distances and min-g ties") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // standing centroids (dim 4): g0 = origin, g1 = all-ones
+    val cent = Seq(
+      (0, 1, 0.0), (0, 2, 0.0), (0, 3, 0.0), (0, 4, 0.0),
+      (1, 1, 1.0), (1, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0))
+      .toDF("g", "i", "c")
+    val pack = Streams.centroidsOneRow(cent).localCheckpoint()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = Streams.centroidAssign(
+      mem.toDF().toDF("vec_id", "embedding"), pack)
+    val q = out.writeStream.format("memory")
+      .queryName("cg" + System.nanoTime()).outputMode("append").start()
+    mem.addData(Seq(
+      (1L, Seq(0.1, 0.0, 0.0, 0.0)), // near g0
+      (2L, Seq(0.9, 1.0, 1.0, 1.0)), // near g1
+      (3L, Seq(0.5, 0.5, 0.5, 0.5)))) // EXACT tie (d² = 1.0 both) → min g
+    q.processAllAvailable()
+    val name = q.name
+    q.stop()
+    val res = spark.table(name).select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    assert(res == Map(1L -> 0, 2L -> 1, 3L -> 0),
+      s"assignments $res (tie must break to min g)")
+    // the staged long distance is exact: 0.1d*0.1d = 0.01000…0002 in
+    // IEEE, ×1e12 + 0.5 floors to exactly 10,000,000,000 — the same
+    // value the batch decimal(30,12) staging carries ×1e12.
+    val d1 = spark.table(name).filter(col("vec_id") === 1L)
+      .select(col("dist_e12")).as[Long].collect().head
+    assert(d1 == 10000000000L, s"staged distance $d1")
+  }
+
   test("streaming CDC gate flags a prefix-edited clone the paragraph gate misses") {
     implicit val sq = spark.sqlContext
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
