@@ -629,12 +629,26 @@ object CorpusStats {
                 floor(size(split($"text", " ")) / 2).cast("int")))
               .as("text")))
       graft.functions.WordGrams.register(spark)
-      val g = docs
+      // r15 optimization-round rewrite (guide §2.3/§2.4): the old form
+      // re-evaluated the corpus gram-explode FIVE times (df agg, posting
+      // join, both verify sides, sizes agg). Now the per-doc distinct-gram
+      // ARRAY is materialized once (50k rows ≪ the 5M exploded rows the
+      // r14 A/B rejected checkpointing) and consumed three ways: one
+      // explode for the df-capped posting list (df via a window count —
+      // one exchange replaces the groupBy+join pair), and two array-sided
+      // broadcast joins for the verify, where size(array_intersect) is
+      // the exact shared-gram count — the whole 2-scan + groupBy verify
+      // collapses into a map-side expression over |cand| rows.
+      val dg = docs
+        .repartition(spark.sparkContext.defaultParallelism)
         .select($"doc_id",
-          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
-      val rare = g.groupBy($"gram").agg(count(lit(1)).as("df"))
-        .filter($"df" <= 8).select($"gram")
-      val posting = g.join(rare, "gram")
+          expr("word_grams(split(text, ' '), 3)").as("grams"))
+        .localCheckpoint()
+      val g = dg.select($"doc_id", explode($"grams").as("gram"))
+      val posting = g
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
+        .filter($"df" <= 8).select($"doc_id", $"gram")
       // Candidates must share >= 2 rare grams: same shuffle count as a
       // DISTINCT (the pair groupBy IS the dedup) but cuts candidates ~50×
       // on this corpus (188k → 3.6k at sf0.1) before the exact
@@ -648,15 +662,13 @@ object CorpusStats {
         .agg(count(lit(1)).as("ns"))
         .filter($"ns" >= 2)
         .select($"d1", $"d2")
-      val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
-        .join(g.as("g1"), col("g1.doc_id") === $"d1")
-        .join(g.as("g2"),
-          col("g2.doc_id") === $"d2" && col("g2.gram") === col("g1.gram"))
-        .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      broadcast(cand)
+        .join(dg.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
+        .join(dg.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
+        .select($"d1", $"d2",
+          size($"g1").cast("long").as("n1"),
+          size($"g2").cast("long").as("n2"),
+          size(array_intersect($"g1", $"g2")).as("n_common"))
         .select($"d1", $"d2", $"n1", $"n2",
           r6($"n_common".cast("double") / least($"n1", $"n2"))
             .as("containment"))
@@ -755,31 +767,35 @@ object CorpusStats {
     // fused kernel gram explode (WordGramsSpec proves set equality with
     // the array_distinct(transform(...)) chain the oracle mirrors);
     // repartition first: single-row-group fixture parquet (CLAUDE.md
-    // r13). The tok table feeds FOUR consumers (df counts, ranking join,
-    // both verify sides) — checkpoint once, measured faster than 4
-    // kernel re-runs
+    // r13).
+    // r15 optimization-round rewrite (guide §2.3/§2.4): the r14 form
+    // re-evaluated the corpus kernel explode 4× at expand>1 (df agg,
+    // ranking join, both verify sides) and shipped the 5M-row exploded
+    // table through a groupBy+join for df and a 2-scan groupBy verify.
+    // Now: (a) the per-doc distinct-gram ARRAY is checkpointed once
+    // (|docs| rows — 100× fewer than the exploded form whose checkpoint
+    // the r14 A/B measured slower) and explodes once for the prefix path;
+    // (b) df comes from a window count over the token partition — one
+    // exchange where groupBy+join paid two plus a kernel re-run; (c) the
+    // per-doc gram count n rides along from size(grams) — no second
+    // window; (d) the verify joins the gram ARRAYS to the broadcast
+    // candidate list and counts size(array_intersect) map-side — the two
+    // exploded verify scans and their groupBy disappear.
     graft.functions.WordGrams.register(spark)
-    val tok0 = docs
+    val dg = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select($"doc_id",
-        explode(expr("word_grams(split(text, ' '), 3)")).as("token"))
-    // r14 empirical split (PerfProbe A/B, the r8 adjudication discipline):
-    // at declared scale the r13 call stands — checkpointing the ~500k-row
-    // tok table once beats 4 kernel re-runs. At ×10 the checkpoint is a
-    // 5M-row block-manager resident that is both slightly SLOWER isolated
-    // (12.5 vs 14.7 s recomputed-vs-checkpointed on q_jaccard_prefix_xxl)
-    // and the churn class that degraded whole-bench neighborhoods (r14a);
-    // the codegen'd map-only kernel explode is cheap to re-run per
-    // consumer, so the big corpus recomputes it in-pipeline.
-    val tok = if (expand > 1) tok0 else tok0.localCheckpoint()
-    val df = tok.groupBy($"token").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(df, "token")
+        expr("word_grams(split(text, ' '), 3)").as("grams"))
+      .localCheckpoint() // 3 consumers: prefix path + both verify sides
+    val tok = dg.select($"doc_id",
+      size($"grams").cast("long").as("n"), explode($"grams").as("token"))
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy($"token")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"token")
-    val sized = ranked
+    val sized = tok
+      .withColumn("df", count(lit(1)).over(wTok))
       .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
     val prefix = sized
       .filter($"pos" <= $"n" - ceil(lit(0.8) * $"n").cast("int") + 1)
       .select($"doc_id", $"token", $"n")
@@ -790,11 +806,10 @@ object CorpusStats {
         col("x.n").as("n1"), col("y.n").as("n2"))
       .distinct()
     val inter = broadcast(cand)
-      .join(tok.as("t1"), col("t1.doc_id") === $"d1")
-      .join(tok.as("t2"),
-        col("t2.doc_id") === $"d2" && col("t2.token") === col("t1.token"))
-      .groupBy($"d1", $"d2", $"n1", $"n2")
-      .agg(count(lit(1)).as("n_inter"))
+      .join(dg.select($"doc_id".as("d1"), $"grams".as("g1")), "d1")
+      .join(dg.select($"doc_id".as("d2"), $"grams".as("g2")), "d2")
+      .select($"d1", $"d2", $"n1", $"n2",
+        size(array_intersect($"g1", $"g2")).as("n_inter"))
     inter
       .select($"d1", $"d2", $"n1".cast("int").as("n1"),
         $"n2".cast("int").as("n2"), $"n_inter".cast("int").as("n_inter"),

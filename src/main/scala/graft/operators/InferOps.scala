@@ -399,7 +399,16 @@ object InferOps {
             val (na, ca) = vars(i); val (nb, cb) = vars(j)
             sum(dec(col(ca) * col(cb))).cast("double").as(s"p_${na}_$nb")
           })
-        val m = Tables.lineitem(spark, dir).agg(sums.head, sums.tail: _*)
+        // r15: project to the 4 measures and repartition before the
+        // 15-decimal-sum pass — the fixture parquet is ONE row group
+        // (r13 gotcha), so the unpartitioned global agg ran its entire
+        // decimal accumulation single-core; the exchange moves 4 narrow
+        // columns once and decimal sums are order-free, so the moment
+        // row (and everything derived from it) is bit-identical.
+        val m = Tables.lineitem(spark, dir)
+          .select(vars.map { case (_, c) => col(c) }: _*)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .agg(sums.head, sums.tail: _*)
         val pairCols = for {
           i <- vars.indices; j <- (i + 1) until vars.length
         } yield {

@@ -1537,6 +1537,11 @@ object LlmOps {
               sqrt(sum(rN($"w" * $"w", 12).cast("decimal(30,12)"))
                 .over(wAll).cast("double")).as("nrm"))
             .select($"i".as("j"), rN($"w" / $"nrm", 12).as("v"), $"nrm")
+          // r15 A/B (PerfProbe): per-round 64-row checkpointing (the
+          // kmeansCore cadence) measured SLOWER here — 2.7 → 4.3 s —
+          // the 8 eager checkpoint jobs cost more than the nested
+          // broadcast chain they flatten (unlike kmeans, whose rounds
+          // carry corpus-sized joins). Deliberately left unchained.
         }
         v.select($"j".cast("int").as("dim"), r6($"v").as("loading"),
             r6($"nrm").as("eigenvalue"))
@@ -1706,6 +1711,8 @@ object LlmOps {
                 sqrt(sum(rN($"w" * $"w", 12).cast("decimal(30,12)"))
                   .over(wAll).cast("double")).as("nrm"))
               .select($"i".as("j"), rN($"w" / $"nrm", 12).as("v"), $"nrm")
+            // r15 A/B: per-round checkpoint measured SLOWER (see
+            // mkPcaPower note) — left unchained on purpose.
           }
           v
         }
