@@ -608,13 +608,26 @@ object Analytics {
           .localCheckpoint()
         val deg = eRaw.groupBy($"src").agg(count(lit(1)).as("deg"))
         // degree rides the edge list: one join before the loop instead
-        // of one per iteration
-        val e = eRaw.join(deg, "src").localCheckpoint()
+        // of one per iteration.
+        // r15 (guide §2.4): repartition ON src BEFORE the checkpoint —
+        // the LogicalRDD keeps HashPartitioning(src) (the qPcaPower
+        // co-partitioning idiom), and each iteration's rank table exits
+        // its groupBy(dst) partitioned by the SAME key, so the
+        // per-iteration join needs NO exchange on either side (the old
+        // plan re-shuffled + re-sorted the full edge list every round:
+        // 5 Exchange-over-ExistingRDD in the before plan). The
+        // shuffle_hash hint on the small rank side kills the SMJ sorts.
+        val e = eRaw.join(deg, "src")
+          .repartition(spark.sparkContext.defaultParallelism, $"src")
+          .localCheckpoint()
+        // 1-row table consumed by init + every iteration + the final
+        // projection: checkpoint, or each consumer re-aggregates deg.
         val nRow = deg.agg(count(lit(1)).cast("double").as("nv"))
+          .localCheckpoint()
         var r = deg.crossJoin(broadcast(nRow))
           .select($"src".as("node"), (lit(1.0) / $"nv").as("r"))
         for (_ <- 1 to iters) {
-          r = e.join(r, $"src" === $"node")
+          r = e.join(r.hint("shuffle_hash"), $"src" === $"node")
             .select($"dst", ($"r" / $"deg").as("c"))
             .groupBy($"dst")
             .agg(sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 18)))
@@ -716,25 +729,36 @@ object Analytics {
           .unionByName(pr.select($"p2".as("src"), $"p1".as("dst")))
           .localCheckpoint()
         val deg = eRaw.groupBy($"src").agg(count(lit(1)).as("deg"))
-        val e = eRaw.join(deg, "src").localCheckpoint()
+        // r15: same co-partitioned loop economy as mkPagerank — edge
+        // list hash-partitioned on src once before its checkpoint, the
+        // rank/contribution tables exit each round partitioned by the
+        // same key, shuffle_hash hints kill the per-round sorts; nodes
+        // (3 consumers per round + init + final) and the 1-row nS are
+        // checkpointed so no round re-aggregates deg or re-joins seeds.
+        val e = eRaw.join(deg, "src")
+          .repartition(spark.sparkContext.defaultParallelism, $"src")
+          .localCheckpoint()
         val seeds = Tables.part(spark, dir).filter($"p_size" <= 2)
           .select($"p_partkey".as("seed"))
         val nodes = deg
           .join(broadcast(seeds), $"src" === $"seed", "left_outer")
           .select($"src".as("node"), $"deg",
             $"seed".isNotNull.as("is_seed"))
+          .localCheckpoint()
         val nS = nodes.filter($"is_seed")
           .agg(count(lit(1)).cast("double").as("ns"))
+          .localCheckpoint()
         var r = nodes.crossJoin(broadcast(nS))
           .select($"node", $"is_seed", $"ns",
             when($"is_seed", lit(1.0) / $"ns").otherwise(lit(0.0)).as("r"))
         for (_ <- 1 to iters) {
-          r = e.join(r.select($"node", $"r"), $"src" === $"node")
+          r = e.join(r.select($"node", $"r").hint("shuffle_hash"),
+              $"src" === $"node")
             .select($"dst", ($"r" / $"deg").as("c"))
             .groupBy($"dst")
             .agg(sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 18)))
               .cast("double").as("s"))
-            .join(nodes, $"dst" === $"node")
+            .join(nodes.hint("shuffle_hash"), $"dst" === $"node")
             .crossJoin(broadcast(nS))
             .select($"node", $"is_seed", $"ns",
               (when($"is_seed", lit(0.15) / $"ns").otherwise(lit(0.0)) +

@@ -1497,26 +1497,36 @@ object LlmOps {
             Tables.embeddings(spark, dir).select($"vec_id", $"embedding"),
             expand)
           .unionByName(planted)
-        // Repartition ON vec_id before the explode + checkpoint: (a) the
-        // single-row-group fixture parquet would otherwise run the whole
-        // explode on one core (r13 gotcha), and (b) the checkpointed
-        // LogicalRDD keeps HashPartitioning(vec_id), so BOTH sides of
-        // the covariance self-join read co-partitioned data — the 9M-row
-        // pair expansion happens with no exchange under it (measured
-        // 11.0 → ~3 s at sf0.1).
-        val x = emb
-          .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+        // r15 rewrite (guide §2.4): the r15-build form shipped the
+        // exploded rows through a repartition-by-vec_id + checkpoint and
+        // a co-partitioned self-join to expand the n·64² pair rows. The
+        // same 4,096-cell covariance aggregate can be fed MAP-ONLY: a
+        // double posexplode of each embedding generates the pair terms
+        // in place — no exchange, no checkpoint, no per-partition sort;
+        // the only shuffle left is the combinable groupBy's 4,096 cells
+        // per partition. Term values (xi·xj as double → decimal(30,12))
+        // are identical and decimal sums are order-free, so the matrix
+        // is bit-identical. Repartition (round-robin, cheap: |emb| rows)
+        // only restores multi-core parallelism over the single-row-group
+        // fixture scan (r13 gotcha).
+        val xRows = emb
+          .repartition(spark.sparkContext.defaultParallelism)
           .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
           .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
             $"xf".cast("double").as("x"))
-          .localCheckpoint() // consumed 3x: first moments + both join sides
         val nRow = emb.agg(count(lit(1)).cast("double").as("nn"))
-        val s = x.groupBy($"i")
+        val s = xRows.groupBy($"i")
           .agg(sum($"x".cast("decimal(30,12)")).cast("double").as("s"))
-        val p = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
-          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-          .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,12)"))
-            .cast("double").as("p"))
+        val p = emb
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(posexplode($"embedding").as(Seq("pa", "xa")), $"embedding")
+          .select(($"pa" + 1).cast("int").as("i"),
+            $"xa".cast("double").as("xi"),
+            posexplode($"embedding").as(Seq("pb", "xb")))
+          .select($"i", ($"pb" + 1).cast("int").as("j"),
+            ($"xi" * $"xb".cast("double")).as("t"))
+          .groupBy($"i", $"j")
+          .agg(sum($"t".cast("decimal(30,12)")).cast("double").as("p"))
         val c = p
           .join(s.select($"i", $"s".as("si")), "i")
           .join(s.select($"i".as("j"), $"s".as("sj")), "j")
@@ -1668,19 +1678,29 @@ object LlmOps {
             "(2.0d + cast(id as double) * 0.5d) * " +
             "(case when i % 4 = 1 or i % 4 = 2 then 1.0d " +
             "else -1.0d end))").as("embedding")))
+    // r15 rewrite — see mkPcaPower: the covariance pair terms are
+    // generated map-only by a double posexplode (no repartition-by-key,
+    // no checkpoint, no self-join); x stays as the plain exploded rows
+    // for the first moments and the outlier scoring pass (both
+    // combinable aggs over map-only scans).
     val x = emb
-          .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+          .repartition(spark.sparkContext.defaultParallelism)
           .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
           .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
             $"xf".cast("double").as("x"))
-          .localCheckpoint()
         val nRow = emb.agg(count(lit(1)).cast("double").as("nn"))
         val s = x.groupBy($"i")
           .agg(sum($"x".cast("decimal(30,12)")).cast("double").as("s"))
-        val p = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
-          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-          .agg(sum((col("a.x") * col("b.x")).cast("decimal(30,12)"))
-            .cast("double").as("p"))
+        val p = emb
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(posexplode($"embedding").as(Seq("pa", "xa")), $"embedding")
+          .select(($"pa" + 1).cast("int").as("i"),
+            $"xa".cast("double").as("xi"),
+            posexplode($"embedding").as(Seq("pb", "xb")))
+          .select($"i", ($"pb" + 1).cast("int").as("j"),
+            ($"xi" * $"xb".cast("double")).as("t"))
+          .groupBy($"i", $"j")
+          .agg(sum($"t".cast("decimal(30,12)")).cast("double").as("p"))
         val c = p
           .join(s.select($"i", $"s".as("si")), "i")
           .join(s.select($"i".as("j"), $"s".as("sj")), "j")

@@ -347,13 +347,24 @@ object StatOps {
         // e is referenced by all 8 iterations — checkpoint it as well (off
         // the cheap checkpointed und, this job is milliseconds) so the
         // per-iteration lineage is a flat scan, not union+distinct chains.
-        val e = und.select($"pa".as("src"), $"pb".as("dst"))
+        // r15 (guide §2.4, the mkPagerank co-partitioning idiom), ×10
+        // twin only: hash-partition the edge list on src BEFORE the
+        // checkpoint so none of the 8 iterations re-shuffles or re-sorts
+        // it — the label table exits each groupBy(dst) partitioned by
+        // the same key, and shuffle_hash on that (small) side avoids SMJ
+        // sorts. A/B at 1× measured ~0.3-0.5 s WORSE (the repartition of
+        // a small edge list costs more than 8 small saved shuffles), so
+        // the declared query keeps the r14 shape.
+        val e0 = und.select($"pa".as("src"), $"pb".as("dst"))
           .unionByName(und.select($"pb".as("src"), $"pa".as("dst")))
           .unionByName(vs.select($"v".as("src"), $"v".as("dst")))
-          .localCheckpoint()
+        val e = (if (expand > 1)
+            e0.repartition(spark.sparkContext.defaultParallelism, $"src")
+          else e0).localCheckpoint()
         var l = vs.select($"v".as("node"), $"v".as("lbl"))
         for (_ <- 1 to iters) {
-          l = e.join(l, $"src" === $"node")
+          val lSide = if (expand > 1) l.hint("shuffle_hash") else l
+          l = e.join(lSide, $"src" === $"node")
             .groupBy($"dst").agg(min($"lbl").as("l2"))
             .select($"dst".as("node"), $"l2".as("lbl"))
         }
