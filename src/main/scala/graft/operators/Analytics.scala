@@ -586,7 +586,10 @@ object Analytics {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir).filter($"p_size" <= 10)
             .select($"p_partkey"), $"l_partkey" === $"p_partkey")
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val pr = op
           .groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
@@ -714,7 +717,10 @@ object Analytics {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir).filter($"p_size" <= 10)
             .select($"p_partkey", $"p_size"), $"l_partkey" === $"p_partkey")
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val pr = op
           .groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))

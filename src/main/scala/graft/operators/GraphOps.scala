@@ -88,7 +88,10 @@ object GraphOps {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir),
             $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val und = op.groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .filter(size($"ps") >= 2)
@@ -241,7 +244,10 @@ object GraphOps {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir),
             $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val und = op.groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .filter(size($"ps") >= 2)
@@ -328,7 +334,10 @@ object GraphOps {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir),
             $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val und0 = op.groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .filter(size($"ps") >= 2)
@@ -522,7 +531,10 @@ object GraphOps {
       val op = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir),
           $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-        .select($"l_orderkey", $"l_partkey").distinct()
+        .select($"l_orderkey", $"l_partkey")
+        // r15: no .distinct() before the collect_set groupBy — the set
+        // agg dedups per order anyway; the distinct was a full extra
+        // shuffle of the (order, part) pairs for the same ps arrays.
       val und = op.groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("ps"))
         .filter(size($"ps") >= 2)
@@ -595,7 +607,10 @@ object GraphOps {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir),
             $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val und = op.groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .filter(size($"ps") >= 2)
@@ -721,7 +736,10 @@ object GraphOps {
       val op = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir),
           $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-        .select($"l_orderkey", $"l_partkey").distinct()
+        .select($"l_orderkey", $"l_partkey")
+        // r15: no .distinct() before the collect_set groupBy — the set
+        // agg dedups per order anyway; the distinct was a full extra
+        // shuffle of the (order, part) pairs for the same ps arrays.
       val und = op.groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("ps"))
         .filter(size($"ps") >= 2)
@@ -876,7 +894,10 @@ object GraphOps {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir),
             $"l_partkey" === $"p_partkey" && $"p_size" <= 10)
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val und = op.groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
           .filter(size($"ps") >= 2)
@@ -1024,7 +1045,10 @@ object GraphOps {
         val op = Tables.lineitem(spark, dir)
           .join(Tables.part(spark, dir).filter($"p_size" <= 10)
             .select($"p_partkey"), $"l_partkey" === $"p_partkey")
-          .select($"l_orderkey", $"l_partkey").distinct()
+          .select($"l_orderkey", $"l_partkey")
+          // r15: no .distinct() before the collect_set groupBy — the set
+          // agg dedups per order anyway; the distinct was a full extra
+          // shuffle of the (order, part) pairs for the same ps arrays.
         val pr = op
           .groupBy($"l_orderkey")
           .agg(sort_array(collect_set($"l_partkey")).as("ps"))
