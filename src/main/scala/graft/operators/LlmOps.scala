@@ -2008,7 +2008,11 @@ object LlmOps {
       // symmetric plant geometry can produce exact distance ties.
       asg = d.groupBy($"vec_id")
         .agg(min(struct($"d", $"g")).getField("g").as("g"))
-      cent = x.join(asg, "vec_id")
+      // r15: shuffle_hash on the |vecs|-row assignment side — both
+      // sides are already vec_id-partitioned (x's checkpoint keeps the
+      // repartition's HashPartitioning), so the hint's only effect is
+      // SMJ → SHJ: it stops re-SORTING the 340k exploded rows per round.
+      cent = x.join(asg.hint("shuffle_hash"), "vec_id")
         .groupBy($"g", $"i")
         .agg(rN(sum(rN($"x", 12).cast("decimal(30,12)")).cast("double")
           / count(lit(1)), 12).as("c"))
