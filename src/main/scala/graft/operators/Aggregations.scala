@@ -613,6 +613,10 @@ object Aggregations {
     "q_mad",
     (spark, dir) => {
       import spark.implicits._
+      // r15 A/B: a project+repartition before the percentile passes (the
+      // q_corr_matrix one-core-scan fix) measured NEUTRAL here (1.63 s
+      // both ways) — the count-map partial agg is cheap enough that the
+      // extra exchange buys nothing. Left in the original shape.
       val li = Tables.lineitem(spark, dir)
       val med = li.groupBy($"l_returnflag")
         .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med"))

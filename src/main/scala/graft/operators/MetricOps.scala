@@ -690,7 +690,15 @@ object MetricOps {
     (spark, dir) => {
       import spark.implicits._
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(30,6)")
+      // r15: project + repartition before the broadcast probe and the
+      // high-cardinality (m, part) partial agg — the single-row-group
+      // fixture scan ran all of it one-core (r13 gotcha / the
+      // q_corr_matrix fix); decimal sums are order-free so the per-group
+      // moments are bit-identical.
       val mp = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_extendedprice",
+          $"l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(broadcast(Tables.orders(spark, dir)
           .select($"o_orderkey",
             (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"))),

@@ -1334,6 +1334,10 @@ object SeriesOps {
     "q_croston",
     (spark, dir) => {
       import spark.implicits._
+      // r15 A/B: a repartition after this projection (the q_corr_matrix
+      // one-core-scan fix) measured WORSE (1.08 → 1.72 s) — the integer
+      // partial agg is cheap and the extra exchange dominates. Left in
+      // the original shape on purpose.
       val li = Tables.lineitem(spark, dir)
         .select($"l_partkey", to_date($"l_shipdate").as("day"),
           floor($"l_quantity" + lit(0.5)).cast("long").as("qty"))
