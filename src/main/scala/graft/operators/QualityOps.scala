@@ -28,17 +28,18 @@ object QualityOps {
     "q_ngram_novelty",
     (spark, dir) => {
       import spark.implicits._
+      // r15: fused word_grams kernel (byte-identical set, WordGramsSpec)
+      // instead of the interpreted transform chain, repartition for the
+      // single-row-group fixture (r13 gotcha), and the keep-first WINDOW
+      // min (r12 idiom) instead of groupBy+self-join — the gram explode
+      // now runs once instead of twice and one exchange replaces two.
+      graft.functions.WordGrams.register(spark)
       val g = Tables.documents(spark, dir)
-        .select($"doc_id", split($"text", " ").as("l"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .select($"doc_id",
-          explode(array_distinct(
-            when(size($"l") < 3, array().cast("array<string>"))
-              .otherwise(expr(
-                "transform(sequence(1, size(l)-2), i -> concat_ws(' ', " +
-                  "element_at(l, i), element_at(l, i+1), element_at(l, i+2)))"))))
-            .as("gram"))
-      val first = g.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
-      g.join(first, "gram")
+          explode(expr("word_grams(split(text, ' '), 3)")).as("gram"))
+      g.withColumn("first_doc", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))

@@ -36,17 +36,31 @@ object SearchOps {
     "q_phrase_search",
     (spark, dir) => {
       import spark.implicits._
-      val idx = Tables.documents(spark, dir)
-        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      // r15 rewrite (guide §2.3/§2.4, the q_phrase_search_xl posting-cut
+      // idiom): (a) split ONCE in a projection — the old transform
+      // lambda re-ran split(text) per sequence element, O(len²) splits
+      // per doc; (b) checkpoint the 1-row phrase — it feeds three
+      // broadcast joins, each of which re-ran the whole gram groupBy;
+      // (c) cut EACH posting leg with the broadcast 1-row phrase BEFORE
+      // any doc/pos join, so the adjacency joins shuffle a few hundred
+      // matching postings instead of the full index twice. The index is
+      // still recomputed per leg (map-only; the checkpointed-index form
+      // measured slower, r8 gotcha) and counts are unchanged: idx has
+      // one row per (doc, pos), so each cut leg contributes the same
+      // ≤1 row per position the old join-condition filter kept.
+      val docsSplit = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("l"))
+      val idx = docsSplit
+        .select($"doc_id", posexplode($"l").as(Seq("pos", "tok")))
       // tokens contain no spaces, so lexicographic order on the joined
       // gram string == order on the token tuple — one sort key, same in
       // both engines
-      val phrase = Tables.documents(spark, dir)
+      val phrase = docsSplit
         .select(explode(expr(
-          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
-            "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-            "element_at(split(text, ' '), i+1), " +
-            "element_at(split(text, ' '), i+2)))")).as("gram"))
+          "transform(sequence(1, greatest(size(l) - 2, 0)), " +
+            "i -> concat_ws(' ', element_at(l, i), " +
+            "element_at(l, i+1), element_at(l, i+2)))")).as("gram"))
         .groupBy($"gram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"gram")
         .limit(1)
@@ -54,15 +68,16 @@ object SearchOps {
           element_at(split($"gram", " "), 1).as("w1"),
           element_at(split($"gram", " "), 2).as("w2"),
           element_at(split($"gram", " "), 3).as("w3"))
-      idx.as("t1")
-        .join(broadcast(phrase), $"t1.tok" === $"w1")
-        .join(idx.as("t2"),
-          col("t2.doc_id") === col("t1.doc_id") &&
-            col("t2.pos") === col("t1.pos") + 1 && col("t2.tok") === $"w2")
-        .join(idx.as("t3"),
-          col("t3.doc_id") === col("t1.doc_id") &&
-            col("t3.pos") === col("t1.pos") + 2 && col("t3.tok") === $"w3")
-        .groupBy(col("t1.doc_id").as("doc_id"))
+        .localCheckpoint()
+      val t1 = idx.join(broadcast(phrase), $"tok" === $"w1")
+        .select($"doc_id", $"pos")
+      val t2 = idx.join(broadcast(phrase), $"tok" === $"w2")
+        .select($"doc_id".as("d2"), $"pos".as("p2"))
+      val t3 = idx.join(broadcast(phrase), $"tok" === $"w3")
+        .select($"doc_id".as("d3"), $"pos".as("p3"))
+      t1.join(t2, $"d2" === $"doc_id" && $"p2" === $"pos" + 1)
+        .join(t3, $"d3" === $"doc_id" && $"p3" === $"pos" + 2)
+        .groupBy($"doc_id")
         .agg(count(lit(1)).cast("int").as("n_occurrences"))
         .orderBy($"doc_id")
     },
