@@ -1012,7 +1012,12 @@ object StatOps {
         .select($"l_orderkey", $"l_linenumber",
           $"l_quantity".as("x"),
           ($"l_extendedprice" / lit(1000.0)).as("y"))
-      val st = li.agg(count(lit(1)).as("n"),
+      // r15: repartition the moment pass — the 6-decimal-sum global agg
+      // otherwise runs one-core over the single-row-group fixture scan
+      // (the q_corr_matrix fix); decimal sums are order-free.
+      val st = li
+        .repartition(spark.sparkContext.defaultParallelism)
+        .agg(count(lit(1)).as("n"),
         sum(dec($"x")).cast("double").as("sx"),
         sum(dec($"y")).cast("double").as("sy"),
         sum(dec($"x" * $"x")).cast("double").as("sxx"),
