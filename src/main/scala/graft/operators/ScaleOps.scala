@@ -70,7 +70,15 @@ object ScaleOps {
     * (cheap), the sf0.1 bench sees ~50,000. */
   private[operators] def xdocs(base: DataFrame, n: Int): DataFrame =
     if (n <= 1) base
-    else base.select(col("doc_id"), col("text"),
+    else base
+      // r15: repartition the BASE before the ×N explode — the fixture
+      // parquet is one row group (r13 gotcha), so without this the
+      // per-replica token-suffix rebuild of the whole ×N corpus ran on
+      // a single core upstream of every consumer's first exchange
+      // (measured: q_neardup_minhash_xxl 5.2 → 2.7 s, q_band_sweep_xxl
+      // 5.4 → 2.5 s, q_containment_xxl 3.2 → 2.2 s).
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, ${n - 1})")).as("k"))
       .select((col("doc_id") + col("k").cast("long") * lit(100000L))
           .as("doc_id"),
@@ -125,7 +133,12 @@ object ScaleOps {
     * becomes a no-op). */
   private[operators] def xvecs(base: DataFrame, n: Int): DataFrame =
     if (n <= 1) base
-    else base.select(col("vec_id"), col("embedding"),
+    else base
+      // r15: same base repartition as xdocs (A/B measured neutral here —
+      // the 5k-row embedding base is cheap to rebuild — kept for the
+      // same one-core-scan reasoning and layout consistency).
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(0, ${n - 1})")).as("k"))
       .select((col("vec_id") + col("k").cast("long") * lit(100000L))
           .as("vec_id"),
