@@ -1197,6 +1197,9 @@ object LlmOps {
     * otherwise nest N replace chains × N crossJoins and re-run every
     * earlier round's count per consumer. */
   private[graft] def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    // r15 A/B: a repartition before this checkpoint (the one-core-scan
+    // fix) measured WORSE (2.2 -> 3.1 s) — at 5k docs the per-round
+    // 32-task scheduling outweighs the single-core map work. Left as is.
     var cur = docs
       .withColumn("tb", size(split(col("text"), " ")).cast("long"))
       .localCheckpoint()
@@ -1315,6 +1318,9 @@ object LlmOps {
     * an unmatchable sentinel (the bpeTrain contract). */
   private[graft] def bpeTrainTopK(docs: DataFrame, rounds: Int,
       k: Int): DataFrame = {
+    // r15 A/B: a repartition before this checkpoint (the one-core-scan
+    // fix) measured WORSE (2.2 -> 3.1 s) — at 5k docs the per-round
+    // 32-task scheduling outweighs the single-core map work. Left as is.
     var cur = docs
       .withColumn("tb", size(split(col("text"), " ")).cast("long"))
       .localCheckpoint()
